@@ -1,13 +1,646 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VecFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops.RelOps
+import graft.pipelines.Repurpose
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator row of SURVEY.md §2 (plus the north-star LLM-data-
+  * pipeline extensions) has a named query here; each SQL-expressible
+  * one has a DuckDB oracle twin in `oracleSql` with IDENTICAL column
+  * names and ordering. Non-SQL-expressible ops (sketches, ANN, UDF
+  * paths) are rows-only checked and covered by ScalaTest specs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * The §3.1 candidate-drugs algebra: scan + search + threshold
+    * filter + two fan-out joins + anti-join + dedup in one DAG.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    // HOUSEHOLD is the segment with candidates at sf0.001 (BUILDING's
+    // candidate set is empty at that scale; q22 uses it at sf0.01+).
+    Repurpose.candidateParts(spark, "/root/testdata/sf0.001", segment = "HOUSEHOLD")
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // ---- shared expression helpers (keep Spark & oracle in lockstep) ----
+  private def epochTs(c: Column): Column = c.cast("double")
+
+  /** Order-independent money sum: casting each term to DECIMAL before
+    * summing makes the aggregate exact (no fp accumulation), so Spark's
+    * parallel sum and DuckDB's sequential sum agree bit-for-bit at the
+    * round(2) boundary. The oracle twin is
+    * `CAST(round(sum(CAST(x AS DECIMAL(18,4))),2) AS DOUBLE)`.
+    */
+  private def moneySum(term: Column): Column =
+    round(sum(term.cast("decimal(18,4)")), 2).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- §2.4 aggregations (A1/A2) ----------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---------------- P3 threshold filter ----------------
+    "q02_threshold_filter" -> ((s, dir) => {
+      RelOps.thresholdFilter(t(s, dir).lineitem, col("l_quantity"), 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---------------- S2 search + relevance rank + O1/O2 ----------------
+    "q03_search_rank" -> ((s, dir) => {
+      RelOps.topK(
+        RelOps.search(t(s, dir).part, col("p_name"), "red"),
+        10, Seq(col("p_retailprice").desc, col("p_partkey").asc))
+        .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("price"))
+    }),
+
+    // ---------------- S3 point lookup ----------------
+    "q04_point_lookup" -> ((s, dir) => {
+      t(s, dir).customer.filter(col("c_custkey") === 42)
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+    }),
+
+    // ---------------- S4 batch lookup via semi join ----------------
+    "q05_batch_semi" -> ((s, dir) => {
+      val keys = t(s, dir).customer.filter(col("c_acctbal") > 9500)
+        .select(col("c_custkey").as("o_custkey"))
+      RelOps.semi(t(s, dir).orders, keys, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---------------- P4 blocklist anti-filter ----------------
+    "q06_blocklist" -> ((s, dir) => {
+      RelOps.blocklist(t(s, dir).customer, col("c_mktsegment"),
+        Seq("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---------------- SO5 dedup keep-first (deterministic) ----------------
+    "q07_first_order_per_cust" -> ((s, dir) => {
+      RelOps.dedupKeepFirst(t(s, dir).orders,
+        Seq(col("o_custkey")), Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("first_ts"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---------------- J1/J3 fan-out joins ----------------
+    "q08_region_orders" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val (r, n) = (tt.region, tt.nation)
+      val joined = r
+        .join(n, n("n_regionkey") === r("r_regionkey"))
+        .join(tt.customer, col("c_nationkey") === col("n_nationkey"))
+        .join(tt.orders, col("o_custkey") === col("c_custkey"))
+      joined.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_total"))
+        .orderBy("r_name")
+    }),
+
+    // ---------------- J11 join on differently-named keys ----------------
+    "q09_brand_quantity" -> ((s, dir) => {
+      val tt = t(s, dir)
+      tt.part.join(tt.lineitem, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    // ---------------- SO1 set difference ----------------
+    "q10_part_diff" -> ((s, dir) => {
+      val tt = t(s, dir)
+      def partsOf(seg: String) = tt.lineitem
+        .join(tt.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(tt.customer, col("c_custkey") === col("o_custkey"))
+        .filter(col("c_mktsegment") === seg)
+        .select(col("l_partkey").as("p_key")).distinct()
+      partsOf("BUILDING").except(partsOf("MACHINERY")).orderBy("p_key")
+    }),
+
+    // ---------------- SO2 set intersection ----------------
+    "q11_part_intersect" -> ((s, dir) => {
+      val tt = t(s, dir)
+      def partsOf(seg: String) = tt.lineitem
+        .join(tt.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(tt.customer, col("c_custkey") === col("o_custkey"))
+        .filter(col("c_mktsegment") === seg)
+        .select(col("l_partkey").as("p_key")).distinct()
+      partsOf("BUILDING").intersect(partsOf("MACHINERY")).orderBy("p_key")
+    }),
+
+    // ---------------- A1/A2 count + count distinct ----------------
+    "q12_distinct_counts" -> ((s, dir) => {
+      t(s, dir).lineitem.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---------------- A3 collect per group (sorted for determinism) ----------------
+    "q13_collect_nations" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val joined = tt.customer.join(tt.nation, col("n_nationkey") === col("c_nationkey"))
+      RelOps.collectPerGroup(joined, Seq(col("c_mktsegment")), col("n_name"), "nations_arr")
+        .select(col("c_mktsegment"), array_join(col("nations_arr"), ",").as("nations"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---------------- O2 top-1 global ----------------
+    "q14_top_order" -> ((s, dir) => {
+      RelOps.topK(t(s, dir).orders, 1,
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
+    }),
+
+    // ---------------- O3 top-1 per group ----------------
+    "q15_top_order_per_cust" -> ((s, dir) => {
+      RelOps.firstPerGroup(t(s, dir).orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---------------- P10 coalesce fallback (null-producing left join) ----------------
+    "q16_revenue_fallback" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val rev = tt.lineitem.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_partkey"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      tt.part.join(rev, col("l_partkey") === col("p_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("r"), lit(0.0)).as("returned_rev"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---------------- F4 JSON navigation ----------------
+    "q17_json_extract" -> ((s, dir) => {
+      t(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---------------- SO4 union-all accumulate ----------------
+    "q18_union_status" -> ((s, dir) => {
+      val o = t(s, dir).orders
+      val a = o.filter(col("o_totalprice") > 40000).select(col("o_orderstatus").as("status"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus").as("status"))
+      a.unionByName(b).groupBy(col("status")).agg(count(lit(1)).as("n")).orderBy("status")
+    }),
+
+    // ---------------- §2.8 window analytics (rank/lag/running sum) ----------------
+    "q19_order_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(byPrice).cast("long").as("price_rank"),
+          lag(col("o_orderkey"), 1).over(byDate).as("prev_orderkey"),
+          round(sum(col("o_totalprice")).over(
+            byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---------------- event-time tumbling window (batch) ----------------
+    "q20_hourly_events" -> ((s, dir) => {
+      t(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
+    // ---------------- sessionization in batch (gap > 30 min) ----------------
+    "q21_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            epochTs(col("ts")) - epochTs(col("prev_ts")) > 1800.0, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---------------- §3.1 pipeline: candidate parts ----------------
+    "q22_candidate_parts" -> ((s, dir) => Repurpose.candidateParts(s, dir)),
+
+    // ---------------- §3.2 pipeline: related candidates + phase-2 merge ----------------
+    "q23_related_candidates" -> ((s, dir) => Repurpose.relatedCandidates(s, dir)),
+
+    // ---------------- text: language stats ----------------
+    "q24_lang_stats" -> ((s, dir) => {
+      t(s, dir).documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- text: token counting ----------------
+    "q25_token_counts" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- text: quality scoring facets ----------------
+    "q26_quality" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextFns.distinctTokenRatio(col("text")), 4).as("diversity"),
+          (TextFns.tokenCount(col("text")).between(20, 1000) &&
+            TextFns.distinctTokenRatio(col("text")) > 0.3).as("is_quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- text: language ID heuristic (no SQL twin) ----------------
+    "q27_langid" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- text: document fingerprint ----------------
+    "q28_fingerprints" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- dedup: exact groups ----------------
+    "q29_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir).documents, col("doc_id"), col("text"))
+        .select(col("fp"), col("canonical_id"), col("n_dups"))
+        .orderBy("canonical_id")
+    }),
+
+    // ---------------- dedup: exact n-gram Jaccard pairs ----------------
+    "q30_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- dedup: MinHash + LSH (sketch; rows-only) ----------------
+    "q31_minhash_neardups" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text", threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- dedup: SimHash (sketch; rows-only) ----------------
+    "q32_simhash_neardups" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir).documents, "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- similarity: brute-force cosine top-k ----------------
+    "q33_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
+    }),
+
+    // ---------------- similarity: ANN via hyperplane LSH (rows-only) ----------------
+    "q34_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+        numBits = 16, probeHamming = 6, excludeId = 0L)
+    }),
+
+    // ---------------- similarity: per-label centroids ----------------
+    "q35_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(t(s, dir).embeddings, "label", "embedding")
+        .orderBy("label", "dim")
+    }),
+
+    // ---------------- similarity: LSH KNN join (rows-only) ----------------
+    "q36_knn_join" -> ((s, dir) => {
+      Similarity.knnJoin(t(s, dir).embeddings, "vec_id", "embedding", k = 3)
+        .orderBy(col("id"), col("cosine").desc, col("nn_id"))
+    }),
+
+    // ---------------- multimodal: binary payload pipeline ----------------
+    "q37_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("frame_count"))
+        .orderBy("media_id")
+    }),
+
+    // ---------------- conditional agg / error rates ----------------
+    "q38_error_rates" -> ((s, dir) => {
+      t(s, dir).events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+          round(sum(when(col("event_type") === "error", 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("error_rate"))
+        .orderBy("user_id")
+    }),
+
+    // ---------------- SO5 on events: first event per (user, type) ----------------
+    "q39_first_event" -> ((s, dir) => {
+      RelOps.dedupKeepFirst(t(s, dir).events,
+        Seq(col("user_id"), col("event_type")),
+        Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // ---------------- A2 at scale: approx distinct (rows-only) ----------------
+    "q40_approx_distinct" -> ((s, dir) => {
+      t(s, dir).lineitem.agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+  )
+
+  /** DuckDB oracle twins — identical column names + ORDER BY.
+    * Omitted: q27 (heuristic argmax), q31/q32 (sketches), q34/q36
+    * (ANN — approximation not SQL-reproducible), q40 (HLL).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_threshold_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(l_extendedprice,2) AS price
+         FROM lineitem WHERE l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_search_rank" ->
+      """SELECT p_partkey, p_name, round(p_retailprice,2) AS price
+         FROM part WHERE lower(p_name) LIKE '%red%'
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+    "q04_point_lookup" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal
+         FROM customer WHERE c_custkey = 42""",
+    "q05_batch_semi" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total
+         FROM orders WHERE o_custkey IN
+           (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+         ORDER BY o_orderkey""",
+    "q06_blocklist" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_mktsegment NOT IN ('AUTOMOBILE','HOUSEHOLD')
+         ORDER BY c_custkey""",
+    "q07_first_order_per_cust" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(epoch(o_orderdate) AS BIGINT) AS first_ts
+         FROM (SELECT *, row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1
+         ORDER BY o_custkey""",
+    "q08_region_orders" ->
+      """SELECT r_name, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_total
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q09_brand_quantity" ->
+      """SELECT p_brand, round(sum(l_quantity),2) AS sum_qty,
+         count(*) AS n_lines
+         FROM part JOIN lineitem ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q10_part_diff" ->
+      """SELECT DISTINCT l_partkey AS p_key FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT DISTINCT l_partkey AS p_key FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY p_key""",
+    "q11_part_intersect" ->
+      """SELECT DISTINCT l_partkey AS p_key FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT DISTINCT l_partkey AS p_key FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY p_key""",
+    "q12_distinct_counts" ->
+      """SELECT l_returnflag, count(*) AS n,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q13_collect_nations" ->
+      """SELECT c_mktsegment,
+         string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q14_top_order" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""",
+    "q15_top_order_per_cust" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS total
+         FROM (SELECT *, row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1
+         ORDER BY o_custkey""",
+    "q16_revenue_fallback" ->
+      """SELECT p_partkey,
+         coalesce(r, 0.0) AS returned_rev
+         FROM part LEFT JOIN
+           (SELECT l_partkey,
+              CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS r
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey) s
+         ON s.l_partkey = p_partkey
+         ORDER BY p_partkey""",
+    "q17_json_extract" ->
+      """SELECT event_type,
+         round(avg(CAST(json_extract_string(props,'$.k') AS INT)),4) AS avg_k,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q18_union_status" ->
+      """SELECT status, count(*) AS n FROM (
+           SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 40000
+           UNION ALL
+           SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+         ) GROUP BY status ORDER BY status""",
+    "q19_order_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         rank() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q20_hourly_events" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q21_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+         FROM (SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+               THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events))
+         GROUP BY user_id ORDER BY user_id""",
+    "q22_candidate_parts" ->
+      """WITH seg AS (
+           SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           WHERE c_mktsegment = 'BUILDING'),
+         target_suppliers AS (
+           SELECT DISTINCT l_suppkey FROM seg WHERE l_quantity >= 45),
+         dtd AS (
+           SELECT DISTINCT l_partkey FROM lineitem
+           WHERE l_suppkey IN (SELECT l_suppkey FROM target_suppliers)),
+         dd AS (SELECT DISTINCT l_partkey FROM seg)
+         SELECT d.l_partkey AS p_partkey, p_name
+         FROM dtd d LEFT JOIN part ON p_partkey = d.l_partkey
+         WHERE d.l_partkey NOT IN (SELECT l_partkey FROM dd)
+         ORDER BY p_partkey""",
+    "q23_related_candidates" ->
+      """WITH facts AS (
+           SELECT l_partkey, l_suppkey, l_quantity, o_custkey, c_mktsegment
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey),
+         mains AS (SELECT * FROM facts WHERE c_mktsegment = 'BUILDING'),
+         main_targets AS (
+           SELECT DISTINCT l_partkey FROM mains WHERE l_quantity >= 45),
+         others AS (SELECT * FROM facts WHERE c_mktsegment <> 'BUILDING'),
+         related_customers AS (
+           SELECT DISTINCT o_custkey FROM others
+           WHERE l_partkey IN (SELECT l_partkey FROM main_targets)),
+         related_lines AS (
+           SELECT * FROM others
+           WHERE o_custkey IN (SELECT o_custkey FROM related_customers)),
+         candidates AS (
+           SELECT DISTINCT l_partkey FROM related_lines
+           EXCEPT SELECT DISTINCT l_partkey FROM mains)
+         SELECT l_partkey AS p_partkey,
+           count(DISTINCT o_custkey) AS n_related_customers,
+           count(DISTINCT l_suppkey) AS n_suppliers
+         FROM related_lines
+         WHERE l_partkey IN (SELECT l_partkey FROM candidates)
+         GROUP BY l_partkey ORDER BY p_partkey""",
+    "q24_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q25_token_counts" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q26_quality" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / len(string_split(text,' ')),4) AS diversity,
+         (len(string_split(text,' ')) BETWEEN 20 AND 1000
+          AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+            / len(string_split(text,' ')) > 0.3) AS is_quality
+         FROM documents ORDER BY doc_id""",
+    "q28_fingerprints" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q29_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+         min(doc_id) AS canonical_id, count(*) AS n_dups
+         FROM documents GROUP BY fp ORDER BY canonical_id""",
+    "q30_jaccard_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+         ORDER BY id_a, id_b""",
+    "q33_cosine_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    "q35_label_centroids" ->
+      """SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+         FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x FROM embeddings)
+         GROUP BY label, dim ORDER BY label, dim""",
+    "q37_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(greatest(1, octet_length(encode(text)) // 64) AS INT) AS frame_count
+         FROM documents ORDER BY media_id""",
+    "q38_error_rates" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS error_rate
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q39_first_event" ->
+      """SELECT user_id, event_type, event_id
+         FROM (SELECT *, row_number() OVER
+             (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type"""
+  )
 }

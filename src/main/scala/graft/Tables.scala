@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Typed loaders for the harness star schema + pipeline tables
+  * (see repo:FIXTURES.md). One parquet file per table under `dir`.
+  *
+  * Every loader is a plain parquet scan so Catalyst gets full
+  * predicate pushdown / column pruning; at cluster scale these would
+  * be partitioned tables and the same code holds (partition pruning
+  * composes with the pushed filters).
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; with `nanosAsLong` it arrives as LongType nanos.
+    * The data is µs-aligned (verified: epoch_ns % 1000 == 0 across
+    * the testdata), so timestamp_micros(ns/1000) is lossless and
+    * matches DuckDB's µs view of the same file.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t("events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

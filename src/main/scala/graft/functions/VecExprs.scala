@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot paths. Working on
+  * `ArrayData` directly avoids the UDF ser/deser of `WrappedArray`
+  * per row — at 100 TB the cosine kernel runs billions of times, so
+  * it must not box. (SURVEY.md §4.3 allows promoting these from HOF
+  * compositions when bench demands; brute-force top-k made it the
+  * first candidate.)
+  */
+private[graft] object VecKernels {
+  /** Read element i of a float or double array without boxing. */
+  @inline def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType  => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _          => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  def cosine(a: ArrayData, aet: DataType, b: ArrayData, bet: DataType): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, aet, i); val y = get(b, bet, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, aet: DataType, b: ArrayData, bet: DataType): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, aet, i) * get(b, bet, i); i += 1 }
+    s
+  }
+}
+
+/** cosine(a, b) over array<float>/array<double>. Null-safe: null in →
+  * null out (BinaryExpression handles that before nullSafeEval).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private def et(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], et(left),
+      b.asInstanceOf[ArrayData], et(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** dot(a, b) over numeric arrays. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private def et(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], et(left),
+      b.asInstanceOf[ArrayData], et(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Random-hyperplane LSH signature: `numBits` sign bits of v·r_p
+  * packed into a long. The planes are pseudo-random but fully
+  * deterministic from (seed, bit, dim) via a splitmix64 mix, so the
+  * signature is stable across executors and runs with no broadcast
+  * state — the property that lets the ANN bucketing shuffle stay a
+  * plain groupBy at cluster scale.
+  */
+case class HyperplaneSig(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(numBits >= 1 && numBits <= 64, s"numBits $numBits out of [1,64]")
+  override def dataType: DataType = LongType
+  private def et: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  @inline private def mix(z0: Long): Double = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // map to [-1, 1)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < numBits) {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        s += VecKernels.get(arr, et, i) * mix(seed * 1000003L + b.toLong * 131071L + i)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}

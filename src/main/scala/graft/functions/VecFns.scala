@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math for the similarity-search surface.
+  * Two tiers:
+  *  - HOF forms (`dotHof`, `cosineHof`): pure `functions._`
+  *    compositions (zip_with/aggregate) — stay in whole-stage
+  *    codegen, oracle-checkable, good default.
+  *  - Native forms (`cosine`, `dot`, `hyperplaneSig`): custom
+  *    Catalyst expressions over ArrayData (VecExprs.scala) for the
+  *    brute-force top-k hot loop.
+  */
+object VecFns {
+
+  /** zip_with + aggregate dot product (SURVEY.md §4.3's suggested
+    * starting point). Element types are cast to double first.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = normHof(a) * normHof(b)
+    when(denom === 0.0, 0.0).otherwise(dotHof(a, b) / denom)
+  }
+
+  /** Native-kernel forms — see VecExprs.scala. */
+  def cosine(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
+  def dot(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** numBits-bit random-hyperplane signature of a vector column. */
+  def hyperplaneSig(v: Column, numBits: Int = 16, seed: Long = 42L): Column =
+    toCol(HyperplaneSig(toExpr(v), numBits, seed))
+}

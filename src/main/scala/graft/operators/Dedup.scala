@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for the training-data-pipeline surface:
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Signatures (minhash/simhash) are computed with codegen'd
+  *    higher-order functions or a single partial-aggregated shuffle —
+  *    never a UDF, never a collect.
+  *  - Candidate generation is band-bucketed (LSH): the self-join runs
+  *    on (band, bandHash) keys so the shuffle moves signatures, not
+  *    documents, and skewed buckets stay bounded by band width.
+  *  - Exact verification joins text back ONLY for candidate pairs
+  *    (a tiny fraction of n²).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text hash; keeps the
+    * smallest id as the canonical representative (deterministic —
+    * SURVEY.md §7.4 rule).
+    */
+  def exactDupGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(TextFns.fingerprint(text).as("fp"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct documents under exact (normalized) equality — keeps the
+    * min-id row per fingerprint.
+    */
+  def dedupExact(docs: DataFrame, idName: String, textName: String): DataFrame = {
+    val keep = docs.groupBy(TextFns.fingerprint(col(textName)).as("fp"))
+      .agg(min(col(idName)).as(idName))
+      .select(idName)
+    docs.join(keep, Seq(idName), "left_semi")
+  }
+
+  /** MinHash signatures as `k` salted-xxhash64 minima over word
+    * `shingleN`-shingles: explode + ONE keyed aggregation with k
+    * `min` columns (full map-side partial agg). The aggregation is
+    * deliberate — besides being the classic scalable shape, the
+    * HashAggregate exec materializes the signature columns, so
+    * downstream band hashing references real columns instead of
+    * Catalyst inlining the whole signature expression into every
+    * element_at (which blew codegen up ~200× in the HOF variant).
+    * Returns (id, sig array<long>); shingle-less docs drop out.
+    */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val exploded = docs.select(id.as("id"),
+      explode(TextFns.wordShinglesFast(text, shingleN)).as("g"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (band, bandHash) per signature slice. bands*rows
+    * must equal k. Same-bucket pairs are the near-dup candidates.
+    */
+  def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"bands $bands must divide k $k")
+    val r = k / bands
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (0 until r).map(j => element_at(col("sig"), b * r + j + 1))): _*)
+          .as("bh"))
+    }: _*)
+    val exploded = sigged
+      .select(col("id"), explode(bandCols).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val l = exploded.as("l")
+    val rj = exploded.as("r")
+    l.join(rj, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs with EXACT shingle-Jaccard verification
+    * of candidates. Returns (id_a, id_b, jaccard) for pairs at or
+    * above `threshold`.
+    */
+  def minhashNearDups(docs: DataFrame, idName: String, textName: String,
+                      threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3): DataFrame = {
+    val sigged = minhashSignatures(docs, col(idName), col(textName), k, shingleN)
+    val cands = minhashCandidates(sigged, k, bands)
+    val shingleSets = docs.select(
+      col(idName).as("id"),
+      array_distinct(TextFns.wordShinglesFast(col(textName), shingleN)).as("sh"))
+    val withSets = cands
+      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    withSets
+      .withColumn("jaccard", round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens. explode + one keyed
+    * shuffle with full partial aggregation (map-side combine), then
+    * bit assembly from the 64 signed sums — scalable and
+    * deterministic. Duplicate tokens intentionally weigh in (term
+    * frequency weighting).
+    */
+  def simhash64(docs: DataFrame, idName: String, text: Column): DataFrame = {
+    val tok = docs.select(col(idName), explode(TextFns.tokens(TextFns.normText(text))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
+    val agg = tok.groupBy(col(idName)).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+    agg.select(col(idName), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
+    * Hamming distance 3 shares at least one exact 16-bit band), then
+    * exact Hamming verification with bit_count(xor).
+    */
+  def simhashNearDups(docs: DataFrame, idName: String, textName: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash64(docs, idName, col(textName))
+    val banded = sh.select(
+      col(idName).as("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band"), col("b.bh"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similar pairs — the oracle-checkable
+    * baseline for the sketch-based paths. Shuffle key is the shingle,
+    * so hot shingles are the skew risk; `maxShingleFreq` drops
+    * stop-shingles (standard trick — a shingle appearing in a large
+    * fraction of docs carries no dedup signal but quadratic join
+    * cost).
+    */
+  def jaccardPairs(docs: DataFrame, idName: String, textName: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = docs.select(
+      col(idName).as("id"),
+      array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
+    val pairsRaw = sh.select(col("id"), explode(col("sh")).as("g"))
+    val freq = pairsRaw.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+    val filtered = pairsRaw.join(freq.select("g"), Seq("g"), "left_semi")
+    val inter = filtered.as("l").join(filtered.as("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the north star:
+  *  - `bruteTopK`: exact cosine top-k — one codegen'd scan + a
+  *    TakeOrderedAndProject (per-partition top-k, driver merge of k
+  *    rows per partition; no global sort). Correctness baseline.
+  *  - `annTopK`: random-hyperplane LSH pre-filter — computes a
+  *    b-bit signature per vector once, prunes to candidates within a
+  *    signature Hamming radius, then exact cosine on survivors. At
+  *    cluster scale the signature is a persisted/bucketed column, so
+  *    the query scans 8 bytes/row instead of 256 and only computes
+  *    full cosine on the candidate fraction.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`
+    * if >= 0). Deterministic order: cosine desc, id asc.
+    */
+  def bruteTopK(embeddings: DataFrame, idName: String, vecName: String,
+                queryVec: Array[Float], k: Int, excludeId: Long = -1L): DataFrame = {
+    val q = typedlit(queryVec)
+    embeddings
+      .filter(col(idName) =!= excludeId)
+      .select(col(idName), round(VecFns.cosine(col(vecName), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
+  /** ANN top-k via hyperplane-signature pruning + exact re-rank.
+    * `probeHamming` widens recall (0 = same bucket only).
+    */
+  def annTopK(embeddings: DataFrame, idName: String, vecName: String,
+              queryVec: Array[Float], k: Int, numBits: Int = 16,
+              probeHamming: Int = 4, seed: Long = 42L,
+              excludeId: Long = -1L): DataFrame = {
+    val q = typedlit(queryVec)
+    val qSig = VecFns.hyperplaneSig(q, numBits, seed)
+    embeddings
+      .filter(col(idName) =!= excludeId)
+      .withColumn("__sig", VecFns.hyperplaneSig(col(vecName), numBits, seed))
+      .filter(bit_count(col("__sig").bitwiseXOR(qSig)) <= probeHamming)
+      .select(col(idName), round(VecFns.cosine(col(vecName), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
+  /** All-pairs KNN join bucketed by LSH signature band: each vector
+    * meets only vectors sharing a signature band, then exact cosine +
+    * per-id top-k window. The banding bounds the self-join to
+    * near-neighbors instead of n² — the scale path for corpus-level
+    * "nearest neighbor per document".
+    */
+  def knnJoin(embeddings: DataFrame, idName: String, vecName: String,
+              k: Int, numBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0)
+    val w = numBits / bands
+    val mask = (1L << w) - 1L
+    val sigged = embeddings.select(
+      col(idName).as("id"), col(vecName).as("v"),
+      VecFns.hyperplaneSig(col(vecName), numBits, seed).as("sig"))
+    val banded = sigged.select(col("id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.band"), col("b.bh"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val pairs = l.join(r, col("l.band") === col("r.band") &&
+        col("l.bh") === col("r.bh") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("nn_id"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("id", "nn_id")
+      .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
+      .drop("va", "vb")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cosine").desc, col("nn_id").asc)
+    pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-label centroid of the embedding column: posexplode + one
+    * keyed shuffle with partial aggregation — the standard
+    * "element-wise mean at scale" shape (no vector collect).
+    */
+  def labelCentroids(embeddings: DataFrame, labelName: String, vecName: String): DataFrame =
+    embeddings
+      .select(col(labelName), posexplode(col(vecName)).as(Seq("dim", "x")))
+      .groupBy(col(labelName), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact trigram-Jaccard ground truth at threshold 0.8. */
+  private lazy val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+    n = 3, threshold = 0.8, maxShingleFreq = Long.MaxValue)
+    .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("testdata contains planted near-duplicates (fixture sanity)") {
+    assert(truth.nonEmpty)
+  }
+
+  test("minhash LSH finds the high-jaccard pairs (recall vs exact)") {
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // minhash verifies candidates with EXACT jaccard, so found ⊆ truth;
+    // banding (8 bands × 4 rows) at j>=0.8 should recall nearly all.
+    assert(found.subsetOf(truth))
+    assert(found.size >= (truth.size * 0.8).toInt,
+      s"recall too low: ${found.size}/${truth.size}")
+  }
+
+  test("dedupExact keeps one row per distinct normalized text") {
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val out = Dedup.dedupExact(withDups, "doc_id", "text")
+    assert(out.count() == docs.count())
+    // min-id winner: all survivors are original ids
+    assert(out.filter(col("doc_id") >= 1000000).count() == 0)
+  }
+
+  test("simhash near-dup pairs have verified hamming distance") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+    val bad = pairs.filter(col("hamming") > 8 || col("id_a") >= col("id_b"))
+    assert(bad.count() == 0)
+  }
+
+  test("simhash is stable across partitionings") {
+    val a = Dedup.simhash64(docs, "doc_id", col("text")).orderBy("doc_id").collect().toSeq
+    val b = Dedup.simhash64(docs.repartition(7), "doc_id", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.pipelines.Repurpose
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("candidateParts respects the set-difference invariant (A−B)∩B=∅") {
+    val t = Tables(spark, sfDir)
+    val candidates = Repurpose.candidateParts(spark, sfDir)
+    // parts the BUILDING segment already buys
+    val dd = t.lineitem
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("l_partkey").as("p_partkey")).distinct()
+    assert(candidates.join(dd, Seq("p_partkey"), "left_semi").count() == 0)
+  }
+
+  test("relatedCandidates excludes all main-segment parts") {
+    val t = Tables(spark, sfDir)
+    val rel = Repurpose.relatedCandidates(spark, sfDir)
+    val mainParts = t.lineitem
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("l_partkey").as("p_partkey")).distinct()
+    assert(rel.join(mainParts, Seq("p_partkey"), "left_semi").count() == 0)
+  }
+
+  test("every declared oracle has a matching query (driver contract)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries run on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      withClue(name)(assert(n >= 0))
+    }
+  }
+
+  test("multimodal decode pipeline: schema, determinism, batch shape") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val rows = feats.orderBy("media_id").limit(5).collect()
+    assert(rows.forall(_.feature.length == Multimodal.StubCodec.FeatureDim))
+    assert(rows.forall(r => r.frame_count >= 1 && r.n_bytes > 0))
+    // deterministic across partitionings
+    val a = feats.select("media_id", "n_bytes").orderBy("media_id").collect().toSeq
+    val b = Multimodal.decodeFeatures(spark, media.repartition(7))
+      .select("media_id", "n_bytes").orderBy("media_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val qvec: Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("native cosine kernel agrees with the HOF composition") {
+    val q = typedlit(qvec)
+    val diff = emb.select(
+      (VecFns.cosine(col("embedding"), q) - VecFns.cosineHof(col("embedding"), q))
+        .as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff < 1e-12, s"kernels disagree by $diff")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val v = typedlit(qvec)
+    val c = emb.limit(1).select(VecFns.cosine(v, v)).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered and bounded") {
+    val top = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10, excludeId = 0L)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    assert(!top.map(_._1).contains(0L))
+  }
+
+  test("ANN top-k results are a high-recall subset of brute-force top-k") {
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10, excludeId = 0L)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", qvec, 10,
+      numBits = 16, probeHamming = 6, excludeId = 0L)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // sf0.001 embeddings are weakly clustered (top cosine ≈ 0.4), the
+    // hard regime for sign-LSH; recall here is deterministically 5/10
+    // at probe radius 6. The tradeoff knob is probeHamming.
+    assert((brute intersect ann).size >= 5, s"ANN recall ${(brute intersect ann).size}/10")
+  }
+
+  test("hyperplane signature is deterministic across partitionings") {
+    val a = emb.select(col("vec_id"), VecFns.hyperplaneSig(col("embedding")).as("s"))
+      .orderBy("vec_id").collect().toSeq
+    val b = emb.repartition(5)
+      .select(col("vec_id"), VecFns.hyperplaneSig(col("embedding")).as("s"))
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("knnJoin returns at most k neighbors per id, no self-pairs") {
+    val knn = Similarity.knnJoin(emb.limit(100), "vec_id", "embedding", k = 3)
+    val counts = knn.groupBy("id").agg(count(lit(1)).as("n"))
+    assert(counts.filter(col("n") > 3).count() == 0)
+    assert(knn.filter(col("id") === col("nn_id")).count() == 0)
+  }
+
+  test("label centroids cover every (label, dim) with bounded values") {
+    val c = Similarity.labelCentroids(emb, "label", "embedding")
+    val labels = emb.select("label").distinct().count()
+    assert(c.count() == labels * 64)
+    assert(c.filter(abs(col("centroid")) > 1.0).count() == 0)
+  }
+}

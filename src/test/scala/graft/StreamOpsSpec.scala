@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long, typ: String = "click"): Event =
+    Event(id, new Timestamp(sec * 1000L), user, typ, 1.0)
+
+  test("hourlyCounts over MemoryStream matches the batch run") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      ev(1, 100, 1), ev(2, 200, 1), ev(3, 3700, 2), ev(4, 3800, 2, "error"),
+      ev(5, 7300, 1))
+    input.addData(events)
+    val q = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    // advance watermark far enough to close all windows
+    input.addData(Seq(ev(99, 100000, 9)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly")
+      .select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = StreamOps.hourlyCounts(events.toDF())
+      .select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(batch.subsetOf(streamed))
+    assert(streamed.exists(_._2 == "error"))
+  }
+
+  test("sessionize closes sessions on gap and on timeout") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions separated by > 30 min; user 2: one session
+    // (times start at 1000s — a ts equal to the initial watermark of 0
+    // is dropped by the strict late-row filter)
+    input.addData(Seq(ev(1, 1000, 1), ev(2, 1060, 1), ev(3, 5000, 1), ev(4, 1010, 2)))
+    val q = StreamOps.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq(ev(9, 100000, 3)))  // watermark push
+    q.processAllAvailable()
+    input.addData(Seq(ev(10, 200000, 3))) // second push times out stragglers
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions").as[Session].collect()
+    info(s"sessions emitted: ${out.toSeq.sortBy(s => (s.user_id, s.session_start.getTime))}")
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length == 2)
+    assert(u1(0).n_events == 2 && u1(1).n_events == 1)
+    assert(out.count(_.user_id == 2) == 1)
+  }
+}
