@@ -145,35 +145,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similar pairs — the oracle-checkable
-    * baseline for the sketch-based paths. Shuffle key is the shingle,
-    * so hot shingles are the skew risk; `maxShingleFreq` drops
-    * stop-shingles (standard trick — a shingle appearing in a large
-    * fraction of docs carries no dedup signal but quadratic join
-    * cost).
+  /** Exact n-gram Jaccard similar pairs with PREFIX FILTERING
+    * (PPJoin-style): for Jaccard >= t, two sets must share a shingle
+    * within each other's first ⌊(1-t)·|d|⌋+1 shingles when both are
+    * ordered by ascending global frequency — so the quadratic
+    * shingle-join runs only over those prefixes (rare shingles),
+    * never over the hot stop-shingles that dominate df² cost.
+    * Candidates are then verified with an exact array-intersect
+    * Jaccard, so the output is IDENTICAL to the naive all-pairs join
+    * (the DuckDB oracle) — no false negatives, by the prefix-filter
+    * theorem. This is the property that keeps the operator viable at
+    * corpus scale: shuffle volume follows prefix size, not document
+    * frequency skew.
     */
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Long = 1000L): DataFrame = {
+                   maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = docs.select(
       col(idName).as("id"),
       array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
-    val pairsRaw = sh.select(col("id"), explode(col("sh")).as("g"))
-    val freq = pairsRaw.groupBy("g").agg(count(lit(1)).as("df"))
+    val exploded = sh.select(col("id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
-    val filtered = pairsRaw.join(freq.select("g"), Seq("g"), "left_semi")
-    val inter = filtered.as("l").join(filtered.as("r"),
+    // order shingles per doc by (global df asc, shingle asc); keep the
+    // prefix that any qualifying pair must intersect
+    val ranked = exploded.join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("g").asc)))
+      .withColumn("plen", floor(lit(1.0 - threshold) * col("nsh")).cast("int") + 1)
+      .filter(col("rk") <= col("plen"))
+      .select(col("id"), col("g"))
+    val cands = ranked.as("l").join(ranked.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // exact verification on the candidate pairs only
+    val setsA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val setsB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    cands.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

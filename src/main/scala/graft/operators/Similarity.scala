@@ -65,18 +65,24 @@ object Similarity {
     val sigged = embeddings.select(
       col(idName).as("id"), col(vecName).as("v"),
       VecFns.hyperplaneSig(col(vecName), numBits, seed).as("sig"))
-    val banded = sigged.select(col("id"), col("v"),
+    // band join + pair-dedup over BARE IDS first — the wide vector
+    // payload joins back only after dedup, so the shuffle moves
+    // 16-byte pairs instead of 2×64-float rows (the difference
+    // between MBs and GBs per million candidates at scale)
+    val banded = sigged.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.band"), col("b.bh"))
+      .select(col("id"), col("b.band"), col("b.bh"))
     val l = banded.as("l"); val r = banded.as("r")
+    val vecs = sigged.select(col("id"), col("v"))
     val pairs = l.join(r, col("l.band") === col("r.band") &&
         col("l.bh") === col("r.bh") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("id"), col("r.id").as("nn_id"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-      .dropDuplicates("id", "nn_id")
+      .select(col("l.id").as("id"), col("r.id").as("nn_id"))
+      .distinct()
+      .join(vecs.select(col("id"), col("v").as("va")), "id")
+      .join(vecs.select(col("id").as("nn_id"), col("v").as("vb")), "nn_id")
       .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
       .drop("va", "vb")
     val win = org.apache.spark.sql.expressions.Window

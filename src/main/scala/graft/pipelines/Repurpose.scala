@@ -41,13 +41,23 @@ object Repurpose {
                      segment: String = "BUILDING",
                      minQty: Double = 45.0): DataFrame = {
     val t = Tables(spark, dir)
-    val seg = lineFacts(t).filter(col("c_mktsegment") === segment)
-    val targetSuppliers = thresholdFilter(seg, col("l_quantity"), minQty)
+    // ONE pass over the fact join, aggregated to (part, supplier)
+    // grain with the two flags every later step needs — instead of
+    // re-scanning lineitem for each set (Catalyst does not share
+    // common subtrees across DAG branches, so the naive three-branch
+    // form scans/joins the fact table three times; this form does it
+    // once and every set op below runs on the tiny aggregate).
+    val pairFlags = lineFacts(t)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        max(when(col("c_mktsegment") === segment, 1).otherwise(0)).as("seg"),
+        max(when(col("c_mktsegment") === segment &&
+          col("l_quantity") >= minQty, 1).otherwise(0)).as("seg_hi"))
+    val targetSuppliers = pairFlags.filter(col("seg_hi") === 1)
       .select("l_suppkey").distinct()
-    val dtd = semi(t.lineitem.select("l_suppkey", "l_partkey"),
-      targetSuppliers, Seq("l_suppkey"))
+    val dtd = semi(pairFlags, targetSuppliers, Seq("l_suppkey"))
       .select("l_partkey").distinct()
-    val dd = seg.select("l_partkey").distinct()
+    val dd = pairFlags.filter(col("seg") === 1).select("l_partkey").distinct()
     anti(dtd, dd, Seq("l_partkey"))
       .join(t.part.select(col("p_partkey").as("l_partkey"), col("p_name")),
         Seq("l_partkey"), "left")
@@ -67,16 +77,22 @@ object Repurpose {
                         segment: String = "BUILDING",
                         minQty: Double = 45.0): DataFrame = {
     val t = Tables(spark, dir)
-    val facts = lineFacts(t)
-    val mains = facts.filter(col("c_mktsegment") === segment)
-    val mainTargets = thresholdFilter(mains, col("l_quantity"), minQty)
+    // one aggregation of the fact join to (part, supplier, customer,
+    // is_main) grain; every later set op runs on this identical
+    // subtree so the physical plan reuses ONE exchange for the big
+    // join instead of recomputing it per branch (see candidateParts)
+    val grain = lineFacts(t)
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("o_custkey"),
+        (col("c_mktsegment") === segment).as("is_main"))
+      .agg(max(when(col("l_quantity") >= minQty, 1).otherwise(0)).as("any_hi"))
+    val mainTargets = grain.filter(col("is_main") && col("any_hi") === 1)
       .select("l_partkey").distinct()
-    val others = facts.filter(col("c_mktsegment") =!= segment)
+    val others = grain.filter(!col("is_main"))
     val relatedCustomers = semi(others, mainTargets, Seq("l_partkey"))
       .select("o_custkey").distinct()
     val relatedLines = semi(others, relatedCustomers, Seq("o_custkey"))
     val relatedParts = relatedLines.select("l_partkey").distinct()
-    val mainParts = mains.select("l_partkey").distinct()
+    val mainParts = grain.filter(col("is_main")).select("l_partkey").distinct()
     val candidates = anti(relatedParts, mainParts, Seq("l_partkey"))
     semi(relatedLines, candidates, Seq("l_partkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
