@@ -380,6 +380,73 @@ object SparkEntry {
       t(s, dir).lineitem.agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // ---------------- P1 nested struct/array round-trip ----------------
+    // build array<struct> per customer, explode it back, re-aggregate:
+    // must equal the direct aggregation (proves collect_list/struct/
+    // explode navigation without needing nested source data)
+    "q41_nested_roundtrip" -> ((s, dir) => {
+      val nested = t(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(collect_list(struct(col("o_orderkey"), col("o_totalprice"))).as("os"))
+      nested.select(col("o_custkey"), explode(col("os")).as("o"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o.o_totalprice")).as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---------------- S8 JSON decode via from_json (typed) ----------------
+    "q42_from_json" -> ((s, dir) => {
+      t(s, dir).events
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("j.k")), 4).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---------------- O4 pagination: page 2 by relevance ----------------
+    "q43_page2" -> ((s, dir) => {
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, dir).part
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 10 && col("rn") <= 20)
+        .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("p_partkey"))
+    }),
+
+    // ---------------- embedding-cosine near-dup pairs (exact baseline) ----------------
+    "q44_embedding_neardups" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VecFns.cosine(col("ea"), col("eb")), 6))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- BPE-ish subword token counting ----------------
+    "q45_subword_counts" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"),
+          size(TextFns.subwordTokens(col("text"))).cast("long").as("n_subtokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- top terms per language (explode + windowed top-k) ----------------
+    "q46_top_terms" -> ((s, dir) => {
+      val toks = t(s, dir).documents
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+      toks.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("token"), col("n"), col("rk"))
+        .orderBy("lang", "rk")
     })
   )
 
@@ -641,6 +708,41 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
              (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn = 1
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+    "q41_nested_roundtrip" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_total
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q42_from_json" ->
+      """SELECT event_type,
+         round(avg(CAST(json_extract_string(props,'$.k') AS INT)),4) AS avg_k,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q43_page2" ->
+      """SELECT p_partkey, p_name, round(p_retailprice,2) AS price
+         FROM part ORDER BY p_retailprice DESC, p_partkey
+         LIMIT 10 OFFSET 10""",
+    "q44_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q45_subword_counts" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens
+         FROM documents ORDER BY doc_id""",
+    "q46_top_terms" ->
+      """SELECT lang, token, n, rk FROM (
+           SELECT lang, token, n, row_number() OVER
+             (PARTITION BY lang ORDER BY n DESC, token) AS rk
+           FROM (SELECT lang, token, count(*) AS n
+                 FROM (SELECT lang, unnest(string_split(text,' ')) AS token
+                       FROM documents)
+                 GROUP BY lang, token))
+         WHERE rk <= 5 ORDER BY lang, rk"""
   )
 }

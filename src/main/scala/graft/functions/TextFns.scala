@@ -23,10 +23,8 @@ object TextFns {
     * non-alnum symbols — a deterministic stand-in for a real BPE
     * tokenizer's pre-tokenization regex.
     */
-  def subwordTokens(c: Column): Column = {
-    val spaced = regexp_replace(c, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])", " $1 ")
-    filter(split(trim(spaced), "\\s+"), t => t =!= lit(""))
-  }
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

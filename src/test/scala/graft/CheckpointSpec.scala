@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.{Checkpointed, Repurpose}
+import graft.sources.CsvIO
+
+class CheckpointSpec extends SparkSpec {
+
+  test("CSV sink/source round-trips data and derives the id set (S6/S7)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables(spark, sfDir).customer
+      .select("c_custkey", "c_name", "c_mktsegment")
+    CsvIO.write(src, s"$dir/customer_csv")
+    val (back, ids) = CsvIO.readWithIdSet(spark, s"$dir/customer_csv", "c_custkey")
+    assert(back.count() == src.count())
+    assert(ids.count() == src.select("c_custkey").distinct().count())
+    val a = src.orderBy("c_custkey").collect().map(_.getString(1)).toSeq
+    val b = back.orderBy("c_custkey").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
+  test("checkpointed pipeline: fresh == resumed == in-memory pipeline") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    val fresh = Checkpointed.relatedCandidates(spark, sfDir, dir, resume = false)
+      .collect().toSeq
+    // resumed run must read every step from disk and agree
+    val resumed = Checkpointed.relatedCandidates(spark, sfDir, dir, resume = true)
+      .collect().toSeq
+    assert(fresh == resumed)
+    val direct = Repurpose.relatedCandidates(spark, sfDir).collect().toSeq
+    assert(fresh == direct)
+    // all six step files exist
+    (1 to 6).foreach { i =>
+      val stepName = Seq("s1_facts", "s2_main_targets", "s3_related_customers",
+        "s4_related_lines", "s5_candidates", "s6_merged")(i - 1)
+      assert(new java.io.File(Checkpointed.stepPath(dir, stepName)).exists(), stepName)
+    }
+  }
+}
