@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -39,31 +39,72 @@ private[graft] object VecKernels {
   }
 }
 
+/** Base for the two binary vector kernels: interpreted path via
+  * VecKernels, codegen path emitting a tight primitive loop directly
+  * into whole-stage codegen (no boxing, no virtual dispatch — the
+  * generated Java reads floats straight out of the columnar
+  * ArrayData). At 100 TB the kernel runs billions of times; this is
+  * the difference between staying inside one WholeStageCodegen span
+  * and paying an interpreted-expression call per row.
+  */
+abstract class BinaryVecExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def et(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  /** ArrayData accessor name for the element type. */
+  protected def getter(e: Expression): String = et(e) match {
+    case FloatType  => "getFloat"
+    case DoubleType => "getDouble"
+    case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
 /** cosine(a, b) over array<float>/array<double>. Null-safe: null in →
   * null out (BinaryExpression handles that before nullSafeEval).
   */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  private def et(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+case class CosineSim(left: Expression, right: Expression) extends BinaryVecExpression {
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.cosine(a.asInstanceOf[ArrayData], et(left),
       b.asInstanceOf[ArrayData], et(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, na, nb, x, y, denom) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+        ctx.freshName("x"), ctx.freshName("y"), ctx.freshName("denom"))
+      s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.${getter(left)}($i);
+       |  double $y = (double) $b.${getter(right)}($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+       |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
 }
 
 /** dot(a, b) over numeric arrays. */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  private def et(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpression {
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dot(a.asInstanceOf[ArrayData], et(left),
       b.asInstanceOf[ArrayData], et(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += (double) $a.${getter(left)}($i) * (double) $b.${getter(right)}($i);
+       |}
+       |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_product"
