@@ -437,6 +437,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- S2 entity-filtered union search ----------------
+    // the reference's search(queryString, entityNames=[...]) over the
+    // union type Target|Drug|Disease: tag column + per-entity arms
+    "q47_entity_search" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val entities = tt.part
+        .select(lit("part").as("entity"), col("p_partkey").as("id"), col("p_name").as("name"))
+        .unionByName(tt.supplier
+          .select(lit("supplier").as("entity"), col("s_suppkey").as("id"), col("s_name").as("name")))
+        .unionByName(tt.customer
+          .select(lit("customer").as("entity"), col("c_custkey").as("id"), col("c_name").as("name")))
+      RelOps.search(entities, col("name"), "1")
+        .filter(col("entity").isin("supplier", "customer"))
+        .orderBy("entity", "id")
+    }),
+
+    // ---------------- F3 formatted output ----------------
+    "q48_format" -> ((s, dir) => {
+      t(s, dir).supplier
+        .select(col("s_suppkey"),
+          format_string("%s | bal %.2f", col("s_name"), col("s_acctbal")).as("label"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---------------- top terms per language (explode + windowed top-k) ----------------
     "q46_top_terms" -> ((s, dir) => {
       val toks = t(s, dir).documents
@@ -743,6 +767,18 @@ object SparkEntry {
                  FROM (SELECT lang, unnest(string_split(text,' ')) AS token
                        FROM documents)
                  GROUP BY lang, token))
-         WHERE rk <= 5 ORDER BY lang, rk"""
+         WHERE rk <= 5 ORDER BY lang, rk""",
+    "q47_entity_search" ->
+      """SELECT entity, id, name FROM (
+           SELECT 'part' AS entity, p_partkey AS id, p_name AS name FROM part
+           UNION ALL
+           SELECT 'supplier', s_suppkey, s_name FROM supplier
+           UNION ALL
+           SELECT 'customer', c_custkey, c_name FROM customer)
+         WHERE lower(name) LIKE '%1%' AND entity IN ('supplier','customer')
+         ORDER BY entity, id""",
+    "q48_format" ->
+      """SELECT s_suppkey, printf('%s | bal %.2f', s_name, s_acctbal) AS label
+         FROM supplier ORDER BY s_suppkey"""
   )
 }

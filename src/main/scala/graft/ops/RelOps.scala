@@ -92,6 +92,26 @@ object RelOps {
   def fanout(driving: DataFrame, expand: DataFrame, keys: Seq[String]): DataFrame =
     driving.join(expand, keys, "inner")
 
+  /** Skew-tolerant equi-join by key salting: the left (skewed) side
+    * gets a random-but-deterministic salt in [0, salt), the right
+    * side is replicated `salt` times, and the join runs on
+    * (key, salt) — spreading a hot key over `salt` reducers. AQE's
+    * skew-join split handles most cases automatically; explicit
+    * salting is for the pathological single-key hotspots (null-heavy
+    * foreign keys, celebrity entities) AQE can't split further.
+    * Deterministic: the salt is a hash of the whole left row, not
+    * rand(), so retries and the DuckDB oracle see stable results.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1 && salt <= 1024)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** A3 — collect-to-sorted-list per group
     * (/root/reference/opentargets_client_api.py:235-249). Sorted so
     * downstream comparisons are deterministic.

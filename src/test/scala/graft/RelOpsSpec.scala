@@ -55,6 +55,33 @@ class RelOpsSpec extends SparkSpec {
     assert(top.map(_._1).toSeq == Seq("a", "b"))
   }
 
+  test("saltedJoin returns exactly the plain join result") {
+    val left = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val right = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = left.join(right, Seq("l_partkey")).groupBy("p_brand")
+      .agg(sum("l_quantity").as("q")).orderBy("p_brand").collect().toSeq
+    val salted = saltedJoin(left, right, "l_partkey", salt = 8).groupBy("p_brand")
+      .agg(sum("l_quantity").as("q")).orderBy("p_brand").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("SQL registration exposes the native kernels to spark.sql") {
+    graft.functions.Register.all(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+         dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+         hyperplane_sig(array(1.0D, 2.0D)) AS s""").head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) == 11.0)
+    // deterministic signature: same value as the Column API
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .select(graft.functions.VecFns.hyperplaneSig(col("v"))).head().getLong(0)
+    assert(row.getLong(2) == viaCol)
+  }
+
   test("collectPerGroup returns sorted distinct values") {
     val df = Seq(("g", "z"), ("g", "a"), ("g", "z")).toDF("k", "v")
     val out = collectPerGroup(df, Seq(col("k")), col("v"), "vs")
