@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("two-level nested expand (J7: drug -> mechanisms -> targets)") {
+    // mechanismsOfAction.rows[].targets[] shape from the reference
+    // (/root/reference/opentargets_query_targets_for_drug.py:37-40):
+    // double explode flattens both levels; counts must multiply out
+    val df = spark.createDataFrame(Seq(
+      ("CHEMBL690", Seq((("inhibitor"), Seq("T1", "T2")), (("agonist"), Seq("T3")))),
+      ("CHEMBL25", Seq((("acetylator"), Seq("T4", "T5", "T6"))))
+    )).toDF("drug_id", "mechanisms")
+    val flat = df
+      .select(col("drug_id"), explode(col("mechanisms")).as("m"))
+      .select(col("drug_id"), col("m._1").as("mechanism"), explode(col("m._2")).as("target_id"))
+    assert(flat.count() == 6)
+    assert(flat.filter(col("drug_id") === "CHEMBL690").count() == 3)
+    val cols = flat.columns.toSeq
+    assert(cols == Seq("drug_id", "mechanism", "target_id"))
+  }
+
   test("multimodal decode pipeline: schema, determinism, batch shape") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet"))
