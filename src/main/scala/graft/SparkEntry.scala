@@ -461,6 +461,14 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---------------- KG client-api: disease → targets (J1+P3+SO5) ----------------
+    "q49_kg_disease_targets" -> ((s, dir) => {
+      val kg = graft.api.KnowledgeGraph(s, dir)
+      graft.api.ClientApi.getDiseaseTargets(kg,
+        graft.api.ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33)
+        .orderBy("id")
+    }),
+
     // ---------------- top terms per language (explode + windowed top-k) ----------------
     "q46_top_terms" -> ((s, dir) => {
       val toks = t(s, dir).documents
@@ -779,6 +787,23 @@ object SparkEntry {
          ORDER BY entity, id""",
     "q48_format" ->
       """SELECT s_suppkey, printf('%s | bal %.2f', s_name, s_acctbal) AS label
-         FROM supplier ORDER BY s_suppkey"""
+         FROM supplier ORDER BY s_suppkey""",
+    "q49_kg_disease_targets" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         kept AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY target_id ORDER BY score DESC, disease_id) AS rn
+           FROM edges WHERE disease_id = 'DIS_BUILDING' AND score >= 0.33)
+         SELECT target_id AS id, score, disease_id FROM kept WHERE rn = 1
+         ORDER BY id"""
   )
 }

@@ -1,0 +1,102 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's knowledge-graph data model (disease / target /
+  * drug entities + scored association edges, SURVEY.md §1.1) derived
+  * as views over the harness star schema, per §7.1's mapping:
+  * disease ≈ customer segment, target ≈ part, drug ≈ supplier.
+  * The domain names carry no semantics — the operator behavior does —
+  * but this gives the ClientApi functions real distributed tables of
+  * the same SHAPE the reference scans (entity rows + edge rows with
+  * `score`, arrival-ordered score desc like the server's
+  * `orderByScore` default, opentargets.schema:263-265).
+  */
+final class KnowledgeGraph(spark: SparkSession, dir: String) {
+  private val t = Tables(spark, dir)
+
+  /** disease(id, name) — one per market segment. */
+  def diseases: DataFrame =
+    t.customer.select(col("c_mktsegment")).distinct()
+      .select(concat(lit("DIS_"), col("c_mktsegment")).as("id"),
+        col("c_mktsegment").as("name"))
+
+  /** target(id, approvedSymbol) — one per part. */
+  def targets: DataFrame =
+    t.part.select(concat(lit("TGT_"), col("p_partkey")).as("id"),
+      col("p_name").as("approvedSymbol"))
+
+  /** drug(id, name) — one per supplier. */
+  def drugs: DataFrame =
+    t.supplier.select(concat(lit("DRG_"), col("s_suppkey")).as("id"),
+      col("s_name").as("name"))
+
+  private def facts: DataFrame =
+    t.lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
+      .join(t.customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+
+  /** associatedTargets(disease_id, target_id, score) — score is the
+    * segment's share of the part's volume, in (0, 1].
+    */
+  def associatedTargets: DataFrame = {
+    val perPair = facts.groupBy(col("c_mktsegment"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val perPart = Window.partitionBy(col("l_partkey"))
+    perPair
+      .withColumn("score", round(col("q") / sum(col("q")).over(perPart), 6))
+      .select(concat(lit("DIS_"), col("c_mktsegment")).as("disease_id"),
+        concat(lit("TGT_"), col("l_partkey")).as("target_id"), col("score"))
+  }
+
+  /** associatedDiseases — the reverse edge (same score). */
+  def associatedDiseases: DataFrame =
+    associatedTargets.select(col("target_id"), col("disease_id"), col("score"))
+
+  /** knownDrugs(disease_id, target_id, drug_id, phase) — the
+    * denormalized clinical-precedence fact rows (KnownDrug,
+    * opentargets.schema:855-932): every (segment, part, supplier)
+    * that actually traded.
+    */
+  def knownDrugs: DataFrame =
+    facts.groupBy(col("c_mktsegment"), col("l_partkey"), col("l_suppkey"))
+      .agg(least(lit(4.0), (count(lit(1)) / 10.0)).as("phase"))
+      .select(concat(lit("DIS_"), col("c_mktsegment")).as("disease_id"),
+        concat(lit("TGT_"), col("l_partkey")).as("target_id"),
+        concat(lit("DRG_"), col("l_suppkey")).as("drug_id"),
+        round(col("phase"), 1).as("phase"))
+
+  /** linkedTargets(drug_id, target_id, rank) — drug→target edges
+    * ranked by traded volume (the server's ordered `rows`, whose
+    * `rows[0]` the reference picks, x2.py:215).
+    */
+  def linkedTargets: DataFrame = {
+    val perPair = facts.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("q").desc, col("l_partkey").asc)
+    perPair.withColumn("rank", row_number().over(w))
+      .select(concat(lit("DRG_"), col("l_suppkey")).as("drug_id"),
+        concat(lit("TGT_"), col("l_partkey")).as("target_id"), col("rank"))
+  }
+
+  /** pathways(target_id, pathwayId, pathway) — part → brand
+    * (ReactomePathway shape, opentargets.schema:1202-1206).
+    */
+  def pathways: DataFrame =
+    t.part.select(concat(lit("TGT_"), col("p_partkey")).as("target_id"),
+      concat(lit("PWY_"), col("p_brand")).as("pathwayId"),
+      col("p_brand").as("pathway"),
+      col("p_type").as("topLevelTerm"))
+}
+
+object KnowledgeGraph {
+  def apply(spark: SparkSession, dir: String): KnowledgeGraph =
+    new KnowledgeGraph(spark, dir)
+}
