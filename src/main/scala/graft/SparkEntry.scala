@@ -336,6 +336,15 @@ object SparkEntry {
         numBits = 16, probeHamming = 6, excludeId = 0L)
     }),
 
+    // ---------------- similarity: IVF ANN (rows-only) ----------------
+    "q50_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+        nlist = 16, nprobe = 4, excludeId = 0L)
+    }),
+
     // ---------------- similarity: per-label centroids ----------------
     "q35_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroids(t(s, dir).embeddings, "label", "embedding")

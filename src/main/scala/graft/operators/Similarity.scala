@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecFns
@@ -89,6 +89,65 @@ object Similarity {
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("nn_id").asc)
     pairs.withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** IVF-style ANN: a coarse quantizer (nlist centroids trained with
+    * one distributed Lloyd iteration from deterministic seeds), each
+    * vector assigned to its nearest centroid at build time; a query
+    * probes the `nprobe` nearest centroids and re-ranks exactly
+    * inside them. At cluster scale the assignment is a persisted
+    * partition/bucket column, so a query scans nprobe/nlist of the
+    * corpus. Centroids are parameter-sized (nlist × dim) — the only
+    * driver-side state, by design.
+    */
+  def ivfTopK(embeddings: DataFrame, idName: String, vecName: String,
+              queryVec: Array[Float], k: Int, nlist: Int = 16,
+              nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val spark = embeddings.sparkSession
+
+    def nearestCid(v: Column, cents: Seq[Array[Float]]): Column =
+      array_max(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VecFns.cosine(v, typedlit(c)).as("s"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+
+    // deterministic seeds: lowest ids (parameter-sized collect)
+    val seeds: Seq[Array[Float]] = embeddings.orderBy(col(idName))
+      .limit(nlist).select(vecName)
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+    // one Lloyd iteration: assign to seeds, recompute means
+    val assigned = embeddings.withColumn("__cid", nearestCid(col(vecName), seeds))
+    val centroids: Seq[Array[Float]] = assigned
+      .select(col("__cid"), posexplode(col(vecName)).as(Seq("d", "x")))
+      .groupBy("__cid", "d").agg(avg("x").as("m"))
+      .groupBy("__cid").agg(map_from_arrays(
+        collect_list(col("d")), collect_list(col("m"))).as("mm"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map { r =>
+        val mm = r.getMap[Int, Double](1)
+        Array.tabulate(mm.size)(i => mm(i).toFloat)
+      }.toSeq
+    val cents = if (centroids.size == nlist) centroids else seeds
+    // probe list for the query vector (driver-side small math)
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0 else dot / d
+    }
+    val probes = cents.zipWithIndex
+      .sortBy { case (c, i) => (-cosLocal(c, queryVec), i) }
+      .take(nprobe).map(_._2)
+    val q = typedlit(queryVec)
+    embeddings
+      .filter(col(idName) =!= excludeId)
+      .withColumn("__cid", nearestCid(col(vecName), cents))
+      .filter(col("__cid").isin(probes: _*))
+      .select(col(idName), round(VecFns.cosine(col(vecName), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
   }
 
   /** Per-label centroid of the embedding column: posexplode + one

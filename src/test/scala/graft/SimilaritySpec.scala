@@ -47,6 +47,19 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect ann).size >= 5, s"ANN recall ${(brute intersect ann).size}/10")
   }
 
+  test("IVF top-k: exact within probed cells, decent recall vs brute") {
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10, excludeId = 0L)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", qvec, 10,
+      nlist = 16, nprobe = 8, excludeId = 0L)
+      .as[(Long, Double)].collect()
+    assert(ivf.length == 10)
+    // ordered desc, deterministic
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    val recall = (brute intersect ivf.map(_._1).toSet).size
+    assert(recall >= 4, s"IVF recall $recall/10")
+  }
+
   test("hyperplane signature is deterministic across partitionings") {
     val a = emb.select(col("vec_id"), VecFns.hyperplaneSig(col("embedding")).as("s"))
       .orderBy("vec_id").collect().toSeq
