@@ -74,4 +74,36 @@ object Multimodal {
       }
     }
   }
+
+  /** "Resize": deterministic stub for the image-resize step — real
+    * deployments decode → resample → re-encode; the plumbing contract
+    * is bytes-to-smaller-bytes with updated metadata. The stub keeps
+    * every `stride`-th byte (columnar expressions only; the payload
+    * never leaves the JVM row format).
+    */
+  def resize(media: DataFrame, stride: Int = 4): DataFrame = {
+    require(stride >= 1)
+    val hexed = hex(col("payload"))
+    // keep every stride-th byte = every stride-th hex PAIR
+    val kept = regexp_replace(hexed,
+      "(..)" + ("(..)" * (stride - 1)), "$1")
+    media
+      .withColumn("payload", unhex(kept))
+      .withColumn("width", greatest(lit(1), (col("width") / stride).cast("int")))
+      .withColumn("height", greatest(lit(1), (col("height") / stride).cast("int")))
+  }
+
+  /** Frame sampling for video-kind payloads: one 64-byte "frame"
+    * every `everyN` frames, exploded to (media_id, frame_no, frame)
+    * rows — the shape a downstream vision featurizer consumes.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN >= 1)
+    val frameCount = greatest(lit(1), (length(col("payload")) / 64).cast("int"))
+    media
+      .withColumn("frame_no",
+        explode(sequence(lit(0), frameCount - 1, lit(everyN))))
+      .select(col("media_id"), col("kind"), col("frame_no"),
+        col("payload").substr(col("frame_no") * 64 + 1, lit(64)).as("frame"))
+  }
 }

@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize and frame sampling keep the batch contract") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
+    val resized = Multimodal.resize(media, stride = 4)
+    val cmp = media.select(col("media_id"), length(col("payload")).as("orig"))
+      .join(resized.select(col("media_id"), length(col("payload")).as("small"),
+        col("width")), "media_id")
+    // ~1/4 the bytes (+ up to stride-1 tail bytes kept whole), width shrunk
+    assert(cmp.filter(col("small") > col("orig") / 4 + 4).count() == 0)
+    assert(cmp.filter(col("width") < 1).count() == 0)
+    val frames = Multimodal.sampleFrames(media, everyN = 2)
+    assert(frames.count() > 0)
+    // every sampled frame is at most 64 bytes and frame_no is even
+    assert(frames.filter(length(col("frame")) > 64).count() == 0)
+    assert(frames.filter(col("frame_no") % 2 =!= 0).count() == 0)
+  }
+
   test("two-level nested expand (J7: drug -> mechanisms -> targets)") {
     // mechanismsOfAction.rows[].targets[] shape from the reference
     // (/root/reference/opentargets_query_targets_for_drug.py:37-40):
