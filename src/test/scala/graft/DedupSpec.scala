@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prefix-filtered jaccardPairs equals the naive all-pairs join") {
+    // naive reference computed in test code over the same shingles
+    import graft.functions.TextFns
+    val sh = docs.limit(200).select(col("doc_id"),
+      array_distinct(TextFns.wordShinglesFast(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .as[(Long, Seq[String])].collect()
+    val naive = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (ia, ib)).toSet
+    val fast = Dedup.jaccardPairs(docs.limit(200), "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
   test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
