@@ -11,13 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table. Drops any prior
+    * table AND its leftover warehouse directory first — with an
+    * in-memory catalog a stale directory from a previous session
+    * isn't in the metastore, and CREATE refuses to reuse the
+    * location.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** True if the executed plan of `df` contains a shuffle exchange —
     * the thing bucketing exists to eliminate.
