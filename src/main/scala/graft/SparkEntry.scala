@@ -470,6 +470,27 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---------------- capstone: training-corpus prep pipeline ----------------
+    // language gate → quality gate → exact-dedup keep-first → per-lang
+    // corpus stats: the composed shape of a pretraining data-prep job
+    "q51_corpus_prep" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val gated = docs
+        .filter(col("lang").isin("en", "de", "es", "fr", "zh"))
+        .filter(TextFns.tokenCount(col("text")).between(10, 1000) &&
+          TextFns.distinctTokenRatio(col("text")) > 0.2)
+      val kept = gated.join(
+        gated.groupBy(TextFns.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
     // ---------------- KG client-api: disease → targets (J1+P3+SO5) ----------------
     "q49_kg_disease_targets" -> ((s, dir) => {
       val kg = graft.api.KnowledgeGraph(s, dir)
@@ -813,6 +834,22 @@ object SparkEntry {
              (PARTITION BY target_id ORDER BY score DESC, disease_id) AS rn
            FROM edges WHERE disease_id = 'DIS_BUILDING' AND score >= 0.33)
          SELECT target_id AS id, score, disease_id FROM kept WHERE rn = 1
-         ORDER BY id"""
+         ORDER BY id""",
+    "q51_corpus_prep" ->
+      """WITH gated AS (
+           SELECT * FROM documents
+           WHERE lang IN ('en','de','es','fr','zh')
+             AND len(string_split(text,' ')) BETWEEN 10 AND 1000
+             AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / len(string_split(text,' ')) > 0.2),
+         kept AS (
+           SELECT * FROM gated WHERE doc_id IN (
+             SELECT min(doc_id) FROM gated
+             GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))))
+         SELECT lang, count(*) AS docs_kept,
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+           round(avg(n_chars),4) AS avg_chars
+         FROM kept GROUP BY lang ORDER BY lang"""
   )
 }
