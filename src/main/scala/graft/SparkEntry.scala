@@ -353,7 +353,10 @@ object SparkEntry {
 
     // ---------------- similarity: LSH KNN join (rows-only) ----------------
     "q36_knn_join" -> ((s, dir) => {
-      Similarity.knnJoin(t(s, dir).embeddings, "vec_id", "embedding", k = 3)
+      // 8-bit bands (32 sig bits / 4 bands): ~n/256 per bucket, so the
+      // candidate self-join stays near-linear instead of n²/16
+      Similarity.knnJoin(t(s, dir).embeddings, "vec_id", "embedding", k = 3,
+        numBits = 32, bands = 4)
         .orderBy(col("id"), col("cosine").desc, col("nn_id"))
     }),
 
