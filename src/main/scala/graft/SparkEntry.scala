@@ -473,6 +473,36 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---------------- rollup subtotals (north-star analytics) ----------------
+    "q52_rollup" -> ((s, dir) => {
+      t(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------- min/max aggregates over numbers and timestamps ----------------
+    "q53_minmax" -> ((s, dir) => {
+      val tt = t(s, dir)
+      tt.part.join(tt.lineitem, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(min(col("p_retailprice")), 2).as("min_price"),
+          round(max(col("p_retailprice")), 2).as("max_price"),
+          min(col("l_shipdate").cast("timestamp").cast("long")).as("first_ship"),
+          max(col("l_shipdate").cast("timestamp").cast("long")).as("last_ship"))
+        .orderBy("p_brand")
+    }),
+
+    // ---------------- MapType navigation (KeyValue shape) ----------------
+    "q54_map_props" -> ((s, dir) => {
+      t(s, dir).events
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"), map_keys(col("m")).getItem(0).as("first_key"),
+          element_at(col("m"), "k").as("k_value"))
+        .orderBy("event_id")
+    }),
+
     // ---------------- capstone: training-corpus prep pipeline ----------------
     // language gate → quality gate → exact-dedup keep-first → per-lang
     // corpus stats: the composed shape of a pretraining data-prep job
@@ -838,6 +868,23 @@ object SparkEntry {
            FROM edges WHERE disease_id = 'DIS_BUILDING' AND score >= 0.33)
          SELECT target_id AS id, score, disease_id FROM kept WHERE rn = 1
          ORDER BY id""",
+    "q52_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q53_minmax" ->
+      """SELECT p_brand,
+         round(min(p_retailprice),2) AS min_price,
+         round(max(p_retailprice),2) AS max_price,
+         CAST(epoch(min(l_shipdate)) AS BIGINT) AS first_ship,
+         CAST(epoch(max(l_shipdate)) AS BIGINT) AS last_ship
+         FROM part JOIN lineitem ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q54_map_props" ->
+      """SELECT event_id, json_keys(props)[1] AS first_key,
+         CAST(json_extract_string(props,'$.k') AS INT) AS k_value
+         FROM events ORDER BY event_id""",
     "q51_corpus_prep" ->
       """WITH gated AS (
            SELECT * FROM documents
