@@ -1,9 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Force FULL evaluation of every output column. `.count()` lets
+    * Catalyst prune unreferenced projections, which under-measured
+    * the projection-dominated queries (token counts, fingerprints,
+    * formatting); the `noop` datasource consumes every row of every
+    * column without writing anything.
+    */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,28 +33,57 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
       }
     } else {
       try SparkEntry.queries.get("q01_pricing_summary")
-        .foreach(_(spark, sfDir).count())
+        .foreach(q => materialize(q(spark, sfDir)))
       catch { case _: Throwable => }
     }
     try spark.catalog.clearCache() catch { case _: Throwable => }
-    // deterministic name order: comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop this query's cached/broadcast state so later queries
-      // aren't taxed by earlier ones' heap residue
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      name -> dt
+    // deterministic name order: comparable across rounds. Each query is
+    // timed `reps` times; the reported number is the MEDIAN (host CPU
+    // steal swings single runs ±30%), with min/max spread alongside.
+    // A failed run surfaces in `errors` instead of recording a bogus
+    // (fast) time and a healthy-looking total.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { case (name, fn) =>
+      val times = (0 until reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop this query's cached/broadcast state so later queries
+        // aren't taxed by earlier ones' heap residue
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        if (ok) Some(dt) else None
+      }
+      (name, times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jnum(d: Double): String = f"$d%.4f"
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, ts) =>
+      val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+      s"${jstr(k)}:${jnum(med)}"
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      if (ts.isEmpty) s"${jstr(k)}:[]"
+      else s"${jstr(k)}:[${jnum(ts.head)},${jnum(ts.last)}]"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map { case (_, ts) => if (ts.isEmpty) 0.0 else ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

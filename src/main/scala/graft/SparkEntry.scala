@@ -420,18 +420,28 @@ object SparkEntry {
     }),
 
     // ---------------- O4 pagination: page 2 by relevance ----------------
+    // offset+limit (not a global row_number window): Spark plans this
+    // as per-partition top-(offset+limit) + a driver-side merge of
+    // offset+limit rows per partition — no single-partition sort of
+    // the whole relation, so the page cost is O(page), not O(table).
     "q43_page2" -> ((s, dir) => {
-      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey").asc)
       t(s, dir).part
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 10 && col("rn") <= 20)
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .offset(10).limit(10)
         .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("price"))
-        .orderBy(col("price").desc, col("p_partkey"))
     }),
 
     // ---------------- embedding-cosine near-dup pairs (exact baseline) ----------------
+    // O(n²) broadcast nested-loop BY DESIGN: this is the exact oracle
+    // baseline for the scale path, q36 (Similarity.knnJoin — banded
+    // LSH, near-linear). The row-count guard makes it impossible to
+    // run the quadratic form on corpus-scale data by accident.
     "q44_embedding_neardups" -> ((s, dir) => {
       val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      require(n <= 100000,
+        s"q44 is the exact O(n²) baseline (n=$n): at corpus scale use " +
+          "Similarity.knnJoin (q36_knn_join), the banded-LSH production path")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
