@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFns, VecFns}
+import graft.api.{ClientApi, KnowledgeGraph}
+import graft.functions.{ChemFns, TextFns, VecFns}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
+import graft.sources.CsvIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -536,10 +538,132 @@ object SparkEntry {
 
     // ---------------- KG client-api: disease → targets (J1+P3+SO5) ----------------
     "q49_kg_disease_targets" -> ((s, dir) => {
-      val kg = graft.api.KnowledgeGraph(s, dir)
-      graft.api.ClientApi.getDiseaseTargets(kg,
-        graft.api.ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33)
+      val kg = KnowledgeGraph(s, dir)
+      ClientApi.getDiseaseTargets(kg,
+        ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33)
         .orderBy("id")
+    }),
+
+    // ---------------- S5→F4→P10→F5: the ChEMBL enrichment chain ----------------
+    // Mirrors /root/reference/chembl_to_smile.py:21-48 +
+    // chembl_to_molecule_type.py:16-26: lookup-table left join (S5) →
+    // JSON navigation to molecule_structures.canonical_smiles (F4) →
+    // name coalesce fallback (P10) → SMILES canonicalization UDF +
+    // is-canonical check (F5). The molecule fixture is derived
+    // deterministically from `part`, with deliberate gaps (30% of keys
+    // absent, a third of names null) so the left-join/coalesce paths
+    // are really exercised; the SMILES literals were chosen so the
+    // UDF's canonical form is hand-computable in the DuckDB twin.
+    "q55_chembl_enrichment" -> ((s, dir) => {
+      val base = t(s, dir).part.filter(col("p_partkey") <= 300)
+      val smilesLit = element_at(
+        array(lit("C2CC2"), lit("C1CC1"), lit("c1ccccc1"),
+          lit("C3CC3C1CC1"), lit("CC(=O)O")),
+        (col("p_partkey") % 5 + 1).cast("int"))
+      val molecules = base.filter(col("p_partkey") % 10 < 7)
+        .select(col("p_partkey").as("mol_key"),
+          when(col("p_partkey") % 3 =!= 0, concat(lit("MOL "), col("p_name"))).as("mol_name"),
+          concat(lit("{\"molecule_structures\":{\"canonical_smiles\":\""),
+            smilesLit, lit("\"}}")).as("mol_json"))
+      base.select(col("p_partkey"))
+        .join(molecules, col("p_partkey") === col("mol_key"), "left")
+        .withColumn("smiles",
+          get_json_object(col("mol_json"), "$.molecule_structures.canonical_smiles"))
+        .select(col("p_partkey"),
+          coalesce(col("mol_name"), lit("UNKNOWN")).as("name"),
+          col("smiles"),
+          ChemFns.canonicalSmiles(col("smiles")).as("canonical_smiles"),
+          coalesce(ChemFns.isCanonical(col("smiles")), lit(false)).as("is_canonical"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---------------- J7 two-level nested expand ----------------
+    // Mirrors /root/reference/opentargets_query_targets_for_drug
+    // .py:37-40 (drug → mechanismsOfAction.rows[] → targets[]): build
+    // the real array<struct<action_type, array<target>>> column with
+    // collect_set/collect_list, then navigate it back down with a
+    // DOUBLE explode. The oracle is the flat distinct-triple query the
+    // round-trip must reproduce.
+    "q56_mechanism_targets" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val facts = tt.lineitem.select(col("l_suppkey"), col("l_partkey"))
+        .join(tt.part.select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val perMech = facts.groupBy(col("l_suppkey"), col("p_brand"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("targets"))
+      val nested = perMech.groupBy(col("l_suppkey"))
+        .agg(sort_array(collect_list(
+          struct(col("p_brand").as("action_type"), col("targets")))).as("mechanisms"))
+      nested
+        .select(col("l_suppkey").as("drug_key"), explode(col("mechanisms")).as("m"))
+        .select(col("drug_key"), col("m.action_type").as("action_type"),
+          explode(col("m.targets")).as("target_key"))
+        .orderBy("drug_key", "action_type", "target_key")
+    }),
+
+    // ---------------- S6/S7 CSV checkpoint round-trip ----------------
+    // The reference checkpoints every step to CSV and reloads it
+    // (/root/reference/x2.2.py:361-405). Write a real step with
+    // CsvIO, read it back with an explicit schema, aggregate — the
+    // oracle is the same aggregation over the direct (un-checkpointed)
+    // query, so the round-trip must be lossless.
+    "q57_csv_roundtrip" -> ((s, dir) => {
+      val step = t(s, dir).orders.filter(col("o_totalprice") > 40000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_step_${math.abs(dir.hashCode)}"
+      CsvIO.write(step, path)
+      val back = CsvIO.read(s, path, Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING")))
+      back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---------------- KG client-api: target → diseases (J2+P5) ----------------
+    // getTargetDiseases over the q49 target set, excluding the main
+    // disease (opentargets_client_api.py:158-186).
+    "q58_kg_target_diseases" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      val mains = ClientApi.getDiseaseIds(kg, "BUILDING")
+      val targets = ClientApi.getDiseaseTargets(kg, mains, minScore = 0.33).select("id")
+      ClientApi.getTargetDiseases(kg, targets, minScore = 0.1, excludeDiseaseIds = mains)
+        .orderBy("id")
+    }),
+
+    // ---------------- KG client-api: disease → drugs (J3) ----------------
+    "q59_kg_disease_drugs" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      ClientApi.getDiseaseDrugs(kg, ClientApi.getDiseaseIds(kg, "AUTOMOBILE"))
+        .orderBy("id")
+    }),
+
+    // ---------------- KG client-api: drug info + linked-target list (A3) ----------------
+    "q60_kg_drug_info" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      ClientApi.getDrugInfo(kg, kg.drugs.select("id"))
+        .select(col("id"), col("name"),
+          array_join(col("linked_targets"), ",").as("linked_targets"))
+        .orderBy("id")
+    }),
+
+    // ---------------- KG client-api: drug → first linked target (O3) ----------------
+    "q61_kg_drug_first_target" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      ClientApi.getDrugFirstTarget(kg, kg.drugs.select("id")).orderBy("id")
+    }),
+
+    // ---------------- KG client-api: drug → all targets (J4+SO5) ----------------
+    "q62_kg_drug_targets" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      ClientApi.getDrugTargets(kg, kg.drugs.select("id")).orderBy("id")
+    }),
+
+    // ---------------- KG client-api: target → pathways (J6) ----------------
+    "q63_kg_target_pathways" -> ((s, dir) => {
+      val kg = KnowledgeGraph(s, dir)
+      val targets = ClientApi.getDiseaseTargets(kg,
+        ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33).select("id")
+      ClientApi.getTargetPathways(kg, targets).orderBy("pathwayId")
     }),
 
     // ---------------- top terms per language (explode + windowed top-k) ----------------
@@ -895,6 +1019,150 @@ object SparkEntry {
       """SELECT event_id, json_keys(props)[1] AS first_key,
          CAST(json_extract_string(props,'$.k') AS INT) AS k_value
          FROM events ORDER BY event_id""",
+    "q55_chembl_enrichment" ->
+      """WITH base AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 300),
+         mol AS (
+           SELECT p_partkey AS mol_key,
+             CASE WHEN p_partkey % 3 <> 0 THEN 'MOL ' || p_name END AS mol_name,
+             '{"molecule_structures":{"canonical_smiles":"' ||
+               CASE CAST(p_partkey % 5 AS INT)
+                 WHEN 0 THEN 'C2CC2' WHEN 1 THEN 'C1CC1' WHEN 2 THEN 'c1ccccc1'
+                 WHEN 3 THEN 'C3CC3C1CC1' ELSE 'CC(=O)O' END || '"}}' AS mol_json
+           FROM base WHERE p_partkey % 10 < 7),
+         enriched AS (
+           SELECT b.p_partkey, coalesce(mol_name, 'UNKNOWN') AS name,
+             json_extract_string(mol_json,
+               '$.molecule_structures.canonical_smiles') AS smiles
+           FROM base b LEFT JOIN mol ON mol_key = b.p_partkey),
+         canon AS (
+           SELECT *,
+             CASE WHEN smiles = 'C2CC2' THEN 'C1CC1'
+                  WHEN smiles = 'C1CC1' THEN 'C1CC1'
+                  WHEN smiles = 'c1ccccc1' THEN 'c1ccccc1'
+                  WHEN smiles = 'C3CC3C1CC1' THEN 'C1CC1C2CC2'
+                  WHEN smiles = 'CC(=O)O' THEN 'CC(=O)O' END AS canonical_smiles
+           FROM enriched)
+         SELECT p_partkey, name, smiles, canonical_smiles,
+           coalesce(canonical_smiles = smiles, false) AS is_canonical
+         FROM canon ORDER BY p_partkey""",
+    "q56_mechanism_targets" ->
+      """SELECT DISTINCT l_suppkey AS drug_key, p_brand AS action_type,
+           l_partkey AS target_key
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         ORDER BY drug_key, action_type, target_key""",
+    "q57_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           count(DISTINCT o_custkey) AS n_cust
+         FROM orders WHERE o_totalprice > 40000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q58_kg_target_diseases" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         main_targets AS (
+           SELECT target_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY target_id ORDER BY score DESC, disease_id) AS rn
+             FROM edges WHERE disease_id = 'DIS_BUILDING' AND score >= 0.33)
+           WHERE rn = 1),
+         expanded AS (
+           SELECT e.target_id, e.disease_id, e.score FROM edges e
+           WHERE e.target_id IN (SELECT target_id FROM main_targets)
+             AND e.score >= 0.1 AND e.disease_id <> 'DIS_BUILDING'),
+         kept AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY disease_id ORDER BY score DESC, target_id) AS rn
+           FROM expanded)
+         SELECT disease_id AS id, score, target_id FROM kept WHERE rn = 1
+         ORDER BY id""",
+    "q59_kg_disease_drugs" ->
+      """WITH facts AS (
+           SELECT l_partkey, l_suppkey, c_mktsegment FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey),
+         kd AS (
+           SELECT 'DIS_' || c_mktsegment AS disease_id,
+             'TGT_' || l_partkey AS target_id,
+             'DRG_' || l_suppkey AS drug_id,
+             round(least(4.0, count(*) / 10.0), 1) AS phase
+           FROM facts GROUP BY 1, 2, 3),
+         kept AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY drug_id ORDER BY phase DESC, disease_id, target_id) AS rn
+           FROM kd WHERE disease_id = 'DIS_AUTOMOBILE')
+         SELECT drug_id AS id, phase, disease_id FROM kept WHERE rn = 1
+         ORDER BY id""",
+    "q60_kg_drug_info" ->
+      """WITH lt AS (
+           SELECT DISTINCT 'DRG_' || l_suppkey AS drug_id,
+             'TGT_' || l_partkey AS target_id
+           FROM lineitem),
+         agg AS (
+           SELECT drug_id,
+             string_agg(target_id, ',' ORDER BY target_id) AS linked_targets
+           FROM lt GROUP BY drug_id)
+         SELECT a.drug_id AS id, s_name AS name, linked_targets
+         FROM agg a LEFT JOIN supplier ON 'DRG_' || s_suppkey = a.drug_id
+         ORDER BY id""",
+    "q61_kg_drug_first_target" ->
+      """WITH pp AS (
+           SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY l_suppkey ORDER BY q DESC, l_partkey) AS rnk
+           FROM pp)
+         SELECT 'DRG_' || l_suppkey AS id, 'TGT_' || l_partkey AS target_id
+         FROM rk WHERE rnk = 1 ORDER BY id""",
+    "q62_kg_drug_targets" ->
+      """WITH pp AS (
+           SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY l_suppkey ORDER BY q DESC, l_partkey) AS rnk
+           FROM pp),
+         kept AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY l_partkey ORDER BY rnk, 'DRG_' || l_suppkey) AS rn2
+           FROM rk)
+         SELECT 'TGT_' || l_partkey AS id, 'DRG_' || l_suppkey AS drug_id
+         FROM kept WHERE rn2 = 1 ORDER BY id""",
+    "q63_kg_target_pathways" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         main_targets AS (
+           SELECT target_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY target_id ORDER BY score DESC, disease_id) AS rn
+             FROM edges WHERE disease_id = 'DIS_BUILDING' AND score >= 0.33)
+           WHERE rn = 1),
+         pw AS (
+           SELECT 'TGT_' || p_partkey AS target_id,
+             'PWY_' || p_brand AS "pathwayId",
+             p_brand AS pathway, p_type AS "topLevelTerm"
+           FROM part),
+         kept AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY "pathwayId" ORDER BY target_id) AS rn
+           FROM pw WHERE target_id IN (SELECT target_id FROM main_targets))
+         SELECT "pathwayId", pathway, "topLevelTerm", target_id
+         FROM kept WHERE rn = 1 ORDER BY "pathwayId"""",
     "q51_corpus_prep" ->
       """WITH gated AS (
            SELECT * FROM documents
