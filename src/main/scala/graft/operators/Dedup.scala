@@ -86,14 +86,19 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idName: String, textName: String,
                       threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3): DataFrame = {
-    val sigged = minhashSignatures(docs, col(idName), col(textName), k, shingleN)
+    // One persisted shingle-set relation feeds the signature
+    // aggregation AND both verification sides (min over the distinct
+    // set equals min over raw shingles) — without it the regex
+    // shingling runs three times per query.
+    val sh = materialized(shingleSets(docs, idName, textName, shingleN))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    val sigged = exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val cands = minhashCandidates(sigged, k, bands)
-    val shingleSets = docs.select(
-      col(idName).as("id"),
-      array_distinct(TextFns.wordShinglesFast(col(textName), shingleN)).as("sh"))
     val withSets = cands
-      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     withSets
@@ -161,23 +166,37 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = docs.select(
-      col(idName).as("id"),
-      array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // The shingle-set relation feeds FOUR consumers (frequency table,
+    // prefix ranking, and both verification sides); without
+    // materialization Catalyst recomputes the regex shingling per
+    // consumer — measured 4× the dominant cost of the whole query.
+    // MEMORY_AND_DISK persist is the standard materialize-reuse shape
+    // (same data volume a shuffle would spill); the cache entry lives
+    // until the session's next clearCache (the bench clears between
+    // queries). Shingles are xxhash64'd to longs right after the
+    // per-doc distinct: set cardinalities — and therefore every
+    // Jaccard value — are preserved (injective w.h.p., ~n²/2⁶⁵
+    // collision odds), while the self-join and the verification
+    // intersects compare 8-byte longs instead of ~20-char strings and
+    // the persisted relation shrinks ~2.5×.
+    val sh = materialized(shingleSets(docs, idName, textName, n)
+      .select(col("id"), transform(col("sh"), g => xxhash64(g)).as("sh")))
     val exploded = sh.select(col("id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
     // order shingles per doc by (global df asc, shingle asc); keep the
-    // prefix that any qualifying pair must intersect
+    // prefix that any qualifying pair must intersect. One keyed
+    // aggregation (sort inside each small per-doc group, slice) —
+    // same single exchange as a row_number window but no
+    // partition-wide sort of the whole shingle relation.
     val ranked = exploded.join(freq, Seq("g"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df").asc, col("g").asc)))
-      .withColumn("plen", floor(lit(1.0 - threshold) * col("nsh")).cast("int") + 1)
-      .filter(col("rk") <= col("plen"))
-      .select(col("id"), col("g"))
+      .groupBy(col("id"))
+      .agg(first(col("nsh")).as("nsh"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("arr"))
+      .select(col("id"), explode(slice(col("arr"), lit(1),
+        floor(lit(1.0 - threshold) * col("nsh")).cast("int") + 1)).as("p"))
+      .select(col("id"), col("p.g").as("g"))
     val cands = ranked.as("l").join(ranked.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -191,5 +210,39 @@ object Dedup {
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The distinct word-shingle set per document — the shared input of
+    * the Jaccard/MinHash family. Shingle-less docs drop out.
+    *
+    * The regex shingling is the CPU-heavy stage, so it must run at
+    * full parallelism: a small parquet input arrives as a handful of
+    * file splits (one, at test scale), which would serialize the
+    * whole scan on one core. If the input has fewer partitions than
+    * the cluster has slots, round-robin repartition first — at real
+    * corpus scale the input already has thousands of splits and this
+    * branch never fires.
+    */
+  private def shingleSets(docs: DataFrame, idName: String, textName: String,
+                          n: Int): DataFrame = {
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    balanced.select(
+      col(idName).as("id"),
+      array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** Persist + eagerly materialize: downstream consumers run as
+    * concurrent stages of one job, and a lazy cache would be raced —
+    * each stage recomputing the shingling before the first one
+    * populates it. One small count() action up front makes every
+    * consumer a cache read.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 }
