@@ -100,22 +100,28 @@ object Similarity {
     * corpus. Centroids are parameter-sized (nlist × dim) — the only
     * driver-side state, by design.
     */
-  def ivfTopK(embeddings: DataFrame, idName: String, vecName: String,
-              queryVec: Array[Float], k: Int, nlist: Int = 16,
-              nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist)
-    val spark = embeddings.sparkSession
+  private def nearestCid(v: Column, cents: Seq[Array[Float]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VecFns.cosine(v, typedlit(c)).as("s"), lit(i).as("cid"))
+    }: _*)).getField("cid")
 
-    def nearestCid(v: Column, cents: Seq[Array[Float]]): Column =
-      array_max(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(VecFns.cosine(v, typedlit(c)).as("s"), lit(i).as("cid"))
-      }: _*)).getField("cid")
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0 else dot / d
+  }
 
-    // deterministic seeds: lowest ids (parameter-sized collect)
+  /** Train the coarse quantizer: deterministic seeds (lowest ids,
+    * parameter-sized collect) + one distributed Lloyd iteration.
+    * Returns nlist centroid vectors ordered by cid.
+    */
+  private def trainCentroids(embeddings: DataFrame, idName: String,
+                             vecName: String, nlist: Int): Seq[Array[Float]] = {
     val seeds: Seq[Array[Float]] = embeddings.orderBy(col(idName))
       .limit(nlist).select(vecName)
       .collect().map(_.getSeq[Float](0).toArray).toSeq
-    // one Lloyd iteration: assign to seeds, recompute means
     val assigned = embeddings.withColumn("__cid", nearestCid(col(vecName), seeds))
     val centroids: Seq[Array[Float]] = assigned
       .select(col("__cid"), posexplode(col(vecName)).as(Seq("d", "x")))
@@ -128,23 +134,86 @@ object Similarity {
         val mm = r.getMap[Int, Double](1)
         Array.tabulate(mm.size)(i => mm(i).toFloat)
       }.toSeq
-    val cents = if (centroids.size == nlist) centroids else seeds
-    // probe list for the query vector (driver-side small math)
-    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0 else dot / d
-    }
-    val probes = cents.zipWithIndex
+    if (centroids.size == nlist) centroids else seeds
+  }
+
+  private def probeList(cents: Seq[Array[Float]], queryVec: Array[Float],
+                        nprobe: Int): Seq[Int] =
+    cents.zipWithIndex
       .sortBy { case (c, i) => (-cosLocal(c, queryVec), i) }
       .take(nprobe).map(_._2)
+
+  def ivfTopK(embeddings: DataFrame, idName: String, vecName: String,
+              queryVec: Array[Float], k: Int, nlist: Int = 16,
+              nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents = trainCentroids(embeddings, idName, vecName, nlist)
+    val probes = probeList(cents, queryVec, nprobe)
     val q = typedlit(queryVec)
     embeddings
       .filter(col(idName) =!= excludeId)
       .withColumn("__cid", nearestCid(col(vecName), cents))
       .filter(col("__cid").isin(probes: _*))
+      .select(col(idName), round(VecFns.cosine(col(vecName), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
+  /** Build-time half of the production IVF path: train the quantizer,
+    * assign every vector its nearest centroid, and WRITE the corpus
+    * partitioned by that assignment (`indexPath/vectors/__cid=N/`),
+    * plus the nlist centroid vectors (`indexPath/centroids`). A query
+    * then scans only the probed partitions — nprobe/nlist of the
+    * corpus — instead of recomputing the assignment per query. The
+    * directory layout IS the inverted file; at cluster scale this is
+    * a one-off job whose cost amortizes over every subsequent query.
+    */
+  def buildIvfIndex(embeddings: DataFrame, idName: String, vecName: String,
+                    nlist: Int, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = trainCentroids(embeddings, idName, vecName, nlist)
+    embeddings.withColumn("__cid", nearestCid(col(vecName), cents))
+      .write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexPath/vectors")
+    import scala.jdk.CollectionConverters._
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cid INT, centroid ARRAY<FLOAT>")
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Build the IVF index only if it is not already on disk (both the
+    * vectors table and the centroids sidecar must exist).
+    */
+  def ensureIvfIndex(embeddings: DataFrame, idName: String, vecName: String,
+                     nlist: Int, indexPath: String): Unit = {
+    def ok(p: String) = new java.io.File(p, "_SUCCESS").exists()
+    if (!ok(s"$indexPath/vectors") || !ok(s"$indexPath/centroids"))
+      buildIvfIndex(embeddings, idName, vecName, nlist, indexPath)
+  }
+
+  /** Query-time half: read the centroid sidecar (parameter-sized
+    * collect), pick the nprobe nearest lists driver-side, and scan
+    * ONLY those partitions of the vectors table — the `__cid isin`
+    * filter is directory-level partition pruning, so the scan touches
+    * nprobe/nlist of the data. Same output as `ivfTopK` with the same
+    * parameters.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idName: String, vecName: String, queryVec: Array[Float],
+                     k: Int, nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
+    require(nprobe >= 1 && nprobe <= cents.size)
+    val probes = probeList(cents, queryVec, nprobe)
+    val q = typedlit(queryVec)
+    spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("__cid").isin(probes: _*))
+      .filter(col(idName) =!= excludeId)
       .select(col(idName), round(VecFns.cosine(col(vecName), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idName).asc)
       .limit(k)

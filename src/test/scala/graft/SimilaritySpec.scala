@@ -60,6 +60,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 4, s"IVF recall $recall/10")
   }
 
+  test("indexed IVF equals ad-hoc IVF and scans only probed partitions") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, idx)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      qvec, 10, nprobe = 4, excludeId = 0L)
+    val adhoc = Similarity.ivfTopK(emb, "vec_id", "embedding", qvec, 10,
+      nlist = 16, nprobe = 4, excludeId = 0L)
+    assert(indexed.as[(Long, Double)].collect().toSeq ==
+      adhoc.as[(Long, Double)].collect().toSeq)
+    // the probe filter must prune at directory level: the scan reads
+    // nprobe of the nlist partitions, not the whole corpus
+    indexed.collect()
+    val scan = indexed.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters"), s"no partition filter in:\n$scan")
+    val pruned = "PartitionCount: (\\d+)".r.findFirstMatchIn(
+      indexed.queryExecution.optimizedPlan.toString() + "\n" +
+        indexed.queryExecution.executedPlan.toString())
+    pruned.foreach(m => assert(m.group(1).toInt <= 4, s"scanned ${m.group(1)} partitions"))
+  }
+
   test("hyperplane signature is deterministic across partitionings") {
     val a = emb.select(col("vec_id"), VecFns.hyperplaneSig(col("embedding")).as("s"))
       .orderBy("vec_id").collect().toSeq
