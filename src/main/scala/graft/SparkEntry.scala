@@ -777,6 +777,30 @@ object SparkEntry {
       ClientApi.getDrugTargets(kg, kg.drugs.select("id")).orderBy("id")
     }),
 
+    // ---------------- S5 live-source analogue: DataSourceV2 endpoint scan ----------------
+    // The reference's defining op — a remote paginated entity lookup
+    // (query_opentargets.py) — through the real DataSourceV2
+    // connector: the part catalog is staged as the endpoint's JSONL
+    // shards, then queried with a server-side search filter and field
+    // selection (both pushed into the page requests; see
+    // EntityEndpointSpec for the plan assertions). Oracle is the same
+    // search over the parquet table.
+    "q64_endpoint_search" -> ((s, dir) => {
+      val ep = s"${System.getProperty("java.io.tmpdir")}/graft_endpoint_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(ep, "_SUCCESS").exists()) {
+        t(s, dir).part.select(col("p_partkey"), col("p_name"), col("p_brand"))
+          .coalesce(2).write.mode("overwrite").json(ep)
+      }
+      s.read.format("entity-endpoint")
+        .option("path", ep)
+        .option("schema", "p_partkey BIGINT, p_name STRING, p_brand STRING")
+        .option("pageSize", "250")
+        .load()
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+
     // ---------------- KG client-api: target → pathways (J6) ----------------
     "q63_kg_target_pathways" -> ((s, dir) => {
       val kg = KnowledgeGraph(s, dir)
@@ -1254,6 +1278,9 @@ object SparkEntry {
            FROM rk)
          SELECT 'TGT_' || l_partkey AS id, 'DRG_' || l_suppkey AS drug_id
          FROM kept WHERE rn2 = 1 ORDER BY id""",
+    "q64_endpoint_search" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE contains(p_name, 'red') ORDER BY p_partkey""",
     "q63_kg_target_pathways" ->
       """WITH pair AS (
            SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q

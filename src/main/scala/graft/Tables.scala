@@ -28,9 +28,18 @@ final class Tables(spark: SparkSession, dir: String) {
     * The data is µs-aligned (verified: epoch_ns % 1000 == 0 across
     * the testdata), so timestamp_micros(ns/1000) is lossless and
     * matches DuckDB's µs view of the same file.
+    *
+    * The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all entry points —
+    * Verify, Bench, the specs — set it); a loader that silently
+    * flipped session conf would surprise the second session to touch
+    * it, so this one only verifies.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     val raw = t("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class EntityEndpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val endpointDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_endpoint_spec").toString
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .coalesce(2).write.mode("overwrite").json(dir)
+    dir
+  }
+
+  private def endpoint(pageSize: Int = 100) =
+    spark.read.format("entity-endpoint")
+      .option("path", endpointDir)
+      .option("schema",
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_retailprice DOUBLE")
+      .option("pageSize", pageSize.toString)
+      .load()
+
+  test("full scan matches the parquet source row-for-row") {
+    val viaEndpoint = endpoint().orderBy("p_partkey")
+      .as[(Long, String, String, Double)].collect().toSeq
+    val direct = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .orderBy("p_partkey")
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(viaEndpoint == direct)
+  }
+
+  test("one input partition per page") {
+    val total = spark.read.parquet(s"$sfDir/part.parquet").count()
+    val parts = endpoint(pageSize = 100).rdd.getNumPartitions
+    // shards are 2 files; each contributes ceil(lines/pageSize) pages
+    assert(parts >= (total / 100).toInt && parts <= (total / 100).toInt + 2,
+      s"expected ~${total / 100} pages, got $parts")
+  }
+
+  test("search filter and projection are pushed into the scan") {
+    val q = endpoint().filter(col("p_name").contains("red")).select("p_partkey", "p_name")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [") && plan.contains("StringContains"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("p_retailprice"), s"projection not pruned:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_name").contains("red")).select("p_partkey", "p_name")
+      .orderBy("p_partkey").as[(Long, String)].collect().toSeq
+    assert(q.orderBy("p_partkey").as[(Long, String)].collect().toSeq == expected)
+  }
+
+  test("equality and IN filters evaluate server-side with residuals left to Spark") {
+    val q = endpoint()
+      .filter(col("p_brand") === "Brand#11" && col("p_retailprice") > 900.0)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("EqualTo(p_brand,Brand#11)"), s"equality not pushed:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_brand") === "Brand#11" && col("p_retailprice") > 900.0)
+      .count()
+    assert(q.count() == expected)
+  }
+}
