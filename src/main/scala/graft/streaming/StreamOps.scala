@@ -41,6 +41,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the "never ship the same document
+    * twice" gate of a continuous ingestion pipeline. State is keyed
+    * on the dedup columns and RECLAIMED as the watermark advances
+    * (`dropDuplicatesWithinWatermark`), so memory stays bounded by
+    * the duplicate-arrival horizon instead of growing with the
+    * corpus — the property that makes streaming dedup viable at all
+    * at 100 TB/day ingest. Duplicates separated by more than the
+    * watermark delay are the batch dedup's job (run both: stream for
+    * the hot path, periodic exact dedup for the archive).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful sessionization via flatMapGroupsWithState: sessions
     * close after `gapSeconds` of user inactivity (event-time timeout,
     * so state is reclaimed as the watermark advances). Emits closed

@@ -39,6 +39,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exists(_._2 == "error"))
   }
 
+  test("dedupStream drops within-watermark duplicates across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // event_id is the dedup key; id 1 arrives three times across two
+    // batches, id 2 twice in one batch
+    input.addData(Seq(ev(1, 1000, 1), ev(1, 1001, 1), ev(2, 1002, 2)))
+    val q = StreamOps.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    input.addData(Seq(ev(1, 1005, 1), ev(2, 1006, 2), ev(3, 1007, 3)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("deduped").as[Event].collect()
+    assert(out.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L),
+      s"expected one row per id, got ${out.toSeq.sortBy(_.event_id)}")
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
