@@ -801,6 +801,46 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // ---------------- decontamination: corpus × benchmark n-gram overlap ----------------
+    // The training-pipeline gate that keeps evaluation data out of the
+    // corpus: every (doc, benchmark doc) pair sharing >= 3 distinct
+    // 3-gram shingles. Benchmark side broadcast — one linear scan of
+    // the corpus, no self-join.
+    "q65_contamination" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      Dedup.contamination(docs, bench, "doc_id", "text", n = 3, minShared = 3)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // ---------------- PII scrubbing (emails/phones → typed tokens) ----------------
+    // The synthetic corpus carries no PII, so the query plants a
+    // deterministic email+phone per doc, then counts and redacts —
+    // the oracle recomputes both, so the regex passes must agree
+    // byte-for-byte across engines.
+    "q66_pii_redaction" -> ((s, dir) => {
+      t(s, dir).documents
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 now")).as("text2"))
+        .select(col("doc_id"),
+          TextFns.emailCount(col("text2")).cast("long").as("n_emails"),
+          md5(TextFns.redactPii(col("text2"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- deterministic hash-based sampling ----------------
+    // Reproducible across engines, retries, and partitionings (unlike
+    // rand() sampling): keep rows whose md5(key) starts with 0/1/2 —
+    // a 3/16 stratified-auditable sample.
+    "q67_hash_sample" -> ((s, dir) => {
+      t(s, dir).documents
+        .filter(TextFns.hashSample(col("doc_id"), Seq("0", "1", "2")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---------------- KG client-api: target → pathways (J6) ----------------
     "q63_kg_target_pathways" -> ((s, dir) => {
       val kg = KnowledgeGraph(s, dir)
@@ -1281,6 +1321,39 @@ object SparkEntry {
     "q64_endpoint_search" ->
       """SELECT p_partkey, p_name, p_brand FROM part
          WHERE contains(p_name, 'red') ORDER BY p_partkey""",
+    "q65_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         bex AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 50 = 0)
+         SELECT e.doc_id, b.bench_id, count(*) AS n_shared
+         FROM ex e JOIN bex b ON e.g = b.g AND e.doc_id <> b.bench_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY doc_id, bench_id""",
+    "q66_pii_redaction" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-123-4567 now' AS text2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')) AS redacted_fp
+         FROM aug ORDER BY doc_id""",
+    "q67_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled, count(DISTINCT doc_id) AS n_docs
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+         GROUP BY lang ORDER BY lang""",
     "q63_kg_target_pathways" ->
       """WITH pair AS (
            SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q

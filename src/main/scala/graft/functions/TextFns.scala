@@ -98,6 +98,33 @@ object TextFns {
     round((lenScore + divScore + punctScore) / lit(3.0), 4)
   }
 
+  /** PII scrubbing for training corpora: emails, then phone-shaped
+    * number groups, replaced with typed placeholder tokens. Pure
+    * regexp_replace chain — codegen'd, linear, and expressible in the
+    * DuckDB oracle. (A production scrubber adds locale-specific
+    * patterns; the operator shape — ordered regex passes — is the
+    * same.)
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailRe), lit(0)))
+
+  /** Deterministic hash-based sampling: keep a row iff the first hex
+    * digit of md5(key) falls in the accept set. Unlike rand()-based
+    * sampling this is reproducible across engines, retries, and
+    * partitionings — the property an auditable data pipeline needs —
+    * and composes with stratification by grouping the survivors.
+    * First-digit granularity is k/16; use more digits for finer
+    * rates.
+    */
+  def hashSample(key: Column, acceptHexDigits: Seq[String]): Column =
+    substring(md5(key.cast("string")), 1, 1).isin(acceptHexDigits: _*)
+
   /** Language-ID by stopword-hit scoring over per-language marker
     * lists (n-gram heuristic; deterministic argmax with fixed
     * language order for tie stability).

@@ -212,6 +212,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination check — the decontamination gate of a
+    * training pipeline: flag every (corpus doc, benchmark doc) pair
+    * sharing at least `minShared` distinct word n-gram shingles.
+    * Shingle-join shape: the benchmark side is tiny relative to the
+    * corpus, so Spark broadcasts its exploded shingles and the check
+    * is one scan of the corpus — no corpus-side self-join, which is
+    * what keeps decontamination linear at 100 TB.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    idName: String, textName: String,
+                    n: Int = 3, minShared: Int = 2): DataFrame = {
+    def exploded(df: DataFrame, as: String) =
+      shingleSets(df, idName, textName, n)
+        .select(col("id").as(as), explode(col("sh")).as("g"))
+    exploded(docs, "doc_id_c")
+      .join(broadcast(exploded(benchmark, "bench_id")), Seq("g"))
+      .filter(col("doc_id_c") =!= col("bench_id"))
+      .groupBy(col("doc_id_c"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("doc_id_c", idName)
+  }
+
   /** The distinct word-shingle set per document — the shared input of
     * the Jaccard/MinHash family. Shingle-less docs drop out.
     *
