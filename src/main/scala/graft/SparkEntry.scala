@@ -841,6 +841,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---------------- sequence packing into fixed token budgets ----------------
+    // Documents → 2048-token training sequences over 8 parallel
+    // packing streams; one window cumsum, no driver loop. Output is
+    // the per-bin fill profile.
+    "q68_sequence_packing" -> ((s, dir) => {
+      val assigned = graft.operators.Packing.packGreedy(
+        t(s, dir).documents
+          .select(col("doc_id"), TextFns.tokenCount(col("text")).as("nt")),
+        col("doc_id"), col("nt"), buckets = 8, budgetTokens = 2048L)
+      assigned.groupBy(col("bucket"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("bucket", "bin")
+    }),
+
     // ---------------- KG client-api: target → pathways (J6) ----------------
     "q63_kg_target_pathways" -> ((s, dir) => {
       val kg = KnowledgeGraph(s, dir)
@@ -1354,6 +1368,19 @@ object SparkEntry {
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
          GROUP BY lang ORDER BY lang""",
+    "q68_sequence_packing" ->
+      """WITH sized AS (
+           SELECT doc_id, doc_id % 8 AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM sized)
+         SELECT bucket, CAST(floor((c - n_tokens) / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM cum GROUP BY bucket, bin
+         ORDER BY bucket, bin""",
     "q63_kg_target_pathways" ->
       """WITH pair AS (
            SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
