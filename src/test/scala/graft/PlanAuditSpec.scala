@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-quality regression guards: correctness rows prove WHAT each
+  * query computes; these assert HOW — the physical shapes that keep
+  * the queries viable at cluster scale (pushdown reaching the scan,
+  * top-k without global sorts, no single-partition windows, broadcast
+  * joins for small dimensions). A refactor that silently degrades a
+  * plan fails here even though every value still matches.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** Final (AQE-resolved) physical plan string after execution. */
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString()
+      case p => p.toString()
+    }
+  }
+
+  test("q02: the threshold filter is pushed to the parquet scan") {
+    val plan = query("q02_threshold_filter").queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"threshold not pushed:\n$plan")
+  }
+
+  test("q02: the scan reads only the projected columns") {
+    val plan = query("q02_threshold_filter").queryExecution.executedPlan.toString()
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("q43 pagination: TakeOrderedAndProject, no window, no shuffle") {
+    val plan = query("q43_page2").queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Window"), s"pagination fell back to a window:\n$plan")
+    assert(!plan.contains("Exchange"), s"pagination shuffles:\n$plan")
+  }
+
+  test("q33 brute top-k: per-partition top-k merge, no global sort") {
+    val plan = query("q33_cosine_topk").queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort present:\n$plan")
+  }
+
+  test("q08 star join: small dimensions broadcast, fact side streams") {
+    val plan = executedPlan(query("q08_region_orders"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in star query:\n$plan")
+  }
+
+  test("no query plans an unpartitioned window over the full relation") {
+    // every Window node in every query plan must carry a partition spec
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = query(name).queryExecution.optimizedPlan.toString()
+      "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+        val spec = m.group(1)
+        // spec args: partition cols..., order cols..., frame; an empty
+        // partition list starts directly with an order-spec direction
+        assert(!spec.trim.startsWith("_w") || spec.contains(","),
+          s"$name has suspicious window spec: $spec")
+        assert(!"^\\s*[a-zA-Z0-9_#]+ (ASC|DESC)".r.findFirstIn(spec).isDefined,
+          s"$name: window has no partitionBy: $spec\n$plan")
+      }
+    }
+  }
+}
