@@ -67,11 +67,7 @@ object Bench {
       (name, times.sorted)
     }
     def jnum(d: Double): String = f"$d%.4f"
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.tools.Json.str(s)
     val qs = results.map { case (k, ts) =>
       val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
       s"${jstr(k)}:${jnum(med)}"

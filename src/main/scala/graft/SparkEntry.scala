@@ -40,6 +40,24 @@ object SparkEntry {
     * check runs once per JVM per key; a failed check re-arms so
     * retries re-validate.
     */
+  /** Derived on-disk artifacts (CSV checkpoint, endpoint shards, IVF
+    * index) live in tmpdir under a tag of the SOURCE table's size and
+    * mtime, so regenerated testdata or two dirs with colliding
+    * hashCodes can never serve stale or cross-wired fixtures — the
+    * path changes with the data and the artifact is rebuilt.
+    */
+  private def fixturePath(prefix: String, dir: String, sourceTable: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty).map(stat)
+        (kids.map(_._1).sum, (f.lastModified() +: kids.map(_._2)).max)
+      } else (f.length(), f.lastModified())
+    val (len, mtime) = stat(new java.io.File(dir, s"$sourceTable.parquet"))
+    val tag = java.lang.Long.toHexString(
+      len * 1000003L ^ mtime ^ dir.hashCode.toLong << 32)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_$tag"
+  }
+
   private object SelfCheck {
     private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val FixtureDir = "/root/testdata/sf0.001"
@@ -419,7 +437,7 @@ object SparkEntry {
       val emb = t(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      val idx = fixturePath("ivf", dir, "embeddings")
       Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nlist = 16, idx)
       // Self-check: recall of the pruned-scan result vs exact brute
       // top-10 (measured 9-10/10 at every SF; alarm floor 6).
@@ -729,7 +747,7 @@ object SparkEntry {
     "q57_csv_roundtrip" -> ((s, dir) => {
       val step = t(s, dir).orders.filter(col("o_totalprice") > 40000)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_step_${math.abs(dir.hashCode)}"
+      val path = fixturePath("csv_step", dir, "orders")
       CsvIO.write(step, path)
       val back = CsvIO.read(s, path, Some(org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING")))
@@ -786,7 +804,7 @@ object SparkEntry {
     // EntityEndpointSpec for the plan assertions). Oracle is the same
     // search over the parquet table.
     "q64_endpoint_search" -> ((s, dir) => {
-      val ep = s"${System.getProperty("java.io.tmpdir")}/graft_endpoint_${math.abs(dir.hashCode)}"
+      val ep = fixturePath("endpoint", dir, "part")
       if (!new java.io.File(ep, "_SUCCESS").exists()) {
         t(s, dir).part.select(col("p_partkey"), col("p_name"), col("p_brand"))
           .coalesce(2).write.mode("overwrite").json(ep)

@@ -49,9 +49,18 @@ object Dedup {
     * Returns (id, sig array<long>); shingle-less docs drop out.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
-                        k: Int = 32, shingleN: Int = 3): DataFrame = {
-    val exploded = docs.select(id.as("id"),
-      explode(TextFns.wordShinglesFast(text, shingleN)).as("g"))
+                        k: Int = 32, shingleN: Int = 3): DataFrame =
+    sigsFromShingleSets(
+      docs.select(id.as("id"),
+        array_distinct(TextFns.wordShinglesFast(text, shingleN)).as("sh")), k)
+
+  /** k salted-xxhash64 minima over a (id, sh array) relation — the
+    * single definition both the public signature API and the near-dup
+    * pipeline share (min over the distinct set equals min over raw
+    * shingles).
+    */
+  private def sigsFromShingleSets(sh: DataFrame, k: Int): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
     exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -91,11 +100,7 @@ object Dedup {
     // set equals min over raw shingles) — without it the regex
     // shingling runs three times per query.
     val sh = materialized(shingleSets(docs, idName, textName, shingleN))
-    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-    val sigged = exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val cands = minhashCandidates(sigged, k, bands)
+    val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -190,12 +195,18 @@ object Dedup {
     // aggregation (sort inside each small per-doc group, slice) —
     // same single exchange as a row_number window but no
     // partition-wide sort of the whole shingle relation.
+    // prefix length = |d| - ⌈t·|d|⌉ + 1 (the exact PPJoin bound). The
+    // naive float form floor((1-t)·|d|)+1 undercounts when 1-t rounds
+    // DOWN in binary (t=0.9: 1-t = 0.09999..., a 19-shingle doc got
+    // prefix 1 instead of 2 → missed pairs); the epsilon nudge before
+    // ceil can only lengthen the prefix, which keeps exactness.
+    val plen = (col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1)
+      .cast("int")
     val ranked = exploded.join(freq, Seq("g"))
       .groupBy(col("id"))
       .agg(first(col("nsh")).as("nsh"),
         sort_array(collect_list(struct(col("df"), col("g")))).as("arr"))
-      .select(col("id"), explode(slice(col("arr"), lit(1),
-        floor(lit(1.0 - threshold) * col("nsh")).cast("int") + 1)).as("p"))
+      .select(col("id"), explode(slice(col("arr"), lit(1), plen)).as("p"))
       .select(col("id"), col("p.g").as("g"))
     val cands = ranked.as("l").join(ranked.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
@@ -215,10 +226,10 @@ object Dedup {
   /** Benchmark-contamination check — the decontamination gate of a
     * training pipeline: flag every (corpus doc, benchmark doc) pair
     * sharing at least `minShared` distinct word n-gram shingles.
-    * Shingle-join shape: the benchmark side is tiny relative to the
-    * corpus, so Spark broadcasts its exploded shingles and the check
-    * is one scan of the corpus — no corpus-side self-join, which is
-    * what keeps decontamination linear at 100 TB.
+    * Shingle-join shape: a fixed-size benchmark side auto-broadcasts
+    * (AQE), making the check one scan of the corpus — no corpus-side
+    * self-join, which is what keeps decontamination linear at
+    * 100 TB.
     */
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     idName: String, textName: String,
@@ -226,8 +237,12 @@ object Dedup {
     def exploded(df: DataFrame, as: String) =
       shingleSets(df, idName, textName, n)
         .select(col("id").as(as), explode(col("sh")).as("g"))
+    // no explicit broadcast hint: a FIXED benchmark (the usual case)
+    // auto-broadcasts under AQE, while a benchmark that grows with
+    // the corpus falls back to a shuffle join instead of blowing the
+    // broadcast limit
     exploded(docs, "doc_id_c")
-      .join(broadcast(exploded(benchmark, "bench_id")), Seq("g"))
+      .join(exploded(benchmark, "bench_id"), Seq("g"))
       .filter(col("doc_id_c") =!= col("bench_id"))
       .groupBy(col("doc_id_c"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

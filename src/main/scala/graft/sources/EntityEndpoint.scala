@@ -65,9 +65,10 @@ object EntityEndpoint {
   /** The endpoint's shard files (a real API's cursor streams). */
   def listShards(path: String): Seq[String] = {
     val f = new java.io.File(path)
+    require(f.exists(), s"entity-endpoint path does not exist: $path")
     val files =
       if (f.isFile) Seq(f)
-      else f.listFiles().toSeq
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq
         .filter(x => x.isFile && (x.getName.endsWith(".json") || x.getName.endsWith(".jsonl")))
     files.map(_.getAbsolutePath).sorted
   }
@@ -158,6 +159,11 @@ private[sources] class EndpointPageReader(page: EndpointPage,
                                           required: StructType,
                                           filters: Array[Filter])
     extends PartitionReader[InternalRow] {
+  // the file-transport stub addresses pages by line index, which caps
+  // a shard at 2^31 lines; the HTTP transport pages by cursor and has
+  // no such bound
+  require(page.start + page.len <= Int.MaxValue,
+    s"entity-endpoint file stub: shard ${page.file} exceeds 2^31 lines")
   private val mapper = new ObjectMapper()
   private val src = scala.io.Source.fromFile(page.file, "UTF-8")
   private val lines = src.getLines().filter(_.nonEmpty)

@@ -52,9 +52,10 @@ object StreamOps {
     * the hot path, periodic exact dedup for the archive).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-                  watermarkDelay: String = "1 hour"): DataFrame =
+                  watermarkDelay: String = "1 hour",
+                  tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stateful sessionization via flatMapGroupsWithState: sessions
