@@ -75,9 +75,17 @@ final class KnowledgeGraph(spark: SparkSession, dir: String) {
   /** linkedTargets(drug_id, target_id, rank) — drug→target edges
     * ranked by traded volume (the server's ordered `rows`, whose
     * `rows[0]` the reference picks, x2.py:215).
+    *
+    * Groups `lineitem` directly rather than via `facts`: the edge
+    * needs no customer attribute, and the orders⋈customer legs are
+    * 1:1 total on lineitem (every line has exactly one order and
+    * customer), so they change nothing but cost — Catalyst cannot
+    * drop inner joins on FK-integrity grounds itself, and at 10×
+    * data the dead joins were the dominant stage of every
+    * drug-centric query.
     */
   def linkedTargets: DataFrame = {
-    val perPair = facts.groupBy(col("l_suppkey"), col("l_partkey"))
+    val perPair = t.lineitem.groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity")).as("q"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("q").desc, col("l_partkey").asc)

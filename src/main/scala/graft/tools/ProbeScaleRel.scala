@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe for the relational surface: replicate the whole
+  * star schema 10× with referential integrity preserved (each copy
+  * offsets every key family consistently), then run the REGISTERED
+  * queries against the big dir and compare wall-times with sf0.1.
+  */
+object ProbeScaleRel {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_scale10"
+    val factor = 10
+
+    def src(t: String): DataFrame = {
+      val raw = spark.read.parquet(s"$base/$t.parquet")
+      if (t == "events" && raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      else raw
+    }
+    def maxOf(t: String, c: String): Long =
+      src(t).agg(max(col(c))).head().getLong(0) + 1
+
+    lazy val (mo, mc, mp, ms, me, mu) = (
+      maxOf("orders", "o_orderkey"), maxOf("customer", "c_custkey"),
+      maxOf("part", "p_partkey"), maxOf("supplier", "s_suppkey"),
+      maxOf("events", "event_id"), maxOf("events", "user_id"))
+
+    def replicate(t: String, offsets: Map[String, Long]): Unit = {
+      val out = s"$big/$t.parquet"
+      if (new java.io.File(out, "_SUCCESS").exists()) return
+      val s0 = src(t)
+      (0 until factor).map { i =>
+        offsets.foldLeft(s0) { case (df, (c, m)) =>
+          df.withColumn(c, col(c) + lit(i * m))
+        }
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      println(s"[probe] replicated $t")
+    }
+
+    // region/nation: copy once (dimension tables stay fixed)
+    for (t <- Seq("region", "nation")) {
+      val out = s"$big/$t.parquet"
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        src(t).write.mode("overwrite").parquet(out)
+    }
+    replicate("customer", Map("c_custkey" -> mc))
+    replicate("supplier", Map("s_suppkey" -> ms))
+    replicate("part", Map("p_partkey" -> mp))
+    replicate("orders", Map("o_orderkey" -> mo, "o_custkey" -> mc))
+    replicate("lineitem", Map("l_orderkey" -> mo, "l_partkey" -> mp, "l_suppkey" -> ms))
+    replicate("events", Map("event_id" -> me, "user_id" -> mu))
+
+    val names = Seq(
+      "q01_pricing_summary", "q07_first_order_per_cust", "q08_region_orders",
+      "q16_revenue_fallback", "q19_order_rank", "q21_sessions",
+      "q22_candidate_parts", "q23_related_candidates", "q43_page2",
+      "q46_top_terms", "q49_kg_disease_targets", "q56_mechanism_targets",
+      "q60_kg_drug_info", "q68_sequence_packing")
+
+    for ((dir, label) <- Seq((base, "warm"), (base, "sf0.1"), (big, "10x"))) {
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        try {
+          graft.SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[probe] $label%-6s $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: Throwable =>
+          println(s"[probe] $label $n FAILED: ${e.getMessage.take(120)}")
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
