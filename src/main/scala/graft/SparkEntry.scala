@@ -873,6 +873,17 @@ object SparkEntry {
         .orderBy("bucket", "bin")
     }),
 
+    // ---------------- dedup-cluster resolution (connected components) ----------------
+    // Near-dup pairs → components → canonical doc per cluster: the
+    // step that turns "A≈B, B≈C" into "keep A". Iterative min-label
+    // propagation (two shuffles per round, no driver-side graph); the
+    // oracle recomputes the same components with a recursive CTE.
+    "q69_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+      Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
     // ---------------- KG client-api: target → pathways (J6) ----------------
     "q63_kg_target_pathways" -> ((s, dir) => {
       val kg = KnowledgeGraph(s, dir)
@@ -1386,6 +1397,35 @@ object SparkEntry {
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
          GROUP BY lang ORDER BY lang""",
+    "q69_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         SELECT id, min(lbl) AS canonical_id FROM reach
+         GROUP BY id ORDER BY id""",
     "q68_sequence_packing" ->
       """WITH sized AS (
            SELECT doc_id, doc_id % 8 AS bucket,

@@ -275,6 +275,50 @@ object Dedup {
       .withColumnRenamed("doc_id_c", idName)
   }
 
+  /** Dedup-cluster resolution: collapse a pair relation (id_a, id_b)
+    * — e.g. the output of any near-dup operator — into connected
+    * components, labeling every member with the component's minimum
+    * id (the canonical document). This is the step that turns "A≈B,
+    * B≈C" pairs into "keep A, drop B and C".
+    *
+    * Algorithm: iterative min-label propagation — each round joins
+    * the label relation with the (symmetrized) edge relation and
+    * keeps the minimum of a node's own label and its neighbors'
+    * labels, until a fixed point. Rounds = component diameter (near-
+    * dup clusters are shallow); every round is two distributed
+    * hash-shuffles with map-side partial min — the standard
+    * large-scale CC shape, no driver-side graph. The driver loop only
+    * checks a per-round convergence COUNT (a scalar), and each round
+    * materializes its label relation so lineage stays flat.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = materialized(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = materialized(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("canonical_id")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("canonical_id"))
+      val next = materialized(
+        labels.unionByName(viaNeighbors)
+          .groupBy(col("id")).agg(min(col("canonical_id")).as("canonical_id")))
+      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), Seq("id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters rounds")
+    labels
+  }
+
   /** The distinct word-shingle set per document — the shared input of
     * the Jaccard/MinHash family. Shingle-less docs drop out.
     *

@@ -95,6 +95,16 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
   }
 
+  test("dupClusters resolves chains, triangles, and leaves singletons alone") {
+    // components: chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
