@@ -185,8 +185,6 @@ object Dedup {
     // intersects compare 8-byte longs instead of ~20-char strings and
     // the persisted relation shrinks ~2.5×.
     require(threshold > 0.0 && threshold <= 1.0)
-    val shAll = shingleSets(docs, idName, textName, n)
-      .select(col("id"), sort_array(transform(col("sh"), g => xxhash64(g))).as("sh"))
     // Collapse identical shingle SETS to one representative before
     // pairing: a crawl-scale corpus is dominated by exact-duplicate
     // clusters, and the prefix-filter join degrades quadratically in
@@ -195,14 +193,23 @@ object Dedup {
     // pair in cost proportional to UNIQUE documents; clusters expand
     // back afterwards (cross pairs inherit the representative
     // Jaccard, intra-cluster pairs are exactly 1.0), so the output is
-    // IDENTICAL to the naive all-pairs join.
-    val groups = materialized(shAll.groupBy(col("sh"))
-      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ms")))
-    val members = groups.select(col("rid"), explode(col("ms")).as("mid"))
-    val sh = groups.select(col("rid").as("id"), col("sh"))
-    val exploded = sh.select(col("id"), size(col("sh")).as("nsh"),
+    // IDENTICAL to the naive all-pairs join. Members derive via a
+    // join, not collect_list — a boilerplate page with millions of
+    // twins must not become one giant array on one reducer.
+    val shAll = materialized(shingleSets(docs, idName, textName, n)
+      .select(col("id"), sort_array(transform(col("sh"), g => xxhash64(g))).as("sh")))
+    val groups = shAll.groupBy(col("sh"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("gsize"))
+    val members = shAll.select(col("id").as("mid"), col("sh"))
+      .join(groups.select(col("sh"), col("rid")), Seq("sh"))
+      .select(col("rid"), col("mid"))
+    val sh = materialized(groups.select(col("rid").as("id"), col("sh"), col("gsize")))
+    val exploded = sh.select(col("id"), size(col("sh")).as("nsh"), col("gsize"),
       explode(col("sh")).as("g"))
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // df counts DOCUMENTS (sum of group sizes), not representatives,
+    // so the maxShingleFreq stop-shingle cap keeps its caller-facing
+    // semantics on duplicate-heavy corpora
+    val freq = exploded.groupBy("g").agg(sum(col("gsize")).as("df"))
       .filter(col("df") <= maxShingleFreq)
     // order shingles per doc by (global df asc, shingle asc); keep the
     // prefix that any qualifying pair must intersect. One keyed
@@ -292,22 +299,50 @@ object Dedup {
     * materializes its label relation so lineage stays flat.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // symmetrized + SELF-LOOPS: with (v, v) edges, a node's own label
+    // flows through the same neighbor join as everyone else's, so
+    // each round is one join + one aggregation — no union of the
+    // label relation with itself (which both doubles the plan and
+    // trips Catalyst's union constraint rewrite on checkpointed
+    // branches)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val edges = materialized(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      sym.unionByName(sym.select(col("src"), col("src").as("dst")))
         .distinct())
-    var labels = materialized(
+    // localCheckpoint (not just persist) per round: each round's plan
+    // references the previous round's MULTIPLE times (the union and
+    // the pointer-jump self-join), so an un-truncated lineage grows
+    // exponentially and Catalyst analysis itself becomes the
+    // bottleneck by ~round 7. Checkpointing flattens the plan to the
+    // materialized rows — the standard shape for iterative
+    // algorithms.
+    var labels =
       edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("canonical_id")))
+        .select(col("id"), col("id").as("canonical_id"))
+        .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val viaNeighbors = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("canonical_id"))
-      val next = materialized(
-        labels.unionByName(viaNeighbors)
-          .groupBy(col("id")).agg(min(col("canonical_id")).as("canonical_id")))
+        .groupBy(col("id")).agg(min(col("canonical_id")).as("canonical_id"))
+      // pointer jumping: lbl(id) := lbl(lbl(id)). Combined with the
+      // one-hop neighbor min above, the propagation distance roughly
+      // DOUBLES per round, so convergence is O(log diameter) — a
+      // 30-deep version-drift chain resolves in ~5 rounds instead of
+      // 29 (plain one-hop propagation needs O(diameter) rounds and
+      // would blow the round cap on long chains). Every label is
+      // itself a node id of the same component, so the self-join
+      // always matches; the coalesce is belt-and-braces.
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("p_id"),
+          col("canonical_id").as("p_lbl")).as("p"),
+          col("x.canonical_id") === col("p_id"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("p_lbl"), col("x.canonical_id")).as("canonical_id"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), Seq("id"))
         .filter(col("canonical_id") =!= col("old")).count()
       labels.unpersist()

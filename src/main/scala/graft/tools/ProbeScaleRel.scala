@@ -22,27 +22,30 @@ object ProbeScaleRel {
     val big = "/tmp/graft_scale10"
     val factor = 10
 
-    def src(t: String): DataFrame = {
-      val raw = spark.read.parquet(s"$base/$t.parquet")
-      if (t == "events" && raw.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-      else raw
-    }
+    // events goes through Tables so the NANOS->micros conversion has
+    // exactly one implementation
+    def src(t: String): DataFrame =
+      if (t == "events") graft.Tables(spark, base).events
+      else spark.read.parquet(s"$base/$t.parquet")
     def maxOf(t: String, c: String): Long =
       src(t).agg(max(col(c))).head().getLong(0) + 1
 
-    lazy val (mo, mc, mp, ms, me, mu) = (
-      maxOf("orders", "o_orderkey"), maxOf("customer", "c_custkey"),
-      maxOf("part", "p_partkey"), maxOf("supplier", "s_suppkey"),
-      maxOf("events", "event_id"), maxOf("events", "user_id"))
+    lazy val mo = maxOf("orders", "o_orderkey")
+    lazy val mc = maxOf("customer", "c_custkey")
+    lazy val mp = maxOf("part", "p_partkey")
+    lazy val ms = maxOf("supplier", "s_suppkey")
+    lazy val me = maxOf("events", "event_id")
+    lazy val mu = maxOf("events", "user_id")
 
-    def replicate(t: String, offsets: Map[String, Long]): Unit = {
+    // offsets passed by-name so a fully-cached run skips the max()
+    // aggregation jobs entirely
+    def replicate(t: String, offsets: => Map[String, Long]): Unit = {
       val out = s"$big/$t.parquet"
       if (new java.io.File(out, "_SUCCESS").exists()) return
       val s0 = src(t)
+      val offs = offsets
       (0 until factor).map { i =>
-        offsets.foldLeft(s0) { case (df, (c, m)) =>
+        offs.foldLeft(s0) { case (df, (c, m)) =>
           df.withColumn(c, col(c) + lit(i * m))
         }
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)

@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dupClusters converges on a long chain (pointer jumping, O(log d) rounds)") {
+    // 60-deep version-drift chain: one-hop propagation would need 59
+    // rounds and blow the 25-round cap; pointer jumping needs ~7
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(out.length == 60 && out.forall(_._2 == 1L))
+  }
+
   test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
