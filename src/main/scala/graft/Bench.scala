@@ -23,6 +23,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees broadcast blocks only when the driver GCs;
+      // the default periodicGC interval (30 min) is longer than the whole
+      // bench run, so ~280 query executions' broadcasts pile up in the
+      // unified memory region and late queries pay the eviction/GC storm.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass at the smallest scale factor: each query's
@@ -60,26 +65,68 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop this query's cached/broadcast state so later queries
-        // aren't taxed by earlier ones' heap residue
+        // aren't taxed by earlier ones' heap residue; the explicit GC
+        // lets ContextCleaner actually reclaim finished broadcasts
+        // (their cleanup is reference-queue driven and a 48g heap may
+        // otherwise not GC for the entire run)
         try spark.catalog.clearCache() catch { case _: Throwable => }
         if (ok) Some(dt) else None
       }
+      // one explicit GC per query (outside the timed reps): lets the
+      // async ContextCleaner reclaim the finished reps' broadcasts
+      System.gc()
       (name, times.sorted)
     }
-    def jnum(d: Double): String = f"$d%.4f"
+    // Compact numbers with stripped trailing zeros ("0.50"->"0.5"):
+    // the driver captures only the LAST ~2000 chars of stdout, so with
+    // 75 queries a verbose line overflows that window and the front of
+    // the JSON (metric/value/early queries) is lost — exactly what
+    // broke BENCH_r02 parsing. Per-query medians print at 1 decimal
+    // (full precision lives in BENCH_DETAIL.json), degrading to 0
+    // decimals if the line would still overflow.
+    def jnumP(d: Double, decimals: Int): String = {
+      val s = String.format(s"%.${decimals}f", Double.box(d))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    def jnum(d: Double): String = jnumP(d, 2)
+    def jnumFull(d: Double): String = f"$d%.4f"
     def jstr(s: String): String = graft.tools.Json.str(s)
-    val qs = results.map { case (k, ts) =>
-      val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
-      s"${jstr(k)}:${jnum(med)}"
-    }.mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
-      if (ts.isEmpty) s"${jstr(k)}:[]"
-      else s"${jstr(k)}:[${jnum(ts.head)},${jnum(ts.last)}]"
-    }.mkString("{", ",", "}")
+    def med(ts: IndexedSeq[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+    def qsLine(decimals: Int): String = results
+      .map { case (k, ts) => s"${jstr(k)}:${jnumP(med(ts), decimals)}" }
+      .mkString("{", ",", "}")
+    val qs = { val oneDp = qsLine(1); if (oneDp.length <= 1700) oneDp else qsLine(0) }
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => if (ts.isEmpty) 0.0 else ts(ts.size / 2) }.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val total = results.map { case (_, ts) => med(ts).max(0.0) }.sum
+    // Full-precision medians + per-rep spread + errors go to a sidecar
+    // file next to the repo (driver tail can't hold them); the stdout
+    // line stays within the tail window and parses as the contract.
+    val detail = {
+      val rows = results.map { case (k, ts) =>
+        val repsArr = ts.map(jnumFull).mkString("[", ",", "]")
+        s"    ${jstr(k)}: {\"median\": ${jnumFull(med(ts))}, \"reps\": $repsArr}"
+      }.mkString(",\n")
+      s"""{
+  "metric": "total", "value": ${jnumFull(total)}, "unit": "sec",
+  "reps": $reps, "cpus": $cpus, "sf": ${jstr(sfDir)},
+  "errors": $errJson,
+  "queries": {
+$rows
+  }
+}
+"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    // short numeric sf when the dir is the driver's sf{N} layout
+    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).filter(_.toDoubleOption.isDefined)
+      .getOrElse(jstr(sfDir))
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"sf":$sfJson}""")
     spark.stop()
   }
 }

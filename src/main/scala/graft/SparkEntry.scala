@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Chunking, Dedup, Mixing, Multimodal, Quantize, RangeJoin, Similarity, TextMetrics}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.CsvIO
@@ -902,6 +902,78 @@ object SparkEntry {
         .filter(col("rk") <= 5)
         .select(col("lang"), col("token"), col("n"), col("rk"))
         .orderBy("lang", "rk")
+    }),
+
+    // ---------------- intra-doc repetition metrics (Gopher-style quality) ----------------
+    "q70_repetition" -> ((s, dir) => {
+      TextMetrics.ngramRepetition(t(s, dir).documents, "doc_id", col("text"), n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- domain-mixture resampling (deterministic per-source rates) ----------------
+    // Target mixture: src{i} keeps (i%4)*4+4 sixteenths (25/50/75/100%)
+    // — the rate formula is mirrored arithmetically in the oracle.
+    "q71_domain_mix" -> ((s, dir) => {
+      val rates = (0 until 20).map(i => s"src$i" -> ((i % 4) * 4 + 4)).toMap
+      Mixing.domainMix(t(s, dir).documents, col("doc_id"), col("source"), rates)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---------------- sliding-window chunking (context-length training windows) ----------------
+    "q72_chunking" -> ((s, dir) => {
+      Chunking.slidingChunks(t(s, dir).documents, "doc_id", col("text"),
+          chunkSize = 64, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---------------- int8 embedding quantization report ----------------
+    "q73_vec_quantize" -> ((s, dir) => {
+      Quantize.int8Report(t(s, dir).embeddings, "label", "embedding")
+        .orderBy("label")
+    }),
+
+    // ---------------- as-of join: last purchase before each click ----------------
+    // Temporal backward lookup via the single-shuffle union+window
+    // encoding (AsofJoin); the oracle is DuckDB's native ASOF JOIN.
+    "q74_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      AsofJoin.asofBackward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("p_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_p_id"), lit(-1L)).as("purchase_event_id"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")),
+            lit(-1L)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- range join: clicks in the 5 min before each error ----------------
+    // Binned-interval equi-join (RangeJoin) instead of the O(n·m)
+    // BroadcastNestedLoop Spark would plan for the raw inequality.
+    "q75_range_join" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).cast("double").as("v"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).cast("double").as("pv"),
+          col("event_id").as("click_id"))
+      val pairs = RangeJoin.trailingWindowJoin(errors, clicks, "user_id",
+        "v", "pv", width = 300e6, probeCols = Seq("click_id"))
+      val counts = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+      errors.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("event_id")
     })
   )
 
@@ -1482,6 +1554,80 @@ object SparkEntry {
          SELECT lang, count(*) AS docs_kept,
            CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
            round(avg(n_chars),4) AS avg_chars
-         FROM kept GROUP BY lang ORDER BY lang"""
+         FROM kept GROUP BY lang ORDER BY lang""",
+    "q70_repetition" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+             generate_subscripts(string_split(nt, ' '), 1) AS ord
+           FROM norm),
+         grams AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
+           FROM toks QUALIFY g IS NOT NULL),
+         counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id, round(max(c)*1.0/sum(c), 6) AS top2_frac,
+           round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)*1.0/sum(c), 6) AS dup2_frac,
+           CAST(sum(c) AS BIGINT) AS n_grams
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q71_domain_mix" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents
+         WHERE strpos('0123456789abcdef',
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           < (CAST(regexp_extract(source, '\d+') AS INT) % 4) * 4 + 4
+         GROUP BY source ORDER BY source""",
+    "q72_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS nt
+           FROM documents),
+         starts AS (
+           SELECT doc_id, nt, unnest(generate_series(0, nt - 1, 32)) AS st
+           FROM t),
+         chunks AS (
+           SELECT s.doc_id, CAST(s.st / 32 AS BIGINT) AS chunk_idx,
+             list_slice(t.toks, s.st + 1, least(s.st + 64, s.nt)) AS ctoks
+           FROM starts s JOIN t ON s.doc_id = t.doc_id)
+         SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+         FROM chunks ORDER BY doc_id, chunk_idx""",
+    "q73_vec_quantize" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x)), 'max') / 127.0 AS scale
+           FROM embeddings),
+         e AS (
+           SELECT q.vec_id, q.label, q.scale,
+             CASE WHEN q.scale > 0 THEN
+               list_aggregate(list_transform(CAST(em.embedding AS DOUBLE[]),
+                 x -> abs(x - floor(x / q.scale + 0.5) * q.scale)), 'avg')
+             ELSE 0.0 END AS mean_err
+           FROM q JOIN embeddings em ON q.vec_id = em.vec_id)
+         SELECT label, round(avg(mean_err), 6) AS avg_err,
+           round(max(scale), 6) AS max_scale, count(*) AS n
+         FROM e GROUP BY label ORDER BY label""",
+    "q74_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+         CAST(coalesce(p.event_id, -1) AS BIGINT) AS purchase_event_id,
+         coalesce(epoch_us(c.ts) - epoch_us(p.ts), -1) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+    "q75_range_join" ->
+      """SELECT e.event_id, e.user_id,
+         CAST(count(c.event_id) AS BIGINT) AS n_clicks
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = e.user_id
+           AND epoch_us(c.ts)
+             BETWEEN epoch_us(e.ts) - 300000000 AND epoch_us(e.ts)
+         GROUP BY e.event_id, e.user_id ORDER BY e.event_id"""
   )
 }

@@ -41,8 +41,11 @@ final class Tables(spark: SparkSession, dir: String) {
       "events.parquet is TIMESTAMP(NANOS): build the session with " +
         "spark.sql.legacy.parquet.nanosAsLong=true")
     val raw = t("events")
+    // `ts / 1000` would be DOUBLE division: ns-epoch magnitudes
+    // (~1.7e18) exceed 2^53, so the rounded quotient is off by up to
+    // ±1 µs. `div` is exact integer division on longs.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents: DataFrame = t("documents")

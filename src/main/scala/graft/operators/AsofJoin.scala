@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal backward) join — for every left row, the single
+  * right row with the greatest right timestamp <= the left timestamp
+  * within the same key. The canonical "state at time t" lookup
+  * (latest price before a trade, last purchase before a click).
+  *
+  * Spark has no built-in as-of operator and the naive encodings are
+  * both scale-killers:
+  *  - a range join (`l.ts >= r.ts`) plans as BroadcastNestedLoopJoin
+  *    — O(n·m) comparisons;
+  *  - "join all earlier rows then keep max" shuffles the full
+  *    candidate explosion before pruning it.
+  *
+  * This implementation is the single-shuffle union trick: tag the two
+  * sides, union them into one relation, hash-shuffle ONCE on the key,
+  * and per key run an ordered `last(right_payload, ignoreNulls)` over
+  * rows sorted by (ts, side) — right rows sort before left rows at
+  * equal ts, so "<=" semantics hold exactly. Each left row then
+  * carries the most recent right payload at or before its timestamp.
+  * Cost: one exchange + one in-partition sort, independent of match
+  * distance — the shape that survives 100 TB. Skewed keys salt the
+  * usual way (the window is per key; a mega-key serializes its own
+  * partition only).
+  *
+  * Ties: two right rows with identical (key, ts) are resolved by the
+  * window order within the equal group and are nondeterministic —
+  * callers needing strict determinism ensure (key, ts) is unique on
+  * the right (true for ns-precision event streams).
+  */
+object AsofJoin {
+
+  /** @param rightCols right-side payload columns carried to the output
+    *                  (prefixed `asof_`); the right timestamp itself is
+    *                  usually among them.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String]): DataFrame = {
+    val lPayload = struct(left.columns.map(col): _*)
+    val rPayload = struct(rightCols.map(col): _*)
+    val lType = left.select(lPayload.as("s")).schema("s").dataType
+    val rType = right.select(rPayload.as("s")).schema("s").dataType
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lPayload.as("__l"), lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rPayload.as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val outCols = left.columns.map(c => col(s"__l.$c").as(c)) ++
+      rightCols.map(c => col(s"__m.$c").as(s"asof_$c"))
+    matched.select(outCols: _*)
+  }
+}
