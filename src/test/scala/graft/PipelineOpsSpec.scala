@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Mixing, Quantize, TextMetrics}
+
+/** Hand-computable cases + invariants for the round-3 pipeline
+  * operators (repetition metrics, domain mixing, chunking, int8
+  * quantization).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramRepetition on a hand-computed document") {
+    // "a b a b a": bigrams (a b),(b a),(a b),(b a) → 4 grams, top
+    // count 2, all grams duplicated
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.ngramRepetition(docs, "doc_id", col("text"), n = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // "solo" has no bigrams and drops out
+    val d1 = out(0)
+    assert(d1.getLong(0) == 1L && d1.getDouble(1) == 0.5 &&
+      d1.getDouble(2) == 1.0 && d1.getLong(3) == 4L)
+    val d2 = out(1) // "x y z": 2 distinct bigrams, no repetition
+    assert(d2.getLong(0) == 2L && d2.getDouble(1) == 0.5 &&
+      d2.getDouble(2) == 0.0 && d2.getLong(3) == 2L)
+  }
+
+  test("domainMix rates are monotone, deterministic, and exhaustive at 16") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def kept(r: Int) = Mixing.domainMix(docs, col("doc_id"), col("source"),
+      rates = Map.empty, defaultSixteenths = r)
+    assert(kept(16).count() == docs.count(), "rate 16 must keep everything")
+    assert(kept(0).count() == 0, "rate 0 must keep nothing")
+    val k4 = kept(4).select("doc_id").as[Long].collect().toSet
+    val k8 = kept(8).select("doc_id").as[Long].collect().toSet
+    assert(k4.subsetOf(k8), "lower rate must select a subset of higher rate")
+    // deterministic across partitionings
+    val k8b = Mixing.domainMix(docs.repartition(7), col("doc_id"), col("source"),
+      Map.empty, 8).select("doc_id").as[Long].collect().toSet
+    assert(k8 == k8b)
+  }
+
+  test("slidingChunks covers every token with the right overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.slidingChunks(docs, "doc_id", col("text"),
+        chunkSize = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(out.head.getString(3) == "t1 t2 t3 t4")
+    assert(out.last.getString(3) == "t9 t10")
+  }
+
+  test("int8 quantization error is bounded by half a scale step") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bad = emb.select(
+        Quantize.int8Scale(col("embedding")).as("s"),
+        Quantize.int8MeanError(col("embedding")).as("e"))
+      .filter(col("e") > col("s") * 0.5 + 1e-12)
+    assert(bad.count() == 0, "mean |err| must be <= scale/2")
+  }
+
+  test("int8 codes stay in [-127, 127] and zero vectors quantize to zeros") {
+    val rows = Seq((1L, Array(0.1f, -0.5f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = rows.select(col("vec_id"), Quantize.int8Codes(col("embedding")).as("q"))
+      .orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Int](1)
+    assert(q1.forall(c => c >= -127 && c <= 127))
+    assert(math.abs(q1(1)) == 127, "max-magnitude element maps to ±127")
+    assert(out(1).getSeq[Int](1).forall(_ == 0))
+  }
+}

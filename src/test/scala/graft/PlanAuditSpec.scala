@@ -56,6 +56,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in star query:\n$plan")
   }
 
+  test("q74 as-of join plans join-free (union + one keyed window)") {
+    val plan = query("q74_asof_join").queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join"), s"as-of query fell back to a join:\n$plan")
+  }
+
+  test("q75 range join avoids nested-loop/cartesian plans") {
+    val plan = executedPlan(query("q75_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join planned a quadratic join:\n$plan")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition spec
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
