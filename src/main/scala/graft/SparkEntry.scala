@@ -879,9 +879,11 @@ object SparkEntry {
     // propagation (two shuffles per round, no driver-side graph); the
     // oracle recomputes the same components with a recursive CTE.
     "q69_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
-      Dedup.dupClusters(pairs).orderBy("id")
+      // contracted CC: components over cluster representatives, labels
+      // expanded to members — never materializes the O(m²) member-pair
+      // relation the oracle's recursive CTE walks
+      Dedup.jaccardClusters(t(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue).orderBy("id")
     }),
 
     // ---------------- KG client-api: target → pathways (J6) ----------------

@@ -171,6 +171,31 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
+      threshold, maxShingleFreq)
+    // expand clusters back to member pairs
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
+      .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The contracted form of [[jaccardPairs]]: similar pairs over
+    * cluster REPRESENTATIVES (one doc per identical shingle set),
+    * plus the rep→member expansion map. Callers that only need
+    * component structure (cluster resolution) consume this directly —
+    * the expanded member-pair relation is O(m²) per exact-duplicate
+    * cluster, which a crawl-scale corpus cannot afford to materialize.
+    */
+  private def jaccardRepPairs(docs: DataFrame, idName: String, textName: String,
+                              n: Int, threshold: Double,
+                              maxShingleFreq: Long): (DataFrame, DataFrame) = {
     // The shingle-set relation feeds FOUR consumers (frequency table,
     // prefix ranking, and both verification sides); without
     // materialization Catalyst recomputes the regex shingling per
@@ -242,17 +267,42 @@ object Dedup {
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // expand clusters back to member pairs
-    val cross = repPairs
-      .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
-      .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    val intra = members.as("x").join(members.as("y"),
-        col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
-      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(intra)
+    (repPairs, members)
+  }
+
+  /** Near-dup cluster resolution straight from documents: jaccard
+    * similarity graph → connected components → (id, canonical_id),
+    * identical to `dupClusters(jaccardPairs(...))` but WITHOUT ever
+    * materializing the expanded member-pair relation: components are
+    * computed over cluster representatives (strictly fewer nodes and
+    * edges — a boilerplate cluster of m exact twins contributes m²/2
+    * expanded pairs but ONE contracted node), then labels expand to
+    * members with a single join. Correctness: every representative is
+    * its group's minimum id, so the min label over a rep-component
+    * equals the min member id over the corresponding expanded
+    * component.
+    */
+  def jaccardClusters(docs: DataFrame, idName: String, textName: String,
+                      n: Int = 3, threshold: Double = 0.5,
+                      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
+      threshold, maxShingleFreq)
+    // contracted node set = reps in a similar pair + reps of exact-dup
+    // groups (their members are pairwise connected even with no cross
+    // edges); singleton reps without pairs are their own (excluded)
+    // component, matching the expanded-pair node set.
+    val pairedReps = repPairs.select(col("id_a").as("rid"))
+      .unionByName(repPairs.select(col("id_b").as("rid"))).distinct()
+    val multiReps = members.groupBy(col("rid"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > 1).select("rid")
+    val nodes = pairedReps.unionByName(multiReps).distinct()
+    val repLabels = dupClusters(repPairs)
+      .withColumnRenamed("id", "rid")
+    val labels = nodes.join(repLabels, Seq("rid"), "left")
+      .select(col("rid"),
+        coalesce(col("canonical_id"), col("rid")).as("canonical_id"))
+    members.join(labels, Seq("rid"))
+      .select(col("mid").as("id"), col("canonical_id"))
   }
 
   /** Benchmark-contamination check — the decontamination gate of a
@@ -321,6 +371,17 @@ object Dedup {
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("canonical_id"))
         .localCheckpoint(true)
+    // Convergence check: min-propagation only ever DECREASES a label,
+    // so the label sum is strictly monotone until the fixed point —
+    // "no label changed" ⇔ "the sum is unchanged". One decimal
+    // aggregate over the (checkpointed) label relation per round,
+    // instead of a join of consecutive rounds. DECIMAL(38,0) keeps the
+    // sum exact out to ~1e19 rows of 63-bit ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("canonical_id").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -343,11 +404,11 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("p_lbl"), col("x.canonical_id")).as("canonical_id"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), Seq("id"))
-        .filter(col("canonical_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     require(converged, s"dupClusters did not converge in $maxIters rounds")

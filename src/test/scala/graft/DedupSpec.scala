@@ -118,4 +118,22 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("id_a") >= col("id_b")).count() == 0)
     assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
   }
+
+  test("jaccardClusters equals dupClusters over the expanded pair relation") {
+    // the contracted path (CC over representatives) must produce the
+    // exact same (id, canonical_id) labeling as CC over member pairs,
+    // including on a corpus dominated by exact-duplicate clusters
+    val tripled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 200000L))
+    val expanded = Dedup.dupClusters(
+        Dedup.jaccardPairs(tripled, "doc_id", "text", n = 3, threshold = 0.6))
+      .as[(Long, Long)].collect().toMap
+    val contracted = Dedup.jaccardClusters(tripled, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    assert(contracted == expanded,
+      s"diff keys=${(expanded.keySet diff contracted.keySet).take(5)} / " +
+        s"${(contracted.keySet diff expanded.keySet).take(5)}")
+  }
 }
