@@ -95,7 +95,9 @@ object Bench {
     def qsLine(decimals: Int): String = results
       .map { case (k, ts) => s"${jstr(k)}:${jnumP(med(ts), decimals)}" }
       .mkString("{", ",", "}")
-    val qs = { val oneDp = qsLine(1); if (oneDp.length <= 1700) oneDp else qsLine(0) }
+    // 1780 + header/sf (~70) + sbt's "[info] " and trailing
+    // "[success] Total time..." (~95) stays inside the 2000-char tail
+    val qs = { val oneDp = qsLine(1); if (oneDp.length <= 1780) oneDp else qsLine(0) }
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => med(ts).max(0.0) }.sum

@@ -285,8 +285,14 @@ object Dedup {
   def jaccardClusters(docs: DataFrame, idName: String, textName: String,
                       n: Int = 3, threshold: Double = 0.5,
                       maxShingleFreq: Long = Long.MaxValue): DataFrame = {
-    val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
+    val (repPairs0, members0) = jaccardRepPairs(docs, idName, textName, n,
       threshold, maxShingleFreq)
+    // both relations feed two consumers below (and dupClusters
+    // re-reads the pair relation when building its edge set): without
+    // materialization the candidate+verification join — the expensive
+    // stage — runs twice
+    val repPairs = materialized(repPairs0)
+    val members = materialized(members0)
     // contracted node set = reps in a similar pair + reps of exact-dup
     // groups (their members are pairwise connected even with no cross
     // edges); singleton reps without pairs are their own (excluded)
