@@ -976,6 +976,38 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .orderBy("event_id")
+    }),
+
+    // ---------------- exact percentiles (linear interpolation) ----------------
+    "q76_percentiles" -> ((s, dir) => {
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---------------- CUBE subtotals (all grouping-set combinations) ----------------
+    "q77_cube" -> ((s, dir) => {
+      t(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------- pivot: long → wide reshape ----------------
+    "q78_pivot" -> ((s, dir) => {
+      t(s, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+        .orderBy("user_id")
     })
   )
 
@@ -1630,6 +1662,22 @@ object SparkEntry {
            ON c.user_id = e.user_id
            AND epoch_us(c.ts)
              BETWEEN epoch_us(e.ts) - 300000000 AND epoch_us(e.ts)
-         GROUP BY e.event_id, e.user_id ORDER BY e.event_id"""
+         GROUP BY e.event_id, e.user_id ORDER BY e.event_id""",
+    "q76_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+         round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q77_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q78_pivot" ->
+      """SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }
