@@ -92,12 +92,16 @@ object Bench {
     def jnumFull(d: Double): String = f"$d%.4f"
     def jstr(s: String): String = graft.tools.Json.str(s)
     def med(ts: IndexedSeq[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
-    def qsLine(decimals: Int): String = results
-      .map { case (k, ts) => s"${jstr(k)}:${jnumP(med(ts), decimals)}" }
+    def qsLine(decimalsFor: Double => Int): String = results
+      .map { case (k, ts) =>
+        val m = med(ts); s"${jstr(k)}:${jnumP(m, decimalsFor(m))}" }
       .mkString("{", ",", "}")
-    // 1780 + header/sf (~70) + sbt's "[info] " and trailing
-    // "[success] Total time..." (~95) stays inside the 2000-char tail
-    val qs = { val oneDp = qsLine(1); if (oneDp.length <= 1780) oneDp else qsLine(0) }
+    // Budget: 2000-char tail − "[info] " (7) − trailing "[success]
+    // Total time..." (~85) − JSON header/sf (~70) ⇒ the queries map can
+    // run to ~1830. Precision tiers: 1 decimal everywhere → 1 decimal
+    // only under 10 s → integers.
+    val qs = Seq[Double => Int](_ => 1, m => if (m < 10) 1 else 0, _ => 0)
+      .map(qsLine).find(_.length <= 1830).getOrElse(qsLine(_ => 0))
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => med(ts).max(0.0) }.sum

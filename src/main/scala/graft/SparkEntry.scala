@@ -1008,12 +1008,86 @@ object SparkEntry {
           coalesce(col("error"), lit(0L)).as("error"),
           coalesce(col("purchase"), lit(0L)).as("purchase"))
         .orderBy("user_id")
+    }),
+
+    // ---------------- stratified deterministic sampling ----------------
+    // Per-language acceptance out of 256 md5 buckets — the sub-1/16
+    // refinement of q71's domain mix. Pure filter: no join, no
+    // shuffle; at corpus scale this runs inside the scan stage.
+    "q79_stratified_sample" -> ((s, dir) => {
+      Mixing.stratifiedSample(t(s, dir).documents, col("doc_id"), col("lang"),
+          Map("en" -> 64, "zh" -> 128), default256 = 192)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(Mixing.hexBucket256(col("doc_id"))).cast("long").as("min_bucket"),
+          max(Mixing.hexBucket256(col("doc_id"))).cast("long").as("max_bucket"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- TF-IDF keyword per document ----------------
+    "q80_tfidf_top_term" -> ((s, dir) => {
+      TextMetrics.tfidfTop1(t(s, dir).documents, "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- window frames: moving average + running total ----------------
+    // Cents-exact: `value` is 2-decimal by construction, so summing
+    // integer cents over the frames makes both window results
+    // bit-identical on every engine (double accumulation would hash-
+    // drift); the average divides the exact cents sum once at the end.
+    "q81_moving_stats" -> ((s, dir) => {
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w3 = order.rowsBetween(-2, 0)
+      val run = order.rowsBetween(Window.unboundedPreceding, 0)
+      ev.select(col("event_id"), col("user_id"),
+          (floor(sum(col("cents")).over(w3) * lit(1e6) /
+            (lit(100.0) * count(lit(1)).over(w3)) + lit(0.5)) / lit(1e6)).as("mavg3"),
+          sum(col("cents")).over(run).as("run_cents"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- Matryoshka head: truncate-and-renormalize ----------------
+    "q82_matryoshka" -> ((s, dir) => {
+      val d16 = slice(col("embedding").cast("array<double>"), 1, 16)
+      def pin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      t(s, dir).embeddings.select(col("vec_id"),
+          pin6(VecFns.normHof(col("embedding"))).as("norm_full"),
+          pin6(VecFns.normHof(d16)).as("norm16"),
+          pin6(element_at(VecFns.matryoshka(col("embedding"), 16), 1)).as("c1_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // ---------------- approx percentile: the sketch scale path for q76 ----------------
+    // percentile() is exact but buffers every group value in the agg
+    // state; approx_percentile's GK sketch is the bounded-memory form
+    // a 100 TB column needs. Self-check: at accuracy 10000 the rank
+    // error is ≤ 1e-4, so the sketch median must land inside the
+    // exact [p49, p51] band. Sketch internals are engine-specific →
+    // no SQL oracle; rows-only with a loud in-query gate.
+    "q83_approx_percentiles" -> ((s, dir) => {
+      val res = t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile(col("l_quantity"), lit(0.49)).as("lo"),
+          percentile(col("l_quantity"), lit(0.51)).as("hi"))
+      val bad = res.filter(col("p50_approx") < col("lo") ||
+        col("p50_approx") > col("hi")).count()
+      require(bad == 0, s"q83 approx median outside exact [p49,p51] for $bad groups")
+      res.select(col("l_returnflag"),
+          col("p50_approx").cast("double").as("p50_approx"))
+        .orderBy("l_returnflag")
     })
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
     * Omitted: q27 (heuristic argmax), q31/q32 (sketches), q34/q36
-    * (ANN — approximation not SQL-reproducible), q40 (HLL).
+    * (ANN — approximation not SQL-reproducible), q40 (HLL), q83
+    * (GK sketch).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1678,6 +1752,59 @@ object SparkEntry {
          CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
          CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q79_stratified_sample" ->
+      """WITH b AS (
+           SELECT lang, doc_id,
+             16*(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)
+              + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS bucket,
+             CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 192 END AS thr
+           FROM documents)
+         SELECT lang, count(*) AS n_sampled,
+           CAST(min(bucket) AS BIGINT) AS min_bucket,
+           CAST(max(bucket) AS BIGINT) AS max_bucket
+         FROM b WHERE bucket < thr GROUP BY lang ORDER BY lang""",
+    "q80_tfidf_top_term" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1,2),
+         df AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0)/(df.dfreq + 1.0)), 6) AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         rk AS (SELECT doc_id, token, score, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+           FROM scored)
+         SELECT doc_id, token, score FROM rk WHERE rk = 1 ORDER BY doc_id""",
+    "q81_moving_stats" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, ts,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id,
+           floor((sum(cents) OVER w) * 1e6
+             / (100.0 * (count(*) OVER w)) + 0.5)/1e6 AS mavg3,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_cents
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q82_matryoshka" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         m AS (SELECT vec_id, e, list_slice(e, 1, 16) AS e16 FROM v)
+         SELECT vec_id,
+           floor(sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum'))
+             * 1e6 + 0.5)/1e6 AS norm_full,
+           floor(sqrt(list_aggregate(list_transform(e16, x -> x*x), 'sum'))
+             * 1e6 + 0.5)/1e6 AS norm16,
+           floor(e16[1]/sqrt(list_aggregate(list_transform(e16, x -> x*x), 'sum'))
+             * 1e6 + 0.5)/1e6 AS c1_norm
+         FROM m ORDER BY vec_id"""
   )
 }

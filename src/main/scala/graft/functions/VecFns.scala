@@ -37,4 +37,22 @@ object VecFns {
   /** numBits-bit random-hyperplane signature of a vector column. */
   def hyperplaneSig(v: Column, numBits: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numBits, seed))
+
+  /** L2-normalized copy of a vector (double elements); an all-zero
+    * vector stays all-zero instead of dividing by zero.
+    */
+  def l2Normalize(a: Column): Column = {
+    val d = a.cast("array<double>")
+    val n = normHof(a)
+    when(n > 0.0, transform(d, x => x / n)).otherwise(d)
+  }
+
+  /** Matryoshka truncation: keep the first `dims` components and
+    * re-normalize — the "small head of a big embedding" serving trick
+    * (MRL-trained embeddings keep most of their retrieval quality at
+    * a fraction of the dimensionality/cost). Pure per-row HOF math:
+    * runs inside the scan stage at any corpus size.
+    */
+  def matryoshka(a: Column, dims: Int): Column =
+    l2Normalize(slice(a.cast("array<double>"), 1, dims))
 }

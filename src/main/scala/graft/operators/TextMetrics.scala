@@ -44,4 +44,37 @@ object TextMetrics {
           .as(s"dup${n}_frac"),
         col("tot").as("n_grams"))
   }
+
+  /** The single highest-TF-IDF term of every document — the classic
+    * "what is this page about" keyword extraction, and the corpus-vs-
+    * document statistic join a training pipeline uses for topic
+    * balancing.
+    *
+    * Shape: one (doc, token) count [tf], one token rollup over THAT
+    * relation [document frequency — tf is already distinct per (doc,
+    * token), so `count(*)` is exactly df, no second pass over raw
+    * tokens], the corpus size as a 1-row broadcast cross join, then a
+    * per-doc top-1 window. Scores are rounded to 1e-6 BEFORE ranking
+    * so winner selection cannot flip on sub-ulp engine differences;
+    * ties break on the token itself. All shuffles are keyed (token /
+    * doc id) — nothing global, nothing quadratic.
+    */
+  def tfidfTop1(docs: DataFrame, idName: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idName).as("id"),
+        explode(TextFns.tokens(text)).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs").cast("double") + 1.0) /
+          (col("dfreq").cast("double") + 1.0)), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id").as(idName), col("token"), col("score"))
+  }
 }

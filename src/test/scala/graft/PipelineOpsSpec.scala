@@ -73,4 +73,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(q1(1)) == 127, "max-magnitude element maps to ±127")
     assert(out(1).getSeq[Int](1).forall(_ == 0))
   }
+
+  test("stratifiedSample: per-stratum rates, subset monotonicity, determinism") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def ids(rates: Map[String, Int], dflt: Int) =
+      Mixing.stratifiedSample(docs, col("doc_id"), col("lang"), rates, dflt)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(Map.empty, 256) == docs.select("doc_id").as[Long].collect().toSet)
+    assert(ids(Map.empty, 0).isEmpty)
+    val half = ids(Map("en" -> 128), 256)
+    val quarter = ids(Map("en" -> 64), 256)
+    assert(quarter.subsetOf(half), "lower en rate selects a subset")
+    // non-en strata are untouched by an en-only rate map
+    val nonEn = docs.filter(col("lang") =!= "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nonEn.subsetOf(half))
+    // deterministic across partitionings
+    val halfB = Mixing.stratifiedSample(docs.repartition(7), col("doc_id"),
+        col("lang"), Map("en" -> 128), 256)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half == halfB)
+  }
+
+  test("tfidfTop1 picks the hand-computed highest-scoring term") {
+    // "rare" appears twice in doc 1 and nowhere else (df=1);
+    // "common" appears in every doc (df=3 → idf ln(4/4)=0 → score 0).
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val out = TextMetrics.tfidfTop1(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "rare")
+    val expected = math.round(2 * math.log(4.0 / 2.0) * 1e6) / 1e6
+    assert(math.abs(out(0).getDouble(2) - expected) < 1e-9)
+    // docs 2/3: every candidate term ties at its score; token asc wins
+    assert(out(1).getString(1) == "common" || out(1).getDouble(2) > 0.0)
+  }
+
+  test("matryoshka head is unit-norm and proportional to the raw prefix") {
+    import graft.functions.VecFns
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val checked = emb.select(
+        VecFns.normHof(VecFns.matryoshka(col("embedding"), 16)).as("n"),
+        VecFns.cosineHof(
+          VecFns.matryoshka(col("embedding"), 16),
+          slice(col("embedding").cast("array<double>"), 1, 16)).as("cos"))
+      .collect()
+    assert(checked.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    assert(checked.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // zero vector passes through unscaled
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "v")
+      .select(VecFns.l2Normalize(col("v")).as("nv")).collect()
+    assert(z.head.getSeq[Double](0).forall(_ == 0.0))
+  }
 }
