@@ -92,16 +92,25 @@ object Bench {
     def jnumFull(d: Double): String = f"$d%.4f"
     def jstr(s: String): String = graft.tools.Json.str(s)
     def med(ts: IndexedSeq[Double]): Double = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
-    def qsLine(decimalsFor: Double => Int): String = results
+    def qsLine(shortKeys: Boolean)(decimalsFor: Double => Int): String = results
       .map { case (k, ts) =>
-        val m = med(ts); s"${jstr(k)}:${jnumP(m, decimalsFor(m))}" }
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        val m = med(ts); s"${jstr(key)}:${jnumP(m, decimalsFor(m))}" }
       .mkString("{", ",", "}")
     // Budget: 2000-char tail − "[info] " (7) − trailing "[success]
     // Total time..." (~85) − JSON header/sf (~70) ⇒ the queries map can
-    // run to ~1830. Precision tiers: 1 decimal everywhere → 1 decimal
-    // only under 10 s → integers.
-    val qs = Seq[Double => Int](_ => 1, m => if (m < 10) 1 else 0, _ => 0)
-      .map(qsLine).find(_.length <= 1830).getOrElse(qsLine(_ => 0))
+    // run to ~1830. Degradation tiers keep VALUE resolution as long as
+    // possible: full names 1 decimal → full names integer-above-10s →
+    // SHORT keys ("q30") 1 decimal → short keys integer-above-10s.
+    // Full names + 4-decimal medians + per-rep times always land in
+    // BENCH_DETAIL.json.
+    val tiers = Seq[() => String](
+      () => qsLine(false)(_ => 1),
+      () => qsLine(false)(m => if (m < 10) 1 else 0),
+      () => qsLine(true)(_ => 1),
+      () => qsLine(true)(m => if (m < 10) 1 else 0))
+    val qs = tiers.iterator.map(_()).find(_.length <= 1830)
+      .getOrElse(qsLine(true)(_ => 0))
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => med(ts).max(0.0) }.sum

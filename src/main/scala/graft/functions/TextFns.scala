@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the LLM-data-pipeline surface
@@ -68,6 +69,14 @@ object TextFns {
     val group = (1 to n).map(_ => "\\S+").mkString(" ")
     regexp_extract_all(normText(c), lit(s"(?=($group))\\S+ ?"), lit(1))
   }
+
+  /** Sorted distinct 64-bit hashes of the normalized word n-gram
+    * shingles, via the native one-pass kernel (TextExprs.scala) — the
+    * dedup hot path. Same token boundaries as `tokens(normText(c))`;
+    * values live in the hash domain, so use this where consumers only
+    * need set identity/cardinality (jaccard, minhash), not the grams.
+    */
+  def shingleHashes(c: Column, n: Int): Column = toCol(ShingleHash64(toExpr(c), n))
 
   /** Quality-score facets (length / punctuation / stopword ratios) —
     * mirrors the usual pretraining-data heuristics. Returns a struct

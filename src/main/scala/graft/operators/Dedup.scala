@@ -51,8 +51,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         k: Int = 32, shingleN: Int = 3): DataFrame =
     sigsFromShingleSets(
-      docs.select(id.as("id"),
-        array_distinct(TextFns.wordShinglesFast(text, shingleN)).as("sh")), k)
+      hashedShingleSets(docs.select(id.as("doc"), text.as("txt")),
+        "doc", "txt", shingleN), k)
 
   /** k salted-xxhash64 minima over a (id, sh array) relation — the
     * single definition both the public signature API and the near-dup
@@ -97,9 +97,11 @@ object Dedup {
                       shingleN: Int = 3): DataFrame = {
     // One persisted shingle-set relation feeds the signature
     // aggregation AND both verification sides (min over the distinct
-    // set equals min over raw shingles) — without it the regex
-    // shingling runs three times per query.
-    val sh = materialized(shingleSets(docs, idName, textName, shingleN))
+    // set equals min over raw shingles) — without it the shingling
+    // runs three times per query. Hashed-long shingles: Jaccard
+    // values and minhash collision statistics are preserved w.h.p.,
+    // at a fraction of the construction cost.
+    val sh = materialized(hashedShingleSets(docs, idName, textName, shingleN))
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -198,17 +200,17 @@ object Dedup {
                               maxShingleFreq: Long): (DataFrame, DataFrame) = {
     // The shingle-set relation feeds FOUR consumers (frequency table,
     // prefix ranking, and both verification sides); without
-    // materialization Catalyst recomputes the regex shingling per
+    // materialization Catalyst recomputes the shingling per
     // consumer — measured 4× the dominant cost of the whole query.
     // MEMORY_AND_DISK persist is the standard materialize-reuse shape
     // (same data volume a shuffle would spill); the cache entry lives
     // until the session's next clearCache (the bench clears between
-    // queries). Shingles are xxhash64'd to longs right after the
-    // per-doc distinct: set cardinalities — and therefore every
-    // Jaccard value — are preserved (injective w.h.p., ~n²/2⁶⁵
-    // collision odds), while the self-join and the verification
-    // intersects compare 8-byte longs instead of ~20-char strings and
-    // the persisted relation shrinks ~2.5×.
+    // queries). Shingles are the hashedShingleSets longs: set
+    // cardinalities — and therefore every Jaccard value — are
+    // preserved (injective w.h.p., ~n²/2⁶⁵ collision odds), the
+    // self-join and the verification intersects compare 8-byte longs
+    // instead of ~20-char strings, and no shingle string is ever
+    // built at all.
     require(threshold > 0.0 && threshold <= 1.0)
     // Collapse identical shingle SETS to one representative before
     // pairing: a crawl-scale corpus is dominated by exact-duplicate
@@ -221,8 +223,7 @@ object Dedup {
     // IDENTICAL to the naive all-pairs join. Members derive via a
     // join, not collect_list — a boilerplate page with millions of
     // twins must not become one giant array on one reducer.
-    val shAll = materialized(shingleSets(docs, idName, textName, n)
-      .select(col("id"), sort_array(transform(col("sh"), g => xxhash64(g))).as("sh")))
+    val shAll = materialized(hashedShingleSets(docs, idName, textName, n))
     val groups = shAll.groupBy(col("sh"))
       .agg(min(col("id")).as("rid"), count(lit(1)).as("gsize"))
     val members = shAll.select(col("id").as("mid"), col("sh"))
@@ -440,6 +441,28 @@ object Dedup {
     balanced.select(
       col(idName).as("id"),
       array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** Per-doc sorted distinct 64-bit shingle hashes via the native
+    * one-pass kernel (`TextFns.shingleHashes` / TextExprs.scala) — no
+    * shingle strings, no interpreted HOF lambdas. Space-joined
+    * shingle strings are injective in the token n-tuple (tokens
+    * cannot contain the separator), so the hash domain preserves
+    * every set CARDINALITY — and therefore every Jaccard value and
+    * minhash statistic — w.h.p. (~n²/2⁶⁵ collision odds, the same
+    * contract the string path accepted when it hashed its shingles).
+    * Measured ~10× cheaper than the lookahead-regex string form;
+    * shingle CONSTRUCTION, not joining, dominated the whole jaccard
+    * family's cost.
+    */
+  private def hashedShingleSets(docs: DataFrame, idName: String,
+                                textName: String, n: Int): DataFrame = {
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    balanced.select(col(idName).as("id"),
+        TextFns.shingleHashes(col(textName), n).as("sh"))
       .filter(size(col("sh")) > 0)
   }
 
