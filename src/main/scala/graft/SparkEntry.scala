@@ -1081,6 +1081,26 @@ object SparkEntry {
       res.select(col("l_returnflag"),
           col("p50_approx").cast("double").as("p50_approx"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---------------- corpus-LM quality: mean unigram surprisal ----------------
+    "q84_unigram_surprisal" -> ((s, dir) => {
+      TextMetrics.unigramSurprisal(t(s, dir).documents, "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- curriculum binning: per-language length deciles ----------------
+    "q85_length_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir).documents
+        .select(col("lang"), col("n_chars"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "decile")
     })
   )
 
@@ -1805,6 +1825,27 @@ object SparkEntry {
              * 1e6 + 0.5)/1e6 AS norm16,
            floor(e16[1]/sqrt(list_aggregate(list_transform(e16, x -> x*x), 'sum'))
              * 1e6 + 0.5)/1e6 AS c1_norm
-         FROM m ORDER BY vec_id"""
+         FROM m ORDER BY vec_id""",
+    "q84_unigram_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM tok),
+         lp AS (SELECT token,
+             CAST(floor(-ln(CAST(c AS DOUBLE)/t.n)*1e4 + 0.5) AS BIGINT) AS lp4
+           FROM freq CROSS JOIN tot t),
+         per AS (SELECT doc_id, sum(lp4) AS slp, count(*) AS nt
+           FROM tok JOIN lp USING (token) GROUP BY doc_id)
+         SELECT doc_id, nt AS n_tokens,
+           floor(CAST(slp AS DOUBLE)/(1e4*nt)*1e6 + 0.5)/1e6 AS avg_surprisal
+         FROM per ORDER BY doc_id""",
+    "q85_length_deciles" ->
+      """SELECT lang, decile, count(*) AS n,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM (SELECT lang, n_chars,
+                 CAST(ntile(10) OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+               FROM documents)
+         GROUP BY lang, decile ORDER BY lang, decile"""
   )
 }

@@ -19,5 +19,9 @@ object Register {
       val seed = es.lift(2).map(_.eval().asInstanceOf[Number].longValue).getOrElse(42L)
       HyperplaneSig(es.head, bits, seed)
     })
+    ColumnBridge.registerFunction(spark, "shingle_hash64", es => {
+      val n = es.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3)
+      ShingleHash64(es.head, n)
+    })
   }
 }

@@ -77,4 +77,35 @@ object TextMetrics {
       .filter(col("rk") === 1)
       .select(col("id").as(idName), col("token"), col("score"))
   }
+
+  /** Per-document mean unigram surprisal −E[ln p(token)] under the
+    * corpus's own unigram model — the cheap "perplexity-ish" quality
+    * signal (gibberish and boilerplate score far from the corpus
+    * mean; a real LM scorer slots into the same join shape).
+    *
+    * Token log-probs are quantized to 1e-4 fixed point BEFORE the
+    * per-doc sum, so the aggregation is exact integer math — the
+    * cross-engine result cannot drift with float summation order, and
+    * sub-ulp `ln` differences between engines sit ~12 orders of
+    * magnitude below the quantum. Shapes: one keyed token count
+    * (vocabulary-sized, shuffled equi-join — no broadcast assumption
+    * on the vocabulary), a 1-row corpus-total broadcast, one keyed
+    * per-doc rollup. Linear at any corpus size.
+    */
+  def unigramSurprisal(docs: DataFrame, idName: String, text: Column): DataFrame = {
+    val tok = docs.select(col(idName).as("id"),
+      explode(TextFns.tokens(text)).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = tok.select(count(lit(1)).as("n"))
+    val lp = freq.crossJoin(broadcast(tot))
+      .select(col("token"),
+        floor(-log(col("c").cast("double") / col("n")) * lit(1e4) + lit(0.5))
+          .cast("long").as("lp4"))
+    tok.join(lp, Seq("token"))
+      .groupBy(col("id"))
+      .agg(sum(col("lp4")).as("slp"), count(lit(1)).as("nt"))
+      .select(col("id").as(idName), col("nt").as("n_tokens"),
+        (floor(col("slp").cast("double") / (lit(1e4) * col("nt")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("avg_surprisal"))
+  }
 }

@@ -112,6 +112,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getString(1) == "common" || out(1).getDouble(2) > 0.0)
   }
 
+  test("unigramSurprisal matches the hand-computed uniform-model value") {
+    // corpus "a a b" + "b": p(a)=p(b)=1/2 → every token's surprisal is
+    // ln 2, quantized to 6931/1e4 → both docs average exactly 0.6931
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextMetrics.unigramSurprisal(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(out.forall(r => math.abs(r.getDouble(2) - 0.6931) < 1e-9))
+  }
+
   test("matryoshka head is unit-norm and proportional to the raw prefix") {
     import graft.functions.VecFns
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
