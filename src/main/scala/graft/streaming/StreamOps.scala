@@ -58,6 +58,33 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * (slowly-changing) dimension table — the "attach user/source
+    * metadata at ingest" step of a continuous pipeline. Stateless on
+    * the stream side: Spark re-plans the static side per micro-batch
+    * (a small dimension broadcasts; a huge one falls back to a
+    * shuffled join), so no streaming state accumulates at any rate.
+    * Left join keeps unmatched events flowing rather than silently
+    * dropping them at the gate.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Deterministic sampling/mixing gate on a stream: the SAME
+    * md5-bucket filter as the batch `Mixing.domainMix`, applied per
+    * micro-batch. Stateless and engine-deterministic, so a replayed
+    * or re-partitioned stream keeps exactly the same rows — the
+    * property that makes the gate idempotent under at-least-once
+    * delivery (a retried batch re-selects identical rows).
+    */
+  def mixStream(events: DataFrame, key: org.apache.spark.sql.Column,
+                domain: org.apache.spark.sql.Column,
+                rates: Map[String, Int],
+                defaultSixteenths: Int = 16): DataFrame =
+    graft.operators.Mixing.domainMix(events, key, domain, rates,
+      defaultSixteenths)
+
   /** Stateful sessionization via flatMapGroupsWithState: sessions
     * close after `gapSeconds` of user inactivity (event-time timeout,
     * so state is reclaimed as the watermark advances). Emits closed

@@ -57,6 +57,41 @@ class StreamOpsSpec extends SparkSpec {
       s"expected one row per id, got ${out.toSeq.sortBy(_.event_id)}")
   }
 
+  test("enrichStream attaches static dimension rows per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamOps.enrichStream(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq(ev(1, 100, 1), ev(2, 200, 2), ev(3, 300, 7)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .select("event_id", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
+  test("mixStream keeps exactly the batch gate's rows on a stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = (1L to 200L).map(i => ev(i, 100 + i, i % 5))
+    input.addData(events)
+    val rates = Map("click" -> 8)
+    val q = StreamOps.mixStream(input.toDF(), col("event_id"),
+        col("event_type"), rates)
+      .writeStream.format("memory").queryName("mixed")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mixed").as[Event].collect().map(_.event_id).toSet
+    val batch = graft.operators.Mixing.domainMix(events.toDF(),
+        col("event_id"), col("event_type"), rates)
+      .as[Event].collect().map(_.event_id).toSet
+    assert(streamed == batch && streamed.nonEmpty && streamed.size < 200)
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
