@@ -68,6 +68,22 @@ class PlanAuditSpec extends SparkSpec {
       s"range join planned a quadratic join:\n$plan")
   }
 
+  test("q30 dedup path runs the native shingle kernel, not the regex form") {
+    val plan = query("q30_jaccard_pairs").queryExecution.optimizedPlan.toString()
+    assert(plan.contains("shingle_hash64"),
+      s"jaccard no longer uses the one-pass shingle kernel:\n${plan.take(2000)}")
+    assert(!plan.contains("regexp_extract_all"),
+      "jaccard regressed to regex shingle construction")
+  }
+
+  test("q84 corpus-total join broadcasts the 1-row side, never cartesian") {
+    val plan = executedPlan(query("q84_unigram_surprisal"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"corpus total not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-total join planned a cartesian product")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition spec
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
