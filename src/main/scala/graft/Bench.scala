@@ -141,7 +141,7 @@ $rows
     val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).filter(_.toDoubleOption.isDefined)
       .getOrElse(jstr(sfDir))
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nq":${results.size},"queries":$qs$errPart,"sf":$sfJson}""")
     spark.stop()
   }
 }
