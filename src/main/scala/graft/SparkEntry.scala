@@ -1089,6 +1089,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- forward as-of join: next purchase after each click ----------------
+    "q86_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      AsofJoin.asofForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("p_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_p_id"), lit(-1L)).as("next_purchase_id"),
+          coalesce(unix_micros(col("asof_ts")) - unix_micros(col("ts")),
+            lit(-1L)).as("wait_us"))
+        .orderBy("event_id")
+    }),
+
     // ---------------- curriculum binning: per-language length deciles ----------------
     "q85_length_deciles" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
@@ -1846,6 +1862,14 @@ object SparkEntry {
                  CAST(ntile(10) OVER (PARTITION BY lang
                    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
                FROM documents)
-         GROUP BY lang, decile ORDER BY lang, decile"""
+         GROUP BY lang, decile ORDER BY lang, decile""",
+    "q86_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+         CAST(coalesce(p.event_id, -1) AS BIGINT) AS next_purchase_id,
+         coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS wait_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id"""
   )
 }

@@ -40,7 +40,24 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   rightCols: Seq[String]): DataFrame = {
+                   rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightCols, forward = false)
+
+  /** Forward variant: the single right row with the SMALLEST right
+    * timestamp >= the left timestamp within the key — "next event at
+    * or after t" (next maintenance after a failure, next purchase
+    * after a click). Same single-shuffle union encoding with the
+    * window order reversed; at equal timestamps the right row still
+    * wins, so ">=" semantics hold exactly.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightCols: Seq[String], forward: Boolean): DataFrame = {
     val lPayload = struct(left.columns.map(col): _*)
     val rPayload = struct(rightCols.map(col): _*)
     val lType = left.select(lPayload.as("s")).schema("s").dataType
@@ -51,8 +68,9 @@ object AsofJoin {
     val rTagged = right.select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"), rPayload.as("__r"))
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

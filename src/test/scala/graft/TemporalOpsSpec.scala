@@ -48,6 +48,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of fell back to a join:\n$plan")
   }
 
+  test("asofForward equals brute-force earliest-at-or-after") {
+    val out = AsofJoin.asofForward(left, right, "k", "ts", "ts", Seq("rtag", "ts"))
+      .select(col("k"), col("ts"), col("asof_rtag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("u1", 10L, Some("r1")), // equal ts matches (>= semantics)
+      ("u1", 20L, Some("r2")),
+      ("u1", 30L, None),       // nothing after 30 for u1
+      ("u2", 5L, Some("r3")),  // r3 at 9 is the next
+      ("u3", 50L, None)))
+    // brute-force cross-check: min right ts >= left ts per left row
+    val brute = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("l.k").as("k"), col("l.ts").as("ts"))
+      .agg(min(struct(col("r.ts"), col("r.rtag"))).as("m"))
+      .select(col("k"), col("ts"), col("m.rtag").as("rtag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == brute)
+  }
+
   test("trailingWindowJoin equals the naive inequality join") {
     val anchor = Seq(("u1", 100.0, "a1"), ("u1", 205.0, "a2"), ("u2", 50.0, "a3"))
       .toDF("k", "v", "atag")
