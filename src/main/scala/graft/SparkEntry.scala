@@ -1089,6 +1089,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- HLL sketch rollup: merge pre-aggregated sketches ----------------
+    // The 100 TB distinct-count pattern: materialize one HLL sketch
+    // per fine-grain cell (lang × source), answer coarse queries by
+    // MERGING sketches — never re-scanning raw ids. doc_ids are
+    // unique and each doc has one source, so summing the disjoint
+    // cells' exact distincts gives the per-lang truth the sketch
+    // estimate must land within 5% of. Sketch bytes are
+    // engine-specific → rows-only with a loud in-query gate.
+    "q87_hll_rollup" -> ((s, dir) => {
+      val fine = t(s, dir).documents
+        .groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          countDistinct(col("doc_id")).as("exact"))
+      val perLang = fine.groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+          sum(col("exact")).as("exact"))
+      val bad = perLang
+        .filter(abs(col("approx") - col("exact")) > col("exact") * 0.05).count()
+      require(bad == 0, s"q87 sketch-merge estimate off by >5% for $bad langs")
+      perLang.select(col("lang"), col("approx").as("approx_docs"),
+          col("exact").as("exact_docs"))
+        .orderBy("lang")
+    }),
+
     // ---------------- forward as-of join: next purchase after each click ----------------
     "q86_asof_forward" -> ((s, dir) => {
       val ev = t(s, dir).events
