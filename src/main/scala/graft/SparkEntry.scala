@@ -1089,6 +1089,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- batch retrieval: query table × corpus top-k ----------------
+    // The serving shape: a batch of probe vectors retrieves top-k
+    // corpus neighbors through shared LSH bands — no corpus self-join.
+    "q88_cross_knn" -> ((s, dir) => {
+      // Self-check (sf0.001 fixture): structural contract — ≤ k rows
+      // per query, every neighbor drawn from the corpus side only,
+      // and reported cosines match exact recomputation.
+      if (SelfCheck.fixtureExists) SelfCheck.once("q88/fixture") {
+        val emb = t(s, SelfCheck.FixtureDir).embeddings
+        val qs = emb.filter(col("vec_id") % 10 === 0)
+        val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        val knn = Similarity.crossKnnJoin(qs, corpus, "vec_id", "embedding",
+          k = 3, numBits = 32, bands = 4)
+        val overK = knn.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 3).count()
+        require(overK == 0, s"q88 $overK queries exceed k=3 neighbors")
+        require(knn.filter(col("query_id") % 10 =!= 0).count() == 0 &&
+          knn.filter(col("nn_id") % 10 === 0).count() == 0,
+          "q88 sides leaked across the query/corpus split")
+        val va = qs.select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+        val vb = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("eb"))
+        val bad = knn.join(va, "query_id").join(vb, "nn_id")
+          .filter(abs(col("cosine") - round(VecFns.cosine(col("ea"), col("eb")), 6))
+            > 1e-9).count()
+        require(bad == 0, s"q88 $bad pairs with wrong cosine values")
+      }
+      val emb = t(s, dir).embeddings
+      Similarity.crossKnnJoin(
+        emb.filter(col("vec_id") % 100 === 0),
+        emb.filter(col("vec_id") % 100 =!= 0),
+        "vec_id", "embedding", k = 3, numBits = 32, bands = 4)
+        .orderBy(col("query_id"), col("cosine").desc, col("nn_id"))
+    }),
+
     // ---------------- HLL sketch rollup: merge pre-aggregated sketches ----------------
     // The 100 TB distinct-count pattern: materialize one HLL sketch
     // per fine-grain cell (lang × source), answer coarse queries by

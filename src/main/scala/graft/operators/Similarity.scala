@@ -91,6 +91,46 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Batch retrieval: for every QUERY vector, the top-k nearest
+    * CORPUS vectors — the two-relation form of [[knnJoin]] (serve a
+    * batch of search/dedup probes against a fixed index without a
+    * corpus self-join). Both sides band on the same deterministic
+    * hyperplane signatures, so the join only meets query/corpus rows
+    * sharing a band; pairs dedup over bare ids before the vector
+    * payload joins back (same shuffle-volume discipline as knnJoin).
+    */
+  def crossKnnJoin(queries: DataFrame, corpus: DataFrame, idName: String,
+                   vecName: String, k: Int, numBits: Int = 16,
+                   bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0)
+    val w = numBits / bands
+    val mask = (1L << w) - 1L
+    def sigged(df: DataFrame) = df.select(
+      col(idName).as("id"), col(vecName).as("v"),
+      VecFns.hyperplaneSig(col(vecName), numBits, seed).as("sig"))
+    def banded(df: DataFrame) = sigged(df).select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val pairs = banded(queries).as("l")
+      .join(banded(corpus).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.id").as("query_id"), col("r.id").as("nn_id"))
+      .distinct()
+      .join(sigged(queries).select(col("id").as("query_id"), col("v").as("va")),
+        "query_id")
+      .join(sigged(corpus).select(col("id").as("nn_id"), col("v").as("vb")),
+        "nn_id")
+      .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
+      .drop("va", "vb")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id").asc)
+    pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** IVF-style ANN: a coarse quantizer (nlist centroids trained with
     * one distributed Lloyd iteration from deterministic seeds), each
     * vector assigned to its nearest centroid at build time; a query

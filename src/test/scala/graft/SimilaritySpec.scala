@@ -97,6 +97,20 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.filter(col("id") === col("nn_id")).count() == 0)
   }
 
+  test("crossKnnJoin keeps sides apart, bounds k, and is partition-stable") {
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val knn = Similarity.crossKnnJoin(qs, corpus, "vec_id", "embedding", k = 2)
+    assert(knn.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2).count() == 0)
+    assert(knn.filter(col("query_id") % 10 =!= 0).count() == 0)
+    assert(knn.filter(col("nn_id") % 10 === 0).count() == 0)
+    val again = Similarity.crossKnnJoin(qs.repartition(7), corpus.repartition(3),
+      "vec_id", "embedding", k = 2)
+    assert(knn.orderBy("query_id", "nn_id").collect().toSeq ==
+      again.orderBy("query_id", "nn_id").collect().toSeq)
+  }
+
   test("label centroids cover every (label, dim) with bounded values") {
     val c = Similarity.labelCentroids(emb, "label", "embedding")
     val labels = emb.select("label").distinct().count()
