@@ -1089,6 +1089,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- incremental dedup: new batch vs archive fingerprints ----------------
+    // Even doc_ids play the archive (only their fingerprint column
+    // crosses the boundary), odd ids the incoming batch.
+    "q89_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val seen = docs.filter(col("doc_id") % 2 === 0)
+        .select(TextFns.fingerprint(col("text")).as("fp")).distinct()
+      Dedup.dedupIncremental(docs.filter(col("doc_id") % 2 =!= 0), seen,
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- batch retrieval: query table × corpus top-k ----------------
     // The serving shape: a batch of probe vectors retrieves top-k
     // corpus neighbors through shared LSH bands — no corpus self-join.
@@ -1928,6 +1941,18 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
-         ORDER BY c.event_id"""
+         ORDER BY c.event_id""",
+    "q89_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, lang, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+         batch AS (SELECT * FROM fp WHERE doc_id % 2 <> 0)
+         SELECT doc_id, lang, fp FROM (
+           SELECT b.doc_id, b.lang, b.fp, row_number() OVER
+             (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+           FROM batch b ANTI JOIN seen s ON b.fp = s.fp)
+         WHERE rn = 1 ORDER BY doc_id"""
   )
 }

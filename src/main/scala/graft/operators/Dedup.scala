@@ -114,6 +114,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental ingestion dedup: from a NEW batch, keep only
+    * documents whose content fingerprint is (a) not in the historical
+    * `seenFps` set and (b) first within the batch itself
+    * (deterministic min-id winner per fingerprint). The continuous
+    * counterpart of [[dedupExact]]: the archive contributes only its
+    * fingerprint column — at 100 TB the history relation is a compact
+    * fingerprint table, the anti-join is a keyed shuffle (or
+    * broadcast when the history is small), and the batch-local
+    * keep-first is one window over the batch. Composes with
+    * `StreamOps.dedupStream` (stream gate for the hot horizon, this
+    * for the archive boundary).
+    */
+  def dedupIncremental(newDocs: DataFrame, seenFps: DataFrame,
+                       idName: String, textName: String): DataFrame = {
+    val fp = newDocs.withColumn("fp", TextFns.fingerprint(col(textName)))
+    val fresh = fp.join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idName).asc)
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** 64-bit SimHash over whitespace tokens. explode + one keyed
     * shuffle with full partial aggregation (map-side combine), then
     * bit assembly from the 64 signed sums — scalable and

@@ -136,4 +136,19 @@ class DedupSpec extends SparkSpec {
       s"diff keys=${(expanded.keySet diff contracted.keySet).take(5)} / " +
         s"${(contracted.keySet diff expanded.keySet).take(5)}")
   }
+
+  test("dedupIncremental drops archived content and keeps batch-first") {
+    val history = Seq((2L, "already seen text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already seen text"),   // in archive → dropped
+      (3L, "fresh text"),          // kept
+      (5L, "fresh text"),          // batch-dup of 3 → dropped
+      (7L, "another fresh one")    // kept
+    ).toDF("doc_id", "text")
+    val seen = history
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val out = Dedup.dedupIncremental(batch, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(3L, 7L))
+  }
 }
