@@ -64,17 +64,18 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop this query's cached/broadcast state so later queries
-        // aren't taxed by earlier ones' heap residue; the explicit GC
-        // lets ContextCleaner actually reclaim finished broadcasts
-        // (their cleanup is reference-queue driven and a 48g heap may
-        // otherwise not GC for the entire run)
+        // drop this rep's cached/broadcast state so later reps and
+        // queries aren't taxed by its heap residue. The GC runs PER
+        // REP (untimed — dt is already captured): localCheckpoint
+        // RDDs and per-round broadcasts are reclaimed by the async
+        // ContextCleaner only after their references are collected,
+        // and the iterative queries (connected components) otherwise
+        // degrade rep-over-rep as checkpoint blocks pile up
+        // (measured: 8 s → 19 s → 26 s across three reps of q69).
         try spark.catalog.clearCache() catch { case _: Throwable => }
+        System.gc()
         if (ok) Some(dt) else None
       }
-      // one explicit GC per query (outside the timed reps): lets the
-      // async ContextCleaner reclaim the finished reps' broadcasts
-      System.gc()
       (name, times.sorted)
     }
     // Compact numbers with stripped trailing zeros ("0.50"->"0.5"):

@@ -441,6 +441,10 @@ object Dedup {
       it += 1
     }
     require(converged, s"dupClusters did not converge in $maxIters rounds")
+    // the returned labels are checkpointed (lineage truncated), so the
+    // edge cache is no longer reachable from them — release it rather
+    // than leaving one persisted relation per CC invocation behind
+    edges.unpersist()
     labels
   }
 
