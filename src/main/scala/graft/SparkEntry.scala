@@ -1089,6 +1089,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- near-dup-pruned corpus: keep one doc per cluster ----------------
+    // The consuming end of the dedup family: resolve near-dup
+    // clusters, drop every non-canonical member, report the surviving
+    // corpus per language. At scale this is the step that actually
+    // shrinks the training set (the cluster labels are the q69
+    // relation; pruning is one anti-join).
+    "q90_neardup_prune" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val labels = Dedup.jaccardClusters(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+      val drop = labels.filter(col("id") =!= col("canonical_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     // ---------------- incremental dedup: new batch vs archive fingerprints ----------------
     // Even doc_ids play the archive (only their fingerprint column
     // crosses the boundary), odd ids the incoming batch.
@@ -1953,6 +1971,39 @@ object SparkEntry {
            SELECT b.doc_id, b.lang, b.fp, row_number() OVER
              (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
            FROM batch b ANTI JOIN seen s ON b.fp = s.fp)
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q90_neardup_prune" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         labels AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+         dropped AS (SELECT id FROM labels WHERE id <> canonical_id)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents d ANTI JOIN dropped x ON d.doc_id = x.id
+         GROUP BY lang ORDER BY lang"""
   )
 }
