@@ -73,7 +73,13 @@ object Bench {
         // degrade rep-over-rep as checkpoint blocks pile up
         // (measured: 8 s → 19 s → 26 s across three reps of q69).
         try spark.catalog.clearCache() catch { case _: Throwable => }
+        // GC enqueues the dead references; the ContextCleaner drains
+        // the queue ASYNCHRONOUSLY, so give it a beat before the next
+        // rep starts allocating — without the pause the iterative
+        // queries still crept rep-over-rep (checkpoint blocks from
+        // rep N alive through rep N+1).
         System.gc()
+        Thread.sleep(200)
         if (ok) Some(dt) else None
       }
       (name, times.sorted)
