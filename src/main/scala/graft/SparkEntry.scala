@@ -1089,6 +1089,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- frequent-items sketch: approx top terms per language ----------------
+    // approx_top_k tracks a bounded item set (constant memory per
+    // group at any corpus size) — the sketch complement of q46's
+    // exact windowed top-k. Self-check: the deterministic exact top-1
+    // token of every language must appear among the sketch's top 5,
+    // and its sketched count must equal the exact count. Sketch
+    // output order on tied counts is engine-specific → rows-only.
+    "q91_approx_top_terms" -> ((s, dir) => {
+      val toks = t(s, dir).documents
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
+      val approx = toks.groupBy(col("lang"))
+        .agg(expr("approx_top_k(token, 5, 100000)").as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("token"), col("col.count").as("n"))
+      val exact = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_exact").desc, col("token").asc)
+      val exactTop1 = exact.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1).select(col("lang"), col("token"), col("n_exact"))
+      val missing = exactTop1.join(approx, Seq("lang", "token"), "left_anti").count()
+      require(missing == 0, s"q91 sketch missed the exact top token for $missing langs")
+      val wrong = exactTop1.join(approx, Seq("lang", "token"))
+        .filter(col("n") =!= col("n_exact")).count()
+      require(wrong == 0, s"q91 sketched count differs from exact for $wrong langs")
+      approx.orderBy("lang", "rk")
+    }),
+
     // ---------------- near-dup-pruned corpus: keep one doc per cluster ----------------
     // The consuming end of the dedup family: resolve near-dup
     // clusters, drop every non-canonical member, report the surviving
