@@ -9,7 +9,7 @@ import graft.functions.{ChemFns, TextFns, VecFns}
 import graft.operators.{AsofJoin, Chunking, Dedup, Mixing, Multimodal, Quantize, RangeJoin, Similarity, TextMetrics}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
-import graft.sources.CsvIO
+import graft.sources.{CsvIO, JsonlIO}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1235,6 +1235,85 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang", "decile")
+    }),
+
+    // ---------------- SemDeDup: cluster-bounded semantic dedup ----------------
+    // Prune near-identical embeddings without an all-pairs scan: the
+    // coarse quantizer bounds the quadratic sweep to within-cluster
+    // pairs (k-means is not SQL-expressible → rows-only; the greedy
+    // keep-lowest-id invariant is checked in-query instead).
+    "q92_semantic_dedup" -> ((s, dir) => {
+      // Self-check (sf0.001 fixture): (a) survivors are a subset that
+      // partitions the corpus with the dropped set; (b) the invariant
+      // — no two SURVIVORS of one cluster within tau — holds exactly.
+      if (SelfCheck.fixtureExists) SelfCheck.once("q92/fixture") {
+        val emb = t(s, SelfCheck.FixtureDir).embeddings
+        val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+          tau = 0.35, nlist = 8)
+        val nAll = emb.count(); val nKept = kept.count()
+        require(nKept >= 1 && nKept <= nAll, "q92 survivor count out of range")
+        require(kept.join(emb, Seq("vec_id"), "left_anti").count() == 0,
+          "q92 survivors contain ids not in the corpus")
+        val kv = kept.join(emb, Seq("vec_id"))
+          .select(col("cid"), col("vec_id"), col("embedding"))
+        val close = kv.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+          .join(kv.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("eb")),
+            Seq("cid"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(VecFns.cosine(col("ea"), col("eb")), 6) >= 0.35)
+          .count()
+        require(close == 0, s"q92 $close surviving same-cluster pairs within tau")
+      }
+      Similarity.semanticDedup(t(s, dir).embeddings, "vec_id", "embedding",
+          tau = 0.35, nlist = 16)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_id"))
+        .orderBy("cid")
+    }),
+
+    // ---------------- deterministic epoch shuffle + sharding ----------------
+    "q93_epoch_shuffle" -> ((s, dir) => {
+      Mixing.epochShuffle(t(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("doc_id"), epoch = 1, numShards = 8)
+        .select(col("doc_id"), col("lang"),
+          col("shard").cast("long").as("shard"), col("pos").cast("long").as("pos"))
+        .orderBy("shard", "pos")
+    }),
+
+    // ---------------- temperature-based domain mixture (α = 0.5) ----------------
+    "q94_temperature_mix" -> ((s, dir) => {
+      Mixing.temperatureMix(t(s, dir).documents, col("doc_id"), col("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- vocabulary coverage: per-doc OOV rate ----------------
+    "q95_oov_rate" -> ((s, dir) => {
+      TextMetrics.oovRate(t(s, dir).documents, "doc_id", col("text"),
+          vocabSize = 24)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- per-class cap: deterministic hash-rank quota ----------------
+    "q96_label_cap" -> ((s, dir) => {
+      Mixing.capPerGroup(t(s, dir).embeddings.select(col("vec_id"), col("label")),
+          col("vec_id"), col("label"), cap = 20)
+        .select(col("vec_id"), col("label"))
+        .orderBy("label", "vec_id")
+    }),
+
+    // ---------------- JSONL checkpoint round-trip (S6/S7 in LLM interchange form) ----------------
+    "q97_jsonl_roundtrip" -> ((s, dir) => {
+      val step = t(s, dir).documents.filter(col("n_chars") > 200)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val path = fixturePath("jsonl_step", dir, "documents")
+      JsonlIO.write(step, path)
+      val back = JsonlIO.read(s, path, org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, n_chars BIGINT"))
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -2033,6 +2112,67 @@ object SparkEntry {
          SELECT lang, count(*) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars
          FROM documents d ANTI JOIN dropped x ON d.doc_id = x.id
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "q93_epoch_shuffle" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             md5('1:' || CAST(doc_id AS VARCHAR)) AS ord
+           FROM documents),
+         b AS (
+           SELECT doc_id, lang, ord,
+             (16*(strpos('0123456789abcdef', substr(md5(ord),1,1))-1)
+               + (strpos('0123456789abcdef', substr(md5(ord),2,1))-1)) % 8
+               AS shard
+           FROM s)
+         SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER
+             (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         FROM b ORDER BY shard, pos""",
+    "q94_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS n_min FROM c),
+         r AS (SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * 256)
+               AS INT) AS keep256
+           FROM c, m),
+         g AS (
+           SELECT d.lang, d.n_chars,
+             16*(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)
+              + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS bucket,
+             keep256
+           FROM documents d JOIN r USING (lang))
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM g WHERE bucket < keep256
+         GROUP BY lang ORDER BY lang""",
+    "q95_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         vc AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c FROM tok GROUP BY token
+             ORDER BY c DESC, token ASC LIMIT 24)),
+         j AS (
+           SELECT t.doc_id, (v.token IS NOT NULL) AS iv
+           FROM tok t LEFT JOIN vc v ON t.token = v.token)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS oov_frac
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "q96_label_cap" ->
+      """SELECT vec_id, label FROM (
+           SELECT vec_id, label, row_number() OVER (
+             PARTITION BY label
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+           FROM embeddings)
+         WHERE rk <= 20 ORDER BY label, vec_id""",
+    "q97_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars > 200
+         GROUP BY source ORDER BY source"""
   )
 }

@@ -60,6 +60,78 @@ object Mixing {
   def hexBucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** Temperature-based domain mixture (α = 0.5): resample so each
+    * domain's retained share follows p_d^α instead of its natural
+    * share p_d — the standard move that up-weights rare domains
+    * (languages, sources) without duplicating rows. The acceptance
+    * rate for domain d is p_d^(α-1) normalized so the rarest domain
+    * keeps everything: rate_d = sqrt(n_min / n_d).
+    *
+    * α is PINNED at 0.5 because that makes the rate IEEE-exact on
+    * every engine: n_min/n_d is a correctly-rounded double division,
+    * sqrt is correctly rounded by the standard, and ×256 is a
+    * power-of-two scaling (exact) — so `floor(rate·256)` is
+    * bit-identical in Spark and any SQL oracle, and the 256-bucket
+    * gate selects the SAME rows everywhere. A free-α variant would
+    * ride on `pow`, whose last-ulp rounding is not cross-engine
+    * portable.
+    *
+    * Two keyed aggregations over domain counts (parameter-sized
+    * result), one broadcast join, then the same pure-filter gate as
+    * [[domainMix]] — nothing global, nothing quadratic.
+    */
+  def temperatureMix(docs: DataFrame, key: Column, domain: Column): DataFrame = {
+    val counts = docs.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("__dom"),
+        floor(sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
+          * lit(256)).cast("int").as("__keep256"))
+    docs.join(broadcast(rates), domain === col("__dom"))
+      .filter(hexBucket256(key) < col("__keep256"))
+      .drop("__dom", "__keep256")
+  }
+
+  /** Deterministic epoch shuffle + sharding — the "global shuffle"
+    * a training data loader needs, as a plan: every epoch draws a
+    * fresh pseudo-random total order (md5 over epoch:key), rows are
+    * hash-sharded, and each row gets its position within its shard.
+    * Reproducible across engines, retries, and partitionings — the
+    * property `ORDER BY rand()` cannot give — so epoch N's batch
+    * schedule is replayable anywhere.
+    *
+    * One shuffle (the per-shard window). Shard cardinality is the
+    * parallelism knob: at cluster scale numShards is chosen ≥ the
+    * writer parallelism and each shard sorts independently —
+    * per-shard order is what a loader consumes, so no global sort is
+    * ever needed.
+    */
+  def epochShuffle(docs: DataFrame, key: Column, epoch: Int,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 256, "numShards in [1,256]")
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat_ws(":", lit(epoch), key.cast("string")))
+    val shard = pmod(hexBucket256(ord), lit(numShards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), key)
+    docs.withColumn("__ord", ord).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__ord")
+  }
+
+  /** Per-group cap via deterministic hash rank: keep at most `cap`
+    * rows of every group, chosen by md5 order (a reproducible uniform
+    * draw, ties broken on the key itself). The class-balancing /
+    * per-source-quota step of corpus assembly. One keyed window
+    * shuffle; groups under the cap pass through whole.
+    */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, cap: Int): DataFrame = {
+    require(cap >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
   /** Stratified deterministic sample: each stratum value keeps rows
     * whose 256-bucket falls under its own acceptance threshold
     * (`rates256` maps stratum → kept buckets out of 256; unlisted

@@ -268,4 +268,43 @@ object Similarity {
       .select(col(labelName), posexplode(col(vecName)).as(Seq("dim", "x")))
       .groupBy(col(labelName), col("dim").cast("long").as("dim"))
       .agg(round(avg(col("x")), 6).as("centroid"))
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * the coarse quantizer, then prune near-identical vectors WITHIN
+    * each cluster — a greedy keep-lowest-id sweep: a vector is
+    * dropped iff some smaller-id member of its own cluster is within
+    * `tau` cosine. Returns the survivors as (id, cid).
+    *
+    * Why cluster first: the pairwise search is quadratic, so it must
+    * never run corpus-wide. Clustering bounds it to within-cluster
+    * pairs; at scale nlist grows with the corpus (SemDeDup runs ~10⁵
+    * clusters) so cluster size — and with it the per-cluster pair
+    * count — stays bounded, and the join is a keyed shuffle on cid,
+    * not a broadcast nested loop. Centroid state is parameter-sized
+    * (nlist × dim), the same contract as the IVF family.
+    *
+    * Determinism: the quantizer is seeded from the lowest ids, the
+    * cosine is rounded to 1e-6 before the tau comparison, and the
+    * greedy rule depends only on id order — the surviving set is
+    * identical on every engine, retry, and partitioning.
+    *
+    * Invariant (checked by the registered query's self-check): no two
+    * SURVIVORS of the same cluster are within tau — if a < b both
+    * survived with cos(a,b) ≥ tau, b would have been dropped.
+    */
+  def semanticDedup(embeddings: DataFrame, idName: String, vecName: String,
+                    tau: Double, nlist: Int = 16): DataFrame = {
+    val cents = trainCentroids(embeddings, idName, vecName, nlist)
+    val assigned = embeddings
+      .select(col(idName).as("id"), col(vecName).as("v"))
+      .withColumn("cid", nearestCid(col("v"), cents))
+    val dropped = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VecFns.cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idName), col("cid"))
+  }
 }

@@ -78,6 +78,33 @@ object TextMetrics {
       .select(col("id").as(idName), col("token"), col("score"))
   }
 
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (by token count, ties on the token itself so the cut is
+    * deterministic on every engine) and score each document's
+    * out-of-vocabulary token fraction — the "will my tokenizer
+    * fragment this text" signal used to gate corpora before training.
+    *
+    * The vocabulary top-V is an `orderBy(...).limit(V)` — planned as
+    * TakeOrderedAndProject (per-partition top-V, no global sort, no
+    * single-partition window) — and is parameter-sized, so it
+    * broadcast-joins back against the token relation. One keyed count
+    * shuffle + one keyed per-doc rollup; linear at any corpus size.
+    */
+  def oovRate(docs: DataFrame, idName: String, text: Column,
+              vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(idName).as("id"),
+      explode(TextFns.tokens(text)).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as(idName), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
+  }
+
   /** Per-document mean unigram surprisal −E[ln p(token)] under the
     * corpus's own unigram model — the cheap "perplexity-ish" quality
     * signal (gibberish and boilerplate score far from the corpus

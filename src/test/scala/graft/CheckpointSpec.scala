@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.pipelines.{Checkpointed, Repurpose}
-import graft.sources.CsvIO
+import graft.sources.{CsvIO, JsonlIO}
 
 class CheckpointSpec extends SparkSpec {
 
@@ -19,6 +19,21 @@ class CheckpointSpec extends SparkSpec {
     assert(ids.count() == src.select("c_custkey").distinct().count())
     val a = src.orderBy("c_custkey").collect().map(_.getString(1)).toSeq
     val b = back.orderBy("c_custkey").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
+  test("JSONL sink/source round-trips typed rows under an explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val src = Tables(spark, sfDir).documents
+      .select("doc_id", "source", "n_chars")
+    JsonlIO.write(src, s"$dir/docs_jsonl")
+    val back = JsonlIO.read(spark, s"$dir/docs_jsonl",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, n_chars BIGINT"))
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    val a = src.orderBy("doc_id").collect().toSeq
+    val b = back.orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
 

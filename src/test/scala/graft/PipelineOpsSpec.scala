@@ -95,6 +95,74 @@ class PipelineOpsSpec extends SparkSpec {
     assert(half == halfB)
   }
 
+  test("temperatureMix keeps the rarest domain whole and flattens the mixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Mixing.temperatureMix(docs, col("doc_id"), col("lang"))
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = before.minBy { case (l, n) => (n, l) }._1
+    assert(after(rarest) == before(rarest),
+      "rarest domain's rate is sqrt(n_min/n_min)=1 — keeps every row")
+    assert(before.keys.forall(l => after.getOrElse(l, 0L) <= before(l)),
+      "mix is a pure filter — nothing is duplicated")
+    // the dominant/rarest imbalance must shrink (that is the point of α<1)
+    val dominant = before.maxBy { case (l, n) => (n, l) }._1
+    val ratioBefore = before(dominant).toDouble / before(rarest)
+    val ratioAfter = after(dominant).toDouble / after(rarest)
+    assert(ratioAfter < ratioBefore, s"$ratioAfter !< $ratioBefore")
+    // deterministic across partitionings
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Mixing.temperatureMix(docs.repartition(7), col("doc_id"), col("lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("epochShuffle: shards partition the corpus, dense positions, epoch-fresh order") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val e1 = Mixing.epochShuffle(docs, col("doc_id"), epoch = 1, numShards = 8)
+    assert(e1.count() == docs.count(), "shuffle is a permutation, not a sample")
+    val sparse = e1.groupBy("shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(sparse == 0, "positions are dense 1..n within every shard")
+    val o1 = e1.orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val o1b = Mixing.epochShuffle(docs.repartition(5), col("doc_id"), 1, 8)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(o1 == o1b, "epoch order is partitioning-independent")
+    val o2 = Mixing.epochShuffle(docs, col("doc_id"), 2, 8)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(o1.toSet == o2.toSet, "every epoch sees the same corpus")
+    assert(o1 != o2, "epochs draw different orders")
+  }
+
+  test("capPerGroup enforces the cap and passes small groups through whole") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label")
+    val capped = Mixing.capPerGroup(emb, col("vec_id"), col("label"), cap = 10)
+    val over = capped.groupBy("label").count().filter(col("count") > 10).count()
+    assert(over == 0, "no group exceeds the cap")
+    assert(Mixing.capPerGroup(emb, col("vec_id"), col("label"), cap = 1000000)
+      .count() == emb.count(), "a cap above every group size keeps everything")
+    val a = capped.select("vec_id").as[Long].collect().toSet
+    val b = Mixing.capPerGroup(emb.repartition(7), col("vec_id"), col("label"), 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(a == b, "the kept quota is deterministic across partitionings")
+  }
+
+  test("oovRate on a hand-computed corpus") {
+    // counts: a=3, b=2, c=1 → vocabSize=2 keeps {a,b}; doc1's oov is
+    // the lone c (1/4), doc2 is fully in-vocabulary
+    val docs = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextMetrics.oovRate(docs, "doc_id", col("text"), vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L &&
+      out(0).getDouble(3) == 0.25)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 0L &&
+      out(1).getDouble(3) == 0.0)
+  }
+
   test("tfidfTop1 picks the hand-computed highest-scoring term") {
     // "rare" appears twice in doc 1 and nowhere else (df=1);
     // "common" appears in every doc (df=3 → idf ln(4/4)=0 → score 0).

@@ -117,4 +117,40 @@ class SimilaritySpec extends SparkSpec {
     assert(c.count() == labels * 64)
     assert(c.filter(abs(col("centroid")) > 1.0).count() == 0)
   }
+
+  test("semanticDedup: survivors partition the corpus and obey the tau invariant") {
+    val tau = 0.35
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      tau = tau, nlist = 8)
+    val n = emb.count(); val k = kept.count()
+    assert(k >= 1 && k <= n)
+    assert(kept.join(emb, Seq("vec_id"), "left_anti").count() == 0,
+      "survivors are drawn from the corpus")
+    assert(kept.select("vec_id").distinct().count() == k, "no duplicate survivors")
+    // the greedy invariant: no two survivors of one cluster within tau
+    val kv = kept.join(emb, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val close = kv.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(kv.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("eb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VecFns.cosine(col("ea"), col("eb")), 6) >= tau)
+      .count()
+    assert(close == 0, s"$close surviving same-cluster pairs within tau")
+    // every dropped id has a smaller-id same-cluster witness within tau
+    val all = emb.select(col("vec_id"), col("embedding"))
+    val dropped = all.join(kept, Seq("vec_id"), "left_anti")
+    val witnessed = dropped.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")),
+        col("id_a") < col("id_b"))
+      .filter(round(VecFns.cosine(col("ea"), col("eb")), 6) >= tau)
+      .select("id_b").distinct().count()
+    assert(witnessed == n - k,
+      "every dropped vector is within tau of some smaller-id vector")
+    // re-evaluating the same plan yields the same survivor set
+    val again = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      tau = tau, nlist = 8)
+    assert(kept.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
 }
