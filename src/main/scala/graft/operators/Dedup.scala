@@ -377,7 +377,8 @@ object Dedup {
     * checks a per-round convergence COUNT (a scalar), and each round
     * materializes its label relation so lineage stays flat.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  localSolveMaxEdges: Long = 4L * 1024 * 1024): DataFrame = {
     // symmetrized + SELF-LOOPS: with (v, v) edges, a node's own label
     // flows through the same neighbor join as everyone else's, so
     // each round is one join + one aggregation — no union of the
@@ -389,6 +390,26 @@ object Dedup {
     val edges = materialized(
       sym.unionByName(sym.select(col("src"), col("src").as("dst")))
         .distinct())
+    // Small-graph fast path: once the (contracted) edge relation fits
+    // one task, a single-partition union-find beats the distributed
+    // loop outright — each loop round costs two cluster-wide
+    // shuffles + a checkpoint, pure overhead on a graph this size.
+    // This is the standard endgame of large-scale CC (iterate/contract
+    // while big, solve locally once small); the loop below remains the
+    // path for graphs above the threshold, and the cutoff is on the
+    // EDGE relation the loop would iterate on, not the input corpus.
+    // ~4M edges ≈ 64 MB in one task. The count is served from the
+    // materialized cache. Long-typed ids only; anything else loops.
+    val longIds = edges.schema.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= localSolveMaxEdges) {
+      // eager checkpoint: consumers re-read materialized rows, so the
+      // edge cache is unreachable and safe to release (same contract
+      // as the loop's checkpointed labels)
+      val out = unionFindSolve(edges).localCheckpoint(true)
+      edges.unpersist()
+      return out
+    }
     // localCheckpoint (not just persist) per round: each round's plan
     // references the previous round's MULTIPLE times (the union and
     // the pointer-jump self-join), so an un-truncated lineage grows
@@ -498,6 +519,41 @@ object Dedup {
     * populates it. One small count() action up front makes every
     * consumer a cache read.
     */
+  /** One-task min-root union-find over a symmetrized (src, dst) edge
+    * relation that fits a single partition. Attaching the larger root
+    * under the smaller keeps every tree's root equal to its
+    * component's minimum id, so the labeling is identical to the
+    * distributed min-propagation loop and independent of edge arrival
+    * order. Path compression keeps find amortized near-constant.
+    */
+  private def unionFindSolve(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        val ids = parent.keys.toArray
+        ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "canonical_id")
+  }
+
   private def materialized(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()

@@ -12,6 +12,7 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,22 +22,24 @@ object Probe {
       val t0 = System.nanoTime()
       val n = f
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(200)
     }
-    // warm
-    Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6).count()
-    spark.catalog.clearCache()
-    time("jaccardPairs #1") {
-      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6).count()
-    }
-    time("jaccardPairs #2") {
-      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6).count()
-    }
-    time("jaccardClusters") {
-      Dedup.jaccardClusters(docs, "doc_id", "text", n = 3, threshold = 0.6).count()
-    }
-    time("minhashNearDups") {
-      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6).count()
+    // A/B the CC step alone on the SAME cached pair relation, so host
+    // steal hits both arms equally within a run.
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.6, maxShingleFreq = Long.MaxValue)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] pairs=${pairs.count()}")
+    // warm both paths (codegen)
+    Dedup.dupClusters(pairs).count()
+    Dedup.dupClusters(pairs, localSolveMaxEdges = 0L).count()
+    System.gc(); Thread.sleep(200)
+    (1 to 3).foreach { i =>
+      time(s"dupClusters local #$i") { Dedup.dupClusters(pairs).count() }
+      time(s"dupClusters loop  #$i") {
+        Dedup.dupClusters(pairs, localSolveMaxEdges = 0L).count()
+      }
     }
     spark.stop()
   }

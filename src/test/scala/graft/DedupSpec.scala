@@ -107,10 +107,23 @@ class DedupSpec extends SparkSpec {
 
   test("dupClusters converges on a long chain (pointer jumping, O(log d) rounds)") {
     // 60-deep version-drift chain: one-hop propagation would need 59
-    // rounds and blow the 25-round cap; pointer jumping needs ~7
+    // rounds and blow the 25-round cap; pointer jumping needs ~7.
+    // localSolveMaxEdges = 0 forces the DISTRIBUTED loop — this test
+    // exists to exercise it.
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    val out = Dedup.dupClusters(chain, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(out.length == 60 && out.forall(_._2 == 1L))
+  }
+
+  test("dupClusters local union-find path equals the distributed loop") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).select("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val loop = Dedup.dupClusters(pairs, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == loop)
+    assert(local.nonEmpty)
   }
 
   test("jaccardPairs is symmetric-free (a<b) and bounded in [0,1]") {
