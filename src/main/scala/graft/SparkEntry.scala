@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Chunking, Dedup, Mixing, Multimodal, Quantize, RangeJoin, Similarity, TextMetrics}
+import graft.operators.{AsofJoin, Chunking, Dedup, Mixing, Multimodal, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.{CsvIO, JsonlIO}
@@ -1314,6 +1314,35 @@ object SparkEntry {
       back.groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // ---------------- sub-document dedup: corpus-wide duplicate segments ----------------
+    "q98_segment_dedup" -> ((s, dir) => {
+      SegmentOps.dedupSegments(t(s, dir).documents, "doc_id", col("text"), segTokens = 3)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- per-domain boilerplate stripping ----------------
+    "q99_boilerplate_strip" -> ((s, dir) => {
+      SegmentOps.stripBoilerplate(t(s, dir).documents, "doc_id", col("text"),
+          "source", segTokens = 2, maxDocFrac = 0.12)
+        .select(col("doc_id"), col("source"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- link-graph centrality (exact fixed-point PageRank) ----------------
+    "q100_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir).lineitem.select(
+          concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      // bipartite supplier↔part graph, both directions (no dangling nodes)
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.ranks(edges, iters = 5)
+        .orderBy(col("rank").desc, col("id").asc).limit(20)
     })
   )
 
@@ -2173,6 +2202,90 @@ object SparkEntry {
     "q97_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE n_chars > 200
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "q98_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS ord, toks FROM d),
+         tok AS (SELECT doc_id, ord, toks[ord] AS tok FROM t),
+         segs AS (SELECT doc_id, (ord-1)//3 AS seg,
+             string_agg(tok, ' ' ORDER BY ord) AS seg_text
+           FROM tok GROUP BY doc_id, (ord-1)//3),
+         mk AS (SELECT doc_id, seg, seg_text, row_number() OVER
+             (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn FROM segs),
+         rb AS (SELECT doc_id,
+             sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS n_kept,
+             sum(CASE WHEN rn<>1 THEN 1 ELSE 0 END) AS n_dropped,
+             string_agg(CASE WHEN rn=1 THEN seg_text END, ' ' ORDER BY seg)
+               AS clean_text
+           FROM mk GROUP BY doc_id)
+         SELECT d2.doc_id, CAST(coalesce(n_kept,0) AS BIGINT) AS n_kept,
+           CAST(coalesce(n_dropped,0) AS BIGINT) AS n_dropped,
+           md5(coalesce(clean_text, '')) AS clean_md5
+         FROM documents d2 LEFT JOIN rb ON d2.doc_id = rb.doc_id
+         ORDER BY d2.doc_id""",
+    "q99_boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, source, unnest(range(1, len(toks)+1)) AS ord, toks
+           FROM d),
+         tok AS (SELECT doc_id, source, ord, toks[ord] AS tok FROM t),
+         segs AS (SELECT doc_id, source, (ord-1)//2 AS seg,
+             string_agg(tok, ' ' ORDER BY ord) AS seg_text
+           FROM tok GROUP BY doc_id, source, (ord-1)//2),
+         nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+           FROM documents GROUP BY source),
+         freq AS (SELECT source, seg_text, count(DISTINCT doc_id) AS df
+           FROM segs GROUP BY source, seg_text),
+         chrome AS (SELECT f.source, f.seg_text FROM freq f
+           JOIN nd ON f.source = nd.source
+           WHERE CAST(df AS DOUBLE) >= CAST(n_docs AS DOUBLE) * 0.12),
+         mk AS (SELECT s.doc_id, s.source, s.seg, s.seg_text,
+             (c.seg_text IS NOT NULL) AS is_chrome
+           FROM segs s LEFT JOIN chrome c
+             ON s.source = c.source AND s.seg_text = c.seg_text)
+         SELECT doc_id, source,
+           CAST(sum(CASE WHEN is_chrome THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN is_chrome THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN NOT is_chrome THEN seg_text END,
+             ' ' ORDER BY seg), '')) AS clean_md5
+         FROM mk GROUP BY doc_id, source ORDER BY doc_id""",
+    // exact integer fixed-point power iteration, 5 rounds unrolled
+    // (portable across engines: no recursive-CTE aggregation needed)
+    "q100_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         edges AS (SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT id, 1000000000 // n AS rank FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT e.dst AS id, sum(r.rank // od.deg) AS s FROM r0 r
+           JOIN od ON od.id = r.id JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         r1 AS (SELECT nodes.id, (15 * (1000000000 // n)) // 100
+             + (85 * coalesce(s, 0)) // 100 AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+         c2 AS (SELECT e.dst AS id, sum(r.rank // od.deg) AS s FROM r1 r
+           JOIN od ON od.id = r.id JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         r2 AS (SELECT nodes.id, (15 * (1000000000 // n)) // 100
+             + (85 * coalesce(s, 0)) // 100 AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+         c3 AS (SELECT e.dst AS id, sum(r.rank // od.deg) AS s FROM r2 r
+           JOIN od ON od.id = r.id JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         r3 AS (SELECT nodes.id, (15 * (1000000000 // n)) // 100
+             + (85 * coalesce(s, 0)) // 100 AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id),
+         c4 AS (SELECT e.dst AS id, sum(r.rank // od.deg) AS s FROM r3 r
+           JOIN od ON od.id = r.id JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         r4 AS (SELECT nodes.id, (15 * (1000000000 // n)) // 100
+             + (85 * coalesce(s, 0)) // 100 AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c4 ON c4.id = nodes.id),
+         c5 AS (SELECT e.dst AS id, sum(r.rank // od.deg) AS s FROM r4 r
+           JOIN od ON od.id = r.id JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         r5 AS (SELECT nodes.id, (15 * (1000000000 // n)) // 100
+             + (85 * coalesce(s, 0)) // 100 AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c5 ON c5.id = nodes.id)
+         SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
+         ORDER BY rank DESC, id LIMIT 20"""
   )
 }

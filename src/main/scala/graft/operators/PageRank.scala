@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality (PageRank) — the graph-derived quality
+  * signal a web-scale corpus pipeline attaches to documents (domain
+  * authority for crawl prioritization and quality weighting; the KG
+  * analogue scores entity authority from association edges).
+  *
+  * Reference scope: the reference ranks entities by server-computed
+  * association score (opentargets.schema orderByScore); a corpus
+  * engine also needs the self-computed, whole-graph version. North-
+  * star extension per SURVEY.md §2.
+  *
+  * EXACT FIXED-POINT ARITHMETIC: ranks are BIGINTs at `scale` (1e9)
+  * resolution, and every update uses only integer sum / integer
+  * division — `r' = (15·(scale div N)) div 100 + (85·Σ r(u) div
+  * deg(u)) div 100`. Integer addition is associative, so Spark's
+  * parallel partial aggregation and a sequential engine (the DuckDB
+  * oracle) produce IDENTICAL ranks after any fixed number of
+  * iterations — no float-order drift, no tolerance windows. Dangling
+  * mass (nodes with no out-edges) is dropped, not redistributed; the
+  * oracle makes the same choice.
+  *
+  * Scale shape (100 TB): each iteration is one equi-join of the rank
+  * relation against the (static) degree-annotated edge relation on
+  * `src` plus one keyed sum on `dst` — both partial-aggregable hash
+  * exchanges keyed by node id; no driver-side state (the node count
+  * enters as a broadcast 1-row aggregate). The edge relation is
+  * reused across iterations, so at cluster scale it should be cached
+  * or bucketed by `src` once (`sources.Bucketing`) and every
+  * iteration's join co-locates for free. Lineage grows linearly in
+  * iterations — for the tens-of-iterations regime insert a
+  * `localCheckpoint` every ~5 rounds (as `Dedup.dupClusters` does);
+  * at the fixed 5 rounds registered here the plan stays shallow.
+  */
+object PageRank {
+
+  /** Iterate `iters` rounds over `edges` (columns `src`, `dst`; any
+    * orderable key type). Returns (`id`, `rank`) for every node that
+    * appears as a source or destination. `rank` is BIGINT at `scale`
+    * fixed-point resolution; ranks over all nodes sum to ~`scale`
+    * (minus integer-floor and dangling loss).
+    */
+  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+            dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val telePct = 100 - dampingPct
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    // static per-edge degree annotation, built once and reused by
+    // every iteration's join
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val edgesDeg = edges.join(outdeg, "src")
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val base = nodes.crossJoin(nRow)
+    var ranks = base.select(col("id"), expr(s"$scale DIV __n").as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = ranks.join(edgesDeg, col("id") === col("src"))
+        .select(col("dst"), expr("rank DIV __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      ranks = base
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"($telePct * ($scale DIV __n)) DIV 100" +
+            s" + ($dampingPct * coalesce(__s, 0L)) DIV 100").as("rank"))
+    }
+    ranks
+  }
+}

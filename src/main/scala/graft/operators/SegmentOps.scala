@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document (segment-level) dedup and boilerplate removal — the
+  * CCNet/RefinedWeb-style cleaning passes that operate on spans
+  * WITHIN documents rather than whole documents:
+  *
+  *  - corpus-wide duplicate-segment removal: a repeated span (licence
+  *    header, navigation chrome, quoted reply) is kept only at its
+  *    first occurrence and stripped everywhere else;
+  *  - per-domain boilerplate stripping: a segment that appears in
+  *    more than a fraction of a domain's documents is template
+  *    chrome, not content, and is dropped from all of them.
+  *
+  * Reference scope: the reference engine dedups whole rows only
+  * (python sets over ids — /root/reference/opentargets_drug_repurposing.py:64-66);
+  * sub-document granularity is part of the north-star LLM-pipeline
+  * surface (SURVEY.md §2 extensions), where exact-dup removal at the
+  * document level misses the dominant crawl-duplication mode.
+  *
+  * Segments are non-overlapping `segTokens`-token windows (documents
+  * here are single-line, so "paragraph" boundaries are token windows;
+  * on real corpora the same operators run on `split(text, "\n")`
+  * lines). Segmentation reuses `Chunking.slidingChunks` with
+  * stride == size: sequence+slice inside one projection, zero
+  * shuffle — the expansion stays inside the scan's tasks.
+  *
+  * Scale shape (100 TB): the segment relation is ~tokens/W rows.
+  * Keep-first uses `min(struct(doc, seg))` per segment text — a
+  * partially-aggregable keyed agg (map-side combine), NOT a
+  * `row_number` window, so a segment duplicated across millions of
+  * documents (the hostile boilerplate case) never concentrates its
+  * occurrences in one task. Reassembly is one keyed agg back on the
+  * document id. Nothing is quadratic; no driver-side state.
+  */
+object SegmentOps {
+
+  /** One row per (doc, segment): non-overlapping `segTokens`-token
+    * windows. Columns: idName, `seg` (0-based window index),
+    * `seg_text`. Shuffle-free.
+    */
+  def tokenSegments(docs: DataFrame, idName: String, text: Column,
+                    segTokens: Int): DataFrame =
+    Chunking.slidingChunks(docs, idName, text, segTokens, segTokens)
+      .select(col(idName), col("chunk_idx").as("seg"),
+        col("chunk_text").as("seg_text"))
+
+  /** Corpus-wide duplicate-segment removal, keep-first. The FIRST
+    * occurrence of each distinct segment text — ordered by
+    * (doc, seg position) — survives; every later occurrence (in the
+    * same document or any other) is stripped. Returns one row per
+    * input document: idName, `n_kept`, `n_dropped`, `clean_text`
+    * (surviving segments rejoined in position order; empty string if
+    * nothing survives — the document row is kept either way so the
+    * output is total over the input).
+    */
+  def dedupSegments(docs: DataFrame, idName: String, text: Column,
+                    segTokens: Int): DataFrame = {
+    val segs = tokenSegments(docs, idName, text, segTokens)
+    // first occurrence per segment text: a keyed min over a packed
+    // (doc, seg) struct — partial-aggregable, skew-safe under
+    // mega-duplicated segments (vs a row_number window, which would
+    // sort every occurrence of the hottest segment in one task).
+    val first = segs
+      .groupBy(col("seg_text"))
+      .agg(min(struct(col(idName), col("seg"))).as("__first"))
+    val marked = segs.join(first, "seg_text")
+      .withColumn("__kept",
+        col("__first")(idName) === col(idName) && col("__first")("seg") === col("seg"))
+    val rebuilt = marked
+      .groupBy(col(idName))
+      .agg(
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("__kept"), struct(col("seg"), col("seg_text"))))),
+            x => x("seg_text"))).as("clean_text"))
+    docs.select(col(idName)).join(rebuilt, Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-domain boilerplate stripping: a segment text that occurs in
+    * >= `maxDocFrac` of a domain's documents is template chrome and
+    * is dropped from every document of that domain (frequency is
+    * counted per domain — the same segment may be content in one
+    * domain and chrome in another). Returns one row per document:
+    * idName, domain (under its input column name), `n_kept`,
+    * `n_dropped`, `clean_text`.
+    *
+    * The doc-frequency agg is count(distinct doc) per (domain,
+    * segment) — two-level partial agg; the domain sizes relation is
+    * domain-cardinality-sized and broadcast into the gate join.
+    */
+  def stripBoilerplate(docs: DataFrame, idName: String, text: Column,
+                       domName: String, segTokens: Int,
+                       maxDocFrac: Double): DataFrame = {
+    val segs = tokenSegments(docs, idName, text, segTokens)
+      .join(docs.select(col(idName), col(domName).as("__dom")), Seq(idName))
+    val domSize = docs.groupBy(col(domName).as("__dom"))
+      .agg(countDistinct(col(idName)).as("__nd"))
+    val freq = segs.groupBy(col("__dom"), col("seg_text"))
+      .agg(countDistinct(col(idName)).as("__df"))
+    val chrome = freq.join(broadcast(domSize), "__dom")
+      .filter(col("__df") >= col("__nd") * maxDocFrac)
+      .select(col("__dom"), col("seg_text"), lit(true).as("__chrome"))
+    val marked = segs.join(chrome, Seq("__dom", "seg_text"), "left")
+      .withColumn("__kept", col("__chrome").isNull)
+    val rebuilt = marked
+      .groupBy(col(idName), col("__dom"))
+      .agg(
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("__kept"), struct(col("seg"), col("seg_text"))))),
+            x => x("seg_text"))).as("clean_text"))
+    rebuilt.select(col(idName), col("__dom").as(domName),
+      col("n_kept"), col("n_dropped"), col("clean_text"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference with the SAME integer fixed-point update —
+    * what the DuckDB oracle computes, reimplemented directly from the
+    * definition.
+    */
+  private def brute(edges: Seq[(String, String)], iters: Int,
+                    scale: Long = 1000000000L, damp: Int = 85): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((u, v) <- edges) contrib(v) += r(u) / outdeg(u)
+      r = nodes.map(id =>
+        id -> ((100 - damp) * (scale / n) / 100 + damp * contrib(id) / 100)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("matches the sequential fixed-point definition exactly (pseudo-random graph)") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 40).map(i => s"n$i")
+    val edges = (0 until 300).map { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+    }.distinct.filter(e => e._1 != e._2)
+    for (iters <- Seq(0, 1, 3, 5))
+      assert(run(edges, iters) == brute(edges, iters), s"iters=$iters")
+  }
+
+  test("hub of a star out-ranks the leaves; ranks are scale-bounded") {
+    // leaves all point at the hub; hub points at one leaf
+    val edges = (1 to 8).map(i => (s"leaf$i", "hub")) :+ (("hub", "leaf1"))
+    val r = run(edges, 5)
+    assert(r("hub") > r("leaf2"))
+    assert(r.values.sum <= 1000000000L)
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("dangling mass is dropped, not redistributed (documented choice)") {
+    // b has no out-edges: its rank never flows anywhere
+    val edges = Seq(("a", "b"))
+    val r = run(edges, 2)
+    assert(r == brute(edges, 2))
+    assert(r.values.sum < 1000000000L)
+  }
+
+  test("deterministic under repartitioning") {
+    val edges = (0 until 60).flatMap(i =>
+      Seq((s"u$i", s"u${(i * 7) % 60}"), (s"u${(i * 13) % 60}", s"u$i"))).distinct
+    val df = edges.toDF("src", "dst")
+    val a = PageRank.ranks(df, 4).orderBy("id").collect().toSeq
+    val b = PageRank.ranks(df.repartition(13, col("dst")), 4).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SegmentOps
+
+class SegmentOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-token segments: doc 1 = [a b][c d][a b], doc 2 = [a b][x y],
+  // doc 3 = [c d][z z]. First occurrences: (1,0) "a b", (1,1) "c d",
+  // (1,2) dropped (dup of (1,0)), (2,0) dropped, (2,1) "x y",
+  // (3,0) dropped, (3,1) "z z".
+  private val corpus = Seq(
+    (1L, "a b c d a b"),
+    (2L, "a b x y"),
+    (3L, "c d z z")).toDF("doc_id", "text")
+
+  test("tokenSegments: non-overlapping windows with position order") {
+    val segs = SegmentOps.tokenSegments(corpus, "doc_id", col("text"), 2)
+      .orderBy("doc_id", "seg").as[(Long, Long, String)].collect()
+    assert(segs.toSeq == Seq(
+      (1L, 0L, "a b"), (1L, 1L, "c d"), (1L, 2L, "a b"),
+      (2L, 0L, "a b"), (2L, 1L, "x y"),
+      (3L, 0L, "c d"), (3L, 1L, "z z")))
+  }
+
+  test("dedupSegments: keep-first across the corpus, rebuild in position order") {
+    val out = SegmentOps.dedupSegments(corpus, "doc_id", col("text"), 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, "a b c d"),
+      (2L, 1L, 1L, "x y"),
+      (3L, 1L, 1L, "z z")))
+  }
+
+  test("dedupSegments keeps fully-stripped documents with empty text") {
+    val twice = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = SegmentOps.dedupSegments(twice, "doc_id", col("text"), 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 0L, "a b"), (2L, 0L, 1L, "")))
+  }
+
+  test("dedupSegments is deterministic under repartitioning") {
+    val shuffled = corpus.repartition(7, col("text"))
+    val a = SegmentOps.dedupSegments(corpus, "doc_id", col("text"), 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = SegmentOps.dedupSegments(shuffled, "doc_id", col("text"), 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // Domain d1 has 2 docs, both containing "a b" (df=2, frac 1.0);
+  // d2 has one doc with "a b" (frac 0.5 there — below the 0.6 gate,
+  // so the SAME segment survives in d2: frequency is per-domain).
+  test("stripBoilerplate: per-domain frequency gate with >= semantics") {
+    val docs = Seq(
+      (1L, "d1", "a b p q"),
+      (2L, "d1", "a b r s"),
+      (3L, "d2", "a b t u"),
+      (4L, "d2", "v w t u")).toDF("doc_id", "dom", "text")
+    val out = SegmentOps.stripBoilerplate(docs, "doc_id", col("text"), "dom", 2, 0.6)
+      .orderBy("doc_id").as[(Long, String, Long, Long, String)].collect()
+    // d1: "a b" df=2/2=1.0 >= 0.6 -> dropped from docs 1,2.
+    // d2: "a b" df=1/2=0.5 < 0.6 kept; "t u" df=2/2=1.0 -> dropped.
+    assert(out.toSeq == Seq(
+      (1L, "d1", 1L, 1L, "p q"),
+      (2L, "d1", 1L, 1L, "r s"),
+      (3L, "d2", 1L, 1L, "a b"),
+      (4L, "d2", 1L, 1L, "v w")))
+  }
+
+  test("stripBoilerplate boundary: frac exactly at the gate drops") {
+    val docs = Seq(
+      (1L, "d", "a b"),
+      (2L, "d", "a b"),
+      (3L, "d", "x y"),
+      (4L, "d", "p q")).toDF("doc_id", "dom", "text")
+    // "a b" df=2, nd=4, frac 0.5 — with maxDocFrac=0.5 it must drop.
+    val out = SegmentOps.stripBoilerplate(docs, "doc_id", col("text"), "dom", 2, 0.5)
+      .orderBy("doc_id").as[(Long, String, Long, Long, String)].collect()
+    assert(out.map(r => (r._1, r._5)).toSeq ==
+      Seq((1L, ""), (2L, ""), (3L, "x y"), (4L, "p q")))
+  }
+}
