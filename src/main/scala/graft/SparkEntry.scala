@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Chunking, Dedup, Mixing, Multimodal, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics}
+import graft.operators.{AsofJoin, Chunking, Dedup, FreqSketch, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.{CsvIO, JsonlIO}
@@ -1343,6 +1343,64 @@ object SparkEntry {
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.ranks(edges, iters = 5)
         .orderBy(col("rank").desc, col("id").asc).limit(20)
+    }),
+
+    // ---------------- SCD-1 snapshot merge (MERGE/upsert) ----------------
+    "q101_snapshot_merge" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val delta = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit("delta").as("source"),
+          (col("n_chars") + 1000L).as("n_chars"))
+      Upsert.scd1(base, delta, "doc_id").orderBy("doc_id")
+    }),
+
+    // ---------------- CDC diff of two snapshots ----------------
+    "q102_cdc_diff" -> ((s, dir) => {
+      val prev = t(s, dir).documents.select(col("doc_id"), col("source"), col("n_chars"))
+      val next = prev.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1L).otherwise(col("n_chars")))
+        .unionByName(prev.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("n_chars")))
+      Upsert.cdcDiff(prev, next, "doc_id").orderBy("doc_id")
+    }),
+
+    // ---------------- per-group winsorized statistics ----------------
+    "q103_winsorize" -> ((s, dir) => {
+      Outliers.winsorize(t(s, dir).documents, col("lang"), col("n_chars"), 0.05, 0.95)
+        .select(col("__g").as("lang"), col("n"), col("n_lo"), col("n_hi"), col("mean6"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- per-group Tukey outlier fences ----------------
+    "q104_tukey_outliers" -> ((s, dir) => {
+      Outliers.tukeyFences(t(s, dir).documents, col("lang"), col("n_chars"))
+        .select(col("__g").as("lang"), col("n"), col("n_low"), col("n_high"),
+          col("lo_fence"), col("hi_fence"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- count-min heavy hitters (sketch family) ----------------
+    "q105_cms_heavy_hitters" -> ((s, dir) => {
+      def hh(d: String, k: Int) = {
+        val toks = t(s, d).documents
+          .select(explode(split(col("text"), " ")).as("token"))
+        FreqSketch.estimateTopK(toks, col("token"), k,
+          eps = 0.001, confidence = 0.99, seed = 42)
+      }
+      if (SelfCheck.fixtureExists) SelfCheck.once("q105/fixture") {
+        val toks = t(s, SelfCheck.FixtureDir).documents
+          .select(explode(split(col("text"), " ")).as("token"))
+        val slack = math.ceil(0.001 * toks.count()).toLong
+        hh(SelfCheck.FixtureDir, 10).collect().foreach { r =>
+          val (exact, est) = (r.getLong(1), r.getLong(2))
+          require(est >= exact && est <= exact + slack,
+            s"q105 CMS bound violated: exact=$exact est=$est slack=$slack")
+        }
+      }
+      hh(dir, 20)
     })
   )
 
@@ -2286,6 +2344,60 @@ object SparkEntry {
              + (85 * coalesce(s, 0)) // 100 AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c5 ON c5.id = nodes.id)
          SELECT id, CAST(rank AS BIGINT) AS rank FROM r5
-         ORDER BY rank DESC, id LIMIT 20"""
+         ORDER BY rank DESC, id LIMIT 20""",
+    "q101_snapshot_merge" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 3 <> 0),
+         delta AS (SELECT doc_id, 'delta' AS source, n_chars + 1000 AS n_chars
+           FROM documents WHERE doc_id % 2 = 0)
+         SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+           CASE WHEN d.doc_id IS NOT NULL THEN d.source ELSE b.source END AS source,
+           CASE WHEN d.doc_id IS NOT NULL THEN d.n_chars ELSE b.n_chars END AS n_chars
+         FROM base b FULL JOIN delta d ON b.doc_id = d.doc_id
+         ORDER BY doc_id""",
+    "q102_cdc_diff" ->
+      """WITH prev AS (SELECT doc_id, source, n_chars FROM documents),
+         next AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+           FROM prev WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, source, n_chars FROM prev WHERE doc_id % 11 = 0)
+         SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                WHEN p.source IS NOT DISTINCT FROM n.source
+                 AND p.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+                ELSE 'update' END AS op
+         FROM prev p FULL JOIN next n ON p.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q103_winsorize" ->
+      """WITH b AS (SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS lo,
+             round(quantile_cont(n_chars, 0.95), 6) AS hi
+           FROM documents GROUP BY lang),
+         w AS (SELECT d.lang,
+             CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS clo,
+             CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS chi,
+             CAST(floor(least(greatest(CAST(n_chars AS DOUBLE), lo), hi) * 1e6 + 0.5)
+               AS BIGINT) AS w6
+           FROM documents d JOIN b ON d.lang = b.lang)
+         SELECT lang, count(*) AS n, CAST(sum(clo) AS BIGINT) AS n_lo,
+           CAST(sum(chi) AS BIGINT) AS n_hi,
+           round(CAST(sum(w6) AS DOUBLE) / (count(*) * 1e6), 6) AS mean6
+         FROM w GROUP BY lang ORDER BY lang""",
+    "q104_tukey_outliers" ->
+      """WITH b AS (SELECT lang,
+             round(quantile_cont(n_chars, 0.25), 6) AS q1,
+             round(quantile_cont(n_chars, 0.75), 6) AS q3
+           FROM documents GROUP BY lang),
+         f AS (SELECT lang, q1 - (q3 - q1) * 1.5 AS lof, q3 + (q3 - q1) * 1.5 AS hif
+           FROM b)
+         SELECT d.lang, count(*) AS n,
+           CAST(sum(CASE WHEN n_chars < lof THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN n_chars > hif THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           round(min(lof), 6) AS lo_fence, round(max(hif), 6) AS hi_fence
+         FROM documents d JOIN f ON d.lang = f.lang
+         GROUP BY d.lang ORDER BY d.lang"""
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Outliers
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // group g: values 1..10 (plus an extreme 1000 in the 'h' group)
+  private val df = ((1 to 10).map(i => ("g", i.toDouble)) ++
+    Seq(("h", 1.0), ("h", 2.0), ("h", 3.0), ("h", 1000.0))).toDF("grp", "v")
+
+  test("winsorize clamps the tails and counts them") {
+    val r = Outliers.winsorize(df, col("grp"), col("v"), 0.1, 0.9)
+      .orderBy("__g").as[(String, Long, Long, Long, Double)].collect()
+    val g = r(0); val h = r(1)
+    // g: p10 = 1.9, p90 = 9.1 -> one row clamped on each side;
+    // winsorized mean = (1.9 + 2..9 sum(44) + 9.1)/10 = 5.5
+    assert(g == ("g", 10L, 1L, 1L, 5.5))
+    // h: p10 of (1,2,3,1000) = 1.3, p90 = 700.9 ->
+    // mean = (1.3 + 2 + 3 + 700.9)/4 = 176.8
+    assert(h == ("h", 4L, 1L, 1L, 176.8))
+  }
+
+  test("tukeyFences flags the extreme value only") {
+    val r = Outliers.tukeyFences(df, col("grp"), col("v"))
+      .orderBy("__g").as[(String, Long, Long, Long, Double, Double)].collect()
+    // g: q1 = 3.25, q3 = 7.75, iqr = 4.5 -> fences [-3.5, 14.5]
+    assert(r(0) == ("g", 10L, 0L, 0L, -3.5, 14.5))
+    // h: q1 = 1.75, q3 = 252.25, iqr = 250.5 -> hi fence 628 < 1000
+    assert(r(1)._4 == 1L)
+  }
+
+  test("winsorized mean is deterministic under repartitioning (fixed-point agg)") {
+    val big = (1 to 5000).map(i => ("g", (i % 997).toDouble * 1.000001)).toDF("grp", "v")
+    val a = Outliers.winsorize(big, col("grp"), col("v"), 0.05, 0.95).collect().toSeq
+    val b = Outliers.winsorize(big.repartition(17), col("grp"), col("v"), 0.05, 0.95)
+      .collect().toSeq
+    assert(a == b)
+  }
+}
