@@ -1401,6 +1401,20 @@ object SparkEntry {
         }
       }
       hh(dir, 20)
+    }),
+
+    // ---------------- small-file compaction round-trip ----------------
+    "q106_compaction_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir).documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      val frag = fixturePath("frag", dir, "documents")
+      val comp = fixturePath("compact", dir, "documents")
+      if (!new java.io.File(comp).isDirectory) {
+        docs.repartition(16).write.mode("overwrite").parquet(frag)
+        graft.sources.Compaction.compact(s, frag, comp, 512L * 1024 * 1024)
+      }
+      s.read.parquet(comp).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -2398,6 +2412,9 @@ object SparkEntry {
            CAST(sum(CASE WHEN n_chars > hif THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            round(min(lof), 6) AS lo_fence, round(max(hif), 6) AS hi_fence
          FROM documents d JOIN f ON d.lang = f.lang
-         GROUP BY d.lang ORDER BY d.lang"""
+         GROUP BY d.lang ORDER BY d.lang""",
+    "q106_compaction_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }
