@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Chunking, Dedup, FreqSketch, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{AsofJoin, Chunking, Dedup, FreqSketch, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.{CsvIO, JsonlIO}
@@ -1415,6 +1415,19 @@ object SparkEntry {
       s.read.parquet(comp).groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // ---------------- inverted-index construction ----------------
+    "q107_inverted_index" -> ((s, dir) => {
+      InvertedIndex.build(t(s, dir).documents, "doc_id", col("text"))
+        .orderBy("term", "doc_id")
+    }),
+
+    // ---------------- index-backed boolean search ----------------
+    "q108_index_search" -> ((s, dir) => {
+      val postings = InvertedIndex.build(t(s, dir).documents, "doc_id", col("text"))
+      InvertedIndex.searchAll(postings, "doc_id", Seq("spark", "window"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2415,6 +2428,18 @@ object SparkEntry {
          GROUP BY d.lang ORDER BY d.lang""",
     "q106_compaction_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q107_inverted_index" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS ord, toks FROM d),
+         tok AS (SELECT doc_id, ord-1 AS pos, toks[ord] AS term FROM t)
+         SELECT term, doc_id, count(*) AS tf,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+         FROM tok GROUP BY term, doc_id ORDER BY term, doc_id""",
+    "q108_index_search" ->
+      """SELECT doc_id FROM documents
+         WHERE list_contains(string_split(text,' '), 'spark')
+           AND list_contains(string_split(text,' '), 'window')
+         ORDER BY doc_id"""
   )
 }
