@@ -127,4 +127,52 @@ object StreamOps {
           }
       }
   }
+
+  /** Continuous snapshot maintenance: apply a stream of row updates
+    * as SCD-1 upserts into a parquet snapshot via `foreachBatch` —
+    * the streaming face of `operators.Upsert.scd1` (what a MERGE
+    * sink does in table-format engines). Each micro-batch is first
+    * collapsed to last-wins per key (highest `versionCol`, key
+    * tiebreak on arrival nondeterminism is impossible since version
+    * ordering is total per key by contract), then full-outer-merged
+    * into the snapshot.
+    *
+    * Delivery semantics: `foreachBatch` is at-least-once on retry —
+    * and this apply is IDEMPOTENT (re-merging the same collapsed
+    * batch is a fixed point), so the snapshot is exactly-once in
+    * effect. The merged result is eagerly materialized
+    * (localCheckpoint) before the overwrite so the read side of the
+    * rewrite never races the write side; a table format (or an
+    * HDFS-atomic tmp-dir rename) replaces this single-directory swap
+    * at cluster scale.
+    */
+  def upsertBatch(batch: DataFrame, targetDir: String, key: String,
+                  versionCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc, col(key))
+    val collapsed = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val target = new java.io.File(targetDir)
+    val merged =
+      if (target.isDirectory && target.list().exists(_.endsWith(".parquet")))
+        graft.operators.Upsert.scd1(spark.read.parquet(targetDir), collapsed, key)
+      else collapsed
+    val out = merged.localCheckpoint(true)
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
+    out.unpersist()
+  }
+
+  /** The streaming query wiring for [[upsertBatch]]. */
+  def upsertSink(updates: DataFrame, targetDir: String, key: String,
+                 versionCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, targetDir, key, versionCol)
+      }
+      .start()
 }

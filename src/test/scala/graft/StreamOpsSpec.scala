@@ -114,4 +114,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1(0).n_events == 2 && u1(1).n_events == 1)
     assert(out.count(_.user_id == 2) == 1)
   }
+
+  test("upsertSink maintains an SCD-1 snapshot across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    val target = s"${dir.getAbsolutePath}/snapshot"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+    val input = MemoryStream[(Long, String, Long)]
+    val updates = input.toDF().toDF("id", "name", "version")
+    val q = StreamOps.upsertSink(updates, target, "id", "version", ckpt)
+    // batch 1: two inserts (id=2 arrives twice — version 2 must win)
+    input.addData(Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L)))
+    q.processAllAvailable()
+    // batch 2: update id=1, insert id=3
+    input.addData(Seq((1L, "a2", 3L), (3L, "c", 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a2", 3L), (2L, "b2", 2L), (3L, "c", 1L)))
+    // idempotence: re-applying the last batch is a fixed point
+    StreamOps.upsertBatch(Seq((1L, "a2", 3L), (3L, "c", 1L)).toDF("id", "name", "version"),
+      target, "id", "version")
+    val again = spark.read.parquet(target).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
