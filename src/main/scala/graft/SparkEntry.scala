@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Chunking, Dedup, FreqSketch, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{AsofJoin, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.{CsvIO, JsonlIO}
@@ -1428,6 +1428,95 @@ object SparkEntry {
       val postings = InvertedIndex.build(t(s, dir).documents, "doc_id", col("text"))
       InvertedIndex.searchAll(postings, "doc_id", Seq("spark", "window"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------- behavioral analytics: funnel / cohort / transitions ----------------
+    "q109_funnel" -> ((s, dir) =>
+      Funnel.funnelStages(t(s, dir).events, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))),
+
+    "q110_cohort_retention" -> ((s, dir) =>
+      Funnel.cohortRetention(t(s, dir).events, col("user_id"), col("ts"))
+        // ISO string, not DATE: the comparator canonicalizes DATE
+        // columns differently per engine
+        .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+        .orderBy("cohort_week", "week_offset")),
+
+    "q114_transitions" -> ((s, dir) =>
+      Funnel.transitions(t(s, dir).events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+        .orderBy("event", "next_event")),
+
+    // ---------------- time-series gap-fill resample ----------------
+    "q111_resample" -> ((s, dir) => {
+      // daily grid per user over purchase values, forward-filled.
+      // (user, ts) made unique first (max value at a tied instant) so
+      // the as-of winner is deterministic — the AsofJoin tie contract.
+      val obs = t(s, dir).events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      Resample.resampleFillForward(obs, "user_id", "ts", 86400L, Seq("value"))
+        .select(col("user_id"),
+          unix_timestamp(col("grid_ts")).as("grid_s"),
+          round(col("asof_value"), 6).as("value"))
+        .orderBy("user_id", "grid_s")
+    }),
+
+    // ---------------- equi-width histogram ----------------
+    "q112_histogram" -> ((s, dir) =>
+      Resample.histogram(t(s, dir).lineitem, col("l_returnflag"),
+          col("l_quantity"), 0.0, 50.0, 10)
+        .orderBy("grp", "bucket")),
+
+    // ---------------- Bloom-prefiltered incremental dedup ----------------
+    "q113_bloom_prefilter" -> ((s, dir) => {
+      // Same archive/batch split as q89; the Bloom pre-filter must be
+      // output-invisible (no false negatives), so the full DuckDB
+      // oracle is the PLAIN anti-join — the strongest possible check
+      // of the bloom path.
+      val docs = t(s, dir).documents
+      val archive = docs.filter(col("doc_id") % 2 === 0)
+        .select(TextFns.fingerprint(col("text")).as("fp")).distinct()
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      Bloom.prefilteredAntiJoin(batch, "fp", archive, "fp",
+          mBits = 1L << 20, k = 5)
+        .select(col("doc_id"), col("fp")).orderBy("doc_id")
+    }),
+
+    // ---------------- edit-distance similarity join ----------------
+    "q115_edit_neardups" -> ((s, dir) => {
+      // length-blocked exact Levenshtein join on a bounded slice
+      // (p_size = 1); oracle is the NAIVE all-pairs join — proves the
+      // blocking lossless end-to-end
+      val names = t(s, dir).part.filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))
+      graft.operators.EditJoin.editSimilarityJoin(names, "p_partkey", "p_name", 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- hopping-window aggregation ----------------
+    "q116_hopping" -> ((s, dir) =>
+      t(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    // ---------------- debounce dedup (recrawl policy) ----------------
+    "q117_debounce" -> ((s, dir) => {
+      // keep an event iff no SAME (user, type) event occurred in the
+      // preceding hour — the recrawl/refetch suppression gate
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir).events
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        // µs-exact gap (unix_timestamp would truncate sub-second)
+        .filter(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) >= 3600L * 1000000)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
     })
   )
 
@@ -2440,6 +2529,91 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE list_contains(string_split(text,' '), 'spark')
            AND list_contains(string_split(text,' '), 'window')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q109_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)
+         SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM s1
+         UNION ALL SELECT 2, 'click', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+         ORDER BY stage_idx""",
+    "q110_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+         SELECT strftime(date_trunc('week', f.t0), '%Y-%m-%d') AS cohort_week,
+           CAST((CAST(e.ts AS DATE) - CAST(f.t0 AS DATE)) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS users
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q111_resample" ->
+      """WITH o0 AS (SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         o AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM o0),
+         sp AS (SELECT user_id,
+             (min(tsn) // 1000000000 + 86399) // 86400 * 86400 AS g0,
+             max(tsn) // 1000000000 AS hi
+           FROM o GROUP BY user_id),
+         grid AS (SELECT user_id,
+             unnest(generate_series(g0, hi, 86400)) * 1000000000 AS gsn
+           FROM sp WHERE g0 <= hi)
+         SELECT g.user_id, g.gsn // 1000000000 AS grid_s,
+           round(o.value, 6) AS value
+         FROM grid g ASOF JOIN o
+           ON g.user_id = o.user_id AND g.gsn >= o.tsn
+         ORDER BY g.user_id, grid_s""",
+    "q112_histogram" ->
+      """WITH b AS (SELECT l_returnflag AS grp,
+           CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 50 THEN 11
+                ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket
+           FROM lineitem)
+         SELECT grp, bucket, round((bucket - 1) * 5.0, 6) AS bucket_lo,
+           round(bucket * 5.0, 6) AS bucket_hi, count(*) AS n
+         FROM b GROUP BY grp, bucket ORDER BY grp, bucket""",
+    "q113_bloom_prefilter" ->
+      """WITH fp AS (
+           SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         archive AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+         batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 <> 0)
+         SELECT doc_id, fp FROM batch b ANTI JOIN archive a ON b.fp = a.fp
+         ORDER BY doc_id""",
+    "q114_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS event,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+         FROM events)
+         SELECT event, next_event, count(*) AS n FROM seq
+         WHERE next_event IS NOT NULL
+         GROUP BY event, next_event ORDER BY event, next_event""",
+    "q115_edit_neardups" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 1)
+         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY id_a, id_b""",
+    "q116_hopping" ->
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts) AS tn FROM events),
+         w AS (SELECT event_type, value,
+           unnest([(tn // 1800000000000) * 1800,
+                   (tn // 1800000000000) * 1800 - 1800]) AS win_start
+           FROM e)
+         SELECT win_start, event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM w GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "q117_debounce" ->
+      """WITH l AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tn,
+           lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+         FROM events)
+         SELECT event_id, user_id, event_type FROM l
+         WHERE prev IS NULL OR tn - prev >= 3600000000000
+         ORDER BY event_id"""
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event stream: staged funnels, cohort
+  * retention, and event-transition matrices — the product-analytics
+  * counterpart of the reference's scan pipelines (reference drives the
+  * same shape client-side: fetch rows per entity, then count stage
+  * survivors in Python; here each stage is one keyed aggregation).
+  *
+  * Scale shape: every stage/cohort step shuffles on the SAME key
+  * (`user`), so Spark reuses the exchange across steps instead of
+  * re-partitioning; the per-stage boundary tables are user-cardinality
+  * (≪ event cardinality) and join back onto events as hash joins. No
+  * windows over the whole event relation, no driver state.
+  */
+object Funnel {
+
+  /** Ordered funnel completion: for each stage i (an `event` value),
+    * a user reaches stage i at tᵢ = min(ts | event = stageᵢ ∧ ts ≥
+    * tᵢ₋₁) — the earliest occurrence at-or-after their previous-stage
+    * completion (>= : a same-timestamp later stage counts, matching
+    * the oracle twin exactly).
+    *
+    * Returns one row per stage: (stage_idx, stage, users) with users
+    * monotonically non-increasing down the funnel.
+    *
+    * Each stage is one filtered keyed agg + one hash join against the
+    * previous stage's per-user completion table — at 100 TB the agg
+    * is partial-aggregable (map-side min) and all shuffles share the
+    * `user` hash partitioning.
+    */
+  def funnelStages(events: DataFrame, user: Column, ts: Column,
+                   event: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val base = events.select(user.as("__u"), ts.as("__ts"), event.as("__e"))
+    // per-user completion time of each successive stage
+    val completions: Seq[DataFrame] = stages
+      .foldLeft(List.empty[DataFrame]) { case (acc, stage) =>
+        val hits = base.filter(col("__e") === stage)
+        val reached = acc match {
+          case Nil => hits.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          case prev :: _ =>
+            hits.join(prev.select(col("__u"), col("__t").as("__tprev")), "__u")
+              .filter(col("__ts") >= col("__tprev"))
+              .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+        }
+        reached :: acc
+      }.reverse
+    val counts = completions.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("users"))
+    }
+    counts.reduce(_ unionByName _).orderBy("stage_idx")
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-start date)
+    * of the user's FIRST event of any type; for each (cohort_week,
+    * week_offset) the number of distinct users from that cohort with
+    * any activity `offset` whole weeks after their first event.
+    *
+    * Two keyed aggs (user grain, then cohort grain) + one hash join
+    * of the user-cardinality first-event table back onto events.
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val base = events.select(user.as("__u"), ts.as("__ts"))
+    val firsts = base.groupBy(col("__u")).agg(min(col("__ts")).as("__t0"))
+    base.join(firsts, "__u")
+      .select(col("__u"),
+        to_date(date_trunc("week", col("__t0"))).as("cohort_week"),
+        // datediff >= 0 (t0 is the user's min ts), so floor-division
+        // equals integer division — engine-exact, no fp edge
+        floor(datediff(to_date(col("__ts")), to_date(col("__t0"))) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("users"))
+  }
+
+  /** Event-transition matrix: per user, order events by (ts, id) —
+    * `id` is the unique tiebreaker that makes the sequence (and so
+    * the oracle comparison) deterministic — and count each
+    * (event, next_event) adjacency. One window over the user
+    * partitioning + one partial-aggregable count.
+    */
+  def transitions(events: DataFrame, user: Column, ts: Column,
+                  id: Column, event: Column): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+    events.select(user.as("__u"), ts.as("__ts"), id.as("__id"), event.as("__e"))
+      .withColumn("__next", lead(col("__e"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__e").as("event"), col("__next").as("next_event"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bloom, EditJoin, Funnel, Resample}
+
+/** Hand-computable cases + invariants for the behavioral-analytics,
+  * resampling, and Bloom-prefilter operators.
+  */
+class BehaviorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // user 1: view@10 → click@20 → purchase@30 (full funnel)
+  // user 2: click@5 before their view@10, re-click never → stops at view
+  // user 3: view@10, purchase@20 but no click → stops at view
+  // user 4: no view at all → not counted anywhere
+  private lazy val funnelEvents = Seq(
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    (2L, 5L, "click"), (2L, 10L, "view"),
+    (3L, 10L, "view"), (3L, 20L, "purchase"),
+    (4L, 10L, "click"), (4L, 20L, "purchase"))
+    .map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+
+  test("funnelStages: ordered completion, hand-computed") {
+    val out = Funnel.funnelStages(funnelEvents, col("u"), col("t"), col("e"),
+      Seq("view", "click", "purchase")).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnelStages: same-timestamp later stage counts (>= semantics)") {
+    val df = Seq((1L, ts(10), "view"), (1L, ts(10), "click")).toDF("u", "t", "e")
+    val out = Funnel.funnelStages(df, col("u"), col("t"), col("e"),
+      Seq("view", "click")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
+  test("funnelStages: user counts are monotone non-increasing on real events") {
+    val ev = Tables(spark, sfDir).events
+    val users = Funnel.funnelStages(ev, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase", "error"))
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(users.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
+
+  test("cohortRetention: offsets are whole weeks from the user's first event") {
+    val df = Seq(
+      (1L, ts(0)),            // epoch Thu 1970-01-01 → cohort Mon 1969-12-29
+      (1L, ts(6L * 86400)),   // +6 days → offset 0
+      (1L, ts(7L * 86400)),   // +7 days → offset 1
+      (2L, ts(14L * 86400))).toDF("u", "t")
+    val out = Funnel.cohortRetention(df, col("u"), col("t"))
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(out.map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("1969-12-29", 0L, 1L), ("1969-12-29", 1L, 1L), ("1970-01-12", 0L, 1L)))
+  }
+
+  test("transitions: hand-computed adjacency counts with id tiebreak") {
+    val df = Seq(
+      (1L, ts(10), 1L, "a"), (1L, ts(10), 2L, "b"), (1L, ts(20), 3L, "a"),
+      (2L, ts(5), 4L, "b"), (2L, ts(6), 5L, "b"))
+      .toDF("u", "t", "id", "e")
+    val out = Funnel.transitions(df, col("u"), col("t"), col("id"), col("e"))
+      .orderBy("event", "next_event").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L)))
+  }
+
+  test("resampleFillForward: epoch-aligned grid with forward fill") {
+    // key 1 observes at t=90 (v=1.0) and t=250 (v=2.0); step 100 →
+    // grid {100, 200} : v(100)=1.0 (from 90), v(200)=1.0
+    val obs = Seq((1L, ts(90), 1.0), (1L, ts(250), 2.0)).toDF("k", "t", "v")
+    val out = Resample.resampleFillForward(obs, "k", "t", 100L, Seq("v"))
+      .orderBy("grid_ts").collect()
+    assert(out.map(r => (r.getTimestamp(1).getTime / 1000, r.getDouble(2))).toSeq ==
+      Seq((100L, 1.0), (200L, 1.0)))
+  }
+
+  test("resampleFillForward: single observation inside one step yields no grid") {
+    val obs = Seq((1L, ts(150), 1.0)).toDF("k", "t", "v")
+    // first aligned point is 200 > max ts 150 → empty
+    assert(Resample.resampleFillForward(obs, "k", "t", 100L, Seq("v")).isEmpty)
+  }
+
+  test("histogram: width_bucket bounds and under/overflow buckets") {
+    val df = Seq(("g", -1.0), ("g", 0.0), ("g", 4.9), ("g", 5.0), ("g", 10.0))
+      .toDF("grp", "v")
+    val out = Resample.histogram(df, col("grp"), col("v"), 0.0, 10.0, 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+    // -1 → bucket 0; 0,4.9 → bucket 1 [0,5); 5 → bucket 2 [5,10); 10 → bucket 3
+    assert(out == Seq((0L, -5.0, 0.0, 1L), (1L, 0.0, 5.0, 2L),
+      (2L, 5.0, 10.0, 1L), (3L, 10.0, 15.0, 1L)))
+  }
+
+  test("bloom: no false negatives, and FPR within 5x of theory") {
+    val keys = (0L until 2000L).map(i => s"key_$i")
+    val inSet = keys.take(1000).toDF("k")
+    val probeAll = keys.toDF("k")
+    val mBits = 1L << 14 // 16384 bits, n=1000, k=5 → theoretical FPR ~ 0.0094
+    val bloom = Bloom.build(inSet, col("k"), mBits, 5)
+    val flagged = Bloom.mightContain(probeAll, col("k"), bloom, mBits, 5)
+    val hits = flagged.filter(col("might_contain")).select("k")
+      .collect().map(_.getString(0)).toSet
+    assert(keys.take(1000).forall(hits.contains), "false negative!")
+    val fp = hits.size - 1000
+    assert(fp <= (0.0094 * 5 * 1000).toInt,
+      s"false-positive count $fp exceeds 5x theoretical bound")
+  }
+
+  test("editSimilarityJoin equals the naive all-pairs join") {
+    val names = Tables(spark, sfDir).part.limit(120)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val blocked = EditJoin.editSimilarityJoin(names, "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = names.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = names.select(col("id").as("id_b"), col("s").as("sb"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= 4)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == naive && naive.nonEmpty)
+  }
+
+  test("editSimilarityJoin: cross-length-boundary pairs survive the blocking") {
+    // lengths 3 and 5 with d=2: must meet in a shared bin
+    val df = Seq((1L, "abc"), (2L, "abcde"), (3L, "zzzzzzzz")).toDF("id", "s")
+    val out = EditJoin.editSimilarityJoin(df, "id", "s", 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 2)))
+  }
+
+  test("prefilteredAntiJoin equals the plain anti join") {
+    val archive = (0L until 500L).filter(_ % 3 == 0).map(i => s"id$i").toDF("key")
+    val batch = (0L until 500L).filter(_ % 2 == 0)
+      .map(i => (i, s"id$i")).toDF("n", "key")
+    val viaBloom = Bloom.prefilteredAntiJoin(batch, "key", archive, "key",
+        mBits = 1L << 12, k = 4)
+      .select("n").collect().map(_.getLong(0)).toSet
+    val plain = batch.join(archive, Seq("key"), "left_anti")
+      .select("n").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain)
+  }
+}
