@@ -73,6 +73,14 @@ object Bench {
         // degrade rep-over-rep as checkpoint blocks pile up
         // (measured: 8 s → 19 s → 26 s across three reps of q69).
         try spark.catalog.clearCache() catch { case _: Throwable => }
+        // clearCache only empties the SQL CacheManager; localCheckpoint
+        // blocks are RDD-level persists invisible to it. Unpersist them
+        // explicitly — waiting for GC + the async ContextCleaner left
+        // the iterative queries (PageRank, connected components)
+        // degrading 8 s → 21 s → 32 s across reps r3.
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => }
         // GC enqueues the dead references; the ContextCleaner drains
         // the queue ASYNCHRONOUSLY, so give it a beat before the next
         // rep starts allocating — without the pause the iterative

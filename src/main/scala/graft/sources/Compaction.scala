@@ -63,6 +63,55 @@ object Compaction {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(outDir)
 
+  /** Z-value of two numeric columns: each is range-normalized to 16
+    * bits against the relation's own [min, max] (a 1-row broadcast
+    * aggregate — no data-dependent window), then bit-interleaved with
+    * the standard mask-spread ladder. Rows close in BOTH dimensions
+    * get close z-values, so range-partitioning + sorting by z gives
+    * every file a tight bounding BOX — a 2-D predicate prunes files
+    * on either or both dimensions, where a linear sort key prunes on
+    * one only. Pure integer column arithmetic: deterministic on any
+    * engine/partitioning.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             loA: org.apache.spark.sql.Column, hiA: org.apache.spark.sql.Column,
+             loB: org.apache.spark.sql.Column, hiB: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def norm16(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+               hi: org.apache.spark.sql.Column) =
+      when(hi === lo, lit(0L)).otherwise(
+        ((v.cast("double") - lo) / (hi - lo) * 65535.0).cast("long"))
+    def spread(x: org.apache.spark.sql.Column) = {
+      val s8 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s4 = s8.bitwiseOR(shiftleft(s8, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s2 = s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x33333333L))
+      s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(norm16(a, loA, hiA)).bitwiseOR(shiftleft(spread(norm16(b, loB, hiB)), 1))
+  }
+
+  /** Z-order clustered write: range-partition and sort by the
+    * interleaved z-value of two scan-predicate columns, so selective
+    * predicates on EITHER column (or a box on both) skip most files
+    * via parquet min/max stats. The column bounds come from one
+    * 1-row aggregate joined back as a broadcast — two scans total,
+    * no window, no driver-side data beyond the bounds row.
+    */
+  def zOrderedWrite(df: DataFrame, outDir: String, colA: String,
+                    colB: String, numFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).as("__loa"), max(col(colA)).as("__hia"),
+      min(col(colB)).as("__lob"), max(col(colB)).as("__hib"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zValue(col(colA), col(colB),
+        col("__loa"), col("__hia"), col("__lob"), col("__hib")))
+      .drop("__loa", "__hia", "__lob", "__hib")
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   def parquetFiles(dir: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)

@@ -55,4 +55,40 @@ class CompactionSpec extends SparkSpec {
     val violations = perFile.filter(col("prev").isNotNull && col("prev") > col("n_chars")).count()
     assert(violations == 0, s"$violations out-of-order rows within files")
   }
+
+  test("zOrderedWrite: files carry tight boxes in BOTH dimensions") {
+    import spark.implicits._
+    // a 64x64 grid: under a LINEAR sort by x, every file spans the
+    // full y range; under z-order both per-file ranges shrink
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val nFiles = 16
+    val zDir = tmp("zorder")
+    Compaction.zOrderedWrite(grid, zDir, "x", "y", nFiles)
+    val linDir = tmp("linear")
+    grid.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    def fileBoxes(dir: String) =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x").as("xlo"), max("x").as("xhi"),
+          min("y").as("ylo"), max("y").as("yhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // box predicate: x in [0,15] AND y in [0,15] (1/16 of the grid)
+    def touching(boxes: Seq[(Long, Long, Long, Long)]) =
+      boxes.count { case (xlo, xhi, ylo, yhi) =>
+        xlo <= 15 && xhi >= 0 && ylo <= 15 && yhi >= 0 }
+    val z = fileBoxes(zDir).toSeq
+    val lin = fileBoxes(linDir).toSeq
+    // linear layout: the box predicate's x-range covers 1/4 of the
+    // files, and each of those spans ALL y → no y pruning. Z-order
+    // must touch strictly fewer files than linear.
+    assert(touching(z) < touching(lin),
+      s"z-order touched ${touching(z)} files vs linear ${touching(lin)}")
+    // and every z file's box must not span the whole grid in both dims
+    assert(z.forall { case (xlo, xhi, ylo, yhi) =>
+      (xhi - xlo) < 63 || (yhi - ylo) < 63 },
+      "a z-ordered file spans the full range in both dimensions")
+  }
 }
