@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.Repurpose
 import graft.sources.{CsvIO, JsonlIO}
@@ -1517,6 +1517,42 @@ object SparkEntry {
           unix_micros(col("ts")) - unix_micros(col("__prev")) >= 3600L * 1000000)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy("event_id")
+    }),
+
+    // ---------------- data-quality audit ----------------
+    "q118_quality_audit" -> ((s, dir) => {
+      import Quality.RowCheck
+      val tt = t(s, dir)
+      // all lineitem row checks fuse into ONE scan+agg; same for orders
+      val li = Quality.rowChecks(tt.lineitem, Seq(
+        RowCheck("not_null", "l_quantity", col("l_quantity").isNotNull),
+        RowCheck("range", "l_quantity", col("l_quantity").between(1, 50)),
+        RowCheck("range", "l_discount", col("l_discount").between(0, 0.1)),
+        RowCheck("accepted", "l_returnflag", col("l_returnflag").isin("A", "N", "R"))))
+      val ord = Quality.rowChecks(tt.orders, Seq(
+        RowCheck("not_null", "o_custkey", col("o_custkey").isNotNull),
+        RowCheck("accepted", "o_orderstatus", col("o_orderstatus").isin("F", "O", "P"))))
+      val uniq = Quality.uniqueCheck(tt.orders, "unique", Seq("o_orderkey"))
+        .unionByName(Quality.uniqueCheck(tt.lineitem, "unique",
+          Seq("l_orderkey", "l_linenumber")))
+      val refs = Quality.refCheck(tt.lineitem, "l_orderkey",
+          tt.orders, "o_orderkey", "ref")
+        .unionByName(Quality.refCheck(tt.orders, "o_custkey",
+          tt.customer, "c_custkey", "ref"))
+      li.unionByName(ord).unionByName(uniq).unionByName(refs)
+        .orderBy("check_name", "subject")
+    }),
+
+    // ---------------- BFS shortest hops ----------------
+    "q119_bfs_hops" -> ((s, dir) => {
+      val pairs = t(s, dir).lineitem.select(
+          concat(lit("S"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("P"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = s.range(1).select(lit("S1").as("id"))
+      Bfs.shortestHops(edges, seeds, maxHops = 3)
+        .orderBy("hops", "id")
     })
   )
 
@@ -2614,6 +2650,62 @@ object SparkEntry {
          FROM events)
          SELECT event_id, user_id, event_type FROM l
          WHERE prev IS NULL OR tn - prev >= 3600000000000
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "q118_quality_audit" ->
+      """SELECT 'not_null' AS check_name, 'l_quantity' AS subject,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           count(*) AS total FROM lineitem
+         UNION ALL
+         SELECT 'range', 'l_quantity',
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT),
+           count(*) FROM lineitem
+         UNION ALL
+         SELECT 'range', 'l_discount',
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT),
+           count(*) FROM lineitem
+         UNION ALL
+         SELECT 'accepted', 'l_returnflag',
+           CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT),
+           count(*) FROM lineitem
+         UNION ALL
+         SELECT 'not_null', 'o_custkey',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(*) FROM orders
+         UNION ALL
+         SELECT 'accepted', 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT),
+           count(*) FROM orders
+         UNION ALL
+         SELECT 'unique', 'o_orderkey',
+           count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+         UNION ALL
+         SELECT 'unique', 'l_orderkey,l_linenumber',
+           count(*) - (SELECT count(*) FROM
+             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+           count(*) FROM lineitem
+         UNION ALL
+         SELECT 'ref', 'l_orderkey->o_orderkey',
+           (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+              ON l.l_orderkey = o.o_orderkey),
+           count(*) FROM lineitem
+         UNION ALL
+         SELECT 'ref', 'o_custkey->c_custkey',
+           (SELECT count(*) FROM orders x ANTI JOIN customer c
+              ON x.o_custkey = c.c_custkey),
+           count(*) FROM orders
+         ORDER BY check_name, subject""",
+    "q119_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         edges AS (SELECT src, dst FROM e0
+           UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         walk(id, d) AS (
+           SELECT 'S1' AS id, 0 AS d
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w
+           JOIN edges e ON e.src = w.id WHERE w.d < 3)
+         SELECT id, CAST(min(d) AS INT) AS hops FROM walk
+         GROUP BY id ORDER BY hops, id"""
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the constraint-validation pass a
+  * 100 TB ingest runs before publishing a snapshot (null fractions,
+  * value ranges, accepted values, key uniqueness, referential
+  * integrity). The reference validates implicitly (crashes on missing
+  * dict keys — SURVEY §2 P6); here the checks are first-class,
+  * composable, and return evidence counts instead of throwing.
+  *
+  * Every check emits one row: (check, subject, violations, total).
+  * Scale shape: row-level checks (null / range / accepted) are ONE
+  * partial-aggregable conditional-sum pass over the scan — multiple
+  * checks on the same relation fuse into a single `agg` (one job, one
+  * scan, no shuffle beyond the 1-row final agg). Uniqueness is one
+  * keyed count; referential integrity is one anti-join count with the
+  * parent side reduced to its distinct key first. Nothing
+  * driver-side except the 1-row results.
+  */
+object Quality {
+
+  /** A row-level predicate check: `violations` counts rows FAILING
+    * `ok` (null predicate result counts as a failure — null-hostile,
+    * like SQL constraint semantics).
+    */
+  final case class RowCheck(name: String, subject: String, ok: Column)
+
+  /** Run all row-level checks on `df` in ONE aggregation pass: the
+    * wide 1-row aggregate is exploded into long format in the same
+    * plan (a per-check union would replicate the aggregate subtree
+    * instead).
+    */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty)
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(coalesce(c.ok, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("check_name"), lit(c.subject).as("subject"),
+          col(s"__v$i").as("violations"), col("__n").as("total"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** Key-uniqueness check: `violations` = surplus rows beyond one per
+    * key (0 ⇔ key is unique). One keyed count — partial-aggregable.
+    */
+  def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"),
+        coalesce(sum(col("__n")), lit(0L)).as("total"))
+      .select(lit(name).as("check_name"), lit(keys.mkString(",")).as("subject"),
+        col("violations"), col("total"))
+
+  /** Referential-integrity check: `violations` = child rows whose key
+    * has no match in the parent (null child keys count as orphans,
+    * matching the anti-join). Parent reduces to distinct keys before
+    * the join — at scale a broadcast or bloom-prefiltered anti-join
+    * (`operators.Bloom`).
+    */
+  def refCheck(child: DataFrame, childKey: String, parent: DataFrame,
+               parentKey: String, name: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val total = child.agg(count(lit(1)).as("total"))
+    orphans.crossJoin(total)
+      .select(lit(name).as("check_name"),
+        lit(s"$childKey->$parentKey").as("subject"),
+        col("violations"), col("total"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bfs, Quality}
+
+/** Hand-computed cases for the data-quality audit and BFS operators. */
+class QualityBfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rowChecks: nulls, ranges, accepted values in one pass") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "A"), (2L, "B"), (null, "A"), (99L, "Z"))
+      .toDF("v", "flag")
+    val out = Quality.rowChecks(df, Seq(
+      Quality.RowCheck("not_null", "v", col("v").isNotNull),
+      Quality.RowCheck("range", "v", col("v").between(1, 10)),
+      Quality.RowCheck("accepted", "flag", col("flag").isin("A", "B"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // null v fails not_null AND range (null predicate = violation)
+    assert(out.toSeq == Seq(
+      ("not_null", "v", 1L, 4L), ("range", "v", 2L, 4L),
+      ("accepted", "flag", 1L, 4L)))
+  }
+
+  test("uniqueCheck counts surplus rows; refCheck counts orphans") {
+    val child = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "p")
+    val uniq = Quality.uniqueCheck(child, "unique", Seq("k")).collect()(0)
+    assert(uniq.getLong(2) == 1L && uniq.getLong(3) == 4L) // one surplus row of k=1
+    val parent = Seq(1L, 2L).toDF("k")
+    val ref = Quality.refCheck(child, "k", parent, "k", "ref").collect()(0)
+    assert(ref.getLong(2) == 1L && ref.getLong(3) == 4L) // k=3 orphaned
+  }
+
+  test("shortestHops: min distance wins, anti-join prevents relabeling") {
+    // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .map { case (s, d) => (s.toString, d.toString) }.toDF("src", "dst")
+    val seeds = Seq("1").toDF("id")
+    val out = Bfs.shortestHops(edges, seeds, maxHops = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(out == Map("1" -> 0, "2" -> 1, "3" -> 1, "4" -> 2))
+  }
+
+  test("shortestHops: maxHops bounds the expansion") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = Bfs.shortestHops(edges, Seq("a").toDF("id"), maxHops = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(out == Map("a" -> 0, "b" -> 1))
+  }
+}
