@@ -84,6 +84,38 @@ class PlanAuditSpec extends SparkSpec {
       "corpus-total join planned a cartesian product")
   }
 
+  test("q113 bloom probe broadcasts the word table, never cartesian") {
+    val plan = executedPlan(query("q113_bloom_prefilter"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom word table not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "bloom probe planned a cartesian product")
+  }
+
+  test("q115 edit join is an equi-join on the length bin, not nested-loop") {
+    val plan = executedPlan(query("q115_edit_neardups"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"edit-distance join planned a quadratic join:\n${plan.take(2000)}")
+  }
+
+  test("q111 resample fill plans join-free (grid union + keyed window)") {
+    // the forward fill is the as-of union encoding; only the grid-span
+    // aggregate touches a second relation and that is the same table
+    val plan = query("q111_resample").queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join"), s"resample fill fell back to a join:\n$plan")
+  }
+
+  test("q119 BFS rounds never plan a cartesian product") {
+    // note: 1-row literal SEED joins legitimately plan as
+    // BroadcastNestedLoopJoin (Catalyst even rewrites the first
+    // expansion into a pushed scan filter) — only a true cartesian
+    // over the edge relation is a regression
+    val plan = executedPlan(query("q119_bfs_hops"))
+    assert(!plan.contains("CartesianProduct"),
+      s"BFS planned a cartesian join:\n${plan.take(2000)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition spec
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
