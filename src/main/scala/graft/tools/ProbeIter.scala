@@ -20,7 +20,8 @@ object ProbeIter {
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- Seq("q100_pagerank", "q69_dup_clusters", "q90_neardup_prune")) {
+    for (name <- Seq("q100_pagerank", "q69_dup_clusters", "q90_neardup_prune",
+        "q119_bfs_hops")) {
       val fn = graft.SparkEntry.queries(name)
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()

@@ -70,7 +70,12 @@ object ProbeScaleRel {
       "q16_revenue_fallback", "q19_order_rank", "q21_sessions",
       "q22_candidate_parts", "q23_related_candidates", "q43_page2",
       "q46_top_terms", "q49_kg_disease_targets", "q56_mechanism_targets",
-      "q60_kg_drug_info", "q68_sequence_packing")
+      "q60_kg_drug_info", "q68_sequence_packing",
+      // round-3 additions over the star schema / events
+      "q109_funnel", "q110_cohort_retention", "q111_resample",
+      "q112_histogram", "q114_transitions", "q115_edit_neardups",
+      "q116_hopping", "q117_debounce", "q118_quality_audit",
+      "q119_bfs_hops")
 
     for ((dir, label) <- Seq((base, "warm"), (base, "sf0.1"), (big, "10x"))) {
       names.foreach { n =>

@@ -39,6 +39,19 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("funnelStagesWithin: a too-late stage falls outside the deadline") {
+    // user 1 clicks 50 s after view; user 2 clicks 200 s after view
+    val df = Seq(
+      (1L, ts(0), "view"), (1L, ts(50), "click"),
+      (2L, ts(0), "view"), (2L, ts(200), "click")).toDF("u", "t", "e")
+    val within = Funnel.funnelStagesWithin(df, col("u"), col("t"), col("e"),
+      Seq("view", "click"), maxGapSec = Some(100L)).collect()
+    assert(within.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    val unbounded = Funnel.funnelStages(df, col("u"), col("t"), col("e"),
+      Seq("view", "click")).collect()
+    assert(unbounded.map(_.getLong(2)).toSeq == Seq(2L, 2L))
+  }
+
   test("funnelStages: user counts are monotone non-increasing on real events") {
     val ev = Tables(spark, sfDir).events
     val users = Funnel.funnelStages(ev, col("user_id"), col("ts"),
