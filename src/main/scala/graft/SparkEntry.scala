@@ -1559,7 +1559,50 @@ object SparkEntry {
     "q120_funnel_windowed" -> ((s, dir) =>
       Funnel.funnelStagesWithin(t(s, dir).events, col("user_id"), col("ts"),
         col("event_type"), Seq("view", "click", "purchase"),
-        maxGapSec = Some(6L * 3600)))
+        maxGapSec = Some(6L * 3600))),
+
+    // ---------------- entity resolution capstone ----------------
+    "q121_entity_resolution" -> ((s, dir) => {
+      // fuzzy blocking (lossless length-binned edit join) → connected
+      // components → min-id canonical entity + its name: the
+      // record-linkage pipeline as a composition of three registered
+      // operators, oracle-checked end-to-end
+      val names = t(s, dir).part.filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))
+      val pairs = graft.operators.EditJoin
+        .editSimilarityJoin(names, "p_partkey", "p_name", 3)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.dupClusters(pairs)
+      names.join(labels, names("p_partkey") === labels("id"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("canonical_id"), col("p_partkey")).as("entity_id"))
+        .join(names.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .select(col("p_partkey"), col("entity_id"), col("canonical_name"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---------------- last-touch attribution ----------------
+    "q122_attribution" -> ((s, dir) => {
+      // each purchase attributes to the LAST click of the same user
+      // within 6 h (as-of backward join); older or absent clicks
+      // leave the purchase unattributed (null)
+      val ev = t(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      // unique (user, ts) click instants: max event_id wins a tie —
+      // the AsofJoin determinism contract
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsofJoin.asofBackward(purchases, clicks, "user_id",
+          "purchase_ts", "ts", Seq("ts", "click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          when(unix_micros(col("purchase_ts")) - unix_micros(col("asof_ts")) <=
+            6L * 3600 * 1000000, col("asof_click_id")).as("click_id"))
+        .orderBy("purchase_id")
+    })
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
@@ -2729,6 +2772,41 @@ object SparkEntry {
          SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM s1
          UNION ALL SELECT 2, 'click', count(*) FROM s2
          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
-         ORDER BY stage_idx"""
+         ORDER BY stage_idx""",
+    "q121_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+           SELECT p_partkey, p_name FROM part WHERE p_size = 1),
+         pairs AS (
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+           FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         labels AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id)
+         SELECT p.p_partkey,
+           coalesce(l.canonical_id, p.p_partkey) AS entity_id,
+           c.p_name AS canonical_name
+         FROM p LEFT JOIN labels l ON l.id = p.p_partkey
+         JOIN p c ON c.p_partkey = coalesce(l.canonical_id, p.p_partkey)
+         ORDER BY p.p_partkey""",
+    "q122_attribution" ->
+      """WITH pu AS (
+           SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+         cl AS (
+           SELECT user_id, ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.purchase_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_ns(p.purchase_ts) - epoch_ns(c.ts) <= 21600000000000
+                THEN c.click_id END AS click_id
+         FROM pu p ASOF LEFT JOIN cl c
+           ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+         ORDER BY p.purchase_id"""
   )
 }
