@@ -1602,7 +1602,21 @@ object SparkEntry {
           when(unix_micros(col("purchase_ts")) - unix_micros(col("asof_ts")) <=
             6L * 3600 * 1000000, col("asof_click_id")).as("click_id"))
         .orderBy("purchase_id")
-    })
+    }),
+
+    // ---------------- statistical aggregates: correlation / regression ----------------
+    "q123_correlation" -> ((s, dir) =>
+      // price-vs-quantity association per return flag — corr and the
+      // OLS slope, rounded to 4 decimals (both engines compute the
+      // same two-pass-free single-aggregation moments; 4 decimals
+      // absorbs the parallel-summation ulp drift)
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
@@ -2807,6 +2821,13 @@ object SparkEntry {
                 THEN c.click_id END AS click_id
          FROM pu p ASOF LEFT JOIN cl c
            ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
-         ORDER BY p.purchase_id"""
+         ORDER BY p.purchase_id""",
+    "q123_correlation" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
