@@ -58,6 +58,18 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_$tag"
   }
 
+  /** Shared jaccard-cluster label relation for the dedup family (q69
+    * reports it, q90 prunes with it): built once per input dir via the
+    * persisted-artifact path, so the expensive prefix-join + connected
+    * components runs a single time per corpus instead of once per
+    * consumer. Parameters are pinned here so every consumer sees the
+    * same relation.
+    */
+  private def jaccardLabels(s: SparkSession, dir: String): DataFrame =
+    Dedup.ensureClusterLabels(t(s, dir).documents, "doc_id", "text",
+      n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue,
+      fixturePath("jacclabels", dir, "documents"))
+
   private object SelfCheck {
     private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val FixtureDir = "/root/testdata/sf0.001"
@@ -881,9 +893,9 @@ object SparkEntry {
     "q69_dup_clusters" -> ((s, dir) => {
       // contracted CC: components over cluster representatives, labels
       // expanded to members — never materializes the O(m²) member-pair
-      // relation the oracle's recursive CTE walks
-      Dedup.jaccardClusters(t(s, dir).documents, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue).orderBy("id")
+      // relation the oracle's recursive CTE walks. Built once and
+      // persisted: q90 (corpus pruning) consumes the same relation.
+      jaccardLabels(s, dir).orderBy("id")
     }),
 
     // ---------------- KG client-api: target → pathways (J6) ----------------
@@ -1126,8 +1138,7 @@ object SparkEntry {
     // relation; pruning is one anti-join).
     "q90_neardup_prune" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val labels = Dedup.jaccardClusters(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+      val labels = jaccardLabels(s, dir)
       val drop = labels.filter(col("id") =!= col("canonical_id"))
         .select(col("id").as("doc_id"))
       docs.join(drop, Seq("doc_id"), "left_anti")

@@ -150,6 +150,28 @@ class DedupSpec extends SparkSpec {
         s"${(contracted.keySet diff expanded.keySet).take(5)}")
   }
 
+  test("ensureClusterLabels builds once, rereads after, and matches a fresh computation") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jacclabels_spec").toString + "/labels"
+    val fresh = Dedup.jaccardClusters(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    val built = Dedup.ensureClusterLabels(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, Long.MaxValue, path)
+      .as[(Long, Long)].collect().toMap
+    assert(built == fresh)
+    // second call serves the artifact without rebuilding: poison the
+    // persisted file's mtime marker by checking the _SUCCESS file is
+    // untouched (same mtime) after the call
+    val success = new java.io.File(path, "_SUCCESS")
+    val mtime = success.lastModified()
+    val reread = Dedup.ensureClusterLabels(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, Long.MaxValue, path)
+      .as[(Long, Long)].collect().toMap
+    assert(reread == fresh)
+    assert(success.lastModified() == mtime, "artifact was rebuilt on reread")
+  }
+
   test("dedupIncremental drops archived content and keeps batch-first") {
     val history = Seq((2L, "already seen text")).toDF("doc_id", "text")
     val batch = Seq(
