@@ -510,6 +510,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---------------- multimodal: real container decode ----------------
+    // The payloads are genuine BMP / WAV / concatenated-BMP binaries;
+    // the query parses them (magic, LE headers, row padding, RIFF
+    // chunk walk) and reports integer-exact stats over the DECODED
+    // pixels/samples. The oracle recomputes the same stats straight
+    // from the source byte stream — it matches only if encode→decode
+    // round-trips bit-exactly AND the stats are computed over the
+    // true decoded values.
+    "q124_media_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_units"), col("sum_a"), col("sum_b"), col("sum_c"))
+        .orderBy("media_id")
+    }),
+
     // ---------------- conditional agg / error rates ----------------
     "q38_error_rates" -> ((s, dir) => {
       t(s, dir).events.groupBy(col("user_id"))
@@ -1875,9 +1891,59 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(greatest(1, octet_length(encode(text)) // 64) AS INT) AS frame_count
+         CAST(CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 54 + 48 * greatest(1, octet_length(encode(text)) // 48)
+           WHEN 1 THEN 44 + 2 * greatest(1, octet_length(encode(text)) // 2)
+           ELSE 102 * greatest(1, octet_length(encode(text)) // 48)
+           END AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 2
+           THEN greatest(1, octet_length(encode(text)) // 48)
+           ELSE 1 END AS INT) AS frame_count
          FROM documents ORDER BY media_id""",
+    "q124_media_decode" ->
+      """WITH src AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len
+           FROM documents),
+         pxi AS (
+           SELECT doc_id, len, text,
+             unnest(range(1, least(len, 48 * greatest(1, len // 48)) + 1)) AS i
+           FROM src WHERE doc_id % 3 IN (0, 2)),
+         px AS (
+           SELECT doc_id, len, CAST(i AS INT) AS i,
+             unicode(substr(text, CAST(i AS INT), 1)) AS v
+           FROM pxi),
+         img AS (
+           SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+             CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 ELSE 4 END AS INT) AS width,
+             CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0
+               THEN greatest(1, len // 48) ELSE 4 END AS INT) AS height,
+             CAST(16 * greatest(1, len // 48) AS BIGINT) AS n_units,
+             CAST(coalesce(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END), 0) AS BIGINT) AS sum_a,
+             CAST(coalesce(sum(CASE WHEN (i - 1) % 3 = 1 THEN v END), 0) AS BIGINT) AS sum_b,
+             CAST(coalesce(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END), 0) AS BIGINT) AS sum_c
+           FROM px GROUP BY doc_id, len),
+         smpj AS (
+           SELECT doc_id, len, text,
+             unnest(range(0, greatest(1, len // 2))) AS j
+           FROM src WHERE doc_id % 3 = 1),
+         smp AS (
+           SELECT doc_id, len,
+             unicode(substr(text, CAST(2 * j + 1 AS INT), 1))
+               + 256 * unicode(substr(text, CAST(2 * j + 2 AS INT), 1))
+               - CASE WHEN unicode(substr(text, CAST(2 * j + 2 AS INT), 1)) >= 128
+                      THEN 65536 ELSE 0 END AS sv
+           FROM smpj),
+         aud AS (
+           SELECT doc_id AS media_id, 'audio' AS kind,
+             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             CAST(greatest(1, len // 2) AS BIGINT) AS n_units,
+             CAST(sum(sv) AS BIGINT) AS sum_a,
+             CAST(sum(abs(sv)) AS BIGINT) AS sum_b,
+             CAST(sum(CASE WHEN sv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_c
+           FROM smp GROUP BY doc_id, len)
+         SELECT * FROM img UNION ALL SELECT * FROM aud
+         ORDER BY media_id""",
     "q38_error_rates" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,

@@ -3,107 +3,231 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with
+import graft.functions.MediaCodec
+
+/** Multimodal-column operators: media as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`StubCodec`) — but everything
-  * Spark-side is real and tested: the schema, the binary column
-  * handling, the batch-shaped `mapPartitions` pipeline, and the
-  * feature-vector output that feeds Similarity.
+  * The payloads are REAL containers — BMP images, RIFF/WAVE PCM
+  * audio, concatenated-BMP video — encoded and decoded by the
+  * pure-JVM `MediaCodec` (magic numbers, little-endian headers, row
+  * padding, chunk walking). `decodeFeatures` genuinely parses the
+  * container and computes features over the decoded pixels/samples;
+  * nothing downstream sees the source text the fixtures derive from.
   *
   * At cluster scale the binary payloads dominate I/O; the design
   * keeps them in one column read straight off parquet (no
-  * row-explode), processes per-partition (amortizing codec init once
-  * per task, the same shape a Pandas-UDF/mapInPandas batch has), and
-  * emits only small fixed-width features downstream.
+  * row-explode), processes per-partition via typed `mapPartitions`
+  * (amortizing codec init once per task — the same shape a
+  * mapInPandas batch UDF has), and emits only small fixed-width
+  * features downstream. The feature stats are integer-exact sums, so
+  * they aggregate order-independently and oracle-compare exactly.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                       width: Int, height: Int)
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                           frame_count: Int, feature: Array[Float])
-
-  /** STUB codec — deterministic fake in place of a real image/audio
-    * decode (libs absent in this container). Real deployments swap
-    * `decode` for e.g. a JPEG decoder; the signature (bytes in,
-    * fixed-width float features out) is the contract.
+  /** Integer-exact decoded stats + a fixed-width float feature vector.
+    * Per kind: image → n_units = pixels, sum_a/b/c = R/G/B channel
+    * sums; audio → n_units = samples, sum_a = signed sum, sum_b =
+    * abs sum, sum_c = negative-sample count; video → totals across
+    * frames of the image stats.
     */
-  object StubCodec {
-    val FeatureDim = 8
-    /** ??? in spirit: a rolling byte hash folded into FeatureDim
-      * floats — stands in for decode+feature-extract.
-      */
-    def decode(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Long](FeatureDim)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % FeatureDim) = acc(i % FeatureDim) * 31 + (payload(i) & 0xff)
-        i += 1
-      }
-      acc.map(v => ((v & 0xffff).toFloat / 65535.0f))
-    }
-    /** Deterministic frame sampling: one "frame" per 64 bytes. */
-    def frameCount(payload: Array[Byte]): Int = math.max(1, payload.length / 64)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           frame_count: Int, width: Int, height: Int,
+                           n_units: Long, sum_a: Long, sum_b: Long,
+                           sum_c: Long, feature: Array[Float])
+  case class FrameRow(media_id: Long, frame_no: Int, width: Int,
+                      height: Int, frame: Array[Byte])
+
+  val FeatureDim = 8
+
+  /** Encoder source row (public: Spark's generated deserializer
+    * cannot access a private class).
+    */
+  case class DocSrc(doc_id: Long, text: String)
+
+  // fixture geometry: image = 16-wide rows of RGB triplets, audio =
+  // 8 kHz PCM16 from byte pairs, video = 4x4 frames of 48 bytes
+  private final val ImgW = 16
+  private final val FrameW = 4
+  private final val FrameH = 4
+  private final val FrameBytes = FrameW * FrameH * 3
+  private final val SampleRate = 8000
+
+  private def kindOf(id: Long): String = (id % 3) match {
+    case 0 => "image"; case 1 => "audio"; case _ => "video"
   }
 
-  /** Derive a media table from `documents` (text bytes as the opaque
-    * payload) — gives the plumbing a real distributed input.
+  /** Derive a media table from `documents`: the text bytes become the
+    * pixel/sample stream, ENCODED into a real container (BMP / WAV /
+    * concatenated-BMP). Gives the plumbing a distributed input whose
+    * payloads are genuinely parseable media files. Streams shorter
+    * than one image row-block / frame are zero-padded; longer streams
+    * truncate to whole pixels/samples/frames.
     */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      // deterministic kind assignment
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("n_chars") % 640 + 16).cast("int").as("width"),
-      (col("n_chars") % 480 + 16).cast("int").as("height"))
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[DocSrc].mapPartitions { it =>
+      it.map { d =>
+        val bytes = d.text.getBytes("UTF-8")
+        kindOf(d.doc_id) match {
+          case "image" =>
+            val h = math.max(1, bytes.length / (ImgW * 3))
+            val pix = java.util.Arrays.copyOf(bytes, ImgW * 3 * h)
+            MediaRow(d.doc_id, "image", MediaCodec.encodeBmp(ImgW, h, pix),
+              ImgW, h)
+          case "audio" =>
+            val n = math.max(1, bytes.length / 2)
+            val samples = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              val lo = if (2 * j < bytes.length) bytes(2 * j) & 0xff else 0
+              val hi = if (2 * j + 1 < bytes.length) bytes(2 * j + 1) & 0xff else 0
+              samples(j) = (lo | (hi << 8)).toShort
+              j += 1
+            }
+            MediaRow(d.doc_id, "audio", MediaCodec.encodeWav(SampleRate, samples),
+              0, 0)
+          case _ =>
+            val nf = math.max(1, bytes.length / FrameBytes)
+            val frames = (0 until nf).map { f =>
+              java.util.Arrays.copyOfRange(bytes, f * FrameBytes,
+                (f + 1) * FrameBytes) // copyOfRange zero-pads past the end
+            }
+            MediaRow(d.doc_id, "video",
+              MediaCodec.encodeBmpVideo(FrameW, FrameH, frames), FrameW, FrameH)
+        }
+      }
+    }.toDF()
+  }
 
-  /** Batch decode: one pass per partition, codec "initialized" once
-    * per task — the Scala analogue of a mapInPandas batch UDF.
+  /** Batch decode: one pass per partition — a real container parse
+    * per row (header validation, padding strip, chunk walk), then
+    * integer-exact stats over the decoded pixels/samples plus a
+    * fixed-width float feature vector for downstream similarity.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-task codec init would go here
       it.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          StubCodec.frameCount(r.payload), StubCodec.decode(r.payload))
+        r.kind match {
+          case "image" =>
+            val (w, h, rgb) = MediaCodec.decodeBmp(r.payload)
+            val (sr, sg, sb) = channelSums(rgb)
+            mk(r, 1, w, h, w.toLong * h, sr, sg, sb)
+          case "audio" =>
+            val (_, samples) = MediaCodec.decodeWav(r.payload)
+            var sum = 0L; var absSum = 0L; var neg = 0L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              sum += s; absSum += math.abs(s); if (s < 0) neg += 1
+              i += 1
+            }
+            mk(r, 1, 0, 0, samples.length.toLong, sum, absSum, neg)
+          case _ =>
+            val frames = MediaCodec.decodeBmpVideo(r.payload)
+            var sr = 0L; var sg = 0L; var sb = 0L; var units = 0L
+            frames.foreach { case (w, h, rgb) =>
+              val (a, b, c) = channelSums(rgb)
+              sr += a; sg += b; sb += c; units += w.toLong * h
+            }
+            val (w0, h0, _) = frames.head
+            mk(r, frames.length, w0, h0, units, sr, sg, sb)
+        }
       }
     }
   }
 
-  /** "Resize": deterministic stub for the image-resize step — real
-    * deployments decode → resample → re-encode; the plumbing contract
-    * is bytes-to-smaller-bytes with updated metadata. The stub keeps
-    * every `stride`-th byte (columnar expressions only; the payload
-    * never leaves the JVM row format).
+  private def channelSums(rgb: Array[Byte]): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < rgb.length) {
+      sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+      i += 3
+    }
+    (sr, sg, sb)
+  }
+
+  private def mk(r: MediaRow, frames: Int, w: Int, h: Int, units: Long,
+                 a: Long, b: Long, c: Long): MediaFeatures = {
+    val kindId = (r.media_id % 3).toFloat
+    val n = math.max(1L, units).toFloat
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, frames, w, h,
+      units, a, b, c,
+      Array(kindId, frames.toFloat, units.toFloat, a / n, b / n, c / n,
+        w.toFloat, h.toFloat))
+  }
+
+  /** Real nearest-neighbor downsample: decode, keep every `stride`-th
+    * pixel column/row (image, per video frame) or every `stride`-th
+    * sample with a proportionally reduced sample rate (audio), then
+    * re-encode. Bytes-to-smaller-bytes with updated metadata — the
+    * actual resize contract, not a byte-stride stub.
     */
   def resize(media: DataFrame, stride: Int = 4): DataFrame = {
     require(stride >= 1)
-    val hexed = hex(col("payload"))
-    // keep every stride-th byte = every stride-th hex PAIR
-    val kept = regexp_replace(hexed,
-      "(..)" + ("(..)" * (stride - 1)), "$1")
-    media
-      .withColumn("payload", unhex(kept))
-      .withColumn("width", greatest(lit(1), (col("width") / stride).cast("int")))
-      .withColumn("height", greatest(lit(1), (col("height") / stride).cast("int")))
+    val spark = media.sparkSession
+    import spark.implicits._
+    def shrinkRgb(w: Int, h: Int, rgb: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val nw = (w + stride - 1) / stride
+      val nh = (h + stride - 1) / stride
+      val out = new Array[Byte](nw * nh * 3)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val src = ((y * stride) * w + x * stride) * 3
+          val dst = (y * nw + x) * 3
+          out(dst) = rgb(src); out(dst + 1) = rgb(src + 1); out(dst + 2) = rgb(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      (nw, nh, out)
+    }
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        r.kind match {
+          case "image" =>
+            val (w, h, rgb) = MediaCodec.decodeBmp(r.payload)
+            val (nw, nh, small) = shrinkRgb(w, h, rgb)
+            MediaRow(r.media_id, r.kind, MediaCodec.encodeBmp(nw, nh, small), nw, nh)
+          case "audio" =>
+            val (sr, samples) = MediaCodec.decodeWav(r.payload)
+            val dec = Array.range(0, samples.length, stride).map(samples)
+            MediaRow(r.media_id, r.kind,
+              MediaCodec.encodeWav(math.max(1, sr / stride), dec), 0, 0)
+          case _ =>
+            val frames = MediaCodec.decodeBmpVideo(r.payload)
+            val shrunk = frames.map { case (w, h, rgb) => shrinkRgb(w, h, rgb) }
+            val (nw, nh, _) = shrunk.head
+            MediaRow(r.media_id, r.kind,
+              MediaCodec.encodeBmpVideo(nw, nh, shrunk.map(_._3)), nw, nh)
+        }
+      }
+    }.toDF()
   }
 
-  /** Frame sampling for video-kind payloads: one 64-byte "frame"
-    * every `everyN` frames, exploded to (media_id, frame_no, frame)
-    * rows — the shape a downstream vision featurizer consumes.
+  /** Frame sampling for video payloads: parse the concatenated-BMP
+    * container and keep every `everyN`-th frame, each re-emitted as a
+    * self-contained single-frame BMP — the shape a downstream vision
+    * featurizer consumes. Non-video rows are filtered out (they have
+    * no frame structure).
     */
-  def sampleFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+  def sampleFrames(media: DataFrame, everyN: Int = 2): Dataset[FrameRow] = {
     require(everyN >= 1)
-    val frameCount = greatest(lit(1), (length(col("payload")) / 64).cast("int"))
-    media
-      .withColumn("frame_no",
-        explode(sequence(lit(0), frameCount - 1, lit(everyN))))
-      .select(col("media_id"), col("kind"), col("frame_no"),
-        col("payload").substr(col("frame_no") * 64 + 1, lit(64)).as("frame"))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.decodeBmpVideo(r.payload).zipWithIndex.collect {
+          case ((w, h, rgb), i) if i % everyN == 0 =>
+            FrameRow(r.media_id, i, w, h, MediaCodec.encodeBmp(w, h, rgb))
+        }
+      }
+    }
   }
 }

@@ -54,13 +54,17 @@ class PipelineSpec extends SparkSpec {
     val cmp = media.select(col("media_id"), length(col("payload")).as("orig"))
       .join(resized.select(col("media_id"), length(col("payload")).as("small"),
         col("width")), "media_id")
-    // ~1/4 the bytes (+ up to stride-1 tail bytes kept whole), width shrunk
-    assert(cmp.filter(col("small") > col("orig") / 4 + 4).count() == 0)
-    assert(cmp.filter(col("width") < 1).count() == 0)
+    // payload shrinks (stride-4 keeps ~1/16 of image pixels, 1/4 of
+    // audio samples; fixed headers survive) and stays a valid container
+    assert(cmp.filter(col("small") >= col("orig")).count() == 0)
+    assert(cmp.filter(col("width") < 0).count() == 0)
+    val refeats = Multimodal.decodeFeatures(spark, resized)
+    assert(refeats.filter(col("n_units") < 1).count() == 0)
     val frames = Multimodal.sampleFrames(media, everyN = 2)
     assert(frames.count() > 0)
-    // every sampled frame is at most 64 bytes and frame_no is even
-    assert(frames.filter(length(col("frame")) > 64).count() == 0)
+    // every sampled frame is a self-contained 4x4 BMP, frame_no even
+    assert(frames.filter(length(col("frame")) =!=
+      graft.functions.MediaCodec.bmpSize(4, 4)).count() == 0)
     assert(frames.filter(col("frame_no") % 2 =!= 0).count() == 0)
   }
 
@@ -86,7 +90,7 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet"))
     val feats = Multimodal.decodeFeatures(spark, media)
     val rows = feats.orderBy("media_id").limit(5).collect()
-    assert(rows.forall(_.feature.length == Multimodal.StubCodec.FeatureDim))
+    assert(rows.forall(_.feature.length == Multimodal.FeatureDim))
     assert(rows.forall(r => r.frame_count >= 1 && r.n_bytes > 0))
     // deterministic across partitionings
     val a = feats.select("media_id", "n_bytes").orderBy("media_id").collect().toSeq
