@@ -329,10 +329,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---------------- text: language ID heuristic (no SQL twin) ----------------
-    // Self-check: the heuristic must carry real signal — accuracy vs
-    // the labeled lang column well above the 1-in-5 chance floor
-    // (measured ~0.41 on the synthetic corpus at every SF).
+    // ---------------- text: language ID heuristic ----------------
+    // Deterministic marker-token argmax — fully oracle-backed (the
+    // DuckDB twin mirrors the distinct-intersection scoring and the
+    // earlier-language tie-break as a cascading CASE). Self-check
+    // additionally asserts the heuristic carries real signal —
+    // accuracy vs the labeled lang column well above the 1-in-5
+    // chance floor (measured ~0.41 on the synthetic corpus).
     "q27_langid" -> ((s, dir) => {
       SelfCheck.once(s"q27/$dir") {
         val acc = t(s, dir).documents
@@ -1843,6 +1846,26 @@ object SparkEntry {
           AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
             / len(string_split(text,' ')) > 0.3) AS is_quality
          FROM documents ORDER BY doc_id""",
+    "q27_langid" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+             len(list_intersect(tk, ['the','a','and','of','to','in','is'])) AS s_en,
+             len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+             len(list_intersect(tk, ['el','la','los','las','es','una','que'])) AS s_es,
+             len(list_intersect(tk, ['le','la','les','et','est','une','dans'])) AS s_fr,
+             len(list_intersect(tk, ['的','了','是','我','不'])) AS s_zh
+           FROM toks)
+         SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
     "q28_fingerprints" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(regexp_replace(lower(text),
