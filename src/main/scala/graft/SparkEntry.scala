@@ -1637,20 +1637,21 @@ object SparkEntry {
     // ---------------- statistical aggregates: correlation / regression ----------------
     "q123_correlation" -> ((s, dir) =>
       // price-vs-quantity association per return flag — corr and the
-      // OLS slope, rounded to 4 decimals (both engines compute the
-      // same two-pass-free single-aggregation moments; 4 decimals
-      // absorbs the parallel-summation ulp drift)
+      // OLS slope, rounded to 3 decimals: these are genuine floating-
+      // point aggregates (Spark merges partial co-moments, DuckDB
+      // accumulates sequentially), so the comparison precision must
+      // leave the ulp-drift far from a rounding boundary
       t(s, dir).lineitem
         .groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3).as("slope"),
+          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"))
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
-    * Omitted: q27 (heuristic argmax), q31/q32 (sketches), q34/q36
+    * Omitted: q31/q32 (sketches), q34/q36
     * (ANN — approximation not SQL-reproducible), q40 (HLL), q83
     * (GK sketch).
     */
@@ -2754,7 +2755,7 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
          o AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM o0),
          sp AS (SELECT user_id,
-             (min(tsn) // 1000000000 + 86399) // 86400 * 86400 AS g0,
+             (min(tsn) + 86399999999999) // 86400000000000 * 86400 AS g0,
              max(tsn) // 1000000000 AS hi
            FROM o GROUP BY user_id),
          grid AS (SELECT user_id,
@@ -2924,9 +2925,9 @@ object SparkEntry {
          ORDER BY p.purchase_id""",
     "q123_correlation" ->
       """SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+           round(stddev_samp(l_quantity), 3) AS sd_qty,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )

@@ -49,33 +49,54 @@ object Bloom {
     * explodes its k positions — k small rows per probe row, matched
     * against an mBits/64-row build side; the verdict folds back with
     * one partial-aggregable min(). `mBits`/`k` must match `build`.
-    * Probe rows must be distinct (the fold-back groups by all probe
-    * columns); keyed relations — the only callers — always are.
+    *
+    * PRECONDITION: probe rows must be distinct — the fold-back groups
+    * by all probe columns, so duplicate rows collapse to one output
+    * row (keyed relations, the intended callers, always satisfy
+    * this). All working columns are `__bloom_`-prefixed and the bloom
+    * side is renamed before the join; a probe relation that itself
+    * contains a `__bloom_*` column is rejected rather than silently
+    * mis-grouped.
     */
   def mightContain(probe: DataFrame, key: Column, bloom: DataFrame,
                    mBits: Long, k: Int): DataFrame = {
     require(k >= 1 && k <= 16 && mBits >= 64)
     val m = ((mBits + 63) / 64) * 64
     val cols = probe.columns
+    require(!cols.exists(_.startsWith("__bloom_")),
+      s"probe columns collide with bloom working names: " +
+        cols.filter(_.startsWith("__bloom_")).mkString(","))
+    require(!cols.contains("might_contain"),
+      "probe already has a might_contain column")
     val positions = (0 until k).map(i =>
       pmod(xxhash64(key, lit(i)), lit(m)))
+    // bloom side renamed to the reserved prefix BEFORE the join, so a
+    // probe relation named word/word_idx joins cleanly
+    val b = bloom.select(col("word_idx").as("__bloom_widx"),
+      col("word").as("__bloom_word"))
     probe
-      .withColumn("__pos", explode(array(positions: _*)))
-      .withColumn("__widx", shiftrightunsigned(col("__pos"), 6))
-      .withColumn("__bit",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos & 63 AS INT))"))
-      .join(broadcast(bloom), col("__widx") === col("word_idx"), "left")
-      .withColumn("__hit",
-        coalesce(col("word").bitwiseAND(col("__bit")) =!= 0, lit(false)))
+      .withColumn("__bloom_pos", explode(array(positions: _*)))
+      .withColumn("__bloom_widx", shiftrightunsigned(col("__bloom_pos"), 6))
+      .withColumn("__bloom_bit",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__bloom_pos & 63 AS INT))"))
+      .join(broadcast(b), Seq("__bloom_widx"), "left")
+      .withColumn("__bloom_hit",
+        coalesce(col("__bloom_word").bitwiseAND(col("__bloom_bit")) =!= 0,
+          lit(false)))
       .groupBy(cols.map(col): _*)
-      .agg(min(col("__hit")).as("might_contain"))
+      .agg(min(col("__bloom_hit")).as("might_contain"))
   }
 
   /** The pre-filtered incremental dedup: rows of `batch` whose key
     * Bloom-misses the archive are definitely new and skip the exact
     * check; only might-contain rows anti-join the archive key set.
-    * Output ≡ plain anti-join (Bloom has no false negatives), cost =
-    * scan + broadcast probe + anti-join over the small survivor set.
+    * For a DISTINCT-row batch (the `mightContain` precondition, which
+    * this inherits) the output is set-equal to the plain anti-join —
+    * Bloom has no false negatives, so no new row is lost and no
+    * archived row survives. Duplicate batch rows would collapse via
+    * the probe's fold-back groupBy, so multiplicity is NOT preserved
+    * for non-distinct batches. Cost = scan + broadcast probe +
+    * anti-join over the small survivor set.
     */
   def prefilteredAntiJoin(batch: DataFrame, batchKey: String,
                           archiveKeys: DataFrame, archiveKey: String,

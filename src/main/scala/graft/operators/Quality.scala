@@ -34,8 +34,12 @@ object Quality {
     */
   def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty)
+    // coalesce each sum: over an EMPTY relation sum() is null, and a
+    // downstream getLong/threshold compare on the audit row would NPE
+    // (violations = 0 of total = 0 is the correct empty-input audit)
     val aggs = checks.zipWithIndex.map { case (c, i) =>
-      sum(when(coalesce(c.ok, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      coalesce(sum(when(coalesce(c.ok, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__v$i")
     } :+ count(lit(1)).as("__n")
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(checks.zipWithIndex.map { case (c, i) =>

@@ -24,22 +24,33 @@ object Resample {
     * the grid insensitive to which rows a filter keeps — two engines
     * computing the grid independently agree bit-for-bit.
     *
+    * The first grid point is the first step multiple at-or-after the
+    * key's TRUE first observation, computed in exact microsecond
+    * arithmetic — truncating to whole seconds first would let a
+    * sub-second first observation (e.g. 00:00:00.5 with a grid step
+    * landing on 00:00:00) produce a grid point BEFORE any
+    * observation, i.e. a null fill row that an inner as-of (the
+    * DuckDB `ASOF JOIN` shape) drops. With the exact bound, every
+    * grid point has an observation at-or-before it, so left and
+    * inner as-of agree and no null fill rows exist.
+    *
     * Output: (key, grid_ts, value-cols...) one row per grid point.
     */
   def resampleFillForward(obs: DataFrame, key: String, ts: String,
                           stepSec: Long, valueCols: Seq[String]): DataFrame = {
     require(stepSec > 0)
-    // long epoch-seconds math throughout: ceil/floor of integer
+    // exact long microsecond math throughout: ceil/floor of integer
     // division is exact, so grid endpoints are engine-independent
-    val sec = unix_timestamp(col(ts))
-    val spans = obs.select(col(key), sec.as("__s"))
+    val stepUs = stepSec * 1000000L
+    val spans = obs.select(col(key), unix_micros(col(ts)).as("__us"))
       .groupBy(col(key))
-      .agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+      .agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"))
       .select(col(key),
-        // first multiple of step >= lo, in pure long arithmetic
+        // first step multiple (in s) >= the exact first observation
         // (lo >= 0 for real timestamps): exact on any engine
-        (expr(s"(__lo + ${stepSec - 1}) div $stepSec") * stepSec).as("__g0"),
-        col("__hi"))
+        (expr(s"(__lo + ${stepUs - 1}) div $stepUs") * stepSec).as("__g0"),
+        // last step candidate: floor seconds of the exact max
+        expr("__hi div 1000000").as("__hi"))
       .filter(col("__g0") <= col("__hi"))
     val grid = spans
       .select(col(key),

@@ -125,6 +125,24 @@ class BehaviorOpsSpec extends SparkSpec {
       s"false-positive count $fp exceeds 5x theoretical bound")
   }
 
+  test("bloom probe tolerates word/word_idx probe columns, rejects __bloom_*") {
+    val inSet = Seq("a", "b").toDF("k")
+    val bloom = Bloom.build(inSet, col("k"), 1 << 10, 3)
+    // a probe relation that happens to carry the bloom table's own
+    // column names must join cleanly (bloom side renamed internally)
+    val probe = Seq(("a", 1L, 7L), ("z", 2L, 8L))
+      .toDF("k", "word_idx", "word")
+    val out = Bloom.mightContain(probe, col("k"), bloom, 1 << 10, 3)
+    assert(out.columns.toSeq == Seq("k", "word_idx", "word", "might_contain"))
+    val byKey = out.collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(byKey("a") && !byKey("z"))
+    // reserved working prefix is rejected, not silently mis-grouped
+    intercept[IllegalArgumentException] {
+      Bloom.mightContain(Seq(("a", 1L)).toDF("k", "__bloom_pos"),
+        col("k"), bloom, 1 << 10, 3)
+    }
+  }
+
   test("editSimilarityJoin equals the naive all-pairs join") {
     val names = Tables(spark, sfDir).part.limit(120)
       .select(col("p_partkey").as("id"), col("p_name").as("s"))

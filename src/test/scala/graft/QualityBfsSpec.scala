@@ -23,6 +23,16 @@ class QualityBfsSpec extends SparkSpec {
       ("accepted", "flag", 1L, 4L)))
   }
 
+  test("rowChecks on an empty relation reports 0 violations of 0 rows") {
+    val empty = Seq.empty[(java.lang.Long, String)].toDF("v", "flag")
+    val out = Quality.rowChecks(empty, Seq(
+      Quality.RowCheck("not_null", "v", col("v").isNotNull)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    // sum over zero rows must coalesce to 0, not null — a threshold
+    // compare on the audit row would otherwise NPE
+    assert(out.toSeq == Seq(("not_null", 0L, 0L)))
+  }
+
   test("uniqueCheck counts surplus rows; refCheck counts orphans") {
     val child = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "p")
     val uniq = Quality.uniqueCheck(child, "unique", Seq("k")).collect()(0)
