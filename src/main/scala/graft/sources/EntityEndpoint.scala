@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains}
 import org.apache.spark.sql.types._
@@ -33,7 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference sends in its GraphQL query string:
   *  - filters: equality / IN / string-contains (the `search` verb),
   *    via SupportsPushDownFilters;
-  *  - field selection, via SupportsPushDownRequiredColumns.
+  *  - field selection, via SupportsPushDownRequiredColumns;
+  *  - limit and order-by-score top-k (the endpoint's `size`/ranked
+  *    page shape, opentargets.schema:263-265,1047-1050), via
+  *    SupportsPushDownLimit / SupportsPushDownTopN: each page request
+  *    returns at most k rows (the per-page top-k by the pushed
+  *    ordering), and a plain limit with no filters also prunes the
+  *    page list itself — Spark keeps the global top, the transport
+  *    stops shipping rows that cannot survive it.
   * Each Spark input partition is ONE page, so page fetches
   * parallelize across executors instead of the reference's
   * one-request-per-second client loop.
@@ -93,9 +100,12 @@ private[sources] class EndpointTable(tableSchema: StructType, path: String, page
 private[sources] class EndpointScanBuilder(fullSchema: StructType, path: String,
                                            pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Int = -1
+  private var topN: Array[SortOrder] = Array.empty
 
   private def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: In | _: StringContains | _: IsNotNull => true
@@ -110,33 +120,69 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Plain limit: every page request caps its row count at the limit
+    * (partial push — Spark still takes the global first-N).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Ranked page: order-by + limit becomes per-page top-k, the
+    * endpoint's native "search results ordered by score, size=k"
+    * shape. Only top-level single-column orderings are accepted —
+    * anything else stays a Spark-side sort (partial push semantics
+    * keep the global TopN exact either way).
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val allSimple = orders.nonEmpty && orders.forall(_.expression() match {
+      case f: NamedReference => f.fieldNames().length == 1 &&
+        fullSchema.fieldNames.contains(f.fieldNames()(0))
+      case _ => false
+    })
+    if (allSimple) { topN = orders; limit = l; true } else false
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new EndpointScan(fullSchema, required, pushed, path, pageSize)
+    new EndpointScan(fullSchema, required, pushed, path, pageSize, limit, topN)
 }
 
 private[sources] class EndpointScan(fullSchema: StructType, required: StructType,
-                                    filters: Array[Filter], path: String, pageSize: Int)
+                                    filters: Array[Filter], path: String, pageSize: Int,
+                                    limit: Int, topN: Array[SortOrder])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"entity-endpoint path=$path pageSize=$pageSize " +
-      s"PushedFilters: [${filters.mkString(", ")}], ReadSchema: ${required.catalogString}"
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      (if (limit >= 0 && topN.isEmpty) s"PushedLimit: $limit, " else "") +
+      (if (topN.nonEmpty) s"PushedTopN: [${topN.mkString(", ")}] limit=$limit, "
+       else "") +
+      s"ReadSchema: ${required.catalogString}"
 
   /** One input partition per page per shard: the planner's analogue
     * of enumerating the cursor up front so every page request runs in
     * parallel (the reference walks them serially at 1 rps).
+    *
+    * A pushed plain limit with no server-side filters also prunes the
+    * page list: only the first ceil(limit/pageSize) pages of each
+    * shard can contribute to the global first-N (each shard still
+    * offers at least min(shardRows, limit) rows, so the global limit
+    * is never starved). With filters — or a top-k ordering — every
+    * page must be consulted, and only the per-page row cap applies.
     */
   override def planInputPartitions(): Array[InputPartition] =
     EntityEndpoint.listShards(path).flatMap { f =>
-      val n = EntityEndpoint.lineCount(f)
+      val n0 = EntityEndpoint.lineCount(f)
+      val n = if (limit >= 0 && filters.isEmpty && topN.isEmpty)
+        math.min(n0, limit.toLong) else n0
       (0L until n by pageSize.toLong).map { start =>
         EndpointPage(f, start, math.min(pageSize.toLong, n - start))
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EndpointReaderFactory(fullSchema, required, filters)
+    new EndpointReaderFactory(fullSchema, required, filters, limit, topN)
 }
 
 private[sources] case class EndpointPage(file: String, start: Long, len: Long)
@@ -144,20 +190,25 @@ private[sources] case class EndpointPage(file: String, start: Long, len: Long)
 
 private[sources] class EndpointReaderFactory(fullSchema: StructType,
                                              required: StructType,
-                                             filters: Array[Filter])
+                                             filters: Array[Filter],
+                                             limit: Int, topN: Array[SortOrder])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new EndpointPageReader(p.asInstanceOf[EndpointPage], fullSchema, required, filters)
+    new EndpointPageReader(p.asInstanceOf[EndpointPage], fullSchema, required,
+      filters, limit, topN)
 }
 
 /** Executes ONE page request: parses the page's rows, applies the
-  * pushed filters (the "server" executing the search), and emits only
-  * the pruned columns.
+  * pushed filters (the "server" executing the search), applies the
+  * pushed limit / per-page top-k (the server's ranked `size=k` page),
+  * and emits only the pruned columns.
   */
 private[sources] class EndpointPageReader(page: EndpointPage,
                                           fullSchema: StructType,
                                           required: StructType,
-                                          filters: Array[Filter])
+                                          filters: Array[Filter],
+                                          limit: Int,
+                                          topN: Array[SortOrder])
     extends PartitionReader[InternalRow] {
   // the file-transport stub addresses pages by line index, which caps
   // a shard at 2^31 lines; the HTTP transport pages by cursor and has
@@ -168,7 +219,6 @@ private[sources] class EndpointPageReader(page: EndpointPage,
   private val src = scala.io.Source.fromFile(page.file, "UTF-8")
   private val lines = src.getLines().filter(_.nonEmpty)
     .slice(page.start.toInt, (page.start + page.len).toInt)
-  private var current: InternalRow = _
 
   private def parse(node: JsonNode, f: StructField): Any = {
     val v = node.get(f.name)
@@ -193,18 +243,78 @@ private[sources] class EndpointPageReader(page: EndpointPage,
     case _                    => true
   }
 
+  private def toRow(full: Map[String, Any]): InternalRow =
+    InternalRow.fromSeq(required.fields.toSeq.map { f =>
+      full(f.name) match {
+        case null      => null
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }
+    })
+
+  /** Ordering over parsed row maps for the pushed top-k: single
+    * top-level columns, null ordering per the connector SortOrder.
+    * Comparing the parsed (pre-projection) values means the sort key
+    * need not survive column pruning.
+    */
+  private lazy val topNOrdering: Ordering[Map[String, Any]] = {
+    val comparators = topN.toSeq.map { so =>
+      val name = so.expression().asInstanceOf[NamedReference].fieldNames()(0)
+      val desc = so.direction() == SortDirection.DESCENDING
+      val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
+      (a: Map[String, Any], b: Map[String, Any]) => {
+        val (x, y) = (a.get(name).flatMap(Option(_)), b.get(name).flatMap(Option(_)))
+        val cmp = (x, y) match {
+          case (None, None)       => 0
+          case (None, _)          => if (nullsFirst) -1 else 1
+          case (_, None)          => if (nullsFirst) 1 else -1
+          case (Some(u), Some(v)) => (u, v) match {
+            case (u: Long, v: Long)       => java.lang.Long.compare(u, v)
+            case (u: Int, v: Int)         => java.lang.Integer.compare(u, v)
+            case (u: Double, v: Double)   => java.lang.Double.compare(u, v)
+            case (u: Boolean, v: Boolean) => java.lang.Boolean.compare(u, v)
+            case (u, v)                   => u.toString.compareTo(v.toString)
+          }
+        }
+        if (desc) -cmp else cmp
+      }
+    }
+    (a: Map[String, Any], b: Map[String, Any]) =>
+      comparators.iterator.map(_(a, b)).find(_ != 0).getOrElse(0)
+  }
+
+  /** With a pushed top-k: the "server" materializes this page's
+    * passing rows, sorts by the pushed ordering, and returns only the
+    * first k — the ranked-page response body. Spark's own global TopN
+    * (partial-push contract) merges the pages.
+    */
+  private lazy val topNRows: Iterator[InternalRow] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val full = fullSchema.fields.map(f => f.name -> parse(node, f)).toMap
+      if (passes(full)) buf += full
+    }
+    buf.sorted(topNOrdering).iterator.take(limit).map(toRow)
+  }
+
+  private var emitted = 0
+  private var current: InternalRow = _
+
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    if (topN.nonEmpty) {
+      if (!topNRows.hasNext) return false
+      current = topNRows.next()
+      emitted += 1
+      return true
+    }
     while (lines.hasNext) {
       val node = mapper.readTree(lines.next())
       val full = fullSchema.fields.map(f => f.name -> parse(node, f)).toMap
       if (passes(full)) {
-        current = InternalRow.fromSeq(required.fields.toSeq.map { f =>
-          full(f.name) match {
-            case null      => null
-            case s: String => UTF8String.fromString(s)
-            case other     => other
-          }
-        })
+        current = toRow(full)
+        emitted += 1
         return true
       }
     }

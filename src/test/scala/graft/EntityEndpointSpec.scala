@@ -51,6 +51,43 @@ class EntityEndpointSpec extends SparkSpec {
     assert(q.orderBy("p_partkey").as[(Long, String)].collect().toSeq == expected)
   }
 
+  test("plain limit pushes down and prunes the page list") {
+    val q = endpoint(pageSize = 100).limit(5)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedLimit: 5"), s"limit not pushed:\n$plan")
+    assert(q.count() == 5)
+    // with no filters the scan plans only the first page of each of
+    // the 2 shards instead of ~total/pageSize pages
+    assert(endpoint(pageSize = 100).limit(5).rdd.getNumPartitions <= 2)
+  }
+
+  test("order-by + limit pushes down as per-page top-k (ranked page shape)") {
+    val q = endpoint().orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(3)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedTopN:"), s"topN not pushed:\n$plan")
+    val viaEndpoint = q.as[(Long, String, String, Double)].collect().toSeq
+    val direct = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(viaEndpoint == direct)
+  }
+
+  test("top-k composes with a pushed search filter") {
+    val q = endpoint().filter(col("p_name").contains("red"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(4)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedTopN:") && plan.contains("StringContains"),
+      s"filter+topN not both pushed:\n$plan")
+    val direct = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .filter(col("p_name").contains("red"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(4)
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(q.as[(Long, String, String, Double)].collect().toSeq == direct)
+  }
+
   test("equality and IN filters evaluate server-side with residuals left to Spark") {
     val q = endpoint()
       .filter(col("p_brand") === "Brand#11" && col("p_retailprice") > 900.0)
