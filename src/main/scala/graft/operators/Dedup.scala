@@ -68,6 +68,17 @@ object Dedup {
 
   /** LSH banding: (band, bandHash) per signature slice. bands*rows
     * must equal k. Same-bucket pairs are the near-dup candidates.
+    *
+    * Hot-bucket skew: a boilerplate-heavy corpus puts thousands of
+    * documents in the SAME (band, bh) bucket, making the self-join
+    * key quadratically hot. The guards, in order: (1) contract exact
+    * duplicates before signatures where the pipeline allows (the
+    * jaccard path does — a boilerplate cluster becomes ONE node);
+    * (2) AQE skew-join splitting bounds max-task input at
+    * advisoryPartitionSizeInBytes by splitting the hot partition and
+    * replicating the matching side — verified by DedupSpec's
+    * adversarial hot-bucket case, which asserts the final adaptive
+    * plan shows SortMergeJoin(skew=true) with exact output.
     */
   def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, s"bands $bands must divide k $k")
@@ -157,7 +168,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
     * Hamming distance 3 shares at least one exact 16-bit band), then
-    * exact Hamming verification with bit_count(xor).
+    * exact Hamming verification with bit_count(xor). Hot-band skew is
+    * bounded the same way as [[minhashCandidates]] (AQE skew split;
+    * DedupSpec adversarial case covers this join too).
     */
   def simhashNearDups(docs: DataFrame, idName: String, textName: String,
                       maxHamming: Int = 3): DataFrame = {

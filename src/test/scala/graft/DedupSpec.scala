@@ -150,6 +150,61 @@ class DedupSpec extends SparkSpec {
         s"${(contracted.keySet diff expanded.keySet).take(5)}")
   }
 
+  test("hot LSH bucket: AQE skew-splits the banded self-join, results stay exact") {
+    // adversarial boilerplate corpus: 200 byte-identical docs land in
+    // the SAME (band, bh) bucket for every band — the worst-case key
+    // skew for the candidate self-join — plus planted distinct docs
+    val boiler = "shared boilerplate header that dominates this corpus entirely"
+    val hot = (0L until 800L).map(i => (i, boiler))
+    val rest = (10000L until 10040L).map(i => (i, s"unique document body number $i with its own words $i"))
+    val skewed = (hot ++ rest).toDF("doc_id", "text")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // scale AQE's skew thresholds down to fixture size (at 100 TB
+      // the defaults engage on the same shape) and force the
+      // sort-merge path a real corpus would take
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(skewed, col("doc_id"), col("text")))
+      // execute THIS DataFrame (count() would plan a separate query
+      // and leave cands' own adaptive plan unfinalized)
+      val n = cands.collect().length.toLong
+      // exact under skew: all C(800,2) boilerplate pairs survive
+      assert(n >= 799L * 800L / 2,
+        s"hot-bucket candidate pairs missing: $n")
+      // the executed (final adaptive) plan must show the skew split —
+      // max-task input is bounded by the advisory size, not the
+      // hot bucket's full m rows
+      val plan = cands.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not skew-split the banded join:\n$plan")
+      // same guarantee for the simhash band join: identical docs share
+      // all four 16-bit bands; output must still be the exact pair set
+      val sim = Dedup.simhashNearDups(skewed, "doc_id", "text")
+      val ns = sim.collect().count(_.getInt(2) == 0).toLong
+      assert(ns >= 799L * 800L / 2, s"simhash hot-bucket pairs missing: $ns")
+      val simPlan = sim.queryExecution.executedPlan.toString()
+      assert(simPlan.contains("skew=true"),
+        s"AQE did not skew-split the simhash band join:\n$simPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("ensureClusterLabels builds once, rereads after, and matches a fresh computation") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_jacclabels_spec").toString + "/labels"
