@@ -58,10 +58,19 @@ object ProbeScale3 {
 
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
-    // ts arrives as raw ns longs under nanosAsLong at BOTH scales;
-    // seconds-as-double is plenty for a perf probe
-    def ev(dir: String) = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("tsec", (col("ts") / lit(1e9)).cast("double"))
+    // ts is raw ns longs under nanosAsLong for the base tables, but a
+    // cached replica may have been written with converted timestamps
+    // (ProbeScaleRel) — handle both; seconds-as-double is plenty for
+    // a perf probe
+    def ev(dir: String) = {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsec = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") / lit(1e9)).cast("double")
+        case _ => col("ts").cast("double")
+      }
+      raw.withColumn("tsec", tsec)
+    }
 
     val passes =
       if (args.contains("10x-only")) Seq(base -> "warm", big -> "10x")
