@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   * spark.read.format("entity-endpoint")
-  *   .option("path", endpointDir)               // the "endpoint"
+  *   .option("path", endpointDir)               // JSONL-dir transport
+  *   // or .option("url", "http://host:port")   // HTTP transport
   *   .option("schema", "id BIGINT, name STRING") // the entity type
   *   .option("pageSize", "500")                  // rows per request
   *   .load()
@@ -45,12 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * parallelize across executors instead of the reference's
   * one-request-per-second client loop.
   *
-  * Transport: a JSONL directory stands in for HTTP (this container
-  * has zero egress). The planning, pushdown, and partitioning layers
-  * are transport-agnostic — a live client swaps
-  * [[EndpointPageReader]]'s line iterator for an HTTP cursor fetch
-  * and [[EndpointScan.planInputPartitions]]'s line count for the
-  * API's `count` field; nothing above them changes.
+  * Transports (see [[PageTransport]]):
+  *  - [[FileTransport]]: a JSONL directory; pages are line slices.
+  *  - [[HttpTransport]]: a live HTTP endpoint (java.net.http) with
+  *    `GET /shards` for cursor enumeration and `GET /page` carrying
+  *    start/len plus the pushed filters and row cap as query
+  *    parameters — the server executes the search and ships only
+  *    surviving rows. The reader re-verifies every pushed predicate
+  *    client-side, so a permissive server cannot corrupt results.
+  * The planning, pushdown, and partitioning layers are shared; the
+  * spec drives the HTTP path against an in-process server.
   */
 class EntityEndpoint extends TableProvider with DataSourceRegister {
   override def shortName(): String = "entity-endpoint"
@@ -61,11 +66,16 @@ class EntityEndpoint extends TableProvider with DataSourceRegister {
         "entity-endpoint requires a 'schema' option (DDL string)")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new EndpointTable(schema,
-      Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
-        "entity-endpoint requires a 'path' option")),
+                        properties: JMap[String, String]): Table = {
+    val transport = (Option(properties.get("url")), Option(properties.get("path"))) match {
+      case (Some(url), _) => HttpTransport(url)
+      case (None, Some(path)) => FileTransport(path)
+      case _ => throw new IllegalArgumentException(
+        "entity-endpoint requires a 'path' (JSONL dir) or 'url' (HTTP) option")
+    }
+    new EndpointTable(schema, transport,
       Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000))
+  }
 }
 
 object EntityEndpoint {
@@ -85,20 +95,128 @@ object EntityEndpoint {
     val src = scala.io.Source.fromFile(file, "UTF-8")
     try src.getLines().count(_.nonEmpty) finally src.close()
   }
+
+  /** Wire encoding of the pushed filters, shared by the HTTP client
+    * and any conforming server: a JSON array of {op, col, v | vs}.
+    */
+  def filtersToJson(filters: Array[Filter]): String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    filters.foreach {
+      case EqualTo(a, v) =>
+        val n = arr.addObject(); n.put("op", "eq"); n.put("col", a)
+        n.set("v", m.valueToTree[JsonNode](v)); ()
+      case In(a, vs) =>
+        val n = arr.addObject(); n.put("op", "in"); n.put("col", a)
+        n.set("vs", m.valueToTree[JsonNode](vs)); ()
+      case StringContains(a, v) =>
+        val n = arr.addObject(); n.put("op", "contains"); n.put("col", a)
+        n.put("v", v); ()
+      case IsNotNull(a) =>
+        val n = arr.addObject(); n.put("op", "notnull"); n.put("col", a); ()
+      case other => throw new IllegalArgumentException(
+        s"entity-endpoint: unsupported pushed filter $other")
+    }
+    m.writeValueAsString(arr)
+  }
 }
 
-private[sources] class EndpointTable(tableSchema: StructType, path: String, pageSize: Int)
+/** How shard metadata and page bodies reach the scan. Instances ship
+  * to executors inside input partitions, so they carry only small
+  * config (a path or URL) and build any connection state lazily.
+  */
+private[sources] sealed trait PageTransport extends Serializable {
+  /** (shardId, rowCount) pairs — the API's cursor enumeration. */
+  def shards(): Seq[(String, Long)]
+
+  /** One page request: the JSONL rows [start, start+len) of `shard`.
+    * Transports that can execute the pushed `filters` / `serverLimit`
+    * server-side ship only surviving rows; the reader re-verifies
+    * regardless, so this is purely a transfer-volume optimization.
+    */
+  def fetchPage(shard: String, start: Long, len: Long,
+                filters: Array[Filter], serverLimit: Int): Iterator[String]
+
+  def describe: String
+}
+
+/** JSONL-directory transport: pages are line slices of shard files. */
+private[sources] final case class FileTransport(path: String) extends PageTransport {
+  override def shards(): Seq[(String, Long)] =
+    EntityEndpoint.listShards(path).map(f => f -> EntityEndpoint.lineCount(f))
+
+  override def fetchPage(shard: String, start: Long, len: Long,
+                         filters: Array[Filter], serverLimit: Int): Iterator[String] = {
+    // line-index addressing caps a shard at 2^31 lines; the HTTP
+    // transport pages by cursor and has no such bound
+    require(start + len <= Int.MaxValue,
+      s"entity-endpoint file transport: shard $shard exceeds 2^31 lines")
+    val src = scala.io.Source.fromFile(shard, "UTF-8")
+    val slice = src.getLines().filter(_.nonEmpty)
+      .slice(start.toInt, (start + len).toInt).toList
+    src.close()
+    slice.iterator
+  }
+
+  override def describe: String = s"path=$path"
+}
+
+/** Live HTTP transport (java.net.http — JDK built-in):
+  *  - `GET {url}/shards` → lines of `shardId<TAB>rowCount`;
+  *  - `GET {url}/page?shard=&start=&len=&filters=&limit=` → JSONL
+  *    body of the page's surviving rows.
+  * The pushed filters ride along as a JSON query parameter
+  * ([[EntityEndpoint.filtersToJson]]) — the server executes the
+  * search, exactly the reference's GraphQL `search` verb. One
+  * HttpClient per JVM (transient lazy: rebuilt after serialization to
+  * an executor).
+  */
+private[sources] final case class HttpTransport(url: String) extends PageTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def get(uri: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"entity-endpoint HTTP ${resp.statusCode()} from $uri")
+    resp.body()
+  }
+
+  override def shards(): Seq[(String, Long)] =
+    get(s"$url/shards").split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(id, n) = line.split('\t')
+      id -> n.toLong
+    }
+
+  override def fetchPage(shard: String, start: Long, len: Long,
+                         filters: Array[Filter], serverLimit: Int): Iterator[String] = {
+    val enc = java.net.URLEncoder.encode(_: String, "UTF-8")
+    val fparam =
+      if (filters.isEmpty) ""
+      else s"&filters=${enc(EntityEndpoint.filtersToJson(filters))}"
+    val lparam = if (serverLimit >= 0) s"&limit=$serverLimit" else ""
+    get(s"$url/page?shard=${enc(shard)}&start=$start&len=$len$fparam$lparam")
+      .split('\n').iterator.filter(_.nonEmpty)
+  }
+
+  override def describe: String = s"url=$url"
+}
+
+private[sources] class EndpointTable(tableSchema: StructType,
+                                     transport: PageTransport, pageSize: Int)
     extends Table with SupportsRead {
-  override def name(): String = s"entity-endpoint($path)"
+  override def name(): String = s"entity-endpoint(${transport.describe})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EndpointScanBuilder(tableSchema, path, pageSize)
+    new EndpointScanBuilder(tableSchema, transport, pageSize)
 }
 
-private[sources] class EndpointScanBuilder(fullSchema: StructType, path: String,
-                                           pageSize: Int)
+private[sources] class EndpointScanBuilder(fullSchema: StructType,
+                                           transport: PageTransport, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -143,17 +261,18 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType, path: String,
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new EndpointScan(fullSchema, required, pushed, path, pageSize, limit, topN)
+    new EndpointScan(fullSchema, required, pushed, transport, pageSize, limit, topN)
 }
 
 private[sources] class EndpointScan(fullSchema: StructType, required: StructType,
-                                    filters: Array[Filter], path: String, pageSize: Int,
+                                    filters: Array[Filter],
+                                    transport: PageTransport, pageSize: Int,
                                     limit: Int, topN: Array[SortOrder])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"entity-endpoint path=$path pageSize=$pageSize " +
+    s"entity-endpoint ${transport.describe} pageSize=$pageSize " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       (if (limit >= 0 && topN.isEmpty) s"PushedLimit: $limit, " else "") +
       (if (topN.nonEmpty) s"PushedTopN: [${topN.mkString(", ")}] limit=$limit, "
@@ -172,53 +291,52 @@ private[sources] class EndpointScan(fullSchema: StructType, required: StructType
     * page must be consulted, and only the per-page row cap applies.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    EntityEndpoint.listShards(path).flatMap { f =>
-      val n0 = EntityEndpoint.lineCount(f)
+    transport.shards().flatMap { case (shard, n0) =>
       val n = if (limit >= 0 && filters.isEmpty && topN.isEmpty)
         math.min(n0, limit.toLong) else n0
       (0L until n by pageSize.toLong).map { start =>
-        EndpointPage(f, start, math.min(pageSize.toLong, n - start))
+        EndpointPage(shard, start, math.min(pageSize.toLong, n - start))
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EndpointReaderFactory(fullSchema, required, filters, limit, topN)
+    new EndpointReaderFactory(fullSchema, required, filters, transport, limit, topN)
 }
 
-private[sources] case class EndpointPage(file: String, start: Long, len: Long)
+private[sources] case class EndpointPage(shard: String, start: Long, len: Long)
     extends InputPartition
 
 private[sources] class EndpointReaderFactory(fullSchema: StructType,
                                              required: StructType,
                                              filters: Array[Filter],
+                                             transport: PageTransport,
                                              limit: Int, topN: Array[SortOrder])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EndpointPageReader(p.asInstanceOf[EndpointPage], fullSchema, required,
-      filters, limit, topN)
+      filters, transport, limit, topN)
 }
 
-/** Executes ONE page request: parses the page's rows, applies the
-  * pushed filters (the "server" executing the search), applies the
-  * pushed limit / per-page top-k (the server's ranked `size=k` page),
-  * and emits only the pruned columns.
+/** Executes ONE page request: fetches the page body through the
+  * transport (which may have filtered server-side), re-verifies the
+  * pushed filters (the client never trusts the server's filtering),
+  * applies the pushed limit / per-page top-k (the server's ranked
+  * `size=k` page), and emits only the pruned columns.
   */
 private[sources] class EndpointPageReader(page: EndpointPage,
                                           fullSchema: StructType,
                                           required: StructType,
                                           filters: Array[Filter],
+                                          transport: PageTransport,
                                           limit: Int,
                                           topN: Array[SortOrder])
     extends PartitionReader[InternalRow] {
-  // the file-transport stub addresses pages by line index, which caps
-  // a shard at 2^31 lines; the HTTP transport pages by cursor and has
-  // no such bound
-  require(page.start + page.len <= Int.MaxValue,
-    s"entity-endpoint file stub: shard ${page.file} exceeds 2^31 lines")
   private val mapper = new ObjectMapper()
-  private val src = scala.io.Source.fromFile(page.file, "UTF-8")
-  private val lines = src.getLines().filter(_.nonEmpty)
-    .slice(page.start.toInt, (page.start + page.len).toInt)
+  // a top-k page must see every passing row of the page, so the
+  // server-side cap only applies to the plain-limit shape
+  private val serverLimit = if (topN.isEmpty) limit else -1
+  private val lines =
+    transport.fetchPage(page.shard, page.start, page.len, filters, serverLimit)
 
   private def parse(node: JsonNode, f: StructField): Any = {
     val v = node.get(f.name)
@@ -322,5 +440,5 @@ private[sources] class EndpointPageReader(page: EndpointPage,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = ()
 }
