@@ -28,20 +28,34 @@ object Quantize {
   def int8Scale(vec: Column): Column =
     array_max(transform(dbl(vec), x => abs(x))) / lit(127.0)
 
-  /** Quantized int8 codes. */
-  def int8Codes(vec: Column): Column = {
-    val s = int8Scale(vec)
-    transform(dbl(vec), x =>
+  /** Quantized int8 codes. The scale rides in as a zip_with lambda
+    * variable (array_repeat evaluates it ONCE per row); referencing
+    * the array_max composite directly inside the element lambda would
+    * re-evaluate it per element — the SCALING.md HOF re-eval trap,
+    * O(dim²) per row.
+    */
+  def int8Codes(vec: Column): Column =
+    zip_with(dbl(vec), array_repeat(int8Scale(vec), size(vec)), (x, s) =>
       when(s > 0, floor(x / s + lit(0.5))).otherwise(lit(0.0)).cast("int"))
-  }
 
   /** Mean absolute reconstruction error |v - dequant(quant(v))| of one
-    * vector.
+    * vector. The scale is computed once per row by riding in the
+    * aggregate ACCUMULATOR (a lambda variable): referencing the
+    * array_max composite inside the per-element lambda re-evaluates
+    * it on every element — O(dim²) per row, measured 4.5 s → 0.6 s
+    * for the sf0.1 report when fixed.
     */
   def int8MeanError(vec: Column): Column = {
-    val s = int8Scale(vec)
-    val errSum = aggregate(dbl(vec), lit(0.0), (acc, x) =>
-      acc + when(s > 0, abs(x - floor(x / s + lit(0.5)) * s)).otherwise(lit(0.0)))
+    val errSum = aggregate(dbl(vec),
+      struct(int8Scale(vec).as("s"), lit(0.0).as("sum")),
+      (acc, x) => {
+        val s = acc.getField("s")
+        struct(s.as("s"),
+          (acc.getField("sum") +
+            when(s > 0, abs(x - floor(x / s + lit(0.5)) * s))
+              .otherwise(lit(0.0))).as("sum"))
+      },
+      acc => acc.getField("sum"))
     errSum / size(vec).cast("double")
   }
 

@@ -15,18 +15,19 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
+    val name = args.headOption.getOrElse("q56_mechanism_targets")
     def run(): Unit =
-      graft.SparkEntry.queries("q56_mechanism_targets")(spark, dir)
+      graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    val q = graft.SparkEntry.queries("q56_mechanism_targets")(spark, dir)
-    println("[probe] q56 plan:")
+    val q = graft.SparkEntry.queries(name)(spark, dir)
+    println(s"[probe] $name plan:")
     q.explain("formatted")
     run() // warm codegen
     (1 to 5).foreach { i =>
       val t0 = System.nanoTime()
       run()
-      println(f"[probe] q56 rep $i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[probe] $name rep $i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       System.gc(); Thread.sleep(200)
     }
     spark.stop()
