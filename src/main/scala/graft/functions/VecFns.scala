@@ -39,12 +39,16 @@ object VecFns {
     toCol(HyperplaneSig(toExpr(v), numBits, seed))
 
   /** L2-normalized copy of a vector (double elements); an all-zero
-    * vector stays all-zero instead of dividing by zero.
+    * vector stays all-zero instead of dividing by zero. The norm
+    * rides in as a zip_with lambda variable (array_repeat evaluates
+    * it ONCE per row): referencing the aggregate composite inside the
+    * element lambda would re-evaluate it per element — O(dim²) per
+    * row, the SCALING.md HOF re-eval trap.
     */
   def l2Normalize(a: Column): Column = {
     val d = a.cast("array<double>")
-    val n = normHof(a)
-    when(n > 0.0, transform(d, x => x / n)).otherwise(d)
+    zip_with(d, array_repeat(normHof(a), size(d)), (x, n) =>
+      when(n > 0.0, x / n).otherwise(x))
   }
 
   /** Matryoshka truncation: keep the first `dims` components and
