@@ -60,7 +60,13 @@ object PageRank {
     // ranks are themselves checkpointed, so nothing reachable still
     // references them.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val edgesDeg = edges.join(outdeg, "src").localCheckpoint(true)
+    // checkpoint AFTER repartitioning on the per-iteration join key:
+    // LocalCheckpoint preserves the physical partitioning, so every
+    // iteration's ranks⋈edges join shuffles only the (changing) ranks
+    // side — the static edge relation never re-exchanges. This is the
+    // local analogue of the bucketed edge table at cluster scale.
+    val edgesDeg = edges.join(outdeg, "src")
+      .repartition(col("src")).localCheckpoint(true)
     val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
     val base = nodes.crossJoin(nRow).localCheckpoint(true)
     var ranks = base.select(col("id"), expr(s"$scale DIV __n").as("rank"))
