@@ -35,7 +35,11 @@ object Bfs {
   def shortestHops(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // checkpoint pre-partitioned on src (the per-round join key):
+    // LocalCheckpoint preserves physical partitioning, so each round
+    // shuffles only the frontier side — the PageRank.ranks pattern
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     val retained = scala.collection.mutable.ListBuffer[DataFrame](e)
     var visited = sources.select(col("id")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
