@@ -429,9 +429,12 @@ object Dedup {
     // branches)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialized pre-partitioned on dst (the per-round join key):
+    // the cached relation's partitioning survives, so each propagation
+    // round shuffles only the label side — the PageRank/BFS pattern
     val edges = materialized(
       sym.unionByName(sym.select(col("src"), col("src").as("dst")))
-        .distinct())
+        .distinct().repartition(col("dst")))
     // Small-graph fast path: once the (contracted) edge relation fits
     // one task, a single-partition union-find beats the distributed
     // loop outright — each loop round costs two cluster-wide
