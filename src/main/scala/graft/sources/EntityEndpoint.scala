@@ -172,10 +172,12 @@ private[sources] final case class FileTransport(path: String) extends PageTransp
   * an executor).
   */
 private[sources] final case class HttpTransport(url: String) extends PageTransport {
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   private def get(uri: String): String = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      .timeout(java.time.Duration.ofSeconds(60))
       .GET().build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
