@@ -520,7 +520,11 @@ object SparkEntry {
     // pixels/samples. The oracle recomputes the same stats straight
     // from the source byte stream — it matches only if encode→decode
     // round-trips bit-exactly AND the stats are computed over the
-    // true decoded values.
+    // true decoded values. ORACLE PRECONDITION: the oracle indexes
+    // CHARACTERS (substr/unicode) while Spark encodes UTF-8 BYTES, so
+    // the differential check is valid only on ASCII corpora (the
+    // generated documents table is — verified octet_length==length at
+    // every SF). The Spark side itself is byte-correct for any input.
     "q124_media_decode" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
       Multimodal.decodeFeatures(s, media).toDF()

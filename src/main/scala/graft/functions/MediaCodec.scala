@@ -94,10 +94,18 @@ object MediaCodec {
     val rawH = u32(bytes, off + 22)
     val topDown = rawH < 0
     val height = math.abs(rawH)
+    // validate dims BEFORE any size arithmetic: a corrupt header must
+    // fail the reject-garbage contract cleanly, not via negative-array
+    // or Int-overflow-masked out-of-bounds errors
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"bad BMP dims ${width}x$rawH")
+    require(dataOff >= BmpHeaderSize && dataOff <= bytes.length - off,
+      s"bad BMP data offset $dataOff")
     require(u16(bytes, off + 28) == 24, "not 24-bpp")
     require(u32(bytes, off + 30) == 0, "compressed BMP unsupported")
     val rowSize = (width * 3 + 3) / 4 * 4
-    require(off + dataOff + rowSize * height <= bytes.length, "truncated BMP pixels")
+    require(off.toLong + dataOff.toLong + rowSize.toLong * height <= bytes.length,
+      "truncated BMP pixels")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -168,6 +176,11 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = new String(bytes.slice(off, off + 4), "US-ASCII")
       val size = u32(bytes, off + 4)
+      // a corrupt size field must fail cleanly: negative would walk the
+      // chunk list backwards (infinite loop), oversized would read past
+      // the buffer inside the fmt/data branches
+      require(size >= 0 && off + 8 + size.toLong <= bytes.length,
+        s"bad RIFF chunk size $size at offset $off")
       id match {
         case "fmt " =>
           require(u16(bytes, off + 8) == 1, "non-PCM WAV unsupported")
@@ -197,8 +210,17 @@ object MediaCodec {
     * each frame is a self-describing BMP.
     */
   def encodeBmpVideo(width: Int, height: Int,
-                     frames: Seq[Array[Byte]]): Array[Byte] =
-    frames.iterator.map(encodeBmp(width, height, _)).reduce(_ ++ _)
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "empty frame list")
+    // pre-sized single allocation: an iterator reduce(_ ++ _) would
+    // recopy the growing prefix per frame — O(F^2) for F frames
+    val frameSize = bmpSize(width, height)
+    val out = new Array[Byte](frameSize * frames.length)
+    frames.iterator.zipWithIndex.foreach { case (f, i) =>
+      System.arraycopy(encodeBmp(width, height, f), 0, out, i * frameSize, frameSize)
+    }
+    out
+  }
 
   /** Parse a concatenated-BMP stream into frames by walking each
     * frame's own fileSize field.

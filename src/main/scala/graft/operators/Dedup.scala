@@ -370,10 +370,14 @@ object Dedup {
                           n: Int, threshold: Double, maxShingleFreq: Long,
                           path: String): DataFrame = {
     val spark = docs.sparkSession
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // the caller's path tags the SOURCE data; the parameter tuple must
+    // also be part of the key, or tuning (n, threshold, ...) would
+    // silently serve labels computed under the old settings
+    val full = s"$path-n$n-t${(threshold * 1e6).toLong}-f$maxShingleFreq"
+    if (!new java.io.File(full, "_SUCCESS").exists())
       jaccardClusters(docs, idName, textName, n, threshold, maxShingleFreq)
-        .write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+        .write.mode("overwrite").parquet(full)
+    spark.read.parquet(full)
   }
 
   /** Benchmark-contamination check — the decontamination gate of a

@@ -152,10 +152,9 @@ private[sources] final case class FileTransport(path: String) extends PageTransp
     require(start + len <= Int.MaxValue,
       s"entity-endpoint file transport: shard $shard exceeds 2^31 lines")
     val src = scala.io.Source.fromFile(shard, "UTF-8")
-    val slice = src.getLines().filter(_.nonEmpty)
-      .slice(start.toInt, (start + len).toInt).toList
-    src.close()
-    slice.iterator
+    try src.getLines().filter(_.nonEmpty)
+      .slice(start.toInt, (start + len).toInt).toList.iterator
+    finally src.close()
   }
 
   override def describe: String = s"path=$path"
@@ -171,9 +170,19 @@ private[sources] final case class FileTransport(path: String) extends PageTransp
   * HttpClient per JVM (transient lazy: rebuilt after serialization to
   * an executor).
   */
+private[sources] object HttpTransport {
+  /** ONE client per JVM: the transport deserializes per task, and an
+    * HttpClient owns a selector thread + connection pool that cannot
+    * be closed before JDK 21 — per-task clients would leak threads
+    * and defeat keep-alive reuse across page fetches.
+    */
+  lazy val sharedClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+}
+
 private[sources] final case class HttpTransport(url: String) extends PageTransport {
-  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private def client = HttpTransport.sharedClient
 
   private def get(uri: String): String = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))

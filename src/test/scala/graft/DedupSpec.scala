@@ -151,9 +151,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("hot LSH bucket: AQE skew-splits the banded self-join, results stay exact") {
-    // adversarial boilerplate corpus: 200 byte-identical docs land in
+    // adversarial boilerplate corpus: 800 byte-identical docs land in
     // the SAME (band, bh) bucket for every band — the worst-case key
     // skew for the candidate self-join — plus planted distinct docs
+    // (the C(800,2) floors below must track this count)
     val boiler = "shared boilerplate header that dominates this corpus entirely"
     val hot = (0L until 800L).map(i => (i, boiler))
     val rest = (10000L until 10040L).map(i => (i, s"unique document body number $i with its own words $i"))
