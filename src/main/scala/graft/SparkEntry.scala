@@ -690,6 +690,35 @@ object SparkEntry {
     // ---------------- capstone: training-corpus prep pipeline ----------------
     // language gate → quality gate → exact-dedup keep-first → per-lang
     // corpus stats: the composed shape of a pretraining data-prep job
+    // ---------------- capstone: full training-corpus preparation ----------------
+    // The complete pre-training data flow in one relation: near-dup
+    // pruning via the SHARED cluster-label artifact (the q69/q90
+    // relation — built once, consumed here a third time), benchmark
+    // decontamination, benchmark-holdout removal, and quality gating,
+    // rolled up to the per-language token budget a mixing step would
+    // consume. Contamination is computed on the full corpus (a doc's
+    // contamination status is independent of dedup survival), so the
+    // drops compose as two anti-joins — each linear, keyed shuffles.
+    "q125_training_corpus" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val labels = jaccardLabels(s, dir)
+      val dupDrop = labels.filter(col("id") =!= col("canonical_id"))
+        .select(col("id").as("doc_id"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val contamDrop = Dedup.contamination(docs, bench, "doc_id", "text",
+          n = 3, minShared = 3)
+        .select(col("doc_id")).distinct()
+      docs.join(dupDrop, Seq("doc_id"), "left_anti")
+        .join(contamDrop, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .filter(TextFns.tokenCount(col("text")).between(10, 1000) &&
+          TextFns.distinctTokenRatio(col("text")) > 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     "q51_corpus_prep" -> ((s, dir) => {
       val docs = t(s, dir).documents
       val gated = docs
@@ -2246,6 +2275,52 @@ object SparkEntry {
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          SELECT id, min(lbl) AS canonical_id FROM reach
          GROUP BY id ORDER BY id""",
+    "q125_training_corpus" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         labels AS (SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+         dup_drop AS (SELECT id FROM labels WHERE id <> canonical_id),
+         bex AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 50 = 0),
+         contam AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT e.doc_id, b.bench_id
+             FROM ex e JOIN bex b ON e.g = b.g AND e.doc_id <> b.bench_id
+             GROUP BY 1, 2 HAVING count(*) >= 3)),
+         kept AS (
+           SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT id FROM dup_drop)
+             AND doc_id NOT IN (SELECT doc_id FROM contam)
+             AND doc_id % 50 <> 0
+             AND len(string_split(text,' ')) BETWEEN 10 AND 1000
+             AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / len(string_split(text,' ')) > 0.2)
+         SELECT lang, count(*) AS docs_kept,
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY lang ORDER BY lang""",
     "q68_sequence_packing" ->
       """WITH sized AS (
            SELECT doc_id, doc_id % 8 AS bucket,
