@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
@@ -1668,19 +1669,42 @@ object SparkEntry {
     }),
 
     // ---------------- statistical aggregates: correlation / regression ----------------
-    "q123_correlation" -> ((s, dir) =>
-      // price-vs-quantity association per return flag — corr and the
-      // OLS slope, rounded to 3 decimals: these are genuine floating-
-      // point aggregates (Spark merges partial co-moments, DuckDB
-      // accumulates sequentially), so the comparison precision must
-      // leave the ulp-drift far from a rounding boundary
-      t(s, dir).lineitem
+    "q123_correlation" -> ((s, dir) => {
+      // price-vs-quantity association per return flag — corr, the OLS
+      // slope, and stddev. Floating-point co-moment aggregates are NOT
+      // order-independent (Spark merges partials in parallel, DuckDB
+      // accumulates sequentially), so instead of corr()/regr_slope()
+      // we aggregate EXACT second moments: quantity is integral and
+      // extendedprice has exactly two decimals in this schema, so
+      // unit/cent-scaled integers summed as DECIMAL(38,0) are exact and
+      // order-independent in both engines. corr/slope/stddev are then a
+      // single scalar expression over identical exact sums, rounded
+      // once at output — the q84/q103 fixed-point convention applied to
+      // second moments. (corr is scale-invariant; the cent scaling only
+      // shows up as the /100 in the slope.)
+      val d = DecimalType(28, 0)
+      val m = t(s, dir).lineitem
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
         .groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qp"),
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3).as("slope"),
-          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d)).as("sx"),
+          sum(col("y").cast(d)).as("sy"),
+          sum((col("x") * col("y")).cast(d)).as("sxy"),
+          sum((col("x") * col("x")).cast(d)).as("sxx"),
+          sum((col("y") * col("y")).cast(d)).as("syy"))
+      val nD  = col("n").cast(DecimalType(20, 0))
+      val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+      val dxx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+      m.select(col("l_returnflag"),
+          round(num / sqrt(dxx * dyy), 3).as("corr_qp"),
+          round(num / dxx / lit(100d), 3).as("slope"),
+          round(sqrt(dxx / (nD * (nD - 1)).cast("double")), 3).as("sd_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    })
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
@@ -3003,11 +3027,27 @@ object SparkEntry {
            ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
          ORDER BY p.purchase_id""",
     "q123_correlation" ->
-      """SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
-           round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
-           round(stddev_samp(l_quantity), 3) AS sd_qty,
-           count(*) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(round(l_extendedprice*100) AS BIGINT)) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag, n,
+             CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+             CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+             CAST(n*syy - sy*sy AS DOUBLE) AS dyy
+           FROM m)
+         SELECT l_returnflag,
+           round(num / sqrt(dxx * dyy), 3) AS corr_qp,
+           round(num / dxx / 100, 3) AS slope,
+           round(sqrt(dxx / (CAST(n AS DOUBLE) * (n-1))), 3) AS sd_qty,
+           n
+         FROM d ORDER BY l_returnflag"""
   )
 }
