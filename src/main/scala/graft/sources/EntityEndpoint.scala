@@ -402,7 +402,13 @@ private[sources] class EndpointPageReader(page: EndpointPage,
             case (u: Int, v: Int)         => java.lang.Integer.compare(u, v)
             case (u: Double, v: Double)   => java.lang.Double.compare(u, v)
             case (u: Boolean, v: Boolean) => java.lang.Boolean.compare(u, v)
-            case (u, v)                   => u.toString.compareTo(v.toString)
+            // Spark's global TopN orders StringType by UTF8String BYTES
+            // (code-point order); java.lang.String.compareTo orders UTF-16
+            // code units, which disagrees for U+E000..U+FFFF vs
+            // supplementary characters. The page-local top-k must be a
+            // superset of the global top-k, so it must use the same order.
+            case (u, v) => UTF8String.fromString(u.toString)
+              .compareTo(UTF8String.fromString(v.toString))
           }
         }
         if (desc) -cmp else cmp

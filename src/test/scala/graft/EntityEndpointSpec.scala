@@ -88,6 +88,28 @@ class EntityEndpointSpec extends SparkSpec {
     assert(q.as[(Long, String, String, Double)].collect().toSeq == direct)
   }
 
+  test("pushed top-k on a string key uses UTF-8 byte order, not UTF-16 code units") {
+    // U+FFFD (BMP, UTF-16 code unit 0xFFFD, UTF-8 bytes EF BF BD) vs
+    // U+1F600 (supplementary, UTF-16 lead surrogate 0xD83D, UTF-8 bytes
+    // F0 9F 98 80): UTF-16 code-unit order puts the emoji FIRST
+    // (0xD83D < 0xFFFD) while Spark's UTF8String byte order puts it
+    // LAST (F0 > EF). A page-local top-k in UTF-16 order would drop
+    // U+FFFD from an ascending top-2 — the partial-pushdown superset
+    // contract demands byte order.
+    val dir = java.nio.file.Files.createTempDirectory("graft_endpoint_utf8").toString
+    Seq((1L, "�"), (2L, new String(Character.toChars(0x1F600))), (3L, "A"))
+      .toDF("id", "name").coalesce(1).write.mode("overwrite").json(dir)
+    val q = spark.read.format("entity-endpoint")
+      .option("path", dir)
+      .option("schema", "id BIGINT, name STRING")
+      .option("pageSize", "100")
+      .load()
+      .orderBy(col("name").asc, col("id").asc).limit(2)
+    assert(q.queryExecution.executedPlan.toString().contains("PushedTopN:"))
+    assert(q.as[(Long, String)].collect().toSeq.map(_._1) == Seq(3L, 1L),
+      "page-local top-k dropped the row that wins under UTF8 byte order")
+  }
+
   test("equality and IN filters evaluate server-side with residuals left to Spark") {
     val q = endpoint()
       .filter(col("p_brand") === "Brand#11" && col("p_retailprice") > 900.0)
