@@ -69,7 +69,19 @@ object SparkEntry {
   private def jaccardLabels(s: SparkSession, dir: String): DataFrame =
     Dedup.ensureClusterLabels(t(s, dir).documents, "doc_id", "text",
       n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue,
-      fixturePath("jacclabels", dir, "documents"))
+      fixturePath("jacclabels", dir, "documents"),
+      shingles = Some(sharedShingles(s, dir)))
+
+  /** Shared hashed-shingle relation (id, sh) for the n-gram family:
+    * q30's pair join, the q69/q90/q125 label build, and both
+    * decontamination consumers (q65, q125) all read ONE persisted
+    * shingling of the corpus instead of re-tokenizing it per query —
+    * the first checkpoint a 100 TB text pipeline would materialize.
+    * n is pinned to 3 here so every consumer shares the same artifact.
+    */
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.ensureShingleSets(t(s, dir).documents, "doc_id", "text",
+      n = 3, fixturePath("shingles", dir, "documents"))
 
   private object SelfCheck {
     private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -367,7 +379,8 @@ object SparkEntry {
     // ---------------- dedup: exact n-gram Jaccard pairs ----------------
     "q30_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue,
+        shingles = Some(sharedShingles(s, dir)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -527,7 +540,23 @@ object SparkEntry {
     // generated documents table is — verified octet_length==length at
     // every SF). The Spark side itself is byte-correct for any input.
     "q124_media_decode" -> ((s, dir) => {
-      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      val docs = t(s, dir).documents
+      // Assert the oracle's validity preconditions instead of assuming
+      // them: (a) ASCII — the oracle indexes characters, Spark bytes;
+      // (b) every doc is >= 2 bytes — an empty text yields no px/smp
+      // rows in the oracle (the doc would vanish from its result) and
+      // a 1-byte audio payload would read unicode('') = -1 into sum_b.
+      SelfCheck.once(s"q124/$dir") {
+        val r = docs.agg(
+          sum(when(octet_length(col("text")) =!= length(col("text")), 1)
+            .otherwise(0)).as("non_ascii"),
+          min(octet_length(col("text"))).as("min_bytes")).head()
+        require(r.getLong(0) == 0L,
+          "q124 oracle precondition violated: non-ASCII documents present")
+        require(r.getInt(1) >= 2,
+          s"q124 oracle precondition violated: min doc length ${r.get(1)} < 2 bytes")
+      }
+      val media = Multimodal.mediaFromDocuments(docs)
       Multimodal.decodeFeatures(s, media).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_units"), col("sum_a"), col("sum_b"), col("sum_c"))
@@ -706,8 +735,10 @@ object SparkEntry {
       val dupDrop = labels.filter(col("id") =!= col("canonical_id"))
         .select(col("id").as("doc_id"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
+      val sh = sharedShingles(s, dir)
       val contamDrop = Dedup.contamination(docs, bench, "doc_id", "text",
-          n = 3, minShared = 3)
+          n = 3, minShared = 3, docShingles = Some(sh),
+          benchShingles = Some(sh.filter(col("id") % 50 === 0)))
         .select(col("doc_id")).distinct()
       docs.join(dupDrop, Seq("doc_id"), "left_anti")
         .join(contamDrop, Seq("doc_id"), "left_anti")
@@ -892,7 +923,12 @@ object SparkEntry {
     "q65_contamination" -> ((s, dir) => {
       val docs = t(s, dir).documents
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      Dedup.contamination(docs, bench, "doc_id", "text", n = 3, minShared = 3)
+      // the benchmark is drawn from the corpus, so BOTH sides read the
+      // shared shingle artifact — the bench side is a filter over it
+      val sh = sharedShingles(s, dir)
+      Dedup.contamination(docs, bench, "doc_id", "text", n = 3, minShared = 3,
+        docShingles = Some(sh),
+        benchShingles = Some(sh.filter(col("id") % 50 === 0)))
         .orderBy("doc_id", "bench_id")
     }),
 

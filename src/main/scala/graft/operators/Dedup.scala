@@ -207,9 +207,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+                   maxShingleFreq: Long = Long.MaxValue,
+                   shingles: Option[DataFrame] = None): DataFrame = {
     val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
-      threshold, maxShingleFreq)
+      threshold, maxShingleFreq, shingles)
     // expand clusters back to member pairs
     val cross = repPairs
       .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
@@ -231,8 +232,8 @@ object Dedup {
     * cluster, which a crawl-scale corpus cannot afford to materialize.
     */
   private def jaccardRepPairs(docs: DataFrame, idName: String, textName: String,
-                              n: Int, threshold: Double,
-                              maxShingleFreq: Long): (DataFrame, DataFrame) = {
+                              n: Int, threshold: Double, maxShingleFreq: Long,
+                              shingles: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // The shingle-set relation feeds FOUR consumers (frequency table,
     // prefix ranking, and both verification sides); without
     // materialization Catalyst recomputes the shingling per
@@ -258,7 +259,8 @@ object Dedup {
     // IDENTICAL to the naive all-pairs join. Members derive via a
     // join, not collect_list — a boilerplate page with millions of
     // twins must not become one giant array on one reducer.
-    val shAll = materialized(hashedShingleSets(docs, idName, textName, n))
+    val shAll = materialized(
+      shingles.getOrElse(hashedShingleSets(docs, idName, textName, n)))
     val groups = shAll.groupBy(col("sh"))
       .agg(min(col("id")).as("rid"), count(lit(1)).as("gsize"))
     val members = shAll.select(col("id").as("mid"), col("sh"))
@@ -320,9 +322,10 @@ object Dedup {
     */
   def jaccardClusters(docs: DataFrame, idName: String, textName: String,
                       n: Int = 3, threshold: Double = 0.5,
-                      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+                      maxShingleFreq: Long = Long.MaxValue,
+                      shingles: Option[DataFrame] = None): DataFrame = {
     val (repPairs0, members0) = jaccardRepPairs(docs, idName, textName, n,
-      threshold, maxShingleFreq)
+      threshold, maxShingleFreq, shingles)
     // both relations feed two consumers below (and dupClusters
     // re-reads the pair relation when building its edge set): without
     // materialization the candidate+verification join — the expensive
@@ -368,15 +371,40 @@ object Dedup {
     */
   def ensureClusterLabels(docs: DataFrame, idName: String, textName: String,
                           n: Int, threshold: Double, maxShingleFreq: Long,
-                          path: String): DataFrame = {
+                          path: String,
+                          shingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     // the caller's path tags the SOURCE data; the parameter tuple must
     // also be part of the key, or tuning (n, threshold, ...) would
     // silently serve labels computed under the old settings
     val full = s"$path-n$n-t${(threshold * 1e6).toLong}-f$maxShingleFreq"
-    if (!new java.io.File(full, "_SUCCESS").exists())
-      jaccardClusters(docs, idName, textName, n, threshold, maxShingleFreq)
-        .write.mode("overwrite").parquet(full)
+    Artifact.ensure(full) { tmp =>
+      jaccardClusters(docs, idName, textName, n, threshold, maxShingleFreq,
+        shingles).write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(full)
+  }
+
+  /** Build-once persisted hashed-shingle relation `(id, sh)` — the
+    * shared INPUT of the whole n-gram family (jaccard pair/cluster
+    * builds, decontamination, the capstone corpus prep). Shingling is
+    * the family's dominant CPU stage and a pure function of
+    * (corpus, n), so it is the natural first checkpoint of a 100 TB
+    * pipeline: tokenize/shingle once when the corpus lands, then every
+    * downstream dedup/decontamination job is a parquet scan of the
+    * hash relation instead of a re-scan of the raw text. Keyed on the
+    * caller's source-tagged path + n (same contract as
+    * [[ensureClusterLabels]]); published atomically via
+    * [[Artifact.ensure]].
+    */
+  def ensureShingleSets(docs: DataFrame, idName: String, textName: String,
+                        n: Int, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val full = s"$path-n$n"
+    Artifact.ensure(full) { tmp =>
+      hashedShingleSets(docs, idName, textName, n)
+        .write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(full)
   }
 
@@ -390,16 +418,24 @@ object Dedup {
     */
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     idName: String, textName: String,
-                    n: Int = 3, minShared: Int = 2): DataFrame = {
-    def exploded(df: DataFrame, as: String) =
-      shingleSets(df, idName, textName, n)
+                    n: Int = 3, minShared: Int = 2,
+                    docShingles: Option[DataFrame] = None,
+                    benchShingles: Option[DataFrame] = None): DataFrame = {
+    // hashed shingles on BOTH sides (the join key must live in one
+    // domain): shared-shingle COUNTS are preserved under the injective-
+    // w.h.p. hash, so minShared semantics are unchanged — and a caller
+    // holding the persisted ensureShingleSets relation skips the
+    // re-shingle entirely (a benchmark drawn from the corpus is just a
+    // filter over the same artifact)
+    def exploded(df: DataFrame, pre: Option[DataFrame], as: String) =
+      pre.getOrElse(hashedShingleSets(df, idName, textName, n))
         .select(col("id").as(as), explode(col("sh")).as("g"))
     // no explicit broadcast hint: a FIXED benchmark (the usual case)
     // auto-broadcasts under AQE, while a benchmark that grows with
     // the corpus falls back to a shuffle join instead of blowing the
     // broadcast limit
-    exploded(docs, "doc_id_c")
-      .join(exploded(benchmark, "bench_id"), Seq("g"))
+    exploded(docs, docShingles, "doc_id_c")
+      .join(exploded(benchmark, benchShingles, "bench_id"), Seq("g"))
       .filter(col("doc_id_c") =!= col("bench_id"))
       .groupBy(col("doc_id_c"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -516,28 +552,6 @@ object Dedup {
     // than leaving one persisted relation per CC invocation behind
     edges.unpersist()
     labels
-  }
-
-  /** The distinct word-shingle set per document — the shared input of
-    * the Jaccard/MinHash family. Shingle-less docs drop out.
-    *
-    * The regex shingling is the CPU-heavy stage, so it must run at
-    * full parallelism: a small parquet input arrives as a handful of
-    * file splits (one, at test scale), which would serialize the
-    * whole scan on one core. If the input has fewer partitions than
-    * the cluster has slots, round-robin repartition first — at real
-    * corpus scale the input already has thousands of splits and this
-    * branch never fires.
-    */
-  private def shingleSets(docs: DataFrame, idName: String, textName: String,
-                          n: Int): DataFrame = {
-    val slots = docs.sparkSession.sparkContext.defaultParallelism
-    val balanced =
-      if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
-    balanced.select(
-      col(idName).as("id"),
-      array_distinct(TextFns.wordShinglesFast(col(textName), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
   }
 
   /** Per-doc sorted distinct 64-bit shingle hashes via the native

@@ -230,9 +230,14 @@ object Similarity {
     */
   def ensureIvfIndex(embeddings: DataFrame, idName: String, vecName: String,
                      nlist: Int, indexPath: String): Unit = {
-    def ok(p: String) = new java.io.File(p, "_SUCCESS").exists()
-    if (!ok(s"$indexPath/vectors") || !ok(s"$indexPath/centroids"))
-      buildIvfIndex(embeddings, idName, vecName, nlist, indexPath)
+    def ok(p: String) =
+      Artifact.complete(s"$p/vectors") && Artifact.complete(s"$p/centroids")
+    // both halves publish together: build under a temp root, rename
+    // the ROOT into place (Artifact.ensure), so a reader never sees
+    // vectors without the centroid sidecar
+    Artifact.ensure(indexPath, ok) { tmp =>
+      buildIvfIndex(embeddings, idName, vecName, nlist, tmp)
+    }
   }
 
   /** Query-time half: read the centroid sidecar (parameter-sized
