@@ -1734,10 +1734,14 @@ object SparkEntry {
       val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
       val dxx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
       val dyy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+      // `+ 0` normalizes IEEE signed zero (-0.0 + 0 = +0.0): Spark's
+      // Round (BigDecimal HALF_UP) drops the sign of a rounded-to-zero
+      // negative, DuckDB's multiply-divide round keeps it — same `+ 0`
+      // applied in the oracle SQL so both engines emit +0.0.
       m.select(col("l_returnflag"),
-          round(num / sqrt(dxx * dyy), 3).as("corr_qp"),
-          round(num / dxx / lit(100d), 3).as("slope"),
-          round(sqrt(dxx / (nD * (nD - 1)).cast("double")), 3).as("sd_qty"),
+          (round(num / sqrt(dxx * dyy), 3) + lit(0d)).as("corr_qp"),
+          (round(num / dxx / lit(100d), 3) + lit(0d)).as("slope"),
+          (round(sqrt(dxx / (nD * (nD - 1)).cast("double")), 3) + lit(0d)).as("sd_qty"),
           col("n"))
         .orderBy("l_returnflag")
     })
@@ -3080,9 +3084,9 @@ object SparkEntry {
              CAST(n*syy - sy*sy AS DOUBLE) AS dyy
            FROM m)
          SELECT l_returnflag,
-           round(num / sqrt(dxx * dyy), 3) AS corr_qp,
-           round(num / dxx / 100, 3) AS slope,
-           round(sqrt(dxx / (CAST(n AS DOUBLE) * (n-1))), 3) AS sd_qty,
+           round(num / sqrt(dxx * dyy), 3) + 0 AS corr_qp,
+           round(num / dxx / 100, 3) + 0 AS slope,
+           round(sqrt(dxx / (CAST(n AS DOUBLE) * (n-1))), 3) + 0 AS sd_qty,
            n
          FROM d ORDER BY l_returnflag"""
   )

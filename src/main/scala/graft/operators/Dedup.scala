@@ -566,8 +566,8 @@ object Dedup {
     * shingle CONSTRUCTION, not joining, dominated the whole jaccard
     * family's cost.
     */
-  private def hashedShingleSets(docs: DataFrame, idName: String,
-                                textName: String, n: Int): DataFrame = {
+  private[graft] def hashedShingleSets(docs: DataFrame, idName: String,
+                                       textName: String, n: Int): DataFrame = {
     val slots = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs

@@ -68,12 +68,24 @@ class PlanAuditSpec extends SparkSpec {
       s"range join planned a quadratic join:\n$plan")
   }
 
-  test("q30 dedup path runs the native shingle kernel, not the regex form") {
-    val plan = query("q30_jaccard_pairs").queryExecution.optimizedPlan.toString()
-    assert(plan.contains("shingle_hash64"),
-      s"jaccard no longer uses the one-pass shingle kernel:\n${plan.take(2000)}")
+  test("q30 dedup path scans the persisted shingle artifact; the kernel runs in the artifact build") {
+    // since the shared-shingle artifact landed, q30's own plan (by
+    // design) no longer shingles — it scans the persisted (id, sh)
+    // relation. The one-pass kernel must still be the thing that
+    // BUILDS that artifact, and neither side may regress to regex
+    // shingle construction.
+    val plan = executedPlan(query("q30_jaccard_pairs"))
+    assert(plan.contains("graft_shingles_"),
+      s"q30 no longer reads the persisted shingle artifact:\n${plan.take(2000)}")
     assert(!plan.contains("regexp_extract_all"),
       "jaccard regressed to regex shingle construction")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val build = graft.operators.Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+      .queryExecution.optimizedPlan.toString()
+    assert(build.contains("shingle_hash64"),
+      s"artifact build no longer uses the one-pass shingle kernel:\n${build.take(2000)}")
+    assert(!build.contains("regexp_extract_all"),
+      "artifact build regressed to regex shingle construction")
   }
 
   test("q84 corpus-total join broadcasts the 1-row side, never cartesian") {
