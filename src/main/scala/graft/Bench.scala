@@ -30,6 +30,13 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the release loop below intentionally unpersists locally-
+    // checkpointed RDDs (their lineage is truncated BY DESIGN — the
+    // result was already consumed), and RDD.unpersist WARNs about
+    // exactly that on every block, burying real warnings in the
+    // driver tail. Demote the RDD-class loggers for this harness.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup pass at the smallest scale factor: each query's
     // generated code compiles once (Janino + JIT), so the timed pass
     // below measures execution rather than cold codegen — standard

@@ -48,18 +48,39 @@ object Artifact {
     val lock = locks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
       if (isComplete(path)) return
+      // reclaim debris from dead builders (a hard-killed JVM never
+      // reaches the finally below, and each attempt uses a fresh UUID
+      // so nothing else would ever delete the old temp dirs). Only
+      // ever touched under this per-path lock or by dead processes,
+      // so the sweep is safe.
+      val parent = new File(path).getParentFile
+      val prefix = s"${new File(path).getName}.inprogress-"
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).foreach(deleteRecursively)
       val tmp = s"$path.inprogress-${UUID.randomUUID().toString.take(8)}"
       try {
         build(tmp)
-        try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        try publish(tmp, path)
         catch {
           // another process published first; ours is identical — drop it
           case (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException)
               if isComplete(path) => ()
+          // the destination exists but is INCOMPLETE (a crashed or
+          // pre-protocol writer left partial files, so no concurrent
+          // ensure can be mid-publish): replace the debris with our
+          // complete build — without this, every retry fails until
+          // someone deletes the directory by hand
+          case (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException)
+              if new File(path).exists() && !isComplete(path) =>
+            deleteRecursively(new File(path))
+            publish(tmp, path)
         }
       } finally deleteRecursively(new File(tmp))
     }
   }
+
+  private def publish(tmp: String, path: String): Unit =
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -204,6 +204,18 @@ object Dedup {
     * theorem. This is the property that keeps the operator viable at
     * corpus scale: shuffle volume follows prefix size, not document
     * frequency skew.
+    *
+    * CONTRACT for the optional `shingles` relation (here and on
+    * [[jaccardClusters]]/[[ensureClusterLabels]]/[[contamination]]):
+    * it must be exactly `hashedShingleSets(docs, idName, textName, n)`
+    * for the SAME corpus and the SAME `n` as this call — i.e. the
+    * relation [[ensureShingleSets]] persists under its `-n$n`-keyed
+    * path. The relation carries no n metadata, so a mismatched
+    * pre-built relation cannot be detected here and would silently
+    * produce (and, via ensureClusterLabels, persist) wrong results
+    * under a key claiming otherwise. Callers should thread ONE pinned
+    * n constant through both the ensureShingleSets build and every
+    * consumer (see SparkEntry.JaccardShingleN).
     */
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,

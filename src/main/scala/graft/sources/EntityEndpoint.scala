@@ -9,6 +9,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains}
 import org.apache.spark.sql.types._
@@ -41,7 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    returns at most k rows (the per-page top-k by the pushed
   *    ordering), and a plain limit with no filters also prunes the
   *    page list itself — Spark keeps the global top, the transport
-  *    stops shipping rows that cannot survive it.
+  *    stops shipping rows that cannot survive it;
+  *  - ungrouped COUNT(*), via SupportsPushDownAggregates: the
+  *    endpoint precomputes totals (opentargets.schema:14,959), so an
+  *    unfiltered count is answered from the cursor enumeration's
+  *    per-shard row counts with no page fetch at all, and a filtered
+  *    count ships one partial-count row per page instead of bodies.
   * Each Spark input partition is ONE page, so page fetches
   * parallelize across executors instead of the reference's
   * one-request-per-second client loop.
@@ -230,11 +236,13 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType,
                                            transport: PageTransport, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Int = -1
   private var topN: Array[SortOrder] = Array.empty
+  private var countPushed: Boolean = false
 
   private def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: In | _: StringContains | _: IsNotNull => true
@@ -271,8 +279,29 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType,
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Ungrouped COUNT(*) — the endpoint's precomputed `total` header
+    * (the reference's server returns row counts alongside every page
+    * list, opentargets.schema:14,959): with no filters the answer is
+    * the sum of the cursor enumeration's shard counts and NO page
+    * body is ever fetched; with pushed filters each page ships one
+    * partial count instead of its rows. Partial-push contract
+    * (supportCompletePushDown stays false): Spark sums the per-
+    * partition partials, so correctness never depends on the server.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = limit < 0 && topN.isEmpty &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
   override def build(): Scan =
-    new EndpointScan(fullSchema, required, pushed, transport, pageSize, limit, topN)
+    if (countPushed)
+      new EndpointCountScan(fullSchema, pushed, transport, pageSize)
+    else
+      new EndpointScan(fullSchema, required, pushed, transport, pageSize, limit, topN)
 }
 
 private[sources] class EndpointScan(fullSchema: StructType, required: StructType,
@@ -316,6 +345,92 @@ private[sources] class EndpointScan(fullSchema: StructType, required: StructType
 
 private[sources] case class EndpointPage(shard: String, start: Long, len: Long)
     extends InputPartition
+
+/** A header-derived partial count — no page body behind it. */
+private[sources] case class EndpointHeaderCount(n: Long) extends InputPartition
+
+/** COUNT(*) pushed into the endpoint. Unfiltered: one partition per
+  * shard carrying the header row count (zero page fetches — the
+  * cursor enumeration IS the answer). Filtered: one partition per
+  * page shipping a single partial-count row instead of the page body.
+  * Spark's final aggregate sums the partials (partial-push contract),
+  * and the filtered path re-verifies rows client-side exactly like
+  * the row scan — a lying server still cannot corrupt the count.
+  */
+private[sources] class EndpointCountScan(fullSchema: StructType,
+                                         filters: Array[Filter],
+                                         transport: PageTransport, pageSize: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"entity-endpoint ${transport.describe} " +
+      s"PushedAggregates: [COUNT(*)], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts: Array[InputPartition] =
+      if (filters.isEmpty)
+        transport.shards().map { case (_, n) =>
+          EndpointHeaderCount(n): InputPartition
+        }.toArray
+      else
+        transport.shards().flatMap { case (shard, n) =>
+          (0L until n by pageSize.toLong).map { start =>
+            EndpointPage(shard, start, math.min(pageSize.toLong, n - start))
+              : InputPartition
+          }
+        }.toArray
+    // never plan ZERO partitions: the final agg sums the partials, and
+    // a sum over no rows is NULL — an empty endpoint must still count 0
+    if (parts.isEmpty) Array(EndpointHeaderCount(0L)) else parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EndpointCountReaderFactory(fullSchema, filters, transport)
+}
+
+private[sources] class EndpointCountReaderFactory(fullSchema: StructType,
+                                                  filters: Array[Filter],
+                                                  transport: PageTransport)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case EndpointHeaderCount(n) => new SingleCountReader(n)
+      case page: EndpointPage =>
+        // parse + re-verify via the ordinary page reader (empty
+        // projection: only the filter columns are ever materialized),
+        // then collapse the surviving rows to one partial count
+        new CountingReader(new EndpointPageReader(page, fullSchema,
+          StructType(Nil), filters, transport, -1, Array.empty))
+    }
+}
+
+private[sources] class SingleCountReader(n: Long)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow = InternalRow(n)
+  override def close(): Unit = ()
+}
+
+private[sources] class CountingReader(inner: EndpointPageReader)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      var c = 0L
+      while (inner.next()) c += 1
+      current = InternalRow(c)
+      emitted = true
+      true
+    }
+  private var current: InternalRow = _
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
 
 private[sources] class EndpointReaderFactory(fullSchema: StructType,
                                              required: StructType,

@@ -1,0 +1,74 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Artifact
+
+/** Publish-once protocol: these tests need no SparkSession — a build
+  * is simulated by writing files (including the `_SUCCESS` marker
+  * Spark's committer would write) into the temp dir the protocol
+  * hands out.
+  */
+class ArtifactSpec extends AnyFunSuite {
+
+  private def freshPath(name: String): String = {
+    val dir = Files.createTempDirectory("artifact-spec").toFile
+    new File(dir, name).getAbsolutePath
+  }
+
+  private def fakeBuild(marker: String)(tmp: String): Unit = {
+    val d = new File(tmp)
+    require(d.mkdirs() || d.isDirectory)
+    Files.writeString(new File(d, "part-00000").toPath, marker)
+    Files.writeString(new File(d, "_SUCCESS").toPath, "")
+  }
+
+  private def read(path: String): String =
+    Files.readString(new File(path, "part-00000").toPath)
+
+  test("ensure builds once, publishes atomically, and later calls are no-ops") {
+    val path = freshPath("a")
+    var builds = 0
+    Artifact.ensure(path) { tmp => builds += 1; fakeBuild("v1")(tmp) }
+    assert(Artifact.complete(path) && read(path) == "v1")
+    Artifact.ensure(path) { tmp => builds += 1; fakeBuild("v2")(tmp) }
+    assert(builds == 1, "complete artifact was rebuilt")
+    assert(read(path) == "v1")
+  }
+
+  test("a stale INCOMPLETE destination is replaced, not a permanent wedge") {
+    // a crashed or pre-protocol writer left partial files without the
+    // completeness marker: ensure must self-heal (the atomic move onto
+    // a non-empty dir throws; the recovery path deletes the debris)
+    val path = freshPath("b")
+    val stale = new File(path)
+    require(stale.mkdirs())
+    Files.writeString(new File(stale, "part-00000").toPath, "partial")
+    assert(!Artifact.complete(path))
+    Artifact.ensure(path)(fakeBuild("good"))
+    assert(Artifact.complete(path) && read(path) == "good")
+  }
+
+  test("orphan .inprogress-* temp dirs from dead builders are reclaimed") {
+    val path = freshPath("c")
+    val orphan = new File(s"$path.inprogress-deadbeef")
+    require(orphan.mkdirs())
+    Files.writeString(new File(orphan, "part-00000").toPath, "zombie")
+    Artifact.ensure(path)(fakeBuild("live"))
+    assert(Artifact.complete(path) && read(path) == "live")
+    assert(!orphan.exists(), "orphan temp dir not swept")
+  }
+
+  test("concurrent in-process ensures build exactly once") {
+    val path = freshPath("d")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => Artifact.ensure(path) { tmp =>
+        builds.incrementAndGet(); fakeBuild("once")(tmp)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1 && Artifact.complete(path) && read(path) == "once")
+  }
+}

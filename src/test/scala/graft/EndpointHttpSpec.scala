@@ -157,6 +157,17 @@ class EndpointHttpSpec extends SparkSpec {
       s"server shipped ${servedRows.get()} rows for a limit-5 scan")
   }
 
+  test("pushed COUNT(*) reads only the cursor headers: zero rows cross the wire") {
+    val expected = parquetSide.count()
+    servedRows.set(0)
+    val got = endpointHttp(pageSize = 100).groupBy().count().as[Long].head()
+    assert(got == expected)
+    // the /shards enumeration already carries the per-shard totals —
+    // no /page request is ever issued
+    assert(servedRows.get() == 0L,
+      s"count(*) pulled ${servedRows.get()} rows over the wire")
+  }
+
   test("HTTP top-k equals the parquet ranked result") {
     val expected = parquetSide
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)

@@ -110,6 +110,46 @@ class EntityEndpointSpec extends SparkSpec {
       "page-local top-k dropped the row that wins under UTF8 byte order")
   }
 
+  test("ungrouped COUNT(*) pushes down and is answered from page headers") {
+    val q = endpoint(pageSize = 100).groupBy().count()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"),
+      s"count not pushed:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet").count()
+    assert(q.as[Long].collect().toSeq == Seq(expected))
+    // unfiltered: ONE partial per shard (2 shard files), not per page —
+    // the cursor enumeration's row counts are the whole answer
+    val scan = endpoint(pageSize = 10).groupBy().count()
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.get
+    val parts = scan.toBatch.planInputPartitions().length
+    assert(parts <= 2,
+      s"unfiltered count planned $parts partitions (expected <= 2 shard headers)")
+  }
+
+  test("COUNT(*) over a pushed filter ships partial counts, not rows") {
+    val q = endpoint().filter(col("p_name").contains("red")).groupBy().count()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [COUNT(*)]") &&
+      plan.contains("StringContains"),
+      s"filtered count not pushed:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_name").contains("red")).count()
+    assert(q.as[Long].collect().toSeq == Seq(expected))
+  }
+
+  test("COUNT(*) does not push past a residual (non-pushable) filter") {
+    val q = endpoint().filter(col("p_retailprice") > 900.0).groupBy().count()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("PushedAggregates"),
+      s"count pushed despite residual filter:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_retailprice") > 900.0).count()
+    assert(q.as[Long].collect().toSeq == Seq(expected))
+  }
+
   test("equality and IN filters evaluate server-side with residuals left to Spark") {
     val q = endpoint()
       .filter(col("p_brand") === "Brand#11" && col("p_retailprice") > 900.0)
