@@ -9,7 +9,7 @@ import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
 import graft.operators.{AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
-import graft.pipelines.Repurpose
+import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1769,7 +1769,16 @@ object SparkEntry {
           (round(sqrt(dxx / (nD * (nD - 1)).cast("double")), 3) + lit(0d)).as("sd_qty"),
           col("n"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // ---------------- checkpoint-resume lifecycle: x2.2 reload branch ----------------
+    // The last reference LIFECYCLE: phase 1 checkpoints its hand-off
+    // relations to CSV once per corpus; every execution of this query
+    // is the reload branch — resume from the CSV checkpoints (S6/S7)
+    // and run the phase-2 fan-outs + target merge (x2.2.py:249-341).
+    // Same star-schema mapping as q22/q23.
+    "q126_resume_phase2" -> ((s, dir) =>
+      Checkpointed.phase2(s, dir, fixturePath("x2ckpt", dir, "lineitem")))
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
@@ -3114,6 +3123,41 @@ object SparkEntry {
            round(num / dxx / 100, 3) + 0 AS slope,
            round(sqrt(dxx / (CAST(n AS DOUBLE) * (n-1))), 3) + 0 AS sd_qty,
            n
-         FROM d ORDER BY l_returnflag"""
+         FROM d ORDER BY l_returnflag""",
+    "q126_resume_phase2" ->
+      """WITH facts AS (
+           SELECT l_partkey, l_suppkey, o_custkey,
+             (c_mktsegment = 'BUILDING') AS is_main,
+             max(CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END) AS any_hi
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2, 3, 4),
+         main_targets AS (
+           SELECT DISTINCT l_partkey FROM facts WHERE is_main AND any_hi = 1),
+         related_customers AS (
+           SELECT DISTINCT o_custkey FROM facts
+           WHERE NOT is_main
+             AND l_partkey IN (SELECT l_partkey FROM main_targets)),
+         related_lines AS (
+           SELECT * FROM facts WHERE NOT is_main
+             AND o_custkey IN (SELECT o_custkey FROM related_customers)),
+         candidates AS (
+           SELECT DISTINCT l_partkey FROM related_lines
+           EXCEPT
+           SELECT DISTINCT l_partkey FROM facts WHERE is_main),
+         pf AS (
+           SELECT DISTINCT l.l_partkey, l.l_suppkey, o.o_custkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         rdt AS (
+           SELECT DISTINCT o_custkey AS disease_id, l_suppkey AS target_id
+           FROM pf
+           WHERE o_custkey IN (SELECT o_custkey FROM related_customers)),
+         cdt AS (
+           SELECT DISTINCT l_partkey AS drug_id, l_suppkey AS target_id
+           FROM pf
+           WHERE l_partkey IN (SELECT l_partkey FROM candidates))
+         SELECT r.target_id, r.disease_id, c.drug_id
+         FROM rdt r JOIN cdt c ON r.target_id = c.target_id
+         ORDER BY r.target_id, r.disease_id, c.drug_id"""
   )
 }

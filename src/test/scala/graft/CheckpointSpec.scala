@@ -54,4 +54,26 @@ class CheckpointSpec extends SparkSpec {
       assert(new java.io.File(Checkpointed.stepPath(dir, stepName)).exists(), stepName)
     }
   }
+
+  test("phase 2 resumes from the CSV checkpoints, not phase-1 lineage") {
+    // sf0.01: the sf0.001 fixture yields ZERO candidate parts (the
+    // anti-join is legitimately empty), which would vacuously pass
+    val dataDir = "/root/testdata/sf0.01"
+    val dir = Files.createTempDirectory("graft_ckpt_p2").toString
+    val first = Checkpointed.phase2(spark, dataDir, dir)
+    val rows = first.collect().toSeq
+    assert(rows.nonEmpty)
+    // the CSV hand-off artifacts were published (reference to_csv)
+    assert(new java.io.File(s"$dir/s3_related_customers_csv/_SUCCESS").exists())
+    assert(new java.io.File(s"$dir/s5_candidates_csv/_SUCCESS").exists())
+    // a SECOND run is the pure reload branch: its plan reads the CSV
+    // checkpoints and never touches the customer table — the segment
+    // predicate only ever entered through phase 1
+    val reloaded = Checkpointed.phase2(spark, dataDir, dir)
+    val plan = reloaded.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("csv"), s"reload branch does not scan CSV:\n${plan.take(2000)}")
+    assert(!plan.contains("customer"),
+      s"reload branch recomputed phase 1 (scans customer):\n${plan.take(2000)}")
+    assert(reloaded.collect().toSeq == rows)
+  }
 }
