@@ -65,4 +65,23 @@ class PageRankSpec extends SparkSpec {
     val b = PageRank.ranks(df.repartition(13, col("dst")), 4).orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("graph artifact: builds once, reruns never touch the raw edges, ranks identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pr_art").toString + "/g"
+    val edges = (0 until 40).flatMap(i =>
+      Seq((s"a$i", s"a${(i * 3) % 40}"), (s"a${(i * 11) % 40}", s"a$i"))).distinct
+      .toDF("src", "dst")
+    val (e1, _) = PageRank.ensureGraph(spark, path, edges)
+    assert(e1.queryExecution.optimizedPlan.toString().toLowerCase.contains("parquet"),
+      "ensureGraph did not hand back the persisted relation")
+    // the by-name edges must NOT be evaluated once the artifact exists
+    var rebuilt = false
+    PageRank.ensureGraph(spark, path, { rebuilt = true; edges })
+    assert(!rebuilt, "a rerun re-derived the statics instead of reading the artifact")
+    // and the artifact-backed ranks equal the direct computation
+    val viaArtifact = PageRank.ranksFromArtifact(spark, path, edges, 3)
+      .orderBy("id").collect().toSeq
+    val direct = PageRank.ranks(edges, 3).orderBy("id").collect().toSeq
+    assert(viaArtifact == direct)
+  }
 }
