@@ -87,6 +87,13 @@ object SparkEntry {
     */
   private val JaccardShingleN = 3
 
+  /** KG whose association edges read the per-corpus persisted index
+    * (the reference server's own shape: scores are precomputed by an
+    * ETL, the API scans them) — shared by every KG query.
+    */
+  private def kgIndexed(s: SparkSession, dir: String): KnowledgeGraph =
+    KnowledgeGraph(s, dir, fixturePath("kgidx", dir, "lineitem"))
+
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Dedup.ensureShingleSets(t(s, dir).documents, "doc_id", "text",
       n = JaccardShingleN, fixturePath("shingles", dir, "documents"))
@@ -788,7 +795,7 @@ object SparkEntry {
 
     // ---------------- KG client-api: disease → targets (J1+P3+SO5) ----------------
     "q49_kg_disease_targets" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       ClientApi.getDiseaseTargets(kg,
         ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33)
         .orderBy("id")
@@ -873,7 +880,7 @@ object SparkEntry {
     // getTargetDiseases over the q49 target set, excluding the main
     // disease (opentargets_client_api.py:158-186).
     "q58_kg_target_diseases" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       val mains = ClientApi.getDiseaseIds(kg, "BUILDING")
       val targets = ClientApi.getDiseaseTargets(kg, mains, minScore = 0.33).select("id")
       ClientApi.getTargetDiseases(kg, targets, minScore = 0.1, excludeDiseaseIds = mains)
@@ -882,14 +889,14 @@ object SparkEntry {
 
     // ---------------- KG client-api: disease → drugs (J3) ----------------
     "q59_kg_disease_drugs" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       ClientApi.getDiseaseDrugs(kg, ClientApi.getDiseaseIds(kg, "AUTOMOBILE"))
         .orderBy("id")
     }),
 
     // ---------------- KG client-api: drug info + linked-target list (A3) ----------------
     "q60_kg_drug_info" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       ClientApi.getDrugInfo(kg, kg.drugs.select("id"))
         .select(col("id"), col("name"),
           array_join(col("linked_targets"), ",").as("linked_targets"))
@@ -898,13 +905,13 @@ object SparkEntry {
 
     // ---------------- KG client-api: drug → first linked target (O3) ----------------
     "q61_kg_drug_first_target" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       ClientApi.getDrugFirstTarget(kg, kg.drugs.select("id")).orderBy("id")
     }),
 
     // ---------------- KG client-api: drug → all targets (J4+SO5) ----------------
     "q62_kg_drug_targets" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       ClientApi.getDrugTargets(kg, kg.drugs.select("id")).orderBy("id")
     }),
 
@@ -1007,7 +1014,7 @@ object SparkEntry {
 
     // ---------------- KG client-api: target → pathways (J6) ----------------
     "q63_kg_target_pathways" -> ((s, dir) => {
-      val kg = KnowledgeGraph(s, dir)
+      val kg = kgIndexed(s, dir)
       val targets = ClientApi.getDiseaseTargets(kg,
         ClientApi.getDiseaseIds(kg, "BUILDING"), minScore = 0.33).select("id")
       ClientApi.getTargetPathways(kg, targets).orderBy("pathwayId")
