@@ -416,7 +416,8 @@ object SparkEntry {
         require(exact.isEmpty || (mh intersect exact).size >= exact.size * 0.8,
           s"q31 recall ${(mh intersect exact).size}/${exact.size} below 0.8")
       }
-      Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text", threshold = 0.6)
+      Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text", threshold = 0.6,
+          shingleN = JaccardShingleN, shingles = Some(sharedShingles(s, dir)))
         .orderBy("id_a", "id_b")
     }),
 

@@ -105,14 +105,18 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idName: String, textName: String,
                       threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3): DataFrame = {
+                      shingleN: Int = 3,
+                      shingles: Option[DataFrame] = None): DataFrame = {
     // One persisted shingle-set relation feeds the signature
     // aggregation AND both verification sides (min over the distinct
     // set equals min over raw shingles) — without it the shingling
     // runs three times per query. Hashed-long shingles: Jaccard
     // values and minhash collision statistics are preserved w.h.p.,
-    // at a fraction of the construction cost.
-    val sh = materialized(hashedShingleSets(docs, idName, textName, shingleN))
+    // at a fraction of the construction cost. A caller holding the
+    // persisted ensureShingleSets relation (same corpus, same
+    // shingleN — the jaccardPairs CONTRACT) skips the shingling scan.
+    val sh = materialized(
+      shingles.getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
