@@ -47,15 +47,20 @@ object SparkEntry {
     * hashCodes can never serve stale or cross-wired fixtures — the
     * path changes with the data and the artifact is rebuilt.
     */
-  private def fixturePath(prefix: String, dir: String, sourceTable: String): String = {
+  private def fixturePath(prefix: String, dir: String, sourceTables: String*): String = {
     def stat(f: java.io.File): (Long, Long) =
       if (f.isDirectory) {
         val kids = Option(f.listFiles()).getOrElse(Array.empty).map(stat)
         (kids.map(_._1).sum, (f.lastModified() +: kids.map(_._2)).max)
       } else (f.length(), f.lastModified())
-    val (len, mtime) = stat(new java.io.File(dir, s"$sourceTable.parquet"))
-    val tag = java.lang.Long.toHexString(
-      len * 1000003L ^ mtime ^ dir.hashCode.toLong << 32)
+    // fold EVERY source table into the tag: an artifact built from
+    // three tables keyed on one would survive regeneration of the
+    // other two and serve stale rows against a fresh oracle
+    val tag0 = sourceTables.foldLeft(dir.hashCode.toLong << 32) { (acc, tbl) =>
+      val (len, mtime) = stat(new java.io.File(dir, s"$tbl.parquet"))
+      (acc * 1000003L) ^ (len * 1000003L) ^ mtime
+    }
+    val tag = java.lang.Long.toHexString(tag0)
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_$tag"
   }
 
@@ -92,7 +97,8 @@ object SparkEntry {
     * ETL, the API scans them) — shared by every KG query.
     */
   private def kgIndexed(s: SparkSession, dir: String): KnowledgeGraph =
-    KnowledgeGraph(s, dir, fixturePath("kgidx", dir, "lineitem"))
+    KnowledgeGraph(s, dir,
+      fixturePath("kgidx", dir, "lineitem", "orders", "customer"))
 
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Dedup.ensureShingleSets(t(s, dir).documents, "doc_id", "text",
@@ -661,7 +667,7 @@ object SparkEntry {
     // LSH, near-linear). The row-count guard makes it impossible to
     // run the quadratic form on corpus-scale data by accident.
     "q44_embedding_neardups" -> ((s, dir) => {
-      // deterministic half-slice: this is the exact all-pairs BASELINE
+      // deterministic third-slice: this is the exact all-pairs BASELINE
       // (the production path is q36's banded knnJoin) — registering it
       // over a capped slice keeps the quadratic oracle honest without
       // the quadratic dominating the bench (pair count drops 9×)
@@ -1795,7 +1801,8 @@ object SparkEntry {
     // and run the phase-2 fan-outs + target merge (x2.2.py:249-341).
     // Same star-schema mapping as q22/q23.
     "q126_resume_phase2" -> ((s, dir) =>
-      Checkpointed.phase2(s, dir, fixturePath("x2ckpt", dir, "lineitem")))
+      Checkpointed.phase2(s, dir,
+        fixturePath("x2ckpt", dir, "lineitem", "orders", "customer")))
   )
 
   /** DuckDB oracle twins — identical column names + ORDER BY.

@@ -50,13 +50,19 @@ object Artifact {
       if (isComplete(path)) return
       // reclaim debris from dead builders (a hard-killed JVM never
       // reaches the finally below, and each attempt uses a fresh UUID
-      // so nothing else would ever delete the old temp dirs). Only
-      // ever touched under this per-path lock or by dead processes,
-      // so the sweep is safe.
+      // so nothing else would ever delete the old temp dirs). The
+      // per-path lock only serializes THIS JVM — another process may
+      // be mid-build right now, so only sweep dirs whose entire tree
+      // has been quiet for longer than any live build could be: a
+      // live writer creates part files continuously, keeping its
+      // newest mtime fresh, while a dead builder's tree goes stale.
       val parent = new File(path).getParentFile
       val prefix = s"${new File(path).getName}.inprogress-"
+      val staleMs = 30L * 60 * 1000
+      val now = System.currentTimeMillis()
       Option(parent.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(prefix)).foreach(deleteRecursively)
+        .filter(f => f.getName.startsWith(prefix) && now - newestMtime(f) > staleMs)
+        .foreach(deleteRecursively)
       val tmp = s"$path.inprogress-${UUID.randomUUID().toString.take(8)}"
       try {
         build(tmp)
@@ -81,6 +87,12 @@ object Artifact {
 
   private def publish(tmp: String, path: String): Unit =
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+
+  private def newestMtime(f: File): Long = {
+    val children =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty) else Array.empty[File]
+    (f.lastModified() +: children.map(newestMtime)).max
+  }
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -55,11 +55,10 @@ object PageRank {
     // table. The blocks are released before returning — the returned
     // ranks are themselves checkpointed, so nothing reachable still
     // references them.
+    requireArgs(iters, dampingPct)
     val (edgesDeg, base) = prepare(staticGraph(edges))
-    val out = iterate(edgesDeg, base, iters, scale, dampingPct)
-    edgesDeg.unpersist()
-    base.unpersist()
-    out
+    try iterate(edgesDeg, base, iters, scale, dampingPct)
+    finally { edgesDeg.unpersist(); base.unpersist() }
   }
 
   /** Run `iters` rounds against a graph whose static relations were
@@ -75,12 +74,18 @@ object PageRank {
                         edges: => DataFrame, iters: Int,
                         scale: Long = 1000000000L,
                         dampingPct: Int = 85): DataFrame = {
+    requireArgs(iters, dampingPct)
     val (edgesDeg, base) = prepare(ensureGraph(spark, path, edges))
-    val out = iterate(edgesDeg, base, iters, scale, dampingPct)
-    edgesDeg.unpersist()
-    base.unpersist()
-    out
+    try iterate(edgesDeg, base, iters, scale, dampingPct)
+    finally { edgesDeg.unpersist(); base.unpersist() }
   }
+
+  /** Validate BEFORE any materialization: prepare() runs two full
+    * Spark jobs (repartition + eager localCheckpoint), and a require
+    * that fires after them would leak both checkpointed block sets.
+    */
+  private def requireArgs(iters: Int, dampingPct: Int): Unit =
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
 
   /** Build-once persisted static graph: `(src, dst, __deg)` at
     * `$path-edges` and `(id, __n)` at `$path-nodes` (published
@@ -91,9 +96,22 @@ object PageRank {
                   edges: => DataFrame): (DataFrame, DataFrame) = {
     val (ep, np) = (s"$path-edges", s"$path-nodes")
     if (!Artifact.complete(ep) || !Artifact.complete(np)) {
-      val (edgesDeg, base) = staticGraph(edges)
-      Artifact.ensure(ep)(tmp => edgesDeg.write.mode("overwrite").parquet(tmp))
-      Artifact.ensure(np)(tmp => base.write.mode("overwrite").parquet(tmp))
+      Artifact.ensure(ep) { tmp =>
+        val e = edges
+        e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      // derive nodes from the just-PUBLISHED edges parquet, not the raw
+      // edge DAG: the inner degree join keeps every edge, so the
+      // src∪dst node set is identical — and the raw-edge scan+shuffle
+      // (the expensive half of a cold build) runs once instead of twice
+      Artifact.ensure(np) { tmp =>
+        val e = spark.read.parquet(ep)
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("__n"))))
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     (spark.read.parquet(ep), spark.read.parquet(np))
   }

@@ -26,8 +26,11 @@ object Checkpointed {
   private def step(spark: SparkSession, ckptDir: String, name: String, resume: Boolean)
                   (compute: => DataFrame): DataFrame = {
     val path = stepPath(ckptDir, name)
-    val exists = new java.io.File(path).exists()
-    if (resume && exists) spark.read.parquet(path)
+    // a bare directory-exists is not "step finished": a run killed
+    // mid-job-commit leaves part files without the _SUCCESS marker,
+    // and resuming from that would silently publish a truncated
+    // relation downstream. Only trust a committed checkpoint.
+    if (resume && Artifact.complete(path)) spark.read.parquet(path)
     else {
       val df = compute
       df.write.mode("overwrite").parquet(path)

@@ -286,7 +286,13 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType,
     * body is ever fetched; with pushed filters each page ships one
     * partial count instead of its rows. Partial-push contract
     * (supportCompletePushDown stays false): Spark sums the per-
-    * partition partials, so correctness never depends on the server.
+    * partition partials. TRUST MODEL: this path takes the server's
+    * counts at face value — that is the point of the pushdown (no
+    * rows cross the wire to re-verify). The connector's client-side
+    * re-verification guarantees apply to the ROW paths (filter
+    * residuals, top-k reorder), not to pushed-down aggregates; a
+    * server that lies about counts yields a wrong COUNT(*), exactly
+    * as a parquet footer that lies about row counts would.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val ok = limit < 0 && topN.isEmpty &&

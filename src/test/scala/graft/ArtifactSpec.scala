@@ -54,10 +54,31 @@ class ArtifactSpec extends AnyFunSuite {
     val path = freshPath("c")
     val orphan = new File(s"$path.inprogress-deadbeef")
     require(orphan.mkdirs())
-    Files.writeString(new File(orphan, "part-00000").toPath, "zombie")
+    val part = new File(orphan, "part-00000")
+    Files.writeString(part.toPath, "zombie")
+    // a dead builder's tree is STALE (nothing touched it for longer
+    // than any live build runs) — backdate every mtime past the
+    // sweep threshold
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    require(orphan.setLastModified(old) && part.setLastModified(old))
     Artifact.ensure(path)(fakeBuild("live"))
     assert(Artifact.complete(path) && read(path) == "live")
     assert(!orphan.exists(), "orphan temp dir not swept")
+  }
+
+  test("a FRESH .inprogress-* dir (live cross-process builder) is NOT swept") {
+    val path = freshPath("c2")
+    // recent mtime = another process could be mid-build right now;
+    // deleting it would yank the staging dir out from under its write
+    val live = new File(s"$path.inprogress-cafef00d")
+    require(live.mkdirs())
+    Files.writeString(new File(live, "part-00000").toPath, "concurrent")
+    Artifact.ensure(path)(fakeBuild("mine"))
+    assert(Artifact.complete(path) && read(path) == "mine")
+    assert(live.exists(), "sweep deleted a live builder's temp dir")
+    // cleanup so later runs' stale sweep isn't what this test leaks
+    Files.walk(live.toPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
   }
 
   test("concurrent in-process ensures build exactly once") {

@@ -70,10 +70,23 @@ class CheckpointSpec extends SparkSpec {
     // checkpoints and never touches the customer table — the segment
     // predicate only ever entered through phase 1
     val reloaded = Checkpointed.phase2(spark, dataDir, dir)
-    val plan = reloaded.queryExecution.optimizedPlan.toString()
-    assert(plan.contains("csv"), s"reload branch does not scan CSV:\n${plan.take(2000)}")
-    assert(!plan.contains("customer"),
-      s"reload branch recomputed phase 1 (scans customer):\n${plan.take(2000)}")
+    // assert on the SCAN LOCATIONS, not the plan string: an optimized
+    // logical plan prints a parquet relation as `Relation[c_custkey…]
+    // parquet` with no path, so `plan.contains("customer")` can never
+    // fire and the guard would be vacuous
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanPaths = reloaded.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scanPaths.exists(_.contains("s3_related_customers_csv")),
+      s"reload branch does not scan the CSV checkpoint: $scanPaths")
+    assert(scanPaths.exists(_.contains("s5_candidates_csv")),
+      s"reload branch does not scan the CSV checkpoint: $scanPaths")
+    assert(!scanPaths.exists(_.contains("customer.parquet")),
+      s"reload branch recomputed phase 1 (scans customer): $scanPaths")
     assert(reloaded.collect().toSeq == rows)
   }
 }
