@@ -21,7 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some
+      // generations — keep the nanos form readable; Tables.events
+      // normalizes every encoding variant to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ContextCleaner frees broadcast blocks only when the driver GCs;
       // the default periodicGC interval (30 min) is longer than the whole

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the harness star schema + pipeline tables
   * (see repo:FIXTURES.md). One parquet file per table under `dir`.
@@ -23,30 +23,41 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; with `nanosAsLong` it arrives as LongType nanos.
-    * The data is µs-aligned (verified: epoch_ns % 1000 == 0 across
-    * the testdata), so timestamp_micros(ns/1000) is lossless and
-    * matches DuckDB's µs view of the same file.
+  /** events.ts has shipped in several physical parquet encodings over
+    * the fixture's life — TIMESTAMP(NANOS) (read as LongType nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`),
+    * TIMESTAMP(µs, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ),
+    * and plain UTC-adjusted TIMESTAMP µs. A 100 TB lake has mixed
+    * parquet writers, so the loader normalizes all logical timestamp
+    * variants to TimestampType at the table boundary; downstream
+    * operators never see the storage-level encoding.
     *
-    * The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all entry points —
-    * Verify, Bench, the specs — set it); a loader that silently
-    * flipped session conf would surprise the second session to touch
-    * it, so this one only verifies.
+    * Sessions run in UTC (all entry points set
+    * `spark.sql.session.timeZone=UTC`), so the NTZ→TimestampType cast
+    * reinterprets wall-time as UTC instants — the same view DuckDB
+    * takes of the file.
     */
   def events: DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
     val raw = t("events")
-    // `ts / 1000` would be DOUBLE division: ns-epoch magnitudes
-    // (~1.7e18) exceed 2^53, so the rounded quotient is off by up to
-    // ±1 µs. `div` is exact integer division on longs.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Nanos-as-long form: require the legacy flag so we know the
+        // longs really are nanos (not an unrelated INT64 column).
+        // `ts / 1000` would be DOUBLE division: ns-epoch magnitudes
+        // (~1.7e18) exceed 2^53, so the rounded quotient is off by up
+        // to ±1 µs. `div` is exact integer division on longs.
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"),
+          "events.ts arrived as LongType: expected nanos-encoded " +
+            "parquet read under spark.sql.legacy.parquet.nanosAsLong=true")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // µs/isAdjustedToUTC=false → wall-time; lossless under the
+        // UTC session and identical to DuckDB's epoch view.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

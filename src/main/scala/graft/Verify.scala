@@ -18,7 +18,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some
+      // generations — keep the nanos form readable; Tables.events
+      // normalizes every encoding variant to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -75,7 +75,12 @@ object ProbeScaleRel {
       "q109_funnel", "q110_cohort_retention", "q111_resample",
       "q112_histogram", "q114_transitions", "q115_edit_neardups",
       "q116_hopping", "q117_debounce", "q118_quality_audit",
-      "q119_bfs_hops")
+      "q119_bfs_hops",
+      // round-7: the temporal/behavior family whose scale story was
+      // asserted (join-free union+window plan audits) but never
+      // measured at 10× events
+      "q74_asof_join", "q75_range_join", "q86_asof_forward",
+      "q120_funnel_windowed", "q122_attribution")
 
     for ((dir, label) <- Seq((base, "warm"), (base, "sf0.1"), (big, "10x"))) {
       names.foreach { n =>
