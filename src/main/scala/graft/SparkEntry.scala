@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -61,8 +61,31 @@ object SparkEntry {
       (acc * 1000003L) ^ (len * 1000003L) ^ mtime
     }
     val tag = java.lang.Long.toHexString(tag0)
-    s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_$tag"
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val path = s"$tmpdir/graft_${prefix}_$tag"
+    // Retention: regenerated source data changes the tag, stranding
+    // the previous generation's directories forever (the round-6
+    // audit found three full generations under /tmp). Every path this
+    // process has handed out stays protected; any OTHER same-family
+    // dir that has also been mtime-quiet for the sweep window is a
+    // superseded generation — reclaim it. Deterministic artifacts
+    // make a mistaken delete self-healing (the next ensure rebuilds).
+    val live = Option(liveFixtures.putIfAbsent(prefix,
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()))
+      .getOrElse(liveFixtures.get(prefix))
+    live.add(path)
+    import scala.jdk.CollectionConverters._
+    Artifact.sweep(tmpdir, s"graft_${prefix}_", live.asScala.toSet)
+    path
   }
+
+  /** Every fixture path handed out by this JVM, per family prefix —
+    * the sweep's keep-set, so concurrently-used corpora (the bench
+    * warms sf0.001 then times sf0.1) never reclaim each other.
+    */
+  private val liveFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[String]]()
 
   /** Shared jaccard-cluster label relation for the dedup family (q69
     * reports it, q90 prunes with it): built once per input dir via the

@@ -85,6 +85,37 @@ object Artifact {
     }
   }
 
+  /** Reclaim SUPERSEDED artifact generations. Artifact paths are keyed
+    * on their source data (size+mtime tag), so every regeneration of
+    * the testdata strands the previous generation's directories
+    * forever — three rounds of regeneration left three full
+    * generations under /tmp. Callers that know their family prefix
+    * (e.g. `graft_shingles_`) invoke this after ensuring the current
+    * generation; any sibling of `keep` that shares the prefix and has
+    * been quiet for `staleMs` is deleted.
+    *
+    * Safety: artifacts are deterministic pure functions of their
+    * source, so a mistaken delete self-heals (the next consumer
+    * rebuilds); the stale window only exists to avoid racing a LIVE
+    * reader or writer, whose scans/commits keep mtimes fresh. Current-
+    * generation dirs for OTHER corpora (sf0.001 vs sf0.1 carry
+    * different tags) are protected by the caller passing every path it
+    * knows to be live — and by the window for readers the caller
+    * cannot see.
+    */
+  def sweep(parentDir: String, familyPrefix: String, keep: Set[String],
+            staleMs: Long = 24L * 60 * 60 * 1000): Unit = {
+    val keepNames = keep.map(p => new File(p).getName)
+    val now = System.currentTimeMillis()
+    Option(new File(parentDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith(familyPrefix) &&
+          !keepNames.exists(k => f.getName.startsWith(k)) &&
+          now - newestMtime(f) > staleMs
+      }
+      .foreach(deleteRecursively)
+  }
+
   private def publish(tmp: String, path: String): Unit =
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
 

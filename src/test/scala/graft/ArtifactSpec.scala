@@ -81,6 +81,31 @@ class ArtifactSpec extends AnyFunSuite {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("sweep reclaims stale superseded generations, keeps live + fresh dirs") {
+    val parent = Files.createTempDirectory("artifact-sweep").toFile
+    def mk(name: String, ageMs: Long): File = {
+      val d = new File(parent, name)
+      require(d.mkdirs())
+      val p = new File(d, "part-00000")
+      Files.writeString(p.toPath, name)
+      val t = System.currentTimeMillis() - ageMs
+      require(d.setLastModified(t) && p.setLastModified(t))
+      d
+    }
+    val hour = 60L * 60 * 1000
+    val keptLive  = mk("graft_shingles_aaaa-n3", 48 * hour) // in keep-set: old but live
+    val staleOld  = mk("graft_shingles_bbbb-n3", 48 * hour) // superseded → swept
+    val freshOther = mk("graft_shingles_cccc-n3", 1 * hour) // fresh: could be another process's
+    val otherFam  = mk("graft_ivf_dddd", 48 * hour)         // different family → untouched
+    Artifact.sweep(parent.getAbsolutePath, "graft_shingles_",
+      keep = Set(new File(parent, "graft_shingles_aaaa").getAbsolutePath),
+      staleMs = 24 * hour)
+    assert(keptLive.exists(), "keep-set dir was swept")
+    assert(!staleOld.exists(), "stale superseded generation survived")
+    assert(freshOther.exists(), "fresh dir inside the stale window was swept")
+    assert(otherFam.exists(), "sweep crossed family prefixes")
+  }
+
   test("concurrent in-process ensures build exactly once") {
     val path = freshPath("d")
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
