@@ -9,7 +9,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains}
 import org.apache.spark.sql.types._
@@ -47,7 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    endpoint precomputes totals (opentargets.schema:14,959), so an
   *    unfiltered count is answered from the cursor enumeration's
   *    per-shard row counts with no page fetch at all, and a filtered
-  *    count ships one partial-count row per page instead of bodies.
+  *    count ships one partial-count row per page instead of bodies;
+  *  - ungrouped MIN/MAX (optionally mixed with COUNT(*)): the ranked
+  *    endpoint's ordered-page size=1 shape — each page collapses to
+  *    one partial-extrema row at the source boundary and Spark merges
+  *    the partials (see [[EndpointAggScan]]).
   * Each Spark input partition is ONE page, so page fetches
   * parallelize across executors instead of the reference's
   * one-request-per-second client loop.
@@ -295,17 +299,42 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType,
     * as a parquet footer that lies about row counts would.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = limit < 0 && topN.isEmpty &&
-      aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (ok) countPushed = true
-    ok
+    if (limit >= 0 || topN.nonEmpty ||
+        aggregation.groupByExpressions().nonEmpty ||
+        aggregation.aggregateExpressions().isEmpty) return false
+    val exprs = aggregation.aggregateExpressions()
+    if (exprs.length == 1 && exprs(0).isInstanceOf[CountStar]) {
+      countPushed = true
+      return true
+    }
+    // ungrouped MIN/MAX (optionally mixed with COUNT(*)): each page
+    // collapses to ONE partial-aggregate row at the source boundary —
+    // the ordered-page `size=1` read of a ranked endpoint — and
+    // Spark's final aggregate merges the partials (MIN of mins, MAX
+    // of maxes, SUM of counts). Partial-push only, so a page that
+    // contains no passing rows contributes nulls / zero harmlessly.
+    def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        fullSchema.fields.find(_.name == f.fieldNames()(0))
+      case _ => None
+    }
+    val specs = exprs.toSeq.map {
+      case _: CountStar => Some(EndpointAggSpec.CountAll)
+      case m: Min => simpleCol(m.column()).map(EndpointAggSpec.MinOf)
+      case m: Max => simpleCol(m.column()).map(EndpointAggSpec.MaxOf)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten; true }
+    else false
   }
+  private var aggSpecs: Seq[EndpointAggSpec] = Seq.empty
 
   override def build(): Scan =
     if (countPushed)
       new EndpointCountScan(fullSchema, pushed, transport, pageSize)
+    else if (aggSpecs.nonEmpty)
+      new EndpointAggScan(fullSchema, aggSpecs, pushed, transport, pageSize)
     else
       new EndpointScan(fullSchema, required, pushed, transport, pageSize, limit, topN)
 }
@@ -433,6 +462,176 @@ private[sources] class CountingReader(inner: EndpointPageReader)
       emitted = true
       true
     }
+  private var current: InternalRow = _
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** Which partial aggregate each output column of an
+  * [[EndpointAggScan]] carries.
+  */
+private[sources] sealed trait EndpointAggSpec
+private[sources] object EndpointAggSpec {
+  case object CountAll extends EndpointAggSpec
+  final case class MinOf(field: StructField) extends EndpointAggSpec
+  final case class MaxOf(field: StructField) extends EndpointAggSpec
+}
+
+/** Ungrouped MIN/MAX (optionally with COUNT(*)) pushed into the
+  * endpoint: one partition per page, each shipping a SINGLE
+  * partial-aggregate row across the source boundary instead of its
+  * page body — the ranked endpoint's "ordered page, size=1" response
+  * shape. Rows are parsed and filter-re-verified by the ordinary page
+  * reader (projection pruned to the aggregated columns), so the same
+  * trust model as the row paths applies; only the per-page fold is
+  * new. Spark merges the partials under the partial-push contract
+  * (MIN of mins / MAX of maxes / SUM of counts), which also makes
+  * empty pages harmless (null min/max partials are ignored, count 0
+  * adds nothing).
+  */
+private[sources] class EndpointAggScan(fullSchema: StructType,
+                                       specs: Seq[EndpointAggSpec],
+                                       filters: Array[Filter],
+                                       transport: PageTransport, pageSize: Int)
+    extends Scan with Batch {
+  import EndpointAggSpec._
+  override def readSchema(): StructType = StructType(specs.map {
+    case CountAll => StructField("count(*)", LongType, nullable = false)
+    case MinOf(f) => StructField(s"min(${f.name})", f.dataType)
+    case MaxOf(f) => StructField(s"max(${f.name})", f.dataType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val shown = specs.map {
+      case CountAll => "COUNT(*)"
+      case MinOf(f) => s"MIN(${f.name})"
+      case MaxOf(f) => s"MAX(${f.name})"
+    }
+    s"entity-endpoint ${transport.describe} " +
+      s"PushedAggregates: [${shown.mkString(", ")}], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts: Array[InputPartition] =
+      transport.shards().flatMap { case (shard, n) =>
+        (0L until n by pageSize.toLong).map { start =>
+          EndpointPage(shard, start, math.min(pageSize.toLong, n - start))
+            : InputPartition
+        }
+      }.toArray
+    // an empty endpoint must still produce one partial row: COUNT
+    // merges to 0 and MIN/MAX to null only if SOME partial arrives
+    if (parts.isEmpty) Array(EndpointPage("", 0L, 0L)) else parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EndpointAggReaderFactory(fullSchema, specs, filters, transport)
+}
+
+private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
+                                                specs: Seq[EndpointAggSpec],
+                                                filters: Array[Filter],
+                                                transport: PageTransport)
+    extends PartitionReaderFactory {
+  import EndpointAggSpec._
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val page = p.asInstanceOf[EndpointPage]
+    if (page.shard.isEmpty) {
+      // empty-endpoint sentinel partition: zero count, null extrema
+      val row = InternalRow.fromSeq(specs.map {
+        case CountAll => 0L
+        case _        => null
+      })
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    } else {
+      // project exactly the aggregated columns through the ordinary
+      // page reader (re-verification sees the full parsed row either
+      // way), then fold the page to one partial row
+      val cols = specs.collect {
+        case MinOf(f) => f
+        case MaxOf(f) => f
+      }.distinct
+      new AggregatingReader(
+        new EndpointPageReader(page, fullSchema, StructType(cols), filters,
+          transport, -1, Array.empty),
+        specs, StructType(cols))
+    }
+  }
+}
+
+/** Folds every surviving row of one page into a single partial-
+  * aggregate row. MIN/MAX compare with the same orderings Spark's own
+  * Min/Max use for these types (numeric order; UTF8String BINARY
+  * order for strings — the page reader already materializes strings
+  * as UTF8String, whose compareTo is exactly that), so the merged
+  * result is identical to an unpushed aggregation.
+  */
+private[sources] class AggregatingReader(inner: EndpointPageReader,
+                                         specs: Seq[EndpointAggSpec],
+                                         projected: StructType)
+    extends PartitionReader[InternalRow] {
+  import EndpointAggSpec._
+  private var emitted = false
+
+  @SuppressWarnings(Array("unchecked"))
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)             => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)               => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double)         => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean)       => java.lang.Boolean.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => throw new IllegalStateException(
+      s"entity-endpoint MIN/MAX: incomparable partial values $a / $b")
+  }
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      val idx = specs.map {
+        case MinOf(f) => projected.fieldIndex(f.name)
+        case MaxOf(f) => projected.fieldIndex(f.name)
+        case CountAll => -1
+      }
+      val acc = new Array[Any](specs.length)
+      var count = 0L
+      while (inner.next()) {
+        val row = inner.get()
+        count += 1
+        var i = 0
+        while (i < specs.length) {
+          specs(i) match {
+            case CountAll => ()
+            case spec =>
+              val v = row.get(idx(i), projected.fields(idx(i)).dataType)
+              if (v != null) {
+                val keep = acc(i) == null || (spec match {
+                  case MinOf(_) => cmp(v, acc(i)) < 0
+                  case MaxOf(_) => cmp(v, acc(i)) > 0
+                  case CountAll => false
+                })
+                // InternalRow.get hands back a fresh immutable value
+                // for these primitive/UTF8String types, safe to retain
+                if (keep) acc(i) = v
+              }
+          }
+          i += 1
+        }
+      }
+      specs.indices.foreach { i =>
+        if (specs(i) == CountAll) acc(i) = count
+      }
+      current = InternalRow.fromSeq(acc.toSeq)
+      emitted = true
+      true
+    }
+
   private var current: InternalRow = _
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()

@@ -140,6 +140,40 @@ class EntityEndpointSpec extends SparkSpec {
     assert(q.as[Long].collect().toSeq == Seq(expected))
   }
 
+  test("ungrouped MIN/MAX push down as per-page partial-extrema rows") {
+    val q = endpoint(pageSize = 100).groupBy()
+      .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"),
+        count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [MIN(p_retailprice), " +
+      "MAX(p_retailprice), COUNT(*)]"), s"min/max not pushed:\n$plan")
+    val src = spark.read.parquet(s"$sfDir/part.parquet")
+    val expected = src.groupBy()
+      .agg(min(col("p_retailprice")), max(col("p_retailprice")), count(lit(1)))
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(q.as[(Double, Double, Long)].collect().toSeq == expected)
+  }
+
+  test("MIN/MAX over strings merge under UTF8 binary order, with filters") {
+    val q = endpoint().filter(col("p_name").contains("red")).groupBy()
+      .agg(min(col("p_name")).as("lo"), max(col("p_name")).as("hi"))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [MIN(p_name), MAX(p_name)]") &&
+      plan.contains("StringContains"), s"filtered min/max not pushed:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_name").contains("red")).groupBy()
+      .agg(min(col("p_name")), max(col("p_name")))
+      .as[(String, String)].collect().toSeq
+    assert(q.as[(String, String)].collect().toSeq == expected)
+  }
+
+  test("MIN over an all-filtered endpoint is null and COUNT is 0") {
+    val q = endpoint().filter(col("p_brand") === "NO#SUCH").groupBy()
+      .agg(min(col("p_retailprice")).as("lo"), count(lit(1)).as("n"))
+    val rows = q.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0) && rows(0).getLong(1) == 0L)
+  }
+
   test("COUNT(*) does not push past a residual (non-pushable) filter") {
     val q = endpoint().filter(col("p_retailprice") > 900.0).groupBy().count()
     val plan = q.queryExecution.executedPlan.toString()
