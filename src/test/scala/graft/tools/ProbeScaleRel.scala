@@ -36,6 +36,7 @@ object ProbeScaleRel {
     lazy val ms = maxOf("supplier", "s_suppkey")
     lazy val me = maxOf("events", "event_id")
     lazy val mu = maxOf("events", "user_id")
+    lazy val md = maxOf("documents", "doc_id")
 
     // offsets passed by-name so a fully-cached run skips the max()
     // aggregation jobs entirely
@@ -64,6 +65,9 @@ object ProbeScaleRel {
     replicate("orders", Map("o_orderkey" -> mo, "o_custkey" -> mc))
     replicate("lineitem", Map("l_orderkey" -> mo, "l_partkey" -> mp, "l_suppkey" -> ms))
     replicate("events", Map("event_id" -> me, "user_id" -> mu))
+    // q46/q68 read the documents corpus; replicate it too so the 10×
+    // pass runs them at true 10× instead of erroring on a missing table
+    replicate("documents", Map("doc_id" -> md))
 
     val names = Seq(
       "q01_pricing_summary", "q07_first_order_per_cust", "q08_region_orders",
