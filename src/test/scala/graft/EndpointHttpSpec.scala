@@ -168,6 +168,18 @@ class EndpointHttpSpec extends SparkSpec {
       s"count(*) pulled ${servedRows.get()} rows over the wire")
   }
 
+  test("pushed MIN/MAX over HTTP equals the parquet extrema") {
+    val expected = parquetSide.groupBy()
+      .agg(min(col("p_retailprice")), max(col("p_retailprice")))
+      .as[(Double, Double)].head()
+    val q = endpointHttp(pageSize = 100).groupBy()
+      .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [MIN(p_retailprice), MAX(p_retailprice)]"),
+      s"min/max not pushed over HTTP:\n$plan")
+    assert(q.as[(Double, Double)].head() == expected)
+  }
+
   test("HTTP top-k equals the parquet ranked result") {
     val expected = parquetSide
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
