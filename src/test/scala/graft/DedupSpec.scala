@@ -95,6 +95,56 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
   }
 
+  test("positional/length filters stay exact across thresholds on adversarial docs") {
+    // The candidate-time prunes (PPJoin length + positional bounds)
+    // carry rounding-sensitive ceil math (plen, α): sweep thresholds —
+    // including 0.9, where binary float rounding once undercounted the
+    // prefix, and 1.0, the exact-duplicate boundary — over a corpus
+    // built to stress them: very short docs (1-6 shingles, where an
+    // off-by-one in a bound flips a pair), exact duplicates, and
+    // graded near-dup chains sharing long token runs.
+    import graft.functions.TextFns
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    // graded chains: a base sentence and rewrites dropping/replacing a
+    // suffix of increasing length → Jaccard values dense near every cut
+    (0 until 12).foreach { _ =>
+      val base = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      (0 to 4).foreach { k =>
+        val t = (base.dropRight(k) ++ Seq.fill(k)(vocab(rnd.nextInt(vocab.size))))
+          .mkString(" ")
+        texts += ((id, t)); id += 1
+      }
+    }
+    // tiny docs: 3-5 tokens = 1-3 trigram shingles
+    (0 until 15).foreach { _ =>
+      val t = Seq.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(8))).mkString(" ")
+      texts += ((id, t)); id += 1
+    }
+    // exact duplicates of a handful of docs
+    texts.take(6).toVector.foreach { case (_, t) => texts += ((id, t)); id += 1 }
+    val corpus = texts.toSeq.toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(TextFns.wordShinglesFast(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .as[(Long, Seq[String])].collect()
+    for (t <- Seq(0.3, 0.5, 0.6, 0.75, 0.9, 1.0)) {
+      val naive = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (ia, ib)).toSet
+      val fast = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == naive,
+        s"t=$t missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    }
+  }
+
   test("dupClusters resolves chains, triangles, and leaves singletons alone") {
     // components: chain 1-2-3-4, triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
