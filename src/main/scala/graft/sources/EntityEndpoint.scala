@@ -129,6 +129,39 @@ object EntityEndpoint {
     }
     m.writeValueAsString(arr)
   }
+
+  /** Wire encoding of a ranked-page ordering: JSON array of
+    * {col, desc, nullsFirst}, shared by the HTTP client and any
+    * conforming server (the reference endpoint's "search results
+    * ordered by score" shape).
+    */
+  def orderToJson(order: Seq[PageOrder]): String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    order.foreach { o =>
+      val n = arr.addObject()
+      n.put("col", o.col); n.put("desc", o.desc)
+      n.put("nullsFirst", o.nullsFirst); ()
+    }
+    m.writeValueAsString(arr)
+  }
+}
+
+/** One key of a ranked-page ordering, transport-level (plain strings —
+  * the connector SortOrder never crosses into the wire layer).
+  */
+private[sources] final case class PageOrder(col: String, desc: Boolean,
+                                            nullsFirst: Boolean)
+private[sources] object PageOrder {
+  /** The pushed TopN orders, when every key is a plain top-level
+    * column (the only shape pushTopN accepts).
+    */
+  def fromSortOrders(orders: Array[SortOrder]): Seq[PageOrder] =
+    orders.toSeq.map { so =>
+      PageOrder(so.expression().asInstanceOf[NamedReference].fieldNames()(0),
+        so.direction() == SortDirection.DESCENDING,
+        so.nullOrdering() == NullOrdering.NULLS_FIRST)
+    }
 }
 
 /** How shard metadata and page bodies reach the scan. Instances ship
@@ -146,6 +179,26 @@ private[sources] sealed trait PageTransport extends Serializable {
     */
   def fetchPage(shard: String, start: Long, len: Long,
                 filters: Array[Filter], serverLimit: Int): Iterator[String]
+
+  /** One RANKED page request: the first k of the page's passing rows
+    * under `order` — the endpoint's "results ordered by score,
+    * size=k" response body. The default ships the full (filtered)
+    * page, so transports without ranked-page support stay correct and
+    * the override is purely a transfer-volume optimization; the
+    * reader re-sorts and re-truncates whatever arrives either way.
+    *
+    * TRUST MODEL: unlike plain filters (where the client re-verifies
+    * every arriving row), a server that truncates to k decides which
+    * rows the client never sees — a lying ranked server CAN corrupt a
+    * top-k or extrema result, exactly as a lying `total` header
+    * corrupts a pushed COUNT(*). A conforming server must filter
+    * FIRST, then rank with Spark's ordering semantics (strings in
+    * UTF-8 byte order), then truncate.
+    */
+  def fetchPageTopK(shard: String, start: Long, len: Long,
+                    filters: Array[Filter], order: Seq[PageOrder],
+                    k: Int): Iterator[String] =
+    fetchPage(shard, start, len, filters, -1)
 
   def describe: String
 }
@@ -219,6 +272,22 @@ private[sources] final case class HttpTransport(url: String) extends PageTranspo
       else s"&filters=${enc(EntityEndpoint.filtersToJson(filters))}"
     val lparam = if (serverLimit >= 0) s"&limit=$serverLimit" else ""
     get(s"$url/page?shard=${enc(shard)}&start=$start&len=$len$fparam$lparam")
+      .split('\n').iterator.filter(_.nonEmpty)
+  }
+
+  /** Ranked page over the wire: `order` and `k` ride as query
+    * parameters and the server ships only the page's top k passing
+    * rows (see the trait's trust note).
+    */
+  override def fetchPageTopK(shard: String, start: Long, len: Long,
+                             filters: Array[Filter], order: Seq[PageOrder],
+                             k: Int): Iterator[String] = {
+    val enc = java.net.URLEncoder.encode(_: String, "UTF-8")
+    val fparam =
+      if (filters.isEmpty) ""
+      else s"&filters=${enc(EntityEndpoint.filtersToJson(filters))}"
+    val oparam = s"&order=${enc(EntityEndpoint.orderToJson(order))}&k=$k"
+    get(s"$url/page?shard=${enc(shard)}&start=$start&len=$len$fparam$oparam")
       .split('\n').iterator.filter(_.nonEmpty)
   }
 
@@ -550,10 +619,30 @@ private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
+    } else if (specs.forall(_ != CountAll)) {
+      // pure extrema: ONE ranked-page request per spec (order by the
+      // column, size=1 — MIN asc / MAX desc, nulls last so the first
+      // row is the extreme non-null value). A ranked transport ships
+      // one row per request instead of the page body; transports
+      // without ranked pages fall back to the full page and the
+      // client-side fold below decides either way.
+      val parts = specs.map { spec =>
+        val (f, desc) = spec match {
+          case MinOf(f) => (f, false)
+          case MaxOf(f) => (f, true)
+          case CountAll => throw new IllegalStateException("filtered above")
+        }
+        val projected = StructType(Seq(f))
+        (spec, projected,
+          new EndpointPageReader(page, fullSchema, projected, filters,
+            transport, -1, Array.empty,
+            serverOrder = Seq(PageOrder(f.name, desc, nullsFirst = false)),
+            serverK = 1))
+      }
+      new ExtremaReader(parts)
     } else {
-      // project exactly the aggregated columns through the ordinary
-      // page reader (re-verification sees the full parsed row either
-      // way), then fold the page to one partial row
+      // COUNT(*) in the mix: every passing row must be counted, so the
+      // full page flows through one reader and folds to one partial row
       val cols = specs.collect {
         case MinOf(f) => f
         case MaxOf(f) => f
@@ -566,22 +655,50 @@ private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
   }
 }
 
-/** Folds every surviving row of one page into a single partial-
-  * aggregate row. MIN/MAX compare with the same orderings Spark's own
-  * Min/Max use for these types (numeric order; UTF8String BINARY
-  * order for strings — the page reader already materializes strings
-  * as UTF8String, whose compareTo is exactly that), so the merged
-  * result is identical to an unpushed aggregation.
+/** Folds each spec's ranked-page response (≤k rows from an honest
+  * server, the full page from a fallback transport) to its extreme
+  * value; comparisons mirror [[AggregatingReader]].
   */
-private[sources] class AggregatingReader(inner: EndpointPageReader,
-                                         specs: Seq[EndpointAggSpec],
-                                         projected: StructType)
+private[sources] class ExtremaReader(
+    parts: Seq[(EndpointAggSpec, StructType, EndpointPageReader)])
     extends PartitionReader[InternalRow] {
   import EndpointAggSpec._
   private var emitted = false
+  private var current: InternalRow = _
 
-  @SuppressWarnings(Array("unchecked"))
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      val acc = parts.map { case (spec, projected, reader) =>
+        val dt = projected.fields(0).dataType
+        var best: Any = null
+        while (reader.next()) {
+          val v = reader.get().get(0, dt)
+          if (v != null && (best == null || (spec match {
+            case MinOf(_) => AggOrd.cmp(v, best) < 0
+            case MaxOf(_) => AggOrd.cmp(v, best) > 0
+            case CountAll => false
+          }))) best = v
+        }
+        best
+      }
+      current = InternalRow.fromSeq(acc)
+      emitted = true
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = parts.foreach(_._3.close())
+}
+
+/** Value comparisons for pushed MIN/MAX partials — the same orderings
+  * Spark's own Min/Max use for these types (numeric order; UTF8String
+  * BINARY order for strings — the page reader materializes strings as
+  * UTF8String, whose compareTo is exactly that), so merged results
+  * are identical to an unpushed aggregation.
+  */
+private[sources] object AggOrd {
+  def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)             => java.lang.Long.compare(x, y)
     case (x: Int, y: Int)               => java.lang.Integer.compare(x, y)
     case (x: Double, y: Double)         => java.lang.Double.compare(x, y)
@@ -590,6 +707,18 @@ private[sources] class AggregatingReader(inner: EndpointPageReader,
     case _ => throw new IllegalStateException(
       s"entity-endpoint MIN/MAX: incomparable partial values $a / $b")
   }
+}
+
+/** Folds every surviving row of one page into a single partial-
+  * aggregate row (used when COUNT(*) rides with the extrema, so the
+  * whole page must be consulted); comparisons via [[AggOrd]].
+  */
+private[sources] class AggregatingReader(inner: EndpointPageReader,
+                                         specs: Seq[EndpointAggSpec],
+                                         projected: StructType)
+    extends PartitionReader[InternalRow] {
+  import EndpointAggSpec._
+  private var emitted = false
 
   override def next(): Boolean =
     if (emitted) false
@@ -612,8 +741,8 @@ private[sources] class AggregatingReader(inner: EndpointPageReader,
               val v = row.get(idx(i), projected.fields(idx(i)).dataType)
               if (v != null) {
                 val keep = acc(i) == null || (spec match {
-                  case MinOf(_) => cmp(v, acc(i)) < 0
-                  case MaxOf(_) => cmp(v, acc(i)) > 0
+                  case MinOf(_) => AggOrd.cmp(v, acc(i)) < 0
+                  case MaxOf(_) => AggOrd.cmp(v, acc(i)) > 0
                   case CountAll => false
                 })
                 // InternalRow.get hands back a fresh immutable value
@@ -660,14 +789,28 @@ private[sources] class EndpointPageReader(page: EndpointPage,
                                           filters: Array[Filter],
                                           transport: PageTransport,
                                           limit: Int,
-                                          topN: Array[SortOrder])
+                                          topN: Array[SortOrder],
+                                          serverOrder: Seq[PageOrder] = Nil,
+                                          serverK: Int = -1)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  // a top-k page must see every passing row of the page, so the
-  // server-side cap only applies to the plain-limit shape
-  private val serverLimit = if (topN.isEmpty) limit else -1
+  // an UNORDERED server cap under a pushed top-k could drop the very
+  // rows the ordering keeps, so the plain `limit` cap applies only to
+  // the plain-limit shape; a top-k page instead requests the RANKED
+  // page (order + k server-side — transports without ranked support
+  // fall back to the full page) and re-sorts whatever arrives below.
+  // `serverOrder`/`serverK` let a caller (the extrema pushdown)
+  // request a ranked page directly without engaging the row-level
+  // top-k machinery.
   private val lines =
-    transport.fetchPage(page.shard, page.start, page.len, filters, serverLimit)
+    if (serverOrder.nonEmpty)
+      transport.fetchPageTopK(page.shard, page.start, page.len, filters,
+        serverOrder, serverK)
+    else if (topN.nonEmpty)
+      transport.fetchPageTopK(page.shard, page.start, page.len, filters,
+        PageOrder.fromSortOrders(topN), limit)
+    else
+      transport.fetchPage(page.shard, page.start, page.len, filters, limit)
 
   private def parse(node: JsonNode, f: StructField): Any = {
     val v = node.get(f.name)
@@ -713,25 +856,31 @@ private[sources] class EndpointPageReader(page: EndpointPage,
       val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
       (a: Map[String, Any], b: Map[String, Any]) => {
         val (x, y) = (a.get(name).flatMap(Option(_)), b.get(name).flatMap(Option(_)))
-        val cmp = (x, y) match {
+        // the null ordering is ABSOLUTE (SortOrder.nullOrdering says
+        // where nulls land in the FINAL order) — only the value
+        // comparison flips under a descending direction. Negating the
+        // null branch too would put NULLS_LAST nulls first on a desc
+        // key and a truncated page would drop real rows.
+        (x, y) match {
           case (None, None)       => 0
           case (None, _)          => if (nullsFirst) -1 else 1
           case (_, None)          => if (nullsFirst) 1 else -1
-          case (Some(u), Some(v)) => (u, v) match {
-            case (u: Long, v: Long)       => java.lang.Long.compare(u, v)
-            case (u: Int, v: Int)         => java.lang.Integer.compare(u, v)
-            case (u: Double, v: Double)   => java.lang.Double.compare(u, v)
-            case (u: Boolean, v: Boolean) => java.lang.Boolean.compare(u, v)
-            // Spark's global TopN orders StringType by UTF8String BYTES
-            // (code-point order); java.lang.String.compareTo orders UTF-16
-            // code units, which disagrees for U+E000..U+FFFF vs
-            // supplementary characters. The page-local top-k must be a
-            // superset of the global top-k, so it must use the same order.
-            case (u, v) => UTF8String.fromString(u.toString)
-              .compareTo(UTF8String.fromString(v.toString))
-          }
+          case (Some(u), Some(v)) =>
+            val cmp = (u, v) match {
+              case (u: Long, v: Long)       => java.lang.Long.compare(u, v)
+              case (u: Int, v: Int)         => java.lang.Integer.compare(u, v)
+              case (u: Double, v: Double)   => java.lang.Double.compare(u, v)
+              case (u: Boolean, v: Boolean) => java.lang.Boolean.compare(u, v)
+              // Spark's global TopN orders StringType by UTF8String BYTES
+              // (code-point order); java.lang.String.compareTo orders UTF-16
+              // code units, which disagrees for U+E000..U+FFFF vs
+              // supplementary characters. The page-local top-k must be a
+              // superset of the global top-k, so it must use the same order.
+              case (u, v) => UTF8String.fromString(u.toString)
+                .compareTo(UTF8String.fromString(v.toString))
+            }
+            if (desc) -cmp else cmp
         }
-        if (desc) -cmp else cmp
       }
     }
     (a: Map[String, Any], b: Map[String, Any]) =>

@@ -63,6 +63,49 @@ class EndpointHttpSpec extends SparkSpec {
     if (a.isNumber && b.isNumber) a.asDouble() == b.asDouble()
     else a.asText() == b.asText()
 
+  /** Server-side value comparison for ranked pages. Strings compare in
+    * UTF-8 BYTE order — the conforming-server contract (the client
+    * merges pages under Spark's UTF8String order; a server using
+    * UTF-16 code-unit order could truncate away the true top row).
+    */
+  private def jsonCmp(a: JsonNode, b: JsonNode): Int =
+    if (a.isNumber && b.isNumber) java.lang.Double.compare(a.asDouble(), b.asDouble())
+    else if (a.isBoolean && b.isBoolean) java.lang.Boolean.compare(a.asBoolean(), b.asBoolean())
+    else {
+      val x = a.asText().getBytes("UTF-8"); val y = b.asText().getBytes("UTF-8")
+      var i = 0
+      var c = 0
+      while (c == 0 && i < x.length && i < y.length) {
+        c = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+      }
+      if (c != 0) c else x.length - y.length
+    }
+
+  /** Ranked page: sort the (already filtered) rows by the order spec —
+    * null placement ABSOLUTE per nullsFirst, value order flipped by
+    * desc — and keep the first k.
+    */
+  private def rankRows(rows: Seq[String], orderJson: String, k: Int): Seq[String] = {
+    val order = mapper.readTree(orderJson).elements().asScala.toSeq
+    rows.map(l => (l, mapper.readTree(l))).sortWith { case ((_, x), (_, y)) =>
+      val firstNonZero = order.iterator.map { o =>
+        val colName = o.get("col").asText()
+        val desc = o.get("desc").asBoolean()
+        val nullsFirst = o.get("nullsFirst").asBoolean()
+        val xv = Option(x.get(colName)).filterNot(_.isNull)
+        val yv = Option(y.get(colName)).filterNot(_.isNull)
+        (xv, yv) match {
+          case (None, None)       => 0
+          case (None, _)          => if (nullsFirst) -1 else 1
+          case (_, None)          => if (nullsFirst) 1 else -1
+          case (Some(u), Some(v)) =>
+            val c = jsonCmp(u, v); if (desc) -c else c
+        }
+      }.find(_ != 0).getOrElse(0)
+      firstNonZero < 0
+    }.map(_._1).take(k)
+  }
+
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.nonEmpty).map { kv =>
@@ -98,6 +141,9 @@ class EndpointHttpSpec extends SparkSpec {
         }
         q.get("limit").map(_.toInt).filter(_ >= 0)
           .foreach(l => rows = rows.take(l))
+        q.get("order").foreach { oj =>
+          rows = rankRows(rows, oj, q("k").toInt)
+        }
         servedRows.addAndGet(rows.size.toLong)
         respond(ex, rows.mkString("\n"))
       }
@@ -177,17 +223,30 @@ class EndpointHttpSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString()
     assert(plan.contains("PushedAggregates: [MIN(p_retailprice), MAX(p_retailprice)]"),
       s"min/max not pushed over HTTP:\n$plan")
+    servedRows.set(0)
     assert(q.as[(Double, Double)].head() == expected)
+    // each spec issues ONE ranked size-1 request per page: ≤ 2 specs ×
+    // #pages rows cross the wire, never the corpus
+    val total = parquetSide.count()
+    val pages = (total + 99) / 100 + 2 // ceil per shard boundary slack
+    assert(servedRows.get() <= 2 * pages,
+      s"extrema pulled ${servedRows.get()} rows over the wire (corpus=$total)")
   }
 
-  test("HTTP top-k equals the parquet ranked result") {
+  test("HTTP top-k equals the parquet ranked result, k rows per page on the wire") {
     val expected = parquetSide
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
       .as[(Long, String, String, Double)].collect().toSeq
+    servedRows.set(0)
     val got = endpointHttp()
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
       .as[(Long, String, String, Double)].collect().toSeq
     assert(got == expected)
+    // ranked pages truncate server-side: ≤ k rows per page request
+    val total = parquetSide.count()
+    val pages = (total + 99) / 100 + 2
+    assert(servedRows.get() <= 3 * pages,
+      s"top-k pulled ${servedRows.get()} rows over the wire (corpus=$total)")
   }
 
   test("a lying server cannot corrupt results: client re-verifies pushed filters") {

@@ -140,6 +140,31 @@ class EntityEndpointSpec extends SparkSpec {
     assert(q.as[Long].collect().toSeq == Seq(expected))
   }
 
+  test("page-local top-k honors ABSOLUTE null ordering on a desc key") {
+    // regression: the page comparator used to negate the null branch
+    // under desc, so desc_nulls_last put nulls FIRST page-locally and
+    // a truncated page dropped real rows. Build a corpus where nulls
+    // outnumber the page k so the bug cannot hide.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls_spec").toString
+    val rows = (1L to 20L).map { i =>
+      (i, if (i % 2 == 0) Some(i.toDouble) else None)
+    }
+    rows.toDF("id", "score").coalesce(1).write.mode("overwrite").json(dir)
+    val ep = spark.read.format("entity-endpoint")
+      .option("path", dir)
+      .option("schema", "id BIGINT, score DOUBLE")
+      .option("pageSize", "5")
+      .load()
+    val got = ep.orderBy(col("score").desc_nulls_last, col("id").asc).limit(3)
+      .select("id").as[Long].collect().toSeq
+    val expected = rows.toDF("id", "score")
+      .orderBy(col("score").desc_nulls_last, col("id").asc).limit(3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == expected,
+      s"got $got, expected $expected — nulls crowded out real rows page-locally")
+  }
+
   test("ungrouped MIN/MAX push down as per-page partial-extrema rows") {
     val q = endpoint(pageSize = 100).groupBy()
       .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"),
