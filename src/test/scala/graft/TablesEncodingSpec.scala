@@ -73,6 +73,17 @@ class TablesEncodingSpec extends SparkSpec {
     assertNormalized(dir, "ntz-micros")
   }
 
+  test("legacy INT96 passes through as TimestampType") {
+    val dir = tmpDir()
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try
+      baseDf.select(col("id"), timestamp_micros(col("us")).as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assertNormalized(dir, "int96")
+  }
+
   test("INT64 nanos-as-long is converted via exact integer division") {
     val dir = tmpDir()
     // Spark cannot write TIMESTAMP(NANOS) parquet; under the
