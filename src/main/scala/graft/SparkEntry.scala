@@ -865,8 +865,8 @@ object SparkEntry {
     }),
 
     // ---------------- J7 two-level nested expand ----------------
-    // Mirrors /root/reference/opentargets_query_targets_for_drug
-    // .py:37-40 (drug → mechanismsOfAction.rows[] → targets[]): build
+    // Mirrors /root/reference/opentargets_query_targets_for_drug.py
+    // :37-40 (drug → mechanismsOfAction.rows[] → targets[]): build
     // the real array<struct<action_type, array<target>>> column with
     // collect_set/collect_list, then navigate it back down with a
     // DOUBLE explode. The oracle is the flat distinct-triple query the

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    chrome, not content, and is dropped from all of them.
   *
   * Reference scope: the reference engine dedups whole rows only
-  * (python sets over ids — /root/reference/opentargets_drug_repurposing.py:64-66);
+  * (python sets over ids — /root/reference/candidate_drugs.py:151-152);
   * sub-document granularity is part of the north-star LLM-pipeline
   * surface (SURVEY.md §2 extensions), where exact-dup removal at the
   * document level misses the dominant crawl-duplication mode.

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Reference scope: the reference re-runs its pipelines from scratch
   * per invocation (CSV step files, load_from_files —
-  * /root/reference/utils.py:20-30); incremental maintenance is part
+  * /root/reference/x2.2.py:249-256); incremental maintenance is part
   * of the north-star pipeline surface (with `Dedup.dedupIncremental`
   * as the dedup-side analogue).
   *

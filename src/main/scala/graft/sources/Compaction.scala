@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    (data skipping) — the poor-man's Z-order for one sort key.
   *
   * Reference scope: the reference checkpoints steps as single CSV
-  * files (utils.py:20-30) — file-layout management is a no-op at
+  * files (/root/reference/x2.2.py:361-405, reloaded at 249-256) —
+  * file-layout management is a no-op at
   * that scale and a first-class operator at this one.
   *
   * Both are one distributed write job; the only driver-side values
