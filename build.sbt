@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE machine-parseable JSON line on
+// stdout. sbt's default LoggedOutput strategy prefixes every forked
+// line with "[info] " / "[error] ", which breaks the driver's
+// json-parse of the bench line (BENCH_r07.json: "parsed": null).
+// StdoutOutput inherits the parent streams — run output arrives raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
