@@ -53,8 +53,15 @@ final class Tables(spark: SparkSession, dir: String) {
             "parquet read under spark.sql.legacy.parquet.nanosAsLong=true")
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // µs/isAdjustedToUTC=false → wall-time; lossless under the
-        // UTC session and identical to DuckDB's epoch view.
+        // µs/isAdjustedToUTC=false → wall-time; lossless ONLY under a
+        // UTC session (the cast interprets wall-time in the session
+        // zone, so any other zone silently shifts every instant).
+        // Mirror the LongType arm: fail loudly instead.
+        require(
+          spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
+          "events.ts arrived as TIMESTAMP_NTZ: the cast to TimestampType " +
+            "is only lossless under spark.sql.session.timeZone=UTC " +
+            s"(session zone is ${spark.conf.getOption("spark.sql.session.timeZone").getOrElse("unset")})")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

@@ -33,8 +33,28 @@ object Artifact {
 
   /** True when `path` holds a complete single-directory artifact
     * (Spark's `_SUCCESS` marker is only written on job commit).
+    *
+    * A successful check doubles as the reader's freshness trace:
+    * parquet SCANS never update any mtime, so sweep staleness keyed on
+    * write mtimes alone could reclaim a directory another JVM resolved
+    * long ago and is reading right now. Every resolve touches
+    * `_graft_read` (a Spark-invisible underscore file), which
+    * [[newestMtime]] folds into the sweep's quiet-window test — "stale"
+    * means nothing has written OR RESOLVED the artifact for the whole
+    * window. Consumers resolve immediately before each read, so the
+    * residual race is a single query outliving the 24 h window.
     */
-  def complete(path: String): Boolean = new File(path, "_SUCCESS").exists()
+  def complete(path: String): Boolean = {
+    val ok = new File(path, "_SUCCESS").exists()
+    if (ok) touchReadMarker(path)
+    ok
+  }
+
+  private def touchReadMarker(path: String): Unit =
+    try {
+      val m = new File(path, "_graft_read")
+      if (!m.createNewFile()) { m.setLastModified(System.currentTimeMillis()); () }
+    } catch { case _: Exception => () }
 
   /** Ensure a complete artifact exists at `path`: if `isComplete(path)`
     * is false, run `build(tmpDir)` against a unique sibling temp dir
@@ -95,13 +115,17 @@ object Artifact {
     * been quiet for `staleMs` is deleted.
     *
     * Safety: artifacts are deterministic pure functions of their
-    * source, so a mistaken delete self-heals (the next consumer
-    * rebuilds); the stale window only exists to avoid racing a LIVE
-    * reader or writer, whose scans/commits keep mtimes fresh. Current-
+    * source, so a mistaken delete self-heals for FUTURE consumers (the
+    * next ensure rebuilds); the stale window protects LIVE ones. A
+    * writer's commits keep mtimes fresh by themselves; readers keep
+    * the window open via the `_graft_read` marker [[complete]] touches
+    * on every resolve — file scans alone would not move any mtime, and
+    * a reader in another JVM (absent from this process's keep-set)
+    * would otherwise have the directory deleted mid-query. Current-
     * generation dirs for OTHER corpora (sf0.001 vs sf0.1 carry
     * different tags) are protected by the caller passing every path it
-    * knows to be live — and by the window for readers the caller
-    * cannot see.
+    * knows to be live — and by the marker-refreshed window for readers
+    * the caller cannot see.
     */
   def sweep(parentDir: String, familyPrefix: String, keep: Set[String],
             staleMs: Long = 24L * 60 * 60 * 1000): Unit = {
@@ -114,6 +138,60 @@ object Artifact {
           now - newestMtime(f) > staleMs
       }
       .foreach(deleteRecursively)
+  }
+
+  /** Parameter-tuple sidecar (`_graft_meta.json`) — artifacts whose
+    * correctness depends on build parameters the path alone cannot
+    * prove (shingle width, thresholds) persist them next to the data
+    * and verify on resolve. Spark's file listing ignores `_`-prefixed
+    * files, so the sidecar never pollutes the parquet scan. Flat
+    * string map, written before publish so the sidecar is covered by
+    * the same atomic rename as the data.
+    */
+  def writeMeta(dir: String, meta: Map[String, String]): Unit = {
+    val body = meta.toSeq.sorted
+      .map { case (k, v) => s"  ${jstr(k)}: ${jstr(v)}" }
+      .mkString("{\n", ",\n", "\n}\n")
+    Files.write(Paths.get(dir, "_graft_meta.json"), body.getBytes("UTF-8"))
+  }
+
+  /** The sidecar's flat string map, or None when absent (pre-sidecar
+    * artifact generations — callers treat those as incomplete so
+    * `ensure` rebuilds them with provenance).
+    */
+  def readMeta(dir: String): Option[Map[String, String]] = {
+    val f = new File(dir, "_graft_meta.json")
+    if (!f.isFile) None
+    else {
+      val text = new String(Files.readAllBytes(f.toPath), "UTF-8")
+      val Pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      Some(Pair.findAllMatchIn(text)
+        .map(m => junescape(m.group(1)) -> junescape(m.group(2))).toMap)
+    }
+  }
+
+  /** True when the sidecar exists and carries every (k, v) of `meta`. */
+  def metaMatches(dir: String, meta: Map[String, String]): Boolean =
+    readMeta(dir).exists(m => meta.forall { case (k, v) => m.get(k).contains(v) })
+
+  private def jstr(s: String): String = graft.tools.Json.str(s)
+
+  private def junescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s(i); i += 1 }
+    }
+    b.toString
   }
 
   private def publish(tmp: String, path: String): Unit =

@@ -115,8 +115,8 @@ object Dedup {
     // at a fraction of the construction cost. A caller holding the
     // persisted ensureShingleSets relation (same corpus, same
     // shingleN — the jaccardPairs CONTRACT) skips the shingling scan.
-    val sh = materialized(
-      shingles.getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
+    val sh = materialized(shingles.map(requireShingleN(_, shingleN))
+      .getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -214,12 +214,15 @@ object Dedup {
     * it must be exactly `hashedShingleSets(docs, idName, textName, n)`
     * for the SAME corpus and the SAME `n` as this call — i.e. the
     * relation [[ensureShingleSets]] persists under its `-n$n`-keyed
-    * path. The relation carries no n metadata, so a mismatched
-    * pre-built relation cannot be detected here and would silently
-    * produce (and, via ensureClusterLabels, persist) wrong results
-    * under a key claiming otherwise. Callers should thread ONE pinned
-    * n constant through both the ensureShingleSets build and every
-    * consumer (see SparkEntry.JaccardShingleN).
+    * path. The contract is ENFORCED: every relation the API builds
+    * carries its shingle width as field metadata on `sh` (which
+    * survives persist, parquet round-trips, and filters), and every
+    * consumer of a pre-built relation requires that width to match
+    * its own `n` — a mismatched or provenance-less relation throws
+    * instead of silently producing (and, via ensureClusterLabels,
+    * persisting) wrong results. The persisted artifacts additionally
+    * carry a `_graft_meta.json` parameter sidecar verified on
+    * resolve.
     */
   def jaccardPairs(docs: DataFrame, idName: String, textName: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -228,6 +231,7 @@ object Dedup {
     val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
       threshold, maxShingleFreq, shingles)
     // expand clusters back to member pairs
+    // (shingle-width contract on `shingles` checked in jaccardRepPairs)
     val cross = repPairs
       .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
       .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
@@ -279,7 +283,7 @@ object Dedup {
     // persisted parquet artifact (the ensureShingleSets contract) —
     // already its own materialization, so re-reading the scan per
     // consumer is cheaper than a persist+count round trip over it.
-    val shAll = shingles.getOrElse(
+    val shAll = shingles.map(requireShingleN(_, n)).getOrElse(
       materialized(hashedShingleSets(docs, idName, textName, n)))
     val groups = shAll.groupBy(col("sh"))
       .agg(min(col("id")).as("rid"), count(lit(1)).as("gsize"))
@@ -420,11 +424,19 @@ object Dedup {
     val spark = docs.sparkSession
     // the caller's path tags the SOURCE data; the parameter tuple must
     // also be part of the key, or tuning (n, threshold, ...) would
-    // silently serve labels computed under the old settings
+    // silently serve labels computed under the old settings. The same
+    // tuple is persisted INSIDE the artifact as a sidecar and verified
+    // on resolve, so a renamed/mislabeled directory cannot serve
+    // labels computed under different parameters.
     val full = s"$path-n$n-t${(threshold * 1e6).toLong}-f$maxShingleFreq"
-    Artifact.ensure(full) { tmp =>
+    val meta = Map("kind" -> "jaccard-cluster-labels", "n" -> n.toString,
+      "threshold" -> threshold.toString,
+      "maxShingleFreq" -> maxShingleFreq.toString)
+    def ok(p: String) = Artifact.complete(p) && Artifact.metaMatches(p, meta)
+    Artifact.ensure(full, ok) { tmp =>
       jaccardClusters(docs, idName, textName, n, threshold, maxShingleFreq,
         shingles).write.mode("overwrite").parquet(tmp)
+      Artifact.writeMeta(tmp, meta)
     }
     spark.read.parquet(full)
   }
@@ -445,11 +457,20 @@ object Dedup {
                         n: Int, path: String): DataFrame = {
     val spark = docs.sparkSession
     val full = s"$path-n$n"
-    Artifact.ensure(full) { tmp =>
+    val meta = Map("kind" -> "shingle-sets", "n" -> n.toString)
+    // completeness includes the parameter sidecar: a pre-sidecar (or
+    // mislabeled) directory reads as incomplete and is rebuilt with
+    // provenance rather than trusted
+    def ok(p: String) = Artifact.complete(p) && Artifact.metaMatches(p, meta)
+    Artifact.ensure(full, ok) { tmp =>
       hashedShingleSets(docs, idName, textName, n)
         .write.mode("overwrite").parquet(tmp)
+      Artifact.writeMeta(tmp, meta)
     }
-    spark.read.parquet(full)
+    // the field-metadata check proves the parquet round-trip preserved
+    // the width tag — the relation this returns is accepted by every
+    // consumer of the contract
+    requireShingleN(spark.read.parquet(full), n)
   }
 
   /** Benchmark-contamination check — the decontamination gate of a
@@ -472,7 +493,8 @@ object Dedup {
     // re-shingle entirely (a benchmark drawn from the corpus is just a
     // filter over the same artifact)
     def exploded(df: DataFrame, pre: Option[DataFrame], as: String) =
-      pre.getOrElse(hashedShingleSets(df, idName, textName, n))
+      pre.map(requireShingleN(_, n))
+        .getOrElse(hashedShingleSets(df, idName, textName, n))
         .select(col("id").as(as), explode(col("sh")).as("g"))
     // no explicit broadcast hint: a FIXED benchmark (the usual case)
     // auto-broadcasts under AQE, while a benchmark that grows with
@@ -615,9 +637,42 @@ object Dedup {
     val slots = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    // the shingle width rides on the column as field metadata: it
+    // survives persist, filters, and the parquet round-trip of
+    // ensureShingleSets, so every consumer of a pre-built relation can
+    // verify provenance instead of trusting the caller (see the
+    // CONTRACT on jaccardPairs)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleNKey, n.toLong).build()
     balanced.select(col(idName).as("id"),
-        TextFns.shingleHashes(col(textName), n).as("sh"))
+        TextFns.shingleHashes(col(textName), n).as("sh", md))
       .filter(size(col("sh")) > 0)
+  }
+
+  private[graft] val ShingleNKey = "graft.shingle_n"
+
+  /** Enforce the pre-built-shingle-relation contract: the relation
+    * must carry `ShingleNKey` field metadata equal to the consumer's
+    * own `n`. Absent metadata means unknown provenance — rebuilt
+    * through [[hashedShingleSets]]/[[ensureShingleSets]] it is always
+    * present — and is rejected rather than trusted, because a width
+    * mismatch silently changes every Jaccard value downstream.
+    */
+  private def requireShingleN(rel: DataFrame, n: Int): DataFrame = {
+    val fld = rel.schema.fields.find(_.name == "sh").getOrElse(
+      throw new IllegalArgumentException(
+        "pre-built shingle relation has no 'sh' column; expected the " +
+          "(id, sh) shape hashedShingleSets produces"))
+    require(fld.metadata.contains(ShingleNKey),
+      "pre-built shingle relation carries no shingle-width metadata " +
+        s"($ShingleNKey); build it with Dedup.ensureShingleSets / " +
+        "hashedShingleSets so provenance is verifiable")
+    val got = fld.metadata.getLong(ShingleNKey)
+    require(got == n,
+      s"pre-built shingle relation was built with n=$got but this call " +
+        s"requires n=$n — a width mismatch silently corrupts every " +
+        "Jaccard value, so it is rejected")
+    rel
   }
 
   /** Persist + eagerly materialize: downstream consumers run as

@@ -106,6 +106,27 @@ class ArtifactSpec extends AnyFunSuite {
     assert(otherFam.exists(), "sweep crossed family prefixes")
   }
 
+  test("a resolve by a foreign reader keeps an old artifact out of the sweep") {
+    // the ADVICE race: a >window-old artifact is being read by a JVM
+    // whose path is absent from this process's keep-set. Scans don't
+    // move mtimes, but the reader's complete() resolve touches the
+    // read marker, which the quiet-window test folds in.
+    val parent = Files.createTempDirectory("artifact-readmark").toFile
+    val d = new File(parent, "graft_shingles_eeee-n3")
+    require(d.mkdirs())
+    val p = new File(d, "part-00000")
+    Files.writeString(p.toPath, "old-but-read")
+    Files.writeString(new File(d, "_SUCCESS").toPath, "")
+    val hour = 60L * 60 * 1000
+    val old = System.currentTimeMillis() - 48 * hour
+    d.listFiles().foreach(f => require(f.setLastModified(old)))
+    require(d.setLastModified(old))
+    assert(Artifact.complete(d.getAbsolutePath)) // the foreign reader's resolve
+    Artifact.sweep(parent.getAbsolutePath, "graft_shingles_",
+      keep = Set.empty, staleMs = 24 * hour)
+    assert(d.exists(), "sweep deleted an artifact a live reader just resolved")
+  }
+
   test("concurrent in-process ensures build exactly once") {
     val path = freshPath("d")
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -278,6 +278,60 @@ class DedupSpec extends SparkSpec {
     assert(success.lastModified() == mtime, "artifact was rebuilt on reread")
   }
 
+  test("pre-built shingle relations with mismatched or missing width are rejected") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingles_spec").toString
+    val sh4 = Dedup.ensureShingleSets(docs, "doc_id", "text", n = 4, s"$dir/sh")
+    // width mismatch: built with n=4, consumed at n=3 — must throw
+    // (pre-contract this silently changed every Jaccard value)
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, shingles = Some(sh4))
+    }
+    assert(mismatch.getMessage.contains("n=4"))
+    intercept[IllegalArgumentException] {
+      Dedup.contamination(docs, docs.limit(5), "doc_id", "text",
+        n = 3, docShingles = Some(sh4))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ensureClusterLabels(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, Long.MaxValue, s"$dir/labels",
+        shingles = Some(sh4))
+    }
+    // provenance-less relation (right shape, no metadata) — rejected
+    val bare = docs.select(col("doc_id").as("id"),
+      array(xxhash64(col("text"))).as("sh"))
+    val noMeta = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, shingles = Some(bare))
+    }
+    assert(noMeta.getMessage.contains("metadata"))
+    // the happy path: a matching relation is accepted and reproduces
+    // the internally-shingled result exactly
+    val sh3 = Dedup.ensureShingleSets(docs, "doc_id", "text", n = 3, s"$dir/sh")
+    val viaArtifact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, shingles = Some(sh3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaArtifact == truth)
+  }
+
+  test("a stale or mislabeled parameter sidecar forces an artifact rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingles_meta_spec").toString
+    Dedup.ensureShingleSets(docs, "doc_id", "text", n = 3, s"$dir/sh")
+    val sidecar = new java.io.File(s"$dir/sh-n3", "_graft_meta.json")
+    assert(sidecar.isFile, "artifact should carry a parameter sidecar")
+    // simulate a pre-sidecar or mislabeled generation: wrong width in
+    // the sidecar must read as INCOMPLETE and trigger a rebuild
+    java.nio.file.Files.write(sidecar.toPath,
+      """{"kind": "shingle-sets", "n": "7"}""".getBytes("UTF-8"))
+    val again = Dedup.ensureShingleSets(docs, "doc_id", "text", n = 3, s"$dir/sh")
+    assert(graft.operators.Artifact.metaMatches(s"$dir/sh-n3",
+      Map("kind" -> "shingle-sets", "n" -> "3")),
+      "rebuild should restore a matching sidecar")
+    assert(again.count() > 0)
+  }
+
   test("dedupIncremental drops archived content and keeps batch-first") {
     val history = Seq((2L, "already seen text")).toDF("doc_id", "text")
     val batch = Seq(

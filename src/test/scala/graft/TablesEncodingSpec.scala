@@ -73,6 +73,21 @@ class TablesEncodingSpec extends SparkSpec {
     assertNormalized(dir, "ntz-micros")
   }
 
+  test("TIMESTAMP_NTZ under a non-UTC session fails loudly instead of shifting") {
+    val dir = tmpDir()
+    baseDf.select(col("id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException](loadEvents(dir))
+      assert(ex.getMessage.contains("spark.sql.session.timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // back under UTC the same fixture loads losslessly
+    assertNormalized(dir, "ntz-after-restore")
+  }
+
   test("legacy INT96 passes through as TimestampType") {
     val dir = tmpDir()
     val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
