@@ -62,10 +62,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `GET /shards` for cursor enumeration and `GET /page` carrying
   *    start/len plus the pushed filters and row cap as query
   *    parameters — the server executes the search and ships only
-  *    surviving rows. The reader re-verifies every pushed predicate
-  *    client-side, so a permissive server cannot corrupt results.
+  *    surviving rows. Transient failures (connect/read errors, 429,
+  *    5xx) are retried with bounded exponential backoff — the
+  *    reference client's tolerate-a-flaky-remote behavior
+  *    (/root/reference/x2.2.py:297-299), minus the fixed sleep.
+  *
+  * TRUST MODEL, by pushdown path:
+  *  - ROW paths (filters, plain limit): every arriving row is
+  *    re-verified client-side — a permissive or lying server cannot
+  *    corrupt results, it can only waste transfer.
+  *  - Pushed COUNT(*): takes the server's counts at face value (no
+  *    rows cross the wire to re-verify) — see [[EndpointScanBuilder
+  *    .pushAggregation]].
+  *  - RANKED truncation (server-side top-k pages for pushed TopN /
+  *    extrema): a server that ranks with different semantics decides
+  *    which rows the client never sees, so ranked page requests are
+  *    gated behind `.option("trustRankedPages", true)`. Default off:
+  *    the client fetches full (filtered) pages and sorts/folds
+  *    locally — correct against ANY server, at full transfer cost.
   * The planning, pushdown, and partitioning layers are shared; the
-  * spec drives the HTTP path against an in-process server.
+  * spec drives the HTTP path against an in-process server, including
+  * a nonconforming-ranked-server case pinning the gate's semantics.
   */
 class EntityEndpoint extends TableProvider with DataSourceRegister {
   override def shortName(): String = "entity-endpoint"
@@ -78,13 +95,16 @@ class EntityEndpoint extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val transport = (Option(properties.get("url")), Option(properties.get("path"))) match {
-      case (Some(url), _) => HttpTransport(url)
+      case (Some(url), _) => HttpTransport(url,
+        maxRetries = Option(properties.get("maxRetries")).map(_.toInt).getOrElse(3),
+        retryBackoffMs = Option(properties.get("retryBackoffMs")).map(_.toLong).getOrElse(200L))
       case (None, Some(path)) => FileTransport(path)
       case _ => throw new IllegalArgumentException(
         "entity-endpoint requires a 'path' (JSONL dir) or 'url' (HTTP) option")
     }
     new EndpointTable(schema, transport,
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000))
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000),
+      trustRanked = Option(properties.get("trustRankedPages")).exists(_.toBoolean))
   }
 }
 
@@ -200,6 +220,16 @@ private[sources] sealed trait PageTransport extends Serializable {
                     k: Int): Iterator[String] =
     fetchPage(shard, start, len, filters, -1)
 
+  /** True when [[fetchPageTopK]] actually truncates server-side.
+    * Drives two decisions upstream: ranked requests are only worth
+    * ISSUING against such a transport (and only when the user opted
+    * into trusting them), and the pure-extrema pushdown only splits
+    * into per-spec size-1 requests when each request is genuinely one
+    * row — on a full-page fallback that split would fetch and parse
+    * the page once PER SPEC.
+    */
+  def supportsRankedPages: Boolean = false
+
   def describe: String
 }
 
@@ -244,18 +274,48 @@ private[sources] object HttpTransport {
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 }
 
-private[sources] final case class HttpTransport(url: String) extends PageTransport {
+private[sources] final case class HttpTransport(url: String,
+                                                maxRetries: Int = 3,
+                                                retryBackoffMs: Long = 200L)
+    extends PageTransport {
   private def client = HttpTransport.sharedClient
 
+  /** GET with bounded retry: page requests are idempotent reads, so a
+    * connect/read failure, a 429, or a 5xx is retried up to
+    * `maxRetries` times with exponential backoff (base
+    * `retryBackoffMs`, doubling per attempt). Non-retryable statuses
+    * (4xx other than 429) and exhausted retries surface the original
+    * error. This is the reference client's flaky-remote tolerance
+    * (x2.2.py:297-299 sleeps and retries the whole request) expressed
+    * per-page, so one bad response costs one page's backoff rather
+    * than failing a thousand-page scan.
+    */
   private def get(uri: String): String = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
-      .timeout(java.time.Duration.ofSeconds(60))
-      .GET().build()
-    val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"entity-endpoint HTTP ${resp.statusCode()} from $uri")
-    resp.body()
+    var attempt = 0
+    while (true) {
+      val err: Throwable =
+        try {
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+            .timeout(java.time.Duration.ofSeconds(60))
+            .GET().build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case 200 => return resp.body()
+            case s if s == 429 || s >= 500 =>
+              new java.io.IOException(s"entity-endpoint HTTP $s from $uri")
+            case s => throw new IllegalArgumentException(
+              s"entity-endpoint HTTP $s from $uri")
+          }
+        } catch {
+          // connect refused/reset, read timeout — transient by nature
+          case e: java.io.IOException => e
+        }
+      if (attempt >= maxRetries) throw err
+      Thread.sleep(retryBackoffMs << attempt)
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def shards(): Seq[(String, Long)] =
@@ -291,22 +351,26 @@ private[sources] final case class HttpTransport(url: String) extends PageTranspo
       .split('\n').iterator.filter(_.nonEmpty)
   }
 
+  override def supportsRankedPages: Boolean = true
+
   override def describe: String = s"url=$url"
 }
 
 private[sources] class EndpointTable(tableSchema: StructType,
-                                     transport: PageTransport, pageSize: Int)
+                                     transport: PageTransport, pageSize: Int,
+                                     trustRanked: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"entity-endpoint(${transport.describe})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EndpointScanBuilder(tableSchema, transport, pageSize)
+    new EndpointScanBuilder(tableSchema, transport, pageSize, trustRanked)
 }
 
 private[sources] class EndpointScanBuilder(fullSchema: StructType,
-                                           transport: PageTransport, pageSize: Int)
+                                           transport: PageTransport, pageSize: Int,
+                                           trustRanked: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -399,19 +463,27 @@ private[sources] class EndpointScanBuilder(fullSchema: StructType,
   }
   private var aggSpecs: Seq[EndpointAggSpec] = Seq.empty
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // ranked server-side truncation is only issued when the transport
+    // actually truncates AND the user opted into trusting its ranking
+    // semantics (see the TRUST MODEL in the class doc)
+    val useRanked = trustRanked && transport.supportsRankedPages
     if (countPushed)
       new EndpointCountScan(fullSchema, pushed, transport, pageSize)
     else if (aggSpecs.nonEmpty)
-      new EndpointAggScan(fullSchema, aggSpecs, pushed, transport, pageSize)
+      new EndpointAggScan(fullSchema, aggSpecs, pushed, transport, pageSize,
+        useRanked)
     else
-      new EndpointScan(fullSchema, required, pushed, transport, pageSize, limit, topN)
+      new EndpointScan(fullSchema, required, pushed, transport, pageSize,
+        limit, topN, useRanked)
+  }
 }
 
 private[sources] class EndpointScan(fullSchema: StructType, required: StructType,
                                     filters: Array[Filter],
                                     transport: PageTransport, pageSize: Int,
-                                    limit: Int, topN: Array[SortOrder])
+                                    limit: Int, topN: Array[SortOrder],
+                                    useRanked: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -444,7 +516,8 @@ private[sources] class EndpointScan(fullSchema: StructType, required: StructType
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EndpointReaderFactory(fullSchema, required, filters, transport, limit, topN)
+    new EndpointReaderFactory(fullSchema, required, filters, transport, limit,
+      topN, useRanked)
 }
 
 private[sources] case class EndpointPage(shard: String, start: Long, len: Long)
@@ -561,7 +634,8 @@ private[sources] object EndpointAggSpec {
 private[sources] class EndpointAggScan(fullSchema: StructType,
                                        specs: Seq[EndpointAggSpec],
                                        filters: Array[Filter],
-                                       transport: PageTransport, pageSize: Int)
+                                       transport: PageTransport, pageSize: Int,
+                                       useRanked: Boolean = false)
     extends Scan with Batch {
   import EndpointAggSpec._
   override def readSchema(): StructType = StructType(specs.map {
@@ -595,13 +669,14 @@ private[sources] class EndpointAggScan(fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EndpointAggReaderFactory(fullSchema, specs, filters, transport)
+    new EndpointAggReaderFactory(fullSchema, specs, filters, transport, useRanked)
 }
 
 private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
                                                 specs: Seq[EndpointAggSpec],
                                                 filters: Array[Filter],
-                                                transport: PageTransport)
+                                                transport: PageTransport,
+                                                useRanked: Boolean = false)
     extends PartitionReaderFactory {
   import EndpointAggSpec._
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -619,13 +694,12 @@ private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
-    } else if (specs.forall(_ != CountAll)) {
-      // pure extrema: ONE ranked-page request per spec (order by the
-      // column, size=1 — MIN asc / MAX desc, nulls last so the first
-      // row is the extreme non-null value). A ranked transport ships
-      // one row per request instead of the page body; transports
-      // without ranked pages fall back to the full page and the
-      // client-side fold below decides either way.
+    } else if (useRanked && specs.forall(_ != CountAll)) {
+      // pure extrema against a TRUSTED ranked transport: ONE
+      // ranked-page request per spec (order by the column, size=1 —
+      // MIN asc / MAX desc, nulls last so the first row is the extreme
+      // non-null value) — one row crosses the wire per spec instead of
+      // the page body.
       val parts = specs.map { spec =>
         val (f, desc) = spec match {
           case MinOf(f) => (f, false)
@@ -641,8 +715,12 @@ private[sources] class EndpointAggReaderFactory(fullSchema: StructType,
       }
       new ExtremaReader(parts)
     } else {
-      // COUNT(*) in the mix: every passing row must be counted, so the
-      // full page flows through one reader and folds to one partial row
+      // COUNT(*) in the mix (every passing row must be counted), an
+      // untrusted server, or a transport whose fetchPageTopK falls
+      // back to the full page anyway: ONE fetch+parse of the page
+      // folds to one partial row. Splitting into per-spec ranked
+      // requests here would fetch and parse the page once PER SPEC
+      // for zero transfer savings (MIN+MAX = double page I/O).
       val cols = specs.collect {
         case MinOf(f) => f
         case MaxOf(f) => f
@@ -770,11 +848,12 @@ private[sources] class EndpointReaderFactory(fullSchema: StructType,
                                              required: StructType,
                                              filters: Array[Filter],
                                              transport: PageTransport,
-                                             limit: Int, topN: Array[SortOrder])
+                                             limit: Int, topN: Array[SortOrder],
+                                             useRanked: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EndpointPageReader(p.asInstanceOf[EndpointPage], fullSchema, required,
-      filters, transport, limit, topN)
+      filters, transport, limit, topN, useRanked = useRanked)
 }
 
 /** Executes ONE page request: fetches the page body through the
@@ -791,24 +870,30 @@ private[sources] class EndpointPageReader(page: EndpointPage,
                                           limit: Int,
                                           topN: Array[SortOrder],
                                           serverOrder: Seq[PageOrder] = Nil,
-                                          serverK: Int = -1)
+                                          serverK: Int = -1,
+                                          useRanked: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   // an UNORDERED server cap under a pushed top-k could drop the very
   // rows the ordering keeps, so the plain `limit` cap applies only to
-  // the plain-limit shape; a top-k page instead requests the RANKED
-  // page (order + k server-side — transports without ranked support
-  // fall back to the full page) and re-sorts whatever arrives below.
-  // `serverOrder`/`serverK` let a caller (the extrema pushdown)
-  // request a ranked page directly without engaging the row-level
-  // top-k machinery.
+  // the plain-limit shape. A top-k page requests the RANKED page
+  // (order + k server-side) ONLY when the caller decided ranked
+  // truncation is trustworthy (`useRanked` — the trustRankedPages
+  // option AND a transport that truncates); otherwise the full
+  // filtered page arrives and the re-sort below stays authoritative
+  // against any server. `serverOrder`/`serverK` let a caller (the
+  // extrema pushdown) request a ranked page directly without engaging
+  // the row-level top-k machinery — those callers apply the same
+  // gate before constructing this reader.
   private val lines =
     if (serverOrder.nonEmpty)
       transport.fetchPageTopK(page.shard, page.start, page.len, filters,
         serverOrder, serverK)
-    else if (topN.nonEmpty)
+    else if (topN.nonEmpty && useRanked)
       transport.fetchPageTopK(page.shard, page.start, page.len, filters,
         PageOrder.fromSortOrders(topN), limit)
+    else if (topN.nonEmpty)
+      transport.fetchPage(page.shard, page.start, page.len, filters, -1)
     else
       transport.fetchPage(page.shard, page.start, page.len, filters, limit)
 

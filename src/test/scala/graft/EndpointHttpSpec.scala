@@ -128,36 +128,54 @@ class EndpointHttpSpec extends SparkSpec {
           .map(f => s"${f.getName}\t${readLines(f).size}").mkString("\n"))
     })
     s.createContext("/page", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val q = query(ex)
-        val file = shardFiles.find(_.getName == q("shard"))
-          .getOrElse(sys.error(s"unknown shard ${q("shard")}"))
-        val start = q("start").toInt
-        val len = q("len").toInt
-        var rows = readLines(file).slice(start, start + len)
-        q.get("filters").foreach { fj =>
-          val parsed = mapper.readTree(fj)
-          rows = rows.filter(l => rowPasses(mapper.readTree(l), parsed))
-        }
-        q.get("limit").map(_.toInt).filter(_ >= 0)
-          .foreach(l => rows = rows.take(l))
-        q.get("order").foreach { oj =>
-          rows = rankRows(rows, oj, q("k").toInt)
-        }
-        servedRows.addAndGet(rows.size.toLong)
-        respond(ex, rows.mkString("\n"))
-      }
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, pageBody(query(ex)))
     })
     s.start()
     s
   }
 
-  private def endpointHttp(pageSize: Int = 100) =
+  /** The conforming server's page logic: filter → limit → rank.
+    * `flipRank = true` simulates a NONCONFORMING ranked server that
+    * truncates by the OPPOSITE ordering (ships each page's bottom-k) —
+    * the class of server the trustRankedPages gate defends against.
+    */
+  private def pageBody(q: Map[String, String], flipRank: Boolean = false): String = {
+    val file = shardFiles.find(_.getName == q("shard"))
+      .getOrElse(sys.error(s"unknown shard ${q("shard")}"))
+    val start = q("start").toInt
+    val len = q("len").toInt
+    var rows = readLines(file).slice(start, start + len)
+    q.get("filters").foreach { fj =>
+      val parsed = mapper.readTree(fj)
+      rows = rows.filter(l => rowPasses(mapper.readTree(l), parsed))
+    }
+    q.get("limit").map(_.toInt).filter(_ >= 0)
+      .foreach(l => rows = rows.take(l))
+    q.get("order").foreach { oj =>
+      val oj2 = if (!flipRank) oj else {
+        val arr = mapper.readTree(oj)
+        arr.elements().asScala.foreach {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.put("desc", !o.get("desc").asBoolean); ()
+          case _ => ()
+        }
+        mapper.writeValueAsString(arr)
+      }
+      rows = rankRows(rows, oj2, q("k").toInt)
+    }
+    servedRows.addAndGet(rows.size.toLong)
+    rows.mkString("\n")
+  }
+
+  private def endpointHttp(pageSize: Int = 100, trustRanked: Boolean = false,
+                           port: Int = server.getAddress.getPort) =
     spark.read.format("entity-endpoint")
-      .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+      .option("url", s"http://127.0.0.1:$port")
       .option("schema",
         "p_partkey BIGINT, p_name STRING, p_brand STRING, p_retailprice DOUBLE")
       .option("pageSize", pageSize.toString)
+      .option("trustRankedPages", trustRanked.toString)
       .load()
 
   private def parquetSide = spark.read.parquet(s"$sfDir/part.parquet")
@@ -218,7 +236,7 @@ class EndpointHttpSpec extends SparkSpec {
     val expected = parquetSide.groupBy()
       .agg(min(col("p_retailprice")), max(col("p_retailprice")))
       .as[(Double, Double)].head()
-    val q = endpointHttp(pageSize = 100).groupBy()
+    val q = endpointHttp(pageSize = 100, trustRanked = true).groupBy()
       .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
     val plan = q.queryExecution.executedPlan.toString()
     assert(plan.contains("PushedAggregates: [MIN(p_retailprice), MAX(p_retailprice)]"),
@@ -238,7 +256,7 @@ class EndpointHttpSpec extends SparkSpec {
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
       .as[(Long, String, String, Double)].collect().toSeq
     servedRows.set(0)
-    val got = endpointHttp()
+    val got = endpointHttp(trustRanked = true)
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
       .as[(Long, String, String, Double)].collect().toSeq
     assert(got == expected)
@@ -247,6 +265,110 @@ class EndpointHttpSpec extends SparkSpec {
     val pages = (total + 99) / 100 + 2
     assert(servedRows.get() <= 3 * pages,
       s"top-k pulled ${servedRows.get()} rows over the wire (corpus=$total)")
+  }
+
+  test("default (untrusted) top-k never issues ranked requests and stays exact") {
+    val expected = parquetSide
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+      .as[(Long, String, String, Double)].collect().toSeq
+    servedRows.set(0)
+    val got = endpointHttp()
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(got == expected)
+    // full pages cross the wire (the price of trusting nothing): the
+    // client sorts locally, so even a hostile ranker cannot matter
+    assert(servedRows.get() == parquetSide.count(),
+      s"untrusted top-k shipped ${servedRows.get()} rows, expected full pages")
+  }
+
+  test("default (untrusted) MIN/MAX folds in ONE page pass, not one per spec") {
+    val expected = parquetSide.groupBy()
+      .agg(min(col("p_retailprice")), max(col("p_retailprice")))
+      .as[(Double, Double)].head()
+    servedRows.set(0)
+    val got = endpointHttp().groupBy()
+      .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+      .as[(Double, Double)].head()
+    assert(got == expected)
+    // MIN+MAX share a single AggregatingReader pass: each page body
+    // crosses the wire exactly once (2× would mean one fetch per spec)
+    assert(servedRows.get() == parquetSide.count(),
+      s"untrusted extrema shipped ${servedRows.get()} rows, expected one pass")
+  }
+
+  test("a nonconforming ranked server corrupts trusted top-k (the documented trade)" +
+       " but not the default mode") {
+    // this server truncates ranked pages by the OPPOSITE ordering —
+    // each page ships its bottom-k
+    val s3 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s3.createContext("/shards", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, shardFiles
+          .map(f => s"${f.getName}\t${readLines(f).size}").mkString("\n"))
+    })
+    s3.createContext("/page", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, pageBody(query(ex), flipRank = true))
+    })
+    s3.start()
+    try {
+      val truth = parquetSide
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+        .as[(Long, String, String, Double)].collect().toSeq
+      // DEFAULT mode never sends an order parameter, so the hostile
+      // ranker is never engaged: results stay exact
+      val safe = endpointHttp(port = s3.getAddress.getPort)
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+        .as[(Long, String, String, Double)].collect().toSeq
+      assert(safe == truth)
+      // TRUSTED mode hands truncation to the server — against this one
+      // the true top rows never cross the wire (every 100-row page
+      // keeps only its bottom 3). This pins the documented failure
+      // mode the opt-in accepts.
+      val corrupted = endpointHttp(trustRanked = true, port = s3.getAddress.getPort)
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc).limit(3)
+        .as[(Long, String, String, Double)].collect().toSeq
+      assert(corrupted != truth,
+        "a bottom-k ranker should corrupt trusted top-k; if this ever " +
+          "passes exactly, the gate is no longer exercising the server")
+    } finally s3.stop(0)
+  }
+
+  test("transient 5xx per page is retried: flaky server still yields exact results") {
+    // fails the FIRST request for every distinct URI with a 503, then
+    // serves conforming pages — the reference client's flaky-remote
+    // world (it sleeps and retries; the transport backs off per page)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val s4 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s4.createContext("/shards", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (seen.add("shards")) { ex.sendResponseHeaders(503, -1); ex.close() }
+        else respond(ex, shardFiles
+          .map(f => s"${f.getName}\t${readLines(f).size}").mkString("\n"))
+    })
+    s4.createContext("/page", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (seen.add(ex.getRequestURI.toString)) {
+          ex.sendResponseHeaders(503, -1); ex.close()
+        } else respond(ex, pageBody(query(ex)))
+    })
+    s4.start()
+    try {
+      val expected = parquetSide.filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_name").as[(Long, String)].collect().toSeq.sorted
+      val got = spark.read.format("entity-endpoint")
+        .option("url", s"http://127.0.0.1:${s4.getAddress.getPort}")
+        .option("schema",
+          "p_partkey BIGINT, p_name STRING, p_brand STRING, p_retailprice DOUBLE")
+        .option("pageSize", "100")
+        .option("retryBackoffMs", "1")
+        .load()
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_name")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got == expected)
+    } finally s4.stop(0)
   }
 
   test("a lying server cannot corrupt results: client re-verifies pushed filters") {
