@@ -107,11 +107,12 @@ object SparkEntry {
     * the first checkpoint a 100 TB text pipeline would materialize.
     * n is pinned to 3 here so every consumer shares the same artifact.
     */
-  /** THE pinned shingle width for the whole n-gram jaccard family.
-    * Dedup's `shingles` relations carry no n metadata (see the
-    * contract on Dedup.jaccardPairs), so one constant threads through
-    * the ensureShingleSets build AND every consumer — the compiler
-    * enforces what the relation cannot.
+  /** THE pinned shingle width for the whole n-gram jaccard family:
+    * one constant threads through the ensureShingleSets build AND
+    * every consumer. Dedup additionally enforces the width at runtime
+    * (field metadata on the relation + a parameter sidecar on the
+    * persisted artifact — see the contract on Dedup.jaccardPairs), so
+    * a drifted constant would throw rather than corrupt results.
     */
   private val JaccardShingleN = 3
 
@@ -128,14 +129,65 @@ object SparkEntry {
       n = JaccardShingleN, fixturePath("shingles", dir, "documents"))
 
   private object SelfCheck {
+    /** One invariant's outcome: which check ran, whether it held, and
+      * the values it measured — the evidence Verify dumps next to the
+      * parquet results so the driver's `no_oracle` rows carry proof
+      * that the invariants RAN AND PASSED (not merely "rows > 0").
+      */
+    final case class Evidence(key: String, passed: Boolean,
+                              measured: Seq[String], error: Option[String])
     private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val records =
+      new java.util.concurrent.ConcurrentHashMap[String, Evidence]()
+    private val notes =
+      new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]
     val FixtureDir = "/root/testdata/sf0.001"
     def fixtureExists: Boolean = new java.io.File(FixtureDir).isDirectory
+
+    /** Record a measured value for the invariant currently running —
+      * a no-op outside a check body.
+      */
+    def note(msg: String): Unit =
+      Option(notes.get()).foreach { b => b += msg; () }
+
     def once(key: String)(check: => Unit): Unit =
       if (done.add(key)) {
-        try check catch { case e: Throwable => done.remove(key); throw e }
+        try record(key)(check)
+        catch { case e: Throwable => done.remove(key); throw e }
       }
+
+    /** Like [[once]] but re-runs (and re-records) on every call — for
+      * invariants cheap enough to validate per invocation.
+      */
+    def every(key: String)(check: => Unit): Unit = record(key)(check)
+
+    private def record(key: String)(body: => Unit): Unit = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      notes.set(buf)
+      try {
+        body
+        records.put(key, Evidence(key, passed = true, buf.toSeq, None))
+        ()
+      } catch {
+        case e: Throwable =>
+          records.put(key, Evidence(key, passed = false, buf.toSeq,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+          throw e
+      } finally notes.remove()
+    }
+
+    def evidence: Seq[Evidence] =
+      records.values.toArray(Array.empty[Evidence]).toSeq.sortBy(_.key)
   }
+
+  /** Evidence trail of every in-query invariant this JVM has run —
+    * (check key, passed, measured values, error). Verify serializes it
+    * to `invariants.json` so CORRECTNESS consumers can distinguish
+    * "unverifiable by DuckDB" from "unverified".
+    */
+  def invariantEvidence: Seq[(String, Boolean, String, String)] =
+    SelfCheck.evidence.map(e =>
+      (e.key, e.passed, e.measured.mkString("; "), e.error.getOrElse("")))
 
   // ---- shared expression helpers (keep Spark & oracle in lockstep) ----
   private def epochTs(c: Column): Column = c.cast("double")
@@ -400,6 +452,7 @@ object SparkEntry {
             .otherwise(0.0)))
           .head().getDouble(0)
         require(acc >= 0.3, f"q27 langid accuracy $acc%.3f below 0.3 floor")
+        SelfCheck.note(f"langid accuracy $acc%.3f vs gold labels (floor 0.3)")
       }
       t(s, dir).documents
         .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("pred_lang"))
@@ -444,6 +497,8 @@ object SparkEntry {
           s"q31 false positives: ${(mh diff exact).take(5)}")
         require(exact.isEmpty || (mh intersect exact).size >= exact.size * 0.8,
           s"q31 recall ${(mh intersect exact).size}/${exact.size} below 0.8")
+        SelfCheck.note(s"subset of exact holds (0 false positives); " +
+          s"recall ${(mh intersect exact).size}/${exact.size} (floor 0.8)")
       }
       Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text", threshold = 0.6,
           shingleN = JaccardShingleN, shingles = Some(sharedShingles(s, dir)))
@@ -466,8 +521,11 @@ object SparkEntry {
           .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
           .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        require((banded diff brute(8)).isEmpty, "q32 banded pairs beyond hamming 8")
-        require((brute(3) diff banded).isEmpty, "q32 banding missed a hamming<=3 pair")
+        val b8 = brute(8); val b3 = brute(3)
+        require((banded diff b8).isEmpty, "q32 banded pairs beyond hamming 8")
+        require((b3 diff banded).isEmpty, "q32 banding missed a hamming<=3 pair")
+        SelfCheck.note(s"banded ${banded.size} pairs ⊆ brute hamming≤8 " +
+          s"(${b8.size}); all ${b3.size} hamming≤3 pairs recovered (banding theorem)")
       }
       Dedup.simhashNearDups(t(s, dir).documents, "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b")
@@ -497,6 +555,8 @@ object SparkEntry {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         require((brute intersect ann).size >= 3,
           s"q34 ANN recall ${(brute intersect ann).size}/10 below 3")
+        SelfCheck.note(s"ANN recall ${(brute intersect ann).size}/10 " +
+          "vs brute-force cosine top-10 (floor 3)")
       }
       Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
         numBits = 16, probeHamming = 6, excludeId = 0L)
@@ -523,6 +583,8 @@ object SparkEntry {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         require((brute intersect ivf).size >= 6,
           s"q50 IVF recall ${(brute intersect ivf).size}/10 below 6")
+        SelfCheck.note(s"IVF pruned-scan recall ${(brute intersect ivf).size}/10 " +
+          "vs brute-force (floor 6)")
       }
       Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q, 10,
         nprobe = 4, excludeId = 0L)
@@ -556,6 +618,8 @@ object SparkEntry {
           .filter(abs(col("cosine") - round(VecFns.cosine(col("ea"), col("eb")), 6))
             > 1e-9).count()
         require(bad == 0, s"q36 $bad pairs with wrong cosine values")
+        SelfCheck.note(s"k-bound (≤3 per id), no self-pairs, and all " +
+          s"${knn.count()} reported cosines match exact recomputation")
       }
       // 8-bit bands (32 sig bits / 4 bands): ~n/256 per bucket, so the
       // candidate self-join stays near-linear instead of n²/16
@@ -604,6 +668,8 @@ object SparkEntry {
           "q124 oracle precondition violated: non-ASCII documents present")
         require(r.getInt(1) >= 2,
           s"q124 oracle precondition violated: min doc length ${r.get(1)} < 2 bytes")
+        SelfCheck.note(s"oracle preconditions over ${r.getLong(2)} docs: " +
+          s"0 non-ASCII, min doc length ${r.getInt(1)} ≥ 2 bytes")
       }
       val media = Multimodal.mediaFromDocuments(docs)
       Multimodal.decodeFeatures(s, media).toDF()
@@ -643,6 +709,8 @@ object SparkEntry {
         val (approx, exact) = (r.getLong(0), r.getLong(1))
         require(math.abs(approx - exact) <= exact * 0.1,
           s"q40 HLL estimate $approx vs exact $exact exceeds 10% error")
+        SelfCheck.note(f"HLL estimate $approx vs exact $exact " +
+          f"(${math.abs(approx - exact) * 100.0 / exact}%.2f%% error, bound 10%%)")
       }
       out
     }),
@@ -1231,9 +1299,13 @@ object SparkEntry {
             .as("p50_approx"),
           percentile(col("l_quantity"), lit(0.49)).as("lo"),
           percentile(col("l_quantity"), lit(0.51)).as("hi"))
-      val bad = res.filter(col("p50_approx") < col("lo") ||
-        col("p50_approx") > col("hi")).count()
-      require(bad == 0, s"q83 approx median outside exact [p49,p51] for $bad groups")
+      SelfCheck.every(s"q83/$dir") {
+        val n = res.count()
+        val bad = res.filter(col("p50_approx") < col("lo") ||
+          col("p50_approx") > col("hi")).count()
+        require(bad == 0, s"q83 approx median outside exact [p49,p51] for $bad groups")
+        SelfCheck.note(s"approx p50 within exact [p49,p51] for all $n groups")
+      }
       res.select(col("l_returnflag"),
           col("p50_approx").cast("double").as("p50_approx"))
         .orderBy("l_returnflag")
@@ -1266,11 +1338,16 @@ object SparkEntry {
         .orderBy(col("n_exact").desc, col("token").asc)
       val exactTop1 = exact.withColumn("r", row_number().over(w))
         .filter(col("r") === 1).select(col("lang"), col("token"), col("n_exact"))
-      val missing = exactTop1.join(approx, Seq("lang", "token"), "left_anti").count()
-      require(missing == 0, s"q91 sketch missed the exact top token for $missing langs")
-      val wrong = exactTop1.join(approx, Seq("lang", "token"))
-        .filter(col("n") =!= col("n_exact")).count()
-      require(wrong == 0, s"q91 sketched count differs from exact for $wrong langs")
+      SelfCheck.every(s"q91/$dir") {
+        val nLangs = exactTop1.count()
+        val missing = exactTop1.join(approx, Seq("lang", "token"), "left_anti").count()
+        require(missing == 0, s"q91 sketch missed the exact top token for $missing langs")
+        val wrong = exactTop1.join(approx, Seq("lang", "token"))
+          .filter(col("n") =!= col("n_exact")).count()
+        require(wrong == 0, s"q91 sketched count differs from exact for $wrong langs")
+        SelfCheck.note(s"sketch recovered the exact top token with the exact " +
+          s"count for all $nLangs langs")
+      }
       approx.orderBy("lang", "rk")
     }),
 
@@ -1329,6 +1406,8 @@ object SparkEntry {
           .filter(abs(col("cosine") - round(VecFns.cosine(col("ea"), col("eb")), 6))
             > 1e-9).count()
         require(bad == 0, s"q88 $bad pairs with wrong cosine values")
+        SelfCheck.note(s"k-bound (≤3 per query), no side leaks across the " +
+          s"query/corpus split, all ${knn.count()} cosines match exact recomputation")
       }
       val emb = t(s, dir).embeddings
       Similarity.crossKnnJoin(
@@ -1354,9 +1433,13 @@ object SparkEntry {
       val perLang = fine.groupBy(col("lang"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
           sum(col("exact")).as("exact"))
-      val bad = perLang
-        .filter(abs(col("approx") - col("exact")) > col("exact") * 0.05).count()
-      require(bad == 0, s"q87 sketch-merge estimate off by >5% for $bad langs")
+      SelfCheck.every(s"q87/$dir") {
+        val n = perLang.count()
+        val bad = perLang
+          .filter(abs(col("approx") - col("exact")) > col("exact") * 0.05).count()
+        require(bad == 0, s"q87 sketch-merge estimate off by >5% for $bad langs")
+        SelfCheck.note(s"merged-sketch estimate within 5% of exact for all $n langs")
+      }
       perLang.select(col("lang"), col("approx").as("approx_docs"),
           col("exact").as("exact_docs"))
         .orderBy("lang")
@@ -1418,6 +1501,8 @@ object SparkEntry {
           .filter(round(VecFns.cosine(col("ea"), col("eb")), 6) >= 0.35)
           .count()
         require(close == 0, s"q92 $close surviving same-cluster pairs within tau")
+        SelfCheck.note(s"$nKept/$nAll survivors, all drawn from the corpus; " +
+          "no surviving same-cluster pair within tau=0.35")
       }
       Similarity.semanticDedup(t(s, dir).embeddings, "vec_id", "embedding",
           tau = 0.35, nlist = 16)
@@ -1561,6 +1646,8 @@ object SparkEntry {
           require(est >= exact && est <= exact + slack,
             s"q105 CMS bound violated: exact=$exact est=$est slack=$slack")
         }
+        SelfCheck.note(s"CMS one-sided bound exact ≤ est ≤ exact+$slack " +
+          "held for all 10 fixture heavy hitters")
       }
       hh(dir, 20)
     }),
@@ -1825,8 +1912,104 @@ object SparkEntry {
     // Same star-schema mapping as q22/q23.
     "q126_resume_phase2" -> ((s, dir) =>
       Checkpointed.phase2(s, dir,
-        fixturePath("x2ckpt", dir, "lineitem", "orders", "customer")))
+        fixturePath("x2ckpt", dir, "lineitem", "orders", "customer"))),
+
+    // ---------------- string frontend: Graft.sql ----------------
+    // The reference's entire user interface is a query STRING handed
+    // to an engine (query_opentargets.py:4-16); these queries run
+    // through `Graft.sql` — text in, DataFrame out, full Catalyst in
+    // between. q127-q129 are written in the Spark∩DuckDB dialect so
+    // the SAME text is its own oracle; q130 exercises a registered
+    // native function (dot_product — VecExprs codegen kernel) whose
+    // oracle twin is DuckDB's list_dot_product.
+    "q127_sql_revenue" -> ((s, dir) => Graft.sql(s, dir, SqlRevenueByNation)),
+    "q128_sql_search_topk" -> ((s, dir) => Graft.sql(s, dir, SqlSearchTopK)),
+    "q129_sql_window" -> ((s, dir) => Graft.sql(s, dir, SqlWindowTop2)),
+    "q130_sql_native_fn" -> ((s, dir) => Graft.sql(s, dir,
+      SqlNeighborDot("dot_product(a.embedding, b.embedding)"))),
+
+    // ---------------- §2.10 streaming: batch-twin oracle parity ----------------
+    // The windowed-aggregation path run as a REAL stream — file
+    // source, AvailableNow trigger, complete-mode windowed agg into a
+    // memory sink — must hash-match q20's batch oracle. Event-time
+    // tumbling hour windows with the same decimal money-sum, so the
+    // only difference from q20 is the execution model. The memory
+    // sink holds only the AGGREGATED result (≤ hours × event types
+    // rows) on the driver — the production shape swaps it for a
+    // parquet/Kafka sink; everything upstream is distributed.
+    // The stream reads a once-per-corpus normalized parquet artifact
+    // (Tables.events normalizes storage encodings at the table
+    // boundary; readStream has no such hook, so the artifact IS the
+    // boundary).
+    "q131_stream_hourly" -> ((s, dir) => {
+      val src = fixturePath("streamsrc", dir, "events")
+      Artifact.ensure(src) { tmp =>
+        t(s, dir).events.write.mode("overwrite").parquet(tmp)
+      }
+      val schema = s.read.parquet(src).schema
+      val qname = "graft_stream_hourly"
+      // a previous invocation's stream under the same name must be
+      // gone before restart (AvailableNow terminates it; belt and
+      // braces for error paths)
+      s.streams.active.filter(_.name == qname).foreach(_.stop())
+      val query = s.readStream.schema(schema).parquet(src)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .select(col("window.start").cast("long").as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    })
   )
+
+  /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
+    * (the oracle), so the string frontend is oracle-checked end to
+    * end with zero translation layer.
+    */
+  private val SqlRevenueByNation =
+    """SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       ORDER BY n_name"""
+
+  private val SqlSearchTopK =
+    """SELECT p_partkey, p_name, round(p_retailprice,2) AS price
+       FROM part WHERE lower(p_name) LIKE '%blue%'
+       ORDER BY p_retailprice DESC, p_partkey LIMIT 5"""
+
+  private val SqlWindowTop2 =
+    """SELECT o_custkey, o_orderkey, rk FROM (
+         SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+         FROM orders) t
+       WHERE rk <= 2
+       ORDER BY o_custkey, rk, o_orderkey"""
+
+  /** Consecutive-id neighbor dot products over the (unit-norm)
+    * embeddings; `dotExpr` is the engine's dot product over
+    * (a.embedding, b.embedding) — the graft native kernel in Spark,
+    * DuckDB's list_dot_product CAST to DOUBLE in the oracle (its
+    * FLOAT[] form returns float32, whose round carries float32
+    * precision into the compare). `+ 0.0` normalizes -0.0 the same
+    * way q123 does.
+    */
+  private def SqlNeighborDot(dotExpr: String) =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round($dotExpr, 3) + 0.0 AS dot
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 50
+        ORDER BY id_a"""
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
     * Omitted: q31/q32 (sketches), q34/q36
@@ -3205,6 +3388,21 @@ object SparkEntry {
            WHERE l_partkey IN (SELECT l_partkey FROM candidates))
          SELECT r.target_id, r.disease_id, c.drug_id
          FROM rdt r JOIN cdt c ON r.target_id = c.target_id
-         ORDER BY r.target_id, r.disease_id, c.drug_id"""
+         ORDER BY r.target_id, r.disease_id, c.drug_id""",
+    // string frontend: the SAME text Graft.sql runs (q130 swaps the
+    // native dot_product for DuckDB's list_dot_product)
+    "q127_sql_revenue" -> SqlRevenueByNation,
+    "q128_sql_search_topk" -> SqlSearchTopK,
+    "q129_sql_window" -> SqlWindowTop2,
+    "q130_sql_native_fn" -> SqlNeighborDot(
+      "CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)"),
+    // streaming batch-twin: the stream replays the same events, so
+    // q20's batch aggregation IS the oracle (hour window start ≡
+    // date_trunc hour for hour-aligned tumbling windows)
+    "q131_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
   )
 }

@@ -48,6 +48,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Evidence for the `no_oracle` rows: every in-query invariant that
+    // ran in this JVM, with pass/fail and the measured values, so a
+    // CORRECTNESS consumer can distinguish "not expressible in DuckDB"
+    // from "never verified". Check keys are `qNN/...`; resolve the
+    // prefix to the full registered query name for joinability with
+    // the per-query records.
+    val qnames = SparkEntry.queries.keys.toSeq
+    val inv = SparkEntry.invariantEvidence.map { case (key, passed, measured, err) =>
+      val prefix = key.takeWhile(_ != '/')
+      val qn = qnames.find(_.startsWith(prefix + "_")).getOrElse(prefix)
+      s"""  {"query": ${q(qn)}, "check": ${q(key)}, "passed": $passed, """ +
+        s""""measured": ${q(measured)}, "error": ${q(err)}}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/invariants.json"),
+      inv.mkString("[\n", ",\n", "\n]\n"))
     spark.stop()
   }
 }
