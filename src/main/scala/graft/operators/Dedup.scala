@@ -102,11 +102,24 @@ object Dedup {
   /** MinHash near-dup pairs with EXACT shingle-Jaccard verification
     * of candidates. Returns (id_a, id_b, jaccard) for pairs at or
     * above `threshold`.
+    *
+    * Runs over cluster REPRESENTATIVES (one doc per identical shingle
+    * set) and expands after — output-identical to the uncontracted
+    * form, because identical sets yield identical signatures: a
+    * member pair shares an LSH bucket iff its rep pair does, its
+    * verified Jaccard equals the rep pair's, and intra-cluster pairs
+    * (identical sigs ⇒ every band collides; Jaccard exactly 1.0 ≥
+    * any valid threshold) are always emitted by both forms. Without
+    * the contraction the banded self-join is quadratic in duplicate-
+    * cluster size — measured 70× wall-clock at 100× replication
+    * (SCALING.md round 8) while the contracted jaccard path stayed
+    * flat.
     */
   def minhashNearDups(docs: DataFrame, idName: String, textName: String,
                       threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3,
                       shingles: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
     // One persisted shingle-set relation feeds the signature
     // aggregation AND both verification sides (min over the distinct
     // set equals min over raw shingles) — without it the shingling
@@ -115,18 +128,22 @@ object Dedup {
     // at a fraction of the construction cost. A caller holding the
     // persisted ensureShingleSets relation (same corpus, same
     // shingleN — the jaccardPairs CONTRACT) skips the shingling scan.
-    val sh = materialized(shingles.map(requireShingleN(_, shingleN))
+    val shAll = materialized(shingles.map(requireShingleN(_, shingleN))
       .getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
+    val (groups, members0) = contractBy(shAll, "id", "sh")
+    val sh = materialized(groups.select(col("rid").as("id"), col("sh")))
+    val members = materialized(members0)
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    withSets
+    val repPairs = withSets
       .withColumn("jaccard", round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    expandPairs(repPairs, members, intraValue = lit(1.0), valueName = "jaccard")
   }
 
   /** Incremental ingestion dedup: from a NEW batch, keep only
@@ -175,12 +192,26 @@ object Dedup {
     * exact Hamming verification with bit_count(xor). Hot-band skew is
     * bounded the same way as [[minhashCandidates]] (AQE skew split;
     * DedupSpec adversarial case covers this join too).
+    *
+    * Runs over representatives of identical SIMHASH VALUES and expands
+    * after — output-identical to the uncontracted form: equal hashes
+    * band identically (a member pair is a candidate iff its rep pair
+    * is), hamming(x, y) = hamming(rep(x), rep(y)), and same-hash pairs
+    * are hamming 0 ≤ any maxHamming, always emitted by both forms.
+    * Exact duplicates (and near-dups that happen to collide) form
+    * same-hash clusters, which made the uncontracted band join
+    * quadratic in cluster size — the 100× probe's 391 s row
+    * (SCALING.md round 8).
     */
   def simhashNearDups(docs: DataFrame, idName: String, textName: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash64(docs, idName, col(textName))
+    require(maxHamming >= 0)
+    val shAll = materialized(simhash64(docs, idName, col(textName)))
+    val (groups, members0) = contractBy(shAll, idName, "simhash")
+    val sh = groups.select(col("rid").as("id"), col("simhash"))
+    val members = materialized(members0)
     val banded = sh.select(
-      col(idName).as("id"), col("simhash"),
+      col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
@@ -188,12 +219,14 @@ object Dedup {
       .select(col("id"), col("simhash"), col("b.band"), col("b.bh"))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+    val repPairs = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandPairs(repPairs, members, intraValue = lit(0), valueName = "hamming")
   }
 
   /** Exact n-gram Jaccard similar pairs with PREFIX FILTERING
@@ -230,17 +263,51 @@ object Dedup {
                    shingles: Option[DataFrame] = None): DataFrame = {
     val (repPairs, members) = jaccardRepPairs(docs, idName, textName, n,
       threshold, maxShingleFreq, shingles)
-    // expand clusters back to member pairs
     // (shingle-width contract on `shingles` checked in jaccardRepPairs)
+    expandPairs(repPairs, members, intraValue = lit(1.0), valueName = "jaccard")
+  }
+
+  /** Collapse rows with IDENTICAL `keyCol` values to one representative
+    * (the minimum id), returning (reps, members): reps carries one row
+    * per distinct key with the representative's id, members maps every
+    * original id to its representative. The shared contraction step of
+    * the whole near-dup family — a crawl-scale corpus is dominated by
+    * exact-duplicate clusters, and every banded/prefix candidate join
+    * degrades quadratically in cluster size without it (measured: the
+    * round-2 jaccard 65× blowup at 10×, and round 8's minhash 70× /
+    * simhash hot-bucket blowups at 100×).
+    */
+  private def contractBy(rows: DataFrame, idName: String, keyCol: String)
+      : (DataFrame, DataFrame) = {
+    val groups = rows.groupBy(col(keyCol))
+      .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize"))
+    val members = rows.select(col(idName).as("mid"), col(keyCol))
+      .join(groups.select(col(keyCol), col("rid")), Seq(keyCol))
+      .select(col("rid"), col("mid"))
+    (groups, members)
+  }
+
+  /** Expand rep-level similar pairs back to member pairs: cross pairs
+    * inherit the representatives' measure, intra-cluster pairs (whose
+    * members are identical under the contraction key) get
+    * `intraValue`. Members derive via joins, never collect_list — a
+    * boilerplate page with millions of twins must not become one giant
+    * array on one reducer. Output is IDENTICAL to the uncontracted
+    * join: identical inputs have identical signatures/prefixes, so a
+    * member pair is a candidate iff its rep pair is, and its measure
+    * equals the rep measure (exactly `intraValue` within a cluster).
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          intraValue: Column, valueName: String): DataFrame = {
     val cross = repPairs
       .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
       .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
       .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+        greatest(col("ma"), col("mb")).as("id_b"), col(valueName))
     val intra = members.as("x").join(members.as("y"),
         col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
       .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
-        lit(1.0).as("jaccard"))
+        intraValue.as(valueName))
     cross.unionByName(intra)
   }
 
@@ -285,11 +352,7 @@ object Dedup {
     // consumer is cheaper than a persist+count round trip over it.
     val shAll = shingles.map(requireShingleN(_, n)).getOrElse(
       materialized(hashedShingleSets(docs, idName, textName, n)))
-    val groups = shAll.groupBy(col("sh"))
-      .agg(min(col("id")).as("rid"), count(lit(1)).as("gsize"))
-    val members = shAll.select(col("id").as("mid"), col("sh"))
-      .join(groups.select(col("sh"), col("rid")), Seq("sh"))
-      .select(col("rid"), col("mid"))
+    val (groups, members) = contractBy(shAll, "id", "sh")
     val sh = materialized(groups.select(col("rid").as("id"), col("sh"), col("gsize")))
     val exploded = sh.select(col("id"), size(col("sh")).as("nsh"), col("gsize"),
       explode(col("sh")).as("g"))

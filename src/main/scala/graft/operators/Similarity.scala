@@ -56,15 +56,40 @@ object Similarity {
     * per-id top-k window. The banding bounds the self-join to
     * near-neighbors instead of n² — the scale path for corpus-level
     * "nearest neighbor per document".
+    *
+    * Identical VECTORS are contracted to one representative before the
+    * band join (the dedup-family discipline): a crawl corpus's clone
+    * clusters all but share signatures, so the uncontracted self-join
+    * is quadratic in cluster size — the 100× probe never finished it
+    * (SCALING.md round 8). Output stays IDENTICAL to the uncontracted
+    * form: clones band identically and have pairwise-equal cosines, so
+    * a member's true top-k (cosine desc, nn_id asc) is contained in
+    * (a) its cluster's k+1 lowest-id co-members — any other clone is
+    * outranked by k same-cosine lower ids — and (b) for each rep
+    * neighbor, that cluster's k lowest-id members, by the same
+    * argument. The expansion materializes exactly those bounded
+    * candidates (≈ members × k × (1 + rep-degree) rows, never m²) and
+    * the final window re-ranks them with the uncontracted ordering.
+    * Clone-pair cosine is computed from the representative's vector
+    * (NOT assumed 1.0 — a zero-norm vector's self-cosine is 0).
     */
   def knnJoin(embeddings: DataFrame, idName: String, vecName: String,
               k: Int, numBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(numBits % bands == 0)
+    require(numBits % bands == 0 && k >= 1)
     val w = numBits / bands
     val mask = (1L << w) - 1L
-    val sigged = embeddings.select(
-      col(idName).as("id"), col(vecName).as("v"),
-      VecFns.hyperplaneSig(col(vecName), numBits, seed).as("sig"))
+    val all = embeddings.select(col(idName).as("id"), col(vecName).as("v"))
+    val groups = all.groupBy(col("v")).agg(min(col("id")).as("rid"))
+    val members = materialized(
+      all.select(col("id").as("mid"), col("v"))
+        .join(groups.select(col("v"), col("rid")), Seq("v"))
+        .select(col("rid"), col("mid")))
+    // reps feed five consumers (both band sides, both vector joins,
+    // the self-cosine relation) — materialize or the groupBy(v) agg
+    // recomputes per consumer
+    val reps = materialized(groups.select(col("rid").as("id"), col("v")))
+    val sigged = reps.select(col("id"), col("v"),
+      VecFns.hyperplaneSig(col("v"), numBits, seed).as("sig"))
     // band join + pair-dedup over BARE IDS first — the wide vector
     // payload joins back only after dedup, so the shuffle moves
     // 16-byte pairs instead of 2×64-float rows (the difference
@@ -77,7 +102,7 @@ object Similarity {
       .select(col("id"), col("b.band"), col("b.bh"))
     val l = banded.as("l"); val r = banded.as("r")
     val vecs = sigged.select(col("id"), col("v"))
-    val pairs = l.join(r, col("l.band") === col("r.band") &&
+    val repPairs = l.join(r, col("l.band") === col("r.band") &&
         col("l.bh") === col("r.bh") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("id"), col("r.id").as("nn_id"))
       .distinct()
@@ -85,10 +110,42 @@ object Similarity {
       .join(vecs.select(col("id").as("nn_id"), col("v").as("vb")), "nn_id")
       .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
       .drop("va", "vb")
+    // the k+1 lowest-id members per cluster — the only clone candidates
+    // that can survive the (cosine desc, nn_id asc) window. One keyed
+    // window, never a per-cluster array.
+    val mw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rid")).orderBy(col("mid").asc)
+    val topMembers = materialized(members
+      .withColumn("__mr", row_number().over(mw))
+      .filter(col("__mr") <= k + 1))
+    // clone-pair cosine = the rep's self-cosine (1.0 after rounding
+    // for any non-degenerate vector, 0 for a zero vector — matching
+    // what the uncontracted join computed for clone pairs)
+    val selfCos = reps
+      .select(col("id").as("rid"), round(VecFns.cosine(col("v"), col("v")), 6).as("cosine"))
+    val cloneCands = members
+      .join(topMembers.select(col("rid"), col("mid").as("nn_mid")), Seq("rid"))
+      .filter(col("mid") =!= col("nn_mid"))
+      .join(selfCos, Seq("rid"))
+      .select(col("mid").as("id"), col("nn_mid").as("nn_id"), col("cosine"))
+    // rep pair (A,B): each member of A meets B's k lowest-id members
+    val crossCands = repPairs
+      .join(members.select(col("rid").as("id"), col("mid").as("ma")), Seq("id"))
+      .join(topMembers.filter(col("__mr") <= k)
+        .select(col("rid").as("nn_id"), col("mid").as("mb")), Seq("nn_id"))
+      .select(col("ma").as("id"), col("mb").as("nn_id"), col("cosine"))
+      .filter(col("id") =!= col("nn_id"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("nn_id").asc)
-    pairs.withColumn("__rn", row_number().over(win))
+    cloneCands.unionByName(crossCands)
+      .withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 
   /** Batch retrieval: for every QUERY vector, the top-k nearest
@@ -102,32 +159,57 @@ object Similarity {
   def crossKnnJoin(queries: DataFrame, corpus: DataFrame, idName: String,
                    vecName: String, k: Int, numBits: Int = 16,
                    bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(numBits % bands == 0)
+    require(numBits % bands == 0 && k >= 1)
     val w = numBits / bands
     val mask = (1L << w) - 1L
+    // contract identical vectors on BOTH sides ([[knnJoin]]'s clone
+    // discipline, without the self-pair machinery — the sides are
+    // distinct relations): a query member's candidates equal its
+    // rep's, and only each corpus cluster's k lowest-id members can
+    // survive the (cosine desc, nn_id asc) window.
+    def contract(df: DataFrame): (DataFrame, DataFrame) = {
+      val rows = df.select(col(idName).as("id"), col(vecName).as("v"))
+      val groups = rows.groupBy(col("v")).agg(min(col("id")).as("rid"))
+      val members = materialized(rows.select(col("id").as("mid"), col("v"))
+        .join(groups.select(col("v"), col("rid")), Seq("v"))
+        .select(col("rid"), col("mid")))
+      (materialized(groups.select(col("rid").as("id"), col("v"))), members)
+    }
+    val (qReps, qMembers) = contract(queries)
+    val (cReps, cMembers) = contract(corpus)
     def sigged(df: DataFrame) = df.select(
-      col(idName).as("id"), col(vecName).as("v"),
-      VecFns.hyperplaneSig(col(vecName), numBits, seed).as("sig"))
+      col("id"), col("v"),
+      VecFns.hyperplaneSig(col("v"), numBits, seed).as("sig"))
     def banded(df: DataFrame) = sigged(df).select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
-    val pairs = banded(queries).as("l")
-      .join(banded(corpus).as("r"),
+    val repPairs = banded(qReps).as("l")
+      .join(banded(cReps).as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.id").as("query_id"), col("r.id").as("nn_id"))
       .distinct()
-      .join(sigged(queries).select(col("id").as("query_id"), col("v").as("va")),
+      .join(sigged(qReps).select(col("id").as("query_id"), col("v").as("va")),
         "query_id")
-      .join(sigged(corpus).select(col("id").as("nn_id"), col("v").as("vb")),
+      .join(sigged(cReps).select(col("id").as("nn_id"), col("v").as("vb")),
         "nn_id")
       .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
       .drop("va", "vb")
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rid")).orderBy(col("mid").asc)
+    val topC = materialized(cMembers
+      .withColumn("__mr", row_number().over(cw)).filter(col("__mr") <= k))
+    val cands = repPairs
+      .join(qMembers.select(col("rid").as("query_id"), col("mid").as("qm")),
+        Seq("query_id"))
+      .join(topC.select(col("rid").as("nn_id"), col("mid").as("cm")),
+        Seq("nn_id"))
+      .select(col("qm").as("query_id"), col("cm").as("nn_id"), col("cosine"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id").asc)
-    pairs.withColumn("__rn", row_number().over(win))
+    cands.withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= k).drop("__rn")
   }
 

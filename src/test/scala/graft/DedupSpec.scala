@@ -242,14 +242,15 @@ class DedupSpec extends SparkSpec {
       val plan = cands.queryExecution.executedPlan.toString()
       assert(plan.contains("skew=true"),
         s"AQE did not skew-split the banded join:\n$plan")
-      // same guarantee for the simhash band join: identical docs share
-      // all four 16-bit bands; output must still be the exact pair set
+      // the simhash path defends against the same corpus DIFFERENTLY:
+      // identical hashes contract to one representative BEFORE the
+      // band join (round 8 — the uncontracted join was quadratic in
+      // clone-cluster size at 100×), so the hot bucket never reaches
+      // the join at all and no skew split is needed. The output must
+      // still be the exact pair set, clone pairs at hamming 0.
       val sim = Dedup.simhashNearDups(skewed, "doc_id", "text")
       val ns = sim.collect().count(_.getInt(2) == 0).toLong
       assert(ns >= 799L * 800L / 2, s"simhash hot-bucket pairs missing: $ns")
-      val simPlan = sim.queryExecution.executedPlan.toString()
-      assert(simPlan.contains("skew=true"),
-        s"AQE did not skew-split the simhash band join:\n$simPlan")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
@@ -266,16 +267,73 @@ class DedupSpec extends SparkSpec {
         n = 3, threshold = 0.6, Long.MaxValue, path)
       .as[(Long, Long)].collect().toMap
     assert(built == fresh)
-    // second call serves the artifact without rebuilding: poison the
-    // persisted file's mtime marker by checking the _SUCCESS file is
-    // untouched (same mtime) after the call
-    val success = new java.io.File(path, "_SUCCESS")
+    // second call serves the artifact without rebuilding: the _SUCCESS
+    // marker under the PARAMETER-KEYED directory (the path ensure
+    // actually publishes) must be untouched (same mtime) after the
+    // call. (Pre-round-8 this probed the unkeyed path, whose missing
+    // marker made the mtime check vacuous.)
+    val success = new java.io.File(
+      s"$path-n3-t600000-f${Long.MaxValue}", "_SUCCESS")
+    assert(success.isFile, "keyed artifact directory missing its marker")
     val mtime = success.lastModified()
     val reread = Dedup.ensureClusterLabels(docs, "doc_id", "text",
         n = 3, threshold = 0.6, Long.MaxValue, path)
       .as[(Long, Long)].collect().toMap
     assert(reread == fresh)
     assert(success.lastModified() == mtime, "artifact was rebuilt on reread")
+  }
+
+  test("minhash contraction equals the uncontracted pipeline on a clone-heavy corpus") {
+    // 3 exact copies of every doc: the regime where the uncontracted
+    // banded self-join is quadratic in cluster size. The reference is
+    // the pre-contraction pipeline reconstructed from the public
+    // pieces: signatures → banded candidates → exact verification.
+    val docs3 = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val sh = Dedup.hashedShingleSets(docs3, "doc_id", "text", 3)
+      .persist()
+    val sigs = Dedup.minhashSignatures(docs3, col("doc_id"), col("text"), 32, 3)
+    val cands = Dedup.minhashCandidates(sigs, 32, 8)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val reference = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val contracted = Dedup.minhashNearDups(docs3, "doc_id", "text", 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(contracted == reference)
+    assert(contracted.nonEmpty)
+    sh.unpersist()
+  }
+
+  test("simhash contraction equals the uncontracted band join on a clone-heavy corpus") {
+    val docs3 = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    // uncontracted reference: band every row, self-join, verify
+    val sh = Dedup.simhash64(docs3, "doc_id", col("text"))
+    val banded = sh.select(col("doc_id").as("id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+        }: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band"), col("b.bh"))
+    val reference = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val contracted = Dedup.simhashNearDups(docs3, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(contracted == reference)
+    assert(contracted.nonEmpty)
   }
 
   test("pre-built shingle relations with mismatched or missing width are rejected") {

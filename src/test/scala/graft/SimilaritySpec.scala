@@ -97,6 +97,96 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.filter(col("id") === col("nn_id")).count() == 0)
   }
 
+  test("knnJoin vector contraction equals the uncontracted band join on clones") {
+    // every vector cloned 3×: the regime where the uncontracted banded
+    // self-join is quadratic in clone-cluster size. The reference is
+    // the pre-contraction pipeline: band every row, self-join, exact
+    // cosine, per-id top-k window.
+    val base = emb.limit(200).select(col("vec_id"), col("embedding"))
+    val emb3 = base
+      .unionByName(base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(base.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+    val k = 3; val numBits = 16; val bands = 4; val seed = 42L
+    val w = numBits / bands
+    val mask = (1L << w) - 1L
+    val sigged = emb3.select(col("vec_id").as("id"), col("embedding").as("v"),
+      VecFns.hyperplaneSig(col("embedding"), numBits, seed).as("sig"))
+    val banded = sigged.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val vecs = sigged.select(col("id"), col("v"))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("nn_id"))
+      .distinct()
+      .join(vecs.select(col("id"), col("v").as("va")), "id")
+      .join(vecs.select(col("id").as("nn_id"), col("v").as("vb")), "nn_id")
+      .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
+      .drop("va", "vb")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cosine").desc, col("nn_id").asc)
+    // explicit select: the USING joins moved the key columns to the
+    // front, and the tuple decode is positional
+    val reference = pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .select(col("id"), col("nn_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val contracted = Similarity.knnJoin(emb3, "vec_id", "embedding", k,
+        numBits, bands, seed)
+      .select(col("id"), col("nn_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(contracted == reference)
+    assert(contracted.nonEmpty)
+  }
+
+  test("crossKnnJoin contraction equals the uncontracted form on clones") {
+    val qs0 = emb.limit(300).filter(col("vec_id") % 10 === 0)
+    val corpus0 = emb.limit(300).filter(col("vec_id") % 10 =!= 0)
+    // clone the corpus 3× and queries 2×
+    val corpus3 = corpus0.select(col("vec_id"), col("embedding"))
+      .unionByName(corpus0.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(corpus0.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+    val qs2 = qs0.select(col("vec_id"), col("embedding"))
+      .unionByName(qs0.select((col("vec_id") + 5000000).as("vec_id"), col("embedding")))
+    val k = 2; val numBits = 16; val bands = 4; val seed = 42L
+    val w = numBits / bands
+    val mask = (1L << w) - 1L
+    def sigged(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"), col("embedding").as("v"),
+        VecFns.hyperplaneSig(col("embedding"), numBits, seed).as("sig"))
+    def bandedOf(df: org.apache.spark.sql.DataFrame) = sigged(df).select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bh"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val pairs = bandedOf(qs2).as("l")
+      .join(bandedOf(corpus3).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.id").as("query_id"), col("r.id").as("nn_id"))
+      .distinct()
+      .join(sigged(qs2).select(col("id").as("query_id"), col("v").as("va")), "query_id")
+      .join(sigged(corpus3).select(col("id").as("nn_id"), col("v").as("vb")), "nn_id")
+      .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
+      .drop("va", "vb")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id").asc)
+    val reference = pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val contracted = Similarity.crossKnnJoin(qs2, corpus3, "vec_id", "embedding",
+        k, numBits, bands, seed)
+      .select(col("query_id"), col("nn_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(contracted == reference)
+    assert(contracted.nonEmpty)
+  }
+
   test("crossKnnJoin keeps sides apart, bounds k, and is partition-stable") {
     val qs = emb.filter(col("vec_id") % 10 === 0)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
