@@ -379,19 +379,55 @@ object Similarity {
     * SURVIVORS of the same cluster are within tau — if a < b both
     * survived with cos(a,b) ≥ tau, b would have been dropped.
     */
+  /** Clone contraction (round 8): the within-cluster pairwise sweep
+    * runs over representatives of identical vectors — the uncontracted
+    * join was quadratic in clone-cluster size, the same failure mode
+    * the 100× probe caught in the banded family. Centroid training is
+    * untouched (it scans the full corpus linearly, so clones weight
+    * the means exactly as before). The greedy drop rule re-derived at
+    * rep level, exactly:
+    *
+    * member b of clone group G is dropped iff some same-cid a < b has
+    * cos(a,b) ≥ tau. All of a clone group shares one vector and one
+    * cid, so cos(a,b) depends only on (group(a), group(b)) and
+    * "∃ a ∈ H with a < b" ⟺ rep(H) < b (the rep IS the group
+    * minimum). Hence, with minThreat(G) = min rep id over OTHER
+    * same-cid groups within tau of G:
+    *  - if G's self-cosine ≥ tau (any non-degenerate vector): only
+    *    G's rep can survive, and it survives iff minThreat(G) > rep;
+    *  - if G's self-cosine < tau (a zero vector — clones do not drop
+    *    each other): every member below minThreat(G) survives.
+    */
   def semanticDedup(embeddings: DataFrame, idName: String, vecName: String,
                     tau: Double, nlist: Int = 16): DataFrame = {
     val cents = trainCentroids(embeddings, idName, vecName, nlist)
-    val assigned = embeddings
-      .select(col(idName).as("id"), col(vecName).as("v"))
-      .withColumn("cid", nearestCid(col("v"), cents))
-    val dropped = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
-      .join(assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb")),
+    val rows = embeddings.select(col(idName).as("id"), col(vecName).as("v"))
+    val groups = rows.groupBy(col("v")).agg(min(col("id")).as("rid"))
+    val members = materialized(rows.select(col("id").as("mid"), col("v"))
+      .join(groups.select(col("v"), col("rid")), Seq("v"))
+      .select(col("rid"), col("mid")))
+    val reps = materialized(groups.select(col("rid"), col("v"))
+      .withColumn("cid", nearestCid(col("v"), cents)))
+    val selfDup = reps.select(col("rid"),
+      (round(VecFns.cosine(col("v"), col("v")), 6) >= tau).as("selfDup"))
+    // SYMMETRIC rep-level threat relation (the per-member a<b
+    // comparison happens against minThreat below, so both directions
+    // of every rep pair must contribute)
+    val threats = reps.select(col("cid"), col("rid").as("rid_a"), col("v").as("va"))
+      .join(reps.select(col("cid"), col("rid").as("rid_b"), col("v").as("vb")),
         Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("rid_a") =!= col("rid_b"))
       .filter(round(VecFns.cosine(col("va"), col("vb")), 6) >= tau)
-      .select(col("id_b").as("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti")
-      .select(col("id").as(idName), col("cid"))
+      .groupBy(col("rid_b")).agg(min(col("rid_a")).as("minThreat"))
+      .withColumnRenamed("rid_b", "rid")
+    val keep = members
+      .join(selfDup, Seq("rid"))
+      .join(threats, Seq("rid"), "left")
+      .filter(
+        (!col("selfDup") || col("mid") === col("rid")) &&
+          (col("minThreat").isNull || col("mid") < col("minThreat")))
+      .select(col("rid"), col("mid"))
+    keep.join(reps.select(col("rid"), col("cid")), Seq("rid"))
+      .select(col("mid").as(idName), col("cid"))
   }
 }

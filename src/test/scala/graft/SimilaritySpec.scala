@@ -208,6 +208,51 @@ class SimilaritySpec extends SparkSpec {
     assert(c.filter(abs(col("centroid")) > 1.0).count() == 0)
   }
 
+  test("semanticDedup contraction equals the uncontracted sweep on clones + zero vectors") {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.orderBy("vec_id").limit(150)
+      .select(col("vec_id"), col("embedding"))
+    // clone 3× and plant a clone-group of ZERO vectors (self-cosine 0:
+    // clones must NOT drop each other there — the rep-level rule's
+    // only branch point)
+    val zeros = Seq(800000L, 800001L, 800002L)
+      .toDF("vec_id")
+      .withColumn("embedding", typedlit(Array.fill(dim)(0.0f)))
+    val corpus = base
+      .unionByName(base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(base.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+      .unionByName(zeros)
+    val tau = 0.35; val nlist = 8
+    // uncontracted reference: same centroids (training is untouched),
+    // full pairwise within-cid sweep
+    val contracted = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        tau, nlist)
+      .as[(Long, Int)].collect().toSet
+    val referenceKept = {
+      // recompute with the pre-round-8 shape: assign every ROW, drop b
+      // iff some same-cid a < b is within tau
+      val assigned = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        tau = 2.0, nlist) // tau=2.0 drops nothing: yields (id, cid) for all
+      val withV = assigned.join(
+        corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val dropped = withV.select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(withV.select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+          Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.functions.VecFns.cosine(col("va"), col("vb")), 6) >= tau)
+        .select(col("id_b").as("vec_id")).distinct()
+      withV.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid"))
+        .as[(Long, Int)].collect().toSet
+    }
+    assert(contracted == referenceKept)
+    // the zero-vector clones never threaten each other: all three
+    // survive unless a same-cid zero... cosine(0, x) = 0 < tau, so all
+    // three must be in the survivor set
+    assert(Seq(800000L, 800001L, 800002L).forall(id =>
+      contracted.exists(_._1 == id)))
+  }
+
   test("semanticDedup: survivors partition the corpus and obey the tau invariant") {
     val tau = 0.35
     val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
