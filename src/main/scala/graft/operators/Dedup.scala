@@ -277,7 +277,7 @@ object Dedup {
     * round-2 jaccard 65× blowup at 10×, and round 8's minhash 70× /
     * simhash hot-bucket blowups at 100×).
     */
-  private def contractBy(rows: DataFrame, idName: String, keyCol: String)
+  private[operators] def contractBy(rows: DataFrame, idName: String, keyCol: String)
       : (DataFrame, DataFrame) = {
     val groups = rows.groupBy(col(keyCol))
       .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize"))
@@ -297,8 +297,8 @@ object Dedup {
     * member pair is a candidate iff its rep pair is, and its measure
     * equals the rep measure (exactly `intraValue` within a cluster).
     */
-  private def expandPairs(repPairs: DataFrame, members: DataFrame,
-                          intraValue: Column, valueName: String): DataFrame = {
+  private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
+                                     intraValue: Column, valueName: String): DataFrame = {
     val cross = repPairs
       .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
       .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")

@@ -31,12 +31,23 @@ object EditJoin {
   /** @param df   relation with (id, str) columns
     * @return (id_a, id_b, dist) for every unordered pair with
     *         levenshtein(str_a, str_b) <= maxDist, id_a < id_b
+    *
+    * Identical STRINGS contract to one representative before the
+    * binned join (round 8 — the dedup-family clone discipline):
+    * distance depends only on the string values, so cross pairs
+    * inherit the rep distance and intra-clone pairs are exactly 0,
+    * which maxDist >= 0 always admits — output identical to the
+    * uncontracted join, cost quadratic in DISTINCT strings per bin
+    * instead of rows (a duplicate-heavy name corpus made the bin
+    * join m²-hot exactly like the LSH buckets).
     */
   def editSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
                          maxDist: Int): DataFrame = {
     require(maxDist >= 0)
     val binW = maxDist + 1
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+    val (groups, members) = Dedup.contractBy(
+      df.select(col(idCol), col(strCol)), idCol, strCol)
+    val base = groups.select(col("rid").as("__id"), col(strCol).as("__s"),
       length(col(strCol)).as("__len"))
     // each string lands in bin floor(len/W) and the one below: any
     // pair with |lenA - lenB| <= maxDist shares at least one bin
@@ -47,7 +58,7 @@ object EditJoin {
       col("__s").as("__sa"), col("__len").as("__la"))
     val r = binned.select(col("__bin"), col("__id").as("id_b"),
       col("__s").as("__sb"), col("__len").as("__lb"))
-    l.join(r, Seq("__bin"))
+    val repPairs = l.join(r, Seq("__bin"))
       .filter(col("id_a") < col("id_b"))
       // cheap exact length prune before the O(len²) kernel
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
@@ -56,5 +67,6 @@ object EditJoin {
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+    Dedup.expandPairs(repPairs, members, intraValue = lit(0), valueName = "dist")
   }
 }

@@ -158,6 +158,27 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(blocked == naive && naive.nonEmpty)
   }
 
+  test("editSimilarityJoin string contraction is exact on a clone-heavy corpus") {
+    // 3 exact copies of every name (plus the organic duplicates part
+    // names already carry): intra-clone pairs must come out at dist 0
+    // and cross pairs must match the naive join exactly
+    val base = Tables(spark, sfDir).part.limit(60)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val names = base
+      .unionByName(base.select((col("id") + 100000).as("id"), col("s")))
+      .unionByName(base.select((col("id") + 200000).as("id"), col("s")))
+    val blocked = EditJoin.editSimilarityJoin(names, "id", "s", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = names.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = names.select(col("id").as("id_b"), col("s").as("sb"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= 3)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == naive && naive.nonEmpty)
+  }
+
   test("editSimilarityJoin: cross-length-boundary pairs survive the blocking") {
     // lengths 3 and 5 with d=2: must meet in a shared bin
     val df = Seq((1L, "abc"), (2L, "abcde"), (3L, "zzzzzzzz")).toDF("id", "s")
