@@ -1964,7 +1964,25 @@ object SparkEntry {
         .select(col("window.start").cast("long").as("hour_ts"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_ts", "event_type")
-    })
+    }),
+
+    // ---------------- gap-based sessionization ----------------
+    "q132_sessionize" -> ((s, dir) =>
+      Funnel.sessionize(t(s, dir).events, col("user_id"), col("ts"),
+          col("event_id"), gapSec = 1800L)
+        .withColumnRenamed("user", "user_id")
+        .orderBy("user_id", "session_seq")),
+
+    // ---------------- unpivot (wide → long reshaping) ----------------
+    // the inverse of q78_pivot: stack() runs in-task inside the scan
+    // stage (one generator, no shuffle, no N-scans-for-N-attributes
+    // like the naive UNION ALL the oracle is written as)
+    "q133_unpivot_part" -> ((s, dir) =>
+      t(s, dir).part
+        .select(col("p_partkey"), expr(
+          "stack(2, 'retailprice', p_retailprice, " +
+            "'size', CAST(p_size AS DOUBLE)) AS (attr, val)"))
+        .orderBy("p_partkey", "attr"))
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3403,6 +3421,32 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
          event_type, count(*) AS n,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    // sessionize: same lag/flag/running-sum encoding in DuckDB window
+    // SQL (epoch_ns is µs-exact ×1000, ties broken by event_id)
+    "q132_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) AS tn,
+           lag(epoch_ns(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+         f AS (SELECT user_id, event_id, tn,
+           CASE WHEN prev IS NULL OR tn - prev > 1800000000000 THEN 1 ELSE 0 END
+             AS is_new
+         FROM l),
+         s AS (SELECT user_id, tn,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+         FROM f)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(tn) // 1000 AS start_us, max(tn) // 1000 AS end_us
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    "q133_unpivot_part" ->
+      """SELECT p_partkey, attr, val FROM (
+           SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+         ORDER BY p_partkey, attr"""
   )
 }

@@ -131,8 +131,10 @@ object Dedup {
     val shAll = materialized(shingles.map(requireShingleN(_, shingleN))
       .getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
     val (groups, members0) = contractBy(shAll, "id", "sh")
-    val sh = materialized(groups.select(col("rid").as("id"), col("sh")))
-    val members = materialized(members0)
+    // groups is materialized by contractBy — the projection re-reads
+    // its cache per consumer, no second persist needed
+    val sh = groups.select(col("rid").as("id"), col("sh"))
+    val members = members0.map(materialized)
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -209,7 +211,7 @@ object Dedup {
     val shAll = materialized(simhash64(docs, idName, col(textName)))
     val (groups, members0) = contractBy(shAll, idName, "simhash")
     val sh = groups.select(col("rid").as("id"), col("simhash"))
-    val members = materialized(members0)
+    val members = members0.map(materialized)
     val banded = sh.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -276,14 +278,25 @@ object Dedup {
     * degrades quadratically in cluster size without it (measured: the
     * round-2 jaccard 65× blowup at 10×, and round 8's minhash 70× /
     * simhash hot-bucket blowups at 100×).
+    *
+    * ADAPTIVE: `members` is None when every key is unique — the
+    * clone-free corpus (e.g. anything downstream of [[dedupExact]]),
+    * where rep ≡ row and the membership/expansion joins would be pure
+    * identity shuffles. Callers skip them entirely, so the
+    * quadratic-proofing costs nothing when there is nothing to
+    * contract. The detection probe is one limit-1 read of the groups
+    * aggregate, which is materialized here because it IS the rep
+    * relation every caller consumes repeatedly.
     */
   private[operators] def contractBy(rows: DataFrame, idName: String, keyCol: String)
-      : (DataFrame, DataFrame) = {
-    val groups = rows.groupBy(col(keyCol))
-      .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize"))
-    val members = rows.select(col(idName).as("mid"), col(keyCol))
-      .join(groups.select(col(keyCol), col("rid")), Seq(keyCol))
-      .select(col("rid"), col("mid"))
+      : (DataFrame, Option[DataFrame]) = {
+    val groups = materialized(rows.groupBy(col(keyCol))
+      .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize")))
+    val members =
+      if (groups.filter(col("gsize") > 1).isEmpty) None
+      else Some(rows.select(col(idName).as("mid"), col(keyCol))
+        .join(groups.select(col(keyCol), col("rid")), Seq(keyCol))
+        .select(col("rid"), col("mid")))
     (groups, members)
   }
 
@@ -296,20 +309,25 @@ object Dedup {
     * join: identical inputs have identical signatures/prefixes, so a
     * member pair is a candidate iff its rep pair is, and its measure
     * equals the rep measure (exactly `intraValue` within a cluster).
+    * `members = None` (the clone-free corpus, [[contractBy]]) means
+    * rep pairs ARE member pairs: no expansion joins, no intra pairs.
     */
-  private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
-                                     intraValue: Column, valueName: String): DataFrame = {
-    val cross = repPairs
-      .join(members.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
-      .join(members.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col(valueName))
-    val intra = members.as("x").join(members.as("y"),
-        col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
-      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
-        intraValue.as(valueName))
-    cross.unionByName(intra)
-  }
+  private[operators] def expandPairs(repPairs: DataFrame, members: Option[DataFrame],
+                                     intraValue: Column, valueName: String): DataFrame =
+    members match {
+      case None => repPairs
+      case Some(mem) =>
+        val cross = repPairs
+          .join(mem.select(col("rid").as("id_a"), col("mid").as("ma")), "id_a")
+          .join(mem.select(col("rid").as("id_b"), col("mid").as("mb")), "id_b")
+          .select(least(col("ma"), col("mb")).as("id_a"),
+            greatest(col("ma"), col("mb")).as("id_b"), col(valueName))
+        val intra = mem.as("x").join(mem.as("y"),
+            col("x.rid") === col("y.rid") && col("x.mid") < col("y.mid"))
+          .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+            intraValue.as(valueName))
+        cross.unionByName(intra)
+    }
 
   /** The contracted form of [[jaccardPairs]]: similar pairs over
     * cluster REPRESENTATIVES (one doc per identical shingle set),
@@ -320,7 +338,8 @@ object Dedup {
     */
   private def jaccardRepPairs(docs: DataFrame, idName: String, textName: String,
                               n: Int, threshold: Double, maxShingleFreq: Long,
-                              shingles: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                              shingles: Option[DataFrame] = None)
+      : (DataFrame, Option[DataFrame]) = {
     // The shingle-set relation feeds FOUR consumers (frequency table,
     // prefix ranking, and both verification sides); without
     // materialization Catalyst recomputes the shingling per
@@ -353,7 +372,9 @@ object Dedup {
     val shAll = shingles.map(requireShingleN(_, n)).getOrElse(
       materialized(hashedShingleSets(docs, idName, textName, n)))
     val (groups, members) = contractBy(shAll, "id", "sh")
-    val sh = materialized(groups.select(col("rid").as("id"), col("sh"), col("gsize")))
+    // groups is materialized by contractBy — projections below re-read
+    // its cache, so no second persist of the shingle sets
+    val sh = groups.select(col("rid").as("id"), col("sh"), col("gsize"))
     val exploded = sh.select(col("id"), size(col("sh")).as("nsh"), col("gsize"),
       explode(col("sh")).as("g"))
     // df counts DOCUMENTS (sum of group sizes), not representatives,
@@ -442,23 +463,32 @@ object Dedup {
     // materialization the candidate+verification join — the expensive
     // stage — runs twice
     val repPairs = materialized(repPairs0)
-    val members = materialized(members0)
+    val members = members0.map(materialized)
     // contracted node set = reps in a similar pair + reps of exact-dup
     // groups (their members are pairwise connected even with no cross
     // edges); singleton reps without pairs are their own (excluded)
-    // component, matching the expanded-pair node set.
+    // component, matching the expanded-pair node set. Clone-free
+    // corpus (members None): rep ≡ doc, so the node set is just the
+    // paired reps and the labels need no member expansion.
     val pairedReps = repPairs.select(col("id_a").as("rid"))
       .unionByName(repPairs.select(col("id_b").as("rid"))).distinct()
-    val multiReps = members.groupBy(col("rid"))
-      .agg(count(lit(1)).as("m")).filter(col("m") > 1).select("rid")
-    val nodes = pairedReps.unionByName(multiReps).distinct()
+    val nodes = members match {
+      case Some(m) =>
+        val multiReps = m.groupBy(col("rid"))
+          .agg(count(lit(1)).as("m")).filter(col("m") > 1).select("rid")
+        pairedReps.unionByName(multiReps).distinct()
+      case None => pairedReps
+    }
     val repLabels = dupClusters(repPairs)
       .withColumnRenamed("id", "rid")
     val labels = nodes.join(repLabels, Seq("rid"), "left")
       .select(col("rid"),
         coalesce(col("canonical_id"), col("rid")).as("canonical_id"))
-    members.join(labels, Seq("rid"))
-      .select(col("mid").as("id"), col("canonical_id"))
+    members match {
+      case Some(m) => m.join(labels, Seq("rid"))
+        .select(col("mid").as("id"), col("canonical_id"))
+      case None => labels.select(col("rid").as("id"), col("canonical_id"))
+    }
   }
 
   /** Build-once persisted cluster-label artifact (the

@@ -73,6 +73,40 @@ object Funnel {
     counts.reduce(_ unionByName _).orderBy("stage_idx")
   }
 
+  /** Gap-based sessionization: a user's events (ordered by (ts, id) —
+    * `id` the unique tiebreaker that makes the split deterministic)
+    * start a new session wherever the gap from the previous event
+    * EXCEEDS `gapSec` (µs-exact; a gap of exactly `gapSec` stays in
+    * the session). Returns one row per session:
+    * (user, session_seq, n_events, start_us, end_us), `session_seq`
+    * the user's 1-based session index.
+    *
+    * The running sum over new-session flags is the standard
+    * distributed encoding of "which session am I in": one window +
+    * one keyed agg, BOTH on the `user` hash partitioning (the agg
+    * key (user, session_seq) is a refinement, so the exchange is
+    * reused), no per-session state, no driver loops. At 100 TB the
+    * only skew risk is a single user with pathological event volume —
+    * the same bound as every per-user window in this family.
+    */
+  def sessionize(events: DataFrame, user: Column, ts: Column, id: Column,
+                 gapSec: Long): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+    events.select(user.as("__u"), ts.as("__ts"), id.as("__id"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("__ts")) - unix_micros(col("__prev")) > gapSec * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("__ts"))).as("start_us"),
+        max(unix_micros(col("__ts"))).as("end_us"))
+      .withColumnRenamed("__u", "user")
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-start date)
     * of the user's FIRST event of any type; for each (cohort_week,
     * week_offset) the number of distinct users from that cohort with

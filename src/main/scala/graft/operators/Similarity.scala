@@ -72,6 +72,8 @@ object Similarity {
     * the final window re-ranks them with the uncontracted ordering.
     * Clone-pair cosine is computed from the representative's vector
     * (NOT assumed 1.0 — a zero-norm vector's self-cosine is 0).
+    * The contraction is ADAPTIVE ([[Dedup.contractBy]]): a clone-free
+    * corpus skips the member-expansion machinery entirely.
     */
   def knnJoin(embeddings: DataFrame, idName: String, vecName: String,
               k: Int, numBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
@@ -79,15 +81,13 @@ object Similarity {
     val w = numBits / bands
     val mask = (1L << w) - 1L
     val all = embeddings.select(col(idName).as("id"), col(vecName).as("v"))
-    val groups = all.groupBy(col("v")).agg(min(col("id")).as("rid"))
-    val members = materialized(
-      all.select(col("id").as("mid"), col("v"))
-        .join(groups.select(col("v"), col("rid")), Seq("v"))
-        .select(col("rid"), col("mid")))
+    // adaptive contraction (Dedup.contractBy): membersOpt is None on a
+    // clone-free corpus, where the expansion below is skipped entirely
+    val (groups, membersOpt) = Dedup.contractBy(all, "id", "v")
     // reps feed five consumers (both band sides, both vector joins,
-    // the self-cosine relation) — materialize or the groupBy(v) agg
-    // recomputes per consumer
-    val reps = materialized(groups.select(col("rid").as("id"), col("v")))
+    // the self-cosine relation) — groups is materialized by contractBy,
+    // so each consumer re-reads its cache through this projection
+    val reps = groups.select(col("rid").as("id"), col("v"))
     val sigged = reps.select(col("id"), col("v"),
       VecFns.hyperplaneSig(col("v"), numBits, seed).as("sig"))
     // band join + pair-dedup over BARE IDS first — the wide vector
@@ -110,36 +110,46 @@ object Similarity {
       .join(vecs.select(col("id").as("nn_id"), col("v").as("vb")), "nn_id")
       .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
       .drop("va", "vb")
-    // the k+1 lowest-id members per cluster — the only clone candidates
-    // that can survive the (cosine desc, nn_id asc) window. One keyed
-    // window, never a per-cluster array.
-    val mw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rid")).orderBy(col("mid").asc)
-    val topMembers = materialized(members
-      .withColumn("__mr", row_number().over(mw))
-      .filter(col("__mr") <= k + 1))
-    // clone-pair cosine = the rep's self-cosine (1.0 after rounding
-    // for any non-degenerate vector, 0 for a zero vector — matching
-    // what the uncontracted join computed for clone pairs)
-    val selfCos = reps
-      .select(col("id").as("rid"), round(VecFns.cosine(col("v"), col("v")), 6).as("cosine"))
-    val cloneCands = members
-      .join(topMembers.select(col("rid"), col("mid").as("nn_mid")), Seq("rid"))
-      .filter(col("mid") =!= col("nn_mid"))
-      .join(selfCos, Seq("rid"))
-      .select(col("mid").as("id"), col("nn_mid").as("nn_id"), col("cosine"))
-    // rep pair (A,B): each member of A meets B's k lowest-id members
-    val crossCands = repPairs
-      .join(members.select(col("rid").as("id"), col("mid").as("ma")), Seq("id"))
-      .join(topMembers.filter(col("__mr") <= k)
-        .select(col("rid").as("nn_id"), col("mid").as("mb")), Seq("nn_id"))
-      .select(col("ma").as("id"), col("mb").as("nn_id"), col("cosine"))
-      .filter(col("id") =!= col("nn_id"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("nn_id").asc)
-    cloneCands.unionByName(crossCands)
-      .withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") <= k).drop("__rn")
+    membersOpt match {
+      case None =>
+        // clone-free: reps ARE the rows, repPairs carry both directions
+        // (the band join keeps id =!= nn_id, not <), so the per-id
+        // window is exactly the uncontracted top-k
+        repPairs.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= k).drop("__rn")
+      case Some(members0) =>
+        val members = materialized(members0)
+        // the k+1 lowest-id members per cluster — the only clone
+        // candidates that can survive the (cosine desc, nn_id asc)
+        // window. One keyed window, never a per-cluster array.
+        val mw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rid")).orderBy(col("mid").asc)
+        val topMembers = materialized(members
+          .withColumn("__mr", row_number().over(mw))
+          .filter(col("__mr") <= k + 1))
+        // clone-pair cosine = the rep's self-cosine (1.0 after rounding
+        // for any non-degenerate vector, 0 for a zero vector — matching
+        // what the uncontracted join computed for clone pairs)
+        val selfCos = reps
+          .select(col("id").as("rid"), round(VecFns.cosine(col("v"), col("v")), 6).as("cosine"))
+        val cloneCands = members
+          .join(topMembers.select(col("rid"), col("mid").as("nn_mid")), Seq("rid"))
+          .filter(col("mid") =!= col("nn_mid"))
+          .join(selfCos, Seq("rid"))
+          .select(col("mid").as("id"), col("nn_mid").as("nn_id"), col("cosine"))
+        // rep pair (A,B): each member of A meets B's k lowest-id members
+        val crossCands = repPairs
+          .join(members.select(col("rid").as("id"), col("mid").as("ma")), Seq("id"))
+          .join(topMembers.filter(col("__mr") <= k)
+            .select(col("rid").as("nn_id"), col("mid").as("mb")), Seq("nn_id"))
+          .select(col("ma").as("id"), col("mb").as("nn_id"), col("cosine"))
+          .filter(col("id") =!= col("nn_id"))
+        cloneCands.unionByName(crossCands)
+          .withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= k).drop("__rn")
+    }
   }
 
   private def materialized(df: DataFrame): DataFrame = {
@@ -166,14 +176,12 @@ object Similarity {
     // discipline, without the self-pair machinery — the sides are
     // distinct relations): a query member's candidates equal its
     // rep's, and only each corpus cluster's k lowest-id members can
-    // survive the (cosine desc, nn_id asc) window.
-    def contract(df: DataFrame): (DataFrame, DataFrame) = {
+    // survive the (cosine desc, nn_id asc) window. Adaptive per side
+    // (Dedup.contractBy): a clone-free side skips its expansion join.
+    def contract(df: DataFrame): (DataFrame, Option[DataFrame]) = {
       val rows = df.select(col(idName).as("id"), col(vecName).as("v"))
-      val groups = rows.groupBy(col("v")).agg(min(col("id")).as("rid"))
-      val members = materialized(rows.select(col("id").as("mid"), col("v"))
-        .join(groups.select(col("v"), col("rid")), Seq("v"))
-        .select(col("rid"), col("mid")))
-      (materialized(groups.select(col("rid").as("id"), col("v"))), members)
+      val (groups, members) = Dedup.contractBy(rows, "id", "v")
+      (groups.select(col("rid").as("id"), col("v")), members.map(materialized))
     }
     val (qReps, qMembers) = contract(queries)
     val (cReps, cMembers) = contract(corpus)
@@ -197,16 +205,27 @@ object Similarity {
         "nn_id")
       .withColumn("cosine", round(VecFns.cosine(col("va"), col("vb")), 6))
       .drop("va", "vb")
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rid")).orderBy(col("mid").asc)
-    val topC = materialized(cMembers
-      .withColumn("__mr", row_number().over(cw)).filter(col("__mr") <= k))
-    val cands = repPairs
-      .join(qMembers.select(col("rid").as("query_id"), col("mid").as("qm")),
-        Seq("query_id"))
-      .join(topC.select(col("rid").as("nn_id"), col("mid").as("cm")),
-        Seq("nn_id"))
-      .select(col("qm").as("query_id"), col("cm").as("nn_id"), col("cosine"))
+    // each expansion join exists only when its side actually has
+    // clones; a clone-free side's rep ids are already the member ids
+    val qExpanded = qMembers match {
+      case None => repPairs
+      case Some(qm) => repPairs
+        .join(qm.select(col("rid").as("query_id"), col("mid").as("qm")),
+          Seq("query_id"))
+        .select(col("qm").as("query_id"), col("nn_id"), col("cosine"))
+    }
+    val cands = cMembers match {
+      case None => qExpanded
+      case Some(cm) =>
+        val cw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rid")).orderBy(col("mid").asc)
+        val topC = materialized(cm
+          .withColumn("__mr", row_number().over(cw)).filter(col("__mr") <= k))
+        qExpanded
+          .join(topC.select(col("rid").as("nn_id"), col("mid").as("cm")),
+            Seq("nn_id"))
+          .select(col("query_id"), col("cm").as("nn_id"), col("cosine"))
+    }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id").asc)
     cands.withColumn("__rn", row_number().over(win))
@@ -402,14 +421,12 @@ object Similarity {
                     tau: Double, nlist: Int = 16): DataFrame = {
     val cents = trainCentroids(embeddings, idName, vecName, nlist)
     val rows = embeddings.select(col(idName).as("id"), col(vecName).as("v"))
-    val groups = rows.groupBy(col("v")).agg(min(col("id")).as("rid"))
-    val members = materialized(rows.select(col("id").as("mid"), col("v"))
-      .join(groups.select(col("v"), col("rid")), Seq("v"))
-      .select(col("rid"), col("mid")))
+    // adaptive (Dedup.contractBy): membersOpt None ⇒ no clone groups,
+    // the per-member selfDup/expansion machinery vanishes and the
+    // greedy rule reduces to its rep-level form directly
+    val (groups, membersOpt) = Dedup.contractBy(rows, "id", "v")
     val reps = materialized(groups.select(col("rid"), col("v"))
       .withColumn("cid", nearestCid(col("v"), cents)))
-    val selfDup = reps.select(col("rid"),
-      (round(VecFns.cosine(col("v"), col("v")), 6) >= tau).as("selfDup"))
     // SYMMETRIC rep-level threat relation (the per-member a<b
     // comparison happens against minThreat below, so both directions
     // of every rep pair must contribute)
@@ -420,14 +437,26 @@ object Similarity {
       .filter(round(VecFns.cosine(col("va"), col("vb")), 6) >= tau)
       .groupBy(col("rid_b")).agg(min(col("rid_a")).as("minThreat"))
       .withColumnRenamed("rid_b", "rid")
-    val keep = members
-      .join(selfDup, Seq("rid"))
-      .join(threats, Seq("rid"), "left")
-      .filter(
-        (!col("selfDup") || col("mid") === col("rid")) &&
-          (col("minThreat").isNull || col("mid") < col("minThreat")))
-      .select(col("rid"), col("mid"))
-    keep.join(reps.select(col("rid"), col("cid")), Seq("rid"))
-      .select(col("mid").as(idName), col("cid"))
+    membersOpt match {
+      case None =>
+        // every row is its own rep: survive iff no lower-id same-cid
+        // neighbor within tau — the original greedy rule verbatim
+        reps.join(threats, Seq("rid"), "left")
+          .filter(col("minThreat").isNull || col("rid") < col("minThreat"))
+          .select(col("rid").as(idName), col("cid"))
+      case Some(members0) =>
+        val members = materialized(members0)
+        val selfDup = reps.select(col("rid"),
+          (round(VecFns.cosine(col("v"), col("v")), 6) >= tau).as("selfDup"))
+        val keep = members
+          .join(selfDup, Seq("rid"))
+          .join(threats, Seq("rid"), "left")
+          .filter(
+            (!col("selfDup") || col("mid") === col("rid")) &&
+              (col("minThreat").isNull || col("mid") < col("minThreat")))
+          .select(col("rid"), col("mid"))
+        keep.join(reps.select(col("rid"), col("cid")), Seq("rid"))
+          .select(col("mid").as(idName), col("cid"))
+    }
   }
 }

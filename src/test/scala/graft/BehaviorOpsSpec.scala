@@ -52,6 +52,42 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(unbounded.map(_.getLong(2)).toSeq == Seq(2L, 2L))
   }
 
+  test("sessionize: boundary gap stays in-session, strictly-greater splits") {
+    // user 1: events at 0, 1800 (gap == 1800 s, SAME session),
+    //         then 3601 (gap 1801 s > 1800 → new session)
+    // user 2: one event → one singleton session
+    val df = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(1800)), (1L, 12L, ts(3601)),
+      (2L, 20L, ts(5)))
+      .toDF("u", "id", "t")
+    val out = Funnel.sessionize(df, col("u"), col("t"), col("id"), gapSec = 1800L)
+      .orderBy("user", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 1800L * 1000000L),
+      (1L, 2L, 1L, 3601L * 1000000L, 3601L * 1000000L),
+      (2L, 1L, 1L, 5L * 1000000L, 5L * 1000000L)))
+  }
+
+  test("sessionize: session count equals gap-boundary count on real events") {
+    // invariant: total sessions = users + number of strictly-greater
+    // gaps between a user's consecutive events (each opens exactly one
+    // new session) — computed here via an independent lag encoding
+    val ev = Tables(spark, sfDir).events
+    val sessions = Funnel.sessionize(ev, col("user_id"), col("ts"),
+      col("event_id"), gapSec = 1800L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800L * 1000000L)
+      .count()
+    val users = ev.select("user_id").distinct().count()
+    assert(sessions.count() == users + gaps)
+    // sessions partition the events: per-user event counts must agree
+    assert(sessions.agg(sum(col("n_events"))).head.getLong(0) == ev.count())
+  }
+
   test("funnelStages: user counts are monotone non-increasing on real events") {
     val ev = Tables(spark, sfDir).events
     val users = Funnel.funnelStages(ev, col("user_id"), col("ts"),
