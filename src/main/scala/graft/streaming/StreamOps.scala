@@ -85,10 +85,26 @@ object StreamOps {
     graft.operators.Mixing.domainMix(events, key, domain, rates,
       defaultSixteenths)
 
+  /** Epoch µs of a Timestamp, sub-ms fraction included (`getTime`
+    * alone truncates to ms — a gap that straddles the threshold by
+    * sub-ms would then land on the wrong side of the batch twin).
+    */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsOfUs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: sessions
     * close after `gapSeconds` of user inactivity (event-time timeout,
     * so state is reclaimed as the watermark advances). Emits closed
-    * sessions only — the streaming analogue of SparkEntry q21.
+    * sessions only — the streaming twin of `Funnel.sessionize`
+    * (StreamOpsSpec pins the agreement on real events): µs-exact gap
+    * arithmetic, a gap of exactly `gapSeconds` stays in-session,
+    * ties broken by event_id.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapSeconds: Long = 1800L): Dataset[Session] = {
@@ -102,18 +118,18 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            Iterator(Session(userId, tsOfUs(s.start), tsOfUs(s.last), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                case Some(s) if t - s.last <= gapSeconds * 1000000L =>
                   cur = Some(s.copy(last = t, n = s.n + 1))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  closed ::= Session(userId, tsOfUs(s.start), tsOfUs(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -121,7 +137,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+              // timeout registers in ms — ceil so a sub-ms remainder
+              // never fires the timeout EARLY (before last + gap)
+              state.setTimeoutTimestamp(
+                math.floorDiv(s.last + gapSeconds * 1000000L + 999L, 1000L))
             }
             closed.reverseIterator
           }

@@ -115,6 +115,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count(_.user_id == 2) == 1)
   }
 
+  test("sessionize: stream output equals Funnel.sessionize on real events") {
+    implicit val sc = spark.sqlContext
+    // the whole sf0.001 events table through the stateful stream; one
+    // sentinel event per user far past every real session closes the
+    // trailing sessions by ARRIVAL (their own sentinel sessions stay
+    // open and unemitted, filtered by start time below)
+    val real = Tables(spark, sfDir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().toSeq
+    val sentinelTs = new Timestamp(real.map(_.ts.getTime).max + 3L * 3600 * 1000)
+    val sentinels = real.map(_.user_id).distinct
+      .map(u => Event(-u, sentinelTs, u, "sentinel", 0.0))
+    val input = MemoryStream[Event]
+    input.addData(real)
+    val q = StreamOps.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("agree_sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    input.addData(sentinels)
+    q.processAllAvailable()
+    q.stop()
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val streamed = spark.table("agree_sessions").as[Session].collect()
+      .filter(_.session_start.before(sentinelTs))
+      .map(s => (s.user_id, us(s.session_start), us(s.session_end),
+        s.n_events.toLong))
+      .sorted.toSeq
+    val batch = graft.operators.Funnel.sessionize(Tables(spark, sfDir).events,
+        col("user_id"), col("ts"), col("event_id"), gapSec = 1800L)
+      .select(col("user"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("upsertSink maintains an SCD-1 snapshot across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
