@@ -1982,7 +1982,77 @@ object SparkEntry {
         .select(col("p_partkey"), expr(
           "stack(2, 'retailprice', p_retailprice, " +
             "'size', CAST(p_size AS DOUBLE)) AS (attr, val)"))
-        .orderBy("p_partkey", "attr"))
+        .orderBy("p_partkey", "attr")),
+
+    // ---------------- triangle counting ----------------
+    // cohesion of the co-purchase graph (parts ordered together) —
+    // degree-ordered orientation bounds the wedge relation at m^1.5
+    // (Graphs.scala doc); the naive neighbor self-join is Σd² and
+    // dies on the first hub. The p_size cut keeps the demo graph
+    // bench-sized; the operator takes any edge relation.
+    "q134_triangles" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val smallParts = tt.part.filter(col("p_size") <= 15).select(col("p_partkey"))
+      val li = tt.lineitem
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graphs.triangleCount(
+        graft.operators.Graphs.undirected(pairs, "src", "dst"))
+    }),
+
+    // ---------------- local clustering coefficients ----------------
+    // per-node neighborhood density on the SAME co-purchase graph —
+    // q134's closed-wedge relation exploded to all three corners
+    "q135_clustering_coeff" -> ((s, dir) => {
+      val tt = t(s, dir)
+      val smallParts = tt.part.filter(col("p_size") <= 15).select(col("p_partkey"))
+      val li = tt.lineitem
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graphs.clusteringCoefficients(
+          graft.operators.Graphs.undirected(pairs, "src", "dst"))
+        .orderBy("node")
+    }),
+
+    // ---------------- §2.10 stream-stream interval join ----------------
+    // every click within the hour BEFORE each purchase, as a real
+    // stream-stream join (two file-source streams over the normalized
+    // events artifact, event-time watermarks, append sink) — the
+    // all-matches streaming twin of q122's latest-only attribution.
+    // The memory sink holds only the matched id pairs (33 at sf0.01);
+    // production swaps it for a parquet/Kafka sink.
+    "q136_stream_interval_join" -> ((s, dir) => {
+      val src = fixturePath("streamsrc", dir, "events")
+      Artifact.ensure(src) { tmp =>
+        t(s, dir).events.write.mode("overwrite").parquet(tmp)
+      }
+      val schema = s.read.parquet(src).schema
+      val qname = "graft_stream_interval"
+      s.streams.active.filter(_.name == qname).foreach(_.stop())
+      def stream = s.readStream.schema(schema).parquet(src)
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val query = graft.streaming.StreamOps
+        .intervalJoin(purchases, clicks, "p_user", "c_user",
+          "p_ts", "c_ts", windowSec = 3600L)
+        .select(col("purchase_id"), col("click_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy("purchase_id", "click_id")
+    })
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3447,6 +3517,48 @@ object SparkEntry {
            SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
            UNION ALL
            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
-         ORDER BY p_partkey, attr"""
+         ORDER BY p_partkey, attr""",
+    // triangles: every triangle u<v<w appears exactly once as the
+    // edge triple (u,v) (u,w) (v,w) over the canonical a<b edge list
+    "q134_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM sp a JOIN sp b ON a.o = b.o AND a.p < b.p)
+         SELECT count(*) AS triangles
+         FROM e e1
+         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""",
+    "q135_clustering_coeff" ->
+      """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM sp a JOIN sp b ON a.o = b.o AND a.p < b.p),
+         t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         corners AS (SELECT a AS n FROM t UNION ALL
+                     SELECT b FROM t UNION ALL SELECT c FROM t),
+         tri AS (SELECT n, count(*) AS triangles FROM corners GROUP BY n),
+         deg AS (SELECT n, count(*) AS d FROM
+           (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
+         SELECT deg.n AS node, coalesce(tri.triangles, 0) AS triangles,
+           CASE WHEN d >= 2
+             THEN round(2.0 * coalesce(tri.triangles, 0) / (d * (d - 1)), 6)
+             ELSE 0.0 END AS coeff
+         FROM deg LEFT JOIN tri ON deg.n = tri.n
+         ORDER BY node""",
+    // stream-stream interval join: the batch inequality join IS the
+    // oracle (µs-exact interval arithmetic in both engines)
+    "q136_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id"""
   )
 }

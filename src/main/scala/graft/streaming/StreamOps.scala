@@ -147,6 +147,35 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream INTERVAL JOIN: each anchor-stream row matched to
+    * every event-stream row with the same key whose timestamp falls
+    * in [anchorTs − windowSec, anchorTs], bounds inclusive (the
+    * "all clicks within the hour before this purchase" shape — the
+    * ALL-matches complement of `AsofJoin.asofBackward`'s latest-only
+    * batch twin). Column names must be pre-disambiguated (both sides
+    * of a stream-stream join surface their columns flat).
+    *
+    * Both sides get event-time watermarks; with the time-range
+    * condition Spark derives a state-retention bound from them, so
+    * join state is evicted as the watermark advances instead of
+    * accumulating forever — THE property that makes a stream-stream
+    * join runnable indefinitely. `watermarkDelay` trades completeness
+    * against state: the default here is sized past the test corpus's
+    * whole span so replay is exact; a production deployment sets it
+    * to its real out-of-orderness bound.
+    */
+  def intervalJoin(anchors: DataFrame, events: DataFrame,
+                   anchorKey: String, eventKey: String,
+                   anchorTs: String, eventTs: String,
+                   windowSec: Long,
+                   watermarkDelay: String = "40 days"): DataFrame = {
+    val a = anchors.withWatermark(anchorTs, watermarkDelay)
+    val e = events.withWatermark(eventTs, watermarkDelay)
+    a.join(e, col(anchorKey) === col(eventKey) &&
+      col(eventTs) >= col(anchorTs) - expr(s"interval $windowSec seconds") &&
+      col(eventTs) <= col(anchorTs))
+  }
+
   /** Continuous snapshot maintenance: apply a stream of row updates
     * as SCD-1 upserts into a parquet snapshot via `foreachBatch` —
     * the streaming face of `operators.Upsert.scd1` (what a MERGE

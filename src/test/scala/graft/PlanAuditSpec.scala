@@ -118,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"resample fill fell back to a join:\n$plan")
   }
 
+  test("q132 sessionize: window and session agg share one hash exchange") {
+    // the lag/running-sum window partitions by user; the (user,
+    // session_seq) aggregate is a refinement of that clustering, so
+    // the plan must REUSE the window's exchange — a second
+    // hashpartitioning exchange means the agg re-shuffled ~all events
+    val plan = executedPlan(query("q132_sessionize"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"sessionize planned $hashExchanges hash exchanges (want 1):\n${plan.take(2000)}")
+  }
+
+  test("q133 unpivot: in-task generator, no hash shuffle") {
+    // stack() must plan as a Generate over the scan — the only
+    // exchange is the deterministic output sort's range partitioning
+    val plan = executedPlan(query("q133_unpivot_part"))
+    assert(plan.contains("Generate"), s"unpivot lost its generator:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unpivot hash-shuffled:\n${plan.take(2000)}")
+  }
+
   test("q119 BFS rounds never plan a cartesian product") {
     // note: 1-row literal SEED joins legitimately plan as
     // BroadcastNestedLoopJoin (Catalyst even rewrites the first

@@ -152,6 +152,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("intervalJoin: stream output equals the batch inequality join") {
+    implicit val sc = spark.sqlContext
+    val ev = Tables(spark, sfDir).events
+    val input = MemoryStream[Event]
+    input.addData(ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Event].collect().toSeq)
+    val anchors = input.toDF().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val events = input.toDF().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val q = StreamOps.intervalJoin(anchors, events,
+        "p_user", "c_user", "p_ts", "c_ts", windowSec = 3600L)
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("interval_pairs")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("interval_pairs")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batch = ev.as("p").filter(col("p.event_type") === "purchase")
+      .join(ev.as("c"), col("c.event_type") === "click" &&
+        col("c.user_id") === col("p.user_id") &&
+        col("c.ts") >= col("p.ts") - expr("interval 1 hour") &&
+        col("c.ts") <= col("p.ts"))
+      .select(col("p.event_id"), col("c.event_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("upsertSink maintains an SCD-1 snapshot across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
