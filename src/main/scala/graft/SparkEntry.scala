@@ -201,6 +201,29 @@ object SparkEntry {
   private def moneySum(term: Column): Column =
     round(sum(term.cast("decimal(18,4)")), 2).cast("double")
 
+  /** Canonical co-purchase edge relation (parts ordered together,
+    * p_size cut keeps the demo graph bench-sized), persisted once per
+    * corpus — q134 and q135 both consume it, so the quadratic-per-
+    * order pair join runs once and every rerun reads parquet (the
+    * q100/q119 shared-graph-artifact pattern).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath("copurchase", dir, "lineitem", "part")
+    Artifact.ensure(path) { tmp =>
+      val tt = t(s, dir)
+      val smallParts = tt.part.filter(col("p_size") <= 15).select(col("p_partkey"))
+      val li = tt.lineitem
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graphs.undirected(pairs, "src", "dst")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- §2.4 aggregations (A1/A2) ----------------
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1988,37 +2011,18 @@ object SparkEntry {
     // cohesion of the co-purchase graph (parts ordered together) —
     // degree-ordered orientation bounds the wedge relation at m^1.5
     // (Graphs.scala doc); the naive neighbor self-join is Σd² and
-    // dies on the first hub. The p_size cut keeps the demo graph
-    // bench-sized; the operator takes any edge relation.
-    "q134_triangles" -> ((s, dir) => {
-      val tt = t(s, dir)
-      val smallParts = tt.part.filter(col("p_size") <= 15).select(col("p_partkey"))
-      val li = tt.lineitem
-        .join(smallParts, col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.operators.Graphs.triangleCount(
-        graft.operators.Graphs.undirected(pairs, "src", "dst"))
-    }),
+    // dies on the first hub. The edge relation is the shared
+    // persisted artifact (coPurchaseEdges); the operator takes any
+    // edge relation.
+    "q134_triangles" -> ((s, dir) =>
+      graft.operators.Graphs.triangleCount(coPurchaseEdges(s, dir))),
 
     // ---------------- local clustering coefficients ----------------
     // per-node neighborhood density on the SAME co-purchase graph —
     // q134's closed-wedge relation exploded to all three corners
-    "q135_clustering_coeff" -> ((s, dir) => {
-      val tt = t(s, dir)
-      val smallParts = tt.part.filter(col("p_size") <= 15).select(col("p_partkey"))
-      val li = tt.lineitem
-        .join(smallParts, col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.operators.Graphs.clusteringCoefficients(
-          graft.operators.Graphs.undirected(pairs, "src", "dst"))
-        .orderBy("node")
-    }),
+    "q135_clustering_coeff" -> ((s, dir) =>
+      graft.operators.Graphs.clusteringCoefficients(coPurchaseEdges(s, dir))
+        .orderBy("node")),
 
     // ---------------- §2.10 stream-stream interval join ----------------
     // every click within the hour BEFORE each purchase, as a real

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, PageRank, Similarity}
+import graft.operators.{Bfs, Dedup, Graphs, PageRank, Similarity}
 
 /** 100× scale-up probe — the round-8 extension of the 10× curves in
   * SCALING.md. The 10× run caught the round-2 jaccard blowup; a 100×
@@ -68,14 +68,24 @@ object ProbeScale100 {
       dt
     }
 
-    replicate("documents", Seq("doc_id"))
-    replicate("embeddings", Seq("vec_id"))
+    // SPARK_GRAFT_PROBE_SECTIONS=corpus,graph,triangles (comma list)
+    // restricts which probe families run; unset = all
+    val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
+      .map(_.split(',').toSet)
+    def section(name: String): Boolean = sections.forall(_.contains(name))
+
+    if (section("corpus")) {
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
+    }
 
     def docs(dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
     // warm pass at 1× (codegen), then timed 1× and timed <factor>×
-    Seq(base -> "warm", base -> "sf0.1", big -> s"${factor}x").foreach {
+    (if (section("corpus"))
+       Seq(base -> "warm", base -> "sf0.1", big -> s"${factor}x")
+     else Seq.empty).foreach {
       case (dir, label) =>
         time(s"exactDedup     $label")(
           Dedup.exactDupGroups(docs(dir), col("doc_id"), col("text")).count())
@@ -118,7 +128,9 @@ object ProbeScale100 {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(); ()
     }
-    Seq(("1x", () => pairs1x, 1), (s"${factor}x", () => pairsNx, factor))
+    (if (section("graph"))
+       Seq(("1x", () => pairs1x, 1), (s"${factor}x", () => pairsNx, factor))
+     else Seq.empty)
       .foreach { case (tag, mk, copies) =>
         val edges = undirected(mk())
         time(s"$tag edges count") { edges.count() }
@@ -137,6 +149,51 @@ object ProbeScale100 {
           Bfs.shortestHops(edges, seeds, maxHops = 3).count()
         }
       }
+
+    // triangle counting at factor×: disjoint id-offset copies of the
+    // co-purchase graph (q134's edge relation) ⇒ triangles must equal
+    // EXACTLY factor × base — a scale curve that doubles as a
+    // correctness gate on the degree-orientation algorithm
+    if (section("triangles")) runTriangles(spark, base, factor)
     spark.stop()
+  }
+
+  private def runTriangles(spark: SparkSession, base: String, factor: Int): Unit = {
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-40s $dt%9.2f s  rows=$n")
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      dt
+    }
+    def coEdges: DataFrame = {
+      val part = spark.read.parquet(s"$base/part.parquet")
+        .filter(col("p_size") <= 15).select(col("p_partkey"))
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      Graphs.undirected(
+        li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst")),
+        "src", "dst")
+    }
+    var tri1 = 0L
+    time("triangles 1x co-purchase") {
+      tri1 = Graphs.triangleCount(coEdges).head().getLong(0); tri1
+    }
+    val maxId = coEdges.agg(max(greatest(col("u"), col("v")))).head().getLong(0)
+    val offsets = spark.range(factor).select((col("id") * (maxId + 1)).as("__off"))
+    var triN = 0L
+    time(s"triangles ${factor}x disjoint") {
+      triN = Graphs.triangleCount(
+        coEdges.crossJoin(offsets)
+          .select((col("u") + col("__off")).as("u"),
+            (col("v") + col("__off")).as("v"))).head().getLong(0)
+      triN
+    }
+    println(s"[probe] triangles exact ratio: ${triN == factor * tri1} " +
+      s"($triN vs $factor x $tri1)")
   }
 }
