@@ -69,6 +69,47 @@ class BehaviorOpsSpec extends SparkSpec {
       (2L, 1L, 1L, 5L * 1000000L, 5L * 1000000L)))
   }
 
+  test("sessionize matches a sequential reference on adversarial random gaps") {
+    // 200 users, gaps drawn to cluster AT the boundary (gap−1µs, gap,
+    // gap+1µs) — the µs-exactness claim is only tested by inputs that
+    // straddle it. The reference is an independent sequential fold.
+    val gapSec = 100L
+    val gapUs = gapSec * 1000000L
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (1L to 200L).flatMap { u =>
+      var t = 1000000L + rnd.nextInt(1000000)
+      (1 to rnd.nextInt(25) + 1).map { i =>
+        t += (rnd.nextInt(5) match {
+          case 0 => gapUs - 1
+          case 1 => gapUs
+          case 2 => gapUs + 1
+          case 3 => rnd.nextInt(1000).toLong
+          case _ => gapUs * 3
+        })
+        (u, u * 1000 + i, t)
+      }
+    }
+    val df = rows.toDF("u", "id", "us")
+      .withColumn("t", timestamp_micros(col("us")))
+    val got = Funnel.sessionize(df, col("u"), col("t"), col("id"), gapSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = ordered.tail.foldLeft(List(List(ordered.head))) {
+        case (acc @ cur :: done, t) =>
+          if (t - cur.head > gapUs) List(t) :: acc
+          else (t :: cur) :: done
+        case (Nil, t) => List(List(t))
+      }.reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong, s.length.toLong, s.min, s.max)
+      }
+    }.sorted
+    assert(got == want)
+  }
+
   test("sessionize: session count equals gap-boundary count on real events") {
     // invariant: total sessions = users + number of strictly-greater
     // gaps between a user's consecutive events (each opens exactly one

@@ -152,6 +152,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("intervalJoin matches a sequential double loop on boundary-heavy data") {
+    implicit val sc = spark.sqlContext
+    // anchors and events with offsets clustered at ±window edges —
+    // both inclusive bounds must match an independent O(n²) reference
+    val winSec = 60L
+    val winUs = winSec * 1000000L
+    val rnd = new scala.util.Random(8L)
+    val base = 1000000000L
+    val anchors = (1 to 120).map(i =>
+      (1000L + i, (i % 7).toLong, base + rnd.nextInt(40) * 30000000L))
+    val eventsR = (1 to 300).map { i =>
+      val a = anchors(rnd.nextInt(anchors.length))
+      val off = rnd.nextInt(5) match {
+        case 0 => -winUs - 1
+        case 1 => -winUs
+        case 2 => 0L
+        case 3 => 1L
+        case _ => -rnd.nextInt(winUs.toInt).toLong
+      }
+      (5000L + i, a._2, a._3 + off)
+    }
+    val aDf = anchors.toDF("aid", "ak", "aus")
+      .withColumn("ats", timestamp_micros(col("aus")))
+      .drop("aus")
+    val eDf = eventsR.toDF("eid", "ek", "eus")
+      .withColumn("ets", timestamp_micros(col("eus")))
+      .drop("eus")
+    val aStream = MemoryStream[(Long, Long, Long)]
+    val eStream = MemoryStream[(Long, Long, Long)]
+    aStream.addData(anchors)
+    eStream.addData(eventsR)
+    def shape(s: MemoryStream[(Long, Long, Long)], id: String, k: String,
+              ts: String) =
+      s.toDF().select(col("_1").as(id), col("_2").as(k),
+        timestamp_micros(col("_3")).as(ts))
+    val q = StreamOps.intervalJoin(
+        shape(aStream, "aid", "ak", "ats"), shape(eStream, "eid", "ek", "ets"),
+        "ak", "ek", "ats", "ets", winSec)
+      .select(col("aid"), col("eid"))
+      .writeStream.format("memory").queryName("interval_rand")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("interval_rand").as[(Long, Long)].collect().sorted.toSeq
+    val want = (for {
+      a <- anchors; e <- eventsR
+      if a._2 == e._2 && e._3 >= a._3 - winUs && e._3 <= a._3
+    } yield (a._1, e._1)).sorted
+    assert(got.nonEmpty && got == want)
+  }
+
   test("intervalJoin: stream output equals the batch inequality join") {
     implicit val sc = spark.sqlContext
     val ev = Tables(spark, sfDir).events
