@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -2056,7 +2056,86 @@ object SparkEntry {
         .start()
       query.awaitTermination()
       s.table(qname).orderBy("purchase_id", "click_id")
-    })
+    }),
+
+    // ---------------- BM25 ranked retrieval over the inverted index ----------------
+    // 'dup' is the corpus's one rare token (df 25/500 at sf0.01), so
+    // the idf weighting actually decides the ranking; the flat-df
+    // terms contribute mostly length normalization.
+    "q137_bm25_topk" -> ((s, dir) =>
+      InvertedIndex.bm25TopK(t(s, dir).documents, "doc_id", col("text"),
+        Seq("dup", "spark", "window"), k = 10)),
+
+    // ---------------- hybrid retrieval: BM25 ⊕ cosine via RRF ----------------
+    // doc 0 plays the query (its text terms drive the lexical list,
+    // its embedding the semantic list) and is excluded from both
+    // sides; the fused top-10 is the rows a RAG pipeline would fetch.
+    "q138_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir).documents.filter(col("doc_id") =!= 0)
+      val lex = InvertedIndex.bm25TopK(docs, "doc_id", col("text"),
+        Seq("dup", "spark", "window"), k = 50)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val sem = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 50, excludeId = 0L)
+        .select(col("vec_id").as("doc_id"), col("cosine").as("score"))
+      Retrieval.rrf(Seq(lex, sem), "doc_id", "score", k = 10)
+    }),
+
+    // ---------------- nearest-centroid classification audit ----------------
+    "q139_nearest_centroid" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(t(s, dir).embeddings,
+        "vec_id", "label", "embedding")
+        .orderBy("true_label", "pred")),
+
+    // ---------------- fuzzy dimension linkage (Jaro-Winkler) ----------------
+    // Probe × small-dimension linkage: every customer scored against
+    // the broadcast supplier names, best match kept via one partial-
+    // aggregable min(struct) — no per-customer window shuffle. The
+    // (1-jw, s_name) struct ordering IS (jw desc, s_name asc):
+    // 1-x is monotone and the jw grid (1e-6 after rounding) is 10
+    // orders coarser than double rounding error.
+    "q140_jaro_linkage" -> ((s, dir) => {
+      val c = t(s, dir).customer.select(col("c_custkey"), col("c_name"))
+      val sup = t(s, dir).supplier.select(col("s_name"))
+      val best = c.crossJoin(broadcast(sup))
+        .withColumn("jw", round(TextFns.jaroWinkler(col("c_name"), col("s_name")), 6))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(min(struct((lit(1.0) - col("jw")).as("ljw"),
+          col("s_name").as("sn"), col("jw").as("j"))).as("b"))
+        .select(col("c_custkey"), col("c_name"),
+          col("b.sn").as("best_supplier"), col("b.j").as("jw"))
+      best.orderBy("c_custkey")
+    }),
+
+    // ---------------- SCD-2 validity-versioned history ----------------
+    // History at v100 (one closed generation at v50-100 for the %5
+    // keys, current rows for the %3≠0 keys) advanced to the v200
+    // snapshot (%10≠0 survives, %7 keys change, %11 keys re-key as
+    // inserts) — updates, deletes, inserts, and re-inserts all occur.
+    "q141_scd2_history" -> ((s, dir) => {
+      val docs = t(s, dir).documents.select(col("doc_id"), col("source"), col("n_chars"))
+      val hist = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("valid_from", lit(100L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") - 7L)
+          .withColumn("valid_from", lit(50L))
+          .withColumn("valid_to", lit(100L)))
+      val snap = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1L).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("n_chars")))
+      Upsert.scd2Apply(hist, snap, "doc_id", asOf = 200L)
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
+    // ---------------- bigram-LM fluency scoring ----------------
+    "q142_bigram_surprisal" -> ((s, dir) =>
+      TextMetrics.bigramSurprisal(t(s, dir).documents, "doc_id", col("text"))
+        .orderBy("doc_id"))
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3563,6 +3642,154 @@ object SparkEntry {
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-         ORDER BY purchase_id, click_id"""
+         ORDER BY purchase_id, click_id""",
+    // BM25: fractional literals carry e0 so DuckDB types them DOUBLE
+    // (bare 2.2 is DECIMAL, and tf*DECIMAL is exact decimal math —
+    // NOT the IEEE product Spark computes); the fixed-point floors
+    // then make both engines' sums exact integer math.
+    "q137_bm25_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+             CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         idf AS (SELECT term, avgdl,
+             CAST(floor(ln((nd - df + 0.5e0)/(df + 0.5e0) + 1.0e0)*1e4 + 0.5e0)
+               AS BIGINT) AS idf4
+           FROM (SELECT term, count(*) AS df FROM post
+                 WHERE term IN ('dup','spark','window') GROUP BY 1)
+           CROSS JOIN stats),
+         contrib AS (
+           SELECT p.doc_id,
+             i.idf4 * CAST(floor(p.tf*2.2e0/(p.tf + 1.2e0*(0.25e0 + 0.75e0*d.dl/i.avgdl))
+               *1e6 + 0.5e0) AS BIGINT) AS c
+           FROM post p JOIN dl d USING (doc_id) JOIN idf i USING (term)
+           WHERE p.term IN ('dup','spark','window'))
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE)/1e10 AS bm25
+         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "q138_rrf_hybrid" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents WHERE doc_id <> 0),
+         post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+             CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         idf AS (SELECT term, avgdl,
+             CAST(floor(ln((nd - df + 0.5e0)/(df + 0.5e0) + 1.0e0)*1e4 + 0.5e0)
+               AS BIGINT) AS idf4
+           FROM (SELECT term, count(*) AS df FROM post
+                 WHERE term IN ('dup','spark','window') GROUP BY 1)
+           CROSS JOIN stats),
+         contrib AS (
+           SELECT p.doc_id,
+             i.idf4 * CAST(floor(p.tf*2.2e0/(p.tf + 1.2e0*(0.25e0 + 0.75e0*d.dl/i.avgdl))
+               *1e6 + 0.5e0) AS BIGINT) AS c
+           FROM post p JOIN dl d USING (doc_id) JOIN idf i USING (term)
+           WHERE p.term IN ('dup','spark','window')),
+         lex AS (SELECT doc_id, CAST(sum(c) AS DOUBLE)/1e10 AS score
+           FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+         q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         sem AS (SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 6) AS score
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           ORDER BY score DESC, e.vec_id LIMIT 50),
+         ranked AS (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM lex
+           UNION ALL
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM sem),
+         fused AS (
+           SELECT doc_id,
+             sum(CAST(floor(1e9/(60 + rk)) AS BIGINT)) AS fp,
+             count(*) AS n_lists
+           FROM ranked GROUP BY doc_id)
+         SELECT doc_id, n_lists, CAST(fp AS DOUBLE)/1e9 AS rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "q139_nearest_centroid" ->
+      """WITH cent AS (
+           SELECT label AS pred, dim, round(avg(CAST(x AS DOUBLE)), 6) AS c
+           FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS x FROM embeddings)
+           GROUP BY pred, dim),
+         vec AS (SELECT vec_id, label AS true_label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         d AS (SELECT v.vec_id, v.true_label, cent.pred,
+             sum(CAST(floor((v.x - cent.c)*(v.x - cent.c)*1e8 + 0.5e0) AS BIGINT))
+               AS dist_fp
+           FROM vec v JOIN cent USING (dim) GROUP BY 1, 2, 3),
+         best AS (SELECT vec_id, true_label, pred,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, pred) AS rn
+           FROM d)
+         SELECT true_label, pred, count(*) AS n FROM best WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q140_jaro_linkage" ->
+      """WITH scored AS (
+           SELECT c.c_custkey, c.c_name, s.s_name,
+             round(jaro_winkler_similarity(c.c_name, s.s_name), 6) AS jw
+           FROM customer c CROSS JOIN supplier s),
+         best AS (
+           SELECT c_custkey, c_name, s_name, jw,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY jw DESC, s_name) AS rn
+           FROM scored)
+         SELECT c_custkey, c_name, s_name AS best_supplier, jw
+         FROM best WHERE rn = 1 ORDER BY c_custkey""",
+    "q141_scd2_history" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+         hist AS (
+           SELECT doc_id, source, n_chars,
+             CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+           FROM docs WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id, source, n_chars - 7,
+             CAST(50 AS BIGINT), CAST(100 AS BIGINT)
+           FROM docs WHERE doc_id % 5 = 0),
+         snap AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+           FROM docs WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, source, n_chars FROM docs WHERE doc_id % 11 = 0),
+         cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+         closed AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+         j AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+             c.doc_id IS NOT NULL AS cp, s.doc_id IS NOT NULL AS sp,
+             c.source AS c_source, c.n_chars AS c_chars, c.valid_from AS c_from,
+             s.source AS s_source, s.n_chars AS s_chars,
+             (c.source IS NOT DISTINCT FROM s.source
+              AND c.n_chars IS NOT DISTINCT FROM s.n_chars) AS same
+           FROM cur c FULL JOIN snap s ON c.doc_id = s.doc_id)
+         SELECT doc_id, source, n_chars, valid_from, valid_to FROM closed
+         UNION ALL
+         SELECT doc_id, c_source, c_chars, c_from, CAST(NULL AS BIGINT)
+         FROM j WHERE cp AND sp AND same
+         UNION ALL
+         SELECT doc_id, c_source, c_chars, c_from, CAST(200 AS BIGINT)
+         FROM j WHERE cp AND (NOT sp OR NOT same)
+         UNION ALL
+         SELECT doc_id, s_source, s_chars, CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+         FROM j WHERE sp AND (NOT cp OR NOT same)
+         ORDER BY doc_id, valid_from""",
+    "q142_bigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+           FROM toks, unnest(range(1, len(t))) AS u(i)),
+         pair AS (SELECT w1, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         head AS (SELECT w1, sum(c) AS h FROM pair GROUP BY 1),
+         lp AS (SELECT bg,
+             CAST(floor(-ln(CAST(c AS DOUBLE)/h)*1e4 + 0.5) AS BIGINT) AS lp4
+           FROM pair JOIN head USING (w1)),
+         per AS (SELECT doc_id, sum(lp4) AS slp, count(*) AS nb
+           FROM bg JOIN lp USING (bg) GROUP BY doc_id)
+         SELECT doc_id, nb AS n_bigrams,
+           floor(CAST(slp AS DOUBLE)/(1e4*nb)*1e6 + 0.5)/1e6 AS avg_surprisal
+         FROM per ORDER BY doc_id"""
   )
 }

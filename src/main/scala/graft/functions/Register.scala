@@ -23,5 +23,7 @@ object Register {
       val n = es.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3)
       ShingleHash64(es.head, n)
     })
+    ColumnBridge.registerFunction(spark, "jaro_winkler",
+      es => JaroWinkler(es(0), es(1)))
   }
 }

@@ -157,4 +157,10 @@ object TextFns {
     }
     greatest(scored: _*).getField("lang")
   }
+
+  /** Jaro-Winkler similarity (native codegen kernel, StringExprs) —
+    * DuckDB-parity semantics, see [[JaroWinklerKernel]].
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(JaroWinkler(toExpr(a), toExpr(b)))
 }

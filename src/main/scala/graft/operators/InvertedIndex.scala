@@ -54,4 +54,55 @@ object InvertedIndex {
   def searchAny(postings: DataFrame, idName: String, terms: Seq[String]): DataFrame =
     postings.filter(col("term").isin(terms: _*))
       .select(col(idName)).distinct()
+
+  /** BM25-ranked retrieval over the index: top-`k` documents for a
+    * bag of query `terms`, scored with Okapi BM25 (Lucene's
+    * always-positive idf form, ln((N-df+0.5)/(df+0.5)+1)).
+    *
+    * Plan shape (the 100 TB contract): the postings scan is filtered
+    * to the query terms FIRST (pruned term-bucket scan once the
+    * relation is bucketed by term), the per-doc length relation is an
+    * aggregate of the same postings, corpus stats (N, avgdl) are a
+    * 1-row broadcast, and the per-term df/idf table is
+    * query-parameter-sized and broadcast. The only full-width shuffle
+    * keys on the doc id; the top-k is a TakeOrderedAndProject.
+    *
+    * Fixed-point discipline (cross-engine hash parity): `ln` is the
+    * one libm-dependent term, so idf is rounded to 1e-4 immediately;
+    * the tf normalization — pure IEEE arithmetic — is rounded to
+    * 1e-6; the per-(doc,term) contribution is the integer product of
+    * the two, so the per-doc sum is exact integer math, identical
+    * under any aggregation order. The emitted `bm25` double is that
+    * integer scaled by 1e-10.
+    */
+  def bm25TopK(docs: DataFrame, idName: String, text: Column,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val qTerms = terms.distinct
+    val postings = build(docs, idName, text)
+    val dl = postings.groupBy(col(idName)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = postings.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        floor(log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * lit(1e4) + lit(0.5)).cast("long").as("idf4"))
+    postings.filter(col("term").isin(qTerms: _*))
+      .join(dl, Seq(idName))
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("tfn6",
+        floor(col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col(idName))
+      .agg(sum(col("idf4") * col("tfn6")).as("fp"),
+        count(lit(1)).as("n_terms"))
+      .select(col(idName), col("n_terms"),
+        (col("fp").cast("double") / lit(1e10)).as("bm25"))
+      .orderBy(col("bm25").desc, col(idName).asc)
+      .limit(k)
+  }
 }

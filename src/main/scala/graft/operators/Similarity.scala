@@ -375,6 +375,47 @@ object Similarity {
       .groupBy(col(labelName), col("dim").cast("long").as("dim"))
       .agg(round(avg(col("x")), 6).as("centroid"))
 
+  /** Nearest-centroid classification: assign every vector to its
+    * closest label centroid (squared L2) and return the confusion
+    * matrix (true_label, pred, n) — the standard "does the embedding
+    * space separate my taxonomy" audit a labeling pipeline runs
+    * before trusting auto-labels.
+    *
+    * Distributed shape: centroids come from [[labelCentroids]] (one
+    * keyed agg), stay a RELATION (labels × dims rows — never a
+    * driver collect), and broadcast into a posexplode'd join on dim;
+    * per-(vector, candidate-label) distances reduce in one shuffle
+    * keyed on (id, label). Cost is rows × dims × labels — linear in
+    * the corpus for a fixed taxonomy, and the only wide shuffle keys
+    * on the vector id.
+    *
+    * Cross-engine parity: centroids are rounded to 1e-6 first (the
+    * q35-proven contract), then every per-dim squared residual is
+    * floored at 1e-8 fixed point, so the distance sum is exact
+    * integer math and the argmin (dist asc, label asc) is identical
+    * on every engine and aggregation order.
+    */
+  def nearestCentroidConfusion(embeddings: DataFrame, idName: String,
+                               labelName: String, vecName: String): DataFrame = {
+    val cents = labelCentroids(embeddings, labelName, vecName)
+      .withColumnRenamed(labelName, "pred")
+    val dists = embeddings
+      .select(col(idName).as("id"), col(labelName).as("true_label"),
+        posexplode(col(vecName)).as(Seq("dim", "x")))
+      .select(col("id"), col("true_label"),
+        col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .join(broadcast(cents), Seq("dim"))
+      .withColumn("d", col("x") - col("centroid"))
+      .withColumn("d2fp", floor(col("d") * col("d") * lit(1e8) + lit(0.5)).cast("long"))
+      .groupBy(col("id"), col("true_label"), col("pred"))
+      .agg(sum(col("d2fp")).as("dist_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist_fp").asc, col("pred").asc)
+    dists.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("true_label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * the coarse quantizer, then prune near-identical vectors WITHIN
     * each cluster — a greedy keep-lowest-id sweep: a vector is

@@ -119,6 +119,43 @@ object TextMetrics {
     * on the vocabulary), a 1-row corpus-total broadcast, one keyed
     * per-doc rollup. Linear at any corpus size.
     */
+  /** Mean bigram surprisal per document: −ln p(w₂|w₁) under the
+    * corpus's own bigram model, p(w₂|w₁) = c(w₁w₂)/c(w₁·) with c(w₁·)
+    * the bigram-head count — the conditional complement of
+    * [[unigramSurprisal]], and the stronger fluency signal (a doc of
+    * common words in an uncommon ORDER scores high here but low
+    * there). No smoothing is needed: every scored bigram was observed.
+    *
+    * Same exactness discipline as unigramSurprisal: log-probs go to
+    * 1e-4 fixed point before the per-doc aggregation, so the sums are
+    * exact integer math on every engine. Bigrams are built IN-TASK
+    * (zip_with over two slices of the token array — no positional
+    * self-join); the model tables are two keyed aggs of the exploded
+    * bigram relation. Docs with < 2 tokens have no bigrams and drop
+    * out, mirroring ngramRepetition's short-doc contract.
+    */
+  def bigramSurprisal(docs: DataFrame, idName: String, text: Column): DataFrame = {
+    val toks = TextFns.tokens(text)
+    val bg = docs.select(col(idName).as("id"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val pair = bg.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("c"))
+    val head = pair.groupBy(col("w1")).agg(sum(col("c")).as("h"))
+    val lp = pair.join(head, Seq("w1"))
+      .select(col("bg"),
+        floor(-log(col("c").cast("double") / col("h")) * lit(1e4) + lit(0.5))
+          .cast("long").as("lp4"))
+    bg.join(lp, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(sum(col("lp4")).as("slp"), count(lit(1)).as("nb"))
+      .select(col("id").as(idName), col("nb").as("n_bigrams"),
+        (floor(col("slp").cast("double") / (lit(1e4) * col("nb")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("avg_surprisal"))
+  }
+
   def unigramSurprisal(docs: DataFrame, idName: String, text: Column): DataFrame = {
     val tok = docs.select(col(idName).as("id"),
       explode(TextFns.tokens(text)).as("token"))

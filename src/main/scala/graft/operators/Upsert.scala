@@ -40,6 +40,58 @@ object Upsert {
         when(col("__d_present").isNotNull, col(s"__d_$c")).otherwise(col(c)).as(c))): _*)
   }
 
+  /** SCD-2 apply: advance a validity-versioned history table to a new
+    * snapshot taken at `asOf`. History rows carry `valid_from` /
+    * `valid_to` (BIGINT versions or epoch instants; `valid_to` NULL =
+    * current). Per key:
+    *  - value unchanged → the open row rides through;
+    *  - value changed   → the open row closes at `asOf` and a new open
+    *    row starts at `asOf`;
+    *  - key gone from the snapshot → the open row closes (delete);
+    *  - key new in the snapshot → a new open row (insert — including
+    *    re-insert of a key whose older closed rows remain).
+    * Already-closed rows are immutable and pass through untouched.
+    *
+    * Plan: ONE full-outer hash join (current slice × snapshot); the
+    * up-to-two output rows per key are emitted by exploding a per-row
+    * struct array, so nothing re-reads or re-joins the inputs — the
+    * single-pass MERGE plan, same scale contract as [[scd1]].
+    */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame, key: String,
+                asOf: Long): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == key).toSeq
+    require(history.columns.toSet ==
+      snapshot.columns.toSet ++ Set("valid_from", "valid_to"),
+      s"history must be snapshot schema + valid_from/valid_to; got " +
+        s"${history.columns.mkString(",")} vs ${snapshot.columns.mkString(",")}")
+    val outCols = (key +: payload) ++ Seq("valid_from", "valid_to")
+    val closed = history.filter(col("valid_to").isNotNull)
+      .select(outCols.map(col): _*)
+    val current = history.filter(col("valid_to").isNull)
+      .withColumn("__c_present", lit(true))
+    val s = payload.foldLeft(snapshot)((df, c) => df.withColumnRenamed(c, s"__s_$c"))
+      .withColumn("__s_present", lit(true))
+    val j = current.join(s, Seq(key), "full_outer")
+    val cP = col("__c_present").isNotNull
+    val sP = col("__s_present").isNotNull
+    val same = payload.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _)
+    val kept = struct(payload.map(col) ++
+      Seq(col("valid_from"), col("valid_to")): _*)
+    val closedNow = struct(payload.map(col) ++
+      Seq(col("valid_from"), lit(asOf).cast("long").as("valid_to")): _*)
+    val opened = struct(payload.map(c => col(s"__s_$c").as(c)) ++
+      Seq(lit(asOf).cast("long").as("valid_from"),
+        lit(null).cast("long").as("valid_to")): _*)
+    val rows = when(cP && sP && same, array(kept))
+      .when(cP && sP && !same, array(closedNow, opened))
+      .when(cP && !sP, array(closedNow))
+      .otherwise(array(opened))
+    val applied = j.select(col(key), explode(rows).as("__r"))
+      .select(col(key) +: (payload ++ Seq("valid_from", "valid_to"))
+        .map(c => col(s"__r.$c").as(c)): _*)
+    closed.unionByName(applied)
+  }
+
   /** CDC classification of snapshot `next` against snapshot `prev`:
     * one row per key with `op` ∈ insert / delete / update /
     * unchanged. Value comparison is null-safe (`<=>`) over every

@@ -53,4 +53,50 @@ class InvertedIndexSpec extends SparkSpec {
       .orderBy("doc_id").as[Long].collect().toSeq
     assert(r == Seq(1L, 3L))
   }
+
+  /** Sequential reference of bm25TopK's fixed-point arithmetic. */
+  private def bm25Ref(corpus: Seq[(Long, String)], terms: Seq[String],
+                      k: Int): Seq[(Long, Long, Double)] = {
+    val qTerms = terms.distinct.toSet
+    val toks = corpus.map { case (id, txt) => id -> txt.split(" ", -1).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nd = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nd
+    val tf = toks.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), v) => (id, t) -> v.size.toLong }
+    val df = qTerms.map(t => t -> tf.keys.count(_._2 == t).toLong).toMap
+    val idf4 = df.map { case (t, d) =>
+      t -> math.floor(math.log((nd - d + 0.5) / (d + 0.5) + 1.0) * 1e4 + 0.5).toLong
+    }
+    // toSeq first: collecting on the Map would collapse a doc's
+    // per-term contributions onto one key
+    val scores = tf.toSeq.collect { case ((id, t), f) if qTerms(t) =>
+      val tfn6 = math.floor(
+        f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)) * 1e6 + 0.5).toLong
+      id -> idf4(t) * tfn6
+    }.groupBy(_._1).map { case (id, v) => (id, v.size.toLong, v.map(_._2).sum / 1e10) }
+    scores.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(k)
+  }
+
+  test("bm25TopK equals the sequential fixed-point reference (fixture corpus)") {
+    val corpus = Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val terms = Seq("dup", "spark", "window")
+    val got = InvertedIndex.bm25TopK(corpus, "doc_id", col("text"), terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == bm25Ref(rows, terms, 10) && got.size == 10)
+  }
+
+  test("bm25 ranks the rare term above flat-df terms") {
+    // doc 1 has the rare term once; doc 2 has two common-term hits;
+    // same length — idf must dominate
+    val c = Seq(
+      (1L, "rare x y z"),
+      (2L, "cc cc y z"),
+      (3L, "cc a b d"), (4L, "cc e f g"), (5L, "cc h i j"),
+      (6L, "cc k l m"), (7L, "cc n o p")).toDF("doc_id", "text")
+    val top = InvertedIndex.bm25TopK(c, "doc_id", col("text"),
+      Seq("rare", "cc"), 1).as[(Long, Long, Double)].head()
+    assert(top._1 == 1L)
+  }
 }

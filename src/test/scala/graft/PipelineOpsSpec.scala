@@ -190,6 +190,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(2) - 0.6931) < 1e-9))
   }
 
+  test("bigramSurprisal matches the hand-computed conditional-model value") {
+    // corpus bigrams: doc1 = "a b","b a","a b"; doc2 = "a c".
+    // heads: a· = 3 ("a b"×2, "a c"), b· = 1.
+    // p(b|a)=2/3 → lp4=floor(ln(1.5)*1e4+0.5)=4055; p(a|b)=1 → 0;
+    // p(c|a)=1/3 → lp4=floor(ln(3)*1e4+0.5)=10986.
+    // doc1: (4055+0+4055)/(1e4*3) → 0.270333; doc2: 10986/1e4 → 1.0986
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextMetrics.bigramSurprisal(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    // doc 3 has one token → no bigrams → dropped
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(math.abs(out(0).getDouble(2) - 0.270333) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - 1.0986) < 1e-9)
+  }
+
+  test("bigramSurprisal: a rare transition of common words scores above the common order") {
+    // every WORD is frequent, but doc 2's "b b" transition occurs
+    // once in the corpus — the conditional model flags it where the
+    // unigram model cannot
+    val docs = Seq((1L, "a b a c"), (2L, "b b a c"),
+      (3L, "a b a c"), (4L, "a b a c")).toDF("doc_id", "text")
+    val out = TextMetrics.bigramSurprisal(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L))
+  }
+
   test("matryoshka head is unit-norm and proportional to the raw prefix") {
     import graft.functions.VecFns
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)

@@ -65,4 +65,38 @@ class TextFnsSpec extends SparkSpec {
       .as[Boolean].head()
     assert(same)
   }
+
+  test("jaroWinkler matches the textbook values and DuckDB edge semantics") {
+    import graft.functions.JaroWinklerKernel.compute
+    assert(math.abs(compute("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(compute("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(compute("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15)
+    assert(compute("abc", "abc") == 1.0)
+    // DuckDB convention: ANY empty side (including both) scores 0
+    assert(compute("", "") == 0.0 && compute("a", "") == 0.0 && compute("", "a") == 0.0)
+    // match window ⌊2/2⌋-1 = 0: adjacent transposition finds no match
+    assert(compute("ab", "ba") == 0.0)
+    // boost fires only above 0.7: CRATE/TRACE jaro ≈ 0.733 with a
+    // 0-length common prefix stays un-boosted
+    assert(math.abs(compute("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+  }
+
+  test("jaroWinkler column (codegen path) equals the kernel and is symmetric") {
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"), ("Supplier#000000001", "Supplier#000000010"),
+      ("Customer#000000123", "Supplier#000000321"), ("", "x"), ("same", "same"))
+    val df = pairs.toDF("a", "b")
+    val viaCol = df.select(
+      TextFns.jaroWinkler(col("a"), col("b")).as("ab"),
+      TextFns.jaroWinkler(col("b"), col("a")).as("ba"))
+      .as[(Double, Double)].collect().toSeq
+    pairs.zip(viaCol).foreach { case ((a, b), (ab, ba)) =>
+      assert(ab == graft.functions.JaroWinklerKernel.compute(a, b))
+      assert(ab == ba) // Jaro and the prefix boost are both symmetric
+    }
+    // null in, null out (BinaryExpression null contract)
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(TextFns.jaroWinkler(col("a"), col("b")).as("j"))
+    assert(withNull.filter(col("j").isNull).count() == 1)
+  }
 }

@@ -39,4 +39,59 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.cdcDiff(p, n, "id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "unchanged")))
   }
+
+  private def hist(rows: (Long, String, Long, Long, Option[Long])*) = {
+    import org.apache.spark.sql.functions.col
+    rows.toSeq.toDF("id", "name", "v", "valid_from", "valid_to")
+      .select(col("id"), col("name"), col("v"), col("valid_from"),
+        col("valid_to").cast("long").as("valid_to"))
+  }
+
+  test("scd2Apply: update closes+opens, delete closes, insert opens, unchanged rides") {
+    val h = hist(
+      (1L, "a", 10L, 100L, None),        // unchanged in snapshot
+      (2L, "b", 20L, 100L, None),        // updated
+      (3L, "c", 30L, 100L, None),        // deleted
+      (2L, "b0", 19L, 50L, Some(100L)))  // closed history: immutable
+    val snap = Seq(
+      (1L, "a", 10L), (2L, "B!", 99L), (4L, "d", 40L)).toDF("id", "name", "v")
+    val out = Upsert.scd2Apply(h, snap, "id", asOf = 200L)
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, 100L, -1L),    // unchanged: open row untouched
+      (2L, "b0", 19L, 50L, 100L),   // closed history preserved
+      (2L, "b", 20L, 100L, 200L),   // old value closed at asOf
+      (2L, "B!", 99L, 200L, -1L),   // new value opened at asOf
+      (3L, "c", 30L, 100L, 200L),   // delete = close
+      (4L, "d", 40L, 200L, -1L)))   // insert = open
+  }
+
+  test("scd2Apply is idempotent: re-applying the same snapshot changes nothing") {
+    val h = hist((1L, "a", 10L, 100L, None), (2L, "b", 20L, 100L, None))
+    val snap = Seq((1L, "a", 11L), (3L, "c", 30L)).toDF("id", "name", "v")
+    val once = Upsert.scd2Apply(h, snap, "id", asOf = 200L)
+    val twice = Upsert.scd2Apply(once, snap, "id", asOf = 300L)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "valid_from")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(norm(twice) == norm(once))
+  }
+
+  test("scd2Apply: at most one open row per key, and intervals nest correctly") {
+    val h = hist(
+      (1L, "a", 1L, 100L, None), (2L, "b", 2L, 100L, None),
+      (3L, "c", 3L, 100L, None), (1L, "a0", 0L, 50L, Some(100L)))
+    val snap = Seq((1L, "A", 9L), (2L, "b", 2L), (4L, "d", 4L)).toDF("id", "name", "v")
+    val out = Upsert.scd2Apply(h, snap, "id", asOf = 200L)
+    import org.apache.spark.sql.functions._
+    val open = out.filter(col("valid_to").isNull)
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(open == 0)
+    val inverted = out.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= col("valid_from")).count()
+    assert(inverted == 0)
+  }
 }
