@@ -17,6 +17,12 @@ run / fork := true
 // json-parse of the bench line (BENCH_r07.json: "parsed": null).
 // StdoutOutput inherits the parent streams — run output arrives raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's own "[success] Total time: ..." epilogue line would
+// still land AFTER the JSON line — a driver that parses the LAST
+// line of the tail gets prose instead of JSON (the likely cause of
+// every round's "parsed": null). Suppress it; the driver's rc check
+// uses the process exit code, not this line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
