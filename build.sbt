@@ -23,6 +23,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // every round's "parsed": null). Suppress it; the driver's rc check
 // uses the process exit code, not this line.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-
+// key lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2135,7 +2135,58 @@ object SparkEntry {
     // ---------------- bigram-LM fluency scoring ----------------
     "q142_bigram_surprisal" -> ((s, dir) =>
       TextMetrics.bigramSurprisal(t(s, dir).documents, "doc_id", col("text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---------------- percentile-rank feature normalization ----------------
+    // Curriculum features: a doc's length percentile WITHIN its
+    // language (percent_rank + cume_dist — exact rational arithmetic,
+    // ties share values, no float-parity risk).
+    "q143_percentile_norm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      t(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- distributed BPE vocabulary learning ----------------
+    // Iterative argmax loop (like PageRank's iterations): not
+    // expressible as one DuckDB query → no_oracle, with two
+    // self-checks standing in: (a) fixture equality against a
+    // sequential in-JVM BPE reference — the full merge SEQUENCE must
+    // match exactly; (b) at every scale, the argmax pair count is
+    // provably non-increasing step-over-step (a merged token's new
+    // pairs inherit at most the merged pair's count), so a violation
+    // means the loop state corrupted.
+    "q144_bpe_merges" -> ((s, dir) => {
+      if (SelfCheck.fixtureExists) SelfCheck.once("q144/fixture") {
+        val fx = t(s, SelfCheck.FixtureDir).documents
+        val got = graft.operators.BpeLearn
+          .learnMerges(fx, col("text"), numMerges = 8)
+          .select("step", "left", "right", "pair_count")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+        val words = fx.select(explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val want = graft.operators.BpeLearn.learnMergesLocal(words, numMerges = 8)
+        require(got == want,
+          s"q144 distributed merges diverge from the sequential reference:\n$got\nvs\n$want")
+        SelfCheck.note(s"fixture merge sequence (8 steps) identical to sequential BPE")
+      }
+      val m = graft.operators.BpeLearn
+        .learnMerges(t(s, dir).documents, col("text"), numMerges = 12)
+      SelfCheck.every(s"q144/$dir") {
+        val counts = m.orderBy("step").select("pair_count")
+          .collect().map(_.getLong(0)).toSeq
+        val bad = counts.zip(counts.drop(1)).count { case (a, b) => b > a }
+        require(bad == 0, s"q144 pair counts increased step-over-step: $counts")
+        SelfCheck.note(s"12 merge steps, counts non-increasing " +
+          s"(${counts.headOption.getOrElse(-1L)} → ${counts.lastOption.getOrElse(-1L)})")
+      }
+      m.orderBy("step")
+    })
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3790,6 +3841,11 @@ object SparkEntry {
            FROM bg JOIN lp USING (bg) GROUP BY doc_id)
          SELECT doc_id, nb AS n_bigrams,
            floor(CAST(slp AS DOUBLE)/(1e4*nb)*1e6 + 0.5)/1e6 AS avg_surprisal
-         FROM per ORDER BY doc_id"""
+         FROM per ORDER BY doc_id""",
+    "q143_percentile_norm" ->
+      """SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr,
+           round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Distributed BPE (byte-pair-encoding) merge learning — the
+  * vocabulary-training half of the tokenizer a data pipeline ships
+  * with its corpus (the reference has no tokenizer surface; this is
+  * north-star LLM-pipeline work like the subword splitter q45 it
+  * feeds).
+  *
+  * Shape per merge step (classic Sennrich BPE, word-internal):
+  *  - the corpus state is the DISTINCT-WORD relation
+  *    (word, n, seq: array<symbol>) — corpus-sized text never
+  *    re-parses after step 0, and every step is one explode +
+  *    one partial-aggregable keyed count over that relation;
+  *  - the argmax pair (count desc, then lexicographic — fully
+  *    deterministic) is ONE collected row per step: the only
+  *    driver-side state is the merge table itself, parameter-sized
+  *    by construction (numMerges rows);
+  *  - applying the merge rewrites each word's symbol array IN-TASK
+  *    with a left-to-right greedy fold (`aggregate` HOF) — no
+  *    shuffle, and the state relation is re-materialized per step so
+  *    the lineage stays one step deep.
+  *
+  * At 100 TB the distinct-word relation is the classic "vocabulary
+  * table" (orders of magnitude smaller than the corpus); the
+  * per-step shuffle keys on the pair, and AQE handles the hot-pair
+  * skew. Cost is numMerges × one aggregation — the same loop
+  * discipline as PageRank's iterations.
+  */
+object BpeLearn {
+
+  /** Adjacent symbol pairs of `seq` as "a b" strings (empty for
+    * single-symbol sequences).
+    */
+  private def adjacentPairs(seq: Column): Column =
+    zip_with(
+      slice(seq, lit(1), size(seq) - 1),
+      slice(seq, lit(2), size(seq) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Greedy left-to-right application of merge (a, b) → a+b to a
+    * symbol array: fold each symbol into the output, replacing a
+    * trailing `a` when the incoming symbol is `b`. A freshly merged
+    * token never re-merges as the LEFT element in the same pass
+    * (out's tail is the merged "ab", not "a") — the standard BPE
+    * apply order, so "a a a" under (a,a) becomes ["aa", "a"].
+    */
+  private def applyMerge(seq: Column, a: String, b: String): Column =
+    aggregate(seq, array().cast("array<string>"), (out, x) =>
+      when(size(out) > 0 &&
+          element_at(out, -1) === lit(a) && x === lit(b),
+        concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+        .otherwise(concat(out, array(x))))
+
+  /** Learn `numMerges` merges from the corpus. Returns the merge
+    * table (step, left, right, merged, pair_count) in learned order.
+    * Stops early if no pair occurs at least twice.
+    */
+  def learnMerges(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges $numMerges out of [1,64] — the merge table is driver state")
+    val spark = docs.sparkSession
+    // distinct-word state: word weight n, seq = characters
+    var state = docs.select(explode(TextFns.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("w"), "").as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val top = state
+        .select(col("n"), explode(adjacentPairs(col("seq"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((step, a, b, top(0).getLong(1)))
+        val next = state
+          .select(col("n"), applyMerge(col("seq"), a, b).as("seq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        state.unpersist(blocking = false)
+        state = next
+        step += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+      .select(col("step"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  /** Sequential reference implementation (spec oracle). */
+  private[graft] def learnMergesLocal(words: Seq[(String, Long)],
+                                      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var state: Seq[(Seq[String], Long)] =
+      words.map { case (w, n) => (w.split("").toSeq, n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (seq, n) =>
+        seq.zip(seq.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a + " " + b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((step, a, b, c))
+          state = state.map { case (seq, n) =>
+            val folded = seq.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc.init :+ (a + b)
+              else acc :+ x
+            }
+            (folded, n)
+          }
+          step += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeLearn
+
+class BpeLearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges: hand-computed merge sequence") {
+    // "aaab"×3 + "ab"×2 → (a,a) 6 beats (a,b) 5; after the merge
+    // (a,b) 5 beats (aa,a) 3; then (aa,ab) 3; then nothing ≥ 2
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val got = BpeLearn.learnMerges(docs, col("text"), numMerges = 8)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "a", "a", "aa", 6L),
+      (1, "a", "b", "ab", 5L),
+      (2, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("greedy apply: 'aaa' under (a,a) merges left-to-right to [aa, a]") {
+    // if the fold re-merged the fresh token, step 1 would see (aa,a)
+    // count 0 instead of 2 — the merge table exposes the apply order
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = BpeLearn.learnMerges(docs, col("text"), numMerges = 2)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "a", "a", "aa", 4L),  // two (a,a) pairs per word
+      (1, "aa", "a", "aaa", 2L)))
+  }
+
+  test("distributed merges equal the sequential reference (fixture corpus)") {
+    val fx = Tables(spark, sfDir).documents
+    val got = BpeLearn.learnMerges(fx, col("text"), numMerges = 6)
+      .select("step", "left", "right", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val words = fx.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toSeq
+    assert(got == BpeLearn.learnMergesLocal(words, numMerges = 6) && got.size == 6)
+  }
+
+  test("argmax pair count never increases step-over-step") {
+    val fx = Tables(spark, sfDir).documents
+    val counts = BpeLearn.learnMerges(fx, col("text"), numMerges = 6)
+      .orderBy("step").select("pair_count").as[Long].collect().toSeq
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => b <= a })
+  }
+}
