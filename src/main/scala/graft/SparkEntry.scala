@@ -2097,7 +2097,14 @@ object SparkEntry {
     // 1-x is monotone and the jw grid (1e-6 after rounding) is 10
     // orders coarser than double rounding error.
     "q140_jaro_linkage" -> ((s, dir) => {
+      // the broadcast cross join inherits the PROBE side's
+      // partitioning, and a dimension-sized parquet file is one
+      // partition — which would run all |C|×|S| scorings on one core
+      // (measured 43 s at sf0.1). Spread the probe first; at cluster
+      // scale the probe is already many-partitioned and this is a
+      // no-op-sized shuffle either way.
       val c = t(s, dir).customer.select(col("c_custkey"), col("c_name"))
+        .repartition(s.sparkContext.defaultParallelism)
       val sup = t(s, dir).supplier.select(col("s_name"))
       val best = c.crossJoin(broadcast(sup))
         .withColumn("jw", round(TextFns.jaroWinkler(col("c_name"), col("s_name")), 6))
@@ -2186,7 +2193,16 @@ object SparkEntry {
           s"(${counts.headOption.getOrElse(-1L)} → ${counts.lastOption.getOrElse(-1L)})")
       }
       m.orderBy("step")
-    })
+    }),
+
+    // ---------------- token-budget corpus cut ----------------
+    // Spend a 4000-token budget per language in deterministic md5
+    // priority order (q125 computes budgets; this cuts the corpus to
+    // them — the last step of training-mix assembly).
+    "q145_token_budget" -> ((s, dir) =>
+      Mixing.tokenBudgetSample(t(s, dir).documents, col("lang"), col("doc_id"),
+        TextFns.tokenCount(col("text")), budget = 4000L)
+        .orderBy("id"))
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3846,6 +3862,16 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
            round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr,
            round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q145_token_budget" ->
+      """WITH d AS (SELECT doc_id AS id, lang AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT id, grp, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY grp
+               ORDER BY md5(CAST(id AS VARCHAR)), id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT id, grp, n_tok, cum_before FROM c
+         WHERE cum_before < 4000 ORDER BY id"""
   )
 }

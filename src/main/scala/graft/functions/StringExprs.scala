@@ -31,10 +31,67 @@ object JaroWinklerKernel {
 
   /** Static entry point for codegen (Scala object members surface as
     * static forwarders on the class, so generated Java can call this
-    * directly).
+    * directly). ASCII strings up to 64 bytes — the overwhelming case
+    * for names/ids — take a zero-allocation path (byte reads + two
+    * Long bitmasks instead of toString + boolean arrays; measured on
+    * the 15M-pair q140 probe where the kernel is the whole task);
+    * anything longer or multi-byte falls back to the general
+    * char-wise path. Both paths compute identical values (spec-pinned
+    * on the textbook pairs and mixed-width inputs).
     */
-  def similarity(a: UTF8String, b: UTF8String): Double =
-    compute(a.toString, b.toString)
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes; val lb = b.numBytes
+    if (la <= 64 && lb <= 64 && a.numChars == la && b.numChars == lb)
+      computeAscii(a, la, b, lb)
+    else compute(a.toString, b.toString)
+  }
+
+  /** Byte-wise Jaro-Winkler for ASCII inputs ≤ 64 bytes: match flags
+    * live in two Long bitmasks, so the hot loop allocates nothing.
+    */
+  private def computeAscii(a: UTF8String, l1: Int, b: UTF8String, l2: Int): Double = {
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a.equals(b)) return 1.0
+    val matchDist = math.max(l1, l2) / 2 - 1
+    var m1 = 0L
+    var m2 = 0L
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val ca = a.getByte(i)
+      val lo = math.max(0, i - matchDist)
+      val hi = math.min(l2, i + matchDist + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (((m2 >>> j) & 1L) == 0L && ca == b.getByte(j)) {
+          m1 |= 1L << i; m2 |= 1L << j; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (((m1 >>> i) & 1L) != 0L) {
+        while (((m2 >>> k) & 1L) == 0L) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t = t / 2
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxPrefix = math.min(4, math.min(l1, l2))
+    while (prefix < maxPrefix && a.getByte(prefix) == b.getByte(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
 
   def compute(s1: String, s2: String): Double = {
     val l1 = s1.length; val l2 = s2.length

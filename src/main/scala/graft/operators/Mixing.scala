@@ -151,4 +151,31 @@ object Mixing {
     }
     docs.filter(hexBucket256(key) < rate)
   }
+
+  /** Token-budget sampling: within each group, take documents in a
+    * deterministic md5 priority order until the token budget fills —
+    * the step that actually CUTS a training mix to its per-domain
+    * token allocation (q125 computes the budgets; this spends them).
+    * A doc is kept iff the tokens of all strictly-prior docs stay
+    * under `budget` — so the budget may overshoot by at most one
+    * document (the standard fill rule: every non-empty group keeps
+    * ≥ 1 doc, and re-running with the same budget is a no-op on the
+    * survivors).
+    *
+    * One keyed window (group-partitioned running sum) — exact integer
+    * arithmetic, reproducible across engines/retries/partitionings,
+    * same determinism contract as [[epochShuffle]]/[[capPerGroup]].
+    * Returns (id, group, n_tok, cum_before) for the kept docs.
+    */
+  def tokenBudgetSample(docs: DataFrame, group: Column, key: Column,
+                        nTok: Column, budget: Long): DataFrame = {
+    require(budget >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(key.as("id"), group.as("grp"), nTok.cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
 }

@@ -217,6 +217,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("tokenBudgetSample: fill rule, overshoot bound, and idempotence") {
+    import graft.functions.TextFns
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Mixing.tokenBudgetSample(docs, col("lang"), col("doc_id"),
+      TextFns.tokenCount(col("text")), budget = 500L)
+    val rows = kept.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // kept docs obey the rule: prior cumsum strictly under budget
+    assert(rows.nonEmpty && rows.forall(_._4 < 500L))
+    // per group: tokens spent overshoot the budget by at most one doc
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val spent = g.map(_._3).sum
+      assert(spent - g.map(_._3).max <= 500L)
+    }
+    // every language with docs keeps at least one
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(rows.map(_._2).toSet == langs)
+    // idempotence: re-cutting the survivors with the same budget keeps all
+    val again = Mixing.tokenBudgetSample(
+      kept.select(col("id").as("doc_id"), col("grp").as("lang"), col("n_tok")),
+      col("lang"), col("doc_id"), col("n_tok"), budget = 500L)
+    assert(again.count() == rows.length)
+  }
+
   test("matryoshka head is unit-norm and proportional to the raw prefix") {
     import graft.functions.VecFns
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)

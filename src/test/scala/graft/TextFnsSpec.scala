@@ -82,9 +82,16 @@ class TextFnsSpec extends SparkSpec {
   }
 
   test("jaroWinkler column (codegen path) equals the kernel and is symmetric") {
+    // covers both kernel paths: ASCII ≤64 bytes (bitmask fast path) vs
+    // multibyte / >64-byte inputs (general char-wise fallback) — the
+    // column evaluates the fast path where eligible, `compute` is
+    // always the general path, and they must agree
     val pairs = Seq(
       ("MARTHA", "MARHTA"), ("Supplier#000000001", "Supplier#000000010"),
-      ("Customer#000000123", "Supplier#000000321"), ("", "x"), ("same", "same"))
+      ("Customer#000000123", "Supplier#000000321"), ("", "x"), ("same", "same"),
+      ("naïve approach", "naive approach"),
+      ("x" * 70 + "abc", "x" * 70 + "acb"),
+      ("ab" * 33, "ba" * 33))
     val df = pairs.toDF("a", "b")
     val viaCol = df.select(
       TextFns.jaroWinkler(col("a"), col("b")).as("ab"),
