@@ -2202,7 +2202,38 @@ object SparkEntry {
     "q145_token_budget" -> ((s, dir) =>
       Mixing.tokenBudgetSample(t(s, dir).documents, col("lang"), col("doc_id"),
         TextFns.tokenCount(col("text")), budget = 4000L)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // ---------------- incremental aggregate-table maintenance ----------------
+    // The ORACLE here is the algebraic property itself: folding the
+    // delta batch's partial aggregates into the base rollup must
+    // equal a full recompute over the whole corpus (the base split at
+    // doc_id 50 leaves several (lang, source) cells delta-only, so
+    // the null arms of the fold are exercised).
+    "q146_incremental_agg" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      def rollup(df: DataFrame) = df.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      Upsert.incrementalAggMerge(
+        rollup(docs.filter(col("doc_id") < 50)),
+        rollup(docs.filter(col("doc_id") >= 50)),
+        keys = Seq("lang", "source"),
+        counts = Seq("n_docs"), sums = Seq("sum_chars"),
+        mins = Seq("min_chars"), maxs = Seq("max_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // ---------------- join-skew diagnosis ----------------
+    // "Which users would dominate an events⋈events self-join?" — the
+    // planning query behind the AQE-vs-saltedJoin decision.
+    "q147_join_skew" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      RelOps.joinSkewReport(
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", topN = 20)
+    })
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3872,6 +3903,21 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM d)
          SELECT id, grp, n_tok, cum_before FROM c
-         WHERE cum_before < 4000 ORDER BY id"""
+         WHERE cum_before < 4000 ORDER BY id""",
+    // the oracle IS the recompute: incremental fold ≡ full GROUP BY
+    "q146_incremental_agg" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q147_join_skew" ->
+      """WITH lc AS (SELECT user_id, count(*) AS n_left FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         rc AS (SELECT user_id, count(*) AS n_right FROM events
+           WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT coalesce(lc.user_id, rc.user_id) AS user_id,
+           coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right,
+           coalesce(n_left, 0) * coalesce(n_right, 0) AS n_out
+         FROM lc FULL JOIN rc ON lc.user_id = rc.user_id
+         ORDER BY n_out DESC, user_id LIMIT 20"""
   )
 }

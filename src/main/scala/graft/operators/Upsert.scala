@@ -92,6 +92,37 @@ object Upsert {
     closed.unionByName(applied)
   }
 
+  /** Incremental aggregate-table maintenance: fold a delta batch's
+    * partial aggregates into a persisted rollup without rescanning
+    * history — new_count = old + delta, new_sum = old + delta,
+    * new_min/max = least/greatest. The 100 TB discipline for every
+    * dashboard rollup: the corpus is append-only, so COUNT/SUM/MIN/
+    * MAX (the decomposable aggregates) maintain in one key-joined
+    * pass over table-of-groups-sized relations; a full recompute
+    * re-reads the corpus.
+    *
+    * `table` and `delta` share the schema (key cols + measure cols);
+    * `counts`/`sums` add, `mins`/`maxs` fold with least/greatest —
+    * all null-safe (a key new to either side contributes its own
+    * values unchanged). One full-outer hash join on the group key.
+    */
+  def incrementalAggMerge(table: DataFrame, delta: DataFrame, keys: Seq[String],
+                          counts: Seq[String] = Nil, sums: Seq[String] = Nil,
+                          mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty)
+    val measures = counts ++ sums ++ mins ++ maxs
+    require(table.columns.toSet == delta.columns.toSet &&
+      table.columns.toSet == (keys ++ measures).toSet,
+      s"schema mismatch: ${table.columns.mkString(",")} vs keys=$keys measures=$measures")
+    val d = measures.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val folded = (counts ++ sums).map(c =>
+      (coalesce(col(c), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L))).as(c)) ++
+      mins.map(c => least(col(c), col(s"__d_$c")).as(c)) ++
+      maxs.map(c => greatest(col(c), col(s"__d_$c")).as(c))
+    table.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ folded: _*)
+  }
+
   /** CDC classification of snapshot `next` against snapshot `prev`:
     * one row per key with `op` ∈ insert / delete / update /
     * unchanged. Value comparison is null-safe (`<=>`) over every

@@ -118,4 +118,27 @@ object RelOps {
     */
   def collectPerGroup(df: DataFrame, keys: Seq[Column], valueCol: Column, as: String): DataFrame =
     df.groupBy(keys: _*).agg(sort_array(collect_set(valueCol)).as(as))
+
+  /** Join-skew diagnosis: the top-N hottest join keys by the OUTPUT
+    * rows they would produce (n_left × n_right) — the planning query
+    * an engineer (or an advisor rule) runs before shipping a big join,
+    * to decide between AQE skew-split, [[saltedJoin]], or a key-level
+    * rewrite. Two keyed counts + a count-table-sized full-outer join;
+    * never touches the join's payload, so diagnosing a 100 TB join
+    * costs two aggregate scans. Keys absent from a side report 0 /
+    * produce 0 output rows.
+    */
+  def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
+                     topN: Int = 20): DataFrame = {
+    require(topN >= 1)
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, Seq(key), "full_outer")
+      .select(col(key),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("n_out", col("n_left") * col("n_right"))
+      .orderBy(col("n_out").desc, col(key).asc)
+      .limit(topN)
+  }
 }

@@ -88,4 +88,20 @@ class RelOpsSpec extends SparkSpec {
       .select("vs").as[Seq[String]].head()
     assert(out == Seq("a", "z"))
   }
+
+  test("joinSkewReport ranks keys by join-output volume, zeroes one-sided keys") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val out = joinSkewReport(l, r, "k", topN = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 6L),   // the hot key leads
+      (2L, 1L, 1L, 1L),
+      (3L, 1L, 0L, 0L),   // right-absent → 0 output rows
+      (4L, 0L, 1L, 0L)))  // left-absent
+    // n_out is exactly the inner-join row count per key
+    val joined = l.join(r, Seq("k")).groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    out.filter(_._4 > 0).foreach { case (k, _, _, n) => assert(joined(k) == n) }
+  }
 }

@@ -80,6 +80,36 @@ class UpsertSpec extends SparkSpec {
     assert(norm(twice) == norm(once))
   }
 
+  test("incrementalAggMerge: hand case with base-only, delta-only, and shared keys") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(("a", 2L, 10L, 3L, 7L), ("b", 1L, 5L, 5L, 5L))
+      .toDF("k", "n", "s", "mn", "mx")
+    val delta = Seq(("b", 3L, 30L, 1L, 20L), ("c", 1L, 9L, 9L, 9L))
+      .toDF("k", "n", "s", "mn", "mx")
+    val out = Upsert.incrementalAggMerge(base, delta, Seq("k"),
+        counts = Seq("n"), sums = Seq("s"), mins = Seq("mn"), maxs = Seq("mx"))
+      .orderBy("k").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 10L, 3L, 7L),    // base-only: unchanged
+      ("b", 4L, 35L, 1L, 20L),   // folded
+      ("c", 1L, 9L, 9L, 9L)))    // delta-only: inserted
+  }
+
+  test("incrementalAggMerge ≡ full recompute on the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s"), min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val merged = Upsert.incrementalAggMerge(
+        roll(docs.filter(col("doc_id") % 4 === 0)),
+        roll(docs.filter(col("doc_id") % 4 =!= 0)), Seq("lang"),
+        counts = Seq("n"), sums = Seq("s"), mins = Seq("mn"), maxs = Seq("mx"))
+      .orderBy("lang").collect().toSeq
+    assert(merged == roll(docs).orderBy("lang").collect().toSeq && merged.nonEmpty)
+  }
+
   test("scd2Apply: at most one open row per key, and intervals nest correctly") {
     val h = hist(
       (1L, "a", 1L, 100L, None), (2L, "b", 2L, 100L, None),
