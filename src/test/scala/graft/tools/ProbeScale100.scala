@@ -155,6 +155,32 @@ object ProbeScale100 {
     // EXACTLY factor × base — a scale curve that doubles as a
     // correctness gate on the degree-orientation algorithm
     if (section("triangles")) runTriangles(spark, base, factor)
+
+    // BPE merge learning: replication multiplies every word count by
+    // `factor` but leaves the DISTINCT-WORD state identical, so the
+    // merge SEQUENCE must be bit-identical and every pair count
+    // exactly factor× — a correctness gate riding on the curve (the
+    // per-step agg is vocabulary-sized, so cost should be ~flat).
+    if (section("bpe")) {
+      replicate("documents", Seq("doc_id"))
+      def mergeSeq(dir: String): Seq[(Int, String, String, Long)] =
+        graft.operators.BpeLearn.learnMerges(
+            spark.read.parquet(s"$dir/documents.parquet"), col("text"), 8)
+          .orderBy("step").select("step", "left", "right", "pair_count")
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+      var m1: Seq[(Int, String, String, Long)] = Seq.empty
+      var mN: Seq[(Int, String, String, Long)] = Seq.empty
+      time("bpe 8 merges 1x") { m1 = mergeSeq(base); m1.size.toLong }
+      time(s"bpe 8 merges ${factor}x") { mN = mergeSeq(big); mN.size.toLong }
+      val sameSeq = m1.map(t => (t._1, t._2, t._3)) == mN.map(t => (t._1, t._2, t._3))
+      val exactCounts = m1.size == mN.size &&
+        m1.zip(mN).forall { case (a, b) => b._4 == factor * a._4 }
+      println(s"[probe] bpe merge sequence identical: $sameSeq; " +
+        s"counts exactly ${factor}x: $exactCounts")
+    }
+
     spark.stop()
   }
 
