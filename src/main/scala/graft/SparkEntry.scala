@@ -2233,6 +2233,43 @@ object SparkEntry {
         ev.filter(col("event_type") === "click").select(col("user_id")),
         ev.filter(col("event_type") === "purchase").select(col("user_id")),
         "user_id", topN = 20)
+    }),
+
+    // ---------------- PQ-compressed ANN (asymmetric distance) ----------------
+    // The 100 TB vector layout: the query scans the 8-int code table
+    // (a persisted artifact), re-ranks only `rerank` full vectors.
+    // Self-checks: recall vs exact L2 top-10 (the ADC scan must
+    // surface the true neighbors), and the approximate path can only
+    // MISS neighbors, never beat the exact distances.
+    "q148_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = fixturePath("pq", dir, "embeddings")
+      Similarity.ensurePqIndex(emb, "vec_id", "embedding", numSub = 8, k = 16, idx)
+      def pq = Similarity.pqTopK(s, idx, emb, "vec_id", "embedding", q, 10,
+        rerank = 100, excludeId = 0L)
+      SelfCheck.once(s"q148/$dir") {
+        // exact L2 top-10 (same metric, brute scan of the full vectors)
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(sqrt(
+            VecFns.dot(col("embedding"), col("embedding"))
+              - lit(2.0) * VecFns.dot(col("embedding"), typedlit(q))
+              + lit(q.map(x => x.toDouble * x).sum)), 6).as("l2"))
+          .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        val got = pq.collect().map(r => r.getLong(0) -> r.getDouble(1))
+        val recall = exact.map(_._1).toSet.intersect(got.map(_._1).toSet).size
+        require(recall >= 6, s"q148 PQ recall $recall/10 below 6")
+        // approximate can only miss: element-wise, pq's i-th distance
+        // is >= the exact i-th distance
+        exact.map(_._2).zip(got.map(_._2)).foreach { case (e, g) =>
+          require(g >= e - 1e-9, s"q148 PQ beat the exact ranking: $g < $e")
+        }
+        SelfCheck.note(s"PQ ADC recall $recall/10 vs exact L2 (floor 6); " +
+          "per-rank distances dominated by the exact ranking")
+      }
+      pq
     })
   )
 

@@ -365,6 +365,165 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): compress each vector to `numSub` byte-
+  // sized codes (one per subspace) against per-subspace codebooks, and
+  // answer queries by asymmetric distance (ADC): the query precomputes
+  // a numSub × k distance table driver-side, and scanning the corpus
+  // reads ONLY the code table — 8 ints/row instead of 64 floats — then
+  // exactly re-ranks the top candidates from the full vectors. This is
+  // the canonical 100 TB vector-search layout (what IVF-PQ engines
+  // store): the scan-side win is the compressed footprint, the
+  // codebooks and ADC tables are parameter-sized driver state, and
+  // nothing else leaves the executors.
+  //
+  // All distances use the expansion ‖c‖² − 2·x·c (rank-equivalent to
+  // L2 for a fixed x), so every argmin runs on the native codegen'd
+  // dot kernel; ties break on the code/id ascending, making training,
+  // encoding, and search deterministic on any partitioning.
+  // ------------------------------------------------------------------
+
+  private def sqNorm(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  /** argmin over `cents` of ‖c‖² − 2·v·c (ties → lowest code). */
+  private def nearestCodeL2(v: Column, cents: Seq[Array[Float]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(sqNorm(c)) - lit(2.0) * VecFns.dot(v, typedlit(c))).as("d"),
+        lit(i).as("code"))
+    }: _*)).getField("code")
+
+  /** Train per-subspace codebooks: deterministic seeds (the lowest
+    * `k` ids' subvectors) + one distributed Lloyd iteration over the
+    * exploded (sub, subvector) relation — one pass assigns ALL
+    * subspaces, one keyed agg refines all codebooks. Returns
+    * codebooks(sub)(code) = centroid subvector.
+    */
+  def trainPqCodebooks(embeddings: DataFrame, idName: String, vecName: String,
+                       numSub: Int, k: Int): Seq[Seq[Array[Float]]] = {
+    val dim = embeddings.select(size(col(vecName)).as("d")).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    require(k >= 2 && k <= 256, "codes per subspace in [2,256] (a byte)")
+    val w = dim / numSub
+    val seedRows = embeddings.orderBy(col(idName)).limit(k)
+      .select(vecName).collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.length == k, s"corpus smaller than k=$k")
+    val seeds: Seq[Seq[Array[Float]]] =
+      (0 until numSub).map(s => seedRows.toSeq.map(_.slice(s * w, (s + 1) * w)))
+    val subRel = embeddings.select(posexplode(array((0 until numSub).map(s =>
+        slice(col(vecName), s * w + 1, w)): _*)).as(Seq("sub", "sv")))
+    val assigned = subRel.withColumn("code",
+      (1 until numSub).foldLeft(nearestCodeL2(col("sv"), seeds(0))) { (acc, s) =>
+        when(col("sub") === s, nearestCodeL2(col("sv"), seeds(s))).otherwise(acc)
+      })
+    val means = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val byCell = means.groupBy(t => (t._1, t._2))
+    (0 until numSub).map { s =>
+      (0 until k).map { c =>
+        byCell.get((s, c)) match {
+          case Some(cell) =>
+            val arr = new Array[Float](w)
+            cell.foreach(t => arr(t._3) = t._4.toFloat)
+            arr
+          case None => seeds(s)(c) // empty cell keeps its seed
+        }
+      }
+    }
+  }
+
+  /** PQ code array (one int per subspace) for a vector column. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val numSub = codebooks.size
+    val w = codebooks.head.head.length
+    array((0 until numSub).map(s =>
+      nearestCodeL2(slice(v, s * w + 1, w), codebooks(s))): _*)
+  }
+
+  /** Build the PQ index: the code table (`path/codes`: id + numSub
+    * ints — the narrow relation a 100 TB query scans) and the
+    * codebook sidecar (`path/codebooks`). Published atomically via
+    * [[Artifact]] like the IVF index.
+    */
+  def buildPqIndex(embeddings: DataFrame, idName: String, vecName: String,
+                   numSub: Int, k: Int, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    val books = trainPqCodebooks(embeddings, idName, vecName, numSub, k)
+    embeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import scala.jdk.CollectionConverters._
+    val rows = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(s, i, c.toSeq) }
+    }.asJava
+    spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "sub INT, code INT, centroid ARRAY<FLOAT>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def ensurePqIndex(embeddings: DataFrame, idName: String, vecName: String,
+                    numSub: Int, k: Int, path: String): Unit = {
+    def ok(p: String) =
+      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/codebooks")
+    Artifact.ensure(path, ok) { tmp =>
+      buildPqIndex(embeddings, idName, vecName, numSub, k, tmp)
+    }
+  }
+
+  /** ADC search over the PQ index: score every code row against the
+    * query's per-subspace distance table (a literal — parameter-sized
+    * driver state), take the `rerank` best candidates from the CODE
+    * scan alone, then re-rank exactly against the full vectors
+    * (semi-joined — only `rerank` wide rows are ever read back).
+    * Returns (id, l2) top-`kOut` by true distance, ties → id asc.
+    */
+  def pqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+             embeddings: DataFrame, idName: String, vecName: String,
+             queryVec: Array[Float], kOut: Int, rerank: Int = 64,
+             excludeId: Long = -1L): DataFrame = {
+    require(rerank >= kOut && kOut >= 1)
+    val books: Seq[Seq[Array[Float]]] = spark.read.parquet(s"$indexPath/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val numSub = books.size
+    val w = books.head.head.length
+    // ADC table: adc(s)(c) = ‖c‖² − 2·q_s·c (rank-equivalent to the
+    // exact per-subspace L2 against the query's subvector)
+    val adc: Seq[Seq[Double]] = books.zipWithIndex.map { case (cs, s) =>
+      val qs = queryVec.slice(s * w, (s + 1) * w)
+      cs.map { c =>
+        var dot = 0.0; var i = 0
+        while (i < w) { dot += qs(i).toDouble * c(i); i += 1 }
+        sqNorm(c) - 2.0 * dot
+      }
+    }
+    val adcLit = typedlit(adc.map(_.toArray).toArray)
+    val cands = spark.read.parquet(s"$indexPath/codes")
+      .filter(col(idName) =!= excludeId)
+      .select(col(idName),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(numSub - 1)),
+            (c, s) => element_at(element_at(adcLit, s + 1), c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("approx"))
+      .orderBy(col("approx").asc, col(idName).asc)
+      .limit(rerank)
+    val q = typedlit(queryVec)
+    embeddings.join(cands.select(idName), Seq(idName), "left_semi")
+      .select(col(idName),
+        round(sqrt(VecFns.dot(col(vecName), col(vecName))
+          - lit(2.0) * VecFns.dot(col(vecName), q) + lit(sqNorm(queryVec))), 6)
+          .as("l2"))
+      .orderBy(col("l2").asc, col(idName).asc)
+      .limit(kOut)
+  }
+
   /** Per-label centroid of the embedding column: posexplode + one
     * keyed shuffle with partial aggregation — the standard
     * "element-wise mean at scale" shape (no vector collect).

@@ -288,4 +288,54 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.orderBy("vec_id").collect().toSeq ==
       again.orderBy("vec_id").collect().toSeq)
   }
+
+  test("PQ: rerank = n degenerates to the exact L2 scan") {
+    // when every code row survives the ADC cut, the re-rank IS the
+    // brute scan — the PQ result must EQUAL exact top-k, not merely
+    // approximate it
+    val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
+    val n = emb.count().toInt
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", numSub = 8, k = 16,
+      s"$dir/idx")
+    val got = Similarity.pqTopK(spark, s"$dir/idx", emb, "vec_id", "embedding",
+        qvec, kOut = 10, rerank = n, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qn = qvec.map(x => x.toDouble * x).sum
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(sqrt(
+        VecFns.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * VecFns.dot(col("embedding"), typedlit(qvec)) + lit(qn)), 6)
+        .as("l2"))
+      .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("PQ: codes are byte-ranged, encoding is deterministic across partitionings") {
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    assert(books.size == 8 && books.forall(_.size == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), Similarity.pqEncode(col("embedding"), books).as("c"))
+        .orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    val a = codesOf(emb)
+    val b = codesOf(emb.repartition(7))
+    assert(a == b)
+    assert(a.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("PQ ADC scan has useful recall on the fixture corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("pqspec2").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", 8, 16, s"$dir/idx")
+    val got = Similarity.pqTopK(spark, s"$dir/idx", emb, "vec_id", "embedding",
+        qvec, kOut = 10, rerank = 50, excludeId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val qn = qvec.map(x => x.toDouble * x).sum
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), (VecFns.dot(col("embedding"), col("embedding"))
+        - lit(2.0) * VecFns.dot(col("embedding"), typedlit(qvec)) + lit(qn)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 5)
+  }
 }
