@@ -2270,7 +2270,12 @@ object SparkEntry {
           "per-rank distances dominated by the exact ranking")
       }
       pq
-    })
+    }),
+
+    // ---------------- per-language domain drift (KL divergence) ----------------
+    "q149_domain_kl" -> ((s, dir) =>
+      TextMetrics.domainKl(t(s, dir).documents, "lang", col("text"))
+        .orderBy("lang"))
   )
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
@@ -3955,6 +3960,23 @@ object SparkEntry {
            coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right,
            coalesce(n_left, 0) * coalesce(n_right, 0) AS n_out
          FROM lc FULL JOIN rc ON lc.user_id = rc.user_id
-         ORDER BY n_out DESC, user_id LIMIT 20"""
+         ORDER BY n_out DESC, user_id LIMIT 20""",
+    "q149_domain_kl" ->
+      """WITH tok AS (
+           SELECT lang AS g, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         gl AS (SELECT g, token, count(*) AS nl FROM tok GROUP BY 1, 2),
+         gn AS (SELECT g, sum(nl) AS ntot FROM gl GROUP BY 1),
+         cv AS (SELECT token, sum(nl) AS c FROM gl GROUP BY 1),
+         n AS (SELECT sum(c) AS n FROM cv),
+         lr AS (SELECT g, nl, ntot,
+             CAST(floor(ln(CAST(nl AS DOUBLE) * n.n
+               / (CAST(ntot AS DOUBLE) * c)) * 1e4 + 0.5e0) AS BIGINT) AS lr4
+           FROM gl JOIN gn USING (g) JOIN cv USING (token) CROSS JOIN n),
+         agg AS (SELECT g, sum(nl * lr4) AS fp, max(ntot) AS ntot
+           FROM lr GROUP BY g)
+         SELECT g AS lang, ntot AS n_tokens,
+           floor(CAST(fp AS DOUBLE) / (1e4 * ntot) * 1e6 + 0.5e0) / 1e6 AS kl
+         FROM agg ORDER BY lang"""
   )
 }

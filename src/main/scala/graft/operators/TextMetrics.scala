@@ -156,6 +156,38 @@ object TextMetrics {
           + lit(0.5)) / lit(1e6)).as("avg_surprisal"))
   }
 
+  /** Domain drift: per-group KL divergence of the group's unigram
+    * distribution from the whole-corpus distribution, KL(P_g ‖ P) =
+    * Σ_t p_g(t)·ln(p_g(t)/p(t)) — the scalar a mixture designer
+    * watches to see which domain is drifting from the blend (and the
+    * quantity temperature mixing implicitly flattens). Every group
+    * token exists in the corpus, so no smoothing is needed and KL is
+    * finite by construction.
+    *
+    * Exactness: the per-token log-ratio goes to 1e-4 fixed point and
+    * is weighted by the INTEGER token count, so the per-group sum is
+    * exact integer math; the single final division is per-group.
+    * Two keyed aggs + a groups×vocab-sized join — scan shapes only.
+    */
+  def domainKl(docs: DataFrame, groupName: String, text: Column): DataFrame = {
+    val tok = docs.select(col(groupName).as("g"),
+      explode(TextFns.tokens(text)).as("token"))
+    val gl = tok.groupBy(col("g"), col("token")).agg(count(lit(1)).as("nl"))
+    val gn = gl.groupBy(col("g")).agg(sum(col("nl")).as("ntot"))
+    val cv = gl.groupBy(col("token")).agg(sum(col("nl")).as("c"))
+    val n = cv.agg(sum(col("c")).as("n"))
+    gl.join(gn, Seq("g")).join(cv, Seq("token")).crossJoin(broadcast(n))
+      .select(col("g"), col("nl"), col("ntot"),
+        floor(log(col("nl").cast("double") * col("n")
+          / (col("ntot").cast("double") * col("c"))) * lit(1e4) + lit(0.5))
+          .cast("long").as("lr4"))
+      .groupBy(col("g"))
+      .agg(sum(col("nl") * col("lr4")).as("fp"), max(col("ntot")).as("ntot"))
+      .select(col("g").as(groupName), col("ntot").as("n_tokens"),
+        (floor(col("fp").cast("double") / (lit(1e4) * col("ntot")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("kl"))
+  }
+
   def unigramSurprisal(docs: DataFrame, idName: String, text: Column): DataFrame = {
     val tok = docs.select(col(idName).as("id"),
       explode(TextFns.tokens(text)).as("token"))

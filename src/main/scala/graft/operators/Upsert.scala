@@ -52,13 +52,19 @@ object Upsert {
     *    re-insert of a key whose older closed rows remain).
     * Already-closed rows are immutable and pass through untouched.
     *
+    * `closeMissing = false` switches to PARTIAL-snapshot semantics: a
+    * key absent from `snapshot` is merely UNOBSERVED and its open row
+    * rides through — the contract for change feeds / micro-batches
+    * (the streaming twin `streaming.StreamOps.scd2Sink`), where a
+    * batch never asserts the absence of the keys it didn't carry.
+    *
     * Plan: ONE full-outer hash join (current slice × snapshot); the
     * up-to-two output rows per key are emitted by exploding a per-row
     * struct array, so nothing re-reads or re-joins the inputs — the
     * single-pass MERGE plan, same scale contract as [[scd1]].
     */
   def scd2Apply(history: DataFrame, snapshot: DataFrame, key: String,
-                asOf: Long): DataFrame = {
+                asOf: Long, closeMissing: Boolean = true): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == key).toSeq
     require(history.columns.toSet ==
       snapshot.columns.toSet ++ Set("valid_from", "valid_to"),
@@ -84,7 +90,7 @@ object Upsert {
         lit(null).cast("long").as("valid_to")): _*)
     val rows = when(cP && sP && same, array(kept))
       .when(cP && sP && !same, array(closedNow, opened))
-      .when(cP && !sP, array(closedNow))
+      .when(cP && !sP, if (closeMissing) array(closedNow) else array(kept))
       .otherwise(array(opened))
     val applied = j.select(col(key), explode(rows).as("__r"))
       .select(col(key) +: (payload ++ Seq("valid_from", "valid_to"))

@@ -223,4 +223,51 @@ object StreamOps {
         upsertBatch(batch, targetDir, key, versionCol)
       }
       .start()
+
+  /** Micro-batch SCD-2 maintenance: each batch is collapsed last-wins
+    * per key (highest `versionCol`), then folded into the versioned
+    * history with PARTIAL-snapshot semantics
+    * (`Upsert.scd2Apply(closeMissing = false)` — a batch never
+    * asserts the absence of keys it didn't carry), with the batch's
+    * max version as `asOf`. The history after N batches therefore
+    * equals N sequential batch-mode partial applies over the same
+    * splits — the agreement StreamOpsSpec pins. Re-applying a batch
+    * is a fixed point (the collapsed values already stand at the same
+    * asOf), so at-least-once `foreachBatch` delivery yields an
+    * exactly-once history.
+    */
+  def scd2Batch(batch: DataFrame, targetDir: String, key: String,
+                versionCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc, col(key))
+    val collapsed = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val asOf = collapsed.agg(max(col(versionCol))).head().getLong(0)
+    val target = new java.io.File(targetDir)
+    val merged =
+      if (target.isDirectory && target.list().exists(_.endsWith(".parquet")))
+        graft.operators.Upsert.scd2Apply(spark.read.parquet(targetDir),
+          collapsed, key, asOf, closeMissing = false)
+      else collapsed
+        .withColumn("valid_from", lit(asOf))
+        .withColumn("valid_to", lit(null).cast("long"))
+    val out = merged.localCheckpoint(true)
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
+    out.unpersist()
+    ()
+  }
+
+  /** The streaming query wiring for [[scd2Batch]]. */
+  def scd2Sink(updates: DataFrame, targetDir: String, key: String,
+               versionCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(batch, targetDir, key, versionCol)
+      }
+      .start()
 }

@@ -68,6 +68,18 @@ class UpsertSpec extends SparkSpec {
       (4L, "d", 40L, 200L, -1L)))   // insert = open
   }
 
+  test("scd2Apply closeMissing=false: unobserved keys ride through open") {
+    val h = hist((1L, "a", 10L, 100L, None), (2L, "b", 20L, 100L, None))
+    val snap = Seq((1L, "A", 9L)).toDF("id", "name", "v") // id=2 unobserved
+    val out = Upsert.scd2Apply(h, snap, "id", asOf = 200L, closeMissing = false)
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, 100L, 200L), (1L, "A", 9L, 200L, -1L),
+      (2L, "b", 20L, 100L, -1L))) // NOT closed
+  }
+
   test("scd2Apply is idempotent: re-applying the same snapshot changes nothing") {
     val h = hist((1L, "a", 10L, 100L, None), (2L, "b", 20L, 100L, None))
     val snap = Seq((1L, "a", 11L), (3L, "c", 30L)).toDF("id", "name", "v")
