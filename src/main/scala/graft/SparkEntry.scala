@@ -3490,8 +3490,8 @@ object SparkEntry {
            CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 50 THEN 11
                 ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket
            FROM lineitem)
-         SELECT grp, bucket, round((bucket - 1) * 5.0, 6) AS bucket_lo,
-           round(bucket * 5.0, 6) AS bucket_hi, count(*) AS n
+         SELECT grp, bucket, CAST(round((bucket - 1) * 5.0, 6) AS DOUBLE) AS bucket_lo,
+           CAST(round(bucket * 5.0, 6) AS DOUBLE) AS bucket_hi, count(*) AS n
          FROM b GROUP BY grp, bucket ORDER BY grp, bucket""",
     "q113_bloom_prefilter" ->
       """WITH fp AS (
@@ -3940,15 +3940,15 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id AS id, lang AS grp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          c AS (SELECT id, grp, n_tok,
-             coalesce(sum(n_tok) OVER (PARTITION BY grp
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY grp
                ORDER BY md5(CAST(id AS VARCHAR)), id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
            FROM d)
          SELECT id, grp, n_tok, cum_before FROM c
          WHERE cum_before < 4000 ORDER BY id""",
     // the oracle IS the recompute: incremental fold ≡ full GROUP BY
     "q146_incremental_agg" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q147_join_skew" ->
@@ -3975,7 +3975,7 @@ object SparkEntry {
            FROM gl JOIN gn USING (g) JOIN cv USING (token) CROSS JOIN n),
          agg AS (SELECT g, sum(nl * lr4) AS fp, max(ntot) AS ntot
            FROM lr GROUP BY g)
-         SELECT g AS lang, ntot AS n_tokens,
+         SELECT g AS lang, CAST(ntot AS BIGINT) AS n_tokens,
            floor(CAST(fp AS DOUBLE) / (1e4 * ntot) * 1e6 + 0.5e0) / 1e6 AS kl
          FROM agg ORDER BY lang"""
   )

@@ -36,7 +36,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         try:
-            duck_df = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # dtype-strict guard: DuckDB silently widens sum(BIGINT) to
+            # HUGEINT (and may emit DECIMAL); the driver's hash sees the
+            # widened type even when the values match, so any such column
+            # in the ORACLE OUTPUT is a guaranteed hash-red. Force the
+            # oracle author to CAST explicitly.
+            widened = [
+                (c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if any(w in str(t).upper() for w in ("HUGEINT", "DECIMAL"))
+            ]
+            if widened:
+                print(f"FAIL {name}: oracle emits widened dtypes {widened} "
+                      f"— wrap in CAST(... AS BIGINT/DOUBLE)")
+                failures += 1
+                continue
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failures += 1
