@@ -2275,8 +2275,109 @@ object SparkEntry {
     // ---------------- per-language domain drift (KL divergence) ----------------
     "q149_domain_kl" -> ((s, dir) =>
       TextMetrics.domainKl(t(s, dir).documents, "lang", col("text"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ---------------- streaming SCD-2 history (driver-surface oracle) ----------------
+    // A versioned update stream (orders keyed by customer, version =
+    // order key) replayed through a real FILE source one file per
+    // micro-batch, folded into a parquet history by the scd2Sink /
+    // scd2Batch pair. Batch splits are ntile(4) over the version
+    // order — SQL-standard, so DuckDB reconstructs the same four
+    // batches and folds them with windows: every per-batch winner is
+    // a change row (versions are unique, and the version rides in
+    // the payload), valid_from = its batch's max version, valid_to =
+    // the key's next appearance (partial semantics: unobserved keys
+    // ride open). Exercises collapse-last-wins, close+open, insert,
+    // ride-through, and the multi-batch replay end to end.
+    "q150_stream_scd2" -> ((s, dir) => {
+      val src = fixturePath("scd2src", dir, "orders")
+      Artifact.ensure(src) { tmp =>
+        val u = t(s, dir).orders.select(
+          col("o_custkey").as("id"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("v"),
+          ntile(4).over(Window.orderBy(col("o_orderkey"))).as("b"))
+        val base = System.currentTimeMillis() - 3600L * 1000
+        (1 to 4).foreach { b =>
+          val part = s"$tmp/_b$b"
+          u.filter(col("b") === b).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(tmp, s"b$b.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          // the file stream orders the backlog by mtime — pin it
+          dst.setLastModified(base + b * 2000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+        }
+      }
+      val schema = s.read.parquet(src).schema
+      // fresh history + checkpoint per invocation: the fold must
+      // replay from scratch to be comparable run-over-run
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q150").toString
+      val updates = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.scd2Sink(updates,
+        s"$scratch/history", "id", "v", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      query.awaitTermination()
+      s.read.parquet(s"$scratch/history")
+        .select(col("id"), col("price"), col("v"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    }),
+
+    // ---------------- BPE encode: tokenize with a merge table ----------------
+    // The APPLY half of the q144 tokenizer: a pinned 18-merge table
+    // (vocabulary-shaped chains like t→ta→tab→table) applied in
+    // priority order by pure replace()-chain expressions in the scan
+    // stage; output is per-doc word and subword-token counts. The
+    // fixture self-check pins the distributed kernel against the
+    // sequential greedy encoder word by word.
+    "q151_bpe_encode" -> ((s, dir) => {
+      if (SelfCheck.fixtureExists) SelfCheck.once("q151/fixture") {
+        import s.implicits._
+        val docs = t(s, SelfCheck.FixtureDir).documents
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0).distinct()
+          .as[String].collect().toSeq.sorted
+        // one Spark job over the distinct vocabulary (each word is its
+        // own single-word doc), compared word-by-word with the
+        // sequential greedy reference
+        val viaSpark = graft.operators.BpeLearn
+          .encode(words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+              .toDF("doc_id", "text"),
+            "doc_id", col("text"), BpeMerges)
+          .select(col("doc_id"), col("tokens"))
+          .as[(Long, Seq[String])].collect().toMap
+        words.zipWithIndex.foreach { case (w, i) =>
+          val want = graft.operators.BpeLearn.encodeLocal(w, BpeMerges)
+          require(viaSpark(i.toLong) == want,
+            s"q151 encode('$w') = ${viaSpark(i.toLong)}, sequential reference = $want")
+        }
+        SelfCheck.note(s"BPE encode ≡ sequential greedy on all " +
+          s"${words.size} fixture vocabulary words")
+      }
+      graft.operators.BpeLearn
+        .encode(t(s, dir).documents, "doc_id", col("text"), BpeMerges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("tokens"))).as("n_tokens"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** q151's pinned merge table: chains that actually fire on the
+    * documents vocabulary (table, value, scan, row, window), in
+    * priority order; no self-merges (see BpeLearn.encode scaladoc).
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "r" -> "o", "ro" -> "w",
+    "w" -> "i", "wi" -> "n", "win" -> "d", "wind" -> "o", "windo" -> "w")
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
     * (the oracle), so the string frontend is oracle-checked end to
@@ -3977,6 +4078,44 @@ object SparkEntry {
            FROM lr GROUP BY g)
          SELECT g AS lang, CAST(ntot AS BIGINT) AS n_tokens,
            floor(CAST(fp AS DOUBLE) / (1e4 * ntot) * 1e6 + 0.5e0) / 1e6 AS kl
-         FROM agg ORDER BY lang"""
+         FROM agg ORDER BY lang""",
+    // reconstructs the q150 stream fold with windows: same ntile(4)
+    // batch split, per-(key,batch) last-wins winner, per-batch asOf =
+    // max version, every appearance is a change row (versions are
+    // unique and ride in the payload), valid_to = the key's next
+    // appearance's asOf (NULL = still open)
+    "q150_stream_scd2" ->
+      """WITH u AS (SELECT o_custkey AS id, o_totalprice AS price,
+             o_orderkey AS v, ntile(4) OVER (ORDER BY o_orderkey) AS b
+           FROM orders),
+         a AS (SELECT b, CAST(max(v) AS BIGINT) AS asof FROM u GROUP BY b),
+         w AS (SELECT id, b, price, v FROM (
+             SELECT id, b, price, v,
+               row_number() OVER (PARTITION BY id, b ORDER BY v DESC) AS rn
+             FROM u) WHERE rn = 1)
+         SELECT w.id, w.price, CAST(w.v AS BIGINT) AS v,
+           a.asof AS valid_from,
+           lead(a.asof) OVER (PARTITION BY w.id ORDER BY w.b) AS valid_to
+         FROM w JOIN a USING (b)
+         ORDER BY id, valid_from""",
+    "q151_bpe_encode" -> {
+      // the replace()-chain mirror of BpeLearn.encode: two passes per
+      // merge, generated from the same pinned table
+      val enc = BpeMerges.foldLeft(
+        "' ' || array_to_string(string_split(wd, ''), ' ') || ' '") {
+        case (sql, (a, b)) =>
+          val pat = s"' $a $b '"; val rep = s"' ${a + b} '"
+          s"replace(replace($sql, $pat, $rep), $pat, $rep)"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+         f AS (SELECT doc_id, wd FROM w WHERE len(wd) > 0),
+         e AS (SELECT doc_id,
+             CAST(len(string_split(trim($enc), ' ')) AS BIGINT) AS nt
+           FROM f)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM e GROUP BY doc_id ORDER BY doc_id"""
+    }
   )
 }

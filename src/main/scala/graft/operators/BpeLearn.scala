@@ -100,6 +100,72 @@ object BpeLearn {
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
 
+  /** Encode: tokenize each document with a learned merge table — the
+    * APPLY half of the tokenizer ([[learnMerges]] is the training
+    * half). Merges apply in step order, each as one full greedy
+    * left-to-right pass over every word — the classic BPE encode
+    * order, so encoding a training corpus with its own merge table
+    * reproduces the final training state exactly (pinned in
+    * BpeLearnSpec).
+    *
+    * The kernel is pure string expressions: each word renders as the
+    * space-delimited symbol string " c1 c2 … " and each merge (a, b)
+    * is TWO `replace(" a b " → " ab ")` passes. `replace` scans left
+    * to right and never rescans replaced output — but two
+    * string-adjacent matches share their boundary space, so a single
+    * pass misses every other match in a chain (" a b a b " consumes
+    * the middle space with match 1 and skips match 2). Pass 1 takes a
+    * leftmost-first independent set of matches; every match it skips
+    * has both neighbors consumed and is therefore isolated — pass 2
+    * picks them all up, reproducing the greedy left-to-right BPE pass
+    * exactly for a ≠ b. For a SELF-merge (a == b) on a symbol run of
+    * length ≥ 3 the replaced alignment can put the odd symbol in a
+    * different slot than the fold does ([aa,a,aa] vs [aa,aa,a] on
+    * five a's): the token MULTISET per word still matches (both are
+    * maximum matchings of the run) but order-sensitive later merges
+    * may then diverge — the spec pins exactness on corpora without
+    * ≥3-symbol self-merge runs (letters rarely triple).
+    *
+    * The whole chain stays inside whole-stage codegen in the scan
+    * stage: no shuffle, no UDF, no driver state beyond the
+    * parameter-sized merge list itself. At 100 TB this is the
+    * map-side tokenization pass a training-data pipeline runs last;
+    * per-doc output is (id, tokens array per word) — aggregate
+    * downstream for budget math (q145's n_tok becomes real subword
+    * counts).
+    *
+    * Returns one row per (id, word position): (id, tokens:
+    * array<string>) — word order within a doc is not preserved in
+    * the relation (callers aggregate per id).
+    */
+  def encode(docs: DataFrame, idName: String, text: Column,
+             merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
+      "merge symbols must be non-empty and space-free")
+    val spaced = concat(lit(" "), array_join(split(col("__w"), ""), " "), lit(" "))
+    def pass(s: Column, a: String, b: String): Column =
+      call_function("replace", s, lit(s" $a $b "), lit(s" ${a + b} "))
+    val enc = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      pass(pass(s, a, b), a, b) // two passes per merge (see scaladoc)
+    }
+    docs.select(col(idName), explode(TextFns.tokens(text)).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col(idName), split(trim(enc), " ").as("tokens"))
+  }
+
+  /** Sequential reference encoder (spec oracle for [[encode]]):
+    * greedy left-to-right pass per merge, in merge order.
+    */
+  private[graft] def encodeLocal(word: String,
+                                 merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.split("").toSeq.filter(_.nonEmpty)) { case (seq, (a, b)) =>
+      seq.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+
   /** Sequential reference implementation (spec oracle). */
   private[graft] def learnMergesLocal(words: Seq[(String, Long)],
                                       numMerges: Int): Seq[(Int, String, String, Long)] = {

@@ -131,8 +131,9 @@ object Dedup {
     val shAll = materialized(shingles.map(requireShingleN(_, shingleN))
       .getOrElse(hashedShingleSets(docs, idName, textName, shingleN)))
     val (groups, members0) = contractBy(shAll, "id", "sh")
-    // groups is materialized by contractBy — the projection re-reads
-    // its cache per consumer, no second persist needed
+    // cloned corpus: groups is materialized by contractBy; clone-free:
+    // groups projects straight off the shAll cache above — either way
+    // each consumer below re-reads a cache, no second persist needed
     val sh = groups.select(col("rid").as("id"), col("sh"))
     val members = members0.map(materialized)
     val cands = minhashCandidates(sigsFromShingleSets(sh, k), k, bands)
@@ -290,14 +291,36 @@ object Dedup {
     */
   private[operators] def contractBy(rows: DataFrame, idName: String, keyCol: String)
       : (DataFrame, Option[DataFrame]) = {
-    val groups = materialized(rows.groupBy(col(keyCol))
-      .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize")))
-    val members =
-      if (groups.filter(col("gsize") > 1).isEmpty) None
-      else Some(rows.select(col(idName).as("mid"), col(keyCol))
+    // Clone detection is ONE 1-row aggregate — no persist, no groupBy
+    // materialization, no separate probe job. The r8 form materialized
+    // the groups relation (persist + count + limit-1 probe = two extra
+    // jobs and a cache entry) even on a clone-free corpus, and the
+    // driver bench billed exactly that overhead to the EditJoin pair
+    // (q115 0.8→3.5 s, q121 2.1→6.6 s r7→r8). countDistinct drops
+    // NULL keys, so NULLs are accounted separately: groupBy treats all
+    // NULL keys as ONE group, hence >1 null-keyed rows ARE a clone
+    // group.
+    val probe = rows.agg(count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("nd"),
+      count(when(col(keyCol).isNull, lit(1))).as("nnull")).head()
+    val (n, nd, nnull) = (probe.getLong(0), probe.getLong(1), probe.getLong(2))
+    if (nnull <= 1 && n - nnull == nd) {
+      // clone-free: rep ≡ row. groups is a pure projection of the
+      // input — downstream consumers re-read the (pruned, codegen'd)
+      // source scan instead of a cache; no membership or expansion
+      // join will run (members = None).
+      (rows.select(col(idName).as("rid"), col(keyCol), lit(1L).as("gsize")), None)
+    } else {
+      // cloned corpus: build and materialize the rep relation — it IS
+      // the relation every caller consumes repeatedly, and the
+      // contraction saves quadratic candidate work downstream.
+      val groups = materialized(rows.groupBy(col(keyCol))
+        .agg(min(col(idName)).as("rid"), count(lit(1)).as("gsize")))
+      val members = Some(rows.select(col(idName).as("mid"), col(keyCol))
         .join(groups.select(col(keyCol), col("rid")), Seq(keyCol))
         .select(col("rid"), col("mid")))
-    (groups, members)
+      (groups, members)
+    }
   }
 
   /** Expand rep-level similar pairs back to member pairs: cross pairs
@@ -372,8 +395,9 @@ object Dedup {
     val shAll = shingles.map(requireShingleN(_, n)).getOrElse(
       materialized(hashedShingleSets(docs, idName, textName, n)))
     val (groups, members) = contractBy(shAll, "id", "sh")
-    // groups is materialized by contractBy — projections below re-read
-    // its cache, so no second persist of the shingle sets
+    // cloned corpus: groups is materialized by contractBy; clone-free:
+    // groups projects off the shAll cache above — projections below
+    // re-read a cache either way, no second persist of the shingle sets
     val sh = groups.select(col("rid").as("id"), col("sh"), col("gsize"))
     val exploded = sh.select(col("id"), size(col("sh")).as("nsh"), col("gsize"),
       explode(col("sh")).as("g"))

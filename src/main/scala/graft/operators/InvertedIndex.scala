@@ -77,10 +77,21 @@ object InvertedIndex {
     */
   def bm25TopK(docs: DataFrame, idName: String, text: Column,
                terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKIndexed(build(docs, idName, text), idName, terms, k, k1, b)
+
+  /** [[bm25TopK]] over a PREBUILT postings relation — the "index
+    * once, query many" form matching [[searchAll]]/[[searchAny]]: the
+    * corpus explode+agg runs (or is read back from its bucketed
+    * layout) once, not once per plan branch per query. The per-doc
+    * length and corpus stats derive from the postings alone
+    * (dl = Σ tf), so no raw-text scan appears anywhere in the plan.
+    */
+  def bm25TopKIndexed(postings: DataFrame, idName: String,
+                      terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.distinct
-    val postings = build(docs, idName, text)
     val dl = postings.groupBy(col(idName)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))

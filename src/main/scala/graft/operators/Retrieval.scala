@@ -29,13 +29,28 @@ object Retrieval {
     * rational floor: the quotient is ≥1/(kRrf+rank) ≥ ~1e-3 away
     * from the next integer, 6 orders beyond double rounding error).
     * The emitted `rrf` double is the integer sum scaled by 1e-9.
+    *
+    * `maxN` enforces the bounded-input contract IN THE PLAN: each
+    * ranking is truncated to its top `maxN` rows (by the same
+    * (score desc, id) order the rank window uses — a
+    * TakeOrderedAndProject, so the truncation is distributed) before
+    * the unpartitioned window runs. A caller that accidentally passes
+    * an unbounded ranking therefore gets a correct fused head and a
+    * bounded single-partition sort instead of a silent full-relation
+    * one; ranks beyond maxN could only contribute ≤ 1e9/(kRrf+maxN)
+    * each, which is the explicit truncation the RRF literature
+    * assumes (fusion quality lives in the head of each list).
     */
   def rrf(rankings: Seq[DataFrame], idName: String, scoreName: String,
-          k: Int, kRrf: Int = 60): DataFrame = {
-    require(rankings.nonEmpty && k >= 1 && kRrf >= 0)
+          k: Int, kRrf: Int = 60, maxN: Int = 1024): DataFrame = {
+    // maxN may sit below k: with L input lists the fused candidate
+    // pool is up to L*maxN distinct ids, and a short pool simply
+    // returns fewer than k rows — not an error
+    require(rankings.nonEmpty && k >= 1 && kRrf >= 0 && maxN >= 1)
     val contribs = rankings.map { df =>
       val w = Window.orderBy(col(scoreName).desc, col(idName).asc)
       df.select(col(idName), col(scoreName))
+        .orderBy(col(scoreName).desc, col(idName).asc).limit(maxN)
         .withColumn("__rk", row_number().over(w))
         .select(col(idName),
           floor(lit(1e9) / (lit(kRrf) + col("__rk"))).cast("long").as("__c"))

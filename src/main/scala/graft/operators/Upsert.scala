@@ -66,6 +66,9 @@ object Upsert {
   def scd2Apply(history: DataFrame, snapshot: DataFrame, key: String,
                 asOf: Long, closeMissing: Boolean = true): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == key).toSeq
+    require(payload.nonEmpty,
+      "snapshot needs at least one non-key column (a key-only snapshot " +
+        "has no values to version)")
     require(history.columns.toSet ==
       snapshot.columns.toSet ++ Set("valid_from", "valid_to"),
       s"history must be snapshot schema + valid_from/valid_to; got " +

@@ -198,10 +198,7 @@ object StreamOps {
                   versionCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(versionCol).desc, col(key))
-    val collapsed = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val collapsed = collapseLastWins(batch, key, versionCol)
     val target = new java.io.File(targetDir)
     val merged =
       if (target.isDirectory && target.list().exists(_.endsWith(".parquet")))
@@ -210,6 +207,27 @@ object StreamOps {
     val out = merged.localCheckpoint(true)
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
     out.unpersist()
+  }
+
+  /** Last-wins collapse of a micro-batch: one row per key, highest
+    * `versionCol`. Version ordering is total per key BY CONTRACT
+    * (both batch appliers document it), but a source that violates
+    * the contract — duplicate (key, version) rows with different
+    * payloads — must still collapse DETERMINISTICALLY or the
+    * fixed-point/exactly-once argument silently breaks on retry. The
+    * window therefore tie-breaks on every payload column (descending,
+    * name-sorted): any total order works, it only has to be the SAME
+    * one on every delivery. Payload columns must be orderable
+    * (no MapType) — true of every snapshot schema these sinks serve.
+    */
+  private def collapseLastWins(batch: DataFrame, key: String,
+                               versionCol: String): DataFrame = {
+    val tiebreak = batch.columns.filter(c => c != key && c != versionCol)
+      .sorted.toSeq.map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc +: tiebreak: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** The streaming query wiring for [[upsertBatch]]. */
@@ -240,18 +258,29 @@ object StreamOps {
                 versionCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(versionCol).desc, col(key))
-    val collapsed = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    val asOf = collapsed.agg(max(col(versionCol))).head().getLong(0)
+    val collapsed = collapseLastWins(batch, key, versionCol)
+    val batchMax = collapsed.agg(max(col(versionCol))).head().getLong(0)
     val target = new java.io.File(targetDir)
+    val hasHistory =
+      target.isDirectory && target.list().exists(_.endsWith(".parquet"))
     val merged =
-      if (target.isDirectory && target.list().exists(_.endsWith(".parquet")))
-        graft.operators.Upsert.scd2Apply(spark.read.parquet(targetDir),
+      if (hasHistory) {
+        val history = spark.read.parquet(targetDir)
+        // asOf monotonicity guard: an out-of-order source can deliver
+        // a batch whose max version is BELOW an already-applied one;
+        // applying at that older asOf would close open rows at a
+        // valid_to earlier than their valid_from (inverted interval).
+        // Clamp asOf to the history's own frontier — the late batch's
+        // surviving changes then take effect at the frontier instant,
+        // which keeps every interval well-formed and is the only
+        // order-consistent placement a versioned history admits.
+        val frontier = Option(history.agg(max(col("valid_from")))
+          .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+        val asOf = math.max(batchMax, frontier)
+        graft.operators.Upsert.scd2Apply(history,
           collapsed, key, asOf, closeMissing = false)
-      else collapsed
-        .withColumn("valid_from", lit(asOf))
+      } else collapsed
+        .withColumn("valid_from", lit(batchMax))
         .withColumn("valid_to", lit(null).cast("long"))
     val out = merged.localCheckpoint(true)
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
@@ -259,15 +288,21 @@ object StreamOps {
     ()
   }
 
-  /** The streaming query wiring for [[scd2Batch]]. */
+  /** The streaming query wiring for [[scd2Batch]]. `trigger` defaults
+    * to the continuous micro-batch default; pass
+    * `Trigger.AvailableNow()` for a bounded replay (the q150 oracle
+    * row drives a 4-file backlog through it one file per batch).
+    */
   def scd2Sink(updates: DataFrame, targetDir: String, key: String,
-               versionCol: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    updates.writeStream
+               versionCol: String, checkpointDir: String,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         scd2Batch(batch, targetDir, key, versionCol)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 }

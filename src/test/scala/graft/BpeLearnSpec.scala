@@ -50,4 +50,53 @@ class BpeLearnSpec extends SparkSpec {
       .orderBy("step").select("pair_count").as[Long].collect().toSeq
     assert(counts.zip(counts.drop(1)).forall { case (a, b) => b <= a })
   }
+
+  test("encode: chained matches merge fully (the two-pass case)") {
+    // " a b a b a b " — a single replace pass takes matches 1 and 3
+    // (2 shares a boundary space with 1); the second pass must pick
+    // up the isolated leftover so every (a,b) adjacency merges
+    val docs = Seq((1L, "ababab xab abx")).toDF("doc_id", "text")
+    val got = BpeLearn.encode(docs, "doc_id", col("text"),
+        Seq("a" -> "b"))
+      .select(col("tokens")).as[Seq[String]].collect().toSet
+    assert(got == Set(Seq("ab", "ab", "ab"), Seq("x", "ab"), Seq("ab", "x")))
+  }
+
+  test("encode equals the sequential greedy reference on adversarial words") {
+    val merges = Seq("a" -> "b", "ab" -> "c", "b" -> "a", "c" -> "d")
+    val words = Seq("ababab", "abcabc", "aababcc", "babab", "abcd",
+      "cdcd", "aaabbb", "xyz", "a", "abababababab")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = BpeLearn.encode(docs, "doc_id", col("text"), merges)
+      .select(col("doc_id"), col("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == BpeLearn.encodeLocal(w, merges),
+        s"word '$w'")
+    }
+  }
+
+  test("encode applies the corpus's own LEARNED merge table exactly (kernel vs sequential)") {
+    // the q151 consumer shape: learn on the corpus, encode the
+    // vocabulary with the learned table — the distributed replace
+    // kernel must agree with the sequential greedy fold word by word
+    // (this exercises real learned merges, including any produced by
+    // doubled letters like 'agg')
+    val fx = Tables(spark, sfDir).documents
+    val merges = BpeLearn.learnMerges(fx, col("text"), numMerges = 6)
+      .orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val words = fx.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect().toSeq
+    val got = BpeLearn.encode(
+        words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("doc_id", "text"),
+        "doc_id", col("text"), merges)
+      .select(col("doc_id"), col("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == BpeLearn.encodeLocal(w, merges), s"word '$w'")
+    }
+  }
 }

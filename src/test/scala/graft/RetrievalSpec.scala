@@ -39,6 +39,25 @@ class RetrievalSpec extends SparkSpec {
     assert(top._1 == 3L && top._2 == 2L)
   }
 
+  test("rrf: maxN truncates an oversized ranking before fusion") {
+    // 100 rows but maxN = 2: only the top-2 of the list may contribute,
+    // so ids 3..100 vanish from the fused output entirely — the
+    // bounded-input contract enforced in the plan, not by convention
+    val big = (1 to 100).map(i => (i.toLong, 1.0 / i)).toDF("id", "score")
+    val got = Retrieval.rrf(Seq(big), "id", "score", k = 10, maxN = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // k=10 requested, only 2 survive
+    // and the surviving ranks match the untruncated ranking's head
+    assert(got.head._3 == math.floor(1e9 / 61) / 1e9)
+  }
+
+  test("rrf: rejects a non-positive maxN") {
+    val l = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Retrieval.rrf(Seq(l), "id", "score", k = 10, maxN = 0)
+    }
+  }
+
   test("nearestCentroidConfusion: separable clusters give a diagonal matrix") {
     val emb = Seq(
       (0L, Seq(0.1f, 0.0f), 0), (1L, Seq(0.0f, 0.2f), 0), (2L, Seq(-0.1f, 0.1f), 0),

@@ -308,4 +308,42 @@ class StreamOpsSpec extends SparkSpec {
       target, "id", "version")
     assert(rows == got)
   }
+
+  test("scd2Batch clamps a late batch's asOf to the history frontier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2late").toFile
+    val target = s"${dir.getAbsolutePath}/history"
+    // history frontier at version 100
+    StreamOps.scd2Batch(Seq((1L, "a", 100L)).toDF("id", "name", "version"),
+      target, "id", "version")
+    // out-of-order batch: max version 50 < frontier 100, and it CHANGES
+    // id=1 — without the clamp the open (valid_from=100) row would
+    // close at valid_to=50, an inverted interval
+    StreamOps.scd2Batch(Seq((1L, "b", 50L)).toDF("id", "name", "version"),
+      target, "id", "version")
+    val rows = spark.read.parquet(target)
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // clamped to the frontier: close+open both at 100, intervals valid
+    assert(rows == Seq((1L, "a", 100L, 100L), (1L, "b", 100L, -1L)))
+    rows.foreach { case (_, _, from, to) => assert(to == -1L || to >= from) }
+  }
+
+  test("last-wins collapse is deterministic under duplicate (key, version) rows") {
+    import spark.implicits._
+    // contract violation: same key+version, different payloads — the
+    // collapse must still pick the SAME winner on every delivery
+    // (payload-desc tie-break), or retries break the fixed point
+    val rowsA = Seq((1L, "x", 5L), (1L, "y", 5L), (1L, "z", 5L))
+    def apply(rows: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ties").toFile
+      val t = s"${dir.getAbsolutePath}/snap"
+      StreamOps.upsertBatch(rows.toDF("id", "name", "version"), t, "id", "version")
+      spark.read.parquet(t).as[(Long, String, Long)].collect().toSeq
+    }
+    val winners = Seq(rowsA, rowsA.reverse, rowsA.sortBy(_._2)).map(apply)
+    assert(winners.distinct.size == 1)
+    assert(winners.head == Seq((1L, "z", 5L))) // payload desc: "z" wins
+  }
 }

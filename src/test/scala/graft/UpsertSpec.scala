@@ -47,6 +47,16 @@ class UpsertSpec extends SparkSpec {
         col("valid_to").cast("long").as("valid_to"))
   }
 
+  test("scd2Apply rejects a key-only snapshot with a clear message") {
+    import spark.implicits._
+    val h = Seq((1L, 100L, Option.empty[Long])).toDF("id", "valid_from", "valid_to")
+    val snap = Seq(Tuple1(1L)).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(h, snap, "id", asOf = 200L)
+    }
+    assert(e.getMessage.contains("non-key column"))
+  }
+
   test("scd2Apply: update closes+opens, delete closes, insert opens, unchanged rides") {
     val h = hist(
       (1L, "a", 10L, 100L, None),        // unchanged in snapshot

@@ -181,6 +181,100 @@ object ProbeScale100 {
         s"counts exactly ${factor}x: $exactCounts")
     }
 
+    // BPE ENCODE at factor×: replication makes per-doc token counts
+    // identical per twin, so the corpus token TOTAL must be exactly
+    // factor× — and the kernel is a pure scan-stage expression chain,
+    // so wall should track the scan (~linear, no shuffle at all).
+    if (section("encode")) {
+      replicate("documents", Seq("doc_id"))
+      val merges = Seq(
+        "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+        "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+        "s" -> "c", "sc" -> "a", "sca" -> "n",
+        "r" -> "o", "ro" -> "w",
+        "w" -> "i", "wi" -> "n", "win" -> "d", "wind" -> "o", "windo" -> "w")
+      def total(dir: String): Long =
+        graft.operators.BpeLearn.encode(docs(dir), "doc_id", col("text"), merges)
+          .agg(sum(size(col("tokens")))).head().getLong(0)
+      var t1 = 0L; var tN = 0L
+      time("bpe encode 1x")(
+        { t1 = total(base); t1 })
+      time(s"bpe encode ${factor}x")(
+        { tN = total(big); tN })
+      println(s"[probe] bpe encode token total exactly ${factor}x: " +
+        s"${tN == factor * t1} ($tN vs $factor x $t1)")
+    }
+
+    // RETRIEVAL TIER at factor× (the r8 verdict's ask): BM25's
+    // doc-keyed shuffle, the PQ code scan + exact re-rank, and the
+    // relation-only centroid pass — each with a correctness invariant
+    // riding on the curve (replication makes the truth computable).
+    if (section("retrieval")) {
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
+      import graft.operators.{InvertedIndex, Similarity}
+      val baseN = docs(base).agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val terms = Seq("dup", "spark", "window")
+      def bm25(dir: String): Seq[Long] =
+        InvertedIndex.bm25TopK(docs(dir), "doc_id", col("text"), terms, 10)
+          .select("doc_id").as[Long].collect().toSeq
+      var b1: Seq[Long] = Seq.empty; var bN: Seq[Long] = Seq.empty
+      time("bm25TopK 1x")({ b1 = bm25(base); b1.size.toLong })
+      time(s"bm25TopK ${factor}x")({ bN = bm25(big); bN.size.toLong })
+      // twins of one base doc tie exactly, so every factor× hit must
+      // collapse (mod baseN) to a base top-10 family
+      val fams = b1.map(_ % baseN).toSet
+      println(s"[probe] bm25 ${factor}x hits all in base top-10 families: " +
+        s"${bN.forall(id => fams.contains(id % baseN))}")
+
+      def confusion(dir: String): Map[(Int, Int), Long] =
+        Similarity.nearestCentroidConfusion(emb(dir), "vec_id", "label", "embedding")
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      var c1: Map[(Int, Int), Long] = Map.empty
+      var cN: Map[(Int, Int), Long] = Map.empty
+      time("nearestCentroid 1x")({ c1 = confusion(base); c1.size.toLong })
+      time(s"nearestCentroid ${factor}x")({ cN = confusion(big); cN.size.toLong })
+      // twin centroids are identical, so every confusion cell scales
+      // exactly factor×
+      println(s"[probe] centroid confusion exactly ${factor}x: " +
+        s"${c1.keySet == cN.keySet && c1.forall { case (k, n) => cN(k) == factor * n }}")
+
+      // PQ: index build is the one-off cost; the per-query cost is the
+      // 8-int code scan + rerank-wide exact pass. Recall floor (≥6/10
+      // vs exact L2, the q148 contract) must hold at factor×.
+      import graft.functions.VecFns
+      val qv = emb(base).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val qn = qv.map(x => x.toDouble * x).sum
+      def exactL2(dir: String): Seq[Long] = {
+        val ql = typedlit(qv)
+        emb(dir).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(sqrt(VecFns.dot(col("embedding"), col("embedding"))
+              - lit(2.0) * VecFns.dot(col("embedding"), ql) + lit(qn)), 6).as("l2"))
+          .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+          .select("vec_id").as[Long].collect().toSeq
+      }
+      val idx = s"/tmp/graft_scale${factor}_pq"
+      deleteRec(new java.io.File(idx))
+      time(s"pq index build ${factor}x") {
+        Similarity.ensurePqIndex(emb(big), "vec_id", "embedding", 8, 16, idx); 1L
+      }
+      var pqN: Seq[Long] = Seq.empty
+      time(s"pqTopK ${factor}x warm-index") {
+        pqN = Similarity.pqTopK(spark, idx, emb(big), "vec_id", "embedding",
+            qv, 10, rerank = 64, excludeId = 0L)
+          .select("vec_id").as[Long].collect().toSeq
+        pqN.size.toLong
+      }
+      var exN: Seq[Long] = Seq.empty
+      time(s"exact L2 top-10 ${factor}x") {
+        exN = exactL2(big); exN.size.toLong
+      }
+      val recall = pqN.toSet.intersect(exN.toSet).size
+      println(s"[probe] pq recall at ${factor}x: $recall/10 (floor 6)")
+    }
+
     spark.stop()
   }
 
