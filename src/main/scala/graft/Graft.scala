@@ -55,4 +55,12 @@ object Graft {
     register(spark, dir)
     spark.sql(query)
   }
+
+  /** Evaluate a GraphQL-dialect query (the reference's query language
+    * — api.GraphQl documents the supported subset) against the
+    * knowledge-graph views over the corpus at `dir`. One row out: the
+    * GraphQL `data` object as a nested Spark schema.
+    */
+  def graphql(spark: SparkSession, dir: String, query: String): DataFrame =
+    api.GraphQl.execute(api.KnowledgeGraph(spark, dir), query)
 }

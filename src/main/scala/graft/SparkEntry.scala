@@ -2365,6 +2365,126 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_words"),
           sum(size(col("tokens"))).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------- GraphQL-dialect frontend ----------------
+    // The reference's query language, executed end-to-end: query TEXT
+    // in (the candidate_drugs.py diseaseAssociatedDrugs template,
+    // verbatim shape), nested data object out, flattened here for the
+    // hash compare. The oracle reconstructs the same nested fold in
+    // SQL over the raw star schema — parser, resolver, ordering and
+    // aggregation all under the hash.
+    "q152_graphql_known_drugs" -> ((s, dir) => {
+      val res = graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """query diseaseAssociatedDrugs {
+             disease(efoId: "DIS_BUILDING") {
+               id
+               name
+               knownDrugs {
+                 count
+                 rows {
+                   phase
+                   drug { id name }
+                 }
+               }
+             }
+           }""")
+      res.select(col("id").as("disease_id"), col("name").as("disease_name"),
+          col("knownDrugs.count").as("n_rows"),
+          posexplode(col("knownDrugs.rows")).as(Seq("rn", "r")))
+        .select(col("disease_id"), col("disease_name"), col("n_rows"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.phase").as("phase"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("drug_name"))
+        .orderBy("rn")
+    }),
+    // the query_opentargets.py example query, id constants aside
+    "q153_graphql_pathways" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             target(ensemblId: "TGT_1") {
+               id
+               approvedSymbol
+               pathways {
+                 pathway { id name }
+               }
+             }
+           }""")
+        .select(col("id"), col("approvedSymbol"),
+          posexplode(col("pathways")).as(Seq("rn", "r")))
+        .select(col("id"), col("approvedSymbol"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.pathway.id").as("pathway_id"),
+          col("r.pathway.name").as("pathway_name"))
+        .orderBy("rn")),
+    // the x2.py drug→targets direction: ordered rows, rank exposed
+    "q154_graphql_linked_targets" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             drug(chemblId: "DRG_1") {
+               id
+               name
+               linkedTargets {
+                 count
+                 rows {
+                   rank
+                   target { id approvedSymbol }
+                 }
+               }
+             }
+           }""")
+        .select(col("id").as("drug_id"), col("name").as("drug_name"),
+          col("linkedTargets.count").as("n_rows"),
+          posexplode(col("linkedTargets.rows")).as(Seq("rn", "r")))
+        .select(col("drug_id"), col("drug_name"), col("n_rows"),
+          col("r.rank").cast("long").as("rank"),
+          col("r.target.id").as("target_id"),
+          col("r.target.approvedSymbol").as("target_name"))
+        .orderBy("rank")),
+    // the prompt_for_disease_targets template: score-descending rows
+    "q155_graphql_assoc_targets" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             disease(efoId: "DIS_MACHINERY") {
+               associatedTargets {
+                 rows {
+                   target { id approvedSymbol }
+                   score
+                 }
+               }
+             }
+           }""")
+        .select(posexplode(col("associatedTargets.rows")).as(Seq("rn", "r")))
+        .select((col("rn") + 1).cast("long").as("rn"),
+          col("r.target.id").as("target_id"),
+          col("r.target.approvedSymbol").as("target_name"),
+          col("r.score").as("score"))
+        .orderBy("rn")),
+
+    // ---------------- corpus-curation capstone ----------------
+    // The full training-data curation pipeline as ONE composition of
+    // four registered operators — quality gate (q26 rule) → exact
+    // dedup keep-first (q29) → per-language token budget (q145) →
+    // epoch-shuffled shard layout (q93) — oracle-checked end to end.
+    // Every stage is a deterministic hash/window discipline, so the
+    // whole pipeline is reproducible run-over-run and engine-over-
+    // engine: the property a 100 TB curation run actually needs.
+    "q156_curation_capstone" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val quality = docs.filter(
+        TextFns.tokenCount(col("text")).between(20, 1000) &&
+          TextFns.distinctTokenRatio(col("text")) > 0.3)
+      val deduped = Dedup.dedupExact(quality, "doc_id", "text")
+      val kept = Mixing.tokenBudgetSample(deduped, col("lang"), col("doc_id"),
+        TextFns.tokenCount(col("text")), budget = 3000)
+      Mixing.epochShuffle(
+          kept.select(col("id").as("doc_id"), col("grp").as("lang"),
+            col("n_tok")),
+          col("doc_id"), epoch = 1, numShards = 4)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("shard").cast("long").as("shard"),
+          col("pos").cast("long").as("pos"))
+        .orderBy("shard", "pos")
     })
   )
 
@@ -4116,6 +4236,103 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_words,
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM e GROUP BY doc_id ORDER BY doc_id"""
-    }
+    },
+    // GraphQL fold reconstructed over the raw star schema: rows sort
+    // lexicographically on (drug_id, target_id) — the executor's
+    // deterministic order for knownDrugs
+    "q152_graphql_known_drugs" ->
+      """WITH kd AS (
+           SELECT 'DRG_' || l_suppkey AS drug_id,
+             'TGT_' || l_partkey AS tgt_id,
+             round(least(4.0, count(*) / 10.0), 1) AS phase
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY 1, 2)
+         SELECT 'DIS_BUILDING' AS disease_id, 'BUILDING' AS disease_name,
+           (SELECT count(*) FROM kd) AS n_rows,
+           row_number() OVER (ORDER BY kd.drug_id, kd.tgt_id) AS rn,
+           kd.phase, kd.drug_id, s.s_name AS drug_name
+         FROM kd JOIN supplier s ON 'DRG_' || s.s_suppkey = kd.drug_id
+         ORDER BY rn""",
+    "q153_graphql_pathways" ->
+      """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
+           CAST(1 AS BIGINT) AS rn,
+           'PWY_' || p_brand AS pathway_id, p_brand AS pathway_name
+         FROM part WHERE p_partkey = 1""",
+    "q154_graphql_linked_targets" ->
+      """WITH lt AS (
+           SELECT l_partkey AS pk, sum(l_quantity) AS q
+           FROM lineitem WHERE l_suppkey = 1 GROUP BY 1),
+         r AS (
+           SELECT row_number() OVER (ORDER BY q DESC, pk) AS rank, pk
+           FROM lt)
+         SELECT 'DRG_1' AS drug_id, s.s_name AS drug_name,
+           (SELECT count(*) FROM lt) AS n_rows,
+           r.rank, 'TGT_' || r.pk AS target_id, p.p_name AS target_name
+         FROM r
+         JOIN part p ON p.p_partkey = r.pk
+         JOIN supplier s ON s.s_suppkey = 1
+         ORDER BY rank""",
+    // score-descending rows with the executor's (−score, target_id)
+    // tie-break; score is the q58-q63 convention (segment share of
+    // the part's volume, round 6)
+    "q155_graphql_assoc_targets" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         mine AS (
+           SELECT e.target_id, e.score,
+             row_number() OVER (ORDER BY e.score DESC, e.target_id) AS rn
+           FROM edges e WHERE e.disease_id = 'DIS_MACHINERY')
+         SELECT m.rn, m.target_id, p.p_name AS target_name, m.score
+         FROM mine m
+         JOIN part p ON 'TGT_' || p.p_partkey = m.target_id
+         ORDER BY rn""",
+    // the four stage conventions chained verbatim: q26 gate → q29
+    // fingerprint keep-first → q145 budget window → q93 shard fold
+    "q156_curation_capstone" ->
+      """WITH q AS (
+           SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents
+           WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+             AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) > 0.3),
+         d AS (
+           SELECT doc_id, lang, n_tok FROM q
+           WHERE doc_id IN (
+             SELECT min(doc_id) FROM q
+             GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))))),
+         c AS (
+           SELECT doc_id, lang, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM d),
+         k AS (SELECT doc_id, lang, n_tok FROM c WHERE cum < 3000),
+         s AS (
+           SELECT doc_id, lang, n_tok,
+             md5('1:' || CAST(doc_id AS VARCHAR)) AS ord
+           FROM k),
+         b AS (
+           SELECT doc_id, lang, n_tok, ord,
+             (16*(strpos('0123456789abcdef', substr(md5(ord),1,1))-1)
+               + (strpos('0123456789abcdef', substr(md5(ord),2,1))-1)) % 4
+               AS shard
+           FROM s)
+         SELECT doc_id, lang, n_tok, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER
+             (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         FROM b ORDER BY shard, pos"""
   )
 }

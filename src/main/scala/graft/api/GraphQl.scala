@@ -1,0 +1,353 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GraphQL-dialect frontend: the reference's ENTIRE user interface is
+  * "hand a GraphQL query string to the endpoint, get rows back"
+  * (/root/reference/query_opentargets.py:4-16; the query texts live
+  * in /root/reference/candidate_drugs.py:19-72 and x2.py). `Graft.sql`
+  * covers the string-in/rows-out SHAPE in SQL; this module covers the
+  * DIALECT, so a reference user can paste their query text unchanged.
+  *
+  * Supported grammar (the subset every reference query uses):
+  * {{{
+  *   [query [Name]] { root(arg: "ID") { selection... } }
+  *   selection := name [(args)] [{ selection... }]
+  * }}}
+  * with `#` comments, commas-as-whitespace, string/number/name
+  * argument values. Aliases, variables, fragments and multiple root
+  * fields are rejected with a targeted error (none appear in the
+  * reference corpus).
+  *
+  * Schema = the [[KnowledgeGraph]] views (disease / target / drug
+  * entities, scored association edges, known-drug fact rows,
+  * pathways — SURVEY.md §1.1 / §7.1): roots `disease(efoId:)`,
+  * `target(ensemblId:)`, `drug(chemblId:)`; connections follow the
+  * reference schema's `{ count rows { ... } }` shape
+  * (opentargets.schema:263-265, 855-932) except `pathways`, which is
+  * a bare list (opentargets.schema:1202-1206, the
+  * query_opentargets.py example).
+  *
+  * Execution is Spark-first and point-lookup shaped: the root entity
+  * is one filtered scan; each selected connection FILTERS its edge
+  * relation by the root key BEFORE aggregating (partition-prunable at
+  * scale, and empty connections yield count=0/rows=[] without an
+  * outer-join null dance), collects its rows into a deterministically
+  * sorted array (score desc / rank asc / key asc — the server's
+  * documented default orderings), and broadcast-joins the 1-row
+  * result back. Output is ONE row per root with nested columns in
+  * selection order — the GraphQL `data` object as a Spark schema.
+  */
+object GraphQl {
+
+  /** One parsed field: name, arguments, nested selection. */
+  final case class Field(name: String, args: Map[String, String],
+                         sel: Seq[Field])
+
+  final case class ParseError(msg: String)
+    extends IllegalArgumentException(s"graphql: $msg")
+
+  // ------------------------------------------------------------------
+  // Lexer + recursive-descent parser
+  // ------------------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class Name(s: String) extends Tok
+  private final case class Str(s: String) extends Tok
+  private final case class Num(s: String) extends Tok
+  private final case class Punct(c: Char) extends Tok
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace || c == ',') i += 1
+      else if (c == '#') { while (i < q.length && q(i) != '\n') i += 1 }
+      else if ("{}():".contains(c)) { out += Punct(c); i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder; i += 1
+        while (i < q.length && q(i) != '"') {
+          if (q(i) == '\\' && i + 1 < q.length) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        if (i >= q.length) throw ParseError("unterminated string literal")
+        i += 1; out += Str(sb.result())
+      }
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Name(q.substring(j, i))
+      }
+      else if (c.isDigit || c == '-') {
+        val j = i; i += 1
+        while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
+        out += Num(q.substring(j, i))
+      }
+      else if (c == '$') throw ParseError(
+        "variables ($x) are not supported — inline the value")
+      else if (c == '.') throw ParseError(
+        "fragments (...) are not supported — expand the selection")
+      else throw ParseError(s"unexpected character '$c'")
+    }
+    out.result()
+  }
+
+  /** Parse a document to its single root field. */
+  def parse(q: String): Field = {
+    val toks = lex(q)
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def next(): Tok = {
+      if (p >= toks.length) throw ParseError("unexpected end of query")
+      p += 1; toks(p - 1)
+    }
+    def expect(c: Char): Unit = next() match {
+      case Punct(`c`) => ()
+      case t => throw ParseError(s"expected '$c', found $t")
+    }
+    def parseArgs(): Map[String, String] = peek match {
+      case Some(Punct('(')) =>
+        expect('(')
+        val args = Map.newBuilder[String, String]
+        var done = false
+        while (!done) peek match {
+          case Some(Punct(')')) => next(); done = true
+          case Some(Name(k)) =>
+            next(); expect(':')
+            next() match {
+              case Str(v) => args += k -> v
+              case Num(v) => args += k -> v
+              case Name(v) => args += k -> v // enum value
+              case t => throw ParseError(s"bad argument value $t for '$k'")
+            }
+          case t => throw ParseError(s"bad argument list at $t")
+        }
+        args.result()
+      case _ => Map.empty
+    }
+    def parseSelection(): Seq[Field] = {
+      expect('{')
+      val fields = Seq.newBuilder[Field]
+      var done = false
+      while (!done) peek match {
+        case Some(Punct('}')) => next(); done = true
+        case Some(Name(n)) =>
+          next()
+          peek match {
+            case Some(Punct(':')) => throw ParseError(
+              s"aliases ('$n:') are not supported")
+            case _ => ()
+          }
+          val args = parseArgs()
+          val sel = peek match {
+            case Some(Punct('{')) => parseSelection()
+            case _ => Seq.empty
+          }
+          fields += Field(n, args, sel)
+        case t => throw ParseError(s"expected a field name, found $t")
+      }
+      fields.result()
+    }
+    // optional operation header: `query [Name]` / `mutation ...`
+    peek match {
+      case Some(Name("mutation")) =>
+        throw ParseError("mutations are not supported (read-only engine)")
+      case Some(Name("query")) =>
+        next()
+        peek match { case Some(Name(_)) => next(); () case _ => () }
+      case _ => ()
+    }
+    val roots = parseSelection()
+    if (p != toks.length) throw ParseError("trailing tokens after the query")
+    roots match {
+      case Seq(one) => one
+      case many => throw ParseError(
+        s"exactly one root field is supported, found ${many.map(_.name).mkString(", ")}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Executor
+  // ------------------------------------------------------------------
+
+  /** Scalar fields per entity type → source column name. */
+  private val Scalars: Map[(String, String), String] = Map(
+    ("disease", "id") -> "id", ("disease", "name") -> "name",
+    ("target", "id") -> "id", ("target", "approvedSymbol") -> "approvedSymbol",
+    ("drug", "id") -> "id", ("drug", "name") -> "name")
+
+  private def entityStruct(entity: String, sel: Seq[Field],
+                           fields: Map[String, Column]): Column = {
+    if (sel.isEmpty) throw ParseError(
+      s"'$entity' needs a selection of its fields")
+    struct(sel.map { f =>
+      if (f.sel.nonEmpty) throw ParseError(
+        s"'$entity.${f.name}' is a scalar — drop its selection")
+      val src = fields.getOrElse(f.name, throw ParseError(
+        s"unknown field '${f.name}' on $entity — supported: " +
+          fields.keys.toSeq.sorted.mkString(", ")))
+      src.as(f.name)
+    }: _*)
+  }
+
+  /** One connection's description: the filtered+joined flat relation,
+    * ascending sort keys for the deterministic row order, and the
+    * per-row field resolver.
+    */
+  private final case class Conn(flat: DataFrame, sortKeys: Seq[Column],
+                                hasRows: Boolean,
+                                rowField: Field => Column)
+
+  private def conn(kg: KnowledgeGraph, entity: String, name: String,
+                   rootKey: String): Conn = {
+    def tgt(df: DataFrame, on: String): DataFrame =
+      df.join(kg.targets.select(col("id").as("__t_id"),
+        col("approvedSymbol").as("__t_sym")), col(on) === col("__t_id"))
+    def drg(df: DataFrame, on: String): DataFrame =
+      df.join(kg.drugs.select(col("id").as("__d_id"),
+        col("name").as("__d_name")), col(on) === col("__d_id"))
+    def dis(df: DataFrame, on: String): DataFrame =
+      df.join(kg.diseases.select(col("id").as("__s_id"),
+        col("name").as("__s_name")), col(on) === col("__s_id"))
+    def targetField(f: Field) = entityStruct("target", f.sel,
+      Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym")))
+    def drugField(f: Field) = entityStruct("drug", f.sel,
+      Map("id" -> col("__d_id"), "name" -> col("__d_name")))
+    def diseaseField(f: Field) = entityStruct("disease", f.sel,
+      Map("id" -> col("__s_id"), "name" -> col("__s_name")))
+    def bad(f: Field, supported: String): Nothing = throw ParseError(
+      s"unknown field '${f.name}' on $entity.$name — supported: $supported")
+
+    (entity, name) match {
+      case ("disease", "knownDrugs") =>
+        Conn(drg(tgt(kg.knownDrugs.filter(col("disease_id") === rootKey),
+            "target_id"), "drug_id"),
+          Seq(col("drug_id"), col("target_id")), hasRows = true, {
+            case Field("phase", _, Seq()) => col("phase")
+            case f @ Field("drug", _, _) => drugField(f)
+            case f @ Field("target", _, _) => targetField(f)
+            case f => bad(f, "phase, drug, target")
+          })
+      case ("target", "knownDrugs") =>
+        Conn(drg(dis(kg.knownDrugs.filter(col("target_id") === rootKey),
+            "disease_id"), "drug_id"),
+          Seq(col("drug_id"), col("disease_id")), hasRows = true, {
+            case Field("phase", _, Seq()) => col("phase")
+            case f @ Field("drug", _, _) => drugField(f)
+            case f @ Field("disease", _, _) => diseaseField(f)
+            case f => bad(f, "phase, drug, disease")
+          })
+      case ("disease", "associatedTargets") =>
+        Conn(tgt(kg.associatedTargets.filter(col("disease_id") === rootKey),
+            "target_id"),
+          Seq(negate(col("score")), col("target_id")), hasRows = true, {
+            case Field("score", _, Seq()) => col("score")
+            case f @ Field("target", _, _) => targetField(f)
+            case f => bad(f, "score, target")
+          })
+      case ("target", "associatedDiseases") =>
+        Conn(dis(kg.associatedDiseases.filter(col("target_id") === rootKey),
+            "disease_id"),
+          Seq(negate(col("score")), col("disease_id")), hasRows = true, {
+            case Field("score", _, Seq()) => col("score")
+            case f @ Field("disease", _, _) => diseaseField(f)
+            case f => bad(f, "score, disease")
+          })
+      case ("drug", "linkedTargets") =>
+        Conn(tgt(kg.linkedTargets.filter(col("drug_id") === rootKey),
+            "target_id"),
+          Seq(col("rank")), hasRows = true, {
+            case Field("rank", _, Seq()) => col("rank")
+            case f @ Field("target", _, _) => targetField(f)
+            case f => bad(f, "rank, target")
+          })
+      case ("target", "pathways") =>
+        Conn(kg.pathways.filter(col("target_id") === rootKey),
+          Seq(col("pathwayId")), hasRows = false, {
+            case Field("topLevelTerm", _, Seq()) => col("topLevelTerm")
+            case Field("pathway", _, sel) => entityStruct("pathway", sel,
+              Map("id" -> col("pathwayId"), "name" -> col("pathway")))
+            case f => bad(f, "pathway, topLevelTerm")
+          })
+      case _ => throw ParseError(
+        s"unknown field '$name' on $entity — connections: " +
+          "disease.{knownDrugs,associatedTargets}, " +
+          "target.{knownDrugs,associatedDiseases,pathways}, " +
+          "drug.linkedTargets")
+    }
+  }
+
+  /** Build the connection's single-row (one column) relation. */
+  private def connectionDf(kg: KnowledgeGraph, entity: String, f: Field,
+                           rootKey: String): DataFrame = {
+    val c = conn(kg, entity, f.name, rootKey)
+    // the schema's pagination argument: rows is the sorted head of
+    // the connection — also the scale guard that keeps one entity's
+    // collected array bounded when its edge list is crawl-sized
+    val size: Option[Int] = f.args.get("size").map { s =>
+      val n = s.toIntOption.getOrElse(
+        throw ParseError(s"size must be an integer, got '$s'"))
+      if (n < 0) throw ParseError(s"size must be >= 0, got $n")
+      n
+    }
+    def rowsArray(sel: Seq[Field]): Column = {
+      if (sel.isEmpty) throw ParseError(
+        s"'$entity.${f.name}' rows need a selection")
+      val payload = struct(sel.map(g => c.rowField(g).as(g.name)): _*)
+      // sort keys ride in front of the payload for sort_array, then
+      // drop away — deterministic order with one aggregation
+      val keyed = struct(c.sortKeys.zipWithIndex.map {
+        case (k, i) => k.as(s"__k$i") } :+ payload.as("__p"): _*)
+      val sorted = sort_array(collect_list(keyed))
+      val page = size.fold(sorted)(n => slice(sorted, 1, n))
+      transform(page, x => x.getField("__p"))
+    }
+    if (c.hasRows) {
+      val parts = f.sel.map {
+        case Field("count", _, Seq()) => count(lit(1)).as("count")
+        case Field("rows", _, sel) => rowsArray(sel).as("rows")
+        case g => throw ParseError(
+          s"unknown field '${g.name}' on $entity.${f.name} — supported: count, rows")
+      }
+      if (parts.isEmpty) throw ParseError(
+        s"'$entity.${f.name}' needs a selection (count and/or rows)")
+      c.flat.agg(parts.head, parts.tail: _*)
+        .select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
+    } else
+      c.flat.agg(rowsArray(f.sel).as(f.name))
+  }
+
+  /** Execute `query` against the knowledge graph. One row out (the
+    * GraphQL `data` object); nested columns in selection order.
+    */
+  def execute(kg: KnowledgeGraph, query: String): DataFrame = {
+    val root = parse(query)
+    val (entity, keyArg, base) = root.name match {
+      case "disease" => ("disease", "efoId", kg.diseases)
+      case "target" => ("target", "ensemblId", kg.targets)
+      case "drug" => ("drug", "chemblId", kg.drugs)
+      case other => throw ParseError(
+        s"unknown root '$other' — supported: disease(efoId:), " +
+          "target(ensemblId:), drug(chemblId:)")
+    }
+    val rootKey = root.args.getOrElse(keyArg, throw ParseError(
+      s"$entity requires the $keyArg argument; got " +
+        (if (root.args.isEmpty) "none" else root.args.keys.mkString(", "))))
+    if (root.sel.isEmpty) throw ParseError(s"'$entity' needs a selection")
+    var df = base.filter(col("id") === rootKey)
+    val outCols = root.sel.map { f =>
+      Scalars.get((entity, f.name)) match {
+        case Some(src) =>
+          if (f.sel.nonEmpty) throw ParseError(
+            s"'$entity.${f.name}' is a scalar — drop its selection")
+          col(src).as(f.name)
+        case None =>
+          df = df.crossJoin(broadcast(connectionDf(kg, entity, f, rootKey)))
+          col(f.name)
+      }
+    }
+    df.select(outCols: _*)
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraphQl, KnowledgeGraph}
+import graft.api.GraphQl.{Field, ParseError}
+
+class GraphQlSpec extends SparkSpec {
+
+  // ---------------- parser ----------------
+
+  test("parse: the reference's pathway example query verbatim") {
+    // /root/reference/query_opentargets.py:30-41
+    val q = """
+{
+  target(ensemblId: "ENSG00000141510") {
+    id
+    approvedSymbol
+    pathways {
+      pathway {
+        id
+        name
+      }
+    }
+  }
+}
+"""
+    val root = GraphQl.parse(q)
+    assert(root.name == "target")
+    assert(root.args == Map("ensemblId" -> "ENSG00000141510"))
+    assert(root.sel.map(_.name) == Seq("id", "approvedSymbol", "pathways"))
+    assert(root.sel(2).sel == Seq(Field("pathway", Map.empty,
+      Seq(Field("id", Map.empty, Nil), Field("name", Map.empty, Nil)))))
+  }
+
+  test("parse: named operation, comments, commas, numbers") {
+    val q = """
+query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
+  disease(efoId: "EFO_1", size: 10) {
+    id, name
+    knownDrugs { count rows { phase } }
+  }
+}
+"""
+    val root = GraphQl.parse(q)
+    assert(root.name == "disease")
+    assert(root.args == Map("efoId" -> "EFO_1", "size" -> "10"))
+    assert(root.sel.map(_.name) == Seq("id", "name", "knownDrugs"))
+  }
+
+  test("parse: targeted errors for unsupported constructs") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    assert(err("mutation { x }").contains("mutations"))
+    assert(err("{ a { id } b { id } }").contains("one root field"))
+    assert(err("query Q($id: String) { disease { id } }").contains("variables"))
+    assert(err("{ disease { ...frag } }").contains("fragments"))
+    assert(err("{ d: disease { id } }").contains("aliases"))
+    assert(err("{ disease(efoId: \"x\") { id } } trailing")
+      .contains("trailing"))
+    assert(err("{ disease(efoId: \"unterminated) { id } }")
+      .contains("unterminated"))
+  }
+
+  // ---------------- executor ----------------
+
+  private lazy val kg = KnowledgeGraph(spark, sfDir)
+
+  test("execute: scalar root lookup returns the entity row") {
+    val got = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { id name } }""").collect()
+    assert(got.toSeq == Seq(Row("DIS_BUILDING", "BUILDING")))
+  }
+
+  test("execute: pathways nests pathway{id,name} in selection order") {
+    val pid = kg.targets.orderBy("id").select("id").head().getString(0)
+    val got = GraphQl.execute(kg,
+      s"""{ target(ensemblId: "$pid") { approvedSymbol pathways { pathway { name id } } } }""")
+    assert(got.columns.toSeq == Seq("approvedSymbol", "pathways"))
+    val row = got.head()
+    val pathways = row.getSeq[Row](1)
+    assert(pathways.nonEmpty)
+    // each element wraps the selected `pathway` object, whose struct
+    // preserves the selection order (name, id)
+    assert(pathways.head.schema.fieldNames.toSeq == Seq("pathway"))
+    val pathway = pathways.head.getStruct(0)
+    assert(pathway.schema.fieldNames.toSeq == Seq("name", "id"))
+    assert(pathway.getString(1).startsWith("PWY_"))
+  }
+
+  test("execute: knownDrugs count matches rows length and the edge relation") {
+    val got = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs { count rows { phase drug { id name } } } } }""")
+      .head()
+    val kd = got.getStruct(0)
+    val n = kd.getLong(0)
+    val rows = kd.getSeq[Row](1)
+    assert(n == rows.length)
+    val expected = kg.knownDrugs
+      .filter(col("disease_id") === "DIS_BUILDING").count()
+    assert(n == expected && n > 0)
+    // deterministic order: (drug_id, target_id) asc ⇒ drug ids non-decreasing
+    val ids = rows.map(_.getStruct(1).getString(0))
+    assert(ids == ids.sorted)
+  }
+
+  test("execute: associatedTargets rows are score-descending") {
+    val got = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           associatedTargets { rows { score target { id } } } } }""")
+      .head()
+    val rows = got.getStruct(0).getSeq[Row](0)
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(0))
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("execute: empty connection yields count 0 and rows []") {
+    val got = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_NO_SUCH") {
+           knownDrugs { count rows { phase } } } }""")
+    // no such disease: zero root rows — the GraphQL null-data case
+    assert(got.count() == 0)
+    // existing root with no edges: manufacture one by filtering drugs
+    // on a supplier that never traded is not constructible from the
+    // fixture, so assert the aggregate shape instead: agg over an
+    // empty filtered edge still yields one row with count=0
+    val one = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_0") {
+           linkedTargets { count rows { rank } } } }""").head()
+    assert(one.getStruct(0).getLong(0) ==
+      one.getStruct(0).getSeq[Row](1).length)
+  }
+
+  test("execute: targeted unknown-field errors") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q)).getMessage
+    assert(err("""{ gene(id: "x") { id } }""").contains("unknown root"))
+    assert(err("""{ disease(efoId: "x") { nope } }""").contains("unknown field"))
+    assert(err("""{ disease { id } }""").contains("requires the efoId"))
+    assert(err("""{ disease(efoId: "x") { knownDrugs { bogus } } }""")
+      .contains("count, rows"))
+    assert(err("""{ disease(efoId: "x") { knownDrugs { rows { drug { phase } } } } }""")
+      .contains("unknown field 'phase' on drug"))
+    assert(err("""{ disease(efoId: "x") { name { sub } } }""")
+      .contains("scalar"))
+  }
+
+  test("execute: size pages rows but count stays the total") {
+    val full = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs { count rows { phase } } } }""").head().getStruct(0)
+    val paged = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs(size: 3) { count rows { phase } } } }""").head().getStruct(0)
+    assert(full.getLong(0) > 3)
+    assert(paged.getLong(0) == full.getLong(0)) // count = total
+    assert(paged.getSeq[Row](1) == full.getSeq[Row](1).take(3)) // rows = head
+    val e = intercept[ParseError] {
+      GraphQl.execute(kg,
+        """{ disease(efoId: "x") { knownDrugs(size: "ten") { count } } }""")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer"))
+  }
+
+  test("execute: linkedTargets ranks ascending from 1") {
+    val got = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_1") { name
+           linkedTargets { rows { rank target { approvedSymbol } } } } }""")
+      .head()
+    val ranks = got.getStruct(1).getSeq[Row](0).map(_.getInt(0))
+    assert(ranks == (1 to ranks.length))
+  }
+}
