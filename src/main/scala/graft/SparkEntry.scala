@@ -2485,7 +2485,23 @@ object SparkEntry {
           col("shard").cast("long").as("shard"),
           col("pos").cast("long").as("pos"))
         .orderBy("shard", "pos")
-    })
+    }),
+
+    // the opentargets_query.py search shape: entity-filtered substring
+    // search with list-valued entityNames, hits ordered (name, id)
+    "q157_graphql_search" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             search(queryString: "red", entityNames: ["target", "drug"]) {
+               total
+               hits { id name entity }
+             }
+           }""")
+        .select(col("total"), posexplode(col("hits")).as(Seq("rn", "r")))
+        .select(col("total"), (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("id"), col("r.name").as("name"),
+          col("r.entity").as("entity"))
+        .orderBy("rn"))
   )
 
   /** q151's pinned merge table: chains that actually fire on the
@@ -4333,6 +4349,19 @@ object SparkEntry {
          SELECT doc_id, lang, n_tok, CAST(shard AS BIGINT) AS shard,
            CAST(row_number() OVER
              (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
-         FROM b ORDER BY shard, pos"""
+         FROM b ORDER BY shard, pos""",
+    "q157_graphql_search" ->
+      """WITH hits AS (
+           SELECT 'TGT_' || p_partkey AS id, p_name AS name,
+             'target' AS entity
+           FROM part WHERE lower(p_name) LIKE '%red%'
+           UNION ALL
+           SELECT 'DRG_' || s_suppkey AS id, s_name AS name,
+             'drug' AS entity
+           FROM supplier WHERE lower(s_name) LIKE '%red%')
+         SELECT (SELECT count(*) FROM hits) AS total,
+           row_number() OVER (ORDER BY name, id) AS rn,
+           id, name, entity
+         FROM hits ORDER BY rn"""
   )
 }

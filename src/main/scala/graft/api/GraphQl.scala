@@ -65,7 +65,7 @@ object GraphQl {
       val c = q(i)
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < q.length && q(i) != '\n') i += 1 }
-      else if ("{}():".contains(c)) { out += Punct(c); i += 1 }
+      else if ("{}():[]".contains(c)) { out += Punct(c); i += 1 }
       else if (c == '"') {
         val sb = new StringBuilder; i += 1
         while (i < q.length && q(i) != '"') {
@@ -120,6 +120,18 @@ object GraphQl {
               case Str(v) => args += k -> v
               case Num(v) => args += k -> v
               case Name(v) => args += k -> v // enum value
+              case Punct('[') =>
+                // list value (entityNames: ["disease"]) — stored
+                // comma-joined; the item values never contain commas
+                val items = Seq.newBuilder[String]
+                var closed = false
+                while (!closed) next() match {
+                  case Punct(']') => closed = true
+                  case Str(v) => items += v
+                  case Name(v) => items += v
+                  case t => throw ParseError(s"bad list item $t for '$k'")
+                }
+                args += k -> items.result().mkString(",")
               case t => throw ParseError(s"bad argument value $t for '$k'")
             }
           case t => throw ParseError(s"bad argument list at $t")
@@ -319,18 +331,61 @@ object GraphQl {
       c.flat.agg(rowsArray(f.sel).as(f.name))
   }
 
+  /** The `search(queryString:, entityNames:)` root
+    * (/root/reference/opentargets_query.py:7-13): case-insensitive
+    * substring match over the selected entity tables' display names,
+    * hits deterministically ordered (name, id) — the engine-side
+    * stand-in for the server's relevance order. The substring scan is
+    * the server's own semantics; `operators.InvertedIndex` is this
+    * engine's indexed scale path for the same need.
+    */
+  private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val qs = root.args.getOrElse("queryString", throw ParseError(
+      "search requires the queryString argument"))
+    val entities = root.args.get("entityNames")
+      .map(_.split(',').toSeq).getOrElse(Seq("disease", "target", "drug"))
+    val rel = entities.map {
+      case "disease" => kg.diseases
+        .select(col("id"), col("name"), lit("disease").as("entity"))
+      case "target" => kg.targets
+        .select(col("id"), col("approvedSymbol").as("name"),
+          lit("target").as("entity"))
+      case "drug" => kg.drugs
+        .select(col("id"), col("name"), lit("drug").as("entity"))
+      case other => throw ParseError(
+        s"unknown entity '$other' in entityNames — supported: disease, target, drug")
+    }.reduce(_.unionByName(_))
+      .filter(lower(col("name")).contains(qs.toLowerCase))
+    val parts = root.sel.map {
+      case Field("total", _, Seq()) => count(lit(1)).as("total")
+      case Field("hits", _, sel) =>
+        if (sel.isEmpty) throw ParseError("search hits need a selection")
+        val payload = entityStruct("hit", sel, Map(
+          "id" -> col("id"), "name" -> col("name"), "entity" -> col("entity")))
+        transform(
+          sort_array(collect_list(struct(col("name").as("__k0"),
+            col("id").as("__k1"), payload.as("__p")))),
+          x => x.getField("__p")).as("hits")
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on search — supported: total, hits")
+    }
+    if (parts.isEmpty) throw ParseError("search needs a selection")
+    rel.agg(parts.head, parts.tail: _*)
+  }
+
   /** Execute `query` against the knowledge graph. One row out (the
     * GraphQL `data` object); nested columns in selection order.
     */
   def execute(kg: KnowledgeGraph, query: String): DataFrame = {
     val root = parse(query)
+    if (root.name == "search") return executeSearch(kg, root)
     val (entity, keyArg, base) = root.name match {
       case "disease" => ("disease", "efoId", kg.diseases)
       case "target" => ("target", "ensemblId", kg.targets)
       case "drug" => ("drug", "chemblId", kg.drugs)
       case other => throw ParseError(
         s"unknown root '$other' — supported: disease(efoId:), " +
-          "target(ensemblId:), drug(chemblId:)")
+          "target(ensemblId:), drug(chemblId:), search(queryString:)")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

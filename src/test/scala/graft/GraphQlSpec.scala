@@ -166,6 +166,39 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(e.getMessage.contains("integer"))
   }
 
+  test("execute: search root — the opentargets_query.py shape verbatim") {
+    // /root/reference/opentargets_query.py:7-13, id constants aside
+    val got = GraphQl.execute(kg, """
+    {
+      search(queryString: "red", entityNames: ["target"]) {
+        total
+        hits {
+          id
+          name
+        }
+      }
+    }
+    """).head()
+    val total = got.getLong(0)
+    val hits = got.getSeq[Row](1)
+    assert(total == hits.length && total > 0)
+    assert(hits.forall(_.getString(0).startsWith("TGT_")))
+    // deterministic relevance order: (name, id) ascending
+    val names = hits.map(_.getString(1))
+    assert(names == names.sorted)
+    // every hit actually matches
+    assert(names.forall(_.toLowerCase.contains("red")))
+    // default entityNames spans all three entity tables
+    val all = GraphQl.execute(kg,
+      """{ search(queryString: "red") { total } }""").head().getLong(0)
+    assert(all >= total)
+    val bad = intercept[ParseError] {
+      GraphQl.execute(kg,
+        """{ search(queryString: "x", entityNames: ["gene"]) { total } }""")
+    }
+    assert(bad.getMessage.contains("unknown entity"))
+  }
+
   test("execute: linkedTargets ranks ascending from 1") {
     val got = GraphQl.execute(kg,
       """{ drug(chemblId: "DRG_1") { name

@@ -166,6 +166,25 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregation before the exchange:\n${plan.take(2000)}")
   }
 
+  test("q152 GraphQL: the root key filter is pushed into the edge-index scan") {
+    // the point-lookup contract: each connection filters its edge
+    // relation by the root key BEFORE aggregating, and with the
+    // persisted KG index that filter must reach the parquet scan —
+    // the shape that makes a 100 TB edge relation partition-prunable
+    val plan = query("q152_graphql_known_drugs")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(disease_id,DIS_BUILDING)"),
+      s"root-key filter not pushed into the knownDrugs index scan:\n$plan")
+  }
+
+  test("q152 GraphQL: connection results broadcast back onto the root") {
+    val plan = executedPlan(query("q152_graphql_known_drugs"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row connection result not broadcast:\n$plan")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec. Exemption: RRF's rank windows (q138) run over inputs that
