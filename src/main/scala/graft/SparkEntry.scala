@@ -2501,6 +2501,37 @@ object SparkEntry {
         .select(col("total"), (col("rn") + 1).cast("long").as("rn"),
           col("r.id").as("id"), col("r.name").as("name"),
           col("r.entity").as("entity"))
+        .orderBy("rn")),
+
+    // the x2.py prompt_get_drugs_for_target template verbatim (id
+    // constant aside): the Drug facet block — synonyms / drugType /
+    // isApproved / maximumClinicalTrialPhase, the last DERIVED from
+    // the knownDrugs edge rollup like the platform's own ETL
+    "q158_graphql_drug_facets" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             target(ensemblId: "TGT_2") {
+               knownDrugs {
+                 rows {
+                   drug {
+                     id
+                     name
+                     synonyms
+                     drugType
+                     isApproved
+                     maximumClinicalTrialPhase
+                   }
+                 }
+               }
+             }
+           }""")
+        .select(posexplode(col("knownDrugs.rows")).as(Seq("rn", "r")))
+        .select((col("rn") + 1).cast("long").as("rn"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("name"),
+          array_join(col("r.drug.synonyms"), "|").as("synonyms"),
+          col("r.drug.drugType").as("drug_type"),
+          col("r.drug.isApproved").as("is_approved"),
+          col("r.drug.maximumClinicalTrialPhase").as("max_phase"))
         .orderBy("rn"))
   )
 
@@ -4362,6 +4393,33 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM hits) AS total,
            row_number() OVER (ORDER BY name, id) AS rn,
            id, name, entity
-         FROM hits ORDER BY rn"""
+         FROM hits ORDER BY rn""",
+    // target.knownDrugs rows for TGT_2 sorted (drug_id, disease_id);
+    // max_phase rolls up over ALL the drug's edges, not just TGT_2's
+    "q158_graphql_drug_facets" ->
+      """WITH allkd AS (
+           SELECT 'DIS_' || c_mktsegment AS dis,
+             'TGT_' || l_partkey AS tgt,
+             'DRG_' || l_suppkey AS drug_id,
+             round(least(4.0, count(*) / 10.0), 1) AS phase
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3),
+         mp AS (SELECT drug_id, max(phase) AS maxph FROM allkd GROUP BY 1),
+         mine AS (
+           SELECT dis, drug_id,
+             row_number() OVER (ORDER BY drug_id, dis) AS rn
+           FROM allkd WHERE tgt = 'TGT_2')
+         SELECT m.rn, m.drug_id, s.s_name AS name,
+           s.s_name || '|SUP-' || s.s_suppkey AS synonyms,
+           lower(n.n_name) AS drug_type,
+           s.s_acctbal >= 0 AS is_approved,
+           mp.maxph AS max_phase
+         FROM mine m
+         JOIN supplier s ON 'DRG_' || s.s_suppkey = m.drug_id
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         LEFT JOIN mp ON mp.drug_id = m.drug_id
+         ORDER BY rn"""
   )
 }

@@ -188,7 +188,10 @@ object GraphQl {
   private val Scalars: Map[(String, String), String] = Map(
     ("disease", "id") -> "id", ("disease", "name") -> "name",
     ("target", "id") -> "id", ("target", "approvedSymbol") -> "approvedSymbol",
-    ("drug", "id") -> "id", ("drug", "name") -> "name")
+    ("drug", "id") -> "id", ("drug", "name") -> "name",
+    ("drug", "synonyms") -> "synonyms", ("drug", "drugType") -> "drugType",
+    ("drug", "isApproved") -> "isApproved",
+    ("drug", "maximumClinicalTrialPhase") -> "maximumClinicalTrialPhase")
 
   private def entityStruct(entity: String, sel: Seq[Field],
                            fields: Map[String, Column]): Column = {
@@ -218,15 +221,21 @@ object GraphQl {
       df.join(kg.targets.select(col("id").as("__t_id"),
         col("approvedSymbol").as("__t_sym")), col(on) === col("__t_id"))
     def drg(df: DataFrame, on: String): DataFrame =
-      df.join(kg.drugs.select(col("id").as("__d_id"),
-        col("name").as("__d_name")), col(on) === col("__d_id"))
+      df.join(kg.drugDetails.select(col("id").as("__d_id"),
+        col("name").as("__d_name"), col("drugType").as("__d_type"),
+        col("isApproved").as("__d_appr"), col("synonyms").as("__d_syn"),
+        col("maximumClinicalTrialPhase").as("__d_maxph")),
+        col(on) === col("__d_id"))
     def dis(df: DataFrame, on: String): DataFrame =
       df.join(kg.diseases.select(col("id").as("__s_id"),
         col("name").as("__s_name")), col(on) === col("__s_id"))
     def targetField(f: Field) = entityStruct("target", f.sel,
       Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym")))
     def drugField(f: Field) = entityStruct("drug", f.sel,
-      Map("id" -> col("__d_id"), "name" -> col("__d_name")))
+      Map("id" -> col("__d_id"), "name" -> col("__d_name"),
+        "drugType" -> col("__d_type"), "isApproved" -> col("__d_appr"),
+        "synonyms" -> col("__d_syn"),
+        "maximumClinicalTrialPhase" -> col("__d_maxph")))
     def diseaseField(f: Field) = entityStruct("disease", f.sel,
       Map("id" -> col("__s_id"), "name" -> col("__s_name")))
     def bad(f: Field, supported: String): Nothing = throw ParseError(
@@ -382,7 +391,7 @@ object GraphQl {
     val (entity, keyArg, base) = root.name match {
       case "disease" => ("disease", "efoId", kg.diseases)
       case "target" => ("target", "ensemblId", kg.targets)
-      case "drug" => ("drug", "chemblId", kg.drugs)
+      case "drug" => ("drug", "chemblId", kg.drugDetails)
       case other => throw ParseError(
         s"unknown root '$other' — supported: disease(efoId:), " +
           "target(ensemblId:), drug(chemblId:), search(queryString:)")

@@ -60,6 +60,32 @@ final class KnowledgeGraph(spark: SparkSession, dir: String,
     t.supplier.select(concat(lit("DRG_"), col("s_suppkey")).as("id"),
       col("s_name").as("name"))
 
+  /** The Drug facet block (opentargets.schema Drug fields the
+    * reference selects — synonyms / drugType / isApproved /
+    * maximumClinicalTrialPhase, x2.py prompt_get_drugs_for_target and
+    * opentargets_query_targets_for_drug.py): drugType and approval
+    * derive from the supplier dimension (nation name / account
+    * standing — §7.1 mapping, names carry no semantics), synonyms is
+    * a deterministic two-element list, and the max clinical phase is
+    * DERIVED from the knownDrugs edge relation — the same
+    * evidence-rollup the platform's ETL performs, so the facet is a
+    * real aggregation, not a stored column.
+    */
+  def drugDetails: DataFrame = {
+    val maxPhase = knownDrugs.groupBy(col("drug_id"))
+      .agg(max(col("phase")).as("maximumClinicalTrialPhase"))
+      .withColumnRenamed("drug_id", "id")
+    t.supplier
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(concat(lit("DRG_"), col("s_suppkey")).as("id"),
+        col("s_name").as("name"),
+        lower(col("n_name")).as("drugType"),
+        (col("s_acctbal") >= 0).as("isApproved"),
+        array(col("s_name"),
+          concat(lit("SUP-"), col("s_suppkey"))).as("synonyms"))
+      .join(maxPhase, Seq("id"), "left")
+  }
+
   private def facts: DataFrame =
     t.lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))

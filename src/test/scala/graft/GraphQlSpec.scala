@@ -199,6 +199,21 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(bad.getMessage.contains("unknown entity"))
   }
 
+  test("execute: drug facet block — derived maximumClinicalTrialPhase") {
+    import org.apache.spark.sql.functions.{col, max}
+    val got = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_1") {
+           id name synonyms drugType isApproved maximumClinicalTrialPhase } }""")
+      .head()
+    assert(got.getString(0) == "DRG_1")
+    assert(got.getSeq[String](2) == Seq(got.getString(1), "SUP-1"))
+    assert(got.getString(3).nonEmpty) // drugType = nation name, lowered
+    // the facet is the knownDrugs edge rollup, not a stored column
+    val expected = kg.knownDrugs.filter(col("drug_id") === "DRG_1")
+      .agg(max(col("phase"))).head().getDouble(0)
+    assert(got.getDouble(5) == expected)
+  }
+
   test("execute: linkedTargets ranks ascending from 1") {
     val got = GraphQl.execute(kg,
       """{ drug(chemblId: "DRG_1") { name
