@@ -63,4 +63,17 @@ object Graft {
     */
   def graphql(spark: SparkSession, dir: String, query: String): DataFrame =
     api.GraphQl.execute(api.KnowledgeGraph(spark, dir), query)
+
+  /** [[graphql]] rendered as the JSON `data` object — the reference's
+    * actual return type (`query_opentargets.py` returns the parsed
+    * JSON response and pretty-prints it). Returns the JSON text, or
+    * None when the root entity does not exist (GraphQL's null data).
+    */
+  def graphqlJson(spark: SparkSession, dir: String, query: String): Option[String] = {
+    val df = graphql(spark, dir, query)
+    val cols = df.columns.map(org.apache.spark.sql.functions.col)
+    df.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(cols: _*)).as("json"))
+      .collect().headOption.map(_.getString(0))
+  }
 }

@@ -222,4 +222,38 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     val ranks = got.getStruct(1).getSeq[Row](0).map(_.getInt(0))
     assert(ranks == (1 to ranks.length))
   }
+
+  test("execute: target.associatedDiseases mirrors disease.associatedTargets") {
+    import org.apache.spark.sql.functions.col
+    val tid = kg.associatedTargets.orderBy("target_id")
+      .select("target_id").head().getString(0)
+    val got = GraphQl.execute(kg,
+      s"""{ target(ensemblId: "$tid") {
+           associatedDiseases { rows { score disease { id name } } } } }""")
+      .head().getStruct(0).getSeq[Row](0)
+    val want = kg.associatedTargets.filter(col("target_id") === tid).count()
+    assert(got.length == want && got.nonEmpty)
+    val scores = got.map(_.getDouble(0))
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("parse: whitespace/comma/comment layout never changes the AST") {
+    val base = """query Q { disease(efoId: "X", size: 5) { id name
+      knownDrugs { count rows { phase drug { id } } } } }"""
+    val variants = Seq(
+      base.replace(" ", "\n"),
+      base.replace(",", " , ").replace("{", " { "),
+      base.replace("} }", "}\n# tail comment\n}"),
+      "  \n" + base.replace("{ id", "{\n# c\nid,"))
+    val want = GraphQl.parse(base)
+    variants.foreach(v => assert(GraphQl.parse(v) == want, v))
+  }
+
+  test("graphqlJson renders the data object; missing root is None") {
+    val json = Graft.graphqlJson(spark, sfDir,
+      """{ disease(efoId: "DIS_BUILDING") { id name } }""")
+    assert(json.contains("""{"id":"DIS_BUILDING","name":"BUILDING"}"""))
+    assert(Graft.graphqlJson(spark, sfDir,
+      """{ disease(efoId: "DIS_NOPE") { id } }""").isEmpty)
+  }
 }
