@@ -2532,7 +2532,41 @@ object SparkEntry {
           col("r.drug.drugType").as("drug_type"),
           col("r.drug.isApproved").as("is_approved"),
           col("r.drug.maximumClinicalTrialPhase").as("max_phase"))
-        .orderBy("rn"))
+        .orderBy("rn")),
+
+    // ---------------- expectations gate with quarantine ----------------
+    // The write-audit-publish split: rows passing every check publish,
+    // rows failing ANY land in quarantine with a `failed_checks`
+    // evidence column. Output = the quarantine side + the publish-side
+    // count riding along as a constant column, so BOTH sides are under
+    // the hash.
+    "q159_quarantine" -> ((s, dir) => {
+      import Quality.RowCheck
+      val checks = Seq(
+        RowCheck("qty_le_30", "l_quantity", col("l_quantity") <= 30),
+        RowCheck("disc_le_05", "l_discount", col("l_discount") <= 0.05),
+        RowCheck("price_pos", "l_extendedprice", col("l_extendedprice") > 0))
+      val (pass, quar) = Quality.quarantine(t(s, dir).lineitem, checks)
+      val nPass = pass.agg(count(lit(1)).as("n_pass"))
+      quar.select(col("l_orderkey"), col("l_linenumber"), col("failed_checks"))
+        .crossJoin(broadcast(nPass))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---------------- ORC storage roundtrip ----------------
+    // second columnar format next to parquet (q106/q97 cover
+    // compaction/JSONL): write-once ORC artifact, read back with
+    // predicates — the plan audit asserts they reach the ORC scan
+    "q160_orc_roundtrip" -> ((s, dir) => {
+      val path = fixturePath("orc", dir, "documents")
+      Artifact.ensure(path) { tmp =>
+        t(s, dir).documents.write.mode("overwrite").orc(tmp)
+      }
+      s.read.orc(path)
+        .filter(col("lang") === "en" && col("n_chars") > 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    })
   )
 
   /** q151's pinned merge table: chains that actually fire on the
@@ -4420,6 +4454,27 @@ object SparkEntry {
          JOIN supplier s ON 'DRG_' || s.s_suppkey = m.drug_id
          JOIN nation n ON n.n_nationkey = s.s_nationkey
          LEFT JOIN mp ON mp.drug_id = m.drug_id
-         ORDER BY rn"""
+         ORDER BY rn""",
+    "q159_quarantine" ->
+      """WITH f AS (
+           SELECT l_orderkey, l_linenumber,
+             l_quantity <= 30 AS ok1,
+             l_discount <= 0.05 AS ok2,
+             l_extendedprice > 0 AS ok3
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           concat_ws(',',
+             CASE WHEN NOT ok1 THEN 'qty_le_30' END,
+             CASE WHEN NOT ok2 THEN 'disc_le_05' END,
+             CASE WHEN NOT ok3 THEN 'price_pos' END) AS failed_checks,
+           (SELECT count(*) FROM f WHERE ok1 AND ok2 AND ok3) AS n_pass
+         FROM f WHERE NOT (ok1 AND ok2 AND ok3)
+         ORDER BY l_orderkey, l_linenumber""",
+    // the roundtrip IS the check: ORC-written rows must read back
+    // byte-identical to the parquet the oracle scans
+    "q160_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE lang = 'en' AND n_chars > 500
+         ORDER BY doc_id"""
   )
 }

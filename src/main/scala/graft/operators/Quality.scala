@@ -49,6 +49,32 @@ object Quality {
       .select("r.*")
   }
 
+  /** Expectations gate with quarantine: split the relation into rows
+    * passing ALL checks and rows failing ANY (null predicate results
+    * fail, same null-hostile semantics as [[rowChecks]]); the
+    * quarantine side carries a `failed_checks` column naming every
+    * violated check (comma-joined, declaration order) — the evidence
+    * a triage pass needs. The DLT-expectations / write-audit-publish
+    * shape: the good rows publish, the bad rows land in a side table
+    * with their reasons, nothing is silently dropped.
+    *
+    * Both sides are pure filters over the same scan — each check
+    * evaluates in the scan stage (codegen, no shuffle); writing the
+    * two sides re-reads the source rather than caching it, the right
+    * trade at 100 TB where the quarantine side is ~empty and a cache
+    * of the full relation would be pure cost.
+    */
+  def quarantine(df: DataFrame, checks: Seq[RowCheck])
+      : (DataFrame, DataFrame) = {
+    require(checks.nonEmpty)
+    val oks = checks.map(c => coalesce(c.ok, lit(false)))
+    val allOk = oks.reduce(_ && _)
+    val failed = concat_ws(",", checks.zip(oks).map { case (c, ok) =>
+      when(!ok, lit(c.name)) }: _*)
+    (df.filter(allOk),
+      df.filter(!allOk).withColumn("failed_checks", failed))
+  }
+
   /** Key-uniqueness check: `violations` = surplus rows beyond one per
     * key (0 ⇔ key is unique). One keyed count — partial-aggregable.
     */

@@ -185,6 +185,12 @@ class PlanAuditSpec extends SparkSpec {
       s"1-row connection result not broadcast:\n$plan")
   }
 
+  test("q160 ORC: predicates are pushed into the ORC scan") {
+    val plan = query("q160_orc_roundtrip").queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,en)"),
+      s"filters not pushed into the ORC scan:\n$plan")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec. Exemption: RRF's rank windows (q138) run over inputs that

@@ -42,6 +42,26 @@ class QualityBfsSpec extends SparkSpec {
     assert(ref.getLong(2) == 1L && ref.getLong(3) == 4L) // k=3 orphaned
   }
 
+  test("quarantine: pass/fail split with named evidence; nulls fail") {
+    import Quality.RowCheck
+    val df = Seq[(Long, java.lang.Long, String)](
+      (1L, 5L, "A"),      // passes both
+      (2L, 50L, "A"),     // fails range
+      (3L, 5L, "Z"),      // fails accepted
+      (4L, null, "Z"))    // fails BOTH (null range is null-hostile)
+      .toDF("id", "v", "flag")
+    val checks = Seq(
+      RowCheck("range", "v", col("v") <= 10),
+      RowCheck("accepted", "flag", col("flag").isin("A", "B")))
+    val (pass, quar) = Quality.quarantine(df, checks)
+    assert(pass.select("id").as[Long].collect().toSeq == Seq(1L))
+    val got = quar.select(col("id"), col("failed_checks"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2L, "range"), (3L, "accepted"), (4L, "range,accepted")))
+    // nothing silently dropped: the two sides partition the input
+    assert(pass.count() + quar.count() == df.count())
+  }
+
   test("shortestHops: min distance wins, anti-join prevents relabeling") {
     // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
