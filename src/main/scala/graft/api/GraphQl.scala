@@ -216,18 +216,27 @@ object GraphQl {
                                 rowField: Field => Column)
 
   private def conn(kg: KnowledgeGraph, entity: String, name: String,
-                   rootKey: String): Conn = {
+                   rootKey: String, selected: Set[String]): Conn = {
+    // Sub-entity tables join in ONLY when the row selection actually
+    // references them: Catalyst cannot drop an unused inner join on
+    // FK-integrity grounds itself, and a `knownDrugs { rows { phase
+    // drug {...} } }` query must not pay a targets join it never
+    // reads. The edge columns (ids, score, rank, phase) are on the
+    // edge relation and need no join at all.
     def tgt(df: DataFrame, on: String): DataFrame =
-      df.join(kg.targets.select(col("id").as("__t_id"),
+      if (!selected("target")) df
+      else df.join(kg.targets.select(col("id").as("__t_id"),
         col("approvedSymbol").as("__t_sym")), col(on) === col("__t_id"))
     def drg(df: DataFrame, on: String): DataFrame =
-      df.join(kg.drugDetails.select(col("id").as("__d_id"),
+      if (!selected("drug")) df
+      else df.join(kg.drugDetails.select(col("id").as("__d_id"),
         col("name").as("__d_name"), col("drugType").as("__d_type"),
         col("isApproved").as("__d_appr"), col("synonyms").as("__d_syn"),
         col("maximumClinicalTrialPhase").as("__d_maxph")),
         col(on) === col("__d_id"))
     def dis(df: DataFrame, on: String): DataFrame =
-      df.join(kg.diseases.select(col("id").as("__s_id"),
+      if (!selected("disease")) df
+      else df.join(kg.diseases.select(col("id").as("__s_id"),
         col("name").as("__s_name")), col(on) === col("__s_id"))
     def targetField(f: Field) = entityStruct("target", f.sel,
       Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym")))
@@ -303,7 +312,12 @@ object GraphQl {
   /** Build the connection's single-row (one column) relation. */
   private def connectionDf(kg: KnowledgeGraph, entity: String, f: Field,
                            rootKey: String): DataFrame = {
-    val c = conn(kg, entity, f.name, rootKey)
+    // field names the row selection references, for selection-driven
+    // sub-entity joins: rows-wrapped connections read their `rows`
+    // selection (count-only queries join nothing), pathways its own
+    val rowNames = f.sel.find(_.name == "rows").map(_.sel.map(_.name))
+      .getOrElse(f.sel.map(_.name)).toSet
+    val c = conn(kg, entity, f.name, rootKey, rowNames)
     // the schema's pagination argument: rows is the sorted head of
     // the connection — also the scale guard that keeps one entity's
     // collected array bounded when its edge list is crawl-sized
@@ -352,7 +366,8 @@ object GraphQl {
     val qs = root.args.getOrElse("queryString", throw ParseError(
       "search requires the queryString argument"))
     val entities = root.args.get("entityNames")
-      .map(_.split(',').toSeq).getOrElse(Seq("disease", "target", "drug"))
+      .map(_.split(',').toSeq.distinct)
+      .getOrElse(Seq("disease", "target", "drug"))
     val rel = entities.map {
       case "disease" => kg.diseases
         .select(col("id"), col("name"), lit("disease").as("entity"))

@@ -237,6 +237,24 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(scores == scores.sorted.reverse)
   }
 
+  test("execute: unselected sub-entities never join into the plan") {
+    // count-only knownDrugs reads the edge relation alone — the
+    // targets (part) and drugs (supplier) tables must not appear in
+    // the plan at all (Catalyst cannot drop unused inner joins itself)
+    val df = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { knownDrugs { count } } }""")
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("p_name") && !plan.contains("s_name"),
+      s"unselected sub-entity tables joined in:\n$plan")
+    // and selecting drug fields pulls in supplier but still not part
+    val df2 = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs { rows { phase drug { id name } } } } }""")
+    val plan2 = df2.queryExecution.optimizedPlan.toString()
+    assert(plan2.contains("s_name") && !plan2.contains("p_name"),
+      s"selection-driven joins wrong:\n$plan2")
+  }
+
   test("parse: whitespace/comma/comment layout never changes the AST") {
     val base = """query Q { disease(efoId: "X", size: 5) { id name
       knownDrugs { count rows { phase drug { id } } } } }"""
