@@ -2337,20 +2337,27 @@ object SparkEntry {
     // sequential greedy encoder word by word.
     "q151_bpe_encode" -> ((s, dir) => {
       if (SelfCheck.fixtureExists) SelfCheck.once("q151/fixture") {
-        import s.implicits._
         val docs = t(s, SelfCheck.FixtureDir).documents
         val words = docs.select(explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0).distinct()
-          .as[String].collect().toSeq.sorted
+          .collect().map(_.getString(0)).toSeq.sorted
         // one Spark job over the distinct vocabulary (each word is its
         // own single-word doc), compared word-by-word with the
         // sequential greedy reference
+        import scala.jdk.CollectionConverters._
+        val wordsDf = s.createDataFrame(
+          words.zipWithIndex.map { case (w, i) =>
+            org.apache.spark.sql.Row(i.toLong, w) }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
         val viaSpark = graft.operators.BpeLearn
-          .encode(words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
-              .toDF("doc_id", "text"),
-            "doc_id", col("text"), BpeMerges)
+          .encode(wordsDf, "doc_id", col("text"), BpeMerges)
           .select(col("doc_id"), col("tokens"))
-          .as[(Long, Seq[String])].collect().toMap
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
         words.zipWithIndex.foreach { case (w, i) =>
           val want = graft.operators.BpeLearn.encodeLocal(w, BpeMerges)
           require(viaSpark(i.toLong) == want,
