@@ -2573,6 +2573,41 @@ object SparkEntry {
         .filter(col("lang") === "en" && col("n_chars") > 500)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------- file-stats manifest + skip scan ----------------
+    // The table-format data-skipping discipline: a range-clustered
+    // layout gives each file a tight n_chars interval, the manifest
+    // records per-file min/max, and the scan reads ONLY admitted
+    // files. Oracle = the plain filter (skipping must be invisible in
+    // the result); the in-query invariant asserts files were actually
+    // skipped and the pruned result equals the unpruned one.
+    "q161_manifest_skip" -> ((s, dir) => {
+      import graft.sources.FileManifest
+      val path = fixturePath("rangeclust", dir, "documents")
+      Artifact.ensure(path) { tmp =>
+        t(s, dir).documents
+          .repartitionByRange(8, col("n_chars"))
+          .sortWithinPartitions(col("n_chars"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val manifest = FileManifest.build(s, path, Seq("n_chars"))
+      SelfCheck.every(s"q161/$dir") {
+        val total = manifest.count()
+        val admitted = FileManifest.admittedCount(manifest, "n_chars", 200, 260)
+        require(admitted < total && admitted >= 1,
+          s"q161 no skipping: admitted $admitted of $total files")
+        val pruned = FileManifest
+          .prunedScan(s, path, manifest, "n_chars", 200, 260).count()
+        val full = s.read.parquet(path)
+          .filter(col("n_chars").between(200, 260)).count()
+        require(pruned == full, s"q161 pruned $pruned != full $full")
+        SelfCheck.note(s"skip scan read $admitted of $total files; " +
+          s"pruned rows == unpruned rows ($full)")
+      }
+      FileManifest.prunedScan(s, path, manifest, "n_chars", 200, 260)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4482,6 +4517,12 @@ object SparkEntry {
     "q160_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE lang = 'en' AND n_chars > 500
+         ORDER BY doc_id""",
+    // skipping must be invisible in the result: the oracle is the
+    // plain unpruned filter
+    "q161_manifest_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars BETWEEN 200 AND 260
          ORDER BY doc_id"""
   )
 }

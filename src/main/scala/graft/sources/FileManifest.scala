@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level statistics manifest + stats-pruned scans — the
+  * table-format data-skipping discipline (what Iceberg manifests /
+  * Delta file stats do) as plain relations over a plain parquet
+  * directory. `Compaction.clusteredWrite`/`zorderWrite` give each
+  * file a TIGHT value range; the manifest records per-file min/max
+  * per column, and a selective scan consults the manifest FIRST,
+  * reading only the files whose interval can intersect the
+  * predicate.
+  *
+  * Why it matters at 100 TB: directory `partitionBy` prunes on the
+  * partition column only; row-group min/max inside parquet footers
+  * prune pages but every file is still OPENED. The manifest prunes at
+  * the FILE level before any footer is touched, on any stats column —
+  * the difference between listing 10⁶ files and reading 10² of them
+  * for a point-range query.
+  *
+  * Planner-state contract: the pruned file LIST is driver-side —
+  * manifest-sized, the same class of state any query planner holds
+  * (file listings, partition indexes). The manifest itself builds as
+  * ONE distributed aggregation keyed on `input_file_name()` and can
+  * be persisted next to the data like any artifact; data rows never
+  * reach the driver.
+  *
+  * Correctness contract (the q161 oracle): a stats-pruned scan is
+  * EXACTLY equivalent to the unpruned filter — a file whose
+  * [min, max] interval misses the predicate range cannot contain a
+  * matching row. Reference scope: single-CSV checkpoints
+  * (/root/reference/x2.2.py:361-405) make skipping a no-op at that
+  * scale; it is a first-class operator at this one.
+  */
+object FileManifest {
+
+  /** Per-file (min, max, rows) stats for `cols` over a parquet
+    * layout: one scan, one agg keyed on the file name. Columns come
+    * back as `file, n_rows, min_<c>, max_<c>...`.
+    */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Scan `dir` for rows with `lo <= c <= hi`, reading ONLY files the
+    * manifest admits (interval overlap: max_c >= lo AND min_c <= hi;
+    * all-null files carry null stats and are skipped — they cannot
+    * match a range predicate). The residual filter still applies —
+    * skipping is an optimization, never the filter itself.
+    */
+  def prunedScan(spark: SparkSession, dir: String, manifest: DataFrame,
+                 c: String, lo: Any, hi: Any): DataFrame = {
+    val admitted = manifest
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    if (admitted.isEmpty)
+      spark.read.parquet(dir).filter(lit(false)) // keep the schema
+    else
+      spark.read.parquet(admitted.toIndexedSeq: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
+  /** How many files the manifest admits for [lo, hi] — the skipping
+    * evidence (specs assert admitted < total on clustered layouts).
+    */
+  def admittedCount(manifest: DataFrame, c: String, lo: Any, hi: Any): Long =
+    manifest.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .count()
+}

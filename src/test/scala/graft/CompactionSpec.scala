@@ -91,4 +91,31 @@ class CompactionSpec extends SparkSpec {
       (xhi - xlo) < 63 || (yhi - ylo) < 63 },
       "a z-ordered file spans the full range in both dimensions")
   }
+
+  test("FileManifest: stats are per-file exact; pruned scan ≡ unpruned filter; skipping real") {
+    import graft.sources.FileManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 7).as("k"))
+    df.repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val m = FileManifest.build(spark, dir, Seq("id"))
+    val rows = m.collect()
+    assert(rows.length == 5 && rows.map(_.getAs[Long]("n_rows")).sum == 1000)
+    // per-file intervals are disjoint and tile [0, 999] (range layout)
+    val ivs = rows.map(r => (r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+      .sortBy(_._1)
+    assert(ivs.head._1 == 0 && ivs.last._2 == 999)
+    ivs.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
+    // narrow predicate admits strictly fewer files than total
+    val admitted = FileManifest.admittedCount(m, "id", 100, 150)
+    assert(admitted >= 1 && admitted < 5, s"admitted=$admitted")
+    // and the pruned scan is value-identical to the plain filter
+    val pruned = FileManifest.prunedScan(spark, dir, m, "id", 100, 150)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned == (100L to 150L))
+    // empty admission: schema survives, zero rows
+    val none = FileManifest.prunedScan(spark, dir, m, "id", 5000, 6000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "k"))
+  }
 }
