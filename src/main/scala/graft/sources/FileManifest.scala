@@ -55,21 +55,41 @@ object FileManifest {
     * skipping is an optimization, never the filter itself.
     */
   def prunedScan(spark: SparkSession, dir: String, manifest: DataFrame,
-                 c: String, lo: Any, hi: Any): DataFrame = {
-    val admitted = manifest
-      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+                 c: String, lo: Any, hi: Any): DataFrame =
+    prunedScanRanges(spark, dir, manifest, Seq((c, lo, hi)))
+
+  /** Multi-range form: admit a file only when EVERY predicate range
+    * intersects its interval — over a z-ordered layout
+    * (`Compaction.zorderWrite` gives each file a tight bounding BOX)
+    * a 2-D box predicate prunes on both dimensions at once, which a
+    * single linear sort key cannot.
+    */
+  def prunedScanRanges(spark: SparkSession, dir: String, manifest: DataFrame,
+                       ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty)
+    val admitted = manifest.filter(admission(ranges))
       .select("file").collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (admitted.isEmpty)
       spark.read.parquet(dir).filter(lit(false)) // keep the schema
     else
-      spark.read.parquet(admitted.toIndexedSeq: _*)
-        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      spark.read.parquet(admitted.toIndexedSeq: _*).filter(residual)
   }
 
-  /** How many files the manifest admits for [lo, hi] — the skipping
-    * evidence (specs assert admitted < total on clustered layouts).
+  private def admission(ranges: Seq[(String, Any, Any)])
+      : org.apache.spark.sql.Column =
+    ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+
+  /** How many files the manifest admits — the skipping evidence
+    * (specs assert admitted < total on clustered layouts).
     */
   def admittedCount(manifest: DataFrame, c: String, lo: Any, hi: Any): Long =
-    manifest.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
-      .count()
+    admittedCountRanges(manifest, Seq((c, lo, hi)))
+
+  def admittedCountRanges(manifest: DataFrame,
+                          ranges: Seq[(String, Any, Any)]): Long =
+    manifest.filter(admission(ranges)).count()
 }

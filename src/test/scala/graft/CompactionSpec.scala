@@ -92,6 +92,26 @@ class CompactionSpec extends SparkSpec {
       "a z-ordered file spans the full range in both dimensions")
   }
 
+  test("FileManifest box prune over a z-ordered layout beats the 1-D prune") {
+    import spark.implicits._
+    import graft.sources.FileManifest
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val zDir = tmp("zmanifest")
+    Compaction.zOrderedWrite(grid, zDir, "x", "y", 16)
+    val m = FileManifest.build(spark, zDir, Seq("x", "y"))
+    val box = Seq(("x", 0L, 15L), ("y", 0L, 15L))
+    val boxAdmit = FileManifest.admittedCountRanges(m, box)
+    val xAdmit = FileManifest.admittedCount(m, "x", 0L, 15L)
+    // the y-range constraint must prune more files than x alone
+    assert(boxAdmit < xAdmit, s"box=$boxAdmit x-only=$xAdmit")
+    // and the box-pruned scan is value-identical to the plain filter
+    val got = FileManifest.prunedScanRanges(spark, zDir, m, box)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L to 15L).flatMap(x => (0L to 15L).map(y => (x, y))).toSet
+    assert(got == want)
+  }
+
   test("FileManifest: stats are per-file exact; pruned scan ≡ unpruned filter; skipping real") {
     import graft.sources.FileManifest
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
