@@ -2608,6 +2608,38 @@ object SparkEntry {
       FileManifest.prunedScan(s, path, manifest, "n_chars", 200, 260)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------- metadata count (manifest fast path) ----------------
+    // count(*) WHERE range answered FROM the manifest: fully-contained
+    // files contribute n_rows without being opened; only the (≤2 on a
+    // range tiling) boundary files are scanned. This is a metadata
+    // operation by design — the count resolves at planning time like
+    // SHOW STATS, and the oracle proves it exact against the full scan.
+    "q162_manifest_count" -> ((s, dir) => {
+      import graft.sources.FileManifest
+      val path = fixturePath("rangeclust", dir, "documents")
+      Artifact.ensure(path) { tmp =>
+        t(s, dir).documents
+          .repartitionByRange(8, col("n_chars"))
+          .sortWithinPartitions(col("n_chars"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val manifest = FileManifest.build(s, path, Seq("n_chars"))
+      val (n, boundary) = FileManifest
+        .prunedCount(s, path, manifest, "n_chars", 100, 400)
+      SelfCheck.every(s"q162/$dir") {
+        require(boundary <= 2,
+          s"q162 boundary files $boundary > 2 on a range tiling")
+        SelfCheck.note(s"metadata count scanned only $boundary boundary " +
+          s"file(s) of 8; n=$n")
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(n)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType))))
     })
   )
 
@@ -4523,6 +4555,10 @@ object SparkEntry {
     "q161_manifest_skip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 200 AND 260
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // the metadata count must equal the full scan's count exactly
+    "q162_manifest_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+         WHERE n_chars BETWEEN 100 AND 400"""
   )
 }

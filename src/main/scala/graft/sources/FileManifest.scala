@@ -83,6 +83,33 @@ object FileManifest {
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
 
+  /** Range COUNT answered from the manifest: files whose interval is
+    * FULLY CONTAINED in [lo, hi] contribute their `n_rows` without
+    * being opened (pure metadata); only BOUNDARY files — admitted but
+    * not contained — are scanned and residual-filtered. On a
+    * range-clustered layout a wide range touches two boundary files
+    * no matter how many files the corpus spans: the metadata-count
+    * optimization every table format's `count(*) WHERE` fast path
+    * performs. Returns (count, boundaryFilesScanned) so callers can
+    * assert the fast path actually engaged.
+    */
+  def prunedCount(spark: SparkSession, dir: String, manifest: DataFrame,
+                  c: String, lo: Any, hi: Any): (Long, Int) = {
+    val contained = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    val stats = manifest
+      .agg(coalesce(sum(when(contained, col("n_rows"))), lit(0L)).as("full"),
+        collect_list(when(admission(Seq((c, lo, hi))) && !contained,
+          col("file"))).as("boundary"))
+      .head()
+    val full = stats.getLong(0)
+    val boundary = stats.getSeq[String](1)
+    val partial =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi)).count()
+    (full + partial, boundary.size)
+  }
+
   /** How many files the manifest admits — the skipping evidence
     * (specs assert admitted < total on clustered layouts).
     */

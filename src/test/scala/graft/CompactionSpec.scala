@@ -137,5 +137,15 @@ class CompactionSpec extends SparkSpec {
     // empty admission: schema survives, zero rows
     val none = FileManifest.prunedScan(spark, dir, m, "id", 5000, 6000)
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "k"))
+    // metadata count: a mid-range over a disjoint range tiling scans
+    // at most the two boundary files; the count is exact regardless
+    val (n, scanned) = FileManifest.prunedCount(spark, dir, m, "id", 100, 699)
+    assert(n == 600 && scanned <= 2, s"n=$n scanned=$scanned")
+    // full range: every file fully contained, NOTHING scanned
+    val (all, zero) = FileManifest.prunedCount(spark, dir, m, "id", 0, 999)
+    assert(all == 1000 && zero == 0)
+    // empty range: no contribution either way
+    val (nothing, _) = FileManifest.prunedCount(spark, dir, m, "id", 5000, 6000)
+    assert(nothing == 0)
   }
 }
