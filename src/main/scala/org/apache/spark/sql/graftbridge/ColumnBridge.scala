@@ -24,4 +24,17 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply a SparkSessionExtensions' injected functions to a registry
+    * — the session-build step `spark.sql.extensions` performs,
+    * exposed (it is `private[sql]`) so specs can prove an extensions
+    * class injects what it claims without tearing down the shared
+    * test session.
+    */
+  def applyInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    ext.registerFunctions(registry)
+    ()
+  }
 }

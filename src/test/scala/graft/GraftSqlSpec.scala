@@ -43,4 +43,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("p_partkey"),
       s"filter did not reach the parquet scan:\n$plan")
   }
+
+  test("GraftExtensions injects every SQL function at session-build time") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // apply the extensions object to a registry the way session build
+    // does (config-only path: spark.sql.extensions=graft.GraftExtensions)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .applyInjectedFunctions(ext, reg)
+    Seq("cosine_sim", "dot_product", "hyperplane_sig",
+      "shingle_hash64", "jaro_winkler").foreach { n =>
+      assert(reg.functionExists(FunctionIdentifier(n)), s"missing $n")
+    }
+    // the injected builder yields a WORKING expression
+    val e = reg.lookupFunction(FunctionIdentifier("jaro_winkler"),
+      Seq(Literal("martha"), Literal("marhta")))
+    assert(math.abs(e.eval().asInstanceOf[Double] - 0.9611) < 1e-3)
+  }
 }
