@@ -132,6 +132,24 @@ object GraphQl {
                   case t => throw ParseError(s"bad list item $t for '$k'")
                 }
                 args += k -> items.result().mkString(",")
+              case Punct('{') =>
+                // object value (page: {index: 0, size: 25} — the
+                // schema's Pagination input, opentargets.schema:
+                // 1047-1050) — flattened into dotted arg keys;
+                // member values are scalars
+                var closed = false
+                while (!closed) next() match {
+                  case Punct('}') => closed = true
+                  case Name(sub) =>
+                    expect(':')
+                    next() match {
+                      case Str(v) => args += s"$k.$sub" -> v
+                      case Num(v) => args += s"$k.$sub" -> v
+                      case Name(v) => args += s"$k.$sub" -> v
+                      case t => throw ParseError(s"bad value $t for '$k.$sub'")
+                    }
+                  case t => throw ParseError(s"bad object member $t in '$k'")
+                }
               case t => throw ParseError(s"bad argument value $t for '$k'")
             }
           case t => throw ParseError(s"bad argument list at $t")
@@ -222,31 +240,41 @@ object GraphQl {
     // FK-integrity grounds itself, and a `knownDrugs { rows { phase
     // drug {...} } }` query must not pay a targets join it never
     // reads. The edge columns (ids, score, rank, phase) are on the
-    // edge relation and need no join at all.
+    // edge relation and need no join at all. The joins are LEFT — a
+    // GraphQL resolver nulls a missing sub-entity, it never drops the
+    // row — so `count` and `rows` agree even if an edge references an
+    // id the entity table lacks (the KG views are FK-consistent by
+    // construction; this pins resolver semantics regardless).
     def tgt(df: DataFrame, on: String): DataFrame =
       if (!selected("target")) df
       else df.join(kg.targets.select(col("id").as("__t_id"),
-        col("approvedSymbol").as("__t_sym")), col(on) === col("__t_id"))
+        col("approvedSymbol").as("__t_sym")),
+        col(on) === col("__t_id"), "left")
     def drg(df: DataFrame, on: String): DataFrame =
       if (!selected("drug")) df
       else df.join(kg.drugDetails.select(col("id").as("__d_id"),
         col("name").as("__d_name"), col("drugType").as("__d_type"),
         col("isApproved").as("__d_appr"), col("synonyms").as("__d_syn"),
         col("maximumClinicalTrialPhase").as("__d_maxph")),
-        col(on) === col("__d_id"))
+        col(on) === col("__d_id"), "left")
     def dis(df: DataFrame, on: String): DataFrame =
       if (!selected("disease")) df
       else df.join(kg.diseases.select(col("id").as("__s_id"),
-        col("name").as("__s_name")), col(on) === col("__s_id"))
-    def targetField(f: Field) = entityStruct("target", f.sel,
-      Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym")))
-    def drugField(f: Field) = entityStruct("drug", f.sel,
-      Map("id" -> col("__d_id"), "name" -> col("__d_name"),
-        "drugType" -> col("__d_type"), "isApproved" -> col("__d_appr"),
-        "synonyms" -> col("__d_syn"),
-        "maximumClinicalTrialPhase" -> col("__d_maxph")))
-    def diseaseField(f: Field) = entityStruct("disease", f.sel,
-      Map("id" -> col("__s_id"), "name" -> col("__s_name")))
+        col("name").as("__s_name")), col(on) === col("__s_id"), "left")
+    // a missing sub-entity resolves to a NULL object, not a struct of
+    // nulls — the GraphQL null the client's .get() chains expect
+    def targetField(f: Field) = when(col("__t_id").isNotNull,
+      entityStruct("target", f.sel,
+        Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym"))))
+    def drugField(f: Field) = when(col("__d_id").isNotNull,
+      entityStruct("drug", f.sel,
+        Map("id" -> col("__d_id"), "name" -> col("__d_name"),
+          "drugType" -> col("__d_type"), "isApproved" -> col("__d_appr"),
+          "synonyms" -> col("__d_syn"),
+          "maximumClinicalTrialPhase" -> col("__d_maxph"))))
+    def diseaseField(f: Field) = when(col("__s_id").isNotNull,
+      entityStruct("disease", f.sel,
+        Map("id" -> col("__s_id"), "name" -> col("__s_name"))))
     def bad(f: Field, supported: String): Nothing = throw ParseError(
       s"unknown field '${f.name}' on $entity.$name — supported: $supported")
 
@@ -305,28 +333,103 @@ object GraphQl {
         s"unknown field '$name' on $entity — connections: " +
           "disease.{knownDrugs,associatedTargets}, " +
           "target.{knownDrugs,associatedDiseases,pathways}, " +
-          "drug.linkedTargets")
+          "drug.{linkedTargets,mechanismsOfAction}")
     }
+  }
+
+  /** `drug.mechanismsOfAction` — the one connection whose rows carry
+    * a LIST of sub-entities (`targets: [Target!]!`,
+    * opentargets.schema:997-1011; the
+    * opentargets_query_targets_for_drug.py:4-21 query). Rows are
+    * GROUPS of the flat (drug, mechanism, target) edge relation: one
+    * aggregation keyed on the mechanism folds each group's targets
+    * into a sorted array INSIDE the row struct, a second collects the
+    * row structs — both shuffles bounded by the root drug's edge
+    * count, never the corpus.
+    */
+  private def mechanismsConnection(kg: KnowledgeGraph, f: Field,
+                                   rootKey: String): DataFrame = {
+    val rowsSel: Seq[Field] = f.sel.find(_.name == "rows").map(_.sel)
+      .getOrElse(Seq.empty)
+    val targetsSel: Seq[Field] = rowsSel.find(_.name == "targets").map(_.sel)
+      .getOrElse(Seq.empty)
+    val base = kg.mechanismRows.filter(col("drug_id") === rootKey)
+    // the targets join pays only when a non-id target field is read
+    // (id is already on the edge relation); LEFT for resolver
+    // semantics, same as the flat connections
+    val flat =
+      if (!targetsSel.exists(_.name != "id")) base
+      else base.join(kg.targets.select(col("id").as("__t_id"),
+        col("approvedSymbol").as("__t_sym")),
+        col("target_id") === col("__t_id"), "left")
+    val targetPayload =
+      if (targetsSel.isEmpty) lit(null)
+      else entityStruct("target", targetsSel,
+        Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym")))
+    // level 1: one row struct per (mechanism, actionType) group with
+    // the group's targets sorted by id inside it
+    val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
+      .agg(transform(sort_array(collect_list(struct(
+        col("target_id").as("__k0"), targetPayload.as("__p")))),
+        x => x.getField("__p")).as("__targets"))
+    val rowPayload = struct(rowsSel.map {
+      case Field("mechanismOfAction", _, Seq()) =>
+        col("mechanismOfAction").as("mechanismOfAction")
+      case Field("actionType", _, Seq()) => col("actionType").as("actionType")
+      case Field("targets", _, _) => col("__targets").as("targets")
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on drug.mechanismsOfAction rows — " +
+          "supported: mechanismOfAction, actionType, targets")
+    }: _*)
+    // level 2: collect the row structs, deterministically ordered by
+    // the mechanism label (unique per group — actionType is a
+    // function of it)
+    val parts = f.sel.map {
+      case Field("rows", _, sel) =>
+        if (sel.isEmpty) throw ParseError(
+          "'drug.mechanismsOfAction' rows need a selection")
+        transform(sort_array(collect_list(struct(
+          col("mechanismOfAction").as("__k0"), rowPayload.as("__p")))),
+          x => x.getField("__p")).as("rows")
+      case Field("uniqueActionTypes", _, Seq()) =>
+        sort_array(collect_set(col("actionType"))).as("uniqueActionTypes")
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on drug.mechanismsOfAction — " +
+          "supported: rows, uniqueActionTypes")
+    }
+    if (parts.isEmpty) throw ParseError(
+      "'drug.mechanismsOfAction' needs a selection")
+    grouped.agg(parts.head, parts.tail: _*)
+      .select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
   }
 
   /** Build the connection's single-row (one column) relation. */
   private def connectionDf(kg: KnowledgeGraph, entity: String, f: Field,
                            rootKey: String): DataFrame = {
+    if (entity == "drug" && f.name == "mechanismsOfAction")
+      return mechanismsConnection(kg, f, rootKey)
     // field names the row selection references, for selection-driven
     // sub-entity joins: rows-wrapped connections read their `rows`
     // selection (count-only queries join nothing), pathways its own
     val rowNames = f.sel.find(_.name == "rows").map(_.sel.map(_.name))
       .getOrElse(f.sel.map(_.name)).toSet
     val c = conn(kg, entity, f.name, rootKey, rowNames)
-    // the schema's pagination argument: rows is the sorted head of
-    // the connection — also the scale guard that keeps one entity's
-    // collected array bounded when its edge list is crawl-sized
-    val size: Option[Int] = f.args.get("size").map { s =>
+    // the schema's pagination argument — `page: {index, size}`
+    // (opentargets.schema:1047-1050, index = 0-based page number) or
+    // the bare `size` shorthand: rows is a sorted slice of the
+    // connection — also the scale guard that keeps one entity's
+    // collected array bounded when its edge list is crawl-sized.
+    // `count` stays the TOTAL (server semantics), never the page's.
+    def intArg(key: String): Option[Int] = f.args.get(key).map { s =>
       val n = s.toIntOption.getOrElse(
-        throw ParseError(s"size must be an integer, got '$s'"))
-      if (n < 0) throw ParseError(s"size must be >= 0, got $n")
+        throw ParseError(s"$key must be an integer, got '$s'"))
+      if (n < 0) throw ParseError(s"$key must be >= 0, got $n")
       n
     }
+    val size: Option[Int] = intArg("page.size").orElse(intArg("size"))
+    val index: Int = intArg("page.index").getOrElse(0)
+    if (index > 0 && size.isEmpty) throw ParseError(
+      "page.index needs page.size")
     def rowsArray(sel: Seq[Field]): Column = {
       if (sel.isEmpty) throw ParseError(
         s"'$entity.${f.name}' rows need a selection")
@@ -336,7 +439,7 @@ object GraphQl {
       val keyed = struct(c.sortKeys.zipWithIndex.map {
         case (k, i) => k.as(s"__k$i") } :+ payload.as("__p"): _*)
       val sorted = sort_array(collect_list(keyed))
-      val page = size.fold(sorted)(n => slice(sorted, 1, n))
+      val page = size.fold(sorted)(n => slice(sorted, index * n + 1, n))
       transform(page, x => x.getField("__p"))
     }
     if (c.hasRows) {
@@ -397,19 +500,57 @@ object GraphQl {
     rel.agg(parts.head, parts.tail: _*)
   }
 
+  /** Batch point-lookup roots — `targets(ensemblIds: [...])` /
+    * `diseases(efoIds:)` / `drugs(chemblIds:)`
+    * (opentargets.schema:1125-1148, declared but unused by the
+    * reference scripts — they loop one query per id, the documented
+    * missed optimization of SURVEY §4.1). Here the id list becomes
+    * ONE `isin`-filtered scan (the S4 batch-lookup plan): N lookups,
+    * one pass over the entity table. Result is the GraphQL list —
+    * one row whose root column is the id-sorted array of entities.
+    */
+  private def executeBatch(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val (entity, keyArg, base, fields) = root.name match {
+      case "targets" => ("target", "ensemblIds", kg.targets,
+        Map("id" -> col("id"), "approvedSymbol" -> col("approvedSymbol")))
+      case "diseases" => ("disease", "efoIds", kg.diseases,
+        Map("id" -> col("id"), "name" -> col("name")))
+      case "drugs" => ("drug", "chemblIds", kg.drugDetails,
+        Map("id" -> col("id"), "name" -> col("name"),
+          "synonyms" -> col("synonyms"), "drugType" -> col("drugType"),
+          "isApproved" -> col("isApproved"),
+          "maximumClinicalTrialPhase" -> col("maximumClinicalTrialPhase")))
+      case other => throw ParseError(s"not a batch root: $other")
+    }
+    val ids = root.args.getOrElse(keyArg, throw ParseError(
+      s"${root.name} requires the $keyArg argument"))
+      .split(',').toSeq.filter(_.nonEmpty)
+    if (ids.isEmpty) throw ParseError(s"$keyArg must not be empty")
+    if (root.sel.isEmpty) throw ParseError(
+      s"'${root.name}' needs a selection")
+    val payload = entityStruct(entity, root.sel, fields)
+    base.filter(col("id").isin(ids: _*))
+      .agg(transform(sort_array(collect_list(struct(
+        col("id").as("__k0"), payload.as("__p")))),
+        x => x.getField("__p")).as(root.name))
+  }
+
   /** Execute `query` against the knowledge graph. One row out (the
     * GraphQL `data` object); nested columns in selection order.
     */
   def execute(kg: KnowledgeGraph, query: String): DataFrame = {
     val root = parse(query)
     if (root.name == "search") return executeSearch(kg, root)
+    if (Set("targets", "diseases", "drugs")(root.name))
+      return executeBatch(kg, root)
     val (entity, keyArg, base) = root.name match {
       case "disease" => ("disease", "efoId", kg.diseases)
       case "target" => ("target", "ensemblId", kg.targets)
       case "drug" => ("drug", "chemblId", kg.drugDetails)
       case other => throw ParseError(
         s"unknown root '$other' — supported: disease(efoId:), " +
-          "target(ensemblId:), drug(chemblId:), search(queryString:)")
+          "target(ensemblId:), drug(chemblId:), search(queryString:), " +
+          "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:)")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

@@ -146,6 +146,27 @@ final class KnowledgeGraph(spark: SparkSession, dir: String,
         concat(lit("TGT_"), col("l_partkey")).as("target_id"), col("rank"))
   }
 
+  /** mechanismRows(drug_id, mechanismOfAction, actionType, target_id)
+    * — the MechanismOfActionRow shape (opentargets.schema:997-1005):
+    * one flat row per (drug, mechanism) × target, consumed by
+    * GraphQl's `drug.mechanismsOfAction` — the reference's
+    * opentargets_query_targets_for_drug.py:4-21 query, whose rows
+    * each carry a LIST of targets. Mechanism rows group the drug's
+    * distinct traded parts by brand; actionType derives from the
+    * brand string (constant within a mechanism row by construction).
+    * Groups `lineitem` directly (no customer leg) for the same
+    * dead-join reason as [[linkedTargets]].
+    */
+  def mechanismRows: DataFrame = indexed("mechanisms") {
+    t.lineitem.select(col("l_suppkey"), col("l_partkey")).distinct()
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(concat(lit("DRG_"), col("l_suppkey")).as("drug_id"),
+        col("p_brand").as("mechanismOfAction"),
+        concat(lit("CLASS_"), substring(col("p_brand"), 7, 1)).as("actionType"),
+        concat(lit("TGT_"), col("l_partkey")).as("target_id"))
+  }
+
   /** pathways(target_id, pathwayId, pathway) — part → brand
     * (ReactomePathway shape, opentargets.schema:1202-1206).
     */

@@ -35,14 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object FileManifest {
 
-  /** Per-file (min, max, rows) stats for `cols` over a parquet
-    * layout: one scan, one agg keyed on the file name. Columns come
-    * back as `file, n_rows, min_<c>, max_<c>...`.
+  /** Per-file (min, max, rows, non-null values) stats for `cols` over
+    * a parquet layout: one scan, one agg keyed on the file name.
+    * Columns come back as `file, n_rows, min_<c>, max_<c>, vals_<c>...`.
+    * `vals_<c>` is the NON-NULL count (Iceberg's `value_counts`
+    * discipline): a range predicate on `c` never matches a NULL, so
+    * any metadata fast path must count values, not rows.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"vals_$c")))
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -96,8 +100,11 @@ object FileManifest {
   def prunedCount(spark: SparkSession, dir: String, manifest: DataFrame,
                   c: String, lo: Any, hi: Any): (Long, Int) = {
     val contained = col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi)
+    // contained files contribute their NON-NULL value count, not
+    // n_rows: NULLs in c never satisfy lo <= c <= hi, so counting
+    // rows would overcount exactly the nulls a real scan excludes
     val stats = manifest
-      .agg(coalesce(sum(when(contained, col("n_rows"))), lit(0L)).as("full"),
+      .agg(coalesce(sum(when(contained, col(s"vals_$c"))), lit(0L)).as("full"),
         collect_list(when(admission(Seq((c, lo, hi))) && !contained,
           col("file"))).as("boundary"))
       .head()
@@ -108,6 +115,56 @@ object FileManifest {
       else spark.read.parquet(boundary: _*)
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi)).count()
     (full + partial, boundary.size)
+  }
+
+  /** Transparent manifest-pruned scan: builds-or-resolves the
+    * PERSISTED per-file stats manifest for `dir` and returns the
+    * stats-pruned scan for `ranges` — callers no longer thread the
+    * manifest relation by hand. The manifest is an Artifact like the
+    * IVF index: built once, atomically published, verified on resolve.
+    */
+  def scan(spark: SparkSession, dir: String, ranges: Seq[(String, Any, Any)],
+           manifestPath: String): DataFrame = {
+    val m = ensureManifest(spark, dir, ranges.map(_._1).distinct, manifestPath)
+    prunedScanRanges(spark, dir, m, ranges)
+  }
+
+  /** Build-or-resolve the persisted manifest artifact for `cols` over
+    * `dir`. The parameter sidecar pins the stats column set, the stats
+    * schema version, AND a size+mtime tag of the source directory — a
+    * manifest built before the data was rewritten (or under the old
+    * row-count-only schema) reads as incomplete and rebuilds, rather
+    * than silently admitting the wrong files.
+    */
+  def ensureManifest(spark: SparkSession, dir: String, cols: Seq[String],
+                     manifestPath: String): DataFrame = {
+    import graft.operators.Artifact
+    val meta = Map("kind" -> "file-stats-manifest", "v" -> "2",
+      "cols" -> cols.sorted.mkString(","),
+      "source" -> sourceTag(dir))
+    def ok(p: String) = Artifact.complete(p) && Artifact.metaMatches(p, meta)
+    Artifact.ensure(manifestPath, ok) { tmp =>
+      build(spark, dir, cols).write.mode("overwrite").parquet(tmp)
+      Artifact.writeMeta(tmp, meta)
+    }
+    spark.read.parquet(manifestPath)
+  }
+
+  /** Total-size + newest-mtime fingerprint of the data directory: the
+    * same freshness discipline every artifact path in this repo keys
+    * on, applied to the manifest's source.
+    */
+  private def sourceTag(dir: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+          // _-prefixed bookkeeping (_SUCCESS, _graft_read) moves on
+          // reads; only data files should invalidate the manifest
+          .filterNot(_.getName.startsWith("_")).map(stat)
+        (kids.map(_._1).sum, (0L +: kids.map(_._2).toSeq).max)
+      } else (f.length(), f.lastModified())
+    val (len, mtime) = stat(new java.io.File(dir))
+    s"$len-$mtime"
   }
 
   /** How many files the manifest admits — the skipping evidence

@@ -243,65 +243,133 @@ object StreamOps {
       .start()
 
   /** Micro-batch SCD-2 maintenance: each batch is collapsed last-wins
-    * per key (highest `versionCol`), then folded into the versioned
+    * per key (highest `versionCol`), STALE rows are dropped (a row
+    * whose version is <= its key's current open-row version is older
+    * information — out-of-order delivery must never make an older
+    * payload current), and the survivors fold into the versioned
     * history with PARTIAL-snapshot semantics
     * (`Upsert.scd2Apply(closeMissing = false)` — a batch never
     * asserts the absence of keys it didn't carry), with the batch's
-    * max version as `asOf`. The history after N batches therefore
-    * equals N sequential batch-mode partial applies over the same
-    * splits — the agreement StreamOpsSpec pins. Re-applying a batch
-    * is a fixed point (the collapsed values already stand at the same
-    * asOf), so at-least-once `foreachBatch` delivery yields an
-    * exactly-once history.
+    * max surviving version as `asOf`, clamped to the history frontier
+    * (a late batch can still carry NEW keys; opening them below the
+    * frontier could invert a re-inserted key's interval order). The
+    * history after N in-order batches equals N sequential batch-mode
+    * partial applies over the same splits — the agreement
+    * StreamOpsSpec pins. Re-applying a batch is a fixed point (its
+    * versions are no longer above the open rows', so every row drops
+    * and the write is skipped), so at-least-once `foreachBatch`
+    * delivery yields an exactly-once history.
+    *
+    * Scale contract: with `historyBuckets = None` every batch
+    * rewrites the WHOLE history — fine for dimension-scale histories
+    * (the read-merge-overwrite a MERGE compiles to), wrong for a
+    * fact-scale one. `historyBuckets = Some(n)` lays the history out
+    * partitioned by a key-hash bucket: a batch reads ONLY the bucket
+    * directories its keys touch (partition pruning on the batch's
+    * distinct bucket list — parameter-sized planner state) and
+    * dynamically overwrites only those, leaving every untouched
+    * bucket's files byte-identical. Per-batch cost then scales with
+    * the batch's key spread, not the history size.
     */
   def scd2Batch(batch: DataFrame, targetDir: String, key: String,
-                versionCol: String): Unit = {
+                versionCol: String, historyBuckets: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
-    val batchMax = collapsed.agg(max(col(versionCol))).head().getLong(0)
     val target = new java.io.File(targetDir)
-    val hasHistory =
-      target.isDirectory && target.list().exists(_.endsWith(".parquet"))
-    val merged =
-      if (hasHistory) {
-        val history = spark.read.parquet(targetDir)
-        // asOf monotonicity guard: an out-of-order source can deliver
-        // a batch whose max version is BELOW an already-applied one;
-        // applying at that older asOf would close open rows at a
-        // valid_to earlier than their valid_from (inverted interval).
-        // Clamp asOf to the history's own frontier — the late batch's
-        // surviving changes then take effect at the frontier instant,
-        // which keeps every interval well-formed and is the only
-        // order-consistent placement a versioned history admits.
-        val frontier = Option(history.agg(max(col("valid_from")))
-          .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-        val asOf = math.max(batchMax, frontier)
-        graft.operators.Upsert.scd2Apply(history,
-          collapsed, key, asOf, closeMissing = false)
-      } else collapsed
-        .withColumn("valid_from", lit(batchMax))
-        .withColumn("valid_to", lit(null).cast("long"))
-    val out = merged.localCheckpoint(true)
-    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
-    out.unpersist()
-    ()
+    val entries = if (target.isDirectory) target.list().toSeq else Seq.empty
+    val flatHistory = entries.exists(_.endsWith(".parquet"))
+    val bucketedHistory = entries.exists(_.startsWith("__b="))
+    historyBuckets match {
+      case None =>
+        require(!bucketedHistory, s"$targetDir holds a bucket-partitioned " +
+          "history — pass its historyBuckets")
+        val merged =
+          if (flatHistory)
+            foldInto(spark.read.parquet(targetDir), collapsed, key, versionCol)
+          else Some(openAll(collapsed, versionCol))
+        merged.foreach { m =>
+          val out = m.localCheckpoint(true)
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(targetDir)
+          out.unpersist()
+        }
+      case Some(n) =>
+        require(n > 0, s"historyBuckets must be positive, got $n")
+        require(!flatHistory, s"$targetDir holds an unpartitioned history " +
+          s"— it cannot be maintained with historyBuckets=$n")
+        val bucket = pmod(hash(col(key)), lit(n)).cast("int")
+        val merged =
+          if (bucketedHistory) {
+            // the batch's distinct bucket list: <= n values by
+            // construction — planner state, like a partition index
+            val touched = collapsed.select(bucket.as("__b")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val slice = spark.read.parquet(targetDir)
+              .filter(col("__b").isin(touched: _*)).drop("__b")
+            foldInto(slice, collapsed, key, versionCol)
+          } else Some(openAll(collapsed, versionCol))
+        merged.foreach { m =>
+          val out = m.withColumn("__b", bucket).localCheckpoint(true)
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__b").parquet(targetDir)
+          out.unpersist()
+        }
+    }
+  }
+
+  /** First batch: every collapsed row opens at the batch max. */
+  private def openAll(collapsed: DataFrame, versionCol: String): DataFrame = {
+    val batchMax = collapsed.agg(max(col(versionCol))).head().getLong(0)
+    collapsed
+      .withColumn("valid_from", lit(batchMax))
+      .withColumn("valid_to", lit(null).cast("long"))
+  }
+
+  /** Drop stale rows, clamp asOf, apply. None = every row was stale —
+    * the history is already correct and the write is skipped.
+    */
+  private def foldInto(history: DataFrame, collapsed: DataFrame,
+                       key: String, versionCol: String): Option[DataFrame] = {
+    val open = history.filter(col("valid_to").isNull)
+      .select(col(key), col(versionCol).as("__open_v"))
+    val fresh = collapsed.join(open, Seq(key), "left")
+      .filter(col("__open_v").isNull || col(versionCol) > col("__open_v"))
+      .drop("__open_v")
+    val stats = fresh.agg(count(lit(1)), max(col(versionCol))).head()
+    if (stats.getLong(0) == 0L) None
+    else {
+      val batchMax = stats.getLong(1)
+      // asOf monotonicity guard: stale PER-KEY rows are already gone,
+      // but a late batch can still open NEW keys; clamping to the
+      // (read slice's) frontier keeps re-inserted keys' intervals in
+      // history order.
+      val frontier = Option(history.agg(max(col("valid_from")))
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      val asOf = math.max(batchMax, frontier)
+      Some(graft.operators.Upsert.scd2Apply(history,
+        fresh, key, asOf, closeMissing = false))
+    }
   }
 
   /** The streaming query wiring for [[scd2Batch]]. `trigger` defaults
     * to the continuous micro-batch default; pass
     * `Trigger.AvailableNow()` for a bounded replay (the q150 oracle
     * row drives a 4-file backlog through it one file per batch).
+    * `historyBuckets` selects the bucket-partitioned history layout —
+    * see the [[scd2Batch]] scale contract.
     */
   def scd2Sink(updates: DataFrame, targetDir: String, key: String,
                versionCol: String, checkpointDir: String,
-               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+               historyBuckets: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        scd2Batch(batch, targetDir, key, versionCol)
+        scd2Batch(batch, targetDir, key, versionCol, historyBuckets)
       }
     trigger.fold(w)(w.trigger).start()
   }

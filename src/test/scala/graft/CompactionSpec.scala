@@ -148,4 +148,66 @@ class CompactionSpec extends SparkSpec {
     val (nothing, _) = FileManifest.prunedCount(spark, dir, m, "id", 5000, 6000)
     assert(nothing == 0)
   }
+
+  test("FileManifest.prunedCount: null-bearing stats column counts values, not rows") {
+    import graft.sources.FileManifest
+    val dir = tmp("nullmanifest")
+    // every 3rd value of c is NULL; files range-clustered on c so a
+    // wide range fully CONTAINS interior files — the metadata fast
+    // path must contribute their non-null count, not n_rows
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") % 3 =!= 0, col("id")).as("c"))
+    df.repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val m = FileManifest.build(spark, dir, Seq("c"))
+    // sanity: the manifest carries value counts below row counts
+    val stats = m.agg(sum("n_rows"), sum("vals_c")).head()
+    assert(stats.getLong(0) == 1000 && stats.getLong(1) < 1000)
+    val (n, scanned) = FileManifest.prunedCount(spark, dir, m, "c", 0L, 999L)
+    val real = spark.read.parquet(dir)
+      .filter(col("c").between(0L, 999L)).count()
+    assert(n == real, s"metadata count $n != real scan $real")
+    // the fast path actually engaged: interior files were not opened
+    assert(scanned < 5, s"scanned=$scanned of 5 files")
+    // narrower range crossing file boundaries stays exact too
+    val (n2, _) = FileManifest.prunedCount(spark, dir, m, "c", 100L, 699L)
+    val real2 = spark.read.parquet(dir)
+      .filter(col("c").between(100L, 699L)).count()
+    assert(n2 == real2, s"metadata count $n2 != real scan $real2")
+  }
+
+  test("FileManifest.scan: transparent artifact-backed prune, rebuilt when source changes") {
+    import graft.sources.FileManifest
+    val dir = tmp("scanwrap")
+    val mPath = s"$dir-manifest"
+    spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      .repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val got = FileManifest.scan(spark, dir, Seq(("id", 100L, 150L)), mPath)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L to 150L))
+    // the manifest persisted as a complete artifact with its sidecar
+    assert(graft.operators.Artifact.complete(mPath))
+    val meta = graft.operators.Artifact.readMeta(mPath).get
+    assert(meta("kind") == "file-stats-manifest" && meta("cols") == "id")
+    // second scan resolves the SAME artifact (no rebuild: mtime stable)
+    def newestData(p: String): Long =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName.startsWith("_")).map(_.lastModified()).max
+    val t0 = newestData(mPath)
+    val again = FileManifest.scan(spark, dir, Seq(("id", 100L, 150L)), mPath)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == (100L to 150L) && newestData(mPath) == t0,
+      "second scan must resolve, not rebuild, the manifest")
+    // rewriting the source data invalidates the sidecar's source tag:
+    // the next scan rebuilds and answers over the NEW data
+    Thread.sleep(1100) // ensure a distinct mtime second
+    spark.range(2000).select(col("id"), (col("id") % 7).as("k"))
+      .repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val wide = FileManifest.scan(spark, dir, Seq(("id", 1500L, 1600L)), mPath)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(wide == (1500L to 1600L),
+      "stale manifest served after source rewrite")
+  }
 }

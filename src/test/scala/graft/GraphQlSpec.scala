@@ -267,6 +267,118 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     variants.foreach(v => assert(GraphQl.parse(v) == want, v))
   }
 
+  test("execute: the opentargets_query_targets_for_drug.py query verbatim") {
+    // /root/reference/opentargets_query_targets_for_drug.py:4-21, id
+    // constant aside — rows each carry a LIST of targets
+    val got = GraphQl.execute(kg, """
+    {
+      drug(chemblId: "DRG_7") {
+        id
+        name
+        mechanismsOfAction {
+          rows {
+            targets {
+              id
+              approvedSymbol
+            }
+            mechanismOfAction
+          }
+        }
+      }
+    }
+    """).head()
+    assert(got.getString(0) == "DRG_7")
+    val rows = got.getStruct(2).getSeq[Row](0)
+    assert(rows.nonEmpty)
+    // selection order inside each row: targets first, then the label
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("targets", "mechanismOfAction"))
+    // rows ordered by the mechanism label; one row per mechanism
+    val mechs = rows.map(_.getString(1))
+    assert(mechs == mechs.sorted && mechs.distinct == mechs)
+    // each row's target list is id-sorted and matches the edge relation
+    val want = kg.mechanismRows.filter(col("drug_id") === "DRG_7")
+      .select("mechanismOfAction", "target_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).sorted.toSeq)
+    rows.foreach { r =>
+      val ids = r.getSeq[Row](0).map(_.getString(0))
+      assert(ids == ids.sorted && ids == want(r.getString(1)))
+    }
+    // the client's iteration shape: every target has id + symbol
+    assert(rows.flatMap(_.getSeq[Row](0)).forall(t =>
+      t.getString(0).startsWith("TGT_") && t.getString(1).nonEmpty))
+  }
+
+  test("execute: mechanismsOfAction actionType + uniqueActionTypes; targeted errors") {
+    val got = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_7") { mechanismsOfAction {
+           rows { mechanismOfAction actionType } uniqueActionTypes } } }""")
+      .head().getStruct(0)
+    val rows = got.getSeq[Row](0)
+    val unique = got.getSeq[String](1)
+    assert(rows.nonEmpty)
+    assert(unique == rows.map(_.getString(1)).distinct.sorted)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q)).getMessage
+    assert(err("""{ drug(chemblId: "x") { mechanismsOfAction { nope } } }""")
+      .contains("rows, uniqueActionTypes"))
+    assert(err("""{ drug(chemblId: "x") { mechanismsOfAction { rows { bogus } } } }""")
+      .contains("mechanismOfAction, actionType, targets"))
+  }
+
+  test("execute: page {index, size} slices rows; count stays total") {
+    val full = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs { count rows { phase } } } }""").head().getStruct(0)
+    val page1 = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs(page: {index: 1, size: 3}) { count rows { phase } } } }""")
+      .head().getStruct(0)
+    assert(page1.getLong(0) == full.getLong(0)) // count = total
+    assert(page1.getSeq[Row](1) == full.getSeq[Row](1).slice(3, 6))
+    // index 0 ≡ the bare size shorthand
+    val page0 = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs(page: {index: 0, size: 3}) { rows { phase } } } }""")
+      .head().getStruct(0)
+    assert(page0.getSeq[Row](0) == full.getSeq[Row](1).take(3))
+    // past-the-end page: empty rows, not an error
+    val far = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs(page: {index: 999999, size: 10}) { rows { phase } } } }""")
+      .head().getStruct(0)
+    assert(far.getSeq[Row](0).isEmpty)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ disease(efoId: "x") {
+        knownDrugs(page: {index: 1}) { count } } }""")
+      .contains("page.index needs page.size"))
+    assert(err("""{ disease(efoId: "x") {
+        knownDrugs(page: {size: "ten"}) { count } } }""").contains("integer"))
+  }
+
+  test("execute: batch roots are ONE scan, id-sorted, absent ids dropped") {
+    val got = GraphQl.execute(kg,
+      """{ targets(ensemblIds: ["TGT_5", "TGT_3", "TGT_999999999"]) {
+           id approvedSymbol } }""")
+    // one output row carrying the entity list; only existing ids, sorted
+    val arr = got.head().getSeq[Row](0)
+    assert(arr.map(_.getString(0)) == Seq("TGT_3", "TGT_5"))
+    // the S4 plan: ONE scan of the part table, not one per id — count
+    // parquet leaf scans in the optimized plan
+    val scans = got.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"batch root planned $scans scans")
+    // drugs batch root serves the facet block
+    val drugs = GraphQl.execute(kg,
+      """{ drugs(chemblIds: ["DRG_1", "DRG_2"]) { id drugType } }""")
+      .head().getSeq[Row](0)
+    assert(drugs.map(_.getString(0)) == Seq("DRG_1", "DRG_2"))
+    val bad = intercept[ParseError] {
+      GraphQl.execute(kg, """{ targets(efoIds: ["x"]) { id } }""")
+    }
+    assert(bad.getMessage.contains("requires the ensemblIds"))
+  }
+
   test("graphqlJson renders the data object; missing root is None") {
     val json = Graft.graphqlJson(spark, sfDir,
       """{ disease(efoId: "DIS_BUILDING") { id name } }""")

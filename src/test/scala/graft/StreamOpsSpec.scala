@@ -309,25 +309,78 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == got)
   }
 
-  test("scd2Batch clamps a late batch's asOf to the history frontier") {
+  test("scd2Batch: stale per-key versions drop; late NEW keys clamp to the frontier") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2late").toFile
     val target = s"${dir.getAbsolutePath}/history"
     // history frontier at version 100
     StreamOps.scd2Batch(Seq((1L, "a", 100L)).toDF("id", "name", "version"),
       target, "id", "version")
-    // out-of-order batch: max version 50 < frontier 100, and it CHANGES
-    // id=1 — without the clamp the open (valid_from=100) row would
-    // close at valid_to=50, an inverted interval
-    StreamOps.scd2Batch(Seq((1L, "b", 50L)).toDF("id", "name", "version"),
+    // out-of-order batch: id=1 @50 is OLDER than its open row (v=100)
+    // — stale data must never become current, the row drops; id=2 @50
+    // is genuinely new information and applies, its open row clamped
+    // to the frontier so intervals stay in history order
+    StreamOps.scd2Batch(
+      Seq((1L, "b", 50L), (2L, "c", 50L)).toDF("id", "name", "version"),
       target, "id", "version")
     val rows = spark.read.parquet(target)
       .orderBy("id", "valid_from")
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
-    // clamped to the frontier: close+open both at 100, intervals valid
-    assert(rows == Seq((1L, "a", 100L, 100L), (1L, "b", 100L, -1L)))
+    assert(rows == Seq((1L, "a", 100L, -1L), (2L, "c", 100L, -1L)))
     rows.foreach { case (_, _, from, to) => assert(to == -1L || to >= from) }
+    // an all-stale batch is a no-op that skips the write entirely
+    val before = new java.io.File(target).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toSeq
+    StreamOps.scd2Batch(Seq((1L, "z", 99L)).toDF("id", "name", "version"),
+      target, "id", "version")
+    val after = new java.io.File(target).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toSeq
+    assert(after == before, "all-stale batch must not rewrite the history")
+  }
+
+  test("scd2Batch(historyBuckets): only touched buckets rewrite; untouched files byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2bkt").toFile
+    val target = s"${dir.getAbsolutePath}/history"
+    val n = 8
+    // seed 64 keys across the 8 buckets
+    StreamOps.scd2Batch(
+      (1L to 64L).map(k => (k, s"v$k", 1L)).toDF("id", "name", "version"),
+      target, "id", "version", historyBuckets = Some(n))
+    val bucketDirs = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("__b=")).map(_.getName).sorted.toSeq
+    assert(bucketDirs.nonEmpty && bucketDirs.size <= n)
+    def bucketBytes(b: String): Map[String, Seq[Byte]] =
+      new java.io.File(target, b).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = bucketDirs.map(b => b -> bucketBytes(b)).toMap
+    // one key updates: exactly its bucket is touched
+    val touchedB = spark.range(1).select(
+      pmod(hash(lit(7L)), lit(n))).head().getInt(0)
+    StreamOps.scd2Batch(Seq((7L, "v7b", 2L)).toDF("id", "name", "version"),
+      target, "id", "version", historyBuckets = Some(n))
+    bucketDirs.filterNot(_ == s"__b=$touchedB").foreach { b =>
+      assert(bucketBytes(b) == before(b),
+        s"untouched bucket $b was rewritten")
+    }
+    // the touched bucket now carries the closed + new open rows
+    val k7 = spark.read.parquet(target).filter(col("id") === 7L)
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(k7 == Seq(("v7", 1L, 2L), ("v7b", 2L, -1L)))
+    // every other key's current value is intact
+    assert(spark.read.parquet(target)
+      .filter(col("valid_to").isNull).count() == 64L)
+    // layout-mismatch guards are targeted errors
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.scd2Batch(Seq((1L, "x", 9L)).toDF("id", "name", "version"),
+        target, "id", "version")
+    }
+    assert(e1.getMessage.contains("bucket-partitioned"))
   }
 
   test("last-wins collapse is deterministic under duplicate (key, version) rows") {
