@@ -143,6 +143,13 @@ object BpeLearn {
     require(merges.forall { case (a, b) =>
       a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
       "merge symbols must be non-empty and space-free")
+    // the two-pass replace kernel is proven exact only for a != b
+    // (see scaladoc): a self-merge on a >= 3-symbol run can realign
+    // later order-sensitive merges, so reject it loudly instead of
+    // diverging silently from the greedy reference
+    require(merges.forall { case (a, b) => a != b },
+      "self-merges (a == b) are not supported by the replace-chain " +
+        "encoder — see the alignment limitation in the scaladoc")
     val spaced = concat(lit(" "), array_join(split(col("__w"), ""), " "), lit(" "))
     def pass(s: Column, a: String, b: String): Column =
       call_function("replace", s, lit(s" $a $b "), lit(s" ${a + b} "))

@@ -30,16 +30,17 @@ object Retrieval {
     * from the next integer, 6 orders beyond double rounding error).
     * The emitted `rrf` double is the integer sum scaled by 1e-9.
     *
-    * `maxN` enforces the bounded-input contract IN THE PLAN: each
-    * ranking is truncated to its top `maxN` rows (by the same
-    * (score desc, id) order the rank window uses — a
-    * TakeOrderedAndProject, so the truncation is distributed) before
-    * the unpartitioned window runs. A caller that accidentally passes
-    * an unbounded ranking therefore gets a correct fused head and a
-    * bounded single-partition sort instead of a silent full-relation
-    * one; ranks beyond maxN could only contribute ≤ 1e9/(kRrf+maxN)
-    * each, which is the explicit truncation the RRF literature
-    * assumes (fusion quality lives in the head of each list).
+    * `maxN` enforces the bounded-input contract VISIBLY: a ranking
+    * with more than `maxN` rows is REJECTED (require), never silently
+    * truncated — truncation would drop tail contributions of up to
+    * 1e9/(kRrf+rank) per list and change fused scores behind the
+    * caller's back. The check is a `limit(maxN+1).count()` per
+    * ranking — bounded work on the k-bounded inputs the contract
+    * expects; a caller fusing genuinely longer lists passes a larger
+    * `maxN` explicitly (and with it accepts the bigger, still
+    * bounded, single-partition rank sort). The `limit(maxN)` stays in
+    * the plan so the unpartitioned window's input is bounded by
+    * construction even if the relation is re-evaluated nondeterministically.
     */
   def rrf(rankings: Seq[DataFrame], idName: String, scoreName: String,
           k: Int, kRrf: Int = 60, maxN: Int = 1024): DataFrame = {
@@ -47,6 +48,13 @@ object Retrieval {
     // pool is up to L*maxN distinct ids, and a short pool simply
     // returns fewer than k rows — not an error
     require(rankings.nonEmpty && k >= 1 && kRrf >= 0 && maxN >= 1)
+    rankings.zipWithIndex.foreach { case (df, i) =>
+      val n = df.select(col(idName)).limit(maxN + 1).count()
+      require(n <= maxN,
+        s"rrf: input ranking #$i exceeds maxN=$maxN rows — RRF fuses " +
+          "k-bounded top-N lists; pre-truncate the ranking or pass a " +
+          "larger maxN (silent truncation would change fused scores)")
+    }
     val contribs = rankings.map { df =>
       val w = Window.orderBy(col(scoreName).desc, col(idName).asc)
       df.select(col(idName), col(scoreName))

@@ -39,16 +39,25 @@ class RetrievalSpec extends SparkSpec {
     assert(top._1 == 3L && top._2 == 2L)
   }
 
-  test("rrf: maxN truncates an oversized ranking before fusion") {
-    // 100 rows but maxN = 2: only the top-2 of the list may contribute,
-    // so ids 3..100 vanish from the fused output entirely — the
-    // bounded-input contract enforced in the plan, not by convention
+  test("rrf: an oversized ranking is rejected, never silently truncated") {
+    // 100 rows but maxN = 2: silent truncation would erase ids 3..100's
+    // tail contributions and change fused scores behind the caller's
+    // back — the bounded-input contract is enforced with a targeted
+    // error instead
     val big = (1 to 100).map(i => (i.toLong, 1.0 / i)).toDF("id", "score")
-    val got = Retrieval.rrf(Seq(big), "id", "score", k = 10, maxN = 2)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrf(Seq(big), "id", "score", k = 10, maxN = 2)
+    }
+    assert(e.getMessage.contains("exceeds maxN=2"))
+    // the same ranking fuses fine once maxN admits it
+    val got = Retrieval.rrf(Seq(big), "id", "score", k = 2, maxN = 100)
       .as[(Long, Long, Double)].collect().toSeq
-    assert(got.map(_._1) == Seq(1L, 2L)) // k=10 requested, only 2 survive
-    // and the surviving ranks match the untruncated ranking's head
+    assert(got.map(_._1) == Seq(1L, 2L))
     assert(got.head._3 == math.floor(1e9 / 61) / 1e9)
+    // boundary: exactly maxN rows is within contract
+    val ok = Retrieval.rrf(Seq(big.limit(2)), "id", "score", k = 10, maxN = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ok.map(_._1) == Seq(1L, 2L))
   }
 
   test("rrf: rejects a non-positive maxN") {
