@@ -2733,7 +2733,63 @@ object SparkEntry {
         .select((col("rn") + 1).cast("long").as("rn"),
           col("r.id").as("target_id"),
           col("r.approvedSymbol").as("target_name"))
-        .orderBy("rn"))
+        .orderBy("rn")),
+
+    // ---------------- bucketed SCD-2 history (layout invariance) ----------------
+    // The q150 replay folded into a KEY-BUCKET-PARTITIONED history
+    // (historyBuckets=8): per batch only the touched bucket
+    // directories rewrite (the fact-scale layout — see the scd2Batch
+    // scale contract), and the resulting history must be VALUE-
+    // IDENTICAL to the flat layout's — same oracle SQL as q150, so
+    // the layout choice is proven invisible under the driver's hash.
+    "q166_stream_scd2_bucketed" -> ((s, dir) => {
+      val src = fixturePath("scd2srcw", dir, "orders")
+      Artifact.ensure(src) { tmp =>
+        val bounds = t(s, dir).orders
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val u = t(s, dir).orders.select(
+          col("o_custkey").as("id"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("v"),
+          (floor((col("o_orderkey") - lit(lo)) * lit(4)
+            / lit(hi - lo + 1)) + lit(1)).cast("int").as("b"))
+        val base = System.currentTimeMillis() - 3600L * 1000
+        (1 to 4).foreach { b =>
+          val part = s"$tmp/_b$b"
+          u.filter(col("b") === b).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(tmp, s"b$b.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(base + b * 2000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+        }
+      }
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q166").toString
+      val updates = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.scd2Sink(updates,
+        s"$scratch/history", "id", "v", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        historyBuckets = Some(8))
+      query.awaitTermination()
+      SelfCheck.every(s"q166/$dir") {
+        val dirs = new java.io.File(s"$scratch/history").listFiles()
+          .count(_.getName.startsWith("__b="))
+        require(dirs >= 1 && dirs <= 8,
+          s"q166 expected a bucket-partitioned history, found $dirs dirs")
+        SelfCheck.note(s"history laid out in $dirs key-hash bucket dirs; " +
+          "values hash-equal to the flat q150 layout")
+      }
+      s.read.parquet(s"$scratch/history")
+        .select(col("id"), col("price"), col("v"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("id", "valid_from")
+    })
   )
 
   /** q151's pinned merge table: chains that actually fire on the
@@ -4730,6 +4786,26 @@ object SparkEntry {
              AS BIGINT) AS rn,
            'TGT_' || p_partkey AS target_id, p_name AS target_name
          FROM part WHERE p_partkey IN (3, 5, 8, 9999999)
-         ORDER BY rn"""
+         ORDER BY rn""",
+    // IDENTICAL to the q150 oracle: the bucket-partitioned layout must
+    // be value-invisible — same fold, same batches, same history
+    "q166_stream_scd2_bucketed" ->
+      """WITH bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+             FROM orders),
+         u AS (SELECT o_custkey AS id, o_totalprice AS price,
+             o_orderkey AS v,
+             CAST(floor(((o_orderkey - lo) * 4.0) / (hi - lo + 1))
+               AS BIGINT) + 1 AS b
+           FROM orders CROSS JOIN bounds),
+         a AS (SELECT b, CAST(max(v) AS BIGINT) AS asof FROM u GROUP BY b),
+         w AS (SELECT id, b, price, v FROM (
+             SELECT id, b, price, v,
+               row_number() OVER (PARTITION BY id, b ORDER BY v DESC) AS rn
+             FROM u) WHERE rn = 1)
+         SELECT w.id, w.price, CAST(w.v AS BIGINT) AS v,
+           a.asof AS valid_from,
+           lead(a.asof) OVER (PARTITION BY w.id ORDER BY w.b) AS valid_to
+         FROM w JOIN a USING (b)
+         ORDER BY id, valid_from"""
   )
 }

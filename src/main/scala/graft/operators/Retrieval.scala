@@ -30,17 +30,17 @@ object Retrieval {
     * from the next integer, 6 orders beyond double rounding error).
     * The emitted `rrf` double is the integer sum scaled by 1e-9.
     *
-    * `maxN` enforces the bounded-input contract VISIBLY: a ranking
-    * with more than `maxN` rows is REJECTED (require), never silently
-    * truncated — truncation would drop tail contributions of up to
-    * 1e9/(kRrf+rank) per list and change fused scores behind the
-    * caller's back. The check is a `limit(maxN+1).count()` per
-    * ranking — bounded work on the k-bounded inputs the contract
-    * expects; a caller fusing genuinely longer lists passes a larger
-    * `maxN` explicitly (and with it accepts the bigger, still
-    * bounded, single-partition rank sort). The `limit(maxN)` stays in
-    * the plan so the unpartitioned window's input is bounded by
-    * construction even if the relation is re-evaluated nondeterministically.
+    * `maxN` enforces the bounded-input contract VISIBLY and IN THE
+    * PLAN: each ranking is limited to maxN+1 rows (a
+    * TakeOrderedAndProject — the unpartitioned rank window's input
+    * stays bounded by construction), and if the sentinel maxN+1-th
+    * row exists its contribution expression RAISES instead of
+    * computing — a ranking longer than maxN fails the query loudly,
+    * never silently truncates (truncation would drop tail
+    * contributions of up to 1e9/(kRrf+rank) per list and change
+    * fused scores behind the caller's back). Zero extra jobs: the
+    * guard rides the same scan the fusion reads. A caller fusing
+    * genuinely longer lists passes a larger `maxN` explicitly.
     */
   def rrf(rankings: Seq[DataFrame], idName: String, scoreName: String,
           k: Int, kRrf: Int = 60, maxN: Int = 1024): DataFrame = {
@@ -48,20 +48,19 @@ object Retrieval {
     // pool is up to L*maxN distinct ids, and a short pool simply
     // returns fewer than k rows — not an error
     require(rankings.nonEmpty && k >= 1 && kRrf >= 0 && maxN >= 1)
-    rankings.zipWithIndex.foreach { case (df, i) =>
-      val n = df.select(col(idName)).limit(maxN + 1).count()
-      require(n <= maxN,
-        s"rrf: input ranking #$i exceeds maxN=$maxN rows — RRF fuses " +
-          "k-bounded top-N lists; pre-truncate the ranking or pass a " +
-          "larger maxN (silent truncation would change fused scores)")
-    }
     val contribs = rankings.map { df =>
       val w = Window.orderBy(col(scoreName).desc, col(idName).asc)
       df.select(col(idName), col(scoreName))
-        .orderBy(col(scoreName).desc, col(idName).asc).limit(maxN)
+        .orderBy(col(scoreName).desc, col(idName).asc).limit(maxN + 1)
         .withColumn("__rk", row_number().over(w))
         .select(col(idName),
-          floor(lit(1e9) / (lit(kRrf) + col("__rk"))).cast("long").as("__c"))
+          when(col("__rk") > maxN, raise_error(lit(
+            s"rrf: input ranking exceeds maxN=$maxN rows — RRF fuses " +
+              "k-bounded top-N lists; pre-truncate the ranking or pass " +
+              "a larger maxN (silent truncation would change fused " +
+              "scores)")).cast("long"))
+            .otherwise(floor(lit(1e9) / (lit(kRrf) + col("__rk"))).cast("long"))
+            .as("__c"))
     }
     contribs.reduce(_.unionByName(_))
       .groupBy(col(idName))

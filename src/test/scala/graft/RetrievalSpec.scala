@@ -45,8 +45,8 @@ class RetrievalSpec extends SparkSpec {
     // back — the bounded-input contract is enforced with a targeted
     // error instead
     val big = (1 to 100).map(i => (i.toLong, 1.0 / i)).toDF("id", "score")
-    val e = intercept[IllegalArgumentException] {
-      Retrieval.rrf(Seq(big), "id", "score", k = 10, maxN = 2)
+    val e = intercept[Exception] {
+      Retrieval.rrf(Seq(big), "id", "score", k = 10, maxN = 2).collect()
     }
     assert(e.getMessage.contains("exceeds maxN=2"))
     // the same ranking fuses fine once maxN admits it
