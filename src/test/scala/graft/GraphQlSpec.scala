@@ -255,6 +255,23 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       s"selection-driven joins wrong:\n$plan2")
   }
 
+  test("parse: object-literal argument values flatten to dotted keys") {
+    val root = GraphQl.parse(
+      """{ disease(efoId: "X") {
+           knownDrugs(page: {index: 2, size: 25}) { count } } }""")
+    assert(root.sel.head.args ==
+      Map("page.index" -> "2", "page.size" -> "25"))
+    // members may be strings or names; nesting deeper than one level
+    // is a targeted error, not a mis-parse
+    val mixed = GraphQl.parse(
+      """{ disease(efoId: "X") { knownDrugs(opts: {mode: fast, tag: "t"}) { count } } }""")
+    assert(mixed.sel.head.args ==
+      Map("opts.mode" -> "fast", "opts.tag" -> "t"))
+    val e = intercept[ParseError](GraphQl.parse(
+      """{ disease(efoId: "X") { knownDrugs(page: {p: {deep: 1}}) { count } } }"""))
+    assert(e.getMessage.contains("bad value"))
+  }
+
   test("parse: whitespace/comma/comment layout never changes the AST") {
     val base = """query Q { disease(efoId: "X", size: 5) { id name
       knownDrugs { count rows { phase drug { id } } } } }"""

@@ -205,6 +205,35 @@ object ProbeScale100 {
         s"${tN == factor * t1} ($tN vs $factor x $t1)")
     }
 
+    // CROSS-KNN at factor× (the r9 verdict's ask, after the per-rep
+    // candidate ranking): a 1%-of-corpus query batch against the full
+    // corpus. Twin corpus vectors tie exactly and a twin query's
+    // underlying vector equals its base family's, so every factor×
+    // hit must collapse (mod baseN) to its base query's top-3
+    // families — the correctness invariant riding on the curve.
+    if (section("crossknn")) {
+      replicate("embeddings", Seq("vec_id"))
+      import graft.operators.Similarity
+      val baseN = emb(base).agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def cross(dir: String): Map[Long, Seq[Long]] =
+        Similarity.crossKnnJoin(
+          emb(dir).filter(col("vec_id") % 100 === 0),
+          emb(dir), "vec_id", "embedding", 3, 32, 4)
+          .select(col("query_id"), col("nn_id"))
+          .as[(Long, Long)].collect().toSeq
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      var r1: Map[Long, Seq[Long]] = Map.empty
+      var rN: Map[Long, Seq[Long]] = Map.empty
+      time("crossKnn 1x")({ r1 = cross(base); r1.size.toLong })
+      time(s"crossKnn ${factor}x")({ rN = cross(big); rN.size.toLong })
+      val ok = rN.forall { case (q, hits) =>
+        val fams = r1.getOrElse(q % baseN, Seq.empty).map(_ % baseN).toSet
+        hits.forall(h => fams.contains(h % baseN))
+      }
+      println(s"[probe] crossKnn ${factor}x hits collapse to base " +
+        s"top-3 families: $ok (${rN.size} queries)")
+    }
+
     // RETRIEVAL TIER at factor× (the r8 verdict's ask): BM25's
     // doc-keyed shuffle, the PQ code scan + exact re-rank, and the
     // relation-only centroid pass — each with a correctness invariant
