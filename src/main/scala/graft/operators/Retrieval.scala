@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval composition: fuse k-bounded rankings from
@@ -17,10 +16,12 @@ object Retrieval {
     *
     * Inputs are (id, score) relations that are ALREADY k-bounded
     * top-N lists (the output of `bm25TopK` / `bruteTopK` — a
-    * TakeOrderedAndProject each), so the unpartitioned rank window
-    * here runs over parameter-sized data by contract; RRF over
-    * unbounded rankings would be a different operator (and a
-    * mistake — fusion quality comes from the head of each list).
+    * TakeOrderedAndProject each); RRF over unbounded rankings would
+    * be a different operator (and a mistake — fusion quality comes
+    * from the head of each list). Ranks are positions in ONE
+    * collected, sorted array per list — a global aggregation
+    * (partial + one reducer), the idiomatic plan for a
+    * parameter-sized list, with no single-partition window anywhere.
     *
     * Determinism / cross-engine parity: ranks tie-break on id; the
     * contribution is floor(1e9/(kRrf+rank)) — an integer, so the
@@ -32,15 +33,15 @@ object Retrieval {
     *
     * `maxN` enforces the bounded-input contract VISIBLY and IN THE
     * PLAN: each ranking is limited to maxN+1 rows (a
-    * TakeOrderedAndProject — the unpartitioned rank window's input
-    * stays bounded by construction), and if the sentinel maxN+1-th
-    * row exists its contribution expression RAISES instead of
-    * computing — a ranking longer than maxN fails the query loudly,
-    * never silently truncates (truncation would drop tail
-    * contributions of up to 1e9/(kRrf+rank) per list and change
-    * fused scores behind the caller's back). Zero extra jobs: the
-    * guard rides the same scan the fusion reads. A caller fusing
-    * genuinely longer lists passes a larger `maxN` explicitly.
+    * TakeOrderedAndProject — the collected array stays bounded by
+    * construction), and if the sentinel maxN+1-th position exists
+    * its contribution expression RAISES instead of computing — a
+    * ranking longer than maxN fails the query loudly, never silently
+    * truncates (truncation would drop tail contributions of up to
+    * 1e9/(kRrf+rank) per list and change fused scores behind the
+    * caller's back). Zero extra jobs: the guard rides the same scan
+    * the fusion reads. A caller fusing genuinely longer lists passes
+    * a larger `maxN` explicitly.
     */
   def rrf(rankings: Seq[DataFrame], idName: String, scoreName: String,
           k: Int, kRrf: Int = 60, maxN: Int = 1024): DataFrame = {
@@ -49,17 +50,21 @@ object Retrieval {
     // returns fewer than k rows — not an error
     require(rankings.nonEmpty && k >= 1 && kRrf >= 0 && maxN >= 1)
     val contribs = rankings.map { df =>
-      val w = Window.orderBy(col(scoreName).desc, col(idName).asc)
+      // rank = position in the sorted collected array (struct sorts
+      // by (-score, id) ascending ≡ (score desc, id asc))
+      val keyed = struct(negate(col(scoreName)).as("__s"),
+        col(idName).as("__id"))
       df.select(col(idName), col(scoreName))
         .orderBy(col(scoreName).desc, col(idName).asc).limit(maxN + 1)
-        .withColumn("__rk", row_number().over(w))
-        .select(col(idName),
-          when(col("__rk") > maxN, raise_error(lit(
+        .agg(sort_array(collect_list(keyed)).as("__l"))
+        .select(posexplode(col("__l")).as(Seq("__p", "__e")))
+        .select(col("__e.__id").as(idName),
+          when(col("__p") >= maxN, raise_error(lit(
             s"rrf: input ranking exceeds maxN=$maxN rows — RRF fuses " +
               "k-bounded top-N lists; pre-truncate the ranking or pass " +
               "a larger maxN (silent truncation would change fused " +
               "scores)")).cast("long"))
-            .otherwise(floor(lit(1e9) / (lit(kRrf) + col("__rk"))).cast("long"))
+            .otherwise(floor(lit(1e9) / (lit(kRrf) + col("__p") + 1)).cast("long"))
             .as("__c"))
     }
     contribs.reduce(_.unionByName(_))
