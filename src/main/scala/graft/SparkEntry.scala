@@ -1664,9 +1664,12 @@ object SparkEntry {
     "q105_cms_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir).documents
         .select(explode(split(col("text"), " ")).as("token"))
-      val slack = math.ceil(0.001 * toks.count()).toLong
-      FreqSketch.estimateTopK(toks, col("token"), 20,
-          eps = 0.001, confidence = 0.99, seed = 42)
+      // N for the eps·N slack comes from the sketch's own stream
+      // length — no second corpus scan
+      val (top, total) = FreqSketch.estimateTopKWithTotal(toks,
+        col("token"), 20, eps = 0.001, confidence = 0.99, seed = 42)
+      val slack = math.ceil(0.001 * total).toLong
+      top
         .select(col("item").as("token"), col("exact_n").as("n_exact"),
           (col("est_n") >= col("exact_n")).as("cms_lower_ok"),
           (col("est_n") <= col("exact_n") + lit(slack)).as("cms_upper_ok"))

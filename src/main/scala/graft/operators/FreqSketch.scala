@@ -36,7 +36,17 @@ object FreqSketch {
     * `exact_n` from above by at most eps·N.
     */
   def estimateTopK(items: DataFrame, item: Column, k: Int, eps: Double,
-                   confidence: Double, seed: Int): DataFrame = {
+                   confidence: Double, seed: Int): DataFrame =
+    estimateTopKWithTotal(items, item, k, eps, confidence, seed)._1
+
+  /** [[estimateTopK]] plus the sketch's own stream length
+    * (CountMinSketch.totalCount — the N in the eps·N error bound),
+    * read from the one merged binary instead of a second corpus
+    * scan. Callers asserting the accuracy contract take this form.
+    */
+  def estimateTopKWithTotal(items: DataFrame, item: Column, k: Int,
+                            eps: Double, confidence: Double, seed: Int)
+      : (DataFrame, Long) = {
     val bytes = cmsBytes(items, item, eps, confidence, seed)
     val spark = items.sparkSession
     val bc = spark.sparkContext.broadcast(bytes)
@@ -45,11 +55,12 @@ object FreqSketch {
     val est = udf { (s: String) =>
       FreqSketch.cached(bc.value).estimateCount(s)
     }
-    items.groupBy(item.as("item"))
+    val top = items.groupBy(item.as("item"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("item").asc)
       .limit(k)
       .withColumn("est_n", est(col("item")))
+    (top, cached(bytes).totalCount())
   }
 
   // deserialize once per executor (keyed by identity of the
