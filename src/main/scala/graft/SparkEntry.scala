@@ -1353,14 +1353,17 @@ object SparkEntry {
     // top-5 per language WITH exact counts — asserted under the
     // driver's hash, not just in-query: rows are keyed by the
     // DuckDB-computable exact top-5 and carry the sketch's count
-    // (sketch_n), which the oracle pins to n_exact. k=10 buffer so a
-    // count tie at the rank-5 boundary cannot evict an exact-top-5
-    // token from the sketch's returned set.
+    // (sketch_n), which the oracle pins to n_exact. k=50 buffer: a
+    // tie GROUP at the rank-5 count can only evict an exact-top-5
+    // token from the sketch's returned set if more than 50 tokens
+    // share counts >= the boundary count — far past any plausible
+    // head-of-distribution tie in this corpus (k rows are
+    // parameter-sized either way).
     "q91_approx_top_terms" -> ((s, dir) => {
       val toks = t(s, dir).documents
         .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
       val approx = toks.groupBy(col("lang"))
-        .agg(expr("approx_top_k(token, 10, 100000)").as("top"))
+        .agg(expr("approx_top_k(token, 50, 100000)").as("top"))
         .select(col("lang"), explode(col("top")).as("e"))
         .select(col("lang"), col("e.item").as("token"),
           col("e.count").cast("long").as("sketch_n"))
@@ -2618,7 +2621,11 @@ object SparkEntry {
         SelfCheck.note(s"skip scan read $admitted of $total files; " +
           s"pruned rows == unpruned rows ($full)")
       }
-      FileManifest.scan(s, path, Seq(("n_chars", 200, 260)), s"$path-manifest")
+      // prune with the manifest already resolved above — calling
+      // FileManifest.scan here would resolve the artifact a second
+      // time per query (scan() is the one-call form for callers that
+      // don't hold the manifest; CompactionSpec covers it)
+      FileManifest.prunedScan(s, path, manifest, "n_chars", 200, 260)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
@@ -2797,7 +2804,9 @@ object SparkEntry {
 
   /** q151's pinned merge table: chains that actually fire on the
     * documents vocabulary (table, value, scan, row, window), in
-    * priority order; no self-merges (see BpeLearn.encode scaladoc).
+    * priority order. All pairs are a ≠ b, which keeps the DuckDB
+    * replace-chain oracle exact (for a ≠ b the two-pass replace it
+    * mirrors equals the greedy pass the engine kernel computes).
     */
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",

@@ -351,21 +351,32 @@ object GraphQl {
                                    rootKey: String): DataFrame = {
     val rowsSel: Seq[Field] = f.sel.find(_.name == "rows").map(_.sel)
       .getOrElse(Seq.empty)
+    rowsSel.find(f => f.name == "targets" && f.sel.isEmpty).foreach { _ =>
+      throw ParseError(
+        "'drug.mechanismsOfAction' targets need a selection of target fields")
+    }
     val targetsSel: Seq[Field] = rowsSel.find(_.name == "targets").map(_.sel)
       .getOrElse(Seq.empty)
     val base = kg.mechanismRows.filter(col("drug_id") === rootKey)
     // the targets join pays only when a non-id target field is read
     // (id is already on the edge relation); LEFT for resolver
     // semantics, same as the flat connections
+    val joined = targetsSel.exists(_.name != "id")
     val flat =
-      if (!targetsSel.exists(_.name != "id")) base
+      if (!joined) base
       else base.join(kg.targets.select(col("id").as("__t_id"),
         col("approvedSymbol").as("__t_sym")),
         col("target_id") === col("__t_id"), "left")
+    // joined path: a target id the entity table lacks resolves to a
+    // NULL object (same contract as the flat connections' sub-entity
+    // fields); the id-only path reads the edge column, which is
+    // non-null by construction
+    def targetStruct = entityStruct("target", targetsSel,
+      Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym")))
     val targetPayload =
       if (targetsSel.isEmpty) lit(null)
-      else entityStruct("target", targetsSel,
-        Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym")))
+      else if (joined) when(col("__t_id").isNotNull, targetStruct)
+      else targetStruct
     // level 1: one row struct per (mechanism, actionType) group with
     // the group's targets sorted by id inside it
     val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
@@ -439,7 +450,15 @@ object GraphQl {
       val keyed = struct(c.sortKeys.zipWithIndex.map {
         case (k, i) => k.as(s"__k$i") } :+ payload.as("__p"): _*)
       val sorted = sort_array(collect_list(keyed))
-      val page = size.fold(sorted)(n => slice(sorted, index * n + 1, n))
+      // Long math then a clamp: index*n+1 can overflow Int, and a
+      // negative start would make slice() count from the END of the
+      // array — returning the wrong rows instead of the correct
+      // empty page. Spark arrays hold < Int.MaxValue elements, so a
+      // clamped start is always past the end.
+      val page = size.fold(sorted) { n =>
+        val start = math.min(index.toLong * n + 1L, Int.MaxValue.toLong).toInt
+        slice(sorted, start, n)
+      }
       transform(page, x => x.getField("__p"))
     }
     if (c.hasRows) {

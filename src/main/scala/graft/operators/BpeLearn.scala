@@ -109,22 +109,33 @@ object BpeLearn {
     * BpeLearnSpec).
     *
     * The kernel is pure string expressions: each word renders as the
-    * space-delimited symbol string " c1 c2 … " and each merge (a, b)
-    * is TWO `replace(" a b " → " ab ")` passes. `replace` scans left
-    * to right and never rescans replaced output — but two
-    * string-adjacent matches share their boundary space, so a single
-    * pass misses every other match in a chain (" a b a b " consumes
-    * the middle space with match 1 and skips match 2). Pass 1 takes a
-    * leftmost-first independent set of matches; every match it skips
-    * has both neighbors consumed and is therefore isolated — pass 2
-    * picks them all up, reproducing the greedy left-to-right BPE pass
-    * exactly for a ≠ b. For a SELF-merge (a == b) on a symbol run of
-    * length ≥ 3 the replaced alignment can put the odd symbol in a
-    * different slot than the fold does ([aa,a,aa] vs [aa,aa,a] on
-    * five a's): the token MULTISET per word still matches (both are
-    * maximum matchings of the run) but order-sensitive later merges
-    * may then diverge — the spec pins exactness on corpora without
-    * ≥3-symbol self-merge runs (letters rarely triple).
+    * space-delimited symbol string " c1 c2 … " and each merge is one
+    * greedy left-to-right pass, realized by the cheapest exact
+    * expression per merge SHAPE:
+    *
+    *  - a ≠ b (the common case): TWO `replace(" a b " → " ab ")`
+    *    passes. `replace` scans left to right without rescanning
+    *    replaced output, but consumes the trailing boundary space, so
+    *    string-adjacent matches in a chain (" a b a b ") skip every
+    *    other occurrence; the skipped matches are isolated after pass
+    *    1 (both neighbors consumed) and pass 2 takes them all —
+    *    equal to the greedy pass exactly, at plain-substring cost.
+    *  - a == b (self-merge): ONE `regexp_replace` with the
+    *    literal-quoted pattern `\Q a a\E(?= )` → " aa". The lookahead
+    *    leaves the boundary space unconsumed, so the regex engine's
+    *    leftmost-first non-overlapping scan pairs a ≥ 3-symbol run
+    *    off the left with the odd symbol at the END — the alignment
+    *    the two-pass replace gets wrong ([aa, a, aa] instead of
+    *    [aa, aa, a] on five a's), and exactly what the greedy fold
+    *    computes. Regex costs ~3× plain replace, paid only on the
+    *    rare self-merge steps.
+    *
+    * Both shapes match [[applyMerge]] / [[encodeLocal]] symbol for
+    * symbol (spec-pinned on adversarial chains, learned tables,
+    * self-merge runs, and regex-metacharacter symbols). A freshly
+    * merged token cannot act as the LEFT element of a later match in
+    * the same pass (its text was consumed) — the standard BPE apply
+    * order.
     *
     * The whole chain stays inside whole-stage codegen in the scan
     * stage: no shuffle, no UDF, no driver state beyond the
@@ -143,19 +154,15 @@ object BpeLearn {
     require(merges.forall { case (a, b) =>
       a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
       "merge symbols must be non-empty and space-free")
-    // the two-pass replace kernel is proven exact only for a != b
-    // (see scaladoc): a self-merge on a >= 3-symbol run can realign
-    // later order-sensitive merges, so reject it loudly instead of
-    // diverging silently from the greedy reference
-    require(merges.forall { case (a, b) => a != b },
-      "self-merges (a == b) are not supported by the replace-chain " +
-        "encoder — see the alignment limitation in the scaladoc")
     val spaced = concat(lit(" "), array_join(split(col("__w"), ""), " "), lit(" "))
-    def pass(s: Column, a: String, b: String): Column =
+    def replacePass(s: Column, a: String, b: String): Column =
       call_function("replace", s, lit(s" $a $b "), lit(s" ${a + b} "))
-    val enc = merges.foldLeft(spaced) { case (s, (a, b)) =>
-      pass(pass(s, a, b), a, b) // two passes per merge (see scaladoc)
-    }
+    def pass(s: Column, a: String, b: String): Column =
+      if (a != b) replacePass(replacePass(s, a, b), a, b)
+      else regexp_replace(s,
+        lit(java.util.regex.Pattern.quote(s" $a $b") + "(?= )"),
+        lit(java.util.regex.Matcher.quoteReplacement(s" ${a + b}")))
+    val enc = merges.foldLeft(spaced) { case (s, (a, b)) => pass(s, a, b) }
     docs.select(col(idName), explode(TextFns.tokens(text)).as("__w"))
       .filter(length(col("__w")) > 0)
       .select(col(idName), split(trim(enc), " ").as("tokens"))

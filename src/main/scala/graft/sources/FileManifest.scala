@@ -150,21 +150,28 @@ object FileManifest {
     spark.read.parquet(manifestPath)
   }
 
-  /** Total-size + newest-mtime fingerprint of the data directory: the
-    * same freshness discipline every artifact path in this repo keys
-    * on, applied to the manifest's source.
+  /** Size + newest-mtime + name-set fingerprint of the data
+    * directory — the freshness discipline every artifact path in
+    * this repo keys on, plus the file NAMES: a rewrite can land
+    * within mtime granularity with an unchanged total byte size, but
+    * Spark part-file names carry fresh job UUIDs, so folding names
+    * into the tag catches same-size same-tick rewrites too.
     */
   private def sourceTag(dir: String): String = {
-    def stat(f: java.io.File): (Long, Long) =
+    def stat(f: java.io.File): (Long, Long, Long) =
       if (f.isDirectory) {
         val kids = Option(f.listFiles()).getOrElse(Array.empty)
           // _-prefixed bookkeeping (_SUCCESS, _graft_read) moves on
           // reads; only data files should invalidate the manifest
           .filterNot(_.getName.startsWith("_")).map(stat)
-        (kids.map(_._1).sum, (0L +: kids.map(_._2).toSeq).max)
-      } else (f.length(), f.lastModified())
-    val (len, mtime) = stat(new java.io.File(dir))
-    s"$len-$mtime"
+        // the name fold is a SUM — listFiles() order is unspecified,
+        // and an order-dependent combiner would re-tag (and rebuild)
+        // on a mere listing-order change
+        (kids.map(_._1).sum, (0L +: kids.map(_._2).toSeq).max,
+          f.getName.hashCode.toLong + kids.map(_._3).sum)
+      } else (f.length(), f.lastModified(), f.getName.hashCode.toLong)
+    val (len, mtime, names) = stat(new java.io.File(dir))
+    s"$len-$mtime-$names"
   }
 
   /** How many files the manifest admits — the skipping evidence

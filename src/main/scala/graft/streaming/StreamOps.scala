@@ -288,7 +288,7 @@ object StreamOps {
           if (flatHistory)
             foldInto(spark.read.parquet(targetDir), collapsed, key, versionCol)
           else Some(openAll(collapsed, versionCol))
-        merged.foreach { m =>
+        merged.foreach { case (m, _) =>
           val out = m.localCheckpoint(true)
           out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(targetDir)
@@ -307,31 +307,43 @@ object StreamOps {
               .collect().map(_.getInt(0)).toSeq
             val slice = spark.read.parquet(targetDir)
               .filter(col("__b").isin(touched: _*)).drop("__b")
-            foldInto(slice, collapsed, key, versionCol)
+            // the GLOBAL frontier lives in a sidecar (running max of
+            // applied asOf values): the touched slice alone would
+            // understate it — a late batch touching only fresh
+            // buckets would open NEW keys below the frontier, making
+            // the bucketed history diverge from the flat layout's
+            foldInto(slice, collapsed, key, versionCol,
+              readFrontier(targetDir))
           } else Some(openAll(collapsed, versionCol))
-        merged.foreach { m =>
+        merged.foreach { case (m, asOf) =>
           val out = m.withColumn("__b", bucket).localCheckpoint(true)
           out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__b").parquet(targetDir)
           out.unpersist()
+          writeFrontier(targetDir, asOf)
         }
     }
   }
 
   /** First batch: every collapsed row opens at the batch max. */
-  private def openAll(collapsed: DataFrame, versionCol: String): DataFrame = {
+  private def openAll(collapsed: DataFrame,
+                      versionCol: String): (DataFrame, Long) = {
     val batchMax = collapsed.agg(max(col(versionCol))).head().getLong(0)
-    collapsed
+    (collapsed
       .withColumn("valid_from", lit(batchMax))
-      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("valid_to", lit(null).cast("long")), batchMax)
   }
 
   /** Drop stale rows, clamp asOf, apply. None = every row was stale —
     * the history is already correct and the write is skipped.
+    * `floorFrontier` lets a bucketed caller supply the GLOBAL
+    * frontier (the read slice only sees the touched buckets').
     */
   private def foldInto(history: DataFrame, collapsed: DataFrame,
-                       key: String, versionCol: String): Option[DataFrame] = {
+                       key: String, versionCol: String,
+                       floorFrontier: Long = Long.MinValue)
+      : Option[(DataFrame, Long)] = {
     val open = history.filter(col("valid_to").isNull)
       .select(col(key), col(versionCol).as("__open_v"))
     val fresh = collapsed.join(open, Seq(key), "left")
@@ -343,14 +355,36 @@ object StreamOps {
       val batchMax = stats.getLong(1)
       // asOf monotonicity guard: stale PER-KEY rows are already gone,
       // but a late batch can still open NEW keys; clamping to the
-      // (read slice's) frontier keeps re-inserted keys' intervals in
-      // history order.
+      // frontier keeps re-inserted keys' intervals in history order.
       val frontier = Option(history.agg(max(col("valid_from")))
         .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-      val asOf = math.max(batchMax, frontier)
-      Some(graft.operators.Upsert.scd2Apply(history,
-        fresh, key, asOf, closeMissing = false))
+      val asOf = math.max(batchMax, math.max(frontier, floorFrontier))
+      Some((graft.operators.Upsert.scd2Apply(history,
+        fresh, key, asOf, closeMissing = false), asOf))
     }
+  }
+
+  /** The bucketed history's global-frontier sidecar: a running max of
+    * applied asOf values, equal to the flat layout's
+    * max(valid_from). Missing/garbled reads degrade to MinValue —
+    * the clamp merely weakens (same as a crash between data and
+    * sidecar writes), never corrupts: per-key ordering is protected
+    * by the stale-version drop regardless.
+    */
+  private def readFrontier(targetDir: String): Long = {
+    val f = new java.io.File(targetDir, "_graft_frontier")
+    if (!f.isFile) Long.MinValue
+    else try new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim.toLong
+    catch { case _: Throwable => Long.MinValue }
+  }
+
+  private def writeFrontier(targetDir: String, asOf: Long): Unit = {
+    val cur = readFrontier(targetDir)
+    if (asOf > cur)
+      java.nio.file.Files.write(
+        new java.io.File(targetDir, "_graft_frontier").toPath,
+        asOf.toString.getBytes("UTF-8"))
   }
 
   /** The streaming query wiring for [[scd2Batch]]. `trigger` defaults

@@ -51,15 +51,48 @@ class BpeLearnSpec extends SparkSpec {
     assert(counts.zip(counts.drop(1)).forall { case (a, b) => b <= a })
   }
 
-  test("encode: chained matches merge fully (the two-pass case)") {
-    // " a b a b a b " — a single replace pass takes matches 1 and 3
-    // (2 shares a boundary space with 1); the second pass must pick
-    // up the isolated leftover so every (a,b) adjacency merges
+  test("encode: chained matches merge fully in the lookahead pass") {
+    // " a b a b a b " — a space-consuming replace would take matches
+    // 1 and 3 only (2 shares a boundary space with 1); the lookahead
+    // kernel must merge every (a,b) adjacency in one greedy pass
     val docs = Seq((1L, "ababab xab abx")).toDF("doc_id", "text")
     val got = BpeLearn.encode(docs, "doc_id", col("text"),
         Seq("a" -> "b"))
       .select(col("tokens")).as[Seq[String]].collect().toSet
     assert(got == Set(Seq("ab", "ab", "ab"), Seq("x", "ab"), Seq("ab", "x")))
+  }
+
+  test("encode: SELF-merges pair runs greedily, odd symbol at the end") {
+    // the learnMerges fold gives "lllll" under (l,l) → [ll, ll, l];
+    // the encode kernel must align identically or later
+    // order-sensitive merges diverge — the realignment trap the old
+    // space-consuming kernel had ([ll, l, ll])
+    val docs = Seq((1L, "lllll llll lll ll l")).toDF("doc_id", "text")
+    val merges = Seq("l" -> "l", "ll" -> "l")
+    val got = BpeLearn.encode(docs, "doc_id", col("text"), merges)
+      .select(col("tokens")).as[Seq[String]].collect().toSeq
+    val words = Seq("lllll", "llll", "lll", "ll", "l")
+    words.foreach { w =>
+      val want = BpeLearn.encodeLocal(w, merges)
+      assert(got.contains(want), s"word '$w': expected $want in $got")
+    }
+    // and the exact greedy shape, spelled out: (l,l) pairs "lllll"
+    // into [ll, ll, l] (odd at the END), then (ll,l) takes the
+    // SECOND ll with the trailing l → [ll, lll]. The old kernel's
+    // realignment [ll, l, ll] would instead give [ll, ll, l] wrongly
+    // merged as [lll, ll] — order-sensitive divergence made visible.
+    assert(BpeLearn.encodeLocal("lllll", merges) == Seq("ll", "lll"))
+    assert(got.toSet == words.map(BpeLearn.encodeLocal(_, merges)).toSet)
+  }
+
+  test("encode: regex metacharacters in symbols are literal") {
+    // corpus symbols are arbitrary characters — a '.' or '(' in a
+    // merge pair must match itself, not regex syntax
+    val docs = Seq((1L, "a.b (c x)")).toDF("doc_id", "text")
+    val got = BpeLearn.encode(docs, "doc_id", col("text"),
+        Seq("a" -> ".", "(" -> "c"))
+      .select(col("tokens")).as[Seq[String]].collect().toSet
+    assert(got == Set(Seq("a.", "b"), Seq("(c"), Seq("x", ")")))
   }
 
   test("encode equals the sequential greedy reference on adversarial words") {

@@ -193,13 +193,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
-    // spec. Exemption: RRF's rank windows (q138) run over inputs that
-    // are ALREADY k-bounded top-N lists (TakeOrderedAndProject
-    // outputs, ≤50 rows by construction) — a single partition of
-    // parameter-sized data is the contract there, not a scale hazard
-    // (Retrieval.rrf's scaladoc states the bound).
-    val exempt = Set("q138_rrf_hybrid")
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt).foreach { name =>
+    // spec — NO exemptions: the one legitimate parameter-sized
+    // global rank (RRF) is now a sorted-array aggregation, so any
+    // unpartitioned window anywhere is a regression
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = query(name).queryExecution.optimizedPlan.toString()
       "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
         val spec = m.group(1)

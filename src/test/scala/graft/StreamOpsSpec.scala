@@ -383,6 +383,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(e1.getMessage.contains("bucket-partitioned"))
   }
 
+  test("scd2Batch(historyBuckets): late NEW key in an untouched bucket clamps to the GLOBAL frontier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2gf").toFile
+    val target = s"${dir.getAbsolutePath}/history"
+    val n = 8
+    def b(k: Long): Int =
+      spark.range(1).select(pmod(hash(lit(k)), lit(n))).head().getInt(0)
+    // a key hashing to a DIFFERENT bucket than key 1's: the late
+    // batch below touches only that bucket, whose slice knows
+    // nothing of the version-100 frontier — the sidecar must supply
+    // it or the bucketed layout diverges from the flat one
+    val k2 = (2L to 64L).find(k => b(k) != b(1L)).get
+    StreamOps.scd2Batch(Seq((1L, "a", 100L)).toDF("id", "name", "version"),
+      target, "id", "version", historyBuckets = Some(n))
+    StreamOps.scd2Batch(Seq((k2, "c", 50L)).toDF("id", "name", "version"),
+      target, "id", "version", historyBuckets = Some(n))
+    val rows = spark.read.parquet(target)
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // flat-layout equivalence: the new key opens at valid_from = 100
+    // (the global frontier), exactly as the flat layout would place it
+    assert(rows == Seq((1L, "a", 100L, -1L), (k2, "c", 100L, -1L)))
+  }
+
   test("last-wins collapse is deterministic under duplicate (key, version) rows") {
     import spark.implicits._
     // contract violation: same key+version, different payloads — the

@@ -20,8 +20,8 @@ object ProbeWarnScan {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      // markers go to stdout WITH a flush so they interleave correctly
-      // with log4j's stderr in a combined capture
+      // markers go to stderr (flushed) so they interleave in order
+      // with log4j's stderr appender in a combined 2>&1 capture
       Console.err.println(s"[q] $n"); Console.err.flush()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
