@@ -723,20 +723,16 @@ object SparkEntry {
     // ---------------- A2 at scale: approx distinct (rows-only) ----------------
     // Self-check: the HLL estimate must land within 10% of the exact
     // count (HLL++ default rsd is 5%).
-    "q40_approx_distinct" -> ((s, dir) => {
-      val out = t(s, dir).lineitem.agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      SelfCheck.once(s"q40/$dir") {
-        val r = out.head()
-        val (approx, exact) = (r.getLong(0), r.getLong(1))
-        require(math.abs(approx - exact) <= exact * 0.1,
-          s"q40 HLL estimate $approx vs exact $exact exceeds 10% error")
-        SelfCheck.note(f"HLL estimate $approx vs exact $exact " +
-          f"(${math.abs(approx - exact) * 100.0 / exact}%.2f%% error, bound 10%%)")
-      }
-      out
-    }),
+    // FULL-oracle envelope (the q105 discipline): the HLL estimate is
+    // sketch-internal, but its error contract is a SQL row — the
+    // exact distinct count rides under the hash next to a boolean
+    // the oracle pins TRUE
+    "q40_approx_distinct" -> ((s, dir) =>
+      t(s, dir).lineitem.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey"))
+            - countDistinct(col("l_partkey")))
+          <= countDistinct(col("l_partkey")) * 0.1).as("hll_within_10pct"))),
 
     // ---------------- P1 nested struct/array round-trip ----------------
     // build array<struct> per customer, explode it back, re-aggregate:
@@ -1315,24 +1311,23 @@ object SparkEntry {
     // error is ≤ 1e-4, so the sketch median must land inside the
     // exact [p49, p51] band. Sketch internals are engine-specific →
     // no SQL oracle; rows-only with a loud in-query gate.
-    "q83_approx_percentiles" -> ((s, dir) => {
-      val res = t(s, dir).lineitem
+    // FULL-oracle envelope: the GK sketch's rank-error contract —
+    // approx p50 inside the exact [p49, p51] band — is the hashed
+    // row, with the band itself recomputed by DuckDB (quantile_cont
+    // matches Spark's interpolated percentile definition)
+    "q83_approx_percentiles" -> ((s, dir) =>
+      t(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-            .as("p50_approx"),
+            .cast("double").as("pa"),
           percentile(col("l_quantity"), lit(0.49)).as("lo"),
           percentile(col("l_quantity"), lit(0.51)).as("hi"))
-      SelfCheck.every(s"q83/$dir") {
-        val n = res.count()
-        val bad = res.filter(col("p50_approx") < col("lo") ||
-          col("p50_approx") > col("hi")).count()
-        require(bad == 0, s"q83 approx median outside exact [p49,p51] for $bad groups")
-        SelfCheck.note(s"approx p50 within exact [p49,p51] for all $n groups")
-      }
-      res.select(col("l_returnflag"),
-          col("p50_approx").cast("double").as("p50_approx"))
-        .orderBy("l_returnflag")
-    }),
+        .select(col("l_returnflag"),
+          round(col("lo"), 6).as("lo_p49"),
+          round(col("hi"), 6).as("hi_p51"),
+          (col("pa") >= col("lo") && col("pa") <= col("hi"))
+            .as("p50_in_band"))
+        .orderBy("l_returnflag")),
 
     // ---------------- corpus-LM quality: mean unigram surprisal ----------------
     "q84_unigram_surprisal" -> ((s, dir) => {
@@ -1453,23 +1448,21 @@ object SparkEntry {
     // cells' exact distincts gives the per-lang truth the sketch
     // estimate must land within 5% of. Sketch bytes are
     // engine-specific → rows-only with a loud in-query gate.
+    // FULL-oracle envelope: the per-(lang,source) sketches MERGE
+    // (hll_union_agg) into per-lang estimates — the rollup a 100 TB
+    // pipeline keeps instead of re-scanning; the hashed row is the
+    // exact rollup count plus the merged estimate's 5% error verdict
     "q87_hll_rollup" -> ((s, dir) => {
       val fine = t(s, dir).documents
         .groupBy(col("lang"), col("source"))
         .agg(hll_sketch_agg(col("doc_id")).as("sk"),
           countDistinct(col("doc_id")).as("exact"))
-      val perLang = fine.groupBy(col("lang"))
+      fine.groupBy(col("lang"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
           sum(col("exact")).as("exact"))
-      SelfCheck.every(s"q87/$dir") {
-        val n = perLang.count()
-        val bad = perLang
-          .filter(abs(col("approx") - col("exact")) > col("exact") * 0.05).count()
-        require(bad == 0, s"q87 sketch-merge estimate off by >5% for $bad langs")
-        SelfCheck.note(s"merged-sketch estimate within 5% of exact for all $n langs")
-      }
-      perLang.select(col("lang"), col("approx").as("approx_docs"),
-          col("exact").as("exact_docs"))
+        .select(col("lang"), col("exact").cast("long").as("exact_docs"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.05)
+            .as("merged_within_5pct"))
         .orderBy("lang")
     }),
 
@@ -4726,6 +4719,25 @@ object SparkEntry {
     "q162_manifest_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
          WHERE n_chars BETWEEN 100 AND 400""",
+    // HLL envelope: exact count recomputed, error verdict pinned TRUE
+    "q40_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_10pct
+         FROM lineitem""",
+    // GK envelope: the exact [p49, p51] band recomputed (quantile_cont
+    // = the same interpolated definition), the in-band verdict TRUE
+    "q83_approx_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.49), 6) AS lo_p49,
+           round(quantile_cont(l_quantity, 0.51), 6) AS hi_p51,
+           TRUE AS p50_in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // merged-HLL envelope: doc_id is unique, so the per-lang rollup of
+    // per-source distincts equals the plain per-lang distinct
+    "q87_hll_rollup" ->
+      """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+           TRUE AS merged_within_5pct
+         FROM documents GROUP BY lang ORDER BY lang""",
     // the sketch's returned set must contain the exact top-5 with
     // exact counts (maxItemsTracked >> vocabulary): sketch_n == n_exact
     "q91_approx_top_terms" ->
