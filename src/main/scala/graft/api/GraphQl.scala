@@ -206,6 +206,7 @@ object GraphQl {
   private val Scalars: Map[(String, String), String] = Map(
     ("disease", "id") -> "id", ("disease", "name") -> "name",
     ("target", "id") -> "id", ("target", "approvedSymbol") -> "approvedSymbol",
+    ("target", "bioType") -> "bioType",
     ("drug", "id") -> "id", ("drug", "name") -> "name",
     ("drug", "synonyms") -> "synonyms", ("drug", "drugType") -> "drugType",
     ("drug", "isApproved") -> "isApproved",
@@ -248,7 +249,7 @@ object GraphQl {
     def tgt(df: DataFrame, on: String): DataFrame =
       if (!selected("target")) df
       else df.join(kg.targets.select(col("id").as("__t_id"),
-        col("approvedSymbol").as("__t_sym")),
+        col("approvedSymbol").as("__t_sym"), col("bioType").as("__t_bio")),
         col(on) === col("__t_id"), "left")
     def drg(df: DataFrame, on: String): DataFrame =
       if (!selected("drug")) df
@@ -265,7 +266,8 @@ object GraphQl {
     // nulls — the GraphQL null the client's .get() chains expect
     def targetField(f: Field) = when(col("__t_id").isNotNull,
       entityStruct("target", f.sel,
-        Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym"))))
+        Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym"),
+          "bioType" -> col("__t_bio"))))
     def drugField(f: Field) = when(col("__d_id").isNotNull,
       entityStruct("drug", f.sel,
         Map("id" -> col("__d_id"), "name" -> col("__d_name"),
@@ -359,30 +361,37 @@ object GraphQl {
       .getOrElse(Seq.empty)
     val base = kg.mechanismRows.filter(col("drug_id") === rootKey)
     // the targets join pays only when a non-id target field is read
-    // (id is already on the edge relation); LEFT for resolver
-    // semantics, same as the flat connections
-    val joined = targetsSel.exists(_.name != "id")
+    // (id is already on the edge relation) or uniqueTargetTypes needs
+    // the bioType facet; LEFT for resolver semantics, same as the
+    // flat connections
+    val needTypes = f.sel.exists(_.name == "uniqueTargetTypes")
+    val joined = targetsSel.exists(_.name != "id") || needTypes
     val flat =
       if (!joined) base
       else base.join(kg.targets.select(col("id").as("__t_id"),
-        col("approvedSymbol").as("__t_sym")),
+        col("approvedSymbol").as("__t_sym"), col("bioType").as("__t_bio")),
         col("target_id") === col("__t_id"), "left")
     // joined path: a target id the entity table lacks resolves to a
     // NULL object (same contract as the flat connections' sub-entity
     // fields); the id-only path reads the edge column, which is
     // non-null by construction
     def targetStruct = entityStruct("target", targetsSel,
-      Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym")))
+      Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym"),
+        "bioType" -> col("__t_bio")))
     val targetPayload =
       if (targetsSel.isEmpty) lit(null)
       else if (joined) when(col("__t_id").isNotNull, targetStruct)
       else targetStruct
     // level 1: one row struct per (mechanism, actionType) group with
-    // the group's targets sorted by id inside it
-    val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
-      .agg(transform(sort_array(collect_list(struct(
+    // the group's targets sorted by id inside it (plus the group's
+    // bioType set when uniqueTargetTypes reads it)
+    val lvl1 = Seq(transform(sort_array(collect_list(struct(
         col("target_id").as("__k0"), targetPayload.as("__p")))),
-        x => x.getField("__p")).as("__targets"))
+        x => x.getField("__p")).as("__targets")) ++
+      (if (needTypes) Seq(collect_set(col("__t_bio")).as("__ttypes"))
+       else Nil)
+    val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
+      .agg(lvl1.head, lvl1.tail: _*)
     val rowPayload = struct(rowsSel.map {
       case Field("mechanismOfAction", _, Seq()) =>
         col("mechanismOfAction").as("mechanismOfAction")
@@ -404,9 +413,12 @@ object GraphQl {
           x => x.getField("__p")).as("rows")
       case Field("uniqueActionTypes", _, Seq()) =>
         sort_array(collect_set(col("actionType"))).as("uniqueActionTypes")
+      case Field("uniqueTargetTypes", _, Seq()) =>
+        sort_array(array_distinct(flatten(collect_list(col("__ttypes")))))
+          .as("uniqueTargetTypes")
       case g => throw ParseError(
         s"unknown field '${g.name}' on drug.mechanismsOfAction — " +
-          "supported: rows, uniqueActionTypes")
+          "supported: rows, uniqueActionTypes, uniqueTargetTypes")
     }
     if (parts.isEmpty) throw ParseError(
       "'drug.mechanismsOfAction' needs a selection")
@@ -531,7 +543,8 @@ object GraphQl {
   private def executeBatch(kg: KnowledgeGraph, root: Field): DataFrame = {
     val (entity, keyArg, base, fields) = root.name match {
       case "targets" => ("target", "ensemblIds", kg.targets,
-        Map("id" -> col("id"), "approvedSymbol" -> col("approvedSymbol")))
+        Map("id" -> col("id"), "approvedSymbol" -> col("approvedSymbol"),
+          "bioType" -> col("bioType")))
       case "diseases" => ("disease", "efoIds", kg.diseases,
         Map("id" -> col("id"), "name" -> col("name")))
       case "drugs" => ("drug", "chemblIds", kg.drugDetails,

@@ -50,10 +50,13 @@ final class KnowledgeGraph(spark: SparkSession, dir: String,
       .select(concat(lit("DIS_"), col("c_mktsegment")).as("id"),
         col("c_mktsegment").as("name"))
 
-  /** target(id, approvedSymbol) — one per part. */
+  /** target(id, approvedSymbol, bioType) — one per part (bioType ≈
+    * the part type bucket, opentargets.schema's Target.bioType).
+    */
   def targets: DataFrame =
     t.part.select(concat(lit("TGT_"), col("p_partkey")).as("id"),
-      col("p_name").as("approvedSymbol"))
+      col("p_name").as("approvedSymbol"),
+      col("p_type").as("bioType"))
 
   /** drug(id, name) — one per supplier. */
   def drugs: DataFrame =

@@ -326,21 +326,34 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       t.getString(0).startsWith("TGT_") && t.getString(1).nonEmpty))
   }
 
-  test("execute: mechanismsOfAction actionType + uniqueActionTypes; targeted errors") {
+  test("execute: mechanismsOfAction actionType + unique facets; targeted errors") {
     val got = GraphQl.execute(kg,
       """{ drug(chemblId: "DRG_7") { mechanismsOfAction {
-           rows { mechanismOfAction actionType } uniqueActionTypes } } }""")
+           rows { mechanismOfAction actionType targets { id bioType } }
+           uniqueActionTypes uniqueTargetTypes } } }""")
       .head().getStruct(0)
     val rows = got.getSeq[Row](0)
-    val unique = got.getSeq[String](1)
+    val uniqueA = got.getSeq[String](1)
+    val uniqueT = got.getSeq[String](2)
     assert(rows.nonEmpty)
-    assert(unique == rows.map(_.getString(1)).distinct.sorted)
+    assert(uniqueA == rows.map(_.getString(1)).distinct.sorted)
+    // uniqueTargetTypes = the sorted distinct bioTypes across every
+    // row's target list
+    val wantTypes = rows.flatMap(_.getSeq[Row](2)).map(_.getString(1))
+      .distinct.sorted
+    assert(uniqueT == wantTypes && uniqueT.nonEmpty)
+    // bioType values come from the entity table
+    val bio = kg.targets.filter(col("id") === rows.head.getSeq[Row](2)
+      .head.getString(0)).select("bioType").head().getString(0)
+    assert(rows.head.getSeq[Row](2).head.getString(1) == bio)
     def err(q: String): String =
       intercept[ParseError](GraphQl.execute(kg, q)).getMessage
     assert(err("""{ drug(chemblId: "x") { mechanismsOfAction { nope } } }""")
-      .contains("rows, uniqueActionTypes"))
+      .contains("rows, uniqueActionTypes, uniqueTargetTypes"))
     assert(err("""{ drug(chemblId: "x") { mechanismsOfAction { rows { bogus } } } }""")
       .contains("mechanismOfAction, actionType, targets"))
+    assert(err("""{ drug(chemblId: "x") { mechanismsOfAction { rows { targets } } } }""")
+      .contains("targets need a selection"))
   }
 
   test("execute: page {index, size} slices rows; count stays total") {
