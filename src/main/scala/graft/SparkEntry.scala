@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, TextMetrics, Upsert}
+import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -2792,7 +2792,69 @@ object SparkEntry {
         .select(col("id"), col("price"), col("v"),
           col("valid_from"), col("valid_to"))
         .orderBy("id", "valid_from")
-    })
+    }),
+
+    // ---------------- general interval-overlap join ----------------
+    // "Which purchase-attribution windows were open while each click
+    // window was live?" — interval × interval overlap per user, the
+    // temporal-algebra primitive q74/q75 (as-of, point-in-range)
+    // don't cover. Binned equi-join (both sides replicate per
+    // touched bin, first-shared-bin claims the pair) — the raw
+    // inequality predicate the DuckDB oracle runs would plan as a
+    // nested loop at scale.
+    "q167_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      def iv(tpe: String, lenUs: Long, sN: String, eN: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as(sN),
+            (unix_micros(col("ts")) + lit(lenUs)).as(eN))
+      RangeJoin.intervalOverlapJoin(
+        iv("click", 300000000L, "ls", "le"),
+        iv("purchase", 600000000L, "rs", "re"),
+        "user_id", "ls", "le", "rs", "re",
+        binWidth = 600000000L, rightCols = Seq("event_id"))
+        .orderBy("event_id", "r_event_id")
+    }),
+
+    // ---------------- per-key interval coalescing ----------------
+    // Union of overlapping click windows per user → coverage islands
+    // ("total engaged time"). One keyed window + one keyed agg;
+    // contrast q113 sessionize, which islands POINT events by gap.
+    "q168_interval_merge" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      RangeJoin.mergeIntervals(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("e")),
+        "user_id", "s", "e")
+        .orderBy("user_id", "island_start")
+    }),
+
+    // ---------------- 2-D Pareto skyline ----------------
+    // Per return-flag frontier of (cheapest price, biggest quantity):
+    // one keyed sort + two running-min windows replace the quadratic
+    // NOT-EXISTS self-join the oracle runs. Fixed-point cents keep
+    // the RANGE-frame semantics exact (x' < x on longs).
+    "q169_pareto_skyline" -> ((s, dir) => {
+      val pts = t(s, dir).lineitem.select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        (-round(col("l_quantity"))).cast("long").as("neg_qty"))
+      Skyline.skyline2d(pts, Seq("l_returnflag"), "price_cents", "neg_qty")
+        .select(col("l_returnflag"), col("price_cents"),
+          (-col("neg_qty")).as("qty"))
+        .orderBy("l_returnflag", "price_cents")
+    }),
+
+    // ---------------- exact column profiler ----------------
+    // ANALYZE-TABLE in one aggregation job: all four columns' exact
+    // null/distinct/min/max ride a single 1-row agg (Catalyst's
+    // Expand multi-distinct rewrite — one scan) exploded to long form.
+    "q170_profile" -> ((s, dir) =>
+      Quality.profile(t(s, dir).orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column_name"))
   )
 
   /** q151's pinned merge table: chains that actually fire on the
@@ -4830,6 +4892,78 @@ object SparkEntry {
            a.asof AS valid_from,
            lead(a.asof) OVER (PARTITION BY w.id ORDER BY w.b) AS valid_to
          FROM w JOIN a USING (b)
-         ORDER BY id, valid_from"""
+         ORDER BY id, valid_from""",
+    // the oracle runs the RAW inequality predicate the binned
+    // equi-join replaces — the pair sets must be identical
+    // (epoch_ns//1000 = the engine loader's exact ns→µs division)
+    "q167_interval_overlap" ->
+      """WITH l AS (SELECT user_id, event_id,
+             epoch_ns(ts) // 1000 AS ls,
+             epoch_ns(ts) // 1000 + 300000000 AS le
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, event_id AS r_event_id,
+             epoch_ns(ts) // 1000 AS r_rs,
+             epoch_ns(ts) // 1000 + 600000000 AS r_re
+           FROM events WHERE event_type = 'purchase')
+         SELECT l.user_id, l.event_id, ls, le, r_event_id, r_rs, r_re
+         FROM l JOIN r USING (user_id)
+         WHERE ls <= r_re AND r_rs <= le
+         ORDER BY event_id, r_event_id""",
+    "q168_interval_merge" ->
+      """WITH iv AS (SELECT user_id,
+             epoch_ns(ts) // 1000 AS s,
+             epoch_ns(ts) // 1000 + 600000000 AS e
+           FROM events WHERE event_type = 'click'),
+         m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+           FROM iv),
+         f AS (SELECT user_id, s, e,
+             CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS opens
+           FROM m),
+         g AS (SELECT user_id, s, e,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f)
+         SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+           count(*) AS n_intervals
+         FROM g GROUP BY user_id, island
+         ORDER BY user_id, island_start""",
+    // the oracle runs the quadratic NOT-EXISTS dominance scan the
+    // window encoding replaces — frontiers must be identical
+    "q169_pareto_skyline" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem)
+         SELECT g AS l_returnflag, price_cents, qty
+         FROM p q WHERE NOT EXISTS (
+           SELECT 1 FROM p d WHERE d.g = q.g
+             AND d.price_cents <= q.price_cents AND d.qty >= q.qty
+             AND (d.price_cents < q.price_cents OR d.qty > q.qty))
+         ORDER BY l_returnflag, price_cents""",
+    "q170_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         ORDER BY column_name"""
   )
 }

@@ -103,4 +103,34 @@ object Quality {
         lit(s"$childKey->$parentKey").as("subject"),
         col("violations"), col("total"))
   }
+
+  /** Column profiler — the ANALYZE-TABLE summary a lake keeps per
+    * snapshot: one row per profiled column with
+    * (n_rows, n_null, n_distinct, min_val, max_val). EXACT counts
+    * (distincts included — the approx variant is q40's HLL surface),
+    * computed in ONE aggregation job: all columns' aggregates sit in
+    * a single 1-row `agg` (Catalyst plans the multi-distinct via its
+    * Expand rewrite — one scan, cost ∝ #distinct-columns, the same
+    * plan a hand-written GROUPING SETS would get) and the wide row
+    * explodes to long format in the same plan. min/max aggregate in
+    * the column's NATIVE type (numeric min, not string min) and only
+    * the result casts to string for the uniform long schema.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

@@ -45,4 +45,89 @@ object RangeJoin {
         col("__pv") <= col(anchorV))
       .drop("__bin", "__pk", "__pv")
   }
+
+  /** General interval × interval OVERLAP join — pairs a left interval
+    * `[lStart, lEnd]` with every right interval `[rStart, rEnd]` of
+    * the same key that intersects it (closed-interval semantics:
+    * touching endpoints overlap). The temporal-algebra primitive
+    * behind "which ad flights ran while each outage was open".
+    *
+    * Same scale discipline as [[trailingWindowJoin]]: a raw
+    * `lS <= rE AND rS <= lE` predicate plans as a nested-loop join.
+    * Here BOTH sides replicate into every `binWidth`-sized bin their
+    * interval touches (`sequence(floor(s/w), floor(e/w))`), the join
+    * is a shuffled equi-join on (key, bin), and the exact predicate
+    * re-checks the candidates. Two intervals overlapping in several
+    * shared bins would pair once per shared bin, so each candidate
+    * pair is CLAIMED by exactly one bin — the first bin both
+    * intervals inhabit, `max(floor(lS/w), floor(rS/w))` — a
+    * projection-level dedup (no distinct/shuffle).
+    *
+    * Replication factor is `len/binWidth + 1` per row, so `binWidth`
+    * should sit near the typical interval length (the engine contract
+    * every binned range join carries). Intervals are validated
+    * non-inverted; longs (µs timestamps) keep the arithmetic exact.
+    *
+    * @param rightCols right payload columns, emitted as `r_<name>`
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binWidth: Long, rightCols: Seq[String]): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    val bin = (c: Column) => floor(c.cast("double") / lit(binWidth.toDouble)).cast("long")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = {
+      val checked = df.filter(
+        when(col(s) <= col(e), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"inverted interval in $s/$e: "), col(s), lit(" > "), col(e)))))
+      checked.withColumn("__bin", explode(sequence(bin(col(s)), bin(col(e)))))
+    }
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+      .select(col(key).as("__rk") +: col("__bin").as("__rbin") +:
+        col(rStart).as("__rs") +: col(rEnd).as("__re") +:
+        rightCols.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, l(key) === r("__rk") && l("__bin") === r("__rbin"))
+      .filter(col(lStart) <= col("__re") && col("__rs") <= col(lEnd))
+      // claim: only the first shared bin emits the pair
+      .filter(col("__bin") === greatest(bin(col(lStart)), bin(col("__rs"))))
+      .withColumnRenamed("__rs", s"r_$rStart")
+      .withColumnRenamed("__re", s"r_$rEnd")
+      .drop("__bin", "__rbin", "__rk")
+  }
+
+  /** Per-key interval coalescing (union of overlapping-or-adjacent
+    * intervals): merges every maximal run of intervals whose gaps are
+    * <= `maxGap` into one island row — key, `island_start`,
+    * `island_end`, `n_intervals`. The gaps-and-islands fold behind
+    * "total covered on-air time", sessionized from already-interval
+    * data (contrast `Funnel.sessionize`, which islands POINT events).
+    *
+    * One window per key: an island opens where the interval's start
+    * exceeds the running max of all earlier ends by more than
+    * `maxGap` (running max, not lag — an interval nested inside a
+    * longer predecessor must not reopen), then a running sum of the
+    * open flags numbers the islands and one keyed agg folds each.
+    * Shuffles once on the key; no self-join, nothing quadratic. The
+    * (start, end) ordering is total up to exact duplicates, so island
+    * boundaries — and the aggregated output — are deterministic.
+    */
+  def mergeIntervals(df: DataFrame, key: String, start: String, end: String,
+                     maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0, s"maxGap $maxGap must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(key)).orderBy(col(start), col(end))
+    val runMax = max(col(end)).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(runMax.isNull || col(start) > runMax + lit(maxGap), 1L).otherwise(0L)
+    df.filter(
+        when(col(start) <= col(end), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"inverted interval in $start/$end: "), col(start), lit(" > "), col(end)))))
+      .withColumn("__island", sum(opens).over(order))
+      .groupBy(col(key), col("__island"))
+      .agg(min(col(start)).as("island_start"), max(col(end)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
 }
