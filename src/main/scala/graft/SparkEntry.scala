@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, Upsert}
+import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, UnigramLm, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -2854,8 +2854,80 @@ object SparkEntry {
     "q170_profile" -> ((s, dir) =>
       Quality.profile(t(s, dir).orders,
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-        .orderBy("column_name"))
+        .orderBy("column_name")),
+
+    // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
+    // The SentencePiece-family counterpart of q144's BPE: seed from
+    // frequent substrings, then Viterbi-EM rounds over the
+    // distinct-word relation (codegen kernel segmentation + one keyed
+    // agg per round; driver state = the vocab itself). Like q144,
+    // the iterative argmin loop is not one DuckDB query → no_oracle,
+    // with (a) fixture equality against the sequential in-JVM
+    // reference — vocab, costs, use-counts AND the EM cost trace must
+    // match exactly — and (b) at every scale the hard-EM guarantee:
+    // corpus Viterbi cost non-increasing round over round.
+    "q171_unigram_learn" -> ((s, dir) => {
+      if (SelfCheck.fixtureExists) SelfCheck.once("q171/fixture") {
+        val fx = t(s, SelfCheck.FixtureDir).documents
+        val (gotDf, gotTrace) = UnigramLm.learnVocabWithTrace(
+          fx, col("text"), vocabSize = 80, maxPieceLen = 4, iters = 3)
+        val got = gotDf.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        val wf = UnigramLm.distinctWords(fx, col("text"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val (want, wantTrace) = UnigramLm.learnVocabLocal(
+          wf, vocabSize = 80, maxPieceLen = 4, iters = 3)
+        require(got == want.sortBy(_._1) && gotTrace == wantTrace,
+          s"q171 distributed EM diverges from the sequential reference:\n$got\nvs\n$want")
+        SelfCheck.note(s"fixture vocab (${got.size} pieces) + EM trace " +
+          "identical to sequential Viterbi-EM")
+      }
+      val (m, trace) = UnigramLm.learnVocabWithTrace(
+        t(s, dir).documents, col("text"), vocabSize = 200, maxPieceLen = 4, iters = 3)
+      SelfCheck.every(s"q171/$dir") {
+        val bad = trace.zip(trace.drop(1)).count { case (a, b) => b > a }
+        require(bad == 0, s"q171 EM corpus cost increased: $trace")
+        SelfCheck.note(s"corpus Viterbi cost ${trace.head} → ${trace.last} " +
+          s"micro-nats over ${trace.size} rounds, non-increasing")
+      }
+      m.orderBy(col("n_uses").desc, col("piece"))
+    }),
+
+    // ---------------- greedy subword encode (WordPiece inference) ----------------
+    // Tokenize with the pinned fixture-learned piece set: longest
+    // match at each position, single-char fallback — an in-task
+    // aggregate fold, and a FULL oracle row: DuckDB replays the same
+    // DP as a recursive CTE over (word, position) states.
+    "q172_unigram_encode" -> ((s, dir) => {
+      if (SelfCheck.fixtureExists) SelfCheck.once("q172/fixture") {
+        val fx = t(s, SelfCheck.FixtureDir).documents
+        val learned = UnigramLm.learnVocab(fx, col("text"),
+            vocabSize = 80, maxPieceLen = 4, iters = 3)
+          .filter(length(col("piece")) > 1)
+          .select("piece").collect().map(_.getString(0)).toSet
+        require(learned == UnigramPieces.toSet,
+          s"q172 pinned piece set drifted from the fixture-learned vocab: " +
+            s"learned=${learned.toSeq.sorted} pinned=${UnigramPieces.sorted}")
+        SelfCheck.note(s"pinned piece set ≡ fixture-learned unigram vocab " +
+          s"(${UnigramPieces.size} multi-char pieces)")
+      }
+      val words = UnigramLm.distinctWords(t(s, dir).documents, col("text"))
+      UnigramLm.encodeWords(words, UnigramPieces, maxLen = 4).orderBy("w")
+    })
   )
+
+  /** q172's pinned piece set: the multi-char pieces `UnigramLm
+    * .learnVocab(fixture documents, vocabSize=80, maxPieceLen=4,
+    * iters=3)` converges to (the SelfCheck.once above re-derives and
+    * compares). Single chars are the encoder's built-in fallback and
+    * are not pinned.
+    */
+  private val UnigramPieces: Seq[String] = Seq(
+    "agg", "batc", "big", "co", "cust", "data", "dup", "er", "fast",
+    "filt", "hash", "join", "key", "line", "lumn", "mall", "merg",
+    "omer", "or", "orde", "ow", "park", "part", "quer", "ream",
+    "roup", "row", "scan", "slow", "sort", "st", "tabl", "the",
+    "valu", "vect", "wind")
 
   /** q151's pinned merge table: chains that actually fire on the
     * documents vocabulary (table, value, scan, row, window), in
@@ -4964,6 +5036,33 @@ object SparkEntry {
            count(DISTINCT o_orderstatus),
            min(o_orderstatus), max(o_orderstatus)
          FROM orders
-         ORDER BY column_name"""
+         ORDER BY column_name""",
+    // the oracle replays the greedy longest-match DP as a recursive
+    // CTE over (word, position) states — one step per consumed piece,
+    // LATERAL argmax = longest vocab piece matching at the position,
+    // single-char fallback rides the UNION ALL arm
+    "q172_unigram_encode" -> {
+      val values = UnigramPieces.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE v(piece, plen) AS (
+           SELECT piece, CAST(len(piece) AS INT)
+           FROM (VALUES $values) t(piece)),
+         words AS (SELECT DISTINCT w FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) > 0),
+         seg AS (
+           SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS toks FROM words
+           UNION ALL
+           SELECT s.w, s.pos + best.plen,
+             CASE WHEN s.toks = '' THEN best.piece
+                  ELSE s.toks || ' ' || best.piece END
+           FROM seg s, LATERAL (
+             SELECT piece, plen FROM (
+               SELECT piece, plen FROM v
+               WHERE substr(s.w, s.pos + 1, plen) = piece
+               UNION ALL SELECT substr(s.w, s.pos + 1, 1), 1)
+             ORDER BY plen DESC, piece LIMIT 1) best
+           WHERE s.pos < len(s.w))
+         SELECT w, toks FROM seg WHERE pos = len(w) ORDER BY w"""
+    }
   )
 }
