@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, UnigramLm, Upsert}
+import graft.operators.{Artifact, AsofJoin, Association, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, UnigramLm, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -2913,7 +2913,36 @@ object SparkEntry {
       }
       val words = UnigramLm.distinctWords(t(s, dir).documents, col("text"))
       UnigramLm.encodeWords(words, UnigramPieces, maxLen = 4).orderBy("w")
-    })
+    }),
+
+    // ---------------- market-basket association rules ----------------
+    // Frequent brand pairs across orders with support / confidence /
+    // lift — pairs generated in-task per basket's distinct item set,
+    // counted in one keyed agg; the oracle runs the quadratic
+    // within-basket self-join instead. Fixed-point (×1e6, floor
+    // division) keeps every derived metric exact integer.
+    "q173_basket_rules" -> ((s, dir) => {
+      val li = t(s, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+      val brands = li.join(
+        t(s, dir).part.select(col("p_partkey"), col("p_brand")),
+        li("l_partkey") === col("p_partkey"))
+      Association.pairRules(brands, "l_orderkey", "p_brand", minSupport = 100L)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // ---------------- deterministic corpus split assignment ----------------
+    // Reproducible train/val/test by md5 bucket (80/10/10 in 256ths):
+    // a pure projection of the key — stable under corpus growth,
+    // repartitioning, and engines — audited per (lang, split).
+    "q174_split_assign" -> ((s, dir) =>
+      t(s, dir).documents
+        .select(col("lang"),
+          Mixing.splitAssign(col("doc_id"),
+            Seq(("train", 204), ("val", 26), ("test", 26))).as("split"),
+          TextFns.tokenCount(col("text")).cast("long").as("ntok"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .orderBy("lang", "split"))
   )
 
   /** q172's pinned piece set: the multi-char pieces `UnigramLm
@@ -5063,6 +5092,37 @@ object SparkEntry {
              ORDER BY plen DESC, piece LIMIT 1) best
            WHERE s.pos < len(s.w))
          SELECT w, toks FROM seg WHERE pos = len(w) ORDER BY w"""
-    }
+    },
+    // the oracle counts pair support with the quadratic within-basket
+    // self-join the in-task pair generation replaces
+    "q173_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         supp AS (SELECT i, count(*) AS s FROM bi GROUP BY i),
+         n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+         pr AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS supp_ab
+             FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+             GROUP BY 1, 2 HAVING count(*) >= 100)
+         SELECT item_a, item_b, sa.s AS supp_a, sb.s AS supp_b, supp_ab,
+           nb AS n_baskets,
+           supp_ab * 1000000 // sa.s AS conf_ab_fp,
+           supp_ab * 1000000 // sb.s AS conf_ba_fp,
+           (supp_ab * nb * 1000000) // (sa.s * sb.s) AS lift_fp
+         FROM pr JOIN supp sa ON sa.i = pr.item_a
+           JOIN supp sb ON sb.i = pr.item_b CROSS JOIN n
+         ORDER BY item_a, item_b""",
+    "q174_split_assign" ->
+      """WITH d AS (SELECT lang,
+             16*(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)
+               + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS b,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents)
+         SELECT lang,
+           CASE WHEN b < 204 THEN 'train'
+                WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         FROM d GROUP BY 1, 2 ORDER BY lang, split"""
   )
 }

@@ -60,6 +60,27 @@ object Mixing {
   def hexBucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** Deterministic train/val/test (or any k-way) split assignment:
+    * each row's md5 256-bucket lands it in one named slice of the
+    * cumulative `shares` layout (shares sum to 256). The reproducible
+    * replacement for `randomSplit` — assignment is a pure projection
+    * of the key (stable across runs, engines, and repartitioning;
+    * any SQL oracle replays it from md5 digits), and a document's
+    * split never changes when the corpus around it grows, the
+    * property leakage audits depend on.
+    */
+  def splitAssign(key: Column, shares: Seq[(String, Int)]): Column = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0),
+      s"shares must be positive: $shares")
+    require(shares.map(_._2).sum == 256,
+      s"shares must sum to 256 (1/256 granularity): $shares")
+    val b = hexBucket256(key)
+    val cuts = shares.scanLeft(0) { case (acc, (_, s)) => acc + s }.tail
+    shares.zip(cuts).init.foldRight(lit(shares.last._1): Column) {
+      case (((name, _), cut), rest) => when(b < cut, name).otherwise(rest)
+    }
+  }
+
   /** Temperature-based domain mixture (α = 0.5): resample so each
     * domain's retained share follows p_d^α instead of its natural
     * share p_d — the standard move that up-weights rare domains
