@@ -191,6 +191,33 @@ class PlanAuditSpec extends SparkSpec {
       s"filters not pushed into the ORC scan:\n$plan")
   }
 
+  test("q167 interval overlap: shuffled equi-join, never a nested loop") {
+    val plan = executedPlan(query("q167_interval_overlap"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
+
+  test("q169 skyline: window folds only, no join") {
+    val plan = query("q169_pareto_skyline").queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join"), s"skyline planned a join:\n$plan")
+  }
+
+  test("q170 profile: one scan of orders feeds the Expand multi-distinct") {
+    val plan = executedPlan(query("q170_profile"))
+    assert(plan.contains("Expand"), s"multi-distinct not planned via Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profile scanned the table $scans times:\n$plan")
+  }
+
+  test("q173 basket rules: item supports broadcast, no data-scale cartesian") {
+    val plan = executedPlan(query("q173_basket_rules"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"item supports not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"data-scale cartesian in basket rules:\n$plan")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
