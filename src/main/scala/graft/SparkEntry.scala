@@ -2942,7 +2942,23 @@ object SparkEntry {
           TextFns.tokenCount(col("text")).cast("long").as("ntok"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-        .orderBy("lang", "split"))
+        .orderBy("lang", "split")),
+
+    // ---------------- arbitrary GROUPING SETS ----------------
+    // q52/q77 cover ROLLUP and CUBE; this is the general form —
+    // one dialect-common text both engines execute verbatim.
+    "q175_grouping_sets" -> ((s, dir) => Graft.sql(s, dir, SqlGroupingSets)),
+
+    // ---------------- per-group MAD robust-dispersion profile ----------------
+    // Exact lower-median rank selection (no interpolation, all
+    // integer arithmetic) → median, MAD, and |v−med| > 3·MAD outlier
+    // counts per language — the robust gate next to q103/q104's
+    // percentile-based ones.
+    "q176_mad_outliers" -> ((s, dir) =>
+      Outliers.madProfile(t(s, dir).documents, col("lang"), col("n_chars"))
+        .select(col("__g").as("lang"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy("lang"))
   )
 
   /** q172's pinned piece set: the multi-char pieces `UnigramLm
@@ -2990,6 +3006,20 @@ object SparkEntry {
     """SELECT p_partkey, p_name, round(p_retailprice,2) AS price
        FROM part WHERE lower(p_name) LIKE '%blue%'
        ORDER BY p_retailprice DESC, p_partkey LIMIT 5"""
+
+  /** Arbitrary grouping sets — NOT a rollup chain: the middle set
+    * skips the leading column, so ROLLUP/CUBE can't express it. The
+    * text runs verbatim in Spark AND DuckDB (q127's dialect-common
+    * discipline).
+    */
+  private val SqlGroupingSets =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         (o_orderpriority), ())
+       ORDER BY o_orderstatus ASC NULLS FIRST,
+         o_orderpriority ASC NULLS FIRST"""
 
   private val SqlWindowTop2 =
     """SELECT o_custkey, o_orderkey, rk FROM (
@@ -5123,6 +5153,26 @@ object SparkEntry {
            CASE WHEN b < 204 THEN 'train'
                 WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
            count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
-         FROM d GROUP BY 1, 2 ORDER BY lang, split"""
+         FROM d GROUP BY 1, 2 ORDER BY lang, split""",
+    "q175_grouping_sets" -> SqlGroupingSets,
+    // the oracle replays the identical rank selection — lower median
+    // by row_number, then the MAD the same way
+    "q176_mad_outliers" ->
+      """WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+             FROM documents),
+         m AS (SELECT g, v AS med FROM (
+             SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY g) AS n FROM v)
+           WHERE rn = (n + 1) // 2),
+         d AS (SELECT v.g, med, abs(v - med) AS dd FROM v JOIN m USING (g)),
+         md AS (SELECT g, dd AS mad FROM (
+             SELECT g, dd, row_number() OVER (PARTITION BY g ORDER BY dd) AS rn,
+               count(*) OVER (PARTITION BY g) AS n FROM d)
+           WHERE rn = (n + 1) // 2)
+         SELECT d.g AS lang, count(*) AS n,
+           CAST(max(med) AS BIGINT) AS med, CAST(max(mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN dd > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM d JOIN md USING (g) GROUP BY d.g ORDER BY lang"""
   )
 }

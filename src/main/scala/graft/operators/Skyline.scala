@@ -60,9 +60,13 @@ object Skyline {
   def skyline2d(df: DataFrame, groupCols: Seq[String], x: String, y: String,
                 salts: Int = 32): DataFrame = {
     require(salts > 0, s"salts $salts must be positive")
-    val pts = df.select((groupCols :+ x :+ y).map(col): _*).distinct()
+    val pts = df.select((groupCols :+ x :+ y).map(col): _*)
+    // duplicates ride through the first fold unharmed (peers in the
+    // RANGE frames never dominate each other), and the salt keys on
+    // (x, y) so copies co-locate — dedup AFTER the local fold runs on
+    // frontier-sized candidates instead of the whole corpus
     val salted = pts.withColumn("__salt", pmod(xxhash64(col(x), col(y)), lit(salts)))
-    val local = fold(salted, groupCols :+ "__salt", x, y).drop("__salt")
+    val local = fold(salted, groupCols :+ "__salt", x, y).drop("__salt").distinct()
     fold(local, groupCols, x, y)
   }
 

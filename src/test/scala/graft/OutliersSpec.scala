@@ -39,4 +39,38 @@ class OutliersSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("madProfile: hand-computed lower medians and outlier counts") {
+    // g1 sorted: [1,2,3,4,100] → med = 3 (lower median, rank (5+1)/2);
+    // deviations [2,1,0,1,97] sorted [0,1,1,2,97] → mad = 1;
+    // outliers |v-3| > 3: only 100. g2 even count: [10,20,30,40] →
+    // lower median rank (4+1) div 2 = 2 → med 20; dev [10,0,10,20]
+    // sorted [0,10,10,20] → mad = 10; outliers |v-20| > 30: none.
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L), ("g1", 100L),
+      ("g2", 10L), ("g2", 20L), ("g2", 30L), ("g2", 40L)).toDF("grp", "v")
+    val out = Outliers.madProfile(df, col("grp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g1") == ((5L, 3L, 1L, 1L)))
+    assert(out("g2") == ((4L, 20L, 10L, 0L)))
+  }
+
+  test("madProfile equals a driver-side reference on a pseudo-random group") {
+    val df = spark.range(0, 999).select(
+      concat(lit("g"), pmod(col("id"), lit(2))).as("grp"),
+      pmod(xxhash64(col("id")), lit(1000)).as("v"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def ref(vs: Seq[Long], k: Int) = {
+      val sorted = vs.sorted
+      val med = sorted((sorted.size + 1) / 2 - 1)
+      val dev = vs.map(x => math.abs(x - med)).sorted
+      val mad = dev((dev.size + 1) / 2 - 1)
+      (vs.size.toLong, med, mad, vs.count(x => math.abs(x - med) > k * mad).toLong)
+    }
+    val want = rows.groupBy(_._1).view.mapValues(g => ref(g.map(_._2), 3)).toMap
+    val got = Outliers.madProfile(df, col("grp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
 }
