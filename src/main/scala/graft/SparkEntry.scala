@@ -2958,7 +2958,40 @@ object SparkEntry {
       Outliers.madProfile(t(s, dir).documents, col("lang"), col("n_chars"))
         .select(col("__g").as("lang"), col("n"), col("med"), col("mad"),
           col("n_outliers"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ---------------- schema-evolution merged read ----------------
+    // A 100 TB lake has generations of writers: the fixture holds two
+    // parquet generations of the documents table IN ONE DIRECTORY —
+    // gen-1 (even doc_ids) written before `n_chars` existed, gen-2
+    // (odd) with it. `mergeSchema` reconciles the file schemas at
+    // scan time; gen-1 rows surface NULL n_chars, and the per-lang
+    // audit must equal the oracle's recompute from the unsplit source
+    // (null-aware counts/sums prove the union semantics exact).
+    "q177_schema_evolution" -> ((s, dir) => {
+      val src = fixturePath("schemaevo", dir, "documents")
+      Artifact.ensure(src) { tmp =>
+        val d = t(s, dir).documents
+        def writeGen(df: DataFrame, name: String): Unit = {
+          val part = s"$tmp/_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(tmp, s"$name.parquet").toPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+        }
+        writeGen(d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang")), "gen1")
+        writeGen(d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars")), "gen2")
+      }
+      s.read.option("mergeSchema", "true").parquet(src)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    })
   )
 
   /** q172's pinned piece set: the multi-char pieces `UnigramLm
@@ -5173,6 +5206,15 @@ object SparkEntry {
            CAST(max(med) AS BIGINT) AS med, CAST(max(mad) AS BIGINT) AS mad,
            CAST(sum(CASE WHEN dd > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
-         FROM d JOIN md USING (g) GROUP BY d.g ORDER BY lang"""
+         FROM d JOIN md USING (g) GROUP BY d.g ORDER BY lang""",
+    // the oracle recomputes the two-generation union from the
+    // UNSPLIT source: merged-read rows missing n_chars are exactly
+    // the even doc_ids
+    "q177_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+           count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

@@ -84,7 +84,14 @@ object ProbeScaleRel {
       // asserted (join-free union+window plan audits) but never
       // measured at 10× events
       "q74_asof_join", "q75_range_join", "q86_asof_forward",
-      "q120_funnel_windowed", "q122_attribution")
+      "q120_funnel_windowed", "q122_attribution",
+      // round-10: interval algebra, skyline, profiler, tokenizers,
+      // basket rules, split, MAD — the new shapes whose 10× curves
+      // belong in SCALING.md
+      "q167_interval_overlap", "q168_interval_merge",
+      "q169_pareto_skyline", "q170_profile", "q171_unigram_learn",
+      "q172_unigram_encode", "q173_basket_rules", "q174_split_assign",
+      "q176_mad_outliers")
 
     for ((dir, label) <- Seq((base, "warm"), (base, "sf0.1"), (big, "10x"))) {
       names.foreach { n =>
