@@ -504,11 +504,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---------------- dedup: MinHash + LSH (sketch; rows-only) ----------------
-    // Self-check (sf0.001 fixture): every reported pair must be a true
-    // Jaccard>=t pair (exact verification makes false positives
-    // impossible) and LSH recall vs the exact all-pairs result must
-    // hold (measured 28/28 on the fixture).
+    // ---------------- dedup: MinHash + LSH (FULL-oracle envelope) ----------------
+    // The q91/q105 envelope pattern: the hashed rows are the EXACT
+    // Jaccard>=t pair set (DuckDB-recomputable — the q30 relation,
+    // same shared-shingle artifact) plus two verdict booleans the
+    // oracle pins TRUE: subset_of_exact (every LSH-emitted pair is a
+    // true pair — candidate verification is exact, so false positives
+    // are impossible) and recall_ok (LSH recovered >= 80% of the
+    // exact pairs). Both verdicts are distributed anti-/semi-join
+    // counts over the FULL corpus at every SF — not fixture-limited.
+    // The sf0.001 brute-force fixture SelfCheck stays as independent
+    // ground truth for the exact side itself.
     "q31_minhash_neardups" -> ((s, dir) => {
       if (SelfCheck.fixtureExists) SelfCheck.once("q31/fixture") {
         val docs = t(s, SelfCheck.FixtureDir).documents
@@ -523,16 +529,40 @@ object SparkEntry {
         SelfCheck.note(s"subset of exact holds (0 false positives); " +
           s"recall ${(mh intersect exact).size}/${exact.size} (floor 0.8)")
       }
-      Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text", threshold = 0.6,
-          shingleN = JaccardShingleN, shingles = Some(sharedShingles(s, dir)))
+      val exact = Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
+        n = JaccardShingleN, threshold = 0.6, maxShingleFreq = Long.MaxValue,
+        shingles = Some(sharedShingles(s, dir)))
+      val mh = Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text",
+          threshold = 0.6, shingleN = JaccardShingleN,
+          shingles = Some(sharedShingles(s, dir)))
+        .select(col("id_a"), col("id_b"))
+      val exKeys = exact.select(col("id_a"), col("id_b"))
+      val verdict = mh.join(exKeys, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__fp"))
+        .crossJoin(mh.join(exKeys, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__hit")))
+        .crossJoin(exKeys.agg(count(lit(1)).as("__n")))
+        .select((col("__fp") === 0L).as("subset_of_exact"),
+          (col("__n") === 0L || col("__hit") >= col("__n") * 0.8).as("recall_ok"))
+      exact.crossJoin(broadcast(verdict))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("subset_of_exact"), col("recall_ok"))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---------------- dedup: SimHash (sketch; rows-only) ----------------
-    // Self-check (sf0.001 fixture): the banding theorem — banded
-    // output is a subset of the brute-force hamming<=8 pairs, and
-    // COMPLETE for hamming<=3 (4 bands over 64 bits guarantee any
-    // such pair shares one exact band).
+    // ---------------- dedup: SimHash (FULL-oracle envelope) ----------------
+    // SimHash values are engine hashes (not SQL-recomputable), so the
+    // envelope hashes the GUARANTEES: one verdict row whose n_docs the
+    // oracle recomputes and whose booleans it pins TRUE —
+    // subset_of_ham8 (every emitted pair's hamming, RE-derived from
+    // the per-doc simhash relation, matches the emitted value and is
+    // <= 8: verification exactness) and complete_ham3 (no hamming<=3
+    // pair is missed, cross-checked against an INDEPENDENT 8×8-bit
+    // band decomposition of the same hashes, which the banding
+    // theorem makes complete for hamming<=7 ⊇ 3). Both checks are
+    // distributed joins over the FULL corpus at every SF; the
+    // sf0.001 brute-force fixture SelfCheck stays as the
+    // decomposition-independent ground truth.
     "q32_simhash_neardups" -> ((s, dir) => {
       if (SelfCheck.fixtureExists) SelfCheck.once("q32/fixture") {
         val docs = t(s, SelfCheck.FixtureDir).documents
@@ -550,8 +580,31 @@ object SparkEntry {
         SelfCheck.note(s"banded ${banded.size} pairs ⊆ brute hamming≤8 " +
           s"(${b8.size}); all ${b3.size} hamming≤3 pairs recovered (banding theorem)")
       }
-      Dedup.simhashNearDups(t(s, dir).documents, "doc_id", "text", maxHamming = 8)
-        .orderBy("id_a", "id_b")
+      val docs = t(s, dir).documents
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      val sh = Dedup.simhash64(docs, "doc_id", col("text"))
+      // subset/exactness: re-derive each emitted pair's hamming from
+      // the per-doc hash relation and demand agreement and the <= 8
+      // bound (empty output ⇒ vacuously true via coalesce)
+      val rechecked = banded
+        .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("ha")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("hb")), "id_b")
+        .agg(coalesce(every(
+          bit_count(col("ha").bitwiseXOR(col("hb"))) === col("hamming") &&
+            col("hamming") <= 8), lit(true)).as("subset_of_ham8"))
+      // completeness: the independent 8-band decomposition is complete
+      // for hamming<=7; none of its hamming<=3 pairs may be missing
+      // from the 4-band output
+      val missed = Dedup.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = 3, bands = 8)
+        .select(col("id_a"), col("id_b"))
+        .join(banded.select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("complete_ham3"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(rechecked))
+        .crossJoin(broadcast(missed))
+        .select(col("n_docs"), col("subset_of_ham8"), col("complete_ham3"))
     }),
 
     // ---------------- similarity: brute-force cosine top-k ----------------
@@ -2472,6 +2525,30 @@ object SparkEntry {
           col("r.target.approvedSymbol").as("target_name"),
           col("r.score").as("score"))
         .orderBy("rn")),
+    // the x2.py:77-91 GetAssociatedDiseases template verbatim (id
+    // constant aside) — the last reference query template, now under
+    // its own oracle: target → associatedDiseases, score-descending
+    "q178_graphql_assoc_diseases" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """query GetAssociatedDiseases {
+             target(ensemblId: "TGT_1" ) {
+               associatedDiseases {
+                 rows {
+                   disease {
+                     id
+                     name
+                   }
+                   score
+                 }
+               }
+             }
+           }""")
+        .select(posexplode(col("associatedDiseases.rows")).as(Seq("rn", "r")))
+        .select((col("rn") + 1).cast("long").as("rn"),
+          col("r.disease.id").as("disease_id"),
+          col("r.disease.name").as("disease_name"),
+          col("r.score").as("score"))
+        .orderBy("rn")),
 
     // ---------------- corpus-curation capstone ----------------
     // The full training-data curation pipeline as ONE composition of
@@ -3327,6 +3404,42 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = id_b
          WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
          ORDER BY id_a, id_b""",
+    // LSH envelope (the q91/q105 pattern): the exact Jaccard>=0.6
+    // pair set recomputed (the q30 relation) keyed-hash-identical,
+    // with the LSH guarantees — subset-of-exact (verification
+    // exactness) and the 0.8 recall floor — pinned TRUE
+    "q31_minhash_neardups" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
+           TRUE AS subset_of_exact, TRUE AS recall_ok
+         FROM inter
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+         ORDER BY id_a, id_b""",
+    // SimHash envelope: hashes are engine-internal, so the oracle pins
+    // the GUARANTEES — verification exactness (subset of hamming<=8,
+    // re-derived values agree) and banding-theorem completeness for
+    // hamming<=3 (cross-checked against the independent 8×8-bit
+    // decomposition) — plus the corpus size it audited
+    "q32_simhash_neardups" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS subset_of_ham8, TRUE AS complete_ham3
+         FROM documents""",
     "q33_cosine_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,
@@ -4779,7 +4892,9 @@ object SparkEntry {
     },
     // GraphQL fold reconstructed over the raw star schema: rows sort
     // lexicographically on (drug_id, target_id) — the executor's
-    // deterministic order for knownDrugs
+    // deterministic order for knownDrugs — and the unpaginated query
+    // serves the DEFAULT-sized first page (25 rows, server parity)
+    // while n_rows stays the connection TOTAL
     "q152_graphql_known_drugs" ->
       """WITH kd AS (
            SELECT 'DRG_' || l_suppkey AS drug_id,
@@ -4789,12 +4904,17 @@ object SparkEntry {
            JOIN orders ON o_orderkey = l_orderkey
            JOIN customer ON c_custkey = o_custkey
            WHERE c_mktsegment = 'BUILDING'
-           GROUP BY 1, 2)
+           GROUP BY 1, 2),
+         r AS (
+           SELECT row_number() OVER (ORDER BY drug_id, tgt_id) AS rn,
+             phase, drug_id
+           FROM kd)
          SELECT 'DIS_BUILDING' AS disease_id, 'BUILDING' AS disease_name,
            (SELECT count(*) FROM kd) AS n_rows,
-           row_number() OVER (ORDER BY kd.drug_id, kd.tgt_id) AS rn,
-           kd.phase, kd.drug_id, s.s_name AS drug_name
-         FROM kd JOIN supplier s ON 'DRG_' || s.s_suppkey = kd.drug_id
+           CAST(r.rn AS BIGINT) AS rn, r.phase, r.drug_id,
+           s.s_name AS drug_name
+         FROM r JOIN supplier s ON 'DRG_' || s.s_suppkey = r.drug_id
+         WHERE r.rn <= 25
          ORDER BY rn""",
     "q153_graphql_pathways" ->
       """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
@@ -4817,7 +4937,7 @@ object SparkEntry {
          ORDER BY rank""",
     // score-descending rows with the executor's (−score, target_id)
     // tie-break; score is the q58-q63 convention (segment share of
-    // the part's volume, round 6)
+    // the part's volume, round 6); unpaginated ⇒ default first page
     "q155_graphql_assoc_targets" ->
       """WITH pair AS (
            SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
@@ -4836,6 +4956,32 @@ object SparkEntry {
          SELECT m.rn, m.target_id, p.p_name AS target_name, m.score
          FROM mine m
          JOIN part p ON 'TGT_' || p.p_partkey = m.target_id
+         WHERE m.rn <= 25
+         ORDER BY rn""",
+    // the x2.py:77-91 GetAssociatedDiseases template: the reverse
+    // association edge, score-descending with the (−score, disease_id)
+    // tie-break; one target touches at most the 5 segments, so the
+    // default page covers the whole connection here — the rn <= 25
+    // guard mirrors the executor's contract anyway
+    "q178_graphql_assoc_diseases" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'TGT_' || p AS target_id, 'DIS_' || m AS disease_id,
+             m AS disease_name,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         mine AS (
+           SELECT disease_id, disease_name, score,
+             CAST(row_number() OVER (ORDER BY score DESC, disease_id)
+               AS BIGINT) AS rn
+           FROM edges WHERE target_id = 'TGT_1')
+         SELECT rn, disease_id, disease_name, score
+         FROM mine WHERE rn <= 25
          ORDER BY rn""",
     // the four stage conventions chained verbatim: q26 gate → q29
     // fingerprint keep-first → q145 budget window → q93 shard fold

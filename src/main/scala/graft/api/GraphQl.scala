@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * documented default orderings), and broadcast-joins the 1-row
   * result back. Output is ONE row per root with nested columns in
   * selection order — the GraphQL `data` object as a Spark schema.
+  *
+  * Paginated connections ([[Paginable]]) are never unbounded: an
+  * omitted `page` serves a [[DefaultPageSize]]-row first page (server
+  * parity — `count` stays the total), and the requested page is
+  * rank-limited BEFORE the array fold (TakeOrderedAndProject, the q43
+  * discipline), so a hub entity's crawl-scale edge list costs a top-k
+  * merge, not a single-reducer collect.
   */
 object GraphQl {
 
@@ -426,6 +433,32 @@ object GraphQl {
       .select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
   }
 
+  /** Connections that declare `page: Pagination` in the reference
+    * schema: knownDrugs (opentargets.schema:243-246, 429-432,
+    * 1475-1478), disease.associatedTargets (:248-268) and
+    * target.associatedDiseases (:1480-1483). The other connections —
+    * linkedTargets (:447), mechanismsOfAction (:423), pathways
+    * (:1202) — are bare (per-entity-bounded) lists there and take no
+    * pagination arguments.
+    */
+  private val Paginable: Set[(String, String)] = Set(
+    ("disease", "knownDrugs"), ("target", "knownDrugs"),
+    ("disease", "associatedTargets"), ("target", "associatedDiseases"))
+
+  /** Server-parity default page size for [[Paginable]] connections:
+    * the endpoint never returns an unbounded connection — an omitted
+    * `page` serves the FIRST page while `count` stays the connection
+    * total. Doubles as the engine's scale guard: a hub entity's
+    * crawl-sized edge list is never collected into one aggregation
+    * buffer by an unpaginated query.
+    */
+  val DefaultPageSize: Int = 25
+
+  /** Clamp for an explicit `size` — the engine-side cap that keeps a
+    * single requested page (and its aggregation buffer) bounded.
+    */
+  val MaxPageSize: Int = 3000
+
   /** Build the connection's single-row (one column) relation. */
   private def connectionDf(kg: KnowledgeGraph, entity: String, f: Field,
                            rootKey: String): DataFrame = {
@@ -439,9 +472,9 @@ object GraphQl {
     val c = conn(kg, entity, f.name, rootKey, rowNames)
     // the schema's pagination argument — `page: {index, size}`
     // (opentargets.schema:1047-1050, index = 0-based page number) or
-    // the bare `size` shorthand: rows is a sorted slice of the
-    // connection — also the scale guard that keeps one entity's
-    // collected array bounded when its edge list is crawl-sized.
+    // the bare `size` shorthand; only [[Paginable]] connections take
+    // it (schema parity), and there an omitted page means the
+    // DEFAULT-sized first page, never the whole connection.
     // `count` stays the TOTAL (server semantics), never the page's.
     def intArg(key: String): Option[Int] = f.args.get(key).map { s =>
       val n = s.toIntOption.getOrElse(
@@ -449,10 +482,21 @@ object GraphQl {
       if (n < 0) throw ParseError(s"$key must be >= 0, got $n")
       n
     }
-    val size: Option[Int] = intArg("page.size").orElse(intArg("size"))
+    val explicitSize: Option[Int] = intArg("page.size").orElse(intArg("size"))
+    if (!Paginable((entity, f.name))) {
+      val extras = Seq("page.index", "page.size", "size").filter(f.args.contains)
+      if (extras.nonEmpty) throw ParseError(
+        s"'$entity.${f.name}' takes no pagination arguments " +
+          s"(got ${extras.mkString(", ")}) — only knownDrugs, " +
+          "associatedTargets and associatedDiseases are paginated")
+    }
     val index: Int = intArg("page.index").getOrElse(0)
-    if (index > 0 && size.isEmpty) throw ParseError(
+    if (index > 0 && explicitSize.isEmpty) throw ParseError(
       "page.index needs page.size")
+    val size: Option[Int] =
+      if (!Paginable((entity, f.name))) None
+      else explicitSize.map(math.min(_, MaxPageSize))
+        .orElse(Some(DefaultPageSize))
     def rowsArray(sel: Seq[Field]): Column = {
       if (sel.isEmpty) throw ParseError(
         s"'$entity.${f.name}' rows need a selection")
@@ -473,17 +517,47 @@ object GraphQl {
       }
       transform(page, x => x.getField("__p"))
     }
+    /** Rows aggregate over the rank-LIMITED relation when a page size
+      * is in play: sort on the connection's keys + limit
+      * (index+1)·size plans as TakeOrderedAndProject — per-partition
+      * top-k, then a merge of only k·partitions rows — so a hub key's
+      * edge list never lands in one reducer's collect_list buffer.
+      * The collect+sort_array+slice inside [[rowsArray]] then works
+      * on at most (index+1)·size rows.
+      */
+    def rowsDfFor(sel: Seq[Field]): DataFrame = {
+      val src = size.fold(c.flat) { n =>
+        val limitN = math.min((index + 1).toLong * n, Int.MaxValue.toLong).toInt
+        c.flat.sort(c.sortKeys: _*).limit(limitN)
+      }
+      src.agg(rowsArray(sel).as("rows"))
+    }
     if (c.hasRows) {
-      val parts = f.sel.map {
-        case Field("count", _, Seq()) => count(lit(1)).as("count")
-        case Field("rows", _, sel) => rowsArray(sel).as("rows")
+      f.sel.foreach {
+        case Field("count", _, Seq()) => ()
+        case Field("rows", _, _) => ()
         case g => throw ParseError(
           s"unknown field '${g.name}' on $entity.${f.name} — supported: count, rows")
       }
-      if (parts.isEmpty) throw ParseError(
+      if (f.sel.isEmpty) throw ParseError(
         s"'$entity.${f.name}' needs a selection (count and/or rows)")
-      c.flat.agg(parts.head, parts.tail: _*)
-        .select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
+      // `count` aggregates the UNlimited edge relation (it is the
+      // connection TOTAL), built join-free — the sub-entity joins
+      // only serve row fields, and Catalyst cannot drop them itself
+      val countDf: Option[DataFrame] =
+        if (!f.sel.exists(_.name == "count")) None
+        else Some(conn(kg, entity, f.name, rootKey, Set.empty).flat
+          .agg(count(lit(1)).as("count")))
+      val rowsDf: Option[DataFrame] = f.sel.collectFirst {
+        case Field("rows", _, sel) => rowsDfFor(sel)
+      }
+      // both sides are 1-row relations; the cross join is a broadcast
+      val combined = (countDf, rowsDf) match {
+        case (Some(cd), Some(rd)) => cd.crossJoin(broadcast(rd))
+        case (Some(cd), None) => cd
+        case (None, rd) => rd.get
+      }
+      combined.select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
     } else
       c.flat.agg(rowsArray(f.sel).as(f.name))
   }

@@ -190,11 +190,16 @@ object Dedup {
     agg.select(col(idName), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
-    * Hamming distance 3 shares at least one exact 16-bit band), then
-    * exact Hamming verification with bit_count(xor). Hot-band skew is
-    * bounded the same way as [[minhashCandidates]] (AQE skew split;
-    * DedupSpec adversarial case covers this join too).
+  /** SimHash near-dup pairs: `bands`×(64/bands)-bit band bucketing —
+    * by pigeonhole, any pair within Hamming distance `bands - 1`
+    * shares at least one exact band (the default 4×16 split is
+    * COMPLETE for hamming <= 3) — then exact Hamming verification
+    * with bit_count(xor). Hot-band skew is bounded the same way as
+    * [[minhashCandidates]] (AQE skew split; DedupSpec adversarial
+    * case covers this join too). A second `bands` decomposition of
+    * the same hashes gives an independent completeness cross-check
+    * (the q32 envelope verdict: 8×8 banding is complete for
+    * hamming <= 7, a superset of the 4×16 guarantee).
     *
     * Runs over representatives of identical SIMHASH VALUES and expands
     * after — output-identical to the uncontracted form: equal hashes
@@ -207,17 +212,21 @@ object Dedup {
     * (SCALING.md round 8).
     */
   def simhashNearDups(docs: DataFrame, idName: String, textName: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming >= 0)
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands $bands must divide 64 (and be >= 2)")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val shAll = materialized(simhash64(docs, idName, col(textName)))
     val (groups, members0) = contractBy(shAll, idName, "simhash")
     val sh = groups.select(col("rid").as("id"), col("simhash"))
     val members = members0.map(materialized)
     val banded = sh.select(
       col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.bh"))
     val l = banded.as("l")

@@ -43,6 +43,18 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("simhash band decompositions agree: 4×16 and 8×8 hamming<=3 sets are identical") {
+    // both decompositions are COMPLETE for hamming<=3 (banding
+    // theorem: bands-1 >= 3 in both) and verify candidates exactly,
+    // so their outputs must be the SAME set — the independent
+    // cross-check the q32 envelope verdict rides on
+    def pairs(bands: Int) =
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, bands = bands)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(4) == pairs(8))
+  }
+
   test("simhash is stable across partitionings") {
     val a = Dedup.simhash64(docs, "doc_id", col("text")).orderBy("doc_id").collect().toSeq
     val b = Dedup.simhash64(docs.repartition(7), "doc_id", col("text"))

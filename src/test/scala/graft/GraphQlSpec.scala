@@ -89,7 +89,7 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(pathway.getString(1).startsWith("PWY_"))
   }
 
-  test("execute: knownDrugs count matches rows length and the edge relation") {
+  test("execute: knownDrugs count is the edge total; rows default to the first page") {
     val got = GraphQl.execute(kg,
       """{ disease(efoId: "DIS_BUILDING") {
            knownDrugs { count rows { phase drug { id name } } } } }""")
@@ -97,13 +97,51 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     val kd = got.getStruct(0)
     val n = kd.getLong(0)
     val rows = kd.getSeq[Row](1)
-    assert(n == rows.length)
     val expected = kg.knownDrugs
       .filter(col("disease_id") === "DIS_BUILDING").count()
+    // count = the connection TOTAL; rows = the DEFAULT-sized first
+    // page (server parity — an omitted `page` is never the whole
+    // connection)
     assert(n == expected && n > 0)
+    assert(rows.length == math.min(n, GraphQl.DefaultPageSize.toLong))
     // deterministic order: (drug_id, target_id) asc ⇒ drug ids non-decreasing
     val ids = rows.map(_.getStruct(1).getString(0))
     assert(ids == ids.sorted)
+  }
+
+  test("execute: hub-key default page = head of the full ordering; pre-collect rank limit") {
+    // DIS_BUILDING is the fixture's hub key (edge list ≫ the default
+    // page). The default page must equal the first DefaultPageSize
+    // rows of the connection's full deterministic ordering…
+    val want = kg.knownDrugs.filter(col("disease_id") === "DIS_BUILDING")
+      .orderBy(col("drug_id"), col("target_id"))
+      .limit(GraphQl.DefaultPageSize)
+      .select("drug_id", "target_id").collect().toSeq
+    val df = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           knownDrugs { count rows { drug { id } target { id } } } } }""")
+    val kd = df.head().getStruct(0)
+    assert(kd.getLong(0) > GraphQl.DefaultPageSize)
+    val got = kd.getSeq[Row](1)
+      .map(r => Row(r.getStruct(0).getString(0), r.getStruct(1).getString(0)))
+    assert(got == want)
+    // …and the plan must rank-limit BEFORE the array fold: the rows
+    // aggregate sits on a TakeOrderedAndProject (per-partition top-k),
+    // never a whole-connection collect_list
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"paged rows not pre-limited via top-k:\n${plan.take(3000)}")
+  }
+
+  test("execute: pagination args rejected on non-paginated connections (schema parity)") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q)).getMessage
+    assert(err("""{ drug(chemblId: "DRG_1") {
+        linkedTargets(size: 5) { count } } }""")
+      .contains("no pagination"))
+    assert(err("""{ target(ensemblId: "TGT_1") {
+        pathways(page: {index: 0, size: 5}) { pathway { id } } } }""")
+      .contains("no pagination"))
   }
 
   test("execute: associatedTargets rows are score-descending") {

@@ -185,6 +185,16 @@ class PlanAuditSpec extends SparkSpec {
       s"1-row connection result not broadcast:\n$plan")
   }
 
+  test("q152 GraphQL: paged rows rank-limit BEFORE the array fold (top-k, no full collect)") {
+    // the scale guard for hub keys: the rows aggregate reads a
+    // TakeOrderedAndProject of (index+1)·size rows, never the whole
+    // edge slice — a plan without the top-k would put a crawl-scale
+    // connection into one collect_list buffer
+    val plan = executedPlan(query("q152_graphql_known_drugs"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"paged GraphQL rows not pre-limited via top-k:\n${plan.take(3000)}")
+  }
+
   test("q160 ORC: predicates are pushed into the ORC scan") {
     val plan = query("q160_orc_roundtrip").queryExecution.executedPlan.toString()
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,en)"),
