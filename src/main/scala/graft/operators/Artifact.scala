@@ -86,6 +86,14 @@ object Artifact {
       val tmp = s"$path.inprogress-${UUID.randomUUID().toString.take(8)}"
       try {
         build(tmp)
+        // builds that assemble the directory by hand (moving bare
+        // part-files) produce no _SUCCESS marker, so `complete` would
+        // stay false forever and every resolve would rebuild and
+        // re-publish (and a cross-JVM reader could see the shared dir
+        // deleted mid-read). The build lambda ran to completion, so
+        // the directory IS complete — stamp it if the writer didn't.
+        val built = new File(tmp)
+        if (built.isDirectory) { new File(built, "_SUCCESS").createNewFile(); () }
         try publish(tmp, path)
         catch {
           // another process published first; ours is identical — drop it

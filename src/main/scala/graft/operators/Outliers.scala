@@ -86,6 +86,9 @@ object Outliers {
     * SQL engine replays the identical selection.
     *
     * Returns one row per group: (group, n, med, mad, n_outliers).
+    * NULL values are excluded up front — they are not population: a
+    * null would otherwise sort first under the rank windows, shift
+    * (or null out) the selected medians, and count into `n`.
     *
     * Scale note: exact rank selection sorts each group in one task
     * (two ordered windows on the group key). Groups here are
@@ -98,6 +101,7 @@ object Outliers {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k $k must be >= 1")
     val v = df.select(group.as("__g"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
     def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("__g")).orderBy(col(c))
       in.withColumn("__rn", row_number().over(w))

@@ -66,7 +66,10 @@ object RangeJoin {
     * Replication factor is `len/binWidth + 1` per row, so `binWidth`
     * should sit near the typical interval length (the engine contract
     * every binned range join carries). Intervals are validated
-    * non-inverted; longs (µs timestamps) keep the arithmetic exact.
+    * non-inverted; binning is exact integer floor division over the
+    * full long domain (endpoints within binWidth of Long.MinValue
+    * excepted — the pmod subtraction would overflow there), never a
+    * double round-trip.
     *
     * @param rightCols right payload columns, emitted as `r_<name>`
     */
@@ -75,7 +78,14 @@ object RangeJoin {
                           rStart: String, rEnd: String,
                           binWidth: Long, rightCols: Seq[String]): DataFrame = {
     require(binWidth > 0, s"binWidth $binWidth must be positive")
-    val bin = (c: Column) => floor(c.cast("double") / lit(binWidth.toDouble)).cast("long")
+    // exact long floor division (never through double — a |value| >=
+    // 2^53 would round and silently mis-bin): pmod makes the numerator
+    // an exact multiple of the width, so the truncating integral `div`
+    // IS the floor, for the full long domain including negatives
+    val bin = (c: Column) => {
+      val v = c.cast("long")
+      call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
+    }
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
       val checked = df.filter(
         when(col(s) <= col(e), lit(true))

@@ -153,9 +153,15 @@ object Similarity {
           .join(topMembers.filter(col("__mr") <= k)
             .select(col("rid").as("nn_id"), col("mid").as("mb")), Seq("nn_id"))
           .select(col("id"), col("mb").as("nn_id"), col("cosine"))
+        // prune to k+1 (not k): contractBy clusters partition ids, so
+        // a member can never collide with a cross candidate — but the
+        // id =!= nn_id self-exclusion below must not be able to eat a
+        // needed candidate even if that invariant ever loosened, and
+        // a k+1-th superset candidate can never change the final
+        // top-k window
         val crossTop = crossAtB
           .withColumn("__rn", row_number().over(win))
-          .filter(col("__rn") <= k).drop("__rn")
+          .filter(col("__rn") <= k + 1).drop("__rn")
         val crossCands = crossTop
           .join(members.select(col("rid").as("id"), col("mid").as("ma")), Seq("id"))
           .select(col("ma").as("id"), col("nn_id"), col("cosine"))

@@ -37,6 +37,26 @@ class ArtifactSpec extends AnyFunSuite {
     assert(read(path) == "v1")
   }
 
+  test("a hand-assembled build (no _SUCCESS of its own) is stamped complete") {
+    // fixture builds that move bare part-files produce no _SUCCESS, so
+    // without the post-build stamp every resolve would see the artifact
+    // incomplete and take the delete-then-republish path — wasted
+    // rebuilds, and a cross-JVM reader could lose the dir mid-read
+    val path = freshPath("h")
+    var builds = 0
+    def bareBuild(tmp: String): Unit = {
+      builds += 1
+      val d = new File(tmp)
+      require(d.mkdirs() || d.isDirectory)
+      Files.writeString(new File(d, "b1.parquet").toPath, "bare")
+    }
+    Artifact.ensure(path)(bareBuild)
+    assert(new File(path, "_SUCCESS").exists(), "post-build stamp missing")
+    assert(Artifact.complete(path))
+    Artifact.ensure(path)(bareBuild)
+    assert(builds == 1, "stamped artifact was rebuilt")
+  }
+
   test("a stale INCOMPLETE destination is replaced, not a permanent wedge") {
     // a crashed or pre-protocol writer left partial files without the
     // completeness marker: ensure must self-heal (the atomic move onto

@@ -55,6 +55,20 @@ class OutliersSpec extends SparkSpec {
     assert(out("g2") == ((4L, 20L, 10L, 0L)))
   }
 
+  test("madProfile excludes NULL values from the population") {
+    // nulls are not population: they must not shift the rank-selected
+    // medians (a null sorts first under the windows) nor count into n.
+    // g1 = the hand-computed case above plus two null rows — the
+    // profile must be identical to the null-free one.
+    val df = Seq(("g1", Some(1L)), ("g1", Some(2L)), ("g1", Some(3L)),
+      ("g1", Some(4L)), ("g1", Some(100L)), ("g1", None), ("g1", None))
+      .toDF("grp", "v")
+    val out = Outliers.madProfile(df, col("grp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g1") == ((5L, 3L, 1L, 1L)))
+  }
+
   test("madProfile equals a driver-side reference on a pseudo-random group") {
     val df = spark.range(0, 999).select(
       concat(lit("g"), pmod(col("id"), lit(2))).as("grp"),

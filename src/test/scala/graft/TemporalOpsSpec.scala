@@ -145,6 +145,36 @@ class TemporalOpsSpec extends SparkSpec {
       ("c", "y"), ("c", "w"), ("d", "v")))
   }
 
+  test("intervalOverlapJoin bins exactly beyond double precision (2^60 endpoints)") {
+    // at 2^60 a double's granularity is 256, so a double-binned floor
+    // collapses distinct longs — the scaladoc promises exact long
+    // arithmetic instead. Equality with the naive join must hold at
+    // these coordinates (and at negative ones: pmod-based floor
+    // division must floor, not truncate toward zero).
+    val base = 1L << 60
+    val lBig = Seq(("k", base, base + 10L, "L1"),
+      ("k", base + 30L, base + 40L, "L2"),
+      ("k", -base - 20L, -base - 10L, "L3")).toDF("k", "ls", "le", "ltag")
+    val rBig = Seq(("k", base + 10L, base + 12L, "R1"), // touches L1
+      ("k", base + 41L, base + 50L, "R2"),              // just past L2
+      ("k", -base - 15L, -base - 12L, "R3"),            // inside L3
+      ("k", base + 35L, base + 36L, "R4")).toDF("k", "rs", "re", "rtag")
+    for (w <- Seq(3L, 7L, 256L)) {
+      val got = RangeJoin.intervalOverlapJoin(lBig, rBig, "k",
+          "ls", "le", "rs", "re", binWidth = w, rightCols = Seq("rtag"))
+        .select(col("ltag"), col("r_rtag"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val naive = lBig.as("l").join(rBig.as("r"),
+          col("l.k") === col("r.k") &&
+            col("l.ls") <= col("r.re") && col("r.rs") <= col("l.le"))
+        .select(col("ltag"), col("rtag"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.sorted == naive.sorted, s"binWidth=$w")
+      assert(got.toSet == Set(("L1", "R1"), ("L2", "R4"), ("L3", "R3")),
+        s"binWidth=$w")
+    }
+  }
+
   test("intervalOverlapJoin rejects inverted intervals") {
     val bad = Seq(("u1", 10L, 5L, "bad")).toDF("k", "ls", "le", "ltag")
     val ex = intercept[Exception] {
