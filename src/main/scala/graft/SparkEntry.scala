@@ -2933,6 +2933,29 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column_name")),
 
+    // ---------------- approx column profiler (envelope) ----------------
+    // The data-scale twin of q170: HLL distinct estimates in ONE
+    // un-replicated scan (no Expand — PlanAuditSpec pins the shape)
+    // where the exact profiler's multi-distinct replicates the scan
+    // 5×. Envelope oracle (the q87 gate): the hashed rows are the
+    // EXACT profile plus a verdict that each estimate sits within the
+    // documented 3·rsd band (rsd 0.05 → 15%, floor of ±1 for the
+    // tiny-cardinality columns where HLL is exact anyway).
+    "q179_profile_approx" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val exact = Quality.profile(t(s, dir).orders, cols)
+      val approx = Quality.profileApprox(t(s, dir).orders, cols, rsd = 0.05)
+        .select(col("column_name"), col("n_distinct_approx"))
+      exact.join(broadcast(approx), "column_name")
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          (abs(col("n_distinct_approx") - col("n_distinct")).cast("double") <=
+            greatest(col("n_distinct") * 0.15, lit(1.0)))
+            .as("approx_within_3rsd"))
+        .orderBy("column_name")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -5273,6 +5296,33 @@ object SparkEntry {
          SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
            count(DISTINCT o_orderstatus),
            min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         ORDER BY column_name""",
+    // HLL-profile envelope: the exact profile recomputed, the
+    // estimate-in-band verdict pinned TRUE on every column row
+    "q179_profile_approx" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val,
+           TRUE AS approx_within_3rsd
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR),
+           TRUE
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority), TRUE
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus), TRUE
          FROM orders
          ORDER BY column_name""",
     // the oracle replays the greedy longest-match DP as a recursive

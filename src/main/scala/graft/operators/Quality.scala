@@ -133,4 +133,39 @@ object Quality {
         col(s"__max_$c").as("max_val"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** The data-scale twin of [[profile]]: HLL++ distinct estimates
+    * (`approx_count_distinct`, column `n_distinct_approx`) instead of
+    * exact multi-distinct. Same long output shape otherwise.
+    *
+    * Why it exists: N exact `countDistinct`s in one agg plan through
+    * Catalyst's Expand rewrite — the scan replicates N+1× and every
+    * column's FULL key set shuffles, fine for audit strata (q170's
+    * point), wrong as the routine snapshot profile of a 100 TB fact
+    * table. HLL sketches are partial-aggregable bounded state: this
+    * plan is ONE un-replicated scan, map-side combine, a 1-row final
+    * agg — no Expand, no key-set shuffle (PlanAuditSpec pins that).
+    * `rsd` is the sketch's target relative standard deviation; the
+    * q179 envelope oracle pins |approx − exact| within an outer 3·rsd
+    * band against the exact profile at every SF.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    require(rsd > 0.0 && rsd < 1.0, s"rsd $rsd out of (0, 1)")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct_approx"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

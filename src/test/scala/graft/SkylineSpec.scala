@@ -80,4 +80,33 @@ class SkylineSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString()
     assert(!plan.contains("Union"), s"profile planned a per-column union:\n$plan")
   }
+
+  test("profileApprox: same shape as profile, HLL estimate exact on tiny cardinalities") {
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), None), (None, Some("a")),
+      (Some(10L), Some("c")), (Some(2L), Some("a"))
+    ).toDF("num", "str")
+    val rows = Quality.profileApprox(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // HLL++ is exact at these cardinalities, so the approx profile
+    // must equal the exact one verbatim on this fixture
+    assert(rows("num") == ((5L, 1L, 2L, "2", "10")))
+    assert(rows("str") == ((5L, 1L, 3L, "a", "c")))
+  }
+
+  test("profileApprox plans WITHOUT the multi-distinct Expand (one un-replicated scan)") {
+    // the reason it exists: N exact countDistincts replicate the scan
+    // N+1× through Catalyst's Expand; HLL sketches are plain partial
+    // aggregates — no Expand anywhere in the plan
+    val df = Seq((1L, "a", 2L, "b")).toDF("c1", "c2", "c3", "c4")
+    val approxPlan = Quality.profileApprox(df, Seq("c1", "c2", "c3", "c4"))
+      .queryExecution.executedPlan.toString()
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile still plans Expand:\n$approxPlan")
+    val exactPlan = Quality.profile(df, Seq("c1", "c2", "c3", "c4"))
+      .queryExecution.executedPlan.toString()
+    assert(exactPlan.contains("Expand"),
+      "contrast lost: exact profile no longer plans Expand — update this test")
+  }
 }
