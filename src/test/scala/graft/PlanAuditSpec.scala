@@ -228,6 +228,54 @@ class PlanAuditSpec extends SparkSpec {
       s"data-scale cartesian in basket rules:\n$plan")
   }
 
+  test("wide nested entity (Evidence-width): a 3-field query reads 3 columns + the filter") {
+    // the reference schema declares a ~100-field Evidence row
+    // (opentargets.schema:505-657) its scripts never read in full; a
+    // 100 TB store of such rows is only viable if a narrow query's
+    // scan prunes to exactly the referenced leaves — top-level AND
+    // inside nested structs. The plan string truncates wide
+    // ReadSchemas, so assert on the scan's requiredSchema directly.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.types.StructType
+    val dir = java.nio.file.Files.createTempDirectory("graft-wide").toString + "/evidence"
+    val filler = (0 until 88).map(i => lit(i.toLong).as(f"f$i%02d"))
+    spark.range(0, 100).select(Seq(
+      col("id").as("evid_id"),
+      (col("id") % 7).cast("double").as("score"),
+      struct(concat(lit("TGT_"), col("id")).as("targetId"),
+        lit("sym").as("approvedSymbol"),
+        lit("protein_coding").as("bioType"),
+        lit("x").as("targetFromSourceId")).as("target"),
+      struct(concat(lit("DIS_"), col("id")).as("diseaseId"),
+        lit("n").as("diseaseName"),
+        array(lit("a"), lit("b")).as("ancestors")).as("disease"),
+      array(struct(lit("PWY_1").as("id"), lit("p").as("name"))).as("pathways")
+    ) ++ filler: _*)
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("score") > 3)
+      .select(col("evid_id"), col("target.approvedSymbol"),
+        col("disease.diseaseId"))
+    q.write.format("noop").mode("overwrite").save()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val read = scan.requiredSchema
+    // 93 stored top-level fields prune to the 3 selected + the filter
+    assert(read.fieldNames.toSet == Set("evid_id", "score", "target", "disease"),
+      s"scan reads ${read.fieldNames.length} top-level fields: ${read.fieldNames.mkString(",")}")
+    // nested pruning: each struct narrows to its one referenced leaf
+    assert(read("target").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("approvedSymbol"),
+      s"target struct not pruned: ${read("target").dataType.simpleString}")
+    assert(read("disease").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("diseaseId"),
+      s"disease struct not pruned: ${read("disease").dataType.simpleString}")
+    // and the row-group filter is pushed into the parquet scan
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan(score,3.0)")),
+      s"filter not pushed: ${scan.metadata.get("PushedFilters")}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
