@@ -97,6 +97,66 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.filter(col("id") === col("nn_id")).count() == 0)
   }
 
+  test("hot signature band: AQE skew-splits knnJoin's band join, results stay exact") {
+    // adversarial corpus for the VECTOR band join: 400 DISTINCT
+    // vectors that are positive scalings of one direction — scaling
+    // never flips a hyperplane sign, so every one carries the
+    // IDENTICAL 16-bit signature and all four (band, bh) buckets are
+    // maximally hot, while contraction cannot help (no two vectors
+    // are equal). The clone discipline (DedupSpec's case) defends the
+    // equal-vector corpus; THIS is the residual skew the band join
+    // itself must survive via AQE, same as minhashCandidates.
+    val base = qvec
+    val hot = (0L until 400L).map { i =>
+      (i, base.map(x => x * (1.0f + i * 0.001f)).toSeq)
+    }
+    // planted distinct tail so the join has non-hot keys too
+    val rng = new scala.util.Random(7)
+    val rest = (10000L until 10040L).map { i =>
+      (i, Array.fill(base.length)(rng.nextFloat() - 0.5f).toSeq)
+    }
+    val skewed = (hot ++ rest).toDF("vec_id", "embedding")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // scale AQE's skew thresholds down to fixture size (at 100 TB
+      // the defaults engage on the same shape) and force the
+      // sort-merge path a real corpus would take
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val knn = Similarity.knnJoin(skewed, "vec_id", "embedding", k = 3)
+        .select("id", "nn_id", "cosine")
+      val rows = knn.collect()
+      val plan = knn.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not skew-split the vector band join:\n${plan.take(3000)}")
+      // exact under skew: parallel vectors have pairwise cosine 1.0,
+      // so each hot member's top-3 (cosine desc, nn_id asc) is the 3
+      // lowest OTHER hot ids, at cosine 1.0 after rounding
+      val byId = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      (0L until 400L).foreach { i =>
+        val got = byId(i).map(m => (m._2, m._3)).sortBy(_._1).toSeq
+        val want = (0L until 400L).filter(_ != i).take(3).map(j => (j, 1.0))
+        assert(got == want, s"hot member $i: $got != $want")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("knnJoin vector contraction equals the uncontracted band join on clones") {
     // every vector cloned 3×: the regime where the uncontracted banded
     // self-join is quadratic in clone-cluster size. The reference is
