@@ -529,13 +529,21 @@ object SparkEntry {
         SelfCheck.note(s"subset of exact holds (0 false positives); " +
           s"recall ${(mh intersect exact).size}/${exact.size} (floor 0.8)")
       }
-      val exact = Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
+      // both pair relations are near-dup-sized (tiny vs the corpus)
+      // but feed three consumers each — materialize once so the
+      // PPJoin / banded join kernels run a single time, not per
+      // consumer (13.6 → ~10 s at sf0.1 without this)
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val exact = mat(Dedup.jaccardPairs(t(s, dir).documents, "doc_id", "text",
         n = JaccardShingleN, threshold = 0.6, maxShingleFreq = Long.MaxValue,
-        shingles = Some(sharedShingles(s, dir)))
-      val mh = Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text",
+        shingles = Some(sharedShingles(s, dir))))
+      val mh = mat(Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text",
           threshold = 0.6, shingleN = JaccardShingleN,
           shingles = Some(sharedShingles(s, dir)))
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")))
       val exKeys = exact.select(col("id_a"), col("id_b"))
       val verdict = mh.join(exKeys, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("__fp"))
@@ -581,7 +589,13 @@ object SparkEntry {
           s"(${b8.size}); all ${b3.size} hamming≤3 pairs recovered (banding theorem)")
       }
       val docs = t(s, dir).documents
-      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      // the banded pair relation feeds two consumers (recheck +
+      // completeness anti-join) — materialize so the band join runs once
+      val banded = {
+        val p = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
       val sh = Dedup.simhash64(docs, "doc_id", col("text"))
       // subset/exactness: re-derive each emitted pair's hamming from
       // the per-doc hash relation and demand agreement and the <= 8
@@ -615,55 +629,56 @@ object SparkEntry {
       Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, excludeId = 0L)
     }),
 
-    // ---------------- similarity: ANN via hyperplane LSH (rows-only) ----------------
-    // Self-check: ANN recall vs the exact brute-force top-10 on the
-    // SAME data (one extra scan) — measured 5/10 at every SF on the
-    // weakly-clustered synthetic vectors; 3/10 is the alarm floor.
+    // ---------------- similarity: ANN via hyperplane LSH (FULL-oracle envelope) ----------------
+    // The q91/q105 envelope: the hashed rows are the EXACT brute-force
+    // cosine top-10 (DuckDB-recomputable — the q33 relation) plus the
+    // ANN guarantee pinned TRUE: the LSH-pruned scan recovered at
+    // least 3 of the true top-10 (the documented floor on these
+    // weakly-clustered synthetic vectors; measured 5/10 at every SF).
+    // The verdict is a plan-fused semi-join count, checked on the
+    // full corpus at every execution — not a once-per-JVM self-check.
     "q34_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      SelfCheck.once(s"q34/$dir") {
-        val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, 0L)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+      val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = 0L)
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
           numBits = 16, probeHamming = 6, excludeId = 0L)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        require((brute intersect ann).size >= 3,
-          s"q34 ANN recall ${(brute intersect ann).size}/10 below 3")
-        SelfCheck.note(s"ANN recall ${(brute intersect ann).size}/10 " +
-          "vs brute-force cosine top-10 (floor 3)")
-      }
-      Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
-        numBits = 16, probeHamming = 6, excludeId = 0L)
+        .select(col("vec_id"))
+      val verdict = brute.select(col("vec_id"))
+        .join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 3L).as("ann_recall_ok"))
+      brute.crossJoin(broadcast(verdict))
+        .select(col("vec_id"), col("cosine"), col("ann_recall_ok"))
+        .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
-    // ---------------- similarity: IVF ANN via persisted index (rows-only) ----------------
+    // ---------------- similarity: IVF ANN via persisted index (FULL-oracle envelope) ----------------
     // Build-once, query-many: the index is the corpus partitioned by
     // its coarse-quantizer assignment; the query scans nprobe/nlist
     // of the partitions (directory pruning), never recomputing the
-    // assignment. Output identical to the ad-hoc Similarity.ivfTopK.
+    // assignment. Envelope row (the q34 pattern): the exact brute
+    // top-10 keyed-hash-identical to DuckDB, with the pruned scan's
+    // recall floor (>= 6/10, measured 9-10/10 at every SF) pinned
+    // TRUE by a plan-fused semi-join count on every execution.
     "q50_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val idx = fixturePath("ivf", dir, "embeddings")
       Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nlist = 16, idx)
-      // Self-check: recall of the pruned-scan result vs exact brute
-      // top-10 (measured 9-10/10 at every SF; alarm floor 6).
-      SelfCheck.once(s"q50/$dir") {
-        val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, 0L)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val ivf = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q, 10,
+      val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = 0L)
+      val ivf = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q, 10,
           nprobe = 4, excludeId = 0L)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        require((brute intersect ivf).size >= 6,
-          s"q50 IVF recall ${(brute intersect ivf).size}/10 below 6")
-        SelfCheck.note(s"IVF pruned-scan recall ${(brute intersect ivf).size}/10 " +
-          "vs brute-force (floor 6)")
-      }
-      Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q, 10,
-        nprobe = 4, excludeId = 0L)
+        .select(col("vec_id"))
+      val verdict = brute.select(col("vec_id"))
+        .join(ivf, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("ivf_recall_ok"))
+      brute.crossJoin(broadcast(verdict))
+        .select(col("vec_id"), col("cosine"), col("ivf_recall_ok"))
+        .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
     // ---------------- similarity: per-label centroids ----------------
@@ -2285,41 +2300,45 @@ object SparkEntry {
         "user_id", topN = 20)
     }),
 
-    // ---------------- PQ-compressed ANN (asymmetric distance) ----------------
+    // ---------------- PQ-compressed ANN (FULL-oracle envelope) ----------------
     // The 100 TB vector layout: the query scans the 8-int code table
     // (a persisted artifact), re-ranks only `rerank` full vectors.
-    // Self-checks: recall vs exact L2 top-10 (the ADC scan must
-    // surface the true neighbors), and the approximate path can only
-    // MISS neighbors, never beat the exact distances.
+    // Envelope row (the q34/q50 pattern): the hashed rows are the
+    // EXACT L2 top-10 (DuckDB recomputes via list_distance) plus two
+    // guarantees pinned TRUE on every execution — recall floor
+    // (>= 6/10 of the true neighbors surfaced by the ADC scan) and
+    // domination (the approximate path can only MISS neighbors,
+    // never beat the exact i-th distance). Rankings align via sorted-
+    // array folds (10-row aggregations — no unpartitioned window).
     "q148_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val idx = fixturePath("pq", dir, "embeddings")
       Similarity.ensurePqIndex(emb, "vec_id", "embedding", numSub = 8, k = 16, idx)
-      def pq = Similarity.pqTopK(s, idx, emb, "vec_id", "embedding", q, 10,
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(sqrt(
+          VecFns.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * VecFns.dot(col("embedding"), typedlit(q))
+            + lit(q.map(x => x.toDouble * x).sum)), 6).as("l2"))
+        .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      val pq = Similarity.pqTopK(s, idx, emb, "vec_id", "embedding", q, 10,
         rerank = 100, excludeId = 0L)
-      SelfCheck.once(s"q148/$dir") {
-        // exact L2 top-10 (same metric, brute scan of the full vectors)
-        val exact = emb.filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), round(sqrt(
-            VecFns.dot(col("embedding"), col("embedding"))
-              - lit(2.0) * VecFns.dot(col("embedding"), typedlit(q))
-              + lit(q.map(x => x.toDouble * x).sum)), 6).as("l2"))
-          .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
-          .collect().map(r => r.getLong(0) -> r.getDouble(1))
-        val got = pq.collect().map(r => r.getLong(0) -> r.getDouble(1))
-        val recall = exact.map(_._1).toSet.intersect(got.map(_._1).toSet).size
-        require(recall >= 6, s"q148 PQ recall $recall/10 below 6")
-        // approximate can only miss: element-wise, pq's i-th distance
-        // is >= the exact i-th distance
-        exact.map(_._2).zip(got.map(_._2)).foreach { case (e, g) =>
-          require(g >= e - 1e-9, s"q148 PQ beat the exact ranking: $g < $e")
-        }
-        SelfCheck.note(s"PQ ADC recall $recall/10 vs exact L2 (floor 6); " +
-          "per-rank distances dominated by the exact ranking")
-      }
-      pq
+      def ranked(df: DataFrame, prefix: String): DataFrame =
+        df.agg(sort_array(collect_list(struct(col("l2").as("__d"),
+            col("vec_id").as("__id")))).as("a"))
+          .select(posexplode(col("a")).as(Seq("rk", "r")))
+          .select(col("rk"), col("r.__d").as(s"${prefix}_d"))
+      val dominated = ranked(exact, "ex").join(ranked(pq, "pq"), Seq("rk"))
+        .agg(coalesce(every(col("pq_d") >= col("ex_d") - 1e-9), lit(true))
+          .as("pq_dominated_ok"))
+      val recall = exact.select(col("vec_id"))
+        .join(pq.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("pq_recall_ok"))
+      exact.crossJoin(broadcast(recall)).crossJoin(broadcast(dominated))
+        .select(col("vec_id"), col("l2"), col("pq_recall_ok"),
+          col("pq_dominated_ok"))
+        .orderBy(col("l2").asc, col("vec_id"))
     }),
 
     // ---------------- per-language domain drift (KL divergence) ----------------
@@ -3470,6 +3489,36 @@ object SparkEntry {
              CAST(q.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings e, q WHERE e.vec_id <> 0
          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // ANN envelope: the exact brute-force top-10 recomputed (the q33
+    // relation), the LSH recall-floor verdict pinned TRUE
+    "q34_ann_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+           TRUE AS ann_recall_ok
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // IVF envelope: same exact top-10, the pruned-scan recall floor
+    // pinned TRUE
+    "q50_ivf_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+           TRUE AS ivf_recall_ok
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // PQ envelope: the exact L2 top-10 recomputed via list_distance,
+    // recall-floor and per-rank domination verdicts pinned TRUE
+    "q148_pq_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_distance(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS l2,
+           TRUE AS pq_recall_ok, TRUE AS pq_dominated_ok
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY l2 ASC, e.vec_id LIMIT 10""",
     "q35_label_centroids" ->
       """SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS centroid
          FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
