@@ -234,6 +234,87 @@ object ProbeScale100 {
         s"top-3 families: $ok (${rN.size} queries)")
     }
 
+    // GRAPHQL HUB-KEY CONNECTION at factor× (the r10 verdict's ask,
+    // after the rank-limit-before-collect fix): FK-consistent star
+    // replication keeps the five segment names, so ONE disease's
+    // knownDrugs edge list inflates exactly factor× — the hub-key
+    // regime where the pre-fix fold would collect the whole slice
+    // into a single aggregation buffer. Invariants riding on the
+    // curve: count scales exactly factor×, rows stay the DEFAULT page
+    // size, and the served page equals the head of the full ordering
+    // recomputed independently from the edge index (top-k semantics
+    // survive the hub).
+    if (section("graphql")) {
+      import graft.api.{GraphQl, KnowledgeGraph}
+      def maxOf(table: String, c: String): Long =
+        spark.read.parquet(s"$base/$table.parquet")
+          .agg(max(col(c))).head().getLong(0) + 1L
+      val offP = maxOf("part", "p_partkey")
+      val offS = maxOf("supplier", "s_suppkey")
+      val offC = maxOf("customer", "c_custkey")
+      val offO = maxOf("orders", "o_orderkey")
+      def replStar(table: String, shifts: Map[String, Long]): Unit = {
+        val out = s"$big/$table.parquet"
+        if (new java.io.File(out, "_SUCCESS").exists()) return
+        val src = spark.read.parquet(s"$base/$table.parquet")
+        val copies = spark.range(factor).select(col("id").as("__copy"))
+        shifts.foldLeft(src.crossJoin(copies)) { (df, kv) =>
+            df.withColumn(kv._1, col(kv._1) + col("__copy") * kv._2)
+          }
+          .drop("__copy").write.mode("overwrite").parquet(out)
+      }
+      replStar("lineitem",
+        Map("l_orderkey" -> offO, "l_partkey" -> offP, "l_suppkey" -> offS))
+      replStar("orders", Map("o_orderkey" -> offO, "o_custkey" -> offC))
+      replStar("customer", Map("c_custkey" -> offC))
+      replStar("part", Map("p_partkey" -> offP))
+      replStar("supplier", Map("s_suppkey" -> offS))
+      Seq("nation", "region").foreach { t =>
+        val out = s"$big/$t.parquet"
+        if (!new java.io.File(out, "_SUCCESS").exists())
+          spark.read.parquet(s"$base/$t.parquet")
+            .write.mode("overwrite").parquet(out)
+      }
+      val gql = """query diseaseAssociatedDrugs {
+        disease(efoId: "DIS_BUILDING") {
+          id name
+          knownDrugs { count rows { phase target { id } } } } }"""
+      var cnt1 = 0L
+      Seq((base, "1x"), (big, s"${factor}x")).foreach { case (dir, tag) =>
+        val kg = KnowledgeGraph(spark, dir, s"/tmp/graft_scale${factor}_kgidx_$tag")
+        time(s"kg edge-index build $tag") { kg.knownDrugs.count() }
+        var cnt = 0L
+        var page: Seq[String] = Seq.empty
+        time(s"graphql hub knownDrugs fold $tag") {
+          val kd = GraphQl.execute(kg, gql).head().getStruct(2)
+          cnt = kd.getLong(0)
+          page = kd.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getStruct(1).getString(0)).toSeq
+          cnt
+        }
+        var want: Seq[String] = Seq.empty
+        time(s"independent top-25 from edge index $tag") {
+          want = kg.knownDrugs.filter(col("disease_id") === "DIS_BUILDING")
+            .orderBy(col("drug_id"), col("target_id"))
+            .limit(GraphQl.DefaultPageSize)
+            .select("target_id").as[String].collect().toSeq
+          want.size.toLong
+        }
+        time(s"graphql explicit page 4 of 10 $tag") {
+          val kd = GraphQl.execute(kg,
+            """{ disease(efoId: "DIS_BUILDING") {
+                 knownDrugs(page: {index: 3, size: 10}) { rows { phase } } } }""")
+            .head().getStruct(0)
+          kd.getSeq[org.apache.spark.sql.Row](0).size.toLong
+        }
+        if (tag == "1x") cnt1 = cnt
+        else println(s"[probe] graphql hub count exactly ${factor}x: " +
+          s"${cnt == factor * cnt1} ($cnt vs $factor x $cnt1)")
+        println(s"[probe] graphql $tag default page = head of full " +
+          s"ordering: ${page == want} (count=$cnt, page=${page.size})")
+      }
+    }
+
     // RETRIEVAL TIER at factor× (the r8 verdict's ask): BM25's
     // doc-keyed shuffle, the PQ code scan + exact re-rank, and the
     // relation-only centroid pass — each with a correctness invariant
