@@ -459,6 +459,14 @@ object GraphQl {
     */
   val MaxPageSize: Int = 3000
 
+  private def intArg(args: Map[String, String], key: String): Option[Int] =
+    args.get(key).map { s =>
+      val n = s.toIntOption.getOrElse(
+        throw ParseError(s"$key must be an integer, got '$s'"))
+      if (n < 0) throw ParseError(s"$key must be >= 0, got $n")
+      n
+    }
+
   /** Build the connection's single-row (one column) relation. */
   private def connectionDf(kg: KnowledgeGraph, entity: String, f: Field,
                            rootKey: String): DataFrame = {
@@ -476,12 +484,7 @@ object GraphQl {
     // it (schema parity), and there an omitted page means the
     // DEFAULT-sized first page, never the whole connection.
     // `count` stays the TOTAL (server semantics), never the page's.
-    def intArg(key: String): Option[Int] = f.args.get(key).map { s =>
-      val n = s.toIntOption.getOrElse(
-        throw ParseError(s"$key must be an integer, got '$s'"))
-      if (n < 0) throw ParseError(s"$key must be >= 0, got $n")
-      n
-    }
+    def intArg(key: String): Option[Int] = GraphQl.intArg(f.args, key)
     val explicitSize: Option[Int] = intArg("page.size").orElse(intArg("size"))
     if (!Paginable((entity, f.name))) {
       val extras = Seq("page.index", "page.size", "size").filter(f.args.contains)
@@ -562,13 +565,21 @@ object GraphQl {
       c.flat.agg(rowsArray(f.sel).as(f.name))
   }
 
-  /** The `search(queryString:, entityNames:)` root
-    * (/root/reference/opentargets_query.py:7-13): case-insensitive
-    * substring match over the selected entity tables' display names,
-    * hits deterministically ordered (name, id) — the engine-side
-    * stand-in for the server's relevance order. The substring scan is
-    * the server's own semantics; `operators.InvertedIndex` is this
+  /** The `search(queryString:, entityNames:, page:)` root
+    * (/root/reference/opentargets_query.py:7-13; the page argument is
+    * opentargets.schema:1151-1159): case-insensitive substring match
+    * over the selected entity tables' display names, hits
+    * deterministically ordered (name, id) — the engine-side stand-in
+    * for the server's relevance order. The substring scan is the
+    * server's own semantics; `operators.InvertedIndex` is this
     * engine's indexed scale path for the same need.
+    *
+    * With `page`/`size` present, hits are rank-limited BEFORE the
+    * array fold (sort+limit → TakeOrderedAndProject, the connection
+    * discipline) and `total` stays the full match count. The
+    * unpaginated form returns every hit — the match set is bounded by
+    * the entity DIMENSION tables (not fact-scale), and the reference
+    * scripts consume `hits[0]` from exactly this shape.
     */
   private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
     val qs = root.args.getOrElse("queryString", throw ParseError(
@@ -576,7 +587,7 @@ object GraphQl {
     val entities = root.args.get("entityNames")
       .map(_.split(',').toSeq.distinct)
       .getOrElse(Seq("disease", "target", "drug"))
-    val rel = entities.map {
+    def rel = entities.map {
       case "disease" => kg.diseases
         .select(col("id"), col("name"), lit("disease").as("entity"))
       case "target" => kg.targets
@@ -588,21 +599,61 @@ object GraphQl {
         s"unknown entity '$other' in entityNames — supported: disease, target, drug")
     }.reduce(_.unionByName(_))
       .filter(lower(col("name")).contains(qs.toLowerCase))
-    val parts = root.sel.map {
-      case Field("total", _, Seq()) => count(lit(1)).as("total")
-      case Field("hits", _, sel) =>
-        if (sel.isEmpty) throw ParseError("search hits need a selection")
-        val payload = entityStruct("hit", sel, Map(
-          "id" -> col("id"), "name" -> col("name"), "entity" -> col("entity")))
-        transform(
-          sort_array(collect_list(struct(col("name").as("__k0"),
-            col("id").as("__k1"), payload.as("__p")))),
-          x => x.getField("__p")).as("hits")
+    val explicitSize = intArg(root.args, "page.size")
+      .orElse(intArg(root.args, "size"))
+    val index: Int = intArg(root.args, "page.index").getOrElse(0)
+    if (index > 0 && explicitSize.isEmpty) throw ParseError(
+      "page.index needs page.size")
+    val size: Option[Int] = explicitSize.map(math.min(_, MaxPageSize))
+    def hitsArray(sel: Seq[Field]): Column = {
+      if (sel.isEmpty) throw ParseError("search hits need a selection")
+      val payload = entityStruct("hit", sel, Map(
+        "id" -> col("id"), "name" -> col("name"), "entity" -> col("entity")))
+      val sorted = sort_array(collect_list(struct(col("name").as("__k0"),
+        col("id").as("__k1"), payload.as("__p"))))
+      val page = size.fold(sorted) { n =>
+        val start = math.min(index.toLong * n + 1L, Int.MaxValue.toLong).toInt
+        slice(sorted, start, n)
+      }
+      transform(page, x => x.getField("__p"))
+    }
+    root.sel.foreach {
+      case Field("total", _, Seq()) => ()
+      case Field("hits", _, _) => ()
       case g => throw ParseError(
         s"unknown field '${g.name}' on search — supported: total, hits")
     }
-    if (parts.isEmpty) throw ParseError("search needs a selection")
-    rel.agg(parts.head, parts.tail: _*)
+    if (root.sel.isEmpty) throw ParseError("search needs a selection")
+    size match {
+      case None =>
+        // unpaginated: total and the full hit array fold in ONE agg
+        val parts = root.sel.map {
+          case Field("total", _, Seq()) => count(lit(1)).as("total")
+          case Field("hits", _, sel) => hitsArray(sel).as("hits")
+          case g => throw ParseError(s"unreachable: ${g.name}")
+        }
+        rel.agg(parts.head, parts.tail: _*)
+      case Some(n) =>
+        // paged: hits aggregate the rank-LIMITED relation (top-k
+        // merge, never a whole-match collect); total stays the full
+        // match count
+        val totalDf: Option[DataFrame] =
+          if (!root.sel.exists(_.name == "total")) None
+          else Some(rel.agg(count(lit(1)).as("total")))
+        val hitsDf: Option[DataFrame] = root.sel.collectFirst {
+          case Field("hits", _, sel) =>
+            val limitN = math.min((index + 1).toLong * n,
+              Int.MaxValue.toLong).toInt
+            rel.sort(col("name"), col("id")).limit(limitN)
+              .agg(hitsArray(sel).as("hits"))
+        }
+        val combined = (totalDf, hitsDf) match {
+          case (Some(td), Some(hd)) => td.crossJoin(broadcast(hd))
+          case (Some(td), None) => td
+          case (None, hd) => hd.get
+        }
+        combined.select(root.sel.map(g => col(g.name)): _*)
+    }
   }
 
   /** Batch point-lookup roots — `targets(ensemblIds: [...])` /

@@ -237,6 +237,29 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(bad.getMessage.contains("unknown entity"))
   }
 
+  test("execute: search page slices hits; total stays the match count") {
+    // the schema's search(page:) argument (opentargets.schema:
+    // 1151-1159) — previously silently ignored, now the connection
+    // discipline: hits rank-limit before the fold, total stays full
+    val full = GraphQl.execute(kg,
+      """{ search(queryString: "red", entityNames: ["target"]) {
+           total hits { id } } }""").head()
+    val paged = GraphQl.execute(kg,
+      """{ search(queryString: "red", entityNames: ["target"],
+                  page: {index: 1, size: 2}) { total hits { id } } }""").head()
+    assert(full.getLong(0) > 4)
+    assert(paged.getLong(0) == full.getLong(0)) // total = full match count
+    assert(paged.getSeq[Row](1) == full.getSeq[Row](1).slice(2, 4))
+    // the paged fold pre-limits via top-k, never a whole-match collect
+    val df = GraphQl.execute(kg,
+      """{ search(queryString: "red", page: {index: 0, size: 3}) {
+           hits { id name } } }""")
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("TakeOrderedAndProject"),
+      "paged search hits not pre-limited via top-k")
+    assert(df.head().getSeq[Row](0).size == 3)
+  }
+
   test("execute: drug facet block — derived maximumClinicalTrialPhase") {
     import org.apache.spark.sql.functions.{col, max}
     val got = GraphQl.execute(kg,
