@@ -2975,6 +2975,22 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // ---------------- duplicated-span removal (exact substring dedup) ----------------
+    // Lee et al. 2022's span-dedup semantics as relational algebra
+    // (no suffix array): every 8-word span occurring more than once
+    // in the corpus is removed everywhere but its globally first
+    // occurrence (keep-first min (doc_id, pos)); contiguous removals
+    // merge into maximal regions (RangeJoin.mergeIntervals). FULL
+    // oracle: DuckDB replays span hashing (md5 of the space-joined
+    // words), the keep-first window, the island fold, and the
+    // cleaned-text md5 — every emitted number and fingerprint is
+    // engine-exact.
+    "q180_span_dedup" -> ((s, dir) => {
+      Dedup.spanDedup(t(s, dir).documents, "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -5374,6 +5390,51 @@ object SparkEntry {
            min(o_orderstatus), max(o_orderstatus), TRUE
          FROM orders
          ORDER BY column_name""",
+    // the oracle replays the whole span-dedup pipeline: md5 8-gram
+    // span keys, keep-first via a (doc_id, pos) window rank per key,
+    // the q168-style island fold (maxGap=1: touching spans are one
+    // region), and the cleaned-text md5 rebuilt by dropping words
+    // whose position falls in a removed region
+    "q180_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      md5(array_to_string(ws[i:i+7], ' ')) AS h
+               FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+         m AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY h) AS n_occ,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+               FROM g),
+         iv AS (SELECT doc_id, pos AS s, pos + 7 AS e
+                FROM m WHERE n_occ > 1 AND rn > 1),
+         op AS (SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                              ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            CAST(-2 AS BIGINT)) + 1 THEN 1 ELSE 0 END AS opens
+                FROM iv),
+         reg AS (SELECT doc_id, min(s) AS rs, max(e) AS re
+                 FROM (SELECT doc_id, s, e,
+                              sum(opens) OVER (PARTITION BY doc_id
+                                ORDER BY s, e) AS isl
+                       FROM op)
+                 GROUP BY doc_id, isl),
+         agg AS (SELECT doc_id, count(*) AS nreg, sum(re - rs + 1) AS ndup,
+                        list({'s': rs, 'e': re} ORDER BY rs, re) AS ivs
+                 FROM reg GROUP BY doc_id)
+         SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS total_words,
+           CAST(coalesce(a.nreg, 0) AS BIGINT) AS dup_regions,
+           CAST(coalesce(a.ndup, 0) AS BIGINT) AS dup_words,
+           CAST(coalesce(a.ndup, 0) * 1000000 // len(w.ws) AS BIGINT) AS dup_ppm,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(w.ws) + 1),
+                 i -> len(list_filter(coalesce(a.ivs, []),
+                        v -> i >= v.s AND i <= v.e)) = 0),
+               i -> w.ws[CAST(i AS INT)]),
+             ' '), '')) AS clean_fp
+         FROM w LEFT JOIN agg a USING (doc_id)
+         ORDER BY w.doc_id""",
     // the oracle replays the greedy longest-match DP as a recursive
     // CTE over (word, position) states — one step per consumed piece,
     // LATERAL argmax = longest vocab piece matching at the position,

@@ -847,4 +847,103 @@ object Dedup {
     p.count()
     p
   }
+
+  // ----------------------------------------------------------------
+  // Cross-document duplicated-SPAN removal (exact substring dedup)
+  // ----------------------------------------------------------------
+
+  /** Every k-word span of every document as (id, pos, h): `pos` is
+    * the 1-based word index of the span start and `h` = md5 of the
+    * space-joined k words — an engine-portable exact-content key (the
+    * repo's md5-determinism convention), so an oracle can replay span
+    * identity bit-for-bit. Documents shorter than k words contribute
+    * nothing. One projection + explode, no shuffle; output is linear
+    * in corpus token count (≈ one row per word — the inverted-index
+    * scale class).
+    */
+  def spanHashes(docs: DataFrame, idName: String, textName: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"span width k=$k must be >= 2")
+    val ws = split(col(textName), " ")
+    // sequence() flips to a descending step when size < k would make
+    // the upper bound < 1, so short docs need the explicit empty arm
+    val hashes = when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idName).as("id"), posexplode(hashes).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + lit(1)).cast("long").as("pos"), col("h"))
+  }
+
+  /** Exact duplicated-substring dedup over word k-grams — the
+    * span-granular counterpart of `dedupExact` (the "remove repeated
+    * passages, keep otherwise-unique documents" discipline of
+    * training-data curation, cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * re-expressed as relational algebra instead of a suffix array):
+    * any k-word span whose content occurs more than once in the
+    * corpus — in another document OR again in the same one — is a
+    * duplicate everywhere except its globally first occurrence
+    * (min (id, pos): keep-first, the §7.4 determinism rule at span
+    * granularity, so the canonical copy of every passage survives
+    * somewhere). Duplicate occurrences become word intervals
+    * [pos, pos+k-1]; per document, intervals covering a contiguous
+    * word range merge into maximal removed REGIONS
+    * (`RangeJoin.mergeIntervals`, maxGap=1 — touching spans are one
+    * region). One output row per document:
+    *
+    *   id, total_words, dup_regions, dup_words,
+    *   dup_ppm  = total_words == 0 ? 0
+    *            : floor(1e6 * dup_words / total_words)   (fixed point)
+    *   clean_fp = md5 of the document with removed-region words
+    *              dropped.
+    *
+    * Scale (100 TB): the span relation is token-count-linear; the
+    * duplicate-group aggregation is ONE partial-aggregable keyed
+    * shuffle on h; marking non-first occurrences is an equi-join on h
+    * (AQE splits a boilerplate-hash skew); region merging and the
+    * final stats are per-document windows/aggs whose state is bounded
+    * by document length. Nothing quadratic, nothing driver-side. The
+    * corpus is scanned twice (span build feeds both the group agg and
+    * the join-back) — recompute over persist, the same trade the
+    * minhash family makes. Contrast `minhashNearDups`: that DETECTS
+    * mostly-duplicate documents; this surgically removes repeated
+    * passages (boilerplate, licenses, quoted chunks) from documents
+    * that are otherwise unique.
+    */
+  def spanDedup(docs: DataFrame, idName: String, textName: String,
+                k: Int = 8): DataFrame = {
+    val spans = spanHashes(docs, idName, textName, k)
+    val groups = spans.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("keeper"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val losers = spans.join(groups, Seq("h"))
+      .filter(struct(col("id"), col("pos")) =!= col("keeper"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    val regions = RangeJoin.mergeIntervals(losers, "id", "s", "e", maxGap = 1L)
+    val perDoc = regions.groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_regions"),
+        sum(col("island_end") - col("island_start") + lit(1)).as("dup_words"),
+        sort_array(collect_list(struct(col("island_start").as("s"),
+          col("island_end").as("e")))).as("ivs"))
+    val ws = split(col(textName), " ")
+    val emptyIvs = array().cast("array<struct<s:bigint,e:bigint>>")
+    val keptPositions = filter(
+      sequence(lit(1), size(col("ws"))),
+      i => !exists(col("ivs"),
+        v => i.cast("long") >= v("s") && i.cast("long") <= v("e")))
+    docs.select(col(idName).as("id"), ws.as("ws"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("ivs", coalesce(col("ivs"), emptyIvs))
+      .select(col("id"),
+        size(col("ws")).cast("long").as("total_words"),
+        coalesce(col("dup_regions"), lit(0L)).as("dup_regions"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        when(size(col("ws")) === 0, lit(0L))
+          .otherwise(expr("coalesce(dup_words, 0L) * 1000000L div cast(size(ws) as long)"))
+          .as("dup_ppm"),
+        md5(concat_ws(" ",
+          transform(keptPositions, i => element_at(col("ws"), i)))).as("clean_fp"))
+  }
 }

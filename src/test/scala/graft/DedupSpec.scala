@@ -416,4 +416,72 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(3L, 7L))
   }
+
+  // ---------------- duplicated-span removal ----------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("spanDedup hand case: keep-first, cross-doc + within-doc, adjacent regions merge") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h x1 x2"),                       // keeper of the shared 8-gram
+      (2L, "y1 y2 a b c d e f g h y3"),                    // loses [3,10]
+      (3L, "z1 a b c d e f g h a b c d e f g h"),          // loses [2,9]+[10,17] → one region
+      (4L, "too short for any span")                       // 5 words < k
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", k = 8)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out(0) == ((1L, 10L, 0L, 0L, 0L, md5Hex("a b c d e f g h x1 x2"))))
+    assert(out(1) == ((2L, 11L, 1L, 8L, 8000000L / 11L, md5Hex("y1 y2 y3"))))
+    assert(out(2) == ((3L, 17L, 1L, 16L, 16000000L / 17L, md5Hex("z1"))))
+    assert(out(3) == ((4L, 5L, 0L, 0L, 0L, md5Hex("too short for any span"))))
+  }
+
+  test("spanDedup equals a sequential reference on the real corpus") {
+    val k = 6
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // sequential reference: group occurrences by span CONTENT,
+    // keep-first by (doc, pos), merge contiguous removals per doc
+    val occ = raw.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (0 to ws.length - k).map(i => (ws.slice(i, i + k).mkString(" "), id, i + 1L))
+    }
+    val losers = occ.groupBy(_._1).values.filter(_.length > 1).toSeq
+      .flatMap(g => g.map(o => (o._2, o._3)).sorted.drop(1))
+    val expected = raw.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val ivs = losers.filter(_._1 == id).map(o => (o._2, o._2 + k - 1)).sorted
+      val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((s0, e0) :: rest), (s, e)) =>
+          if (s <= e0 + 1) (s0, math.max(e0, e)) :: rest else (s, e) :: acc
+        case (Nil, iv) => iv :: Nil
+      }.reverse
+      val removed = merged.map { case (s, e) => e - s + 1 }.sum
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !merged.exists(iv => i + 1 >= iv._1 && i + 1 <= iv._2) => w
+      }
+      (id, ws.length.toLong, merged.size.toLong, removed,
+        if (ws.isEmpty) 0L else removed * 1000000L / ws.length,
+        md5Hex(kept.mkString(" ")))
+    }
+    val got = Dedup.spanDedup(docs, "doc_id", "text", k = k).orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"doc ${e._1}") }
+    assert(got.count(_._3 > 0) > 0, "fixture should contain duplicated spans")
+  }
+
+  test("spanDedup is stable across partitionings") {
+    val a = Dedup.spanDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.spanDedup(docs.repartition(7), "doc_id", "text", k = 8)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -111,6 +111,13 @@ class PlanAuditSpec extends SparkSpec {
       s"edit-distance join planned a quadratic join:\n${plan.take(2000)}")
   }
 
+  test("q180 span dedup: keyed equi-joins only, never nested-loop/cartesian") {
+    val plan = executedPlan(query("q180_span_dedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"span dedup planned a quadratic join:\n$plan")
+  }
+
   test("q111 resample fill plans join-free (grid union + keyed window)") {
     // the forward fill is the as-of union encoding; only the grid-span
     // aggregate touches a second relation and that is the same table
