@@ -2991,6 +2991,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- incremental span dedup (batch vs archive) ----------------
+    // The continuous-pipeline form: 3/4 of the corpus is history
+    // whose spans live in a compact hash archive; the remaining
+    // quarter arrives as a batch. Archived span content is removed
+    // outright (history is canonical), archive-fresh content
+    // keep-firsts within the batch. Full oracle: DuckDB replays the
+    // archive probe (NOT EXISTS), the fresh-rank window, and the
+    // same island fold + cleaned-md5 tail as q180.
+    "q181_span_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val history = docs.filter(col("doc_id") % 4 =!= 3)
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      Dedup.spanDedupIncremental(batch,
+          Dedup.spanArchive(history, "doc_id", "text", k = 8),
+          "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -5434,6 +5453,58 @@ object SparkEntry {
                i -> w.ws[CAST(i AS INT)]),
              ' '), '')) AS clean_fp
          FROM w LEFT JOIN agg a USING (doc_id)
+         ORDER BY w.doc_id""",
+    // q180's pipeline with the archive probe spliced in: history
+    // spans (doc_id % 4 <> 3) form the hash archive; batch
+    // occurrences in the archive are removed outright, the rest
+    // keep-first within the batch
+    "q181_span_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      md5(array_to_string(ws[i:i+7], ' ')) AS h
+               FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+         arch AS (SELECT DISTINCT h FROM g WHERE doc_id % 4 <> 3),
+         b AS (SELECT * FROM g WHERE doc_id % 4 = 3),
+         hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM b
+                  WHERE EXISTS (SELECT 1 FROM arch a WHERE a.h = b.h)),
+         fresh AS (SELECT * FROM b
+                   WHERE NOT EXISTS (SELECT 1 FROM arch a WHERE a.h = b.h)),
+         f2 AS (SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY h) AS n_occ,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM fresh),
+         iv AS (SELECT * FROM hits
+                UNION ALL
+                SELECT doc_id, pos, pos + 7 FROM f2 WHERE n_occ > 1 AND rn > 1),
+         op AS (SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                              ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            CAST(-2 AS BIGINT)) + 1 THEN 1 ELSE 0 END AS opens
+                FROM iv),
+         reg AS (SELECT doc_id, min(s) AS rs, max(e) AS re
+                 FROM (SELECT doc_id, s, e,
+                              sum(opens) OVER (PARTITION BY doc_id
+                                ORDER BY s, e) AS isl
+                       FROM op)
+                 GROUP BY doc_id, isl),
+         agg AS (SELECT doc_id, count(*) AS nreg, sum(re - rs + 1) AS ndup,
+                        list({'s': rs, 'e': re} ORDER BY rs, re) AS ivs
+                 FROM reg GROUP BY doc_id)
+         SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS total_words,
+           CAST(coalesce(a.nreg, 0) AS BIGINT) AS dup_regions,
+           CAST(coalesce(a.ndup, 0) AS BIGINT) AS dup_words,
+           CAST(coalesce(a.ndup, 0) * 1000000 // len(w.ws) AS BIGINT) AS dup_ppm,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(w.ws) + 1),
+                 i -> len(list_filter(coalesce(a.ivs, []),
+                        v -> i >= v.s AND i <= v.e)) = 0),
+               i -> w.ws[CAST(i AS INT)]),
+             ' '), '')) AS clean_fp
+         FROM w LEFT JOIN agg a USING (doc_id)
+         WHERE w.doc_id % 4 = 3
          ORDER BY w.doc_id""",
     // the oracle replays the greedy longest-match DP as a recursive
     // CTE over (word, position) states — one step per consumed piece,

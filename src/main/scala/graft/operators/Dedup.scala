@@ -921,6 +921,61 @@ object Dedup {
     val losers = spans.join(groups, Seq("h"))
       .filter(struct(col("id"), col("pos")) =!= col("keeper"))
       .select(col("id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    spanRemovalOutput(docs, idName, textName, losers)
+  }
+
+  /** Batch-over-archive duplicated-span removal — `dedupIncremental`
+    * at span granularity, for the continuous-pipeline shape where the
+    * corpus arrives in batches and rescanning history per batch is
+    * off the table. `archiveHashes` is the compact distinct span-hash
+    * relation persisted between batches (`spanArchive` builds it; at
+    * 100 TB it is the span-level fingerprint table — hashes only,
+    * never text). A batch span occurrence is removed if its content
+    * was seen in ANY prior batch (archive membership — history is
+    * canonical regardless of id order) or earlier in THIS batch
+    * (keep-first min (id, pos) among the archive-fresh occurrences).
+    * With history ids below batch ids this equals `spanDedup` over
+    * history ∪ batch restricted to the batch rows (spec-pinned);
+    * with an empty archive it degenerates to `spanDedup(batch)`.
+    * Same output shape as `spanDedup`. The archive probe is a
+    * semi/anti join pair on h — linear, broadcastable when the
+    * archive fits, a plain shuffled join (or a Bloom prefilter, the
+    * q113 discipline) when it does not.
+    */
+  def spanDedupIncremental(batch: DataFrame, archiveHashes: DataFrame,
+                           idName: String, textName: String,
+                           k: Int = 8): DataFrame = {
+    val spans = spanHashes(batch, idName, textName, k)
+    val arch = archiveHashes.select(col("h"))
+    val archived = spans.join(arch, Seq("h"), "left_semi")
+      .select(col("id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    val fresh = spans.join(arch, Seq("h"), "left_anti")
+    val freshGroups = fresh.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("keeper"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val freshLosers = fresh.join(freshGroups, Seq("h"))
+      .filter(struct(col("id"), col("pos")) =!= col("keeper"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+    spanRemovalOutput(batch, idName, textName,
+      archived.unionByName(freshLosers))
+  }
+
+  /** Distinct span hashes of a corpus — the compact relation a
+    * continuous pipeline persists between batches (the q89
+    * fingerprint-table discipline at span granularity).
+    */
+  def spanArchive(docs: DataFrame, idName: String, textName: String,
+                  k: Int): DataFrame =
+    spanHashes(docs, idName, textName, k).select(col("h")).distinct()
+
+  /** Shared tail of the span-dedup family: removal occurrences
+    * (id, s, e) → merged contiguous regions → one stats + cleaned-md5
+    * row per input document.
+    */
+  private def spanRemovalOutput(docs: DataFrame, idName: String,
+                                textName: String,
+                                losers: DataFrame): DataFrame = {
     val regions = RangeJoin.mergeIntervals(losers, "id", "s", "e", maxGap = 1L)
     val perDoc = regions.groupBy(col("id"))
       .agg(count(lit(1)).as("dup_regions"),

@@ -477,6 +477,47 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_._3 > 0) > 0, "fixture should contain duplicated spans")
   }
 
+  test("spanDedupIncremental: archived spans removed outright, fresh spans keep-first") {
+    val batch = Seq(
+      (10L, "a b c d e f g h x1 x2"),   // 8-gram is in the archive → removed
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"), // fresh, unique in batch → kept
+      (12L, "n1 n2 n3 n4 n5 n6 n7 n8 t")// fresh dup of 11's gram → loses [1,8]
+    ).toDF("doc_id", "text")
+    val history = Seq((1L, "zz a b c d e f g h")).toDF("doc_id", "text")
+    val out = Dedup.spanDedupIncremental(batch,
+        Dedup.spanArchive(history, "doc_id", "text", k = 8),
+        "doc_id", "text", k = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(5)))
+    assert(out(0) == ((10L, 1L, 8L, md5Hex("x1 x2"))))
+    assert(out(1) == ((11L, 0L, 0L, md5Hex("n1 n2 n3 n4 n5 n6 n7 n8"))))
+    assert(out(2) == ((12L, 1L, 8L, md5Hex("t"))))
+  }
+
+  test("spanDedupIncremental equals the full-corpus run when history precedes the batch") {
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val history = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val inc = Dedup.spanDedupIncremental(batch,
+        Dedup.spanArchive(history, "doc_id", "text", k = 6),
+        "doc_id", "text", k = 6)
+      .orderBy("id").collect().toSeq
+    val full = Dedup.spanDedup(docs, "doc_id", "text", k = 6)
+      .filter(col("id") >= cut).orderBy("id").collect().toSeq
+    assert(inc == full)
+    assert(inc.exists(_.getLong(2) > 0), "batch should lose some spans")
+  }
+
+  test("spanDedupIncremental with an empty archive degenerates to spanDedup") {
+    val empty = Seq.empty[String].toDF("h")
+    val inc = Dedup.spanDedupIncremental(docs, empty, "doc_id", "text", k = 8)
+      .orderBy("id").collect().toSeq
+    val plain = Dedup.spanDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect().toSeq
+    assert(inc == plain)
+  }
+
   test("spanDedup is stable across partitionings") {
     val a = Dedup.spanDedup(docs, "doc_id", "text", k = 8)
       .orderBy("id").collect().toSeq
