@@ -78,6 +78,12 @@ object TextFns {
     */
   def shingleHashes(c: Column, n: Int): Column = toCol(ShingleHash64(toExpr(c), n))
 
+  /** md5 hex of every k-word span, in position order — the span-dedup
+    * kernel (see `WordSpanMd5` for the byte-range trick and the
+    * HOF-equivalence contract).
+    */
+  def wordSpanMd5(c: Column, k: Int): Column = toCol(WordSpanMd5(toExpr(c), k))
+
   /** Quality-score facets (length / punctuation / stopword ratios) —
     * mirrors the usual pretraining-data heuristics. Returns a struct
     * so callers can select facets or the composite.

@@ -864,6 +864,16 @@ object Dedup {
   def spanHashes(docs: DataFrame, idName: String, textName: String,
                  k: Int): DataFrame = {
     require(k >= 2, s"span width k=$k must be >= 2")
+    docs.select(col(idName).as("id"),
+        posexplode(TextFns.wordSpanMd5(col(textName), k)).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + lit(1)).cast("long").as("pos"), col("h"))
+  }
+
+  /** The declarative form of `spanHashes`'s kernel — interpreted HOF,
+    * ~10× slower, kept as the equivalence reference for specs.
+    */
+  private[graft] def spanHashesHof(docs: DataFrame, idName: String,
+                                   textName: String, k: Int): DataFrame = {
     val ws = split(col(textName), " ")
     // sequence() flips to a descending step when size < k would make
     // the upper bound < 1, so short docs need the explicit empty arm

@@ -518,6 +518,24 @@ class DedupSpec extends SparkSpec {
     assert(inc == plain)
   }
 
+  test("wordSpanMd5 kernel is bit-identical to the declarative HOF form") {
+    val edge = Seq(
+      (100L, "plain words one two three four five six seven eight"),
+      (101L, "double  space keeps the  empty word in every position x y"),
+      (102L, " leading and trailing spaces "),
+      (103L, "exactly eight words fill one single whole span"),
+      (104L, "seven words not quite one span here"),
+      (105L, "")
+    ).toDF("doc_id", "text")
+    for (src <- Seq(edge, docs.select(col("doc_id"), col("text"))); k <- Seq(2, 8)) {
+      val a = Dedup.spanHashes(src, "doc_id", "text", k)
+        .orderBy("id", "pos").collect().toSeq
+      val b = Dedup.spanHashesHof(src, "doc_id", "text", k)
+        .orderBy("id", "pos").collect().toSeq
+      assert(a == b, s"kernel diverges from HOF at k=$k")
+    }
+  }
+
   test("spanDedup is stable across partitionings") {
     val a = Dedup.spanDedup(docs, "doc_id", "text", k = 8)
       .orderBy("id").collect().toSeq

@@ -106,6 +106,54 @@ object ProbeScale100 {
         }
     }
 
+    // span dedup at factor×: the replica is maximally adversarial —
+    // every doc gains `factor`-1 full-text clones, so ~(factor-1)/factor
+    // of ALL spans become removal intervals. Invariant riding the
+    // curve: copy-0 ids keep the smallest (id, pos) for every one of
+    // their spans, so the factor× output restricted to copy 0 must
+    // equal the 1× output bit-for-bit.
+    if (section("spans")) {
+      replicate("documents", Seq("doc_id"))
+      val maxBase = docs(base).agg(max(col("doc_id"))).head().getLong(0)
+      def spanOut(dir: String): DataFrame =
+        Dedup.spanDedup(docs(dir), "doc_id", "text", k = 8)
+      // a bare count() would let Catalyst ELIMINATE the whole dup
+      // pipeline (the stats join is a left join on a unique aggregate
+      // key, so count prunes it away) — consume every output column
+      // through an order-free xor signature instead, which doubles as
+      // the equality check
+      def sigN(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(concat_ws("|", col("id"),
+            col("total_words"), col("dup_regions"), col("dup_words"),
+            col("dup_ppm"), col("clean_fp"))).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var s1 = 0L
+      var sN = 0L
+      time("spanDedup      warm")(sigN(spanOut(base))._2)
+      time("spanDedup      sf0.1") {
+        val x = sigN(spanOut(base)); s1 = x._1; x._2
+      }
+      time(s"spanDedup      ${factor}x")(sigN(spanOut(big))._2)
+      time(s"spanDedup      ${factor}x@copy0") {
+        val x = sigN(spanOut(big).filter(col("id") <= maxBase))
+        sN = x._1; x._2
+      }
+      require(s1 == sN,
+        s"${factor}x span output restricted to copy 0 diverged from 1x: $s1 vs $sN")
+      println(s"[probe] spans invariant: ${factor}x restricted to copy-0 == 1x (sig $s1)")
+      def incOut(dir: String): DataFrame = {
+        val d = docs(dir)
+        Dedup.spanDedupIncremental(d.filter(col("doc_id") % 4 === 3),
+          Dedup.spanArchive(d.filter(col("doc_id") % 4 =!= 3),
+            "doc_id", "text", 8),
+          "doc_id", "text", 8)
+      }
+      time("spanIncr       sf0.1")(sigN(incOut(base))._2)
+      time(s"spanIncr       ${factor}x")(sigN(incOut(big))._2)
+    }
+
     // graph iteratives at factor×: disjoint prefix-tagged copies
     def pairs1x: DataFrame =
       spark.read.parquet(s"$base/lineitem.parquet")
