@@ -3010,6 +3010,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- fuzzy decontamination (containment gate) ----------------
+    // The normalized-overlap complement of q65's absolute shared-count
+    // gate: exact shingle-set Jaccard AND containment |A∩B|/|B| per
+    // (doc, benchmark) pair, flagging on containment — the metric
+    // that catches a long document embedding a short benchmark item
+    // verbatim (containment 1.0, Jaccard ≈ 0). Benchmark drawn from
+    // the corpus, so both sides filter the one persisted shingle
+    // artifact; the benchmark side broadcasts — one linear corpus
+    // scan, exact answer, no LSH recall loss. FULL oracle: DuckDB
+    // recomputes raw-string shingle sets and both ratios. Threshold
+    // 0.05 is set for the synthetic corpus's overlap profile (10
+    // flagged pairs at sf0.01, nearest below-cut value 0.047619 —
+    // no boundary-tie risk); real pipelines run 0.5+.
+    "q182_fuzzy_contamination" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val sh = sharedShingles(s, dir)
+      Dedup.contaminationFuzzy(docs, bench, "doc_id", "text",
+        n = JaccardShingleN, minContainment = 0.05,
+        docShingles = Some(sh),
+        benchShingles = Some(sh.filter(col("id") % 50 === 0)))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -3844,6 +3868,30 @@ object SparkEntry {
          FROM ex e JOIN bex b ON e.g = b.g AND e.doc_id <> b.bench_id
          GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY doc_id, bench_id""",
+    "q182_fuzzy_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         bex AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 50 = 0),
+         inter AS (
+           SELECT e.doc_id, b.bench_id, count(*) AS ic
+           FROM ex e JOIN bex b ON e.g = b.g AND e.doc_id <> b.bench_id
+           GROUP BY 1, 2)
+         SELECT i.doc_id, i.bench_id, CAST(i.ic AS BIGINT) AS n_shared,
+           round(CAST(i.ic AS DOUBLE) / (sa.n + sb.n - i.ic), 6) AS jaccard,
+           round(CAST(i.ic AS DOUBLE) / sb.n, 6) AS containment
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.doc_id
+         JOIN sz sb ON sb.doc_id = i.bench_id
+         WHERE round(CAST(i.ic AS DOUBLE) / sb.n, 6) >= 0.05
+         ORDER BY i.doc_id, i.bench_id""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

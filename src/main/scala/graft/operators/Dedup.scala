@@ -635,6 +635,57 @@ object Dedup {
       .withColumnRenamed("doc_id_c", idName)
   }
 
+  /** Fuzzy benchmark decontamination — the normalized-overlap gate:
+    * for every (corpus doc, benchmark doc) pair sharing at least one
+    * word n-gram shingle, the exact shingle-set overlap as BOTH
+    * Jaccard and CONTAINMENT |A∩B|/|B| (fraction of the benchmark
+    * item the doc covers), keeping pairs at or above
+    * `minContainment`. Containment is the decontamination-correct
+    * metric: a long document that embeds a short benchmark item
+    * verbatim has containment 1.0 but near-zero Jaccard — an
+    * absolute shared count ([[contamination]]) or a Jaccard threshold
+    * both under-flag exactly the leaks that matter. Rounding is
+    * applied BEFORE the threshold compare on both engines so the
+    * boundary is bit-stable.
+    *
+    * Scale shape: same as [[contamination]] — hashed shingles on both
+    * sides (counts and set sizes preserved under the injective-w.h.p.
+    * hash), the fixed-size benchmark side auto-broadcasts under AQE,
+    * so the check is ONE linear corpus scan with a map-side-combined
+    * pair count; no corpus self-join and no LSH recall loss — the
+    * answer is exact, which a candidate-generating sketch can't give.
+    * Per-pair counts are bounded by the benchmark item's shingle
+    * count, so no group blows up on a hot document.
+    */
+  def contaminationFuzzy(docs: DataFrame, benchmark: DataFrame,
+                         idName: String, textName: String,
+                         n: Int = 3, minContainment: Double = 0.5,
+                         docShingles: Option[DataFrame] = None,
+                         benchShingles: Option[DataFrame] = None): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment $minContainment must be in (0, 1]")
+    def rel(df: DataFrame, pre: Option[DataFrame]) =
+      pre.map(requireShingleN(_, n))
+        .getOrElse(hashedShingleSets(df, idName, textName, n))
+    val d = rel(docs, docShingles).select(col("id").as("doc_id_c"),
+      size(col("sh")).cast("long").as("n_doc"), explode(col("sh")).as("g"))
+    val b = rel(benchmark, benchShingles).select(col("id").as("bench_id"),
+      size(col("sh")).cast("long").as("n_bench"), explode(col("sh")).as("g"))
+    // set sizes ride the explode as group keys (functionally dependent
+    // on the ids) — no second join back to a sizes relation
+    d.join(b, Seq("g"))
+      .filter(col("doc_id_c") =!= col("bench_id"))
+      .groupBy(col("doc_id_c"), col("bench_id"), col("n_doc"), col("n_bench"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_doc") + col("n_bench") - col("n_shared")), 6))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_bench"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id_c").as(idName), col("bench_id"),
+        col("n_shared"), col("jaccard"), col("containment"))
+  }
+
   /** Dedup-cluster resolution: collapse a pair relation (id_a, id_b)
     * — e.g. the output of any near-dup operator — into connected
     * components, labeling every member with the component's minimum

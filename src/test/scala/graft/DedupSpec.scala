@@ -348,6 +348,37 @@ class DedupSpec extends SparkSpec {
     assert(contracted.nonEmpty)
   }
 
+  test("contaminationFuzzy flags verbatim embedding by containment, not jaccard") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      // long doc embedding the whole benchmark item: containment 1.0
+      // even though jaccard is tiny — the case q65-style absolute
+      // counts and jaccard thresholds both mis-handle
+      (1L, "zero one two three four five alpha beta gamma delta six seven eight nine ten"),
+      // half the benchmark's trigrams: containment exactly 0.5
+      (2L, "alpha beta gamma nine"),
+      (3L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0)
+    val got = Dedup.contaminationFuzzy(corpus, bench, "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    // bench trigrams {abc, bcd}: doc1 shares both (n_doc=13 trigrams,
+    // j=2/13), doc2 shares one (n_doc=2, j=1/3), doc3 none, self pair
+    // excluded
+    assert(got == Set(
+      (1L, 0L, 2L, 0.153846, 1.0),
+      (2L, 0L, 1L, 0.333333, 0.5)))
+    // width-mismatched pre-built shingles are rejected like the other
+    // consumers of the shingle contract
+    val sh4 = Dedup.ensureShingleSets(corpus, "doc_id", "text", n = 4,
+      java.nio.file.Files.createTempDirectory("graft_fuzzy_spec").toString + "/sh")
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationFuzzy(corpus, bench, "doc_id", "text",
+        n = 3, docShingles = Some(sh4))
+    }
+  }
+
   test("pre-built shingle relations with mismatched or missing width are rejected") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shingles_spec").toString
