@@ -3034,6 +3034,58 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ---------------- incremental near-dup (batch vs archive LSH) ----------------
+    // The continuous-pipeline member of the minhash family (q89 exact
+    // / q181 spans / this fuzzy): 3/4 of the corpus is history whose
+    // state is two persisted relations — the shingle artifact and a
+    // compact banded-signature table — and the batch quarter is
+    // banded against that state, never re-banding or self-joining the
+    // archive. Envelope oracle (the q31 pattern): rows are keyed on
+    // the DuckDB-recomputable EXACT batch-touching pair set with its
+    // jaccard and partner class, and the LSH guarantees ride as
+    // booleans the oracle pins TRUE — subset-of-exact on (keys,
+    // jaccard, vs) (exact verification: zero false positives, exact
+    // values, correct classification) and the 0.8 recall floor.
+    "q183_incremental_neardups" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sh = sharedShingles(s, dir)
+      val shHist = sh.filter(col("id") % 4 =!= 3)
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      val archBands = Dedup.minhashBands(
+        Dedup.minhashSignaturesFromShingles(shHist, k = 32,
+          shingleN = JaccardShingleN))
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val inc = mat(Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
+          archiveShingles = shHist, archiveBands = archBands,
+          threshold = 0.6, k = 32, bands = 8, shingleN = JaccardShingleN,
+          batchShingles = Some(sh.filter(col("id") % 4 === 3)))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("jaccard"), col("vs")))
+      val exact = mat(Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = JaccardShingleN, threshold = 0.6,
+          maxShingleFreq = Long.MaxValue, shingles = Some(sh))
+        .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+        .withColumn("vs", when(col("id_a") % 4 === 3 && col("id_b") % 4 === 3,
+          lit("batch")).otherwise(lit("archive"))))
+      val verdict = inc
+        .join(exact, Seq("id_a", "id_b", "jaccard", "vs"), "left_anti")
+        .agg(count(lit(1)).as("__fp"))
+        .crossJoin(inc.join(exact.select("id_a", "id_b"),
+            Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__hit")))
+        .crossJoin(exact.agg(count(lit(1)).as("__n")))
+        .select((col("__fp") === 0L).as("subset_of_exact"),
+          (col("__n") === 0L || col("__hit") >= col("__n") * 0.8).as("recall_ok"))
+      exact.crossJoin(broadcast(verdict))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("vs"),
+          col("subset_of_exact"), col("recall_ok"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -3892,6 +3944,34 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = i.bench_id
          WHERE round(CAST(i.ic AS DOUBLE) / sb.n, 6) >= 0.05
          ORDER BY i.doc_id, i.bench_id""",
+    "q183_incremental_neardups" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         sel AS (
+           SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+             AND (id_a % 4 = 3 OR id_b % 4 = 3))
+         SELECT id_a, id_b, jaccard,
+           CASE WHEN id_a % 4 = 3 AND id_b % 4 = 3
+                THEN 'batch' ELSE 'archive' END AS vs,
+           TRUE AS subset_of_exact, TRUE AS recall_ok
+         FROM sel ORDER BY id_a, id_b""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

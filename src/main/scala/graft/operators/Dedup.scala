@@ -54,6 +54,16 @@ object Dedup {
       hashedShingleSets(docs.select(id.as("doc"), text.as("txt")),
         "doc", "txt", shingleN), k)
 
+  /** Signatures from a pre-built shingle relation (the persisted
+    * [[ensureShingleSets]] artifact) — lets archive state derive from
+    * the one shingle scan instead of re-shingling the corpus. Width
+    * provenance is enforced like every other consumer of the
+    * contract.
+    */
+  def minhashSignaturesFromShingles(shingles: DataFrame, k: Int = 32,
+                                    shingleN: Int = 3): DataFrame =
+    sigsFromShingleSets(requireShingleN(shingles, shingleN), k)
+
   /** k salted-xxhash64 minima over a (id, sh array) relation — the
     * single definition both the public signature API and the near-dup
     * pipeline share (min over the distinct set equals min over raw
@@ -80,7 +90,17 @@ object Dedup {
     * adversarial hot-bucket case, which asserts the final adaptive
     * plan shows SortMergeJoin(skew=true) with exact output.
     */
-  def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  /** The banded-signature relation (id, band, bh) — one row per
+    * document per band. This IS the archive state of the incremental
+    * near-dup pipeline ([[minhashNearDupsIncremental]]): compact
+    * (`bands` longs per document regardless of text size), cheap to
+    * append, and probing it never re-bands or self-joins the archive.
+    * (k, bands) ride the `bh` column as field metadata — the same
+    * provenance contract as the shingle relations — so a consumer can
+    * reject an archive banded under different parameters instead of
+    * silently finding nothing.
+    */
+  def minhashBands(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, s"bands $bands must divide k $k")
     val r = k / bands
     val bandCols = array((0 until bands).map { b =>
@@ -88,9 +108,27 @@ object Dedup {
         xxhash64((lit(b) +: (0 until r).map(j => element_at(col("sig"), b * r + j + 1))): _*)
           .as("bh"))
     }: _*)
-    val exploded = sigged
-      .select(col("id"), explode(bandCols).as("b"))
-      .select(col("id"), col("b.band"), col("b.bh"))
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MinhashKKey, k.toLong).putLong(MinhashBandsKey, bands.toLong)
+      .build()
+    sigged.select(col("id"), explode(bandCols).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh", md))
+  }
+
+  private def requireBandParams(rel: DataFrame, k: Int, bands: Int): DataFrame = {
+    val md = rel.schema.find(_.name == "bh").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    require(md.contains(MinhashKKey) && md.contains(MinhashBandsKey),
+      "band relation carries no (k, bands) provenance metadata — " +
+        "build it with Dedup.minhashBands")
+    val (gk, gb) = (md.getLong(MinhashKKey), md.getLong(MinhashBandsKey))
+    require(gk == k && gb == bands,
+      s"band relation was built with k=$gk bands=$gb, consumer expects k=$k bands=$bands")
+    rel
+  }
+
+  def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val exploded = minhashBands(sigged, k, bands)
     val l = exploded.as("l")
     val rj = exploded.as("r")
     l.join(rj, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -147,6 +185,88 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     expandPairs(repPairs, members, intraValue = lit(1.0), valueName = "jaccard")
+  }
+
+  /** Incremental near-dup detection: from a NEW batch, every
+    * near-duplicate pair against the historical archive plus the
+    * batch-internal pairs — the continuous counterpart of
+    * [[minhashNearDups]], completing the incremental family
+    * ([[dedupIncremental]] exact, [[spanDedupIncremental]] spans).
+    * Returns (id_a = batch id, id_b = partner id, jaccard, vs) with
+    * `vs` ∈ {archive, batch}; batch-internal pairs orient id_a <
+    * id_b. Batch and archive id spaces must be disjoint (the archive
+    * is by definition already-ingested history).
+    *
+    * The archive contributes exactly its two persisted relations and
+    * is touched by nothing else: the banded-signature table
+    * ([[minhashBands]] — `bands` longs per historical doc) keyed by
+    * the batch's rep bands, and the shingle-set relation probed only
+    * for the candidates that survive banding. The archive is never
+    * re-shingled, re-signed, re-banded, or self-joined — per batch
+    * the work is O(batch + collisions), which is what keeps a
+    * continuously-fed 100 TB corpus affordable. Both archive
+    * relations carry provenance metadata (shingle width; k/bands) and
+    * mismatched parameters are rejected loudly. Exact-duplicate
+    * clusters inside the batch contract to representatives before any
+    * candidate join (identical shingle sets ⇒ identical signatures ⇒
+    * identical band keys and identical exact Jaccard, so the
+    * expansion is output-identical); candidates are verified with
+    * EXACT shingle Jaccard, so emitted pairs are never false
+    * positives — banding costs recall only.
+    */
+  def minhashNearDupsIncremental(batch: DataFrame, idName: String,
+                                 textName: String,
+                                 archiveShingles: DataFrame,
+                                 archiveBands: DataFrame,
+                                 threshold: Double = 0.6, k: Int = 32,
+                                 bands: Int = 8, shingleN: Int = 3,
+                                 batchShingles: Option[DataFrame] = None)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val shA = requireShingleN(archiveShingles, shingleN)
+    val bandsA = requireBandParams(archiveBands, k, bands)
+    val shB = materialized(batchShingles.map(requireShingleN(_, shingleN))
+      .getOrElse(hashedShingleSets(batch, idName, textName, shingleN)))
+    val (groups, members0) = contractBy(shB, "id", "sh")
+    val reps = groups.select(col("rid").as("id"), col("sh"))
+    val members = members0.map(materialized)
+    val sigs = sigsFromShingleSets(reps, k)
+
+    def verified(cands: DataFrame, shRight: DataFrame): DataFrame = {
+      val withSets = cands
+        .join(reps.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shRight.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      withSets
+        .withColumn("jaccard",
+          round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+
+    // batch × archive: rep bands keyed against the archive band table
+    val crossCands = minhashBands(sigs, k, bands).as("l")
+      .join(bandsA.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // one-sided expansion: every batch clone of a rep inherits the
+    // rep's archive partners and exact jaccard (identical shingle
+    // sets); the archive side is not contracted — it is state, not
+    // input
+    val crossAll = members match {
+      case None => verified(crossCands, shA)
+      case Some(mem) => verified(crossCands, shA)
+        .join(mem.select(col("rid").as("id_a"), col("mid")), "id_a")
+        .select(col("mid").as("id_a"), col("id_b"), col("jaccard"))
+    }
+    // batch-internal: the standard self path over the same reps/sigs
+    val selfAll = expandPairs(
+      verified(minhashCandidates(sigs, k, bands), reps),
+      members, intraValue = lit(1.0), valueName = "jaccard")
+    crossAll.withColumn("vs", lit("archive"))
+      .unionByName(selfAll.withColumn("vs", lit("batch")))
   }
 
   /** Incremental ingestion dedup: from a NEW batch, keep only
@@ -827,6 +947,8 @@ object Dedup {
   }
 
   private[graft] val ShingleNKey = "graft.shingle_n"
+  private[graft] val MinhashKKey = "graft.minhash_k"
+  private[graft] val MinhashBandsKey = "graft.minhash_bands"
 
   /** Enforce the pre-built-shingle-relation contract: the relation
     * must carry `ShingleNKey` field metadata equal to the consumer's

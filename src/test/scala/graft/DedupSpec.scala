@@ -348,6 +348,48 @@ class DedupSpec extends SparkSpec {
     assert(contracted.nonEmpty)
   }
 
+  test("incremental minhash equals the full run restricted to batch-touching pairs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incmh_spec").toString
+    val shAll = Dedup.ensureShingleSets(docs, "doc_id", "text", n = 3, s"$dir/sh")
+    val shHist = shAll.filter(col("id") % 4 =!= 3)
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+    val archBands = Dedup.minhashBands(
+      Dedup.minhashSignaturesFromShingles(shHist, k = 32, shingleN = 3))
+    val inc = Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
+      archiveShingles = shHist, archiveBands = archBands, threshold = 0.6,
+      batchShingles = Some(shAll.filter(col("id") % 4 === 3)))
+    // vs classification matches the id split on every row
+    assert(inc.filter((col("vs") === "batch") =!=
+      (col("id_a") % 4 === 3 && col("id_b") % 4 === 3)).count() == 0)
+    val incSet = inc.select(least(col("id_a"), col("id_b")),
+        greatest(col("id_a"), col("id_b")), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    // same banding, same exact verification ⇒ the incremental shape
+    // (archive never re-banded or self-joined) must reproduce the
+    // full-corpus run's batch-touching slice exactly, jaccards included
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incSet == full)
+    assert(incSet.nonEmpty, "fixture should plant batch-touching near-dups")
+    // parameter provenance: an archive banded under different (k,
+    // bands) is rejected, as is a relation with no metadata at all
+    val wrongBands = Dedup.minhashBands(
+      Dedup.minhashSignaturesFromShingles(shHist, k = 16, shingleN = 3),
+      k = 16, bands = 8)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
+        archiveShingles = shHist, archiveBands = wrongBands)
+    }
+    val bare = archBands.select(col("id"), col("band"),
+      (col("bh") + lit(0L)).as("bh"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
+        archiveShingles = shHist, archiveBands = bare)
+    }
+  }
+
   test("contaminationFuzzy flags verbatim embedding by containment, not jaccard") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),
