@@ -3086,6 +3086,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---------------- PPS weighted subsampling (token-weighted) ----------------
+    // Deterministic Poisson sample with per-row inclusion probability
+    // ∝ token count at expected fraction 1/4 — every TOKEN equally
+    // likely to survive the cut, the compute-matched thinning rule
+    // ([[Mixing.weightedSample]]). FULL oracle: the gate uses only
+    // IEEE +,×,÷ over md5-digit uniforms and exact integer totals,
+    // all correctly rounded, so DuckDB replays the acceptance
+    // decision bit-for-bit.
+    "q184_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val w = size(split(col("text"), " ")).cast("long")
+      Mixing.weightedSample(docs, col("doc_id"), w, 1, 4)
+        .select(col("doc_id"), w.as("n_tok"),
+          round(col("p_keep"), 6).as("p_keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -3972,6 +3989,23 @@ object SparkEntry {
                 THEN 'batch' ELSE 'archive' END AS vs,
            TRUE AS subset_of_exact, TRUE AS recall_ok
          FROM sel ORDER BY id_a, id_b""",
+    "q184_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         t AS (
+           SELECT CAST(sum(n_tok) AS BIGINT) AS tw,
+             CAST(count(*) AS BIGINT) AS n
+           FROM w)
+         SELECT doc_id, n_tok,
+           round(CAST(1 AS DOUBLE) / 4 * n * n_tok / tw, 6) AS p_keep
+         FROM w, t
+         WHERE tw > 0
+           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               / CAST(4503599627370496 AS DOUBLE)
+             < CAST(1 AS DOUBLE) / 4 * n * n_tok / tw
+         ORDER BY doc_id""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -36,6 +36,50 @@ object Mixing {
   def mixGate(key: Column, sixteenths: Column): Column =
     hexBucket16(key) < sixteenths
 
+  /** Probability-proportional-to-size (PPS) weighted subsampling:
+    * keep each row with probability p_i = min(1, frac · n · wᵢ / Σw)
+    * — a deterministic Poisson sample whose EXPECTED size is
+    * `fracNum/fracDen` of the corpus and whose inclusion odds scale
+    * with a per-ROW weight (quality score, token count, dedup-cluster
+    * mass). The per-row continuous weight is what
+    * [[stratifiedSample]]'s per-stratum constants and
+    * [[tokenBudgetSample]]'s hard budgets can't express: e.g. weight
+    * = token count makes every TOKEN equally likely to survive, the
+    * compute-matched way to thin a corpus.
+    *
+    * Engine-exact determinism without integers-only arithmetic: the
+    * uniform uᵢ is the first 13 md5 hex digits over 2⁵² (both exact
+    * doubles), weights are caller-provided fixed-point longs, Σw and
+    * n are exact integer aggregates, and the acceptance expression
+    * uses ONLY IEEE +,×,÷ in a fixed left-associated order — every
+    * one correctly rounded, hence bit-identical in any engine that
+    * replays the same tree (ln/pow, which are not correctly rounded,
+    * never appear). A SQL oracle replays the gate verbatim.
+    *
+    * Shape at scale: one 1-row aggregate broadcast back over the
+    * scan; the gate itself is a pure projection inside the scan's
+    * codegen stage — no shuffle, no state, no skew surface. Rows with
+    * weight 0 are never kept; an all-zero-weight corpus yields an
+    * empty sample (guarded before the NaN-producing division, whose
+    * comparison semantics differ across engines).
+    */
+  def weightedSample(docs: DataFrame, key: Column, weight: Column,
+                     fracNum: Int, fracDen: Int): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0, s"bad fraction $fracNum/$fracDen")
+    val totals = docs.agg(
+      sum(weight.cast("long")).as("__tw"), count(lit(1)).as("__n"))
+    val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val p = lit(fracNum.toDouble) / lit(fracDen.toDouble) *
+      col("__n").cast("double") * weight.cast("long").cast("double") /
+      col("__tw").cast("double")
+    docs.crossJoin(broadcast(totals))
+      .filter(col("__tw") > 0L)
+      .withColumn("p_keep", p)
+      .filter(u < col("p_keep"))
+      .drop("__tw", "__n")
+  }
+
   /** Filter `docs` to the target mixture. `rates` maps domain value →
     * accepted sixteenths; unlisted domains fall back to
     * `defaultSixteenths`. The rate map is parameter-sized and folds

@@ -95,6 +95,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(half == halfB)
   }
 
+  test("weightedSample: PPS gate — unit weights keep all, zero weights none, monotone in frac") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = size(split(col("text"), " ")).cast("long")
+    // equal weights at frac 1/1: p = n·1/n = 1 and u < 1 always
+    assert(Mixing.weightedSample(docs, col("doc_id"), lit(1L), 1, 1).count()
+      == docs.count())
+    // zero-weight rows are never kept
+    assert(Mixing.weightedSample(docs, col("doc_id"), lit(0L), 1, 1).count() == 0)
+    def ids(num: Int, den: Int) =
+      Mixing.weightedSample(docs, col("doc_id"), w, num, den)
+        .select("doc_id").as[Long].collect().toSet
+    val quarter = ids(1, 4)
+    val eighth = ids(1, 8)
+    // same uniforms, half the acceptance probability ⇒ strict subset chain
+    assert(eighth.subsetOf(quarter))
+    // expected size frac·n up to weight-capping and hash noise
+    val n = docs.count()
+    assert(quarter.size > n / 8 && quarter.size < n / 2,
+      s"quarter sample wildly off expectation: ${quarter.size}/$n")
+    // deterministic across partitionings
+    val quarterB = Mixing.weightedSample(docs.repartition(7), col("doc_id"), w, 1, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(quarter == quarterB)
+  }
+
   test("temperatureMix keeps the rarest domain whole and flattens the mixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val before = docs.groupBy("lang").count().collect()
