@@ -3103,6 +3103,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- content-defined chunking (gear-style CDC) ----------------
+    // Shift-robust chunk boundaries from word VALUES (md5 bucket <
+    // 32/256 ⇒ expected ~8-word chunks): an insertion re-chunks only
+    // its own chunk, so chunk identity — and therefore chunk-level
+    // dedup — survives edits that shift every downstream position.
+    // Output marks each chunk occurrence whose content already
+    // appeared earlier in global (doc, chunk) order, the keep-first
+    // rule chunk-store dedup applies. FULL oracle: DuckDB replays the
+    // boundary flags, the prefix-count window, the ordered chunk
+    // re-assembly, and the first-occurrence window.
+    "q185_cdc_chunks" -> ((s, dir) => {
+      val ch = Chunking.cdcChunks(t(s, dir).documents, "doc_id",
+        col("text"), boundary256 = 32)
+      val firstW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk_md5")).orderBy(col("id"), col("chunk_idx"))
+      ch.withColumn("is_dup", row_number().over(firstW) > 1)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("start_pos"), col("n_words"), col("chunk_md5"), col("is_dup"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -4006,6 +4027,33 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 4 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q185_cdc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         wds0 AS (
+           SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos, ts FROM toks),
+         wds AS (
+           SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS w FROM wds0),
+         flg AS (
+           SELECT doc_id, pos, w,
+             CASE WHEN ('0x' || substr(md5(w), 1, 2))::BIGINT < 32
+                  THEN 1 ELSE 0 END AS b
+           FROM wds),
+         cid AS (
+           SELECT doc_id, pos, w,
+             COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           FROM flg),
+         ch AS (
+           SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             CAST(min(pos) AS BIGINT) AS start_pos,
+             CAST(count(*) AS BIGINT) AS n_words,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+           FROM cid GROUP BY doc_id, ci)
+         SELECT doc_id, chunk_idx, start_pos, n_words, chunk_md5,
+           row_number() OVER (PARTITION BY chunk_md5
+             ORDER BY doc_id, chunk_idx) > 1 AS is_dup
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

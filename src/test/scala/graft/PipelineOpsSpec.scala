@@ -95,6 +95,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(half == halfB)
   }
 
+  test("cdcChunks: chunks partition the doc and survive a prefix insertion") {
+    import graft.operators.Chunking
+    // find boundary / non-boundary words under the op's own rule
+    val cands = (1 to 300).map(i => s"t$i").toDF("w")
+      .select(col("w"), (conv(substring(md5(col("w")), 1, 2), 16, 10)
+        .cast("int") < 32).as("b"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val bw = cands.filter(_._2).map(_._1).head
+    val nb = cands.filterNot(_._2).map(_._1).take(7)
+    val textA = s"${nb(0)} ${nb(1)} $bw ${nb(2)} ${nb(3)} ${nb(4)}"
+    val textB = s"${nb(5)} ${nb(6)} $textA" // insertion BEFORE the boundary
+    val two = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val ch = Chunking.cdcChunks(two, "doc_id", col("text"), boundary256 = 32)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val a = ch.filter(_._1 == 1L)
+    val b = ch.filter(_._1 == 2L)
+    assert(a.length == 2 && b.length == 2)
+    // the chunk AFTER the boundary keeps its identity although every
+    // position in doc 2 shifted by the inserted prefix
+    assert(a(1)._5 == b(1)._5 && a(1)._4 == 3L)
+    assert(a(0)._5 != b(0)._5, "the touched chunk re-fingerprints")
+    // partition properties on the real corpus: chunks tile each doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = Chunking.cdcChunks(docs, "doc_id", col("text"), 32)
+    val perDoc = chunks.groupBy("id")
+      .agg(sum("n_words").as("nw"), min("start_pos").as("mn"),
+        max(col("start_pos") + col("n_words")).as("end"),
+        count(lit(1)).as("nc"))
+      .join(docs.select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("tok")), "id")
+    assert(perDoc.filter(col("nw") =!= col("tok") || col("mn") =!= 1L ||
+      col("end") =!= col("tok") + 1L).count() == 0)
+    // geometric mean length ~256/32 = 8 words
+    val mean = chunks.agg(avg("n_words")).head().getDouble(0)
+    assert(mean > 5 && mean < 12, s"mean chunk length $mean off expectation")
+  }
+
   test("weightedSample: PPS gate — unit weights keep all, zero weights none, monotone in frac") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val w = size(split(col("text"), " ")).cast("long")
