@@ -283,6 +283,35 @@ class PlanAuditSpec extends SparkSpec {
       s"filter not pushed: ${scan.metadata.get("PushedFilters")}")
   }
 
+  test("q182 fuzzy contamination: benchmark side broadcasts off the shared shingle artifact") {
+    val plan = executedPlan(query("q182_fuzzy_contamination"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side did not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("graft_shingles_"),
+      s"q182 does not read the persisted shingle artifact:\n${plan.take(2000)}")
+  }
+
+  test("q184 weighted sample: 1-row totals broadcast; the gate never shuffles the corpus") {
+    val plan = executedPlan(query("q184_weighted_sample"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"totals row should broadcast over the scan:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"weighted gate planned a shuffled join:\n${plan.take(3000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0,
+      s"corpus-side hash shuffle in a pure-gate query ($hashEx):\n${plan.take(3000)}")
+  }
+
+  test("q185 cdc chunks: chunk aggregation reuses the window's doc partitioning") {
+    val plan = executedPlan(query("q185_cdc_chunks"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange keys the doc-id window (the chunk groupBy reuses
+    // it), one keys the chunk_md5 first-occurrence window — a third
+    // would mean the agg re-shuffled what the window already keyed
+    assert(hashEx == 2,
+      s"expected exactly 2 hash exchanges, got $hashEx:\n${plan.take(4000)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
