@@ -3124,6 +3124,44 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---------------- incremental IVF index append ----------------
+    // The vector-store maintenance path: 3/4 of the embeddings built
+    // the persisted inverted file; the remaining quarter arrives as a
+    // batch and is APPENDED — assigned to the existing centroids,
+    // landed as new files in the matching list partitions, no retrain
+    // and no rewrite (Similarity.appendIvfIndex; spec pins appended ≡
+    // rebuilt-with-same-centroids and history bit-untouched). The
+    // whole lifecycle runs inside one atomic artifact publish, so the
+    // query is idempotent. Envelope oracle (q50's pattern): rows are
+    // the exact brute-force top-10 over the FULL corpus; the verdict
+    // pins the appended index's recall floor under history-trained
+    // centroids.
+    "q186_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = fixturePath("ivfapp", dir, "embeddings")
+      def ok(p: String) =
+        Artifact.complete(s"$p/vectors") && Artifact.complete(s"$p/centroids")
+      Artifact.ensure(idx, ok) { tmp =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3),
+          "vec_id", "embedding", nlist = 16, tmp)
+        Similarity.appendIvfIndex(s, tmp,
+          emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      }
+      val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = 0L)
+      val ivf = Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q, 10,
+          nprobe = 4, excludeId = 0L)
+        .select(col("vec_id"))
+      val verdict = brute.select(col("vec_id"))
+        .join(ivf, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("ivf_recall_ok"))
+      brute.crossJoin(broadcast(verdict))
+        .select(col("vec_id"), col("cosine"), col("ivf_recall_ok"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -4054,6 +4092,14 @@ object SparkEntry {
            row_number() OVER (PARTITION BY chunk_md5
              ORDER BY doc_id, chunk_idx) > 1 AS is_dup
          FROM ch ORDER BY doc_id, chunk_idx""",
+    "q186_ivf_append" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+           TRUE AS ivf_recall_ok
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, e.vec_id LIMIT 10""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -366,6 +366,42 @@ object Similarity {
     }
   }
 
+  /** Append a new batch to an existing IVF index WITHOUT retraining
+    * or rewriting: each new vector is assigned to its nearest
+    * EXISTING centroid (the parameter-sized sidecar, read once) and
+    * its rows land as new files inside the matching list partitions —
+    * the maintenance path of a continuously-fed vector store, where
+    * rebuilding a 100 TB inverted file per ingest batch is not an
+    * option. The centroid sidecar is untouched, directory pruning
+    * sees the new files transparently, and because assignment is a
+    * pure function of (vector, centroids), the appended index is
+    * BIT-IDENTICAL to one built from scratch over the union with the
+    * same centroids (spec-pinned) — queries differ from pre-append
+    * only by the new vectors. Centroid drift is the operator's
+    * documented debt: after enough appends the lists no longer
+    * reflect the data distribution and recall degrades — re-train by
+    * rebuilding (ensureIvfIndex on the union) when probe recall
+    * drops. Not crash-atomic: a failed append can leave partial files
+    * in the vectors table; run it inside the caller's
+    * publish-or-retry step (e.g. an [[Artifact.ensure]] build, as
+    * q186 does).
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, newEmbeddings: DataFrame,
+                     idName: String, vecName: String): Unit = {
+    val cents = readCentroids(spark, indexPath)
+    newEmbeddings.select(col(idName), col(vecName))
+      .withColumn("__cid", nearestCid(col(vecName), cents))
+      .write.mode("append").partitionBy("__cid")
+      .parquet(s"$indexPath/vectors")
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Seq[Array[Float]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
+
   /** Query-time half: read the centroid sidecar (parameter-sized
     * collect), pick the nprobe nearest lists driver-side, and scan
     * ONLY those partitions of the vectors table — the `__cid isin`
@@ -376,9 +412,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      idName: String, vecName: String, queryVec: Array[Float],
                      k: Int, nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .collect().sortBy(_.getInt(0))
-      .map(_.getSeq[Float](1).toArray).toSeq
+    val cents = readCentroids(spark, indexPath)
     require(nprobe >= 1 && nprobe <= cents.size)
     val probes = probeList(cents, queryVec, nprobe)
     val q = typedlit(queryVec)

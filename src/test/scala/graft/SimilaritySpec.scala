@@ -81,6 +81,37 @@ class SimilaritySpec extends SparkSpec {
     pruned.foreach(m => assert(m.group(1).toInt <= 4, s"scanned ${m.group(1)} partitions"))
   }
 
+  test("appendIvfIndex: history untouched, batch assigned to nearest existing centroid") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_spec").toString + "/idx"
+    val hist = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    Similarity.buildIvfIndex(hist, "vec_id", "embedding", nlist = 8, dir)
+    val before = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "__cid").as[(Long, Int)].collect().toSet
+    Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "__cid").as[(Long, Int)].collect().toSet
+    // pre-append rows are bit-untouched; every corpus row present once
+    assert(after.filter(r => r._1 % 4 != 3) == before)
+    assert(after.size == emb.count())
+    // every appended row sits in its argmax-cosine list under the
+    // HISTORY-trained centroids (ties: max cid, mirroring nearestCid)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val expected = batch.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(VecFns.cosine(col("embedding"), col("centroid")).as("s"),
+          col("cid")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .as[(Long, Int)].collect().toSet
+    assert(after.filter(r => r._1 % 4 == 3) == expected)
+    // the query path sees appended vectors through the same pruning
+    val got = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      qvec, k = emb.count().toInt, nprobe = 8, excludeId = 0L)
+    assert(got.count() == emb.count() - 1, "full probe must see every vector")
+  }
+
   test("hyperplane signature is deterministic across partitionings") {
     val a = emb.select(col("vec_id"), VecFns.hyperplaneSig(col("embedding")).as("s"))
       .orderBy("vec_id").collect().toSeq
