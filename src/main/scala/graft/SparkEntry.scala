@@ -3058,13 +3058,20 @@ object SparkEntry {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count(); p
       }
+      val shBatch = sh.filter(col("id") % 4 === 3)
       val inc = mat(Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
           archiveShingles = shHist, archiveBands = archBands,
           threshold = 0.6, k = 32, bands = 8, shingleN = JaccardShingleN,
-          batchShingles = Some(sh.filter(col("id") % 4 === 3)))
+          batchShingles = Some(shBatch))
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"),
           col("jaccard"), col("vs")))
+      // exact side: ONE self-PPJoin over the full corpus, filtered to
+      // batch-touching pairs. The split form (jaccardJoin(batch, hist)
+      // + jaccardPairs(batch)) was measured SLOWER at sf0.1 (9-11 s vs
+      // 7 s): two PPJoin pipelines pay two freq tables and four
+      // ranked-prefix aggregations, and the archive×archive interior
+      // they avoid is already cheap here after prefix filtering
       val exact = mat(Dedup.jaccardPairs(docs, "doc_id", "text",
           n = JaccardShingleN, threshold = 0.6,
           maxShingleFreq = Long.MaxValue, shingles = Some(sh))
@@ -3160,6 +3167,27 @@ object SparkEntry {
       brute.crossJoin(broadcast(verdict))
         .select(col("vec_id"), col("cosine"), col("ivf_recall_ok"))
         .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // ---------------- two-relation jaccard join (cross-corpus) ----------------
+    // The exact set-similarity JOIN: batch quarter × history
+    // three-quarters at Jaccard ≥ 0.5, prefix/length/positional
+    // filtered under ONE shared (df, shingle) order — neither side is
+    // self-joined, so the archive costs its prefix scan, never its
+    // quadratic interior (the cross-corpus sweep: new crawl ×
+    // curated corpus, plagiarism detection). Both sides filter the
+    // one persisted shingle artifact. FULL oracle: DuckDB recomputes
+    // the cross pair set from raw-string shingles.
+    "q187_jaccard_join" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sh = sharedShingles(s, dir)
+      Dedup.jaccardJoin(docs.filter(col("doc_id") % 4 === 3),
+          docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text",
+          n = JaccardShingleN, threshold = 0.5,
+          maxShingleFreq = Long.MaxValue,
+          leftShingles = Some(sh.filter(col("id") % 4 === 3)),
+          rightShingles = Some(sh.filter(col("id") % 4 =!= 3)))
+        .orderBy("id_l", "id_r")
     }),
 
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
@@ -4100,6 +4128,29 @@ object SparkEntry {
            TRUE AS ivf_recall_ok
          FROM embeddings e, q WHERE e.vec_id <> 0
          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    "q187_jaccard_join" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g
+             AND l.doc_id % 4 = 3 AND r.doc_id % 4 <> 3
+           GROUP BY 1, 2)
+         SELECT id_l, id_r,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = id_l
+         JOIN sz sb ON sb.doc_id = id_r
+         WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+         ORDER BY id_l, id_r""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

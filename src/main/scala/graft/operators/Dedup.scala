@@ -399,6 +399,97 @@ object Dedup {
     expandPairs(repPairs, members, intraValue = lit(1.0), valueName = "jaccard")
   }
 
+  /** Two-relation exact set-similarity join: every (left doc, right
+    * doc) pair whose word-shingle Jaccard reaches `threshold`, as
+    * (id_l, id_r, jaccard) — the CROSS-corpus member of the jaccard
+    * family (new crawl × curated corpus, batch × archive,
+    * plagiarism/citation sweeps). Same PPJoin machinery as
+    * [[jaccardPairs]] — prefix, length, and positional filters over a
+    * SHARED global (df, shingle) order (document frequencies summed
+    * across both sides so both prefixes rank identically) — but the
+    * candidate join pairs left prefixes with right prefixes only:
+    * neither side is ever self-joined, so a huge archive costs its
+    * prefix scan, not its quadratic interior. Exact-duplicate clusters
+    * contract per side and expand cross-wise (no intra pairs — the
+    * sides are different relations). Id spaces are independent; if
+    * the same document appears on both sides its self-pair is emitted
+    * at jaccard 1.0 like any other qualifying pair (filter on
+    * id_l =!= id_r for the q183-style split of one corpus).
+    * `maxShingleFreq` keeps [[jaccardPairs]]' stop-shingle semantics
+    * with df counted across BOTH relations.
+    */
+  def jaccardJoin(left: DataFrame, right: DataFrame,
+                  idName: String, textName: String,
+                  n: Int = 3, threshold: Double = 0.5,
+                  maxShingleFreq: Long = Long.MaxValue,
+                  leftShingles: Option[DataFrame] = None,
+                  rightShingles: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    def side(df: DataFrame, pre: Option[DataFrame]) = {
+      val sh = pre.map(requireShingleN(_, n)).getOrElse(
+        materialized(hashedShingleSets(df, idName, textName, n)))
+      val (groups, members) = contractBy(sh, "id", "sh")
+      (groups.select(col("rid").as("id"), col("sh"), col("gsize")),
+        members.map(materialized))
+    }
+    val (repL, memL) = side(left, leftShingles)
+    val (repR, memR) = side(right, rightShingles)
+    def exploded(rep: DataFrame) = rep.select(col("id"),
+      size(col("sh")).as("nsh"), col("gsize"), explode(col("sh")).as("g"))
+    val exL = exploded(repL)
+    val exR = exploded(repR)
+    // one SHARED frequency table: the prefix filter is only exact when
+    // both sides slice their prefixes under the same total order
+    val freq = exL.select(col("g"), col("gsize"))
+      .unionByName(exR.select(col("g"), col("gsize")))
+      .groupBy("g").agg(sum(col("gsize")).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+    val plen = (col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + 1)
+      .cast("int")
+    def ranked(ex: DataFrame) = ex.join(freq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(first(col("nsh")).as("nsh"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("arr"))
+      .select(col("id"), col("nsh"),
+        posexplode(slice(col("arr"), lit(1), plen)))
+      .select(col("id"), col("nsh"), col("pos"), col("col.g").as("g"))
+    // identical exactness argument as jaccardRepPairs: prefix bound,
+    // symmetric length filter, any-match positional filter (superset
+    // of classic PPJoin's first-match candidates)
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("l.nsh") + col("r.nsh")) - lit(1e-9))
+    val cands = ranked(exL).as("l").join(ranked(exR).as("r"),
+        col("l.g") === col("r.g") &&
+          col("r.nsh").cast("double") >= lit(threshold) * col("l.nsh") &&
+          col("l.nsh").cast("double") >= lit(threshold) * col("r.nsh") &&
+          least(col("l.nsh") - col("l.pos"), col("r.nsh") - col("r.pos"))
+            .cast("double") >= alpha)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_l"), col("sh_r"))).cast("double")
+    val uni = (size(col("sh_l")) + size(col("sh_r"))).cast("double") - inter
+    val repPairs = cands
+      .join(repL.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(repR.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("jaccard", round(inter / uni, 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+    // cross-wise expansion: each side's clones inherit the rep pair's
+    // exact jaccard; no intra pairs across two distinct relations
+    val expL = memL match {
+      case None => repPairs
+      case Some(m) => repPairs
+        .join(m.select(col("rid").as("id_l"), col("mid")), "id_l")
+        .select(col("mid").as("id_l"), col("id_r"), col("jaccard"))
+    }
+    memR match {
+      case None => expL
+      case Some(m) => expL
+        .join(m.select(col("rid").as("id_r"), col("mid")), "id_r")
+        .select(col("id_l"), col("mid").as("id_r"), col("jaccard"))
+    }
+  }
+
   /** Collapse rows with IDENTICAL `keyCol` values to one representative
     * (the minimum id), returning (reps, members): reps carries one row
     * per distinct key with the representative's id, members maps every

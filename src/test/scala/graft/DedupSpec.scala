@@ -348,6 +348,25 @@ class DedupSpec extends SparkSpec {
     assert(contracted.nonEmpty)
   }
 
+  test("jaccardJoin equals the self-join restricted to cross pairs") {
+    val leftSide = docs.filter(col("doc_id") % 4 === 3)
+    val rightSide = docs.filter(col("doc_id") % 4 =!= 3)
+    val got = Dedup.jaccardJoin(leftSide, rightSide, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // jaccardPairs is itself pinned against the naive all-pairs join,
+    // so its cross-pair slice (re-oriented left-first) is the exact
+    // reference — including clone-cluster expansions on both sides
+    val expect = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 4 == 3) != (b % 4 == 3) }
+      .map { case (a, b, j) => if (a % 4 == 3) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture should plant cross-side near-dups")
+  }
+
   test("incremental minhash equals the full run restricted to batch-touching pairs") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_incmh_spec").toString
