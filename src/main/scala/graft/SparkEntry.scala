@@ -3190,6 +3190,29 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // ---------------- perceptual image dedup (blocked-mean aHash) ----------------
+    // Content hashes (q29) split two images differing in one pixel
+    // into unrelated buckets; the perceptual fingerprint buckets
+    // 64-block mean-threshold bits so near-identical images land
+    // within a small hamming distance. The REAL decode path feeds it
+    // (BMP parse per row); near-dup partners come from the 4×16-bit
+    // banded self-join (complete for hamming ≤ 3). FULL oracle:
+    // every bit of every hash AND the partner counts are replayed in
+    // DuckDB from the source text bytes — integer cross-product
+    // mean compares, no floats anywhere.
+    "q188_image_phash" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      val hashes = Multimodal.imageHashes(s, media)
+      val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      val parts = pairs.select(col("id_a").as("media_id"))
+        .unionByName(pairs.select(col("id_b").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as("n_neardups"))
+      hashes.join(parts, Seq("media_id"), "left")
+        .select(col("media_id"), col("h1"), col("h2"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+        .orderBy("media_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -4151,6 +4174,55 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = id_r
          WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
          ORDER BY id_l, id_r""",
+    "q188_image_phash" ->
+      """WITH src AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             greatest(1, octet_length(encode(text)) // 48) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         pxj AS (
+           SELECT doc_id, len, text, 16 * h AS n,
+             unnest(range(0, 16 * h)) AS j
+           FROM src),
+         g AS (
+           SELECT doc_id, n, CAST(j AS BIGINT) AS j,
+             (CASE WHEN 3*j+1 <= least(len, CAST(n*3 AS BIGINT))
+                   THEN unicode(substr(text, CAST(3*j+1 AS INT), 1)) ELSE 0 END
+            + CASE WHEN 3*j+2 <= least(len, CAST(n*3 AS BIGINT))
+                   THEN unicode(substr(text, CAST(3*j+2 AS INT), 1)) ELSE 0 END
+            + CASE WHEN 3*j+3 <= least(len, CAST(n*3 AS BIGINT))
+                   THEN unicode(substr(text, CAST(3*j+3 AS INT), 1)) ELSE 0 END
+             ) AS gray
+           FROM pxj),
+         nb AS (SELECT doc_id, max(n) AS n, CAST(sum(gray) AS BIGINT) AS tot
+                FROM g GROUP BY 1),
+         blk AS (SELECT doc_id, (j * 64) // n AS b,
+                   CAST(sum(gray) AS BIGINT) AS bs,
+                   CAST(count(*) AS BIGINT) AS bn
+                 FROM g GROUP BY 1, 2),
+         bits AS (
+           SELECT blk.doc_id, CAST(b AS BIGINT) AS b,
+             CASE WHEN bs * nb.n > nb.tot * bn THEN 1 ELSE 0 END AS bit
+           FROM blk JOIN nb ON blk.doc_id = nb.doc_id),
+         hsh AS (
+           SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN b < 32
+               THEN bit * (1::BIGINT << CAST(b AS INT)) END), 0) AS BIGINT) AS h1,
+             CAST(coalesce(sum(CASE WHEN b >= 32
+               THEN bit * (1::BIGINT << CAST(b - 32 AS INT)) END), 0) AS BIGINT) AS h2
+           FROM bits GROUP BY 1),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3),
+         cnt AS (
+           SELECT doc_id, count(*) AS nd
+           FROM (SELECT id_a AS doc_id FROM prs
+                 UNION ALL SELECT id_b FROM prs)
+           GROUP BY 1)
+         SELECT h.doc_id AS media_id, h1, h2,
+           CAST(coalesce(c.nd, 0) AS BIGINT) AS n_neardups
+         FROM hsh h LEFT JOIN cnt c ON h.doc_id = c.doc_id
+         ORDER BY media_id""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

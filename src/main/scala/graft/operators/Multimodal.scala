@@ -141,6 +141,85 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprint (blocked-mean aHash): decode, bucket
+    * the pixel grays (r+g+b, scan order) into 64 equal blocks, set
+    * bit b iff block b's mean exceeds the global mean — compared as
+    * exact integer cross-products (blockSum·n > total·blockN), so the
+    * hash is bit-identical in any engine that replays the rule over
+    * the same pixels. Robust to brightness-preserving noise the way
+    * content hashes (q29's md5) are not: two images differing in a
+    * few pixels land within a small hamming distance instead of in
+    * different md5 buckets. Packed as two 32-bit halves in BIGINTs
+    * (h1 = bits 0-31, h2 = bits 32-63) so SQL engines without
+    * unsigned 64-bit shifts replay it without sign-bit traps.
+    * Images with fewer than 64 pixels leave their empty blocks at
+    * bit 0 (0 > 0 is false) — still deterministic.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].filter(_.kind == "image").mapPartitions { it =>
+      it.map { r =>
+        val (w, h, rgb) = MediaCodec.decodeBmp(r.payload)
+        val n = w.toLong * h
+        val bs = new Array[Long](64)
+        val bn = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < n) {
+          val g = (rgb(3 * j) & 0xff) + (rgb(3 * j + 1) & 0xff) +
+            (rgb(3 * j + 2) & 0xff)
+          val b = ((j * 64L) / n).toInt
+          bs(b) += g; bn(b) += 1; tot += g
+          j += 1
+        }
+        var h1 = 0L
+        var h2 = 0L
+        var b = 0
+        while (b < 64) {
+          if (bs(b) * n > tot * bn(b)) {
+            if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (r.media_id, h1, h2)
+      }
+    }.toDF("media_id", "h1", "h2")
+  }
+
+  /** Perceptual near-duplicate image pairs at hamming ≤ `maxHamming`
+    * over the [[imageHashes]] fingerprints: 4×16-bit banded self-join
+    * (the simhash discipline — same-band pairs are the only
+    * candidates, and by pigeonhole the banding is COMPLETE for
+    * hamming ≤ 3: at most 3 differing bits cannot touch all 4 bands),
+    * verified with the exact popcount. Never an all-pairs join — at
+    * corpus scale the band join is the whole cost surface, and AQE
+    * skew-splitting covers hot bands like every other banded operator
+    * here.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is complete only for hamming <= 3, got $maxHamming")
+    val mask = lit(0xFFFFL)
+    val banded = hashes.select(col("media_id"), col("h1"), col("h2"),
+      explode(array(
+        struct(lit(0).as("band"), col("h1").bitwiseAND(mask).as("bv")),
+        struct(lit(1).as("band"), shiftright(col("h1"), 16).bitwiseAND(mask).as("bv")),
+        struct(lit(2).as("band"), col("h2").bitwiseAND(mask).as("bv")),
+        struct(lit(3).as("band"), shiftright(col("h2"), 16).bitwiseAND(mask).as("bv"))
+      )).as("b"))
+      .select(col("media_id"), col("h1"), col("h2"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val hamming = (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
+      bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).cast("int")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def channelSums(rgb: Array[Byte]): (Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0

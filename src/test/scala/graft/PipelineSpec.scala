@@ -47,6 +47,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("perceptual image hash: known bit pattern, banding completeness, brute equality") {
+    import spark.implicits._
+    // 64-pixel image with gray(j) = 3j (all three channels = j):
+    // singleton blocks, mean block index boundary at 32 — bits 0-31
+    // clear, bits 32-63 set (ties at block 31.5 resolve strictly)
+    val rgb = Array.tabulate(16 * 4 * 3)(i => (i / 3).toByte)
+    val one = Seq((0L, "image",
+      graft.functions.MediaCodec.encodeBmp(16, 4, rgb), 16, 4))
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val h = Multimodal.imageHashes(spark, one).as[(Long, Long, Long)].head()
+    assert(h == ((0L, 0L, 0xFFFFFFFFL)), s"unexpected hash $h")
+    // banding: hamming <= 3 pairs always found, a 4-bit spread missed
+    // by construction is impossible — but hamming 4 fails the verify
+    val base = (7L, 12345L, 67890L)
+    val flip3 = (8L, base._2 ^ 7L, base._3) // 3 bits, band 0
+    val flip4 = (9L, base._2 ^ 0x10001L, base._3 ^ 0x10001L) // 1 bit/band
+    val hs = Seq(base, flip3, flip4).toDF("media_id", "h1", "h2")
+    val got = Multimodal.imageNearDups(hs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 8L)))
+    // real corpus: banded pairs equal the brute-force all-pairs join
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val hashes = Multimodal.imageHashes(spark, media)
+    val banded = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val l = hashes.select(col("media_id").as("id_a"), col("h1").as("a1"),
+      col("h2").as("a2"))
+    val r = hashes.select(col("media_id").as("id_b"), col("h1").as("b1"),
+      col("h2").as("b2"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("multimodal resize and frame sampling keep the batch contract") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
