@@ -3213,6 +3213,52 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---------------- continuous-ingest capstone ----------------
+    // The round's incremental family composed as ONE batch-ingest
+    // pipeline, every gate archive-shaped: the batch quarter (1) drops
+    // exact duplicates against the archive's fingerprint table
+    // (keep-first within the batch), (2) drops near-duplicates of
+    // archived content via the two-relation PPJoin (exact, never
+    // self-joining the archive), (3) drops benchmark leaks by the
+    // containment gate, then (4) thins survivors with the PPS
+    // token-weighted sample at expected fraction 1/2 (totals over the
+    // survivors). Every stage is engine-exact, so the FULL pipeline
+    // replays as one DuckDB query — gates compose by anti-joins over
+    // independently-computed per-pair flags, which is also why the
+    // stages can run in any order without changing the kept set.
+    "q189_ingest_capstone" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sh = sharedShingles(s, dir)
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      val archive = docs.filter(col("doc_id") % 4 =!= 3)
+      val shBatch = sh.filter(col("id") % 4 === 3)
+      val seen = archive.select(TextFns.fingerprint(col("text")).as("fp"))
+        .distinct()
+      val s1 = Dedup.dedupIncremental(batch, seen, "doc_id", "text")
+        .select("doc_id")
+      val nearFlag = Dedup.jaccardJoin(batch, archive, "doc_id", "text",
+          n = JaccardShingleN, threshold = 0.6,
+          maxShingleFreq = Long.MaxValue,
+          leftShingles = Some(shBatch),
+          rightShingles = Some(sh.filter(col("id") % 4 =!= 3)))
+        .select(col("id_l").as("doc_id")).distinct()
+      val contFlag = Dedup.contaminationFuzzy(batch,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          n = JaccardShingleN, minContainment = 0.5,
+          docShingles = Some(shBatch),
+          benchShingles = Some(sh.filter(col("id") % 50 === 0)))
+        .select("doc_id").distinct()
+      val survivors = batch
+        .join(s1, Seq("doc_id"), "left_semi")
+        .join(nearFlag, Seq("doc_id"), "left_anti")
+        .join(contFlag, Seq("doc_id"), "left_anti")
+      val w = size(split(col("text"), " ")).cast("long")
+      Mixing.weightedSample(survivors, col("doc_id"), w, 1, 2)
+        .select(col("doc_id"), col("lang"), w.as("n_tok"),
+          round(col("p_keep"), 6).as("p_keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -4223,6 +4269,69 @@ object SparkEntry {
            CAST(coalesce(c.nd, 0) AS BIGINT) AS n_neardups
          FROM hsh h LEFT JOIN cnt c ON h.doc_id = c.doc_id
          ORDER BY media_id""",
+    "q189_ingest_capstone" ->
+      """WITH fpt AS (
+           SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         seen AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 4 <> 3),
+         s1 AS (
+           SELECT doc_id FROM (
+             SELECT b.doc_id, row_number() OVER
+               (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+             FROM (SELECT * FROM fpt WHERE doc_id % 4 = 3) b
+             ANTI JOIN seen s ON b.fp = s.fp)
+           WHERE rn = 1),
+         toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         ninter AS (
+           SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g
+             AND l.doc_id % 4 = 3 AND r.doc_id % 4 <> 3
+           GROUP BY 1, 2),
+         near AS (
+           SELECT DISTINCT id_l AS doc_id
+           FROM ninter
+           JOIN sz sa ON sa.doc_id = id_l
+           JOIN sz sb ON sb.doc_id = id_r
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         bex AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 50 = 0),
+         cinter AS (
+           SELECT e.doc_id, b.bench_id, count(*) AS ic
+           FROM ex e JOIN bex b ON e.g = b.g AND e.doc_id <> b.bench_id
+           WHERE e.doc_id % 4 = 3
+           GROUP BY 1, 2),
+         cont AS (
+           SELECT DISTINCT c.doc_id
+           FROM cinter c JOIN sz sb ON sb.doc_id = c.bench_id
+           WHERE round(CAST(c.ic AS DOUBLE) / sb.n, 6) >= 0.5),
+         sv AS (
+           SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+           FROM documents d
+           JOIN s1 ON d.doc_id = s1.doc_id
+           ANTI JOIN near ON d.doc_id = near.doc_id
+           ANTI JOIN cont ON d.doc_id = cont.doc_id),
+         t AS (
+           SELECT CAST(sum(n_tok) AS BIGINT) AS tw,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sv)
+         SELECT doc_id, lang, n_tok,
+           round(CAST(1 AS DOUBLE) / 2 * n * n_tok / tw, 6) AS p_keep
+         FROM sv, t
+         WHERE tw > 0
+           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               / CAST(4503599627370496 AS DOUBLE)
+             < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
+         ORDER BY doc_id""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,
