@@ -312,6 +312,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 2 hash exchanges, got $hashEx:\n${plan.take(4000)}")
   }
 
+  test("q187 two-relation PPJoin: equi-joins only, never a nested loop") {
+    val plan = executedPlan(query("q187_jaccard_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"cross-corpus jaccard join planned a quadratic join:\n${plan.take(3000)}")
+  }
+
+  test("q188 perceptual dedup: banded self-join, never all-pairs") {
+    val plan = executedPlan(query("q188_image_phash"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"image near-dup pairing planned an all-pairs join:\n${plan.take(3000)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
