@@ -209,6 +209,53 @@ object ProbeScale100 {
         Dedup.minhashNearDups(docs(big), "doc_id", "text", 0.6).count())
     }
 
+    // CDC chunking at factor×: boundaries are pure word-value
+    // functions, so every clone emits an identical chunk sequence —
+    // the invariant is exact ×factor multiset scaling (xor-signature
+    // over (chunk_idx, start_pos, n_words, chunk_md5) ignores ids and
+    // must be UNCHANGED at factor× when each tuple's multiplicity
+    // scales uniformly... xor of an even multiple cancels, so assert
+    // instead on the copy-0 restriction including ids, plus the exact
+    // ×factor row count).
+    if (section("cdc")) {
+      replicate("documents", Seq("doc_id"))
+      val maxBase = docs(base).agg(max(col("doc_id"))).head().getLong(0)
+      def chunks(dir: String): DataFrame = {
+        val ch = graft.operators.Chunking.cdcChunks(docs(dir), "doc_id",
+          col("text"), 32)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_md5")).orderBy(col("id"), col("chunk_idx"))
+        ch.withColumn("is_dup", row_number().over(w) > 1)
+      }
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(concat_ws("|", col("id"), col("chunk_idx"),
+            col("start_pos"), col("n_words"), col("chunk_md5"),
+            col("is_dup"))).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var s1 = (0L, 0L)
+      var sN = (0L, 0L)
+      time("cdcChunks      warm")(sig(chunks(base))._2)
+      time("cdcChunks      sf0.1") { s1 = sig(chunks(base)); s1._2 }
+      var nBig = 0L
+      time(s"cdcChunks      ${factor}x") {
+        nBig = chunks(big).count(); nBig
+      }
+      require(nBig == s1._2 * factor,
+        s"chunk count not exactly ${factor}x: $nBig vs ${s1._2} * $factor")
+      // copy-0 docs keep first-occurrence status for every chunk they
+      // keep it for at 1× (copies have HIGHER ids), so the restricted
+      // output is bit-identical
+      time(s"cdcChunks      ${factor}x@copy0") {
+        sN = sig(chunks(big).filter(col("id") <= maxBase)); sN._2
+      }
+      require(s1 == sN,
+        s"${factor}x cdc output restricted to copy 0 diverged: $s1 vs $sN")
+      println(s"[probe] cdc invariant: ${factor}x restricted to copy-0 == 1x " +
+        s"(sig ${s1._1}), count exactly ${factor}x")
+    }
+
     // graph iteratives at factor×: disjoint prefix-tagged copies
     def pairs1x: DataFrame =
       spark.read.parquet(s"$base/lineitem.parquet")
