@@ -3259,6 +3259,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- perceptual audio dedup (energy-envelope hash) ----------------
+    // q188's rule over the audio modality: 64 blocked-mean bits over
+    // the decoded samples' ABSOLUTE amplitudes (the energy envelope),
+    // same integer cross-product compares, same two-halves packing,
+    // same banded hamming pairing (shared `hammingNearDups`). FULL
+    // oracle: DuckDB rebuilds each 16-bit signed sample from the
+    // source bytes (the q124 reconstruction), then every hash bit and
+    // partner count.
+    "q190_audio_phash" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      val hashes = Multimodal.audioHashes(s, media)
+      val pairs = Multimodal.hammingNearDups(hashes, maxHamming = 3)
+      val parts = pairs.select(col("id_a").as("media_id"))
+        .unionByName(pairs.select(col("id_b").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as("n_neardups"))
+      hashes.join(parts, Seq("media_id"), "left")
+        .select(col("media_id"), col("h1"), col("h2"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+        .orderBy("media_id")
+    }),
+
     // ---------------- unigram-LM vocabulary learning (hard-EM) ----------------
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
@@ -4332,6 +4353,50 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q190_audio_phash" ->
+      """WITH src AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             greatest(1, octet_length(encode(text)) // 2) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         smpj AS (
+           SELECT doc_id, len, text, n, unnest(range(0, n)) AS j FROM src),
+         smp AS (
+           SELECT doc_id, n, CAST(j AS BIGINT) AS j,
+             abs(unicode(substr(text, CAST(2*j+1 AS INT), 1))
+               + 256 * unicode(substr(text, CAST(2*j+2 AS INT), 1))
+               - CASE WHEN unicode(substr(text, CAST(2*j+2 AS INT), 1)) >= 128
+                      THEN 65536 ELSE 0 END) AS e
+           FROM smpj),
+         nb AS (SELECT doc_id, max(n) AS n, CAST(sum(e) AS BIGINT) AS tot
+                FROM smp GROUP BY 1),
+         blk AS (SELECT doc_id, (j * 64) // n AS b,
+                   CAST(sum(e) AS BIGINT) AS bs,
+                   CAST(count(*) AS BIGINT) AS bn
+                 FROM smp GROUP BY 1, 2),
+         bits AS (
+           SELECT blk.doc_id, CAST(b AS BIGINT) AS b,
+             CASE WHEN bs * nb.n > nb.tot * bn THEN 1 ELSE 0 END AS bit
+           FROM blk JOIN nb ON blk.doc_id = nb.doc_id),
+         hsh AS (
+           SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN b < 32
+               THEN bit * (1::BIGINT << CAST(b AS INT)) END), 0) AS BIGINT) AS h1,
+             CAST(coalesce(sum(CASE WHEN b >= 32
+               THEN bit * (1::BIGINT << CAST(b - 32 AS INT)) END), 0) AS BIGINT) AS h2
+           FROM bits GROUP BY 1),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3),
+         cnt AS (
+           SELECT doc_id, count(*) AS nd
+           FROM (SELECT id_a AS doc_id FROM prs
+                 UNION ALL SELECT id_b FROM prs)
+           GROUP BY 1)
+         SELECT h.doc_id AS media_id, h1, h2,
+           CAST(coalesce(c.nd, 0) AS BIGINT) AS n_neardups
+         FROM hsh h LEFT JOIN cnt c ON h.doc_id = c.doc_id
+         ORDER BY media_id""",
     "q66_pii_redaction" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -186,6 +186,44 @@ object Multimodal {
     }.toDF("media_id", "h1", "h2")
   }
 
+  /** Perceptual audio fingerprint — the [[imageHashes]] rule over the
+    * decoded sample stream's ABSOLUTE amplitudes (energy envelope):
+    * 64 equal blocks in sample order, bit b set iff block b's mean
+    * |amplitude| exceeds the global mean, integer cross-product
+    * compares, two 32-bit halves. Same determinism contract: a SQL
+    * engine replaying the rule over the same samples reproduces every
+    * bit.
+    */
+  def audioHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].filter(_.kind == "audio").mapPartitions { it =>
+      it.map { r =>
+        val (_, samples) = MediaCodec.decodeWav(r.payload)
+        val n = samples.length.toLong
+        val bs = new Array[Long](64)
+        val bn = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < samples.length) {
+          val e = math.abs(samples(j).toLong)
+          val b = ((j * 64L) / n).toInt
+          bs(b) += e; bn(b) += 1; tot += e
+          j += 1
+        }
+        var h1 = 0L
+        var h2 = 0L
+        var b = 0
+        while (b < 64) {
+          if (bs(b) * n > tot * bn(b)) {
+            if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (r.media_id, h1, h2)
+      }
+    }.toDF("media_id", "h1", "h2")
+  }
+
   /** Perceptual near-duplicate image pairs at hamming ≤ `maxHamming`
     * over the [[imageHashes]] fingerprints: 4×16-bit banded self-join
     * (the simhash discipline — same-band pairs are the only
@@ -196,7 +234,14 @@ object Multimodal {
     * skew-splitting covers hot bands like every other banded operator
     * here.
     */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(hashes, maxHamming)
+
+  /** The banded hamming join itself, generic over any (media_id, h1,
+    * h2) fingerprint relation — images ([[imageHashes]]) and audio
+    * ([[audioHashes]]) share it.
+    */
+  def hammingNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding is complete only for hamming <= 3, got $maxHamming")
     val mask = lit(0xFFFFL)

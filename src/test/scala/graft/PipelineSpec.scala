@@ -86,6 +86,34 @@ class PipelineSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("perceptual audio hash: known energy envelope and brute equality") {
+    import spark.implicits._
+    // 128 samples: silent first half, amplitude-100 second half —
+    // energy mean 50, so exactly bits 32-63 set
+    val samples = Array.tabulate(128)(i => if (i < 64) 0.toShort else 100.toShort)
+    val one = Seq((1L, "audio",
+      graft.functions.MediaCodec.encodeWav(8000, samples), 0, 0))
+      .toDF("media_id", "kind", "payload", "width", "height")
+    val h = Multimodal.audioHashes(spark, one).as[(Long, Long, Long)].head()
+    assert(h == ((1L, 0L, 0xFFFFFFFFL)), s"unexpected audio hash $h")
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val hashes = Multimodal.audioHashes(spark, media)
+    val banded = Multimodal.hammingNearDups(hashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val l = hashes.select(col("media_id").as("id_a"), col("h1").as("a1"),
+      col("h2").as("a2"))
+    val r = hashes.select(col("media_id").as("id_b"), col("h1").as("b1"),
+      col("h2").as("b2"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("multimodal resize and frame sampling keep the batch contract") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
