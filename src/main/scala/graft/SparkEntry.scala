@@ -3267,6 +3267,38 @@ object SparkEntry {
     // oracle: DuckDB rebuilds each 16-bit signed sample from the
     // source bytes (the q124 reconstruction), then every hash bit and
     // partner count.
+    // ---------------- incremental cluster resolution ----------------
+    // The last step of continuous dedup: the archive's PERSISTED
+    // label table (its standing state — an ensureClusterLabels
+    // artifact over the history three-quarters) folds in the batch's
+    // new pair relation via Dedup.dupClustersIncremental: archived
+    // components contract to star edges, so the update graph is
+    // archive-members + new-pairs, never the historical pair
+    // relation. FULL oracle: the updated labels must equal the
+    // from-scratch connected components over the ENTIRE corpus's
+    // exact pair set (the q69 recursive-CTE oracle at t=0.6).
+    "q191_incremental_clusters" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sh = sharedShingles(s, dir)
+      val oldLabels = Dedup.ensureClusterLabels(
+        docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text",
+        n = JaccardShingleN, threshold = 0.6,
+        maxShingleFreq = Long.MaxValue,
+        fixturePath("archlabels", dir, "documents"),
+        shingles = Some(sh.filter(col("id") % 4 =!= 3)))
+      // batch-touching exact pairs from ONE self-PPJoin, filtered —
+      // the split form (jaccardJoin(batch, hist) + jaccardPairs(batch))
+      // was measured slower here too (11-12 s vs 8-8.5 s at sf0.1),
+      // consistent with the q183 experiment in SCALING.md: two freq
+      // tables + four ranked-prefix aggregations outweigh the skipped
+      // archive interior at this clone profile
+      val newPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = JaccardShingleN, threshold = 0.6,
+          maxShingleFreq = Long.MaxValue, shingles = Some(sh))
+        .filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+      Dedup.dupClustersIncremental(newPairs, oldLabels).orderBy("id")
+    }),
+
     "q190_audio_phash" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
       val hashes = Multimodal.audioHashes(s, media)
@@ -4353,6 +4385,35 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q191_incremental_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         SELECT id, min(lbl) AS canonical_id FROM reach
+         GROUP BY id ORDER BY id""",
     "q190_audio_phash" ->
       """WITH src AS (
            SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -913,6 +913,32 @@ object Dedup {
     * checks a per-round convergence COUNT (a scalar), and each round
     * materializes its label relation so lineage stays flat.
     */
+  /** Incremental dedup-cluster resolution: fold a NEW pair relation
+    * into an existing (id, canonical_id) label archive — the last
+    * step of a continuous dedup pipeline (q183 finds the batch's
+    * pairs; this turns them into updated canonical assignments).
+    * Archived components CONTRACT to star edges (member →
+    * canonical), the new pairs connect stars and fresh ids, and
+    * [[dupClusters]] runs over a graph of size archive-members +
+    * new-pairs — the historical PAIR relation, which at corpus scale
+    * dwarfs the label table, is never touched or re-derived, and star
+    * components have diameter ≤ 2 so the propagation converges in a
+    * round or two. Output is EXACTLY `dupClusters(allPairs)` for the
+    * ids appearing in either relation (spec-pinned): every old member
+    * stays connected to its component through its star edge, so
+    * merged components carry the true global minimum id. Archived
+    * SINGLETONS (canonical_id == id, never paired) contribute no
+    * edges; they re-enter only if a new pair touches them, which is
+    * also exactly the full run's node set.
+    */
+  def dupClustersIncremental(newPairs: DataFrame, oldLabels: DataFrame,
+                             maxIters: Int = 25): DataFrame = {
+    val stars = oldLabels.filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as("id_a"), col("canonical_id").as("id_b"))
+    dupClusters(stars.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIters)
+  }
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   localSolveMaxEdges: Long = 4L * 1024 * 1024): DataFrame = {
     // symmetrized + SELF-LOOPS: with (v, v) edges, a node's own label

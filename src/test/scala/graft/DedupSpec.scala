@@ -348,6 +348,25 @@ class DedupSpec extends SparkSpec {
     assert(contracted.nonEmpty)
   }
 
+  test("dupClustersIncremental equals from-scratch components over the union") {
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, maxShingleFreq = Long.MaxValue)
+    val archPairs = all.filter(col("id_a") % 4 =!= 3 && col("id_b") % 4 =!= 3)
+    val batchPairs = all.filter(col("id_a") % 4 === 3 || col("id_b") % 4 === 3)
+    val old = Dedup.dupClusters(archPairs)
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val inc = labelSet(Dedup.dupClustersIncremental(batchPairs, old))
+    val full = labelSet(Dedup.dupClusters(all))
+    assert(inc == full)
+    assert(inc.nonEmpty, "fixture should plant cross-split components")
+    // the batch must actually MERGE something, or the test is vacuous
+    assert(inc != labelSet(old), "batch pairs should change the label table")
+    // no-op fold: an empty batch reproduces the archive labels exactly
+    assert(labelSet(Dedup.dupClustersIncremental(batchPairs.limit(0), old))
+      == labelSet(old))
+  }
+
   test("jaccardJoin equals the self-join restricted to cross pairs") {
     val leftSide = docs.filter(col("doc_id") % 4 === 3)
     val rightSide = docs.filter(col("doc_id") % 4 =!= 3)
