@@ -3267,6 +3267,22 @@ object SparkEntry {
     // oracle: DuckDB rebuilds each 16-bit signed sample from the
     // source bytes (the q124 reconstruction), then every hash bit and
     // partner count.
+    // ---------------- video near-dup (shared frame fingerprints) ----------------
+    // The third perceptual modality: every frame gets the q188
+    // blocked-mean fingerprint independently, and two videos pair
+    // when their DISTINCT frame-fingerprint sets share ≥ 2 entries —
+    // the keyframe-overlap scheme, robust to re-cuts/frame drops
+    // where a whole-stream hash is not. One fingerprint-keyed
+    // equality self-join (the q65 shape — bucketed, never all-pairs).
+    // FULL oracle: DuckDB rebuilds every frame's pixels from the
+    // source bytes and replays fingerprints, sets, and pair counts.
+    "q192_video_neardups" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir).documents)
+      Multimodal.videoNearDups(
+          Multimodal.videoFrameHashes(s, media), minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---------------- incremental cluster resolution ----------------
     // The last step of continuous dedup: the archive's PERSISTED
     // label table (its standing state — an ensureClusterLabels
@@ -4385,6 +4401,46 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q192_video_neardups" ->
+      """WITH src AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             greatest(1, octet_length(encode(text)) // 48) AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT doc_id, len, text, unnest(range(0, nf)) AS f FROM src),
+         px AS (
+           SELECT doc_id, CAST(f AS BIGINT) AS f, len, text,
+             unnest(range(0, 16)) AS j
+           FROM fr),
+         g AS (
+           SELECT doc_id, f, CAST(j AS BIGINT) AS j,
+             (CASE WHEN 48*f + 3*j + 1 <= len THEN
+                unicode(substr(text, CAST(48*f + 3*j + 1 AS INT), 1)) ELSE 0 END
+            + CASE WHEN 48*f + 3*j + 2 <= len THEN
+                unicode(substr(text, CAST(48*f + 3*j + 2 AS INT), 1)) ELSE 0 END
+            + CASE WHEN 48*f + 3*j + 3 <= len THEN
+                unicode(substr(text, CAST(48*f + 3*j + 3 AS INT), 1)) ELSE 0 END
+             ) AS gray
+           FROM px),
+         tot AS (SELECT doc_id, f, CAST(sum(gray) AS BIGINT) AS tot
+                 FROM g GROUP BY 1, 2),
+         bits AS (
+           SELECT g.doc_id, g.f, 4 * j AS b,
+             CASE WHEN gray * 16 > tot THEN 1 ELSE 0 END AS bit
+           FROM g JOIN tot ON g.doc_id = tot.doc_id AND g.f = tot.f),
+         hsh AS (
+           SELECT doc_id, f,
+             CAST(coalesce(sum(CASE WHEN b < 32
+               THEN bit * (1::BIGINT << CAST(b AS INT)) END), 0) AS BIGINT) AS h1,
+             CAST(coalesce(sum(CASE WHEN b >= 32
+               THEN bit * (1::BIGINT << CAST(b - 32 AS INT)) END), 0) AS BIGINT) AS h2
+           FROM bits GROUP BY 1, 2),
+         fsets AS (SELECT DISTINCT doc_id, h1, h2 FROM hsh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM fsets a JOIN fsets b
+           ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
     "q191_incremental_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(

@@ -224,6 +224,64 @@ object Multimodal {
     }.toDF("media_id", "h1", "h2")
   }
 
+  /** Per-frame perceptual fingerprints for the video modality: decode
+    * the container, apply the [[imageHashes]] blocked-mean rule to
+    * EVERY frame independently, return (media_id, frame_no, h1, h2).
+    * A video's identity for dedup purposes is its frame-fingerprint
+    * SET ([[videoNearDups]]) — the keyframe-overlap scheme, robust to
+    * re-cuts and frame drops in a way one whole-stream hash is not.
+    */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.decodeBmpVideo(r.payload).zipWithIndex.map {
+          case ((w, h, rgb), f) =>
+            val n = w.toLong * h
+            val bs = new Array[Long](64)
+            val bn = new Array[Long](64)
+            var tot = 0L
+            var j = 0
+            while (j < n) {
+              val g = (rgb(3 * j) & 0xff) + (rgb(3 * j + 1) & 0xff) +
+                (rgb(3 * j + 2) & 0xff)
+              val b = ((j * 64L) / n).toInt
+              bs(b) += g; bn(b) += 1; tot += g
+              j += 1
+            }
+            var h1 = 0L
+            var h2 = 0L
+            var b = 0
+            while (b < 64) {
+              if (bs(b) * n > tot * bn(b)) {
+                if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            (r.media_id, f.toLong, h1, h2)
+        }
+      }
+    }.toDF("media_id", "frame_no", "h1", "h2")
+  }
+
+  /** Video near-duplicate candidates: pairs sharing at least
+    * `minShared` DISTINCT frame fingerprints. One equality self-join
+    * keyed on the fingerprint value — the q65/contamination shape, so
+    * the cost is bucketed by hash, never all-pairs — then a keyed
+    * pair count. Returns (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def videoNearDups(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    require(minShared >= 1)
+    val fsets = frameHashes.select(col("media_id"), col("h1"), col("h2"))
+      .distinct()
+    fsets.as("l").join(fsets.as("r"),
+        col("l.h1") === col("r.h1") && col("l.h2") === col("r.h2") &&
+          col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Perceptual near-duplicate image pairs at hamming ≤ `maxHamming`
     * over the [[imageHashes]] fingerprints: 4×16-bit banded self-join
     * (the simhash discipline — same-band pairs are the only

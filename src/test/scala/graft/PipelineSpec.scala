@@ -114,6 +114,25 @@ class PipelineSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("video near-dups: shared-frame pairing equals set intersections") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val fh = Multimodal.videoFrameHashes(spark, media)
+    val sets = fh.select("media_id", "h1", "h2").distinct()
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; jd <- ids if i < jd
+      n = (sets(i) intersect sets(jd)).size if n >= 2
+    } yield (i, jd, n.toLong)).toSet
+    val got = Multimodal.videoNearDups(fh, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture should plant videos with shared frames")
+  }
+
   test("multimodal resize and frame sampling keep the batch contract") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet")).limit(50)
