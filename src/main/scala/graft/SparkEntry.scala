@@ -3267,6 +3267,22 @@ object SparkEntry {
     // oracle: DuckDB rebuilds each 16-bit signed sample from the
     // source bytes (the q124 reconstruction), then every hash bit and
     // partner count.
+    // ---------------- per-group PPS weighted sampling ----------------
+    // q184's gate with PER-LANGUAGE normalization: every language is
+    // thinned to the same expected quarter while inclusion odds inside
+    // a language still scale with token count — the grouped form the
+    // global normalizer can't express (a token-heavy language would
+    // otherwise eat the whole budget). Same engine-exact IEEE gate;
+    // the totals relation is one row per language and broadcasts.
+    "q193_weighted_sample_grouped" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val w = size(split(col("text"), " ")).cast("long")
+      Mixing.weightedSamplePerGroup(docs, col("doc_id"), col("lang"), w, 1, 4)
+        .select(col("doc_id"), col("lang"), w.as("n_tok"),
+          round(col("p_keep"), 6).as("p_keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- video near-dup (shared frame fingerprints) ----------------
     // The third perceptual modality: every frame gets the q188
     // blocked-mean fingerprint independently, and two videos pair
@@ -4400,6 +4416,23 @@ object SparkEntry {
            AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
+         ORDER BY doc_id""",
+    "q193_weighted_sample_grouped" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         t AS (
+           SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tw,
+             CAST(count(*) AS BIGINT) AS n
+           FROM w GROUP BY lang)
+         SELECT w.doc_id, w.lang, w.n_tok,
+           round(CAST(1 AS DOUBLE) / 4 * n * n_tok / tw, 6) AS p_keep
+         FROM w JOIN t ON w.lang = t.lang
+         WHERE tw > 0
+           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               / CAST(4503599627370496 AS DOUBLE)
+             < CAST(1 AS DOUBLE) / 4 * n * n_tok / tw
          ORDER BY doc_id""",
     "q192_video_neardups" ->
       """WITH src AS (

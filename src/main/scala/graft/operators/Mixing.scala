@@ -80,6 +80,34 @@ object Mixing {
       .drop("__tw", "__n")
   }
 
+  /** Per-group [[weightedSample]]: the acceptance probability
+    * normalizes within each GROUP (p_i = frac · n_g · wᵢ / Σw_g), so
+    * every group is thinned to the same expected fraction while
+    * inclusion odds inside a group still scale with the per-row
+    * weight — "keep ~¼ of every language, preferring high-weight
+    * docs", the grouped form the global normalizer can't express
+    * (a token-heavy language would otherwise eat the whole budget).
+    * Same engine-exact determinism contract; the totals relation is
+    * group-cardinality-sized and broadcasts.
+    */
+  def weightedSamplePerGroup(docs: DataFrame, key: Column, group: Column,
+                             weight: Column, fracNum: Int,
+                             fracDen: Int): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0, s"bad fraction $fracNum/$fracDen")
+    val totals = docs.groupBy(group.as("__grp"))
+      .agg(sum(weight.cast("long")).as("__tw"), count(lit(1)).as("__n"))
+    val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val p = lit(fracNum.toDouble) / lit(fracDen.toDouble) *
+      col("__n").cast("double") * weight.cast("long").cast("double") /
+      col("__tw").cast("double")
+    docs.join(broadcast(totals), group === col("__grp"))
+      .filter(col("__tw") > 0L)
+      .withColumn("p_keep", p)
+      .filter(u < col("p_keep"))
+      .drop("__grp", "__tw", "__n")
+  }
+
   /** Filter `docs` to the target mixture. `rates` maps domain value →
     * accepted sixteenths; unlisted domains fall back to
     * `defaultSixteenths`. The rate map is parameter-sized and folds

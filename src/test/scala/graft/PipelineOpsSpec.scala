@@ -159,6 +159,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(quarter == quarterB)
   }
 
+  test("weightedSamplePerGroup normalizes within each group") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = size(split(col("text"), " ")).cast("long")
+    // unit weights at frac 1/1 keep every row of every group
+    assert(Mixing.weightedSamplePerGroup(docs, col("doc_id"), col("lang"),
+      lit(1L), 1, 1).count() == docs.count())
+    // grouped == global when run on a single group's slice
+    val en = docs.filter(col("lang") === "en")
+    val g = Mixing.weightedSamplePerGroup(en, col("doc_id"), col("lang"), w, 1, 4)
+      .select("doc_id").as[Long].collect().toSet
+    val gl = Mixing.weightedSample(en, col("doc_id"), w, 1, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(g == gl)
+    // every group thins toward its own quarter, independent of the
+    // corpus mixture (each within a loose hash-noise band)
+    val kept = Mixing.weightedSamplePerGroup(docs, col("doc_id"), col("lang"),
+        w, 1, 4)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    before.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      assert(k > n / 10 && k < n / 2, s"$lang kept $k of $n — off the quarter")
+    }
+  }
+
   test("temperatureMix keeps the rarest domain whole and flattens the mixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val before = docs.groupBy("lang").count().collect()
