@@ -3267,6 +3267,29 @@ object SparkEntry {
     // oracle: DuckDB rebuilds each 16-bit signed sample from the
     // source bytes (the q124 reconstruction), then every hash bit and
     // partner count.
+    // ---------------- incremental search-index append ----------------
+    // The retrieval member of the incremental family, and the one
+    // whose append is EXACT by construction: posting rows are
+    // per-document, and every BM25 statistic derives from the
+    // postings relation at query time, so the appended index answers
+    // bit-identically to a rebuild over the union (spec-pinned).
+    // Build-then-append runs inside one atomic artifact publish;
+    // the query replays q137's ranking over the appended index and
+    // carries q137's FULL oracle (full-corpus BM25 in SQL).
+    "q194_index_append" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val idx = fixturePath("postidx", dir, "documents")
+      Artifact.ensure(idx) { tmp =>
+        InvertedIndex.build(docs.filter(col("doc_id") % 4 =!= 3),
+            "doc_id", col("text"))
+          .write.mode("overwrite").parquet(tmp)
+        InvertedIndex.appendPostings(tmp,
+          docs.filter(col("doc_id") % 4 === 3), "doc_id", col("text"))
+      }
+      InvertedIndex.bm25TopKIndexed(s.read.parquet(idx), "doc_id",
+        Seq("dup", "spark", "window"), k = 10)
+    }),
+
     // ---------------- per-group PPS weighted sampling ----------------
     // q184's gate with PER-LANGUAGE normalization: every language is
     // thinned to the same expected quarter while inclusion odds inside
@@ -4417,6 +4440,27 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q194_index_append" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+             CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         idf AS (SELECT term, avgdl,
+             CAST(floor(ln((nd - df + 0.5e0)/(df + 0.5e0) + 1.0e0)*1e4 + 0.5e0)
+               AS BIGINT) AS idf4
+           FROM (SELECT term, count(*) AS df FROM post
+                 WHERE term IN ('dup','spark','window') GROUP BY 1)
+           CROSS JOIN stats),
+         contrib AS (
+           SELECT p.doc_id,
+             i.idf4 * CAST(floor(p.tf*2.2e0/(p.tf + 1.2e0*(0.25e0 + 0.75e0*d.dl/i.avgdl))
+               *1e6 + 0.5e0) AS BIGINT) AS c
+           FROM post p JOIN dl d USING (doc_id) JOIN idf i USING (term)
+           WHERE p.term IN ('dup','spark','window'))
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE)/1e10 AS bm25
+         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "q193_weighted_sample_grouped" ->
       """WITH w AS (
            SELECT doc_id, lang,

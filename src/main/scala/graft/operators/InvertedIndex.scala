@@ -31,6 +31,26 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"),
         concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
 
+  /** Append a new batch's postings to a persisted index without
+    * touching the existing files: posting rows are PER-DOCUMENT
+    * (term, id, tf, positions) — a new document's rows are disjoint
+    * from every archived document's — and every retrieval statistic
+    * (df, dl, avgdl, N) derives from the postings relation at query
+    * time, so an appended index answers BIT-IDENTICALLY to one
+    * rebuilt from the union corpus (spec-pinned). This is the
+    * exact-append the IVF index (centroid drift) and the minhash
+    * archive (fixed hash parameters) only approximate: per-document
+    * index state has no globally-trained component at all. Batch and
+    * archive id spaces must be disjoint (a re-ingested id would
+    * double-count its term frequencies); not crash-atomic — run
+    * inside the caller's publish step (an [[Artifact.ensure]] build),
+    * like every other append here.
+    */
+  def appendPostings(indexPath: String, newDocs: DataFrame,
+                     idName: String, text: Column): Unit =
+    build(newDocs, idName, text)
+      .write.mode("append").parquet(indexPath)
+
   /** Document frequency per term — the index's dictionary. */
   def dictionary(postings: DataFrame, idName: String): DataFrame =
     postings.groupBy(col("term"))

@@ -21,6 +21,29 @@ class InvertedIndexSpec extends SparkSpec {
       ("c", 1L, 1L, "3"), ("c", 2L, 1L, "1")))
   }
 
+  test("appendPostings: appended index is bit-identical to a rebuild") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postidx_spec").toString + "/idx"
+    InvertedIndex.build(real.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", col("text"))
+      .write.mode("overwrite").parquet(dir)
+    InvertedIndex.appendPostings(dir,
+      real.filter(col("doc_id") % 4 === 3), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf", "positions")
+        .as[(String, Long, Long, String)].collect().toSet
+    val appended = spark.read.parquet(dir)
+    assert(rows(appended) == rows(
+      InvertedIndex.build(real, "doc_id", col("text"))))
+    // and therefore every derived statistic: the ranked answer matches
+    val a = InvertedIndex.bm25TopKIndexed(appended, "doc_id",
+      Seq("dup", "spark", "window"), k = 10).collect().toSeq
+    val b = InvertedIndex.bm25TopK(real, "doc_id", col("text"),
+      Seq("dup", "spark", "window"), k = 10).collect().toSeq
+    assert(a == b)
+  }
+
   test("dictionary: df and cf per term") {
     val p = InvertedIndex.build(docs, "doc_id", col("text"))
     val d = InvertedIndex.dictionary(p, "doc_id")
