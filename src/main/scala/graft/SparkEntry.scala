@@ -3290,6 +3290,54 @@ object SparkEntry {
         Seq("dup", "spark", "window"), k = 10)
     }),
 
+    // ---------------- streaming search-index maintenance ----------------
+    // q194's stream twin: the corpus arrives as a 4-file backlog, one
+    // file per trigger, and each micro-batch's postings land in their
+    // own batch=<id> directory with overwrite semantics (retries
+    // replace, never double-count — exactly-once index effect under
+    // at-least-once foreachBatch). After the replay the directory IS
+    // the full corpus's posting relation, so the ranked answer
+    // carries q137's full-corpus BM25 oracle.
+    "q195_stream_index" -> ((s, dir) => {
+      val src = fixturePath("postsrc", dir, "documents")
+      Artifact.ensure(src) { tmp =>
+        val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+        val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val base = System.currentTimeMillis() - 3600L * 1000
+        (1 to 4).foreach { b =>
+          val part = s"$tmp/_b$b"
+          d.filter((floor((col("doc_id") - lit(lo)) * lit(4)
+              / lit(hi - lo + 1)) + lit(1)).cast("int") === b)
+            .coalesce(1).write.mode("overwrite").parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(tmp, s"b$b.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(base + b * 2000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+        }
+      }
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q195").toString
+      val docsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.postingsSink(docsStream,
+        s"$scratch/idx", "doc_id", "text", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      query.awaitTermination()
+      val postings = s.read.parquet(s"$scratch/idx")
+      SelfCheck.every(s"q195/$dir") {
+        val nb = postings.select("batch").distinct().count()
+        require(nb == 4, s"q195 expected 4 ingested batches, got $nb")
+        SelfCheck.note(s"index accumulated across $nb micro-batch dirs; " +
+          "ranked answer oracle-matched against the full corpus")
+      }
+      InvertedIndex.bm25TopKIndexed(postings.drop("batch"), "doc_id",
+        Seq("dup", "spark", "window"), k = 10)
+    }),
+
     // ---------------- per-group PPS weighted sampling ----------------
     // q184's gate with PER-LANGUAGE normalization: every language is
     // thinned to the same expected quarter while inclusion odds inside
@@ -4440,6 +4488,27 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q195_stream_index" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+             CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         idf AS (SELECT term, avgdl,
+             CAST(floor(ln((nd - df + 0.5e0)/(df + 0.5e0) + 1.0e0)*1e4 + 0.5e0)
+               AS BIGINT) AS idf4
+           FROM (SELECT term, count(*) AS df FROM post
+                 WHERE term IN ('dup','spark','window') GROUP BY 1)
+           CROSS JOIN stats),
+         contrib AS (
+           SELECT p.doc_id,
+             i.idf4 * CAST(floor(p.tf*2.2e0/(p.tf + 1.2e0*(0.25e0 + 0.75e0*d.dl/i.avgdl))
+               *1e6 + 0.5e0) AS BIGINT) AS c
+           FROM post p JOIN dl d USING (doc_id) JOIN idf i USING (term)
+           WHERE p.term IN ('dup','spark','window'))
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE)/1e10 AS bm25
+         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "q194_index_append" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

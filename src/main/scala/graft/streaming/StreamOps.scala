@@ -231,6 +231,36 @@ object StreamOps {
   }
 
   /** The streaming query wiring for [[upsertBatch]]. */
+  /** Streaming search-index maintenance: each micro-batch of
+    * documents becomes posting rows (`InvertedIndex.build`) written
+    * into its OWN `batch=<id>` directory with overwrite semantics —
+    * so a retried batch replaces its previous attempt instead of
+    * double-counting term frequencies, turning `foreachBatch`'s
+    * at-least-once delivery into an exactly-once index effect. Per-
+    * document posting rows are disjoint across documents, so after N
+    * batches the directory reads back (drop the `batch` partition
+    * column) as EXACTLY `InvertedIndex.build` over everything
+    * ingested — the streaming twin of [[graft.operators.InvertedIndex
+    * .appendPostings]], inheriting its exact-rebuild guarantee. The
+    * caller's source must partition documents across batches
+    * (re-delivering a document in two DIFFERENT batches would
+    * duplicate its rows — the same id-disjointness contract as the
+    * batch append).
+    */
+  def postingsSink(docs: DataFrame, indexDir: String, idName: String,
+                   textName: String, checkpointDir: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.operators.InvertedIndex.build(batch, idName, col(textName))
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$bid")
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   def upsertSink(updates: DataFrame, targetDir: String, key: String,
                  versionCol: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

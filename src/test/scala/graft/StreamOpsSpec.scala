@@ -39,6 +39,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exists(_._2 == "error"))
   }
 
+  test("postingsSink accumulates an index equal to the batch build") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamidx_spec").toString
+    val q = StreamOps.postingsSink(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", s"$dir/ckpt")
+    input.addData(Seq((1L, "a b a c"), (2L, "b c")))
+    q.processAllAvailable()
+    input.addData(Seq((3L, "a a a"), (4L, "c d")))
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq((1L, "a b a c"), (2L, "b c"), (3L, "a a a"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "tf", "positions")
+        .as[(String, Long, Long, String)].collect().toSet
+    val streamed = spark.read.parquet(s"$dir/idx")
+    assert(streamed.select("batch").distinct().count() == 2,
+      "two micro-batches should land in two index dirs")
+    assert(rows(streamed.drop("batch")) ==
+      rows(graft.operators.InvertedIndex.build(all, "doc_id", col("text"))))
+    // retry idempotence: re-writing a batch's directory replaces it —
+    // the sink's overwrite mode, simulated directly
+    graft.operators.InvertedIndex.build(
+        Seq((1L, "a b a c"), (2L, "b c")).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .write.mode("overwrite").parquet(s"$dir/idx/batch=0")
+    assert(rows(spark.read.parquet(s"$dir/idx").drop("batch")) ==
+      rows(graft.operators.InvertedIndex.build(all, "doc_id", col("text"))))
+  }
+
   test("dedupStream drops within-watermark duplicates across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
