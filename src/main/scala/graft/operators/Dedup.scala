@@ -200,11 +200,15 @@ object Dedup {
     * The archive contributes exactly its two persisted relations and
     * is touched by nothing else: the banded-signature table
     * ([[minhashBands]] — `bands` longs per historical doc) keyed by
-    * the batch's rep bands, and the shingle-set relation probed only
-    * for the candidates that survive banding. The archive is never
+    * the batch's rep bands, and the shingle-set relation joined only
+    * against the candidates that survive banding (a candidate-sized
+    * broadcast join — the scan is one linear read of the shingle
+    * relation, its OUTPUT candidate-sized; an id-bucketed archive
+    * layout would prune the read too). The archive is never
     * re-shingled, re-signed, re-banded, or self-joined — per batch
-    * the work is O(batch + collisions), which is what keeps a
-    * continuously-fed 100 TB corpus affordable. Both archive
+    * the CPU work is O(batch + collisions) plus that one stored-
+    * relation scan, which is what keeps a continuously-fed 100 TB
+    * corpus affordable. Both archive
     * relations carry provenance metadata (shingle width; k/bands) and
     * mismatched parameters are rejected loudly. Exact-duplicate
     * clusters inside the batch contract to representatives before any
