@@ -270,11 +270,25 @@ object Multimodal {
     * the cost is bucketed by hash, never all-pairs — then a keyed
     * pair count. Returns (id_a, id_b, n_shared), id_a < id_b.
     */
-  def videoNearDups(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
-    require(minShared >= 1)
+  def videoNearDups(frameHashes: DataFrame, minShared: Int = 2,
+                    maxFrameFreq: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1 && maxFrameFreq >= 1)
     val fsets = frameHashes.select(col("media_id"), col("h1"), col("h2"))
       .distinct()
-    fsets.as("l").join(fsets.as("r"),
+    // stop-fingerprint cap (the maxShingleFreq discipline): a frame
+    // fingerprint present in more than `maxFrameFreq` videos — black
+    // frames, title cards, boilerplate intros — is evidence of
+    // NOTHING and would make its bucket quadratically hot; dropping
+    // it changes semantics the same documented way stop-shingles do
+    val eligible =
+      if (maxFrameFreq == Long.MaxValue) fsets
+      else fsets.join(
+        fsets.groupBy(col("h1"), col("h2"))
+          .agg(count(lit(1)).as("__vf"))
+          .filter(col("__vf") <= maxFrameFreq)
+          .select(col("h1"), col("h2")),
+        Seq("h1", "h2"), "left_semi")
+    eligible.as("l").join(eligible.as("r"),
         col("l.h1") === col("r.h1") && col("l.h2") === col("r.h2") &&
           col("l.media_id") < col("r.media_id"))
       .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
@@ -297,30 +311,43 @@ object Multimodal {
 
   /** The banded hamming join itself, generic over any (media_id, h1,
     * h2) fingerprint relation — images ([[imageHashes]]) and audio
-    * ([[audioHashes]]) share it.
+    * ([[audioHashes]]) share it. Identical fingerprints CONTRACT to
+    * one representative before the band self-join (the family-wide
+    * `Dedup.contractBy` discipline): a clone-heavy media corpus —
+    * the normal case at crawl scale — would otherwise make every
+    * band of the clone cluster quadratically hot. Expansion restores
+    * member pairs (intra-cluster pairs are hamming 0), so the output
+    * is IDENTICAL to the uncontracted join.
     */
   def hammingNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding is complete only for hamming <= 3, got $maxHamming")
+    val keyed = hashes.select(col("media_id").as("id"),
+      struct(col("h1"), col("h2")).as("hk"))
+    val (groups, members) = Dedup.contractBy(keyed, "id", "hk")
+    val reps = groups.select(col("rid").as("id"),
+      col("hk.h1").as("h1"), col("hk.h2").as("h2"))
     val mask = lit(0xFFFFL)
-    val banded = hashes.select(col("media_id"), col("h1"), col("h2"),
+    val banded = reps.select(col("id"), col("h1"), col("h2"),
       explode(array(
         struct(lit(0).as("band"), col("h1").bitwiseAND(mask).as("bv")),
         struct(lit(1).as("band"), shiftright(col("h1"), 16).bitwiseAND(mask).as("bv")),
         struct(lit(2).as("band"), col("h2").bitwiseAND(mask).as("bv")),
         struct(lit(3).as("band"), shiftright(col("h2"), 16).bitwiseAND(mask).as("bv"))
       )).as("b"))
-      .select(col("media_id"), col("h1"), col("h2"),
+      .select(col("id"), col("h1"), col("h2"),
         col("b.band").as("band"), col("b.bv").as("bv"))
     val hamming = (bit_count(col("l.h1").bitwiseXOR(col("r.h1"))) +
       bit_count(col("l.h2").bitwiseXOR(col("r.h2")))).cast("int")
-    banded.as("l").join(banded.as("r"),
+    val repPairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-          col("l.media_id") < col("r.media_id"))
-      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    Dedup.expandPairs(repPairs, members,
+      intraValue = lit(0), valueName = "hamming")
   }
 
   private def channelSums(rgb: Array[Byte]): (Long, Long, Long) = {

@@ -84,6 +84,26 @@ class PipelineSpec extends SparkSpec {
       .filter(col("hamming") <= 3)
       .as[(Long, Long, Int)].collect().toSet
     assert(banded == brute)
+    // clone storm: every fingerprint duplicated under a shifted id —
+    // the contraction path must equal the (now intra-heavy) brute
+    // join, clones pairing at hamming 0
+    val doubled = hashes.unionByName(
+      hashes.select((col("media_id") + 1000000L).as("media_id"),
+        col("h1"), col("h2")))
+    val bandedD = Multimodal.hammingNearDups(doubled, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val ld = doubled.select(col("media_id").as("id_a"), col("h1").as("a1"),
+      col("h2").as("a2"))
+    val rd = doubled.select(col("media_id").as("id_b"), col("h1").as("b1"),
+      col("h2").as("b2"))
+    val bruteD = ld.join(rd, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bandedD == bruteD)
+    assert(bandedD.exists { case (a, b, h) => h == 0 && b == a + 1000000L })
   }
 
   test("perceptual audio hash: known energy envelope and brute equality") {
@@ -131,6 +151,19 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expect)
     assert(got.nonEmpty, "fixture should plant videos with shared frames")
+    // stop-fingerprint cap: frames present in more videos than the cap
+    // carry no pairing evidence — equality with the filtered recompute
+    val freq = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.size.toLong }
+    val cap = 3L
+    val expectCapped = (for {
+      i <- ids; jd <- ids if i < jd
+      n = (sets(i) intersect sets(jd)).count(h => freq(h) <= cap) if n >= 2
+    } yield (i, jd, n.toLong)).toSet
+    val gotCapped = Multimodal.videoNearDups(fh, minShared = 2,
+        maxFrameFreq = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotCapped == expectCapped)
   }
 
   test("multimodal resize and frame sampling keep the batch contract") {
