@@ -322,8 +322,14 @@ object Multimodal {
   def hammingNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding is complete only for hamming <= 3, got $maxHamming")
+    // one fingerprint row per media item — tiny, but derived from the
+    // DECODE pass; materialize so the contraction probe, the rep
+    // relation, and the band/verify consumers all read the cache
+    // instead of re-decoding the corpus per consumer
     val keyed = hashes.select(col("media_id").as("id"),
       struct(col("h1"), col("h2")).as("hk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyed.count()
     val (groups, members) = Dedup.contractBy(keyed, "id", "hk")
     val reps = groups.select(col("rid").as("id"),
       col("hk.h1").as("h1"), col("hk.h2").as("h2"))
