@@ -739,6 +739,34 @@ object Dedup {
     }
   }
 
+  /** Build-once persisted exact-pair artifact — the same discipline
+    * as the shingle and cluster-label artifacts, one level up: the
+    * Jaccard-threshold pair relation is a pure function of (corpus,
+    * n, threshold, maxShingleFreq) and is the standing state of a
+    * continuous dedup pipeline (envelope oracles key on it, cluster
+    * maintenance folds batches into it, reporting reads it). The
+    * parameter tuple rides the path AND a verified sidecar, exactly
+    * like [[ensureClusterLabels]] — a renamed directory cannot serve
+    * pairs computed under different parameters.
+    */
+  def ensureJaccardPairs(docs: DataFrame, idName: String, textName: String,
+                         n: Int, threshold: Double, maxShingleFreq: Long,
+                         path: String,
+                         shingles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val full = s"$path-n$n-t${(threshold * 1e6).toLong}-f$maxShingleFreq"
+    val meta = Map("kind" -> "jaccard-pairs", "n" -> n.toString,
+      "threshold" -> threshold.toString,
+      "maxShingleFreq" -> maxShingleFreq.toString)
+    def ok(p: String) = Artifact.complete(p) && Artifact.metaMatches(p, meta)
+    Artifact.ensure(full, ok) { tmp =>
+      jaccardPairs(docs, idName, textName, n, threshold, maxShingleFreq,
+        shingles).write.mode("overwrite").parquet(tmp)
+      Artifact.writeMeta(tmp, meta)
+    }
+    spark.read.parquet(full)
+  }
+
   /** Build-once persisted cluster-label artifact (the
     * `Similarity.ensureIvfIndex` pattern applied to dedup): the
     * jaccard-cluster label relation `(id, canonical_id)` is a pure
