@@ -3279,6 +3279,42 @@ object SparkEntry {
     // oracle: DuckDB rebuilds each 16-bit signed sample from the
     // source bytes (the q124 reconstruction), then every hash bit and
     // partner count.
+    // ---------------- sketch set algebra: HLL distinct intersection ----------------
+    // "How many keys are in BOTH segments" at sketch cost: HLL can
+    // union but not intersect, so the estimate is inclusion-exclusion
+    // (est_A + est_B − est_A∪B) — three parameter-sized sketches, no
+    // exact distinct over the fact table needed at data scale. The
+    // compounded error has no tight a-priori bound, so the envelope
+    // pins a GENEROUS one (each estimate within 10% of exact; the
+    // intersection within 10% of the larger segment) — the q91/q105
+    // pattern: rows keyed on the DuckDB-recomputable exact
+    // cardinalities, verdict booleans pinned TRUE. The exact columns
+    // exist to KEY the oracle; a 100 TB run keeps only the sketches.
+    "q196_hll_intersection" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      val a = li.filter(col("l_shipmode") === "AIR")
+        .select(col("l_partkey").as("k"))
+      val b = li.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("k"))
+      val skA = a.agg(hll_sketch_agg(col("k")).as("sa"),
+        countDistinct(col("k")).as("n_a"))
+      val skB = b.agg(hll_sketch_agg(col("k")).as("sb"),
+        countDistinct(col("k")).as("n_b"))
+      val exact = a.intersect(b).agg(count(lit(1)).as("n_inter"))
+        .crossJoin(a.unionByName(b).agg(countDistinct(col("k")).as("n_union")))
+      val estA = hll_sketch_estimate(col("sa"))
+      val estB = hll_sketch_estimate(col("sb"))
+      val estU = hll_sketch_estimate(hll_union(col("sa"), col("sb")))
+      val estI = estA + estB - estU
+      skA.crossJoin(skB).crossJoin(exact)
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+          (abs(estA - col("n_a")) <= col("n_a") * 0.1).as("a_ok"),
+          (abs(estB - col("n_b")) <= col("n_b") * 0.1).as("b_ok"),
+          (abs(estU - col("n_union")) <= col("n_union") * 0.1).as("union_ok"),
+          (abs(estI - col("n_inter")) <=
+            greatest(col("n_a"), col("n_b")) * 0.1).as("inter_ok"))
+    }),
+
     // ---------------- incremental search-index append ----------------
     // The retrieval member of the incremental family, and the one
     // whose append is EXACT by construction: posting rows are
@@ -4496,6 +4532,19 @@ object SparkEntry {
                / CAST(4503599627370496 AS DOUBLE)
              < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
          ORDER BY doc_id""",
+    "q196_hll_intersection" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                    WHERE l_shipmode = 'AIR'),
+         b AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+               WHERE l_returnflag = 'R')
+         SELECT
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM
+             (SELECT k FROM a UNION SELECT k FROM b)) AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM
+             (SELECT k FROM a INTERSECT SELECT k FROM b)) AS BIGINT) AS n_inter,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok""",
     "q195_stream_index" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
