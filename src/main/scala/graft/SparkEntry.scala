@@ -724,10 +724,32 @@ object SparkEntry {
         SelfCheck.note(s"k-bound (≤3 per id), no self-pairs, and all " +
           s"${knn.count()} reported cosines match exact recomputation")
       }
-      // 8-bit bands (32 sig bits / 4 bands): ~n/256 per bucket, so the
-      // candidate self-join stays near-linear instead of n²/16
-      Similarity.knnJoin(t(s, dir).embeddings, "vec_id", "embedding", k = 3,
-        numBits = 32, bands = 4)
+      // FULL-oracle envelope (the q34 pattern generalized to a JOIN):
+      // hashed rows are the EXACT top-3 for a deterministic 1-in-50
+      // audit sample of query ids (DuckDB-recomputable — one broadcast
+      // batch scan, linear in the corpus), with the LSH join's recall
+      // over that sample pinned >= 10% as a plan-fused verdict
+      // (measured 20-30% at every SF on these weakly-clustered
+      // synthetic vectors — ≥2× margin). The full banded knnJoin still
+      // executes on every run — it feeds the verdict — so the bench
+      // keeps measuring the operator itself.
+      // 8-bit bands (64 sig bits / 8 bands): ~n/256 per bucket keeps
+      // the candidate self-join near-linear; 8 bands instead of 4
+      // doubles the recall at the same per-bucket size.
+      val emb = t(s, dir).embeddings
+      val ann = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
+        numBits = 64, bands = 8)
+      val exact = Similarity.bruteTopKBatch(
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", 3)
+      val annSample = ann.filter(col("id") % 50 === 0)
+        .select(col("id").as("query_id"), col("nn_id"), lit(1).as("__hit"))
+      val verdict = exact.select(col("query_id"), col("nn_id"))
+        .join(annSample, Seq("query_id", "nn_id"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
+          >= count(lit(1)).cast("double") * 0.1).as("ann_recall_ok"))
+      exact.crossJoin(broadcast(verdict))
+        .select(col("query_id").as("id"), col("nn_id"), col("cosine"),
+          col("ann_recall_ok"))
         .orderBy(col("id"), col("cosine").desc, col("nn_id"))
     }),
 
@@ -1512,11 +1534,27 @@ object SparkEntry {
         SelfCheck.note(s"k-bound (≤3 per query), no side leaks across the " +
           s"query/corpus split, all ${knn.count()} cosines match exact recomputation")
       }
+      // FULL-oracle envelope (q36's pattern; here the probe batch IS
+      // the whole query side, so nothing is sampled): hashed rows are
+      // the exact top-3 per probe vector (one broadcast batch scan),
+      // the banded retrieval's recall over them pinned >= 10% as a
+      // plan-fused verdict (measured 27-33% at every SF) computed from
+      // the crossKnnJoin that still executes on every run.
       val emb = t(s, dir).embeddings
-      Similarity.crossKnnJoin(
-        emb.filter(col("vec_id") % 100 === 0),
-        emb.filter(col("vec_id") % 100 =!= 0),
-        "vec_id", "embedding", k = 3, numBits = 32, bands = 4)
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+      val ann = Similarity.crossKnnJoin(probes, corpus,
+        "vec_id", "embedding", k = 3, numBits = 64, bands = 8)
+      val exact = Similarity.bruteTopKBatch(probes, corpus,
+        "vec_id", "embedding", 3)
+      val verdict = exact.select(col("query_id"), col("nn_id"))
+        .join(ann.select(col("query_id"), col("nn_id"), lit(1).as("__hit")),
+          Seq("query_id", "nn_id"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
+          >= count(lit(1)).cast("double") * 0.1).as("ann_recall_ok"))
+      exact.crossJoin(broadcast(verdict))
+        .select(col("query_id"), col("nn_id"), col("cosine"),
+          col("ann_recall_ok"))
         .orderBy(col("query_id"), col("cosine").desc, col("nn_id"))
     }),
 
@@ -3292,10 +3330,10 @@ object SparkEntry {
     // exist to KEY the oracle; a 100 TB run keeps only the sketches.
     "q196_hll_intersection" -> ((s, dir) => {
       val li = t(s, dir).lineitem
-      val a = li.filter(col("l_shipmode") === "AIR")
-        .select(col("l_partkey").as("k"))
+      val a = li.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("k"))
       val b = li.filter(col("l_returnflag") === "R")
-        .select(col("l_partkey").as("k"))
+        .select(col("l_orderkey").as("k"))
       val skA = a.agg(hll_sketch_agg(col("k")).as("sa"),
         countDistinct(col("k")).as("n_a"))
       val skB = b.agg(hll_sketch_agg(col("k")).as("sb"),
@@ -3983,6 +4021,44 @@ object SparkEntry {
            TRUE AS ann_recall_ok
          FROM embeddings e, q WHERE e.vec_id <> 0
          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // KNN-join envelope: exact top-3 for the 1-in-50 audit sample of
+    // query ids, the banded join's sample recall pinned TRUE
+    "q36_knn_join" ->
+      """WITH s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id % 50 = 0),
+         d AS (
+           SELECT s.qid, e.vec_id AS nn_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(s.qe AS DOUBLE[])), 6) AS cosine
+           FROM s, embeddings e WHERE e.vec_id <> s.qid),
+         r AS (
+           SELECT qid, nn_id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nn_id) AS rn
+           FROM d)
+         SELECT CAST(qid AS BIGINT) AS id, CAST(nn_id AS BIGINT) AS nn_id,
+           cosine, TRUE AS ann_recall_ok
+         FROM r WHERE rn <= 3 ORDER BY id, cosine DESC, nn_id""",
+    // cross-KNN envelope: exact top-3 per probe vector over the corpus
+    // side, the banded retrieval's recall pinned TRUE
+    "q88_cross_knn" ->
+      """WITH s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 100 <> 0),
+         d AS (
+           SELECT s.qid, c.vec_id AS nn_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(s.qe AS DOUBLE[])), 6) AS cosine
+           FROM s, c),
+         r AS (
+           SELECT qid, nn_id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nn_id) AS rn
+           FROM d)
+         SELECT CAST(qid AS BIGINT) AS query_id, CAST(nn_id AS BIGINT) AS nn_id,
+           cosine, TRUE AS ann_recall_ok
+         FROM r WHERE rn <= 3 ORDER BY query_id, cosine DESC, nn_id""",
     // IVF envelope: same exact top-10, the pruned-scan recall floor
     // pinned TRUE
     "q50_ivf_topk" ->
@@ -4355,12 +4431,14 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
            FROM w)
          SELECT doc_id, n_tok,
-           round(CAST(1 AS DOUBLE) / 4 * n * n_tok / tw, 6) AS p_keep
+           round(least(CAST(1 AS DOUBLE),
+             CAST(1 AS DOUBLE) / 4 * n * n_tok / tw), 6) AS p_keep
          FROM w, t
          WHERE tw > 0
            AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
                / CAST(4503599627370496 AS DOUBLE)
-             < CAST(1 AS DOUBLE) / 4 * n * n_tok / tw
+             < least(CAST(1 AS DOUBLE),
+                 CAST(1 AS DOUBLE) / 4 * n * n_tok / tw)
          ORDER BY doc_id""",
     "q185_cdc_chunks" ->
       """WITH toks AS (
@@ -4525,17 +4603,19 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
            FROM sv)
          SELECT doc_id, lang, n_tok,
-           round(CAST(1 AS DOUBLE) / 2 * n * n_tok / tw, 6) AS p_keep
+           round(least(CAST(1 AS DOUBLE),
+             CAST(1 AS DOUBLE) / 2 * n * n_tok / tw), 6) AS p_keep
          FROM sv, t
          WHERE tw > 0
            AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
                / CAST(4503599627370496 AS DOUBLE)
-             < CAST(1 AS DOUBLE) / 2 * n * n_tok / tw
+             < least(CAST(1 AS DOUBLE),
+                 CAST(1 AS DOUBLE) / 2 * n * n_tok / tw)
          ORDER BY doc_id""",
     "q196_hll_intersection" ->
-      """WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem
-                    WHERE l_shipmode = 'AIR'),
-         b AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+      """WITH a AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                    WHERE l_quantity >= 45),
+         b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
                WHERE l_returnflag = 'R')
          SELECT
            CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
@@ -4597,12 +4677,14 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
            FROM w GROUP BY lang)
          SELECT w.doc_id, w.lang, w.n_tok,
-           round(CAST(1 AS DOUBLE) / 4 * n * n_tok / tw, 6) AS p_keep
-         FROM w JOIN t ON w.lang = t.lang
+           round(least(CAST(1 AS DOUBLE),
+             CAST(1 AS DOUBLE) / 4 * n * n_tok / tw), 6) AS p_keep
+         FROM w JOIN t ON w.lang IS NOT DISTINCT FROM t.lang
          WHERE tw > 0
            AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
                / CAST(4503599627370496 AS DOUBLE)
-             < CAST(1 AS DOUBLE) / 4 * n * n_tok / tw
+             < least(CAST(1 AS DOUBLE),
+                 CAST(1 AS DOUBLE) / 4 * n * n_tok / tw)
          ORDER BY doc_id""",
     "q192_video_neardups" ->
       """WITH src AS (

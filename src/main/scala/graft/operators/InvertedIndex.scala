@@ -42,14 +42,26 @@ object InvertedIndex {
     * archive (fixed hash parameters) only approximate: per-document
     * index state has no globally-trained component at all. Batch and
     * archive id spaces must be disjoint (a re-ingested id would
-    * double-count its term frequencies); not crash-atomic — run
+    * double-count its term frequencies) — ENFORCED with a loud
+    * rejection before any file is written, the requireShingleN /
+    * requireBandParams discipline: one semi-join against the archived
+    * ids, short-circuited at the first overlap (a build-time step, so
+    * the extra job is off every query path). Not crash-atomic — run
     * inside the caller's publish step (an [[Artifact.ensure]] build),
     * like every other append here.
     */
   def appendPostings(indexPath: String, newDocs: DataFrame,
-                     idName: String, text: Column): Unit =
+                     idName: String, text: Column): Unit = {
+    val archivedIds = newDocs.sparkSession.read.parquet(indexPath)
+      .select(col(idName)).distinct()
+    val clash = newDocs.select(col(idName))
+      .join(archivedIds, Seq(idName), "left_semi").limit(1).collect()
+    require(clash.isEmpty,
+      s"appendPostings: batch re-ingests archived $idName " +
+        s"${clash.head.get(0)} — id spaces must be disjoint")
     build(newDocs, idName, text)
       .write.mode("append").parquet(indexPath)
+  }
 
   /** Document frequency per term — the index's dictionary. */
   def dictionary(postings: DataFrame, idName: String): DataFrame =

@@ -41,7 +41,12 @@ object Mixing {
     * — a deterministic Poisson sample whose EXPECTED size is
     * `fracNum/fracDen` of the corpus and whose inclusion odds scale
     * with a per-ROW weight (quality score, token count, dedup-cluster
-    * mass). The per-row continuous weight is what
+    * mass). The clamp at 1 means the expected size is exactly
+    * `fracNum/fracDen` of the corpus only while no row saturates;
+    * saturated rows (always kept, p_keep = 1) shave the expectation
+    * below the target — callers weighting by 1/p_keep
+    * (Horvitz–Thompson) stay unbiased either way because p_keep is
+    * a true probability. The per-row continuous weight is what
     * [[stratifiedSample]]'s per-stratum constants and
     * [[tokenBudgetSample]]'s hard budgets can't express: e.g. weight
     * = token count makes every TOKEN equally likely to survive, the
@@ -70,9 +75,10 @@ object Mixing {
       sum(weight.cast("long")).as("__tw"), count(lit(1)).as("__n"))
     val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
-    val p = lit(fracNum.toDouble) / lit(fracDen.toDouble) *
-      col("__n").cast("double") * weight.cast("long").cast("double") /
-      col("__tw").cast("double")
+    val p = least(lit(1.0),
+      lit(fracNum.toDouble) / lit(fracDen.toDouble) *
+        col("__n").cast("double") * weight.cast("long").cast("double") /
+        col("__tw").cast("double"))
     docs.crossJoin(broadcast(totals))
       .filter(col("__tw") > 0L)
       .withColumn("p_keep", p)
@@ -88,7 +94,9 @@ object Mixing {
     * docs", the grouped form the global normalizer can't express
     * (a token-heavy language would otherwise eat the whole budget).
     * Same engine-exact determinism contract; the totals relation is
-    * group-cardinality-sized and broadcasts.
+    * group-cardinality-sized and broadcasts. The totals join is
+    * null-SAFE: rows with a NULL group form their own stratum and
+    * are sampled like any other, never silently dropped.
     */
   def weightedSamplePerGroup(docs: DataFrame, key: Column, group: Column,
                              weight: Column, fracNum: Int,
@@ -98,10 +106,11 @@ object Mixing {
       .agg(sum(weight.cast("long")).as("__tw"), count(lit(1)).as("__n"))
     val u = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
-    val p = lit(fracNum.toDouble) / lit(fracDen.toDouble) *
-      col("__n").cast("double") * weight.cast("long").cast("double") /
-      col("__tw").cast("double")
-    docs.join(broadcast(totals), group === col("__grp"))
+    val p = least(lit(1.0),
+      lit(fracNum.toDouble) / lit(fracDen.toDouble) *
+        col("__n").cast("double") * weight.cast("long").cast("double") /
+        col("__tw").cast("double"))
+    docs.join(broadcast(totals), group <=> col("__grp"))
       .filter(col("__tw") > 0L)
       .withColumn("p_keep", p)
       .filter(u < col("p_keep"))

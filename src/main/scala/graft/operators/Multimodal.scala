@@ -160,7 +160,12 @@ object Multimodal {
     media.as[MediaRow].filter(_.kind == "image").mapPartitions { it =>
       it.map { r =>
         val (w, h, rgb) = MediaCodec.decodeBmp(r.payload)
-        val n = w.toLong * h
+        // bound the loop by the DECODED array, not the header's w*h:
+        // rgb.length = 3*w*h is proven by the codec's size require, and
+        // an Int bound keeps the index arithmetic overflow-free even
+        // against an adversarial header
+        require(rgb.length == 3L * w * h, s"decoded size mismatch ${w}x$h")
+        val n = rgb.length / 3
         val bs = new Array[Long](64)
         val bn = new Array[Long](64)
         var tot = 0L
@@ -237,7 +242,9 @@ object Multimodal {
       it.flatMap { r =>
         MediaCodec.decodeBmpVideo(r.payload).zipWithIndex.map {
           case ((w, h, rgb), f) =>
-            val n = w.toLong * h
+            // same decoded-array bound discipline as [[imageHashes]]
+            require(rgb.length == 3L * w * h, s"decoded size mismatch ${w}x$h")
+            val n = rgb.length / 3
             val bs = new Array[Long](64)
             val bn = new Array[Long](64)
             var tot = 0L

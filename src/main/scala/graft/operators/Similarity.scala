@@ -33,6 +33,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine top-k for EVERY query row against the corpus — the
+    * audit exact side behind the KNN-join envelopes ([[knnJoin]] /
+    * [[crossKnnJoin]] recall verdicts): |queries| is a deterministic
+    * sample or a serving batch, so the cost is one corpus scan with a
+    * BROADCAST query table — linear in the corpus, never the
+    * corpus-quadratic brute self-join. Deterministic order inside each
+    * query's ranking: ROUNDED cosine desc, nn_id asc — ranking on the
+    * rounded value is what makes the cut cross-engine-stable (a
+    * last-ulp float divergence cannot reorder rows that the tie-break
+    * already orders identically).
+    */
+  def bruteTopKBatch(queries: DataFrame, corpus: DataFrame, idName: String,
+                     vecName: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val qs = queries.select(col(idName).as("query_id"), col(vecName).as("__qv"))
+    val c = corpus.select(col(idName).as("nn_id"), col(vecName).as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    c.crossJoin(broadcast(qs))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", round(VecFns.cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nn_id"), col("cosine"))
+  }
+
   /** ANN top-k via hyperplane-signature pruning + exact re-rank.
     * `probeHamming` widens recall (0 = same bucket only).
     */
