@@ -3353,6 +3353,36 @@ object SparkEntry {
             greatest(col("n_a"), col("n_b")) * 0.1).as("inter_ok"))
     }),
 
+    // ---------------- SQ8 scalar-quantized similarity (FULL oracle, bit-exact) ----------------
+    // The fourth ANN tier, and the only one that needs NO recall
+    // envelope: per-dimension symmetric int8 quantization (scale_d =
+    // corpus max|x_d|, code = round(x·127/scale)) and an EXACT int64
+    // dot-product ranking over the codes. Every step is either a
+    // single correctly-rounded IEEE op on shared doubles or integer
+    // arithmetic, so DuckDB reproduces scores bit-for-bit — no
+    // 6-decimal coarsening anywhere. At data scale the code column is
+    // the persisted artifact: the ranking scan reads 1/4 the bytes of
+    // the float vectors (the memory-bandwidth play), with the float
+    // tier kept cold for optional re-rank.
+    "q197_sq8_topk" -> ((s, dir) => {
+      Similarity.sq8TopK(t(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // ---------------- contrastive hard-negative mining (FULL oracle) ----------------
+    // The training-pipeline retrieval shape contrastive learners need:
+    // for each probe, the top-3 highest-cosine corpus vectors with a
+    // DIFFERENT label ("close in embedding space, wrong class").
+    // Exact over the probe batch — broadcast probes × one corpus scan
+    // (linear; the q36/q88 batch geometry), ranked on the rounded
+    // cosine for a cross-engine-stable cut.
+    "q198_negative_mining" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      Similarity.negativeMining(emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("cosine").desc, col("nn_id"))
+    }),
+
     // ---------------- incremental search-index append ----------------
     // The retrieval member of the incremental family, and the one
     // whose append is EXACT by construction: posting rows are
@@ -4625,6 +4655,43 @@ object SparkEntry {
            CAST((SELECT count(*) FROM
              (SELECT k FROM a INTERSECT SELECT k FROM b)) AS BIGINT) AS n_inter,
            TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok""",
+    // SQ8: replay the quantization (round is half-away-from-zero in
+    // both engines) and the integer dot product — bit-exact, no
+    // rounding coarsening
+    "q197_sq8_topk" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                  ELSE 0 END AS code
+           FROM d JOIN m ON d.dim = m.dim),
+         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
+         SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
+         FROM c JOIN q ON c.dim = q.dim
+         WHERE c.vec_id <> 0
+         GROUP BY c.vec_id
+         ORDER BY qscore DESC, c.vec_id LIMIT 10""",
+    "q198_negative_mining" ->
+      """WITH s AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         d AS (
+           SELECT s.qid, e.vec_id AS nn_id, e.label AS neg_label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(s.qe AS DOUBLE[])), 6) AS cosine
+           FROM s, embeddings e
+           WHERE e.vec_id <> s.qid AND e.label <> s.ql),
+         r AS (
+           SELECT qid, nn_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nn_id) AS rn
+           FROM d)
+         SELECT CAST(qid AS BIGINT) AS query_id, CAST(nn_id AS BIGINT) AS nn_id,
+           neg_label, cosine
+         FROM r WHERE rn <= 3 ORDER BY query_id, cosine DESC, nn_id""",
     "q195_stream_index" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

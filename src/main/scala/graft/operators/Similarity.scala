@@ -745,4 +745,90 @@ object Similarity {
           .select(col("mid").as(idName), col("cid"))
     }
   }
+
+  // ================= SQ8 scalar quantization =================
+
+  /** Per-dimension symmetric scales for int8 scalar quantization:
+    * scale_d = max(|x_d|) over the corpus. One posexplode + keyed max
+    * — dim-sized driver state (the centroid/codebook discipline).
+    */
+  def sq8Scales(embeddings: DataFrame, vecName: String): Array[Double] = {
+    val rows = embeddings
+      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
+      .orderBy(col("dim")).collect()
+    require(rows.nonEmpty, "sq8Scales over an empty corpus")
+    rows.map(_.getDouble(1))
+  }
+
+  /** Quantize a vector column to int8 codes (as longs) with the given
+    * per-dimension scales: q_d = round(x_d · 127 / scale_d), a
+    * zero-scale dimension (constant 0 across the corpus) coding to 0.
+    * Engine-exact: x·127 and /scale are single correctly-rounded IEEE
+    * ops on the same doubles in any engine, and round() is
+    * half-away-from-zero in both Spark and DuckDB — so the codes, and
+    * every INTEGER dot product over them, are bit-identical
+    * cross-engine with no 6-decimal coarsening needed.
+    */
+  def sq8Quantize(vec: Column, scales: Array[Double]): Column =
+    zip_with(vec.cast("array<double>"), typedlit(scales), (x, m) =>
+      when(m > 0.0, round(x * lit(127.0) / m, 0)).otherwise(lit(0.0)))
+      .cast("array<long>")
+
+  /** SQ8 top-k: rank the corpus by the EXACT int64 dot product of
+    * int8 codes against the quantized query — the memory-bandwidth
+    * play at data scale (the scan reads 1/4 the vector bytes; at
+    * 100 TB the code column is the persisted artifact and the float
+    * vectors stay cold). The ranking is exact integer arithmetic over
+    * deterministically-derived codes, so unlike the LSH/IVF/PQ tiers
+    * this tier needs no recall envelope: a SQL engine reproduces the
+    * result bit-for-bit. Deterministic order: score desc, id asc.
+    */
+  def sq8TopK(embeddings: DataFrame, idName: String, vecName: String,
+              queryId: Long, k: Int): DataFrame = {
+    val scales = sq8Scales(embeddings, vecName)
+    val qCodes = embeddings.filter(col(idName) === queryId)
+      .select(sq8Quantize(col(vecName), scales).as("q"))
+      .head().getSeq[Long](0).toArray
+    val score = aggregate(
+      zip_with(sq8Quantize(col(vecName), scales), typedlit(qCodes),
+        (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    embeddings.filter(col(idName) =!= queryId)
+      .select(col(idName), score.as("qscore"))
+      .orderBy(col("qscore").desc, col(idName).asc)
+      .limit(k)
+  }
+
+  // ================= hard-negative mining =================
+
+  /** Contrastive hard-negative mining: for every probe vector, the
+    * top-k highest-cosine corpus vectors with a DIFFERENT label — the
+    * "close in embedding space, wrong class" rows a contrastive
+    * trainer wants as negatives. Exact over the probe batch via the
+    * [[bruteTopKBatch]] shape (broadcast probes × one corpus scan,
+    * linear in the corpus — the serving-batch geometry, never a
+    * corpus self-join); ranking on the ROUNDED cosine keeps the cut
+    * cross-engine-stable. Probes whose label is NULL match nothing
+    * (no negatives defined for an unlabeled probe).
+    */
+  def negativeMining(probes: DataFrame, corpus: DataFrame, idName: String,
+                     vecName: String, labelName: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val qs = probes.select(col(idName).as("query_id"),
+      col(vecName).as("__qv"), col(labelName).as("__ql"))
+    val c = corpus.select(col(idName).as("nn_id"),
+      col(vecName).as("__cv"), col(labelName).as("__cl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    c.crossJoin(broadcast(qs))
+      .filter(col("nn_id") =!= col("query_id"))
+      .filter(col("__cl") =!= col("__ql"))
+      .withColumn("cosine", round(VecFns.cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("nn_id"),
+        col("__cl").as("neg_label"), col("cosine"))
+  }
 }

@@ -415,6 +415,62 @@ class SimilaritySpec extends SparkSpec {
     assert(a.forall(_._2.forall(c => c >= 0 && c < 16)))
   }
 
+  test("SQ8 codes are int8-bounded and reconstruct within one step") {
+    val scales = Similarity.sq8Scales(emb, "embedding")
+    assert(scales.forall(_ >= 0.0))
+    val rows = emb.select(
+      Similarity.sq8Quantize(col("embedding"), scales).as("c"),
+      col("embedding").cast("array<double>").as("x")).collect()
+    for (r <- rows) {
+      val c = r.getSeq[Long](0); val x = r.getSeq[Double](1)
+      c.indices.foreach { d =>
+        assert(math.abs(c(d)) <= 127, s"code out of int8 range: ${c(d)}")
+        if (scales(d) > 0)
+          assert(math.abs(c(d) * scales(d) / 127.0 - x(d)) <=
+            scales(d) / 127.0 + 1e-12)
+      }
+    }
+  }
+
+  test("SQ8 top-k equals an explode-join recomputation; repartition-invariant") {
+    val got = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    val scales = Similarity.sq8Scales(emb, "embedding")
+    val codes = emb.select(col("vec_id"),
+      posexplode(Similarity.sq8Quantize(col("embedding"), scales))
+        .as(Seq("dim", "code")))
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("dim"), col("code").as("qc"))
+    val ref = codes.filter(col("vec_id") =!= 0).join(q, "dim")
+      .groupBy("vec_id").agg(sum(col("code") * col("qc")).as("qscore"))
+      .orderBy(col("qscore").desc, col("vec_id")).limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == ref)
+    val got2 = Similarity.sq8TopK(emb.repartition(7), "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got2 == got)
+  }
+
+  test("negative mining: labels differ; per-probe rows match the filtered batch scan") {
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.negativeMining(probes, emb, "vec_id", "embedding",
+      "label", 3).collect()
+    val plab = probes.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach(r => assert(r.getInt(2) != plab(r.getLong(0)),
+      s"probe ${r.getLong(0)} mined a same-label negative"))
+    for ((qid, ql) <- plab) {
+      val ref = Similarity.bruteTopKBatch(
+          probes.filter(col("vec_id") === qid),
+          emb.filter(col("label") =!= ql), "vec_id", "embedding", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val g = got.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(g == ref, s"probe $qid mismatch")
+    }
+  }
+
   test("PQ ADC scan has useful recall on the fixture corpus") {
     val dir = java.nio.file.Files.createTempDirectory("pqspec2").toString
     Similarity.buildPqIndex(emb, "vec_id", "embedding", 8, 16, s"$dir/idx")
