@@ -736,12 +736,17 @@ object SparkEntry {
       // 8-bit bands (64 sig bits / 8 bands): ~n/256 per bucket keeps
       // the candidate self-join near-linear; 8 bands instead of 4
       // doubles the recall at the same per-bucket size.
+      // the audit sample is CAPPED (id < 6400 ∧ id ≡ 0 mod 50 ⇒ ≤128
+      // probes at ANY corpus size — a no-op at test SFs where max id
+      // < 6400): an uncapped 1-in-50 sample would make the exact side
+      // n²/50 at data scale instead of a bounded-×-n broadcast scan
       val emb = t(s, dir).embeddings
       val ann = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3,
         numBits = 64, bands = 8)
+      val audit = col("vec_id") % 50 === 0 && col("vec_id") < 6400
       val exact = Similarity.bruteTopKBatch(
-        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", 3)
-      val annSample = ann.filter(col("id") % 50 === 0)
+        emb.filter(audit), emb, "vec_id", "embedding", 3)
+      val annSample = ann.filter(col("id") % 50 === 0 && col("id") < 6400)
         .select(col("id").as("query_id"), col("nn_id"), lit(1).as("__hit"))
       val verdict = exact.select(col("query_id"), col("nn_id"))
         .join(annSample, Seq("query_id", "nn_id"), "left")
@@ -1540,8 +1545,11 @@ object SparkEntry {
       // the banded retrieval's recall over them pinned >= 10% as a
       // plan-fused verdict (measured 27-33% at every SF) computed from
       // the crossKnnJoin that still executes on every run.
+      // probe batch capped like q36's audit sample (≤128 probes at any
+      // corpus size; a no-op at test SFs) — the serving batch is a
+      // bounded input, the corpus is the thing that scales
       val emb = t(s, dir).embeddings
-      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val probes = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 12800)
       val corpus = emb.filter(col("vec_id") % 100 =!= 0)
       val ann = Similarity.crossKnnJoin(probes, corpus,
         "vec_id", "embedding", k = 3, numBits = 64, bands = 8)
@@ -3377,8 +3385,10 @@ object SparkEntry {
     // (linear; the q36/q88 batch geometry), ranked on the rounded
     // cosine for a cross-engine-stable cut.
     "q198_negative_mining" -> ((s, dir) => {
+      // probe batch capped (≤128 at any corpus size; no-op at test SFs)
       val emb = t(s, dir).embeddings
-      Similarity.negativeMining(emb.filter(col("vec_id") % 100 === 0), emb,
+      Similarity.negativeMining(
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 12800), emb,
           "vec_id", "embedding", "label", k = 3)
         .orderBy(col("query_id"), col("cosine").desc, col("nn_id"))
     }),
@@ -4055,7 +4065,7 @@ object SparkEntry {
     // query ids, the banded join's sample recall pinned TRUE
     "q36_knn_join" ->
       """WITH s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                    WHERE vec_id % 50 = 0),
+                    WHERE vec_id % 50 = 0 AND vec_id < 6400),
          d AS (
            SELECT s.qid, e.vec_id AS nn_id,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -4073,7 +4083,7 @@ object SparkEntry {
     // side, the banded retrieval's recall pinned TRUE
     "q88_cross_knn" ->
       """WITH s AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                    WHERE vec_id % 100 = 0),
+                    WHERE vec_id % 100 = 0 AND vec_id < 12800),
          c AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 100 <> 0),
          d AS (
@@ -4677,7 +4687,8 @@ object SparkEntry {
          ORDER BY qscore DESC, c.vec_id LIMIT 10""",
     "q198_negative_mining" ->
       """WITH s AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
-                    FROM embeddings WHERE vec_id % 100 = 0),
+                    FROM embeddings
+                    WHERE vec_id % 100 = 0 AND vec_id < 12800),
          d AS (
            SELECT s.qid, e.vec_id AS nn_id, e.label AS neg_label,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -326,6 +326,25 @@ class PlanAuditSpec extends SparkSpec {
       s"image near-dup pairing planned an all-pairs join:\n${plan.take(3000)}")
   }
 
+  test("q197 SQ8 top-k: per-partition top-k merge, no global sort") {
+    val plan = query("q197_sq8_topk").queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort present:\n$plan")
+  }
+
+  test("q36/q88/q198 exact audit sides broadcast the probe batch") {
+    // the exact side is bounded-probes × one corpus scan; the probe
+    // relation must be the BROADCAST side of the cross join (a
+    // corpus-side broadcast or a shuffle cartesian would die at scale)
+    for (name <- Seq("q36_knn_join", "q88_cross_knn", "q198_negative_mining")) {
+      val plan = executedPlan(query(name))
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: probe batch not broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: shuffle cartesian present:\n${plan.take(2000)}")
+    }
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
