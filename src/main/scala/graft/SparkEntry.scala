@@ -141,6 +141,34 @@ object SparkEntry {
       fixturePath("jacpairs", dir, "documents"),
       shingles = Some(sharedShingles(s, dir)))
 
+  /** Persisted 4-file document backlog in doc_id order (one id-range
+    * bucket per file, mtimes spaced so maxFilesPerTrigger=1 replays
+    * them oldest-first) — the shared SOURCE for the streaming-ingest
+    * twins (q195 index maintenance, q199 near-dup maintenance).
+    */
+  private def ensureDocBacklog(s: SparkSession, dir: String): String = {
+    val src = fixturePath("postsrc", dir, "documents")
+    Artifact.ensure(src) { tmp =>
+      val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+      val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (1 to 4).foreach { b =>
+        val part = s"$tmp/_b$b"
+        d.filter((floor((col("doc_id") - lit(lo)) * lit(4)
+            / lit(hi - lo + 1)) + lit(1)).cast("int") === b)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, s"b$b.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + b * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      }
+    }
+    src
+  }
+
   private object SelfCheck {
     /** One invariant's outcome: which check ran, whether it held, and
       * the values it measured — the evidence Verify dumps next to the
@@ -3393,6 +3421,59 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cosine").desc, col("nn_id"))
     }),
 
+    // ---------------- streaming near-dup maintenance ----------------
+    // q183's stream twin, completing the continuous-ingest streaming
+    // family (q195 = index member, this = near-dup member): the
+    // 4-file backlog replays one file per trigger, each micro-batch
+    // bands against the persisted minhash archive and then APPENDS
+    // ITSELF as the archive's next generation (per-batch overwrite
+    // dirs — exactly-once effects under at-least-once foreachBatch).
+    // Banding predicates are deterministic functions of shingle sets,
+    // so the accumulated pair set equals the one-shot corpus operator
+    // (StreamOpsSpec pins the equality on a fixture stream); here the
+    // envelope carries q31's FULL oracle — rows keyed on the exact
+    // pair artifact, stream-accumulated subset/recall verdicts pinned
+    // TRUE.
+    "q199_stream_neardups" -> ((s, dir) => {
+      val src = ensureDocBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q199").toString
+      val docsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.neardupSink(docsStream,
+        s"$scratch/state", "doc_id", "text", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        threshold = 0.6, shingleN = JaccardShingleN)
+      query.awaitTermination()
+      val acc = s.read.parquet(s"$scratch/state/pairs")
+      val pairs = acc.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+      SelfCheck.every(s"q199/$dir") {
+        // count batch DIRECTORIES, not distinct row values: a trigger
+        // whose slice has no near-dups still lands an (empty) batch dir
+        val nb = new java.io.File(s"$scratch/state/pairs").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch="))
+        require(nb == 4, s"q199 expected 4 ingested batches, got $nb")
+        SelfCheck.note(s"near-dup pairs accumulated across $nb micro-batches; " +
+          "subset/recall verdicts vs the exact pair artifact ride the row")
+      }
+      val exact = sharedPairs(s, dir)
+      val exKeys = exact.select(col("id_a"), col("id_b"))
+      val verdict = pairs.join(exKeys, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__fp"))
+        .crossJoin(pairs.join(exKeys, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__hit")))
+        .crossJoin(exKeys.agg(count(lit(1)).as("__n")))
+        .select((col("__fp") === 0L).as("subset_of_exact"),
+          (col("__n") === 0L || col("__hit") >= col("__n") * 0.8).as("recall_ok"))
+      exact.crossJoin(broadcast(verdict))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("subset_of_exact"), col("recall_ok"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---------------- incremental search-index append ----------------
     // The retrieval member of the incremental family, and the one
     // whose append is EXACT by construction: posting rows are
@@ -3425,25 +3506,7 @@ object SparkEntry {
     // the full corpus's posting relation, so the ranked answer
     // carries q137's full-corpus BM25 oracle.
     "q195_stream_index" -> ((s, dir) => {
-      val src = fixturePath("postsrc", dir, "documents")
-      Artifact.ensure(src) { tmp =>
-        val d = t(s, dir).documents.select(col("doc_id"), col("text"))
-        val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
-        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        val base = System.currentTimeMillis() - 3600L * 1000
-        (1 to 4).foreach { b =>
-          val part = s"$tmp/_b$b"
-          d.filter((floor((col("doc_id") - lit(lo)) * lit(4)
-              / lit(hi - lo + 1)) + lit(1)).cast("int") === b)
-            .coalesce(1).write.mode("overwrite").parquet(part)
-          val f = new java.io.File(part).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(tmp, s"b$b.parquet")
-          java.nio.file.Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(base + b * 2000L)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
-        }
-      }
+      val src = ensureDocBacklog(s, dir)
       val schema = s.read.parquet(src).schema
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_q195").toString
@@ -4703,6 +4766,31 @@ object SparkEntry {
          SELECT CAST(qid AS BIGINT) AS query_id, CAST(nn_id AS BIGINT) AS nn_id,
            neg_label, cosine
          FROM r WHERE rn <= 3 ORDER BY query_id, cosine DESC, nn_id""",
+    // stream near-dup envelope = q31's oracle: rows are the exact
+    // pair relation, the stream-accumulated LSH verdicts pinned TRUE
+    "q199_stream_neardups" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard,
+           TRUE AS subset_of_exact, TRUE AS recall_ok
+         FROM inter
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+         ORDER BY id_a, id_b""",
     "q195_stream_index" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

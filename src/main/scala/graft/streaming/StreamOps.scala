@@ -261,6 +261,68 @@ object StreamOps {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Streaming near-dup maintenance — the continuous-ingest fold of
+    * [[graft.operators.Dedup.minhashNearDupsIncremental]]: each
+    * micro-batch is banded against the persisted minhash archive
+    * (per-doc shingle sets + banded signatures under `stateDir`), its
+    * near-dup pairs land in `pairs/batch=<id>`, and the batch's own
+    * two relations are appended as the archive's next generation
+    * (`shingles/batch=<id>`, `bands/batch=<id>`). Every per-batch
+    * effect is an OVERWRITE of its batch directory, so at-least-once
+    * foreachBatch retries replace rather than double-count (the
+    * [[postingsSink]] discipline). The archive read happens BEFORE
+    * the batch's own append inside each trigger, so a batch never
+    * bands against itself through the archive.
+    *
+    * Equivalence contract (StreamOpsSpec): signatures, bands, and the
+    * exact-Jaccard verification are deterministic functions of the
+    * shingle sets, so "shares a band" is the same predicate evaluated
+    * batch-vs-archive or in a one-shot self-join — with the source
+    * partitioning documents across batches, the accumulated pair set
+    * (orientation normalized) EQUALS `Dedup.minhashNearDups` over
+    * everything ingested, each pair emitted exactly once, in the
+    * trigger where its later side arrived.
+    */
+  def neardupSink(docs: DataFrame, stateDir: String, idName: String,
+                  textName: String, checkpointDir: String,
+                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                  threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
+                  shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shDir = s"$stateDir/shingles"
+        val bdDir = s"$stateDir/bands"
+        val empty = !new java.io.File(shDir).isDirectory
+        val (archSh, archBd) =
+          if (empty)
+            (shB.limit(0),
+              Dedup.minhashBands(
+                Dedup.minhashSignaturesFromShingles(shB.limit(0), k, shingleN),
+                k, bands))
+          else
+            (spark.read.parquet(shDir).drop("batch"),
+              spark.read.parquet(bdDir).drop("batch"))
+        Dedup.minhashNearDupsIncremental(batch, idName, textName,
+            archSh, archBd, threshold, k, bands, shingleN,
+            batchShingles = Some(shB))
+          .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
+        shB.write.mode("overwrite").parquet(s"$shDir/batch=$bid")
+        Dedup.minhashBands(
+            Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
+          .write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
+        shB.unpersist()
+        ()
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   def upsertSink(updates: DataFrame, targetDir: String, key: String,
                  versionCol: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -72,6 +72,36 @@ class StreamOpsSpec extends SparkSpec {
       rows(graft.operators.InvertedIndex.build(all, "doc_id", col("text"))))
   }
 
+  test("neardupSink accumulates exactly the one-shot near-dup pair set") {
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val parts = docs.grouped(docs.length / 3 + 1).toSeq
+    assert(parts.size == 3)
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamnd_spec").toString
+    val q = graft.streaming.StreamOps.neardupSink(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/state", "doc_id", "text", s"$dir/ckpt")
+    parts.foreach { p => input.addData(p.toSeq); q.processAllAvailable() }
+    q.stop()
+    val acc = spark.read.parquet(s"$dir/state/pairs")
+    assert(acc.select("batch").distinct().count() == 3,
+      "three micro-batches should land in three pair dirs")
+    val got = acc.select(
+        least($"id_a", $"id_b"), greatest($"id_a", $"id_b"), $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val ref = graft.operators.Dedup.minhashNearDups(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3)).toSet
+    assert(ref.nonEmpty, "fixture corpus should contain near-dup pairs")
+    assert(got == ref,
+      s"stream-accumulated pairs diverge: extra=${(got diff ref).take(3)} " +
+        s"missing=${(ref diff got).take(3)}")
+  }
+
   test("dedupStream drops within-watermark duplicates across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
