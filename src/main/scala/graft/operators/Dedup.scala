@@ -127,10 +127,18 @@ object Dedup {
     rel
   }
 
-  def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
-    val exploded = minhashBands(sigged, k, bands)
-    val l = exploded.as("l")
-    val rj = exploded.as("r")
+  def minhashCandidates(sigged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    bandSelfCandidates(minhashBands(sigged, k, bands))
+
+  /** Same-bucket candidate pairs from a banded relation
+    * (id, band, bh) — the self-join half of [[minhashCandidates]],
+    * shared with consumers that already hold the band relation
+    * (the incremental near-dup path, where the banded batch is
+    * computed once and ALSO appended as archive state).
+    */
+  private def bandSelfCandidates(banded: DataFrame): DataFrame = {
+    val l = banded.as("l")
+    val rj = banded.as("r")
     l.join(rj, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -224,7 +232,8 @@ object Dedup {
                                  archiveBands: DataFrame,
                                  threshold: Double = 0.6, k: Int = 32,
                                  bands: Int = 8, shingleN: Int = 3,
-                                 batchShingles: Option[DataFrame] = None)
+                                 batchShingles: Option[DataFrame] = None,
+                                 batchBands: Option[DataFrame] = None)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val shA = requireShingleN(archiveShingles, shingleN)
@@ -234,7 +243,19 @@ object Dedup {
     val (groups, members0) = contractBy(shB, "id", "sh")
     val reps = groups.select(col("rid").as("id"), col("sh"))
     val members = members0.map(materialized)
-    val sigs = sigsFromShingleSets(reps, k)
+    // `batchBands` contract: exactly `minhashBands(
+    // minhashSignaturesFromShingles(shB, k, shingleN), k, bands)` for
+    // the SAME batch relation — enforced via the (k, bands) provenance
+    // metadata like the archive side. A caller that must append the
+    // batch's bands as the archive's next generation anyway (the
+    // streaming sink) computes them ONCE and both sides share; the
+    // rep slice is a semi-join, sound because identical shingle sets
+    // produce identical band rows.
+    val repBands = batchBands match {
+      case Some(bb) => requireBandParams(bb, k, bands)
+        .join(reps.select(col("id")), Seq("id"), "left_semi")
+      case None => minhashBands(sigsFromShingleSets(reps, k), k, bands)
+    }
 
     def verified(cands: DataFrame, shRight: DataFrame): DataFrame = {
       val withSets = cands
@@ -250,7 +271,7 @@ object Dedup {
     }
 
     // batch × archive: rep bands keyed against the archive band table
-    val crossCands = minhashBands(sigs, k, bands).as("l")
+    val crossCands = repBands.as("l")
       .join(bandsA.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -265,9 +286,9 @@ object Dedup {
         .join(mem.select(col("rid").as("id_a"), col("mid")), "id_a")
         .select(col("mid").as("id_a"), col("id_b"), col("jaccard"))
     }
-    // batch-internal: the standard self path over the same reps/sigs
+    // batch-internal: the standard self path over the same rep bands
     val selfAll = expandPairs(
-      verified(minhashCandidates(sigs, k, bands), reps),
+      verified(bandSelfCandidates(repBands), reps),
       members, intraValue = lit(1.0), valueName = "jaccard")
     crossAll.withColumn("vs", lit("archive"))
       .unionByName(selfAll.withColumn("vs", lit("batch")))
@@ -336,13 +357,26 @@ object Dedup {
     * (SCALING.md round 8).
     */
   def simhashNearDups(docs: DataFrame, idName: String, textName: String,
-                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 4,
+                      hashes: Option[DataFrame] = None): DataFrame = {
     require(maxHamming >= 0)
     require(bands >= 2 && 64 % bands == 0,
       s"bands $bands must divide 64 (and be >= 2)")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val shAll = materialized(simhash64(docs, idName, col(textName)))
+    // `hashes` contract: exactly `simhash64(docs, idName,
+    // col(textName))` for the SAME corpus (there are no free
+    // parameters — the hash is a fixed function of the text), letting
+    // a caller that consumes the per-doc hash relation anyway (the
+    // q32 envelope re-derives each emitted pair's hamming and runs a
+    // second independent band decomposition) pay the token-explode
+    // aggregation once instead of per consumer. An unpersisted
+    // relation is materialized here like the internal build.
+    val shAll = hashes match {
+      case Some(h) if h.storageLevel != org.apache.spark.storage.StorageLevel.NONE => h
+      case Some(h) => materialized(h)
+      case None => materialized(simhash64(docs, idName, col(textName)))
+    }
     val (groups, members0) = contractBy(shAll, idName, "simhash")
     val sh = groups.select(col("rid").as("id"), col("simhash"))
     val members = members0.map(materialized)

@@ -297,27 +297,27 @@ object StreamOps {
         val spark = batch.sparkSession
         val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the batch's banded signatures are BOTH this trigger's probe
+        // side and the archive's next generation — compute the k-min
+        // aggregation once and share (batchBands contract)
+        val bdB = Dedup.minhashBands(
+            Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val shDir = s"$stateDir/shingles"
         val bdDir = s"$stateDir/bands"
         val empty = !new java.io.File(shDir).isDirectory
         val (archSh, archBd) =
-          if (empty)
-            (shB.limit(0),
-              Dedup.minhashBands(
-                Dedup.minhashSignaturesFromShingles(shB.limit(0), k, shingleN),
-                k, bands))
+          if (empty) (shB.limit(0), bdB.limit(0))
           else
             (spark.read.parquet(shDir).drop("batch"),
               spark.read.parquet(bdDir).drop("batch"))
         Dedup.minhashNearDupsIncremental(batch, idName, textName,
             archSh, archBd, threshold, k, bands, shingleN,
-            batchShingles = Some(shB))
+            batchShingles = Some(shB), batchBands = Some(bdB))
           .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
         shB.write.mode("overwrite").parquet(s"$shDir/batch=$bid")
-        Dedup.minhashBands(
-            Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
-          .write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
-        shB.unpersist()
+        bdB.write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
+        shB.unpersist(); bdB.unpersist()
         ()
       }
     trigger.fold(w)(w.trigger).start()
