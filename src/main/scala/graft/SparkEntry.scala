@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Association, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, TextMetrics, UnigramLm, Upsert}
+import graft.operators.{Artifact, AsofJoin, Association, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, Tagging, TextMetrics, UnigramLm, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -3771,8 +3771,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // ---------------- dictionary tagging (Aho-Corasick) ----------------
+    // The blocklist/topic-phrase scanner: N patterns matched in ONE
+    // automaton pass per document (codegen expression, dictionary
+    // rides the plan as model-sized state) instead of N contains()
+    // scans. ALL occurrences counted, overlapping included ("data
+    // data" twice in "data data data") — the semantics a positional
+    // SQL scan replays exactly and replace()-counting gets wrong. The
+    // dictionary mixes single words, phrases, and a pattern that is a
+    // strict substring of another (exercising the automaton's output
+    // links: every "data data" hit also hits "data" twice).
+    "q200_dictionary_tag" -> ((s, dir) => {
+      Tagging.patternStats(t(s, dir).documents, "lang", col("text"), DictPatterns)
+        .orderBy("lang", "pattern")
     })
   )
+
+  /** q200's dictionary: shared between the Spark query and the
+    * oracle text (both sides must list patterns identically).
+    */
+  private val DictPatterns = Seq(
+    "data", "data data", "the join", "spark", "query query", "window scan")
 
   /** q172's pinned piece set: the multi-char pieces `UnigramLm
     * .learnVocab(fixture documents, vocabSize=80, maxPieceLen=4,
@@ -6757,6 +6778,27 @@ object SparkEntry {
            count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with,
            CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
              AS sum_chars
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // all-occurrence (overlapping) multi-pattern counts: the
+    // recursive step advances one char past each hit's START, so
+    // self-overlapping hits are found; rows = occurrences
+    "q200_dictionary_tag" ->
+      """WITH RECURSIVE
+         pats(pattern) AS (VALUES ('data'),('data data'),('the join'),
+           ('spark'),('query query'),('window scan')),
+         m(doc_id, lang, pattern, pos) AS (
+           SELECT d.doc_id, d.lang, p.pattern, strpos(d.text, p.pattern)
+           FROM documents d CROSS JOIN pats p
+           WHERE strpos(d.text, p.pattern) > 0
+           UNION ALL
+           SELECT m.doc_id, m.lang, m.pattern,
+             m.pos + strpos(substr(d.text, m.pos + 1), m.pattern)
+           FROM m JOIN documents d ON d.doc_id = m.doc_id
+           WHERE strpos(substr(d.text, m.pos + 1), m.pattern) > 0),
+         occ AS (SELECT doc_id, lang, pattern, count(*) AS n
+                 FROM m GROUP BY 1, 2, 3)
+         SELECT lang, pattern, CAST(sum(n) AS BIGINT) AS occurrences,
+           CAST(count(*) AS BIGINT) AS docs_with_hit
+         FROM occ GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

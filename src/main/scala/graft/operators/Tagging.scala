@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import graft.functions.{AcKernel, MultiPatternCounts}
+
+/** Dictionary tagging at corpus scale: match a pattern set (blocklist
+  * phrases, topic keywords, contamination markers) against every
+  * document in ONE pass per row via an Aho-Corasick automaton
+  * ([[graft.functions.AcKernel]]) — the scan cost is O(corpus bytes +
+  * matches) regardless of dictionary size, where the naive
+  * N×contains() form re-reads every byte per pattern. The automaton
+  * is driver-built model-sized state (it IS the dictionary) riding
+  * the plan as a reference object, so tagging stays inside
+  * whole-stage codegen in the scan stage — no UDF boxing, no
+  * pattern-side join, no shuffle before the (already aggregated or
+  * zero-filtered) hit rows.
+  *
+  * Match semantics: ALL occurrences, overlapping included — exactly
+  * the positional-substring count an SQL oracle replays; see the
+  * kernel scaladoc for why replace()-based counting is wrong.
+  */
+object Tagging {
+
+  /** array<bigint> of per-pattern occurrence counts, positional (slot
+    * i = patterns(i)). One automaton pass per row, codegen'd.
+    */
+  def patternCounts(text: Column, patterns: Seq[String]): Column =
+    toCol(MultiPatternCounts(toExpr(text), AcKernel.build(patterns)))
+
+  /** Per-document hits: (id, pattern, n) with n > 0 only. The dense
+    * per-pattern array is exploded and zero rows are dropped INSIDE
+    * the scan stage — nothing pattern-shaped is shuffled for the
+    * (overwhelming at blocklist scale) documents that hit nothing.
+    */
+  def tagDocs(docs: DataFrame, idName: String, text: Column,
+              patterns: Seq[String]): DataFrame =
+    docs.select(col(idName),
+        posexplode(patternCounts(text, patterns)).as(Seq("__p", "n")))
+      .filter(col("n") > 0L)
+      .select(col(idName),
+        element_at(array(patterns.map(lit): _*), col("__p") + 1).as("pattern"),
+        col("n"))
+
+  /** Corpus dictionary profile per (group, pattern): total occurrence
+    * count and the number of documents with at least one hit. Groups
+    * × patterns with zero hits are absent (nothing of theirs survives
+    * the in-stage zero filter — the oracle replays the same rule).
+    */
+  def patternStats(docs: DataFrame, groupName: String, text: Column,
+                   patterns: Seq[String]): DataFrame =
+    docs.select(col(groupName),
+        posexplode(patternCounts(text, patterns)).as(Seq("__p", "n")))
+      .filter(col("n") > 0L)
+      .groupBy(col(groupName), col("__p"))
+      .agg(sum(col("n")).as("occurrences"),
+        count(lit(1)).as("docs_with_hit"))
+      .select(col(groupName),
+        element_at(array(patterns.map(lit): _*), col("__p") + 1).as("pattern"),
+        col("occurrences"), col("docs_with_hit"))
+}

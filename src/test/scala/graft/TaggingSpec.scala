@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.AcKernel
+import graft.operators.Tagging
+
+class TaggingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kernelCounts(text: String, pats: Seq[String]): Seq[Long] =
+    AcKernel.counts(AcKernel.build(pats),
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)).toSeq
+
+  /** Reference all-occurrence counter: indexOf walk advancing one
+    * char past each match START (overlapping occurrences included).
+    */
+  private def naiveCount(text: String, p: String): Long = {
+    var n = 0L
+    var i = text.indexOf(p)
+    while (i >= 0) { n += 1; i = text.indexOf(p, i + 1) }
+    n
+  }
+
+  test("kernel: overlapping occurrences are all counted") {
+    assert(kernelCounts("aaa", Seq("aa", "a", "aaa")) == Seq(2L, 3L, 1L))
+    assert(kernelCounts("data data data", Seq("data", "data data")) ==
+      Seq(3L, 2L))
+  }
+
+  test("kernel: output links find patterns that are suffixes of longer ones") {
+    // "he" hits inside "she"; "hers" shares the "he" prefix path —
+    // the classic Aho-Corasick textbook set
+    assert(kernelCounts("ushers", Seq("he", "she", "hers", "his")) ==
+      Seq(1L, 1L, 1L, 0L))
+  }
+
+  test("kernel: no match, empty text, pattern longer than text") {
+    assert(kernelCounts("abc", Seq("zzz", "abcd")) == Seq(0L, 0L))
+    assert(kernelCounts("", Seq("a")) == Seq(0L))
+  }
+
+  test("kernel: ASCII patterns never match inside multi-byte sequences") {
+    // U+00E9 is 0xC3 0xA9 in UTF-8; no ASCII pattern byte can equal a
+    // continuation byte, so counts agree with character semantics
+    assert(kernelCounts("café a café", Seq("a", "caf")) ==
+      Seq(3L, 2L))
+  }
+
+  test("kernel: duplicate patterns keep positional slots") {
+    assert(kernelCounts("xx", Seq("x", "x")) == Seq(2L, 2L))
+  }
+
+  test("build rejects empty inputs") {
+    intercept[IllegalArgumentException](AcKernel.build(Seq.empty))
+    intercept[IllegalArgumentException](AcKernel.build(Seq("a", "")))
+  }
+
+  test("patternStats equals the naive per-pattern scan on the fixture corpus") {
+    val pats = Seq("data", "data data", "spark", "the join", "zz never zz")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Tagging.patternStats(docs, "lang", col("text"), pats)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = docs.select(col("lang"), col("text")).as[(String, String)]
+      .collect()
+      .flatMap { case (lang, text) =>
+        pats.map(p => (lang, p) -> naiveCount(text, p))
+      }
+      .filter(_._2 > 0)
+      .groupBy(_._1)
+      .map { case (k, v) => k -> (v.map(_._2).sum, v.length.toLong) }
+    assert(got == want)
+    assert(!got.keySet.exists(_._2 == "zz never zz"))
+  }
+
+  test("tagDocs drops zero rows and matches the naive counter per doc") {
+    val pats = Seq("join", "data data")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val got = Tagging.tagDocs(docs, "doc_id", col("text"), pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .flatMap { case (id, text) =>
+        pats.map(p => (id, p) -> naiveCount(text, p))
+      }.filter(_._2 > 0).toMap
+    assert(got == want)
+  }
+
+  test("expression evaluates identically interpreted and codegen'd") {
+    val pats = Seq("a", "ab", "ba")
+    val df = Seq("abab", "bb", "").toDF("t")
+      .select(Tagging.patternCounts(col("t"), pats).as("c"))
+    val viaCodegen = df.as[Seq[Long]].collect().toSeq
+    val want = Seq("abab", "bb", "").map(t =>
+      pats.map(p => naiveCount(t, p)))
+    assert(viaCodegen == want)
+  }
+}

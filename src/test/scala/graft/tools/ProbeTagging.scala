@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tagging
+
+/** 10× scale probe for dictionary tagging (q200), with the asserted
+  * invariant riding the curve: replication clones every document
+  * (ids offset, lang unchanged), so every (lang, pattern) row's
+  * occurrences and docs_with_hit at 10× must be EXACTLY 10× the 1×
+  * values. The operator is one automaton scan + one keyed agg, so
+  * wall-clock should track corpus size ~linearly.
+  * Reuses the /tmp/graft_scale10 documents replica (ProbeScale's
+  * scheme).
+  */
+object ProbeTagging {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_scale10"
+
+    def docs(dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+    if (!new java.io.File(s"$big/documents.parquet/_SUCCESS").exists()) {
+      val src = docs(base)
+      val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+      (0 until 10).map(i => src.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * (maxId + 1))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      r
+    }
+
+    val pats = Seq("data", "data data", "the join", "spark",
+      "query query", "window scan")
+    def stats(dir: String): Map[(String, String), (Long, Long)] =
+      Tagging.patternStats(docs(dir), "lang", col("text"), pats)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+
+    val s1 = time("patternStats 1x")(stats(base))
+    val s10 = time("patternStats 10x")(stats(big))
+    require(s10.keySet == s1.keySet, "clone replication changed the hit key set")
+    val bad = s1.filter { case (k, (occ, hits)) => s10(k) != ((occ * 10, hits * 10)) }
+    require(bad.isEmpty, s"10x stats are not exactly 10x the 1x stats: $bad")
+    println(s"[probe] invariant: all ${s1.size} (lang, pattern) rows exactly " +
+      "10x at 10x — TRUE")
+    spark.stop()
+  }
+}
