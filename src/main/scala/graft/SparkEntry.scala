@@ -3786,6 +3786,22 @@ object SparkEntry {
     "q200_dictionary_tag" -> ((s, dir) => {
       Tagging.patternStats(t(s, dir).documents, "lang", col("text"), DictPatterns)
         .orderBy("lang", "pattern")
+    }),
+
+    // ---------------- MMR diversified retrieval ----------------
+    // Maximal Marginal Relevance over the q33 query: greedy top-5
+    // from a 32-candidate pool, λ=1/2 (ordering ≡ rel − maxSim, both
+    // ×1e6 longs — fully integer, so the oracle replays the greedy
+    // picks EXACTLY as five unrolled argmax layers). Distributed
+    // work: one corpus scan (pool) + one poolN² sim job; the greedy
+    // loop runs over parameter-sized driver state.
+    "q201_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, k = 5, poolN = 32,
+          excludeId = 0L)
+        .orderBy("rank")
     })
   )
 
@@ -6799,6 +6815,50 @@ object SparkEntry {
                  FROM m GROUP BY 1, 2, 3)
          SELECT lang, pattern, CAST(sum(n) AS BIGINT) AS occurrences,
            CAST(count(*) AS BIGINT) AS docs_with_hit
-         FROM occ GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM occ GROUP BY 1, 2 ORDER BY 1, 2""",
+    // MMR λ=1/2 is fully integer (×1e6 rel/sim longs), so the greedy
+    // selection replays EXACTLY as five unrolled argmax layers over
+    // the same 32-candidate pool
+    "q201_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT e.vec_id AS id,
+             CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.qe AS DOUBLE[])) * 1000000) AS BIGINT) AS rel,
+             e.embedding AS v
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id LIMIT 32),
+         sim AS (
+           SELECT a.id AS ia, b.id AS ib,
+             CAST(round(list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+               CAST(b.v AS DOUBLE[])) * 1000000) AS BIGINT) AS s
+           FROM cand a JOIN cand b ON a.id <> b.id),
+         s1 AS (SELECT id, rel, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1),
+         p1 AS (SELECT id FROM s1),
+         s2 AS (SELECT c.id, c.rel, c.rel - max(m.s) AS score
+           FROM cand c JOIN sim m ON m.ia = c.id AND m.ib IN (SELECT id FROM p1)
+           WHERE c.id NOT IN (SELECT id FROM p1)
+           GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1),
+         p2 AS (SELECT id FROM p1 UNION ALL SELECT id FROM s2),
+         s3 AS (SELECT c.id, c.rel, c.rel - max(m.s) AS score
+           FROM cand c JOIN sim m ON m.ia = c.id AND m.ib IN (SELECT id FROM p2)
+           WHERE c.id NOT IN (SELECT id FROM p2)
+           GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1),
+         p3 AS (SELECT id FROM p2 UNION ALL SELECT id FROM s3),
+         s4 AS (SELECT c.id, c.rel, c.rel - max(m.s) AS score
+           FROM cand c JOIN sim m ON m.ia = c.id AND m.ib IN (SELECT id FROM p3)
+           WHERE c.id NOT IN (SELECT id FROM p3)
+           GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1),
+         p4 AS (SELECT id FROM p3 UNION ALL SELECT id FROM s4),
+         s5 AS (SELECT c.id, c.rel, c.rel - max(m.s) AS score
+           FROM cand c JOIN sim m ON m.ia = c.id AND m.ib IN (SELECT id FROM p4)
+           WHERE c.id NOT IN (SELECT id FROM p4)
+           GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1)
+         SELECT * FROM (
+           SELECT 1 AS rank, id AS vec_id, rel AS rel_i6, score AS mmr_i6 FROM s1
+           UNION ALL SELECT 2, id, rel, score FROM s2
+           UNION ALL SELECT 3, id, rel, score FROM s3
+           UNION ALL SELECT 4, id, rel, score FROM s4
+           UNION ALL SELECT 5, id, rel, score FROM s5) ORDER BY rank"""
   )
 }

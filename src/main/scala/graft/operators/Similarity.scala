@@ -831,4 +831,68 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         col("__cl").as("neg_label"), col("cosine"))
   }
+
+  // ================= MMR diversified retrieval =================
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily select `k` results trading relevance against
+    * redundancy — pick argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * until |S| = k. λ is fixed at 1/2, where the MMR ordering is
+    * EXACTLY the ordering of (rel − maxSimToSelected): with both
+    * measures held as ×1e6 rounded longs the whole selection is
+    * integer arithmetic — deterministic, engine-replayable (the
+    * oracle unrolls the same greedy picks in SQL), no float-order
+    * risk.
+    *
+    * Scale shape: the DISTRIBUTED work is one corpus scan producing
+    * the `poolN` most relevant candidates (TakeOrdered on the rounded
+    * score with an id tie-break — a total order, so the pool is
+    * unique) plus one poolN² pairwise-similarity job; the greedy loop
+    * itself runs on the driver over parameter-sized state (poolN
+    * rels + poolN² sims — query parameters, like centroids or
+    * codebooks, never corpus-sized). Ties at every pick break to the
+    * smaller id.
+    */
+  def mmrTopK(embeddings: DataFrame, idName: String, vecName: String,
+              queryVec: Array[Float], k: Int, poolN: Int = 32,
+              excludeId: Long = -1L): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need 1 <= k <= poolN, got k=$k poolN=$poolN")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = typedlit(queryVec)
+    val pool = embeddings.filter(col(idName) =!= excludeId)
+      .select(col(idName).as("id"),
+        round(VecFns.cosine(col(vecName), q) * 1e6).cast("long").as("rel_i6"),
+        col(vecName).as("v"))
+      .orderBy(col("rel_i6").desc, col("id").asc)
+      .limit(poolN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rels = pool.select(col("id"), col("rel_i6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sims = pool.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(pool.select(col("id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(VecFns.cosine(col("va"), col("vb")) * 1e6).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pool.unpersist()
+    def sim(a: Long, b: Long): Long =
+      if (a < b) sims((a, b)) else sims((b, a))
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    while (picked.length < math.min(k, rels.length)) {
+      val best =
+        if (picked.isEmpty)
+          remaining.map { case (id, rel) => (id, rel, rel) }
+            .maxBy { case (id, _, score) => (score, -id) }
+        else
+          remaining.map { case (id, rel) =>
+            val maxSim = picked.map(p => sim(id, p._2)).max
+            (id, rel, rel - maxSim)
+          }.maxBy { case (id, _, score) => (score, -id) }
+      picked += ((picked.length + 1, best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel_i6", "mmr_i6")
+  }
 }

@@ -485,4 +485,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(exact.intersect(got).size >= 5)
   }
+
+  test("mmrTopK defers an exact clone of the top pick (hand case)") {
+    // q = (1,0); id1 = (1,0) rel 1e6, id9 = its exact clone, id2 =
+    // (0.8,0.6) rel 800000 with sim(id2,id1) = 800000 exactly. Greedy:
+    // pick1 = id1 (rel tie with id9 -> smaller id); pick2 ties at
+    // score 0 between id9 (1e6 - 1e6) and id2 (800000 - 800000) ->
+    // smaller id wins: the DIVERSE id2 ranks above the clone.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, "vec_id", "embedding",
+        Array(1.0f, 0.0f), k = 3, poolN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1000000L, 1000000L),
+      (2, 2L, 800000L, 0L),
+      (3, 9L, 1000000L, 0L)))
+  }
+
+  test("mmrTopK pool cut restricts selection to the poolN most relevant") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, "vec_id", "embedding",
+        Array(1.0f, 0.0f), k = 2, poolN = 2)
+      .collect().map(_.getLong(1)).toSeq
+    // pool by rel desc, id asc = {1, 9}; id2 never enters
+    assert(got == Seq(1L, 9L))
+  }
+
+  test("mmrTopK caps at corpus size and is deterministic on the fixture") {
+    val small = emb.limit(2)
+    assert(Similarity.mmrTopK(small, "vec_id", "embedding", qvec,
+      k = 5, poolN = 5).count() == 2)
+    def run(): Seq[(Int, Long, Long, Long)] =
+      Similarity.mmrTopK(emb, "vec_id", "embedding", qvec, k = 5,
+          poolN = 16, excludeId = 0L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run() == run())
+  }
 }
