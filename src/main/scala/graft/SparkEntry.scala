@@ -3802,6 +3802,30 @@ object SparkEntry {
       Similarity.mmrTopK(emb, "vec_id", "embedding", q, k = 5, poolN = 32,
           excludeId = 0L)
         .orderBy("rank")
+    }),
+
+    // ---------------- split leakage audit ----------------
+    // The eval-contamination check a training pipeline runs after
+    // splitting: near-duplicate pairs (the corpus's standing exact-
+    // pair artifact at the q31 threshold) labeled with each end's
+    // md5 split (the q174 assignment) — a pair crossing train/test is
+    // leaked eval signal. One artifact read + two key-projection
+    // joins; both devices are engine-exact, so the whole audit
+    // replays in SQL. The crossing column makes the leak rows
+    // self-describing.
+    "q202_split_leakage" -> ((s, dir) => {
+      val shares = Seq("train" -> 204, "val" -> 26, "test" -> 26)
+      val sp = t(s, dir).documents.select(col("doc_id"),
+        Mixing.splitAssign(col("doc_id"), shares).as("split"))
+      sharedPairs(s, dir).select(col("id_a"), col("id_b"))
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("crossing", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
     })
   )
 
@@ -6859,6 +6883,46 @@ object SparkEntry {
            UNION ALL SELECT 2, id, rel, score FROM s2
            UNION ALL SELECT 3, id, rel, score FROM s3
            UNION ALL SELECT 4, id, rel, score FROM s4
-           UNION ALL SELECT 5, id, rel, score FROM s5) ORDER BY rank"""
+           UNION ALL SELECT 5, id, rel, score FROM s5) ORDER BY rank""",
+    // leakage audit = the q31 exact-pair device + the q174 md5-split
+    // device, joined — both engine-exact
+    "q202_split_leakage" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         spl AS (
+           SELECT doc_id,
+             CASE WHEN b < 204 THEN 'train'
+                  WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               16*(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)
+                 + (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS b
+             FROM documents)),
+         lab AS (
+           SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b
+           FROM prs JOIN spl a ON a.doc_id = prs.id_a
+           JOIN spl b ON b.doc_id = prs.id_b)
+         SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS crossing
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
