@@ -345,6 +345,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q200 dictionary tagging: automaton in the scan stage, no pattern join") {
+    // the dictionary must ride the plan as a reference object, never
+    // become a join side
+    val plan = query("q200_dictionary_tag").queryExecution.optimizedPlan.toString()
+    assert(plan.contains("multi_pattern_counts"),
+      s"q200 lost the automaton expression:\n$plan")
+    assert(!plan.contains("Join"), s"q200 joins the dictionary:\n$plan")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized

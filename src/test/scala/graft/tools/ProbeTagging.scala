@@ -58,6 +58,31 @@ object ProbeTagging {
     require(bad.isEmpty, s"10x stats are not exactly 10x the 1x stats: $bad")
     println(s"[probe] invariant: all ${s1.size} (lang, pattern) rows exactly " +
       "10x at 10x — TRUE")
+
+    // dictionary-width axis: the automaton's scan cost must be
+    // (near-)independent of dictionary size — that is the whole point
+    // vs N×contains(). 900-phrase dictionary = every 2-word pair over
+    // the corpus vocabulary; the 6-pattern subset's rows must be
+    // IDENTICAL under the wide dictionary (automaton output is
+    // per-pattern independent).
+    val vocab = docs(base)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(30).collect().map(_.getString(0)).toSeq
+    val wide = (for (a <- vocab; b <- vocab) yield s"$a $b").distinct
+    def statsWide(dir: String, ps: Seq[String]): Map[(String, String), (Long, Long)] =
+      Tagging.patternStats(docs(dir), "lang", col("text"), ps)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    val w1 = time(s"patternStats 1x dict=${wide.size}")(statsWide(base, wide))
+    time(s"patternStats 10x dict=${wide.size}")(statsWide(big, wide))
+    val narrowInWide = s1.keys.filter(k => wide.contains(k._2))
+    val disagree = narrowInWide.filter(k => w1.get(k) != s1.get(k))
+    require(disagree.isEmpty,
+      s"wide dictionary changed narrow-pattern stats: $disagree")
+    println(s"[probe] invariant: ${narrowInWide.size} narrow-dict rows " +
+      s"identical under the ${wide.size}-pattern dictionary — TRUE")
     spark.stop()
   }
 }
