@@ -125,21 +125,34 @@ object AcKernel {
     }
     // output links: nearest proper fail-ancestor with a pattern end.
     // fail(s) is always BFS-shallower than s, but BFS order is not
-    // array order here — resolve by chasing (depth is bounded by the
-    // longest pattern, and each chase only walks unresolved ancestors)
+    // array order here — resolve by chasing fail links ITERATIVELY
+    // (chase depth is bounded by the longest pattern, which must not
+    // become a stack bound: a pathologically long pattern is valid
+    // input), memoizing every state on the walked chain
     val outLink = Array.fill(n)(-2) // -2 = unresolved, -1 = none
     outLink(0) = -1
-    def resolve(st: Int): Int = {
-      if (outLink(st) != -2) outLink(st)
-      else {
-        val f = fail(st)
-        val r = if (patOffset(f + 1) > patOffset(f)) f else resolve(f)
-        outLink(st) = r
-        r
-      }
-    }
+    val chain = new Array[Int](n)
     s = 1
-    while (s < n) { resolve(s); s += 1 }
+    while (s < n) {
+      if (outLink(s) == -2) {
+        // descend the fail chain: a state whose fail-parent has no
+        // pattern end inherits ITS output link (ol(p) = ol(fail(p))),
+        // so every pushed state resolves to the terminal state's value
+        var st = s
+        var depth = 0
+        while (outLink(st) == -2 &&
+            patOffset(fail(st) + 1) == patOffset(fail(st))) {
+          chain(depth) = st; depth += 1
+          st = fail(st)
+        }
+        val resolved =
+          if (outLink(st) != -2) outLink(st)
+          else { outLink(st) = fail(st); fail(st) } // fail(st) has ends
+        var d = depth - 1
+        while (d >= 0) { outLink(chain(d)) = resolved; d -= 1 }
+      }
+      s += 1
+    }
     new Automaton(edgeOffset, edgeByte, edgeTo, fail, patEnd, patOffset, outLink,
       pats.length)
   }

@@ -498,6 +498,41 @@ object ProbeScale100 {
       // exactly factor×
       println(s"[probe] centroid confusion exactly ${factor}x: " +
         s"${c1.keySet == cN.keySet && c1.forall { case (k, n) => cN(k) == factor * n }}")
+    }
+
+    // dictionary tagging: one automaton scan — cost linear in corpus
+    // bytes, independent of dictionary width. Invariants: factor×
+    // clone stats are exactly factor× the 1× stats, and a 900-phrase
+    // dictionary (every 2-word vocab pair) scans at the narrow-dict
+    // cost with the narrow rows unchanged.
+    if (section("tagging")) {
+      replicate("documents", Seq("doc_id"))
+      import graft.operators.Tagging
+      val narrow = Seq("data", "data data", "the join", "spark",
+        "query query", "window scan")
+      val vocab = docs(base)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().orderBy(col("count").desc, col("w"))
+        .limit(30).collect().map(_.getString(0)).toSeq
+      val wide = (for (a <- vocab; b <- vocab) yield s"$a $b").distinct
+      def stats(dir: String, ps: Seq[String]): Map[(String, String), (Long, Long)] =
+        Tagging.patternStats(docs(dir), "lang", col("text"), ps)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+      time("tagging warm")(stats(base, narrow).size.toLong)
+      var s1: Map[(String, String), (Long, Long)] = Map.empty
+      var sN: Map[(String, String), (Long, Long)] = Map.empty
+      time("tagging 1x narrow")({ s1 = stats(base, narrow); s1.size.toLong })
+      time(s"tagging ${factor}x narrow")({ sN = stats(big, narrow); sN.size.toLong })
+      println(s"[probe] tagging stats exactly ${factor}x: " +
+        s"${s1.keySet == sN.keySet && s1.forall { case (k, (o, h)) => sN(k) == ((o * factor, h * factor)) }}")
+      var w1: Map[(String, String), (Long, Long)] = Map.empty
+      time(s"tagging 1x dict=${wide.size}")({ w1 = stats(base, wide); w1.size.toLong })
+      time(s"tagging ${factor}x dict=${wide.size}")(stats(big, wide).size.toLong)
+      val narrowInWide = s1.keys.filter(k => wide.contains(k._2))
+      println(s"[probe] narrow rows identical under wide dict: " +
+        s"${narrowInWide.forall(k => w1.get(k) == s1.get(k))}")
 
       // PQ: index build is the one-off cost; the per-query cost is the
       // 8-int code scan + rerank-wide exact pass. Recall floor (≥6/10
