@@ -141,6 +141,36 @@ object SparkEntry {
       fixturePath("jacpairs", dir, "documents"),
       shingles = Some(sharedShingles(s, dir)))
 
+  /** One-row (subset_of_exact, recall_ok) verdict over pair relations
+    * keyed (id_a, id_b): `got` emits nothing outside `exKeys` and
+    * recovers at least `floor` of it (vacuously true on an empty
+    * exact set). Plan-fused — the envelope oracles pin these booleans
+    * TRUE, so the check must ride the query, never a count-require
+    * job. Shared by the near-dup envelopes (q31, q199).
+    */
+  private def subsetRecallVerdict(got: DataFrame, exKeys: DataFrame,
+                                  floor: Double): DataFrame =
+    got.join(exKeys, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__fp"))
+      .crossJoin(got.join(exKeys, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__hit")))
+      .crossJoin(exKeys.agg(count(lit(1)).as("__n")))
+      .select((col("__fp") === 0L).as("subset_of_exact"),
+        (col("__n") === 0L || col("__hit") >= col("__n") * floor)
+          .as("recall_ok"))
+
+  /** One-row recall-floor verdict over (query_id, nn_id) retrieval
+    * pairs: the banded candidates recover at least `floor` of the
+    * exact rows. Shared by the KNN envelopes (q36, q88).
+    */
+  private def hitFloorVerdict(exact: DataFrame, banded: DataFrame,
+                              floor: Double): DataFrame =
+    exact.select(col("query_id"), col("nn_id"))
+      .join(banded.select(col("query_id"), col("nn_id"), lit(1).as("__hit")),
+        Seq("query_id", "nn_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
+        >= count(lit(1)).cast("double") * floor).as("ann_recall_ok"))
+
   /** Persisted 4-file document backlog in doc_id order (one id-range
     * bucket per file, mtimes spaced so maxFilesPerTrigger=1 replays
     * them oldest-first) — the shared SOURCE for the streaming-ingest
@@ -585,13 +615,7 @@ object SparkEntry {
           shingles = Some(sharedShingles(s, dir)))
         .select(col("id_a"), col("id_b")))
       val exKeys = exact.select(col("id_a"), col("id_b"))
-      val verdict = mh.join(exKeys, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("__fp"))
-        .crossJoin(mh.join(exKeys, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("__hit")))
-        .crossJoin(exKeys.agg(count(lit(1)).as("__n")))
-        .select((col("__fp") === 0L).as("subset_of_exact"),
-          (col("__n") === 0L || col("__hit") >= col("__n") * 0.8).as("recall_ok"))
+      val verdict = subsetRecallVerdict(mh, exKeys, floor = 0.8)
       exact.crossJoin(broadcast(verdict))
         .select(col("id_a"), col("id_b"), col("jaccard"),
           col("subset_of_exact"), col("recall_ok"))
@@ -783,11 +807,8 @@ object SparkEntry {
       val exact = Similarity.bruteTopKBatch(
         emb.filter(audit), emb, "vec_id", "embedding", 3)
       val annSample = ann.filter(col("id") % 50 === 0 && col("id") < 6400)
-        .select(col("id").as("query_id"), col("nn_id"), lit(1).as("__hit"))
-      val verdict = exact.select(col("query_id"), col("nn_id"))
-        .join(annSample, Seq("query_id", "nn_id"), "left")
-        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
-          >= count(lit(1)).cast("double") * 0.1).as("ann_recall_ok"))
+        .select(col("id").as("query_id"), col("nn_id"))
+      val verdict = hitFloorVerdict(exact, annSample, floor = 0.1)
       exact.crossJoin(broadcast(verdict))
         .select(col("query_id").as("id"), col("nn_id"), col("cosine"),
           col("ann_recall_ok"))
@@ -1591,11 +1612,7 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, numBits = 64, bands = 8)
       val exact = Similarity.bruteTopKBatch(probes, corpus,
         "vec_id", "embedding", 3)
-      val verdict = exact.select(col("query_id"), col("nn_id"))
-        .join(ann.select(col("query_id"), col("nn_id"), lit(1).as("__hit")),
-          Seq("query_id", "nn_id"), "left")
-        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
-          >= count(lit(1)).cast("double") * 0.1).as("ann_recall_ok"))
+      val verdict = hitFloorVerdict(exact, ann, floor = 0.1)
       exact.crossJoin(broadcast(verdict))
         .select(col("query_id"), col("nn_id"), col("cosine"),
           col("ann_recall_ok"))
@@ -3497,13 +3514,7 @@ object SparkEntry {
       }
       val exact = sharedPairs(s, dir)
       val exKeys = exact.select(col("id_a"), col("id_b"))
-      val verdict = pairs.join(exKeys, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("__fp"))
-        .crossJoin(pairs.join(exKeys, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("__hit")))
-        .crossJoin(exKeys.agg(count(lit(1)).as("__n")))
-        .select((col("__fp") === 0L).as("subset_of_exact"),
-          (col("__n") === 0L || col("__hit") >= col("__n") * 0.8).as("recall_ok"))
+      val verdict = subsetRecallVerdict(pairs, exKeys, floor = 0.8)
       exact.crossJoin(broadcast(verdict))
         .select(col("id_a"), col("id_b"), col("jaccard"),
           col("subset_of_exact"), col("recall_ok"))

@@ -52,13 +52,17 @@ object InvertedIndex {
     */
   def appendPostings(indexPath: String, newDocs: DataFrame,
                      idName: String, text: Column): Unit = {
-    val archivedIds = newDocs.sparkSession.read.parquet(indexPath)
-      .select(col(idName)).distinct()
-    val clash = newDocs.select(col(idName))
-      .join(archivedIds, Seq(idName), "left_semi").limit(1).collect()
-    require(clash.isEmpty,
-      s"appendPostings: batch re-ingests archived $idName " +
-        s"${clash.head.get(0)} — id spaces must be disjoint")
+    // bootstrap: appending to a not-yet-existing index creates
+    // generation 0 (the pre-guard behavior — nothing to clash with)
+    if (new java.io.File(indexPath).isDirectory) {
+      val archivedIds = newDocs.sparkSession.read.parquet(indexPath)
+        .select(col(idName))
+      val clash = newDocs.select(col(idName))
+        .join(archivedIds, Seq(idName), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"appendPostings: batch re-ingests archived $idName " +
+          s"${clash.head.get(0)} — id spaces must be disjoint")
+    }
     build(newDocs, idName, text)
       .write.mode("append").parquet(indexPath)
   }

@@ -270,9 +270,10 @@ object StreamOps {
     * (`shingles/batch=<id>`, `bands/batch=<id>`). Every per-batch
     * effect is an OVERWRITE of its batch directory, so at-least-once
     * foreachBatch retries replace rather than double-count (the
-    * [[postingsSink]] discipline). The archive read happens BEFORE
-    * the batch's own append inside each trigger, so a batch never
-    * bands against itself through the archive.
+    * [[postingsSink]] discipline), and the archive reads EXCLUDE the
+    * batch's own generation, so a batch never bands against itself —
+    * not in the first run (the read precedes the append) and not in a
+    * replay of a partially-committed trigger (see [[neardupBatch]]).
     *
     * Equivalence contract (StreamOpsSpec): signatures, bands, and the
     * exact-Jaccard verification are deterministic functions of the
@@ -289,38 +290,57 @@ object StreamOps {
                   threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
                   shingleN: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.Dedup
     val w = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val spark = batch.sparkSession
-        val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // the batch's banded signatures are BOTH this trigger's probe
-        // side and the archive's next generation — compute the k-min
-        // aggregation once and share (batchBands contract)
-        val bdB = Dedup.minhashBands(
-            Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val shDir = s"$stateDir/shingles"
-        val bdDir = s"$stateDir/bands"
-        val empty = !new java.io.File(shDir).isDirectory
-        val (archSh, archBd) =
-          if (empty) (shB.limit(0), bdB.limit(0))
-          else
-            (spark.read.parquet(shDir).drop("batch"),
-              spark.read.parquet(bdDir).drop("batch"))
-        Dedup.minhashNearDupsIncremental(batch, idName, textName,
-            archSh, archBd, threshold, k, bands, shingleN,
-            batchShingles = Some(shB), batchBands = Some(bdB))
-          .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
-        shB.write.mode("overwrite").parquet(s"$shDir/batch=$bid")
-        bdB.write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
-        shB.unpersist(); bdB.unpersist()
-        ()
+        neardupBatch(batch, bid, stateDir, idName, textName,
+          threshold, k, bands, shingleN)
       }
     trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[neardupSink]], idempotent under replay: the
+    * archive reads EXCLUDE generation `bid` (an at-least-once retry
+    * that already appended its own shingles/bands must not band the
+    * batch against itself — self-pairs would poison the accumulated
+    * set permanently), each archive side falls back to an empty
+    * relation independently (a crash BETWEEN the shingles and bands
+    * writes must not strand the retry on a missing directory), and
+    * every effect is an overwrite of this batch's own directories.
+    * Re-running any prefix of the effects therefore reproduces
+    * byte-identical state — the exactly-once contract StreamOpsSpec
+    * pins by replaying a committed batch.
+    */
+  private[graft] def neardupBatch(batch: DataFrame, bid: Long,
+                                  stateDir: String, idName: String,
+                                  textName: String, threshold: Double,
+                                  k: Int, bands: Int, shingleN: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch's banded signatures are BOTH this trigger's probe
+    // side and the archive's next generation — compute the k-min
+    // aggregation once and share (batchBands contract)
+    val bdB = Dedup.minhashBands(
+        Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shDir = s"$stateDir/shingles"
+    val bdDir = s"$stateDir/bands"
+    def arch(dir: String, emptyRel: DataFrame): DataFrame =
+      if (!new java.io.File(dir).isDirectory) emptyRel
+      else spark.read.parquet(dir).filter(col("batch") =!= bid).drop("batch")
+    val archSh = arch(shDir, shB.limit(0))
+    val archBd = arch(bdDir, bdB.limit(0))
+    Dedup.minhashNearDupsIncremental(batch, idName, textName,
+        archSh, archBd, threshold, k, bands, shingleN,
+        batchShingles = Some(shB), batchBands = Some(bdB))
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
+    shB.write.mode("overwrite").parquet(s"$shDir/batch=$bid")
+    bdB.write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
+    shB.unpersist(); bdB.unpersist()
+    ()
   }
 
   def upsertSink(updates: DataFrame, targetDir: String, key: String,

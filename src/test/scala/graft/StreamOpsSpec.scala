@@ -100,6 +100,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == ref,
       s"stream-accumulated pairs diverge: extra=${(got diff ref).take(3)} " +
         s"missing=${(ref diff got).take(3)}")
+
+    // exactly-once under at-least-once delivery: replay the LAST
+    // committed batch (its shingles/bands generation is already in
+    // the archive — the worst case, where a naive archive read would
+    // band the batch against itself and poison the pair set with
+    // (x,x) self-pairs). The replay must leave every state directory
+    // value-identical.
+    def stateSnapshot(): (Set[(Long, Long, Double)], Long, Long) = (
+      spark.read.parquet(s"$dir/state/pairs")
+        .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b"), $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet,
+      spark.read.parquet(s"$dir/state/shingles").count(),
+      spark.read.parquet(s"$dir/state/bands").count())
+    val before = stateSnapshot()
+    graft.streaming.StreamOps.neardupBatch(
+      parts.last.toSeq.toDF("doc_id", "text"), bid = 2L,
+      s"$dir/state", "doc_id", "text",
+      threshold = 0.6, k = 32, bands = 8, shingleN = 3)
+    assert(stateSnapshot() == before,
+      "replaying a committed batch changed the accumulated state")
   }
 
   test("dedupStream drops within-watermark duplicates across batches") {

@@ -533,11 +533,15 @@ object ProbeScale100 {
       val narrowInWide = s1.keys.filter(k => wide.contains(k._2))
       println(s"[probe] narrow rows identical under wide dict: " +
         s"${narrowInWide.forall(k => w1.get(k) == s1.get(k))}")
+    }
 
-      // PQ: index build is the one-off cost; the per-query cost is the
-      // 8-int code scan + rerank-wide exact pass. Recall floor (≥6/10
-      // vs exact L2, the q148 contract) must hold at factor×.
+    // PQ: index build is the one-off cost; the per-query cost is the
+    // 8-int code scan + rerank-wide exact pass. Recall floor (≥6/10
+    // vs exact L2, the q148 contract) must hold at factor×.
+    if (section("retrieval")) {
+      replicate("embeddings", Seq("vec_id"))
       import graft.functions.VecFns
+      import graft.operators.Similarity
       val qv = emb(base).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val qn = qv.map(x => x.toDouble * x).sum
