@@ -201,6 +201,68 @@ object AcKernel {
   /** Codegen entry point: ArrayData of longs for the expression. */
   def countsU(a: Automaton, text: UTF8String): GenericArrayData =
     new GenericArrayData(counts(a, text))
+
+  // Sparse accumulator scratch, per thread: a dense counts array
+  // (grown to the widest dictionary this thread has seen) plus the
+  // list of touched pattern ids, so reset is O(hits) — per-row
+  // allocation is then HITS-sized, not dictionary-sized. At a
+  // 10⁵-entry blocklist the dense form allocates ~800 KB per row;
+  // this form allocates a few structs for the handful of patterns a
+  // typical document actually contains.
+  private val scratchCnt = new ThreadLocal[Array[Long]]
+  private val scratchIds = new ThreadLocal[Array[Int]]
+
+  /** Sparse per-pattern hits: (pattern index, count) structs for
+    * patterns with count > 0, ordered by pattern index (canonical).
+    * Same match semantics as [[counts]] (all occurrences, overlapping
+    * included) — equality is spec-pinned.
+    */
+  def hitsU(a: Automaton, text: UTF8String): GenericArrayData = {
+    var cnt = scratchCnt.get()
+    if (cnt == null || cnt.length < a.nPatterns) {
+      cnt = new Array[Long](a.nPatterns); scratchCnt.set(cnt)
+    }
+    var ids = scratchIds.get()
+    if (ids == null || ids.length < a.nPatterns) {
+      ids = new Array[Int](a.nPatterns); scratchIds.set(ids)
+    }
+    var nt = 0
+    try {
+      var state = 0
+      val nb = text.numBytes
+      var i = 0
+      while (i < nb) {
+        state = step(a, state, text.getByte(i))
+        var t = if (a.patOffset(state + 1) > a.patOffset(state)) state
+                else a.outLink(state)
+        while (t >= 0) {
+          var k = a.patOffset(t)
+          val end = a.patOffset(t + 1)
+          while (k < end) {
+            val p = a.patEnd(k)
+            if (cnt(p) == 0L) { ids(nt) = p; nt += 1 }
+            cnt(p) += 1L
+            k += 1
+          }
+          t = a.outLink(t)
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(ids, 0, nt)
+      val out = new Array[Any](nt)
+      var j = 0
+      while (j < nt) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(ids(j), cnt(ids(j)))
+        j += 1
+      }
+      new GenericArrayData(out)
+    } finally {
+      // reset ONLY the touched slots (O(hits)); finally, so a freak
+      // failure can never leak stale counts into the next row
+      var j = 0
+      while (j < nt) { cnt(ids(j)) = 0L; j += 1 }
+    }
+  }
 }
 
 /** multi_pattern_counts(text) → array<bigint>, one slot per
@@ -230,4 +292,39 @@ case class MultiPatternCounts(child: Expression, automaton: AcKernel.Automaton)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "multi_pattern_counts"
+}
+
+/** multi_pattern_hits(text) → array<struct<p:int, n:bigint>> of the
+  * NONZERO per-pattern occurrence counts, ordered by pattern index —
+  * the blocklist-scale form of [[MultiPatternCounts]]: per-row output
+  * (and garbage) is sized by the document's actual HITS, never by the
+  * dictionary, so a 10⁵-pattern blocklist costs the same per-row
+  * allocation as a 6-pattern one. Same one-pass automaton, same
+  * all-occurrence semantics (equality spec-pinned).
+  */
+case class MultiPatternHits(child: Expression, automaton: AcKernel.Automaton)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_hits needs a string column, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    AcKernel.hitsU(automaton, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AcKernel.Automaton")
+    defineCodeGen(ctx, ev, c => s"graft.functions.AcKernel.hitsU($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "multi_pattern_hits"
 }

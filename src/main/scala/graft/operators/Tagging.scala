@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-import graft.functions.{AcKernel, MultiPatternCounts}
+import graft.functions.{AcKernel, MultiPatternCounts, MultiPatternHits}
 
 /** Dictionary tagging at corpus scale: match a pattern set (blocklist
   * phrases, topic keywords, contamination markers) against every
@@ -24,35 +24,42 @@ import graft.functions.{AcKernel, MultiPatternCounts}
 object Tagging {
 
   /** array<bigint> of per-pattern occurrence counts, positional (slot
-    * i = patterns(i)). One automaton pass per row, codegen'd.
+    * i = patterns(i)). One automaton pass per row, codegen'd. Dense —
+    * right when the consumer wants every slot (a feature vector); for
+    * blocklist-scale dictionaries prefer [[patternHits]], whose
+    * per-row output is hits-sized.
     */
   def patternCounts(text: Column, patterns: Seq[String]): Column =
     toCol(MultiPatternCounts(toExpr(text), AcKernel.build(patterns)))
 
-  /** Per-document hits: (id, pattern, n) with n > 0 only. The dense
-    * per-pattern array is exploded and zero rows are dropped INSIDE
-    * the scan stage — nothing pattern-shaped is shuffled for the
+  /** array<struct<p,n>> of the NONZERO per-pattern counts — the
+    * blocklist-scale form: per-row output and garbage follow the
+    * document's actual hits, never the dictionary width.
+    */
+  def patternHits(text: Column, patterns: Seq[String]): Column =
+    toCol(MultiPatternHits(toExpr(text), AcKernel.build(patterns)))
+
+  /** Per-document hits: (id, pattern, n) with n > 0 only. The sparse
+    * hit structs are exploded INSIDE the scan stage — nothing
+    * pattern-shaped is produced, let alone shuffled, for the
     * (overwhelming at blocklist scale) documents that hit nothing.
     */
   def tagDocs(docs: DataFrame, idName: String, text: Column,
               patterns: Seq[String]): DataFrame =
-    docs.select(col(idName),
-        posexplode(patternCounts(text, patterns)).as(Seq("__p", "n")))
-      .filter(col("n") > 0L)
+    docs.select(col(idName), explode(patternHits(text, patterns)).as("__h"))
       .select(col(idName),
-        element_at(array(patterns.map(lit): _*), col("__p") + 1).as("pattern"),
-        col("n"))
+        element_at(array(patterns.map(lit): _*), col("__h.p") + 1).as("pattern"),
+        col("__h.n").as("n"))
 
   /** Corpus dictionary profile per (group, pattern): total occurrence
     * count and the number of documents with at least one hit. Groups
-    * × patterns with zero hits are absent (nothing of theirs survives
-    * the in-stage zero filter — the oracle replays the same rule).
+    * × patterns with zero hits are absent (the sparse kernel never
+    * emits them — the oracle replays the same rule).
     */
   def patternStats(docs: DataFrame, groupName: String, text: Column,
                    patterns: Seq[String]): DataFrame =
-    docs.select(col(groupName),
-        posexplode(patternCounts(text, patterns)).as(Seq("__p", "n")))
-      .filter(col("n") > 0L)
+    docs.select(col(groupName), explode(patternHits(text, patterns)).as("__h"))
+      .select(col(groupName), col("__h.p").as("__p"), col("__h.n").as("n"))
       .groupBy(col(groupName), col("__p"))
       .agg(sum(col("n")).as("occurrences"),
         count(lit(1)).as("docs_with_hit"))

@@ -349,7 +349,7 @@ class PlanAuditSpec extends SparkSpec {
     // the dictionary must ride the plan as a reference object, never
     // become a join side
     val plan = query("q200_dictionary_tag").queryExecution.optimizedPlan.toString()
-    assert(plan.contains("multi_pattern_counts"),
+    assert(plan.contains("multi_pattern_hits"),
       s"q200 lost the automaton expression:\n$plan")
     assert(!plan.contains("Join"), s"q200 joins the dictionary:\n$plan")
   }

@@ -96,4 +96,25 @@ class TaggingSpec extends SparkSpec {
       pats.map(p => naiveCount(t, p)))
     assert(viaCodegen == want)
   }
+
+  test("sparse hits equal the dense counts' nonzero slots (scratch reuse across rows)") {
+    val pats = Seq("data", "data data", "spark", "zz never zz")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dense = docs.select(col("doc_id"),
+        Tagging.patternCounts(col("text"), pats).as("c"))
+      .as[(Long, Seq[Long])].collect()
+      .flatMap { case (id, c) =>
+        c.zipWithIndex.collect { case (n, p) if n > 0 => (id, p, n) }
+      }.toSet
+    val sparse = docs.select(col("doc_id"),
+        explode(Tagging.patternHits(col("text"), pats)).as("h"))
+      .select(col("doc_id"), col("h.p"), col("h.n"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, p, n) => (id, p, n) }.toSet
+    assert(sparse == dense)
+    // ordering canonical: struct array sorted by pattern index per row
+    val orders = docs.select(Tagging.patternHits(col("text"), pats).as("h"))
+      .select(col("h.p")).as[Seq[Int]].collect()
+    assert(orders.forall(s => s == s.sorted))
+  }
 }
