@@ -3815,6 +3815,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---------------- perplexity-band pruning ----------------
+    // The standard LM-data curation step: score every document with
+    // corpus-LM mean surprisal (q84's engine-exact fixed-point
+    // metric) and keep the middle band per language — the low tail is
+    // boilerplate/repetition, the high tail is noise. Band edges are
+    // EXACT rank positions under a total order (surprisal, doc_id) —
+    // the q176 rank-selection discipline, replayable in SQL; at
+    // data scale the rank windows swap for approx quantile cuts (the
+    // q83 pattern) with the same downstream shape.
+    "q203_perplexity_prune" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sur = TextMetrics.unigramSurprisal(docs, "doc_id", col("text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val byLang = Window.partitionBy(col("lang"))
+      val ranked = sur
+        .withColumn("__rn", row_number().over(
+          byLang.orderBy(col("avg_surprisal").asc, col("doc_id").asc)))
+        .withColumn("__n", count(lit(1)).over(byLang))
+      ranked
+        .filter(col("__rn") > floor(col("__n") * 0.25).cast("long") &&
+          col("__rn") <= floor(col("__n") * 0.75).cast("long"))
+        .groupBy(col("lang"))
+        .agg(max(col("__n")).as("n_total"), count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          min(col("avg_surprisal")).as("band_lo"),
+          max(col("avg_surprisal")).as("band_hi"))
+        .orderBy("lang")
+    }),
+
     // ---------------- split leakage audit ----------------
     // The eval-contamination check a training pipeline runs after
     // splitting: near-duplicate pairs (the corpus's standing exact-
@@ -6895,6 +6924,33 @@ object SparkEntry {
            UNION ALL SELECT 3, id, rel, score FROM s3
            UNION ALL SELECT 4, id, rel, score FROM s4
            UNION ALL SELECT 5, id, rel, score FROM s5) ORDER BY rank""",
+    // perplexity pruning = the q84 surprisal replay + exact rank-band
+    // selection per language
+    "q203_perplexity_prune" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM tok),
+         lp AS (SELECT token,
+             CAST(floor(-ln(CAST(c AS DOUBLE)/t.n)*1e4 + 0.5) AS BIGINT) AS lp4
+           FROM freq CROSS JOIN tot t),
+         per AS (SELECT doc_id, sum(lp4) AS slp, count(*) AS nt
+           FROM tok JOIN lp USING (token) GROUP BY doc_id),
+         sc AS (SELECT p.doc_id, d.lang, p.nt,
+             floor(CAST(slp AS DOUBLE)/(1e4*nt)*1e6 + 0.5)/1e6 AS avg_surprisal
+           FROM per p JOIN documents d USING (doc_id)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+               ORDER BY avg_surprisal, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM sc),
+         k AS (SELECT * FROM r
+           WHERE rn > CAST(floor(n*0.25) AS BIGINT)
+             AND rn <= CAST(floor(n*0.75) AS BIGINT))
+         SELECT lang, CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS kept_tokens,
+           min(avg_surprisal) AS band_lo, max(avg_surprisal) AS band_hi
+         FROM k GROUP BY lang ORDER BY lang""",
     // leakage audit = the q31 exact-pair device + the q174 md5-split
     // device, joined — both engine-exact
     "q202_split_leakage" ->
