@@ -113,6 +113,23 @@ object Artifact {
     }
   }
 
+  /** URI-capable directory-existence check via the Hadoop FileSystem
+    * API — for operators whose data I/O is already `spark.read` /
+    * `spark.write` (the streaming near-dup archive, the inverted-
+    * index appender) and therefore accepts hdfs:// / s3a:// paths:
+    * a `java.io.File` check there would silently report "absent" for
+    * every remote path, making the caller treat a populated archive
+    * as empty. (The [[ensure]] protocol itself stays local-FS by
+    * design — its atomic-rename publish is documented to map onto an
+    * object store's rename/conditional-put, not to run against one.)
+    */
+  def hadoopDirExists(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   /** Reclaim SUPERSEDED artifact generations. Artifact paths are keyed
     * on their source data (size+mtime tag), so every regeneration of
     * the testdata strands the previous generation's directories

@@ -1198,11 +1198,18 @@ object Dedup {
       .toDF("id", "canonical_id")
   }
 
-  private def materialized(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
-  }
+  // Already-persisted inputs (a caller-shared batchShingles /
+  // batchBands, or a plan equivalent to one in the cache) pass
+  // through untouched — re-persisting is a no-op that still logs
+  // `CacheManager: Asked to cache already cached data` on every call,
+  // and the WARN-free bench tail is a pinned discipline (ProbeWarnScan)
+  private def materialized(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
 
   // ----------------------------------------------------------------
   // Cross-document duplicated-SPAN removal (exact substring dedup)

@@ -45,20 +45,24 @@ object InvertedIndex {
     * double-count its term frequencies) — ENFORCED with a loud
     * rejection before any file is written, the requireShingleN /
     * requireBandParams discipline: one semi-join against the archived
-    * ids, short-circuited at the first overlap (a build-time step, so
-    * the extra job is off every query path). Not crash-atomic — run
+    * ids, `take(1)` so the driver stops pulling partitions at the
+    * first surfaced overlap (the scan side of the semi-join still
+    * reads the archived index — O(archive) per append, a build-time
+    * step off every query path). Not crash-atomic — run
     * inside the caller's publish step (an [[Artifact.ensure]] build),
     * like every other append here.
     */
   def appendPostings(indexPath: String, newDocs: DataFrame,
                      idName: String, text: Column): Unit = {
     // bootstrap: appending to a not-yet-existing index creates
-    // generation 0 (the pre-guard behavior — nothing to clash with)
-    if (new java.io.File(indexPath).isDirectory) {
+    // generation 0 (the pre-guard behavior — nothing to clash with).
+    // Hadoop-FS check: the read/write below accept remote indexPaths,
+    // and a java.io.File check would silently skip the guard there
+    if (Artifact.hadoopDirExists(newDocs.sparkSession, indexPath)) {
       val archivedIds = newDocs.sparkSession.read.parquet(indexPath)
         .select(col(idName))
       val clash = newDocs.select(col(idName))
-        .join(archivedIds, Seq(idName), "left_semi").limit(1).collect()
+        .join(archivedIds, Seq(idName), "left_semi").take(1)
       require(clash.isEmpty,
         s"appendPostings: batch re-ingests archived $idName " +
           s"${clash.head.get(0)} — id spaces must be disjoint")

@@ -328,8 +328,12 @@ object StreamOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shDir = s"$stateDir/shingles"
     val bdDir = s"$stateDir/bands"
+    // Hadoop-FS existence check, not java.io.File: every other I/O
+    // here is spark.read/write, which accepts remote (hdfs://, s3a://)
+    // stateDirs — a local-FS check would report such an archive as
+    // absent and silently drop every cross-batch pair
     def arch(dir: String, emptyRel: DataFrame): DataFrame =
-      if (!new java.io.File(dir).isDirectory) emptyRel
+      if (!graft.operators.Artifact.hadoopDirExists(spark, dir)) emptyRel
       else spark.read.parquet(dir).filter(col("batch") =!= bid).drop("batch")
     val archSh = arch(shDir, shB.limit(0))
     val archBd = arch(bdDir, bdB.limit(0))
