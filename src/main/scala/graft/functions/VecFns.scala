@@ -38,6 +38,13 @@ object VecFns {
   def hyperplaneSig(v: Column, numBits: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numBits, seed))
 
+  /** SQ8 code packing/serving kernels (Sq8Exprs.scala): int8 codes as
+    * array<long> ↔ one-byte-per-dim binary, and the exact int64 dot
+    * over the packed form — the persisted-index scan kernel.
+    */
+  def packInt8(codes: Column): Column = toCol(PackInt8(toExpr(codes)))
+  def sq8Dot(a: Column, b: Column): Column = toCol(Sq8DotCodes(toExpr(a), toExpr(b)))
+
   /** L2-normalized copy of a vector (double elements); an all-zero
     * vector stays all-zero instead of dividing by zero. The norm
     * rides in as a zip_with lambda variable (array_repeat evaluates

@@ -199,11 +199,16 @@ object Similarity {
     }
   }
 
-  private def materialized(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
-  }
+  // skip already-persisted inputs (Dedup.materialized's rationale:
+  // the no-op re-persist logs a CacheManager WARN per call, and the
+  // bench tail is pinned WARN-free)
+  private def materialized(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
 
   /** Batch retrieval: for every QUERY vector, the top-k nearest
     * CORPUS vectors — the two-relation form of [[knnJoin]] (serve a
@@ -800,6 +805,118 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build-time half of the persisted SQ8 tier (the IVF/PQ artifact
+    * discipline at `buildIvfIndex`/`buildPqIndex`): compute the
+    * per-dimension scales once, quantize the corpus once, and WRITE
+    * the codes PACKED one byte per dimension (`indexPath/codes`, a
+    * binary column via [[graft.functions.VecFns.packInt8]]) plus the
+    * dim-sized scales sidecar (`indexPath/scales`). This realizes the
+    * memory-bandwidth claim the ad-hoc [[sq8TopK]] can't: a query
+    * scan reads 1/4 the bytes of the float vectors, and the floats
+    * stay cold (optional exact re-rank tier). Quantization is a pure
+    * function of (vector, scales), so the indexed ranking is
+    * BIT-IDENTICAL to the ad-hoc form (spec-pinned).
+    */
+  def buildSq8Index(embeddings: DataFrame, idName: String, vecName: String,
+                    indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val scales = sq8Scales(embeddings, vecName)
+    embeddings.select(col(idName),
+        graft.functions.VecFns.packInt8(
+          sq8Quantize(col(vecName), scales)).as("codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    import scala.jdk.CollectionConverters._
+    val rows = scales.toSeq.zipWithIndex.map { case (m, d) =>
+      org.apache.spark.sql.Row(d, m)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "dim INT, scale DOUBLE")
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/scales")
+  }
+
+  /** Build the SQ8 index only if absent — both halves publish
+    * atomically under [[Artifact.ensure]] so a reader never sees
+    * codes without the scales sidecar (the ensureIvfIndex protocol).
+    */
+  def ensureSq8Index(embeddings: DataFrame, idName: String, vecName: String,
+                     indexPath: String): Unit = {
+    def ok(p: String) =
+      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/scales")
+    Artifact.ensure(indexPath, ok) { tmp =>
+      buildSq8Index(embeddings, idName, vecName, tmp)
+    }
+  }
+
+  /** Append a new batch to an existing SQ8 index WITHOUT re-deriving
+    * scales: the batch quantizes against the PERSISTED scales sidecar
+    * (read once, dim-sized) and its packed codes land as new files in
+    * the code table — the continuous-ingest maintenance path (the
+    * appendIvfIndex / appendPostings discipline; the sidecar is
+    * untouched). Quantization is a pure function of (vector, scales),
+    * so the appended index is BIT-IDENTICAL to coding the union under
+    * the same scales (spec-pinned). Scale drift is the documented
+    * debt, and it fails LOUDLY instead of clipping: a batch dimension
+    * whose max |x_d| exceeds the frozen scale_d would code outside
+    * int8 and silently corrupt every ranking involving it — one
+    * dim-sized aggregate rejects the batch up front (rebuild via
+    * [[buildSq8Index]] on the union when it trips). A batch wider
+    * than the index's dimensionality is rejected the same way. Not
+    * crash-atomic — run inside the caller's publish step, like every
+    * other append here.
+    */
+  def appendSq8Index(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, newEmbeddings: DataFrame,
+                     idName: String, vecName: String): Unit = {
+    val scales = readSq8Scales(spark, indexPath)
+    val batchMax = newEmbeddings
+      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    batchMax.foreach { case (d, m) =>
+      require(d < scales.length,
+        s"appendSq8Index: batch has dimension $d beyond the index's " +
+          s"${scales.length} — not the same embedding space")
+      require(m <= scales(d),
+        f"appendSq8Index: batch max |x_$d%d| = $m%.6g exceeds the frozen " +
+          f"scale ${scales(d)}%.6g — codes would clip; rebuild the index " +
+          "over the union instead")
+    }
+    newEmbeddings.select(col(idName),
+        graft.functions.VecFns.packInt8(
+          sq8Quantize(col(vecName), scales)).as("codes"))
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** The scales sidecar (dim-sized driver state — the centroid/
+    * codebook class), for encoding NEW queries against a persisted
+    * index.
+    */
+  def readSq8Scales(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): Array[Double] =
+    spark.read.parquet(s"$indexPath/scales")
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  /** Query-time half: rank by the exact int64 dot of PACKED codes,
+    * reading ONLY the code column — the query's own codes come from
+    * the code table too (one point lookup), so the float tier is
+    * never touched. Same output as [[sq8TopK]] with the same corpus,
+    * bit for bit.
+    */
+  def sq8TopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idName: String, queryId: Long, k: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qRows = codes.filter(col(idName) === queryId)
+      .select(col("codes")).take(1)
+    require(qRows.nonEmpty, s"sq8TopKIndexed: query $idName=$queryId not in index")
+    val q = qRows.head.getAs[Array[Byte]](0)
+    codes.filter(col(idName) =!= queryId)
+      .select(col(idName),
+        graft.functions.VecFns.sq8Dot(col("codes"), lit(q)).as("qscore"))
+      .orderBy(col("qscore").desc, col(idName).asc)
+      .limit(k)
+  }
+
   // ================= hard-negative mining =================
 
   /** Contrastive hard-negative mining: for every probe vector, the
@@ -809,8 +926,14 @@ object Similarity {
     * [[bruteTopKBatch]] shape (broadcast probes × one corpus scan,
     * linear in the corpus — the serving-batch geometry, never a
     * corpus self-join); ranking on the ROUNDED cosine keeps the cut
-    * cross-engine-stable. Probes whose label is NULL match nothing
-    * (no negatives defined for an unlabeled probe).
+    * cross-engine-stable. NULL labels never pair, on EITHER side:
+    * a NULL-label probe matches nothing (no negatives are defined
+    * for an unlabeled probe), and NULL-label corpus rows are never
+    * emitted as negatives (an unlabeled row cannot be shown to be a
+    * different class — `label =!= label` is NULL, filtered). Callers
+    * that want unlabeled corpus rows as negatives must assign them
+    * an explicit sentinel label first (spec-pinned in
+    * SimilaritySpec).
     */
   def negativeMining(probes: DataFrame, corpus: DataFrame, idName: String,
                      vecName: String, labelName: String, k: Int): DataFrame = {
@@ -852,11 +975,23 @@ object Similarity {
     * rels + poolN² sims — query parameters, like centroids or
     * codebooks, never corpus-sized). Ties at every pick break to the
     * smaller id.
+    *
+    * `poolN` is a BUDGET, not a free knob: the pairwise-sim job and
+    * the driver state are quadratic in it, so a caller passing a
+    * corpus-sized pool would silently turn the operator into a
+    * collect-the-corpus self-join. Capped at [[MaxMmrPool]] with a
+    * loud rejection (the negativeMining ≤128-probe discipline).
     */
+  val MaxMmrPool = 1024
+
   def mmrTopK(embeddings: DataFrame, idName: String, vecName: String,
               queryVec: Array[Float], k: Int, poolN: Int = 32,
               excludeId: Long = -1L): DataFrame = {
     require(k >= 1 && poolN >= k, s"need 1 <= k <= poolN, got k=$k poolN=$poolN")
+    require(poolN <= MaxMmrPool,
+      s"mmrTopK poolN=$poolN exceeds MaxMmrPool=$MaxMmrPool — the sim job " +
+        s"and driver state are poolN², a larger pool is a corpus self-join " +
+        s"in disguise; re-rank in relevance tiers instead")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = typedlit(queryVec)

@@ -452,6 +452,93 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("SQ8 persisted index: indexed ranking is bit-identical to the ad-hoc form; scan is code-only") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8spec").toString + "/idx"
+    Similarity.ensureSq8Index(emb, "vec_id", "embedding", dir)
+    val adhoc = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    val indexed = Similarity.sq8TopKIndexed(spark, dir, "vec_id", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(indexed == adhoc, s"indexed $indexed != ad-hoc $adhoc")
+    // scales sidecar round-trips exactly
+    assert(Similarity.readSq8Scales(spark, dir).toSeq ==
+      Similarity.sq8Scales(emb, "embedding").toSeq)
+    // the serving scan reads ONLY the code table — the float vector
+    // column must appear nowhere in the plan (the 1/4-bytes claim)
+    val plan = Similarity.sq8TopKIndexed(spark, dir, "vec_id", 0L, 10)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("embedding"),
+      s"indexed scan touches the float tier:\n${plan.take(1500)}")
+    // absent query ids fail loudly, not empty
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sq8TopKIndexed(spark, dir, "vec_id", -999L, 5)
+    }
+    assert(e.getMessage.contains("not in index"))
+  }
+
+  test("SQ8 append: frozen-scale coding is bit-identical to coding the union; clipping batches rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8append").toString + "/idx"
+    Similarity.ensureSq8Index(emb, "vec_id", "embedding", dir)
+    val scales = Similarity.readSq8Scales(spark, dir)
+    // an in-range batch (scaled-down clones, fresh ids): appends as
+    // exactly the direct quantization under the FROZEN scales
+    val batch = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 0.5f).as("embedding"))
+    Similarity.appendSq8Index(spark, dir, batch, "vec_id", "embedding")
+    assert(Similarity.readSq8Scales(spark, dir).toSeq == scales.toSeq,
+      "append touched the scales sidecar")
+    val got = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val want = batch.select(col("vec_id"),
+        graft.functions.VecFns.packInt8(
+          Similarity.sq8Quantize(col("embedding"), scales)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got == want)
+    // a batch that would clip the frozen scales is rejected loudly
+    // BEFORE any file is written
+    val hot = emb.filter(col("vec_id") === 0).select(col("vec_id"),
+      transform(col("embedding"), x => x * 1000.0f).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendSq8Index(spark, dir, hot, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("codes would clip"))
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100000L).count() == 50,
+      "rejected append left partial files")
+  }
+
+  test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
+    import graft.functions.VecFns
+    val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))
+      .toDF("id", "c").select(col("id"), VecFns.packInt8(col("c")).as("b"))
+    val d = packed.as("x").crossJoin(packed.as("y"))
+      .filter(col("x.id") === 1 && col("y.id") === 2)
+      .select(VecFns.sq8Dot(col("x.b"), col("y.b"))).head().getLong(0)
+    assert(d == 1L * 0 + -127L * 5 + 127L * -3, s"dot $d")
+    val range = intercept[Exception] {
+      Seq(Seq(128L)).toDF("c").select(VecFns.packInt8(col("c"))).collect()
+    }
+    assert(range.getMessage != null && findCause(range, "outside int8"),
+      s"range violation not loud: $range")
+    val width = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+        .select(VecFns.sq8Dot(VecFns.packInt8(col("a")),
+          VecFns.packInt8(col("b")))).collect()
+    }
+    assert(findCause(width, "width mismatch"), s"width violation not loud: $width")
+  }
+
+  private def findCause(e: Throwable, needle: String): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (String.valueOf(t.getMessage).contains(needle)) return true
+      t = t.getCause
+    }
+    false
+  }
+
   test("negative mining: labels differ; per-probe rows match the filtered batch scan") {
     val probes = emb.filter(col("vec_id") % 100 === 0)
     val got = Similarity.negativeMining(probes, emb, "vec_id", "embedding",
@@ -515,6 +602,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     // pool by rel desc, id asc = {1, 9}; id2 never enters
     assert(got == Seq(1L, 9L))
+  }
+
+  test("negative mining: NULL labels never pair, on either side") {
+    // c3 (NULL label) is closest to probe p1 but must never surface;
+    // the NULL-label probe p2 mines nothing at all
+    val corpus = Seq(
+      (11L, Array(1.0f, 0.0f), "a"),
+      (12L, Array(0.6f, 0.8f), "b"),
+      (13L, Array(0.99f, 0.14f), null)).toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(1.0f, 0.0f), null)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.negativeMining(probes, corpus, "vec_id", "embedding",
+        "label", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 12L)),
+      s"NULL-label rows leaked into the mined negatives: $got")
+    // the documented workaround: an explicit sentinel label opts
+    // unlabeled corpus rows back in
+    val sentinel = Similarity.negativeMining(probes.filter(col("vec_id") === 1),
+        corpus.withColumn("label", coalesce(col("label"), lit("__unlabeled"))),
+        "vec_id", "embedding", "label", 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(sentinel == Set(12L, 13L))
+  }
+
+  test("mmrTopK rejects a pool above MaxMmrPool loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, "vec_id", "embedding", qvec,
+        k = 5, poolN = Similarity.MaxMmrPool + 1)
+    }
+    assert(e.getMessage.contains("MaxMmrPool"))
+    // the boundary itself is accepted (pool caps at corpus size)
+    assert(Similarity.mmrTopK(emb.limit(3), "vec_id", "embedding", qvec,
+      k = 1, poolN = Similarity.MaxMmrPool).count() == 1)
   }
 
   test("mmrTopK caps at corpus size and is deterministic on the fixture") {

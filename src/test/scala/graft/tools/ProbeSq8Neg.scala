@@ -54,6 +54,23 @@ object ProbeSq8Neg {
     time("sq8TopK 1x")(Similarity.sq8TopK(emb(base), "vec_id", "embedding", 0L, 10).count())
     time("sq8TopK 10x")(Similarity.sq8TopK(emb(big), "vec_id", "embedding", 0L, 10).count())
 
+    // persisted tier (round 13): the code-only indexed scan vs the
+    // ad-hoc float path at 10×, with bit-identity asserted. The
+    // ad-hoc path pays sq8Scales + quantize + float-width I/O per
+    // query; the indexed path reads the 1-byte-per-dim code column
+    // only. Build cost is the amortized one-off.
+    val idx = s"$big/sq8_idx"
+    time("buildSq8Index 10x")(
+      Similarity.ensureSq8Index(emb(big), "vec_id", "embedding", idx))
+    def pairs(df: DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adhoc = time("sq8 ad-hoc query 10x")(
+      pairs(Similarity.sq8TopK(emb(big), "vec_id", "embedding", 0L, 10)))
+    val indexed = time("sq8 indexed query 10x")(
+      pairs(Similarity.sq8TopKIndexed(spark, idx, "vec_id", 0L, 10)))
+    require(indexed == adhoc, s"indexed != ad-hoc at 10x: $indexed vs $adhoc")
+    println("[probe] invariant: indexed SQ8 ranking bit-identical to ad-hoc at 10x — TRUE")
+
     // negative mining: per-original-probe top-1 invariant
     def top1(dir: String): Map[Long, (Long, Double)] = {
       val e = emb(dir)
