@@ -161,15 +161,36 @@ object SparkEntry {
 
   /** One-row recall-floor verdict over (query_id, nn_id) retrieval
     * pairs: the banded candidates recover at least `floor` of the
-    * exact rows. Shared by the KNN envelopes (q36, q88).
+    * exact rows — vacuously true on an empty exact set (sum() over
+    * zero rows is NULL, which would otherwise turn the pinned-TRUE
+    * verdict into NULL, the subsetRecallVerdict guard). Shared by
+    * the KNN envelopes (q36, q88).
     */
   private def hitFloorVerdict(exact: DataFrame, banded: DataFrame,
                               floor: Double): DataFrame =
     exact.select(col("query_id"), col("nn_id"))
       .join(banded.select(col("query_id"), col("nn_id"), lit(1).as("__hit")),
         Seq("query_id", "nn_id"), "left")
-      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double")
-        >= count(lit(1)).cast("double") * floor).as("ann_recall_ok"))
+      .agg((count(lit(1)) === 0L ||
+        sum(coalesce(col("__hit"), lit(0))).cast("double")
+          >= count(lit(1)).cast("double") * floor).as("ann_recall_ok"))
+
+  /** Materialize a multi-consumer relation once, passing through when
+    * an EQUIVALENT plan is already cached (`storageLevel` consults the
+    * CacheManager with plan matching): the no-op re-persist logs a
+    * `CacheManager: Asked to cache already cached data` WARN per call,
+    * and the bench tail is pinned WARN-free (ProbeWarnScan machine-
+    * checks it). The collision is real, not hypothetical — the
+    * SelfCheck fixture blocks run against [[SelfCheck.FixtureDir]]
+    * (sf0.001), so any run AT sf0.001 sees the main body re-derive
+    * plans the fixture block already cached.
+    */
+  private def materializedOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
 
   /** Persisted 4-file document backlog in doc_id order (one id-range
     * bucket per file, mtimes spaced so maxFilesPerTrigger=1 replays
@@ -605,10 +626,7 @@ object SparkEntry {
       // single time, not per consumer; the exact side reads the
       // persisted pair artifact (standing pipeline state — its three
       // consumers are three scans of a tiny parquet)
-      def mat(df: DataFrame): DataFrame = {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      }
+      def mat(df: DataFrame): DataFrame = materializedOnce(df)
       val exact = sharedPairs(s, dir)
       val mh = mat(Dedup.minhashNearDups(t(s, dir).documents, "doc_id", "text",
           threshold = 0.6, shingleN = JaccardShingleN,
@@ -656,19 +674,12 @@ object SparkEntry {
       // ONE simhash pass (the token-explode aggregation is the
       // query's dominant scan) shared by the banded run, the recheck
       // join, and the independent 8-band completeness run
-      val sh = {
-        val p = Dedup.simhash64(docs, "doc_id", col("text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      }
+      val sh = materializedOnce(Dedup.simhash64(docs, "doc_id", col("text")))
       // the banded pair relation feeds two consumers (recheck +
       // completeness anti-join) — materialize so the band join runs once
-      val banded = {
-        val p = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8,
-            hashes = Some(sh))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      }
+      val banded = materializedOnce(
+        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8,
+          hashes = Some(sh)))
       // subset/exactness: re-derive each emitted pair's hamming from
       // the per-doc hash relation and demand agreement and the <= 8
       // bound (empty output ⇒ vacuously true via coalesce)
@@ -1714,12 +1725,8 @@ object SparkEntry {
       // SemDeDup contract). The sf0.001 fixture block above stays as
       // the decomposition-independent ground truth.
       val emb = t(s, dir).embeddings
-      val kept = {
-        val p = Similarity.semanticDedup(emb, "vec_id", "embedding",
-            tau = 0.35, nlist = 16)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      }
+      val kept = materializedOnce(Similarity.semanticDedup(
+        emb, "vec_id", "embedding", tau = 0.35, nlist = 16))
       val kv = kept.join(emb, Seq("vec_id"))
         .select(col("cid"), col("vec_id"), col("embedding"))
       kept.join(emb.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -2362,14 +2369,16 @@ object SparkEntry {
     }),
 
     // ---------------- distributed BPE vocabulary learning ----------------
-    // Iterative argmax loop (like PageRank's iterations): not
-    // expressible as one DuckDB query → no_oracle, with two
-    // self-checks standing in: (a) fixture equality against a
-    // sequential in-JVM BPE reference — the full merge SEQUENCE must
-    // match exactly; (b) at every scale, the argmax pair count is
-    // provably non-increasing step-over-step (a merged token's new
-    // pairs inherit at most the merged pair's count), so a violation
-    // means the loop state corrupted.
+    // Iterative argmax loop (like PageRank's iterations) — and since
+    // round 13 a FULL-oracle row: the training loop itself replays in
+    // DuckDB as 12 unrolled argmax CTE layers (bpeLearnOracleSql — the
+    // q201 greedy-unroll device; all-integer, bit-exact). The two
+    // self-checks stay as independent evidence: (a) fixture equality
+    // against a sequential in-JVM BPE reference — the full merge
+    // SEQUENCE must match exactly; (b) at every scale, the argmax pair
+    // count is provably non-increasing step-over-step (a merged
+    // token's new pairs inherit at most the merged pair's count), so a
+    // violation means the loop state corrupted.
     "q144_bpe_merges" -> ((s, dir) => {
       if (SelfCheck.fixtureExists) SelfCheck.once("q144/fixture") {
         val fx = t(s, SelfCheck.FixtureDir).documents
@@ -2396,7 +2405,10 @@ object SparkEntry {
         SelfCheck.note(s"12 merge steps, counts non-increasing " +
           s"(${counts.headOption.getOrElse(-1L)} → ${counts.lastOption.getOrElse(-1L)})")
       }
-      m.orderBy("step")
+      // step as BIGINT on both sides (the driver's hash is dtype-exact)
+      m.select(col("step").cast("long").as("step"), col("left"),
+          col("right"), col("merged"), col("pair_count"))
+        .orderBy("step")
     }),
 
     // ---------------- token-budget corpus cut ----------------
@@ -3193,10 +3205,7 @@ object SparkEntry {
       val archBands = Dedup.minhashBands(
         Dedup.minhashSignaturesFromShingles(shHist, k = 32,
           shingleN = JaccardShingleN))
-      def mat(df: DataFrame): DataFrame = {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count(); p
-      }
+      def mat(df: DataFrame): DataFrame = materializedOnce(df)
       val shBatch = sh.filter(col("id") % 4 === 3)
       val inc = mat(Dedup.minhashNearDupsIncremental(batch, "doc_id", "text",
           archiveShingles = shHist, archiveBands = archBands,
@@ -3449,13 +3458,17 @@ object SparkEntry {
     // dot-product ranking over the codes. Every step is either a
     // single correctly-rounded IEEE op on shared doubles or integer
     // arithmetic, so DuckDB reproduces scores bit-for-bit — no
-    // 6-decimal coarsening anywhere. At data scale the code column is
-    // the persisted artifact: the ranking scan reads 1/4 the bytes of
-    // the float vectors (the memory-bandwidth play), with the float
-    // tier kept cold for optional re-rank.
+    // 6-decimal coarsening anywhere. Served from the PERSISTED code
+    // table since round 13 (the IVF/PQ artifact discipline): codes
+    // packed one byte per dimension (binary column), scales as a
+    // dim-sized sidecar — the ranking scan reads 1/4 the bytes of the
+    // float vectors AND never touches them (the query's own codes
+    // come from the code table). Bit-identical to the ad-hoc
+    // sq8TopK (SimilaritySpec pins it), so the oracle is unchanged.
     "q197_sq8_topk" -> ((s, dir) => {
-      Similarity.sq8TopK(t(s, dir).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10)
+      val idx = fixturePath("sq8", dir, "embeddings")
+      Similarity.ensureSq8Index(t(s, dir).embeddings, "vec_id", "embedding", idx)
+      Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
     }),
 
     // ---------------- contrastive hard-negative mining (FULL oracle) ----------------
@@ -3651,12 +3664,16 @@ object SparkEntry {
     // The SentencePiece-family counterpart of q144's BPE: seed from
     // frequent substrings, then Viterbi-EM rounds over the
     // distinct-word relation (codegen kernel segmentation + one keyed
-    // agg per round; driver state = the vocab itself). Like q144,
-    // the iterative argmin loop is not one DuckDB query → no_oracle,
-    // with (a) fixture equality against the sequential in-JVM
-    // reference — vocab, costs, use-counts AND the EM cost trace must
-    // match exactly — and (b) at every scale the hard-EM guarantee:
-    // corpus Viterbi cost non-increasing round over round.
+    // agg per round; driver state = the vocab itself). Since round 13
+    // a FULL-oracle row: the whole hard-EM loop — seed, three Viterbi
+    // forward-DP + backtrack rounds, prune, re-estimate — replays in
+    // DuckDB as unrolled recursive-CTE layers (unigramLearnOracleSql),
+    // so (piece, cost_micro, n_uses) is recomputed end-to-end from raw
+    // text. The self-checks stay as independent evidence: (a) fixture
+    // equality against the sequential in-JVM reference — vocab, costs,
+    // use-counts AND the EM cost trace must match exactly — and (b) at
+    // every scale the hard-EM guarantee: corpus Viterbi cost
+    // non-increasing round over round.
     "q171_unigram_learn" -> ((s, dir) => {
       if (SelfCheck.fixtureExists) SelfCheck.once("q171/fixture") {
         val fx = t(s, SelfCheck.FixtureDir).documents
@@ -3844,6 +3861,82 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---------------- perplexity-band pruning, approx twin ----------------
+    // The DATA-SCALE path of q203 (whose exact per-language rank
+    // window sorts each language on one reducer — Zipf-skewed at
+    // 100 TB): band edges from ONE un-sorted partial-aggregable
+    // percentile_approx pass (#languages-sized output, broadcast
+    // back), filter in the scan stage. No sort, no window — the
+    // q170→q179 exact/approx split, PlanAuditSpec-pinned. Envelope
+    // oracle: the hashed rows are the exact per-language totals plus
+    // the GK-sketch guarantee pinned TRUE per language — each edge's
+    // VALUE-RANK RANGE [#(< edge)+1, #(<= edge)] must intersect the
+    // target rank ± n/accuracy (tie-robust: a clone plateau at an
+    // edge widens the value's own rank range, not the error bound).
+    "q204_perplexity_prune_approx" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val acc = 10000
+      val sur = materializedOnce(
+        TextMetrics.unigramSurprisal(docs, "doc_id", col("text"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+      val edges = TextMetrics.approxBandEdges(sur, "lang", "avg_surprisal",
+        0.25, 0.75, acc)
+      val sv = col("avg_surprisal")
+      def rankOk(q: Double, below: Column, atOrBelow: Column) = {
+        val tol = col("n_total").cast("double") / acc + 1.0
+        val target = col("n_total").cast("double") * q
+        (below.cast("double") <= target + tol) &&
+          (atOrBelow.cast("double") >= target - tol)
+      }
+      sur.join(broadcast(edges), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(sv < col("edge_lo"), 1L).otherwise(0L)).as("__blo"),
+          sum(when(sv <= col("edge_lo"), 1L).otherwise(0L)).as("__alo"),
+          sum(when(sv < col("edge_hi"), 1L).otherwise(0L)).as("__bhi"),
+          sum(when(sv <= col("edge_hi"), 1L).otherwise(0L)).as("__ahi"),
+          max(col("edge_lo")).as("__elo"), max(col("edge_hi")).as("__ehi"))
+        .select(col("lang"), col("n_total"),
+          rankOk(0.25, col("__blo"), col("__alo")).as("lo_rank_ok"),
+          rankOk(0.75, col("__bhi"), col("__ahi")).as("hi_rank_ok"),
+          (col("__elo") <= col("__ehi")).as("band_ordered"))
+        .orderBy("lang")
+    }),
+
+    // ---------------- GraphQL variables (dialect extension) ----------------
+    // The `query ($id: String!)` parameterized form every Open
+    // Targets docs example uses: q152's diseaseAssociatedDrugs
+    // template with the efoId hoisted into a declared variable bound
+    // at execute() time. Bindings substitute at PARSE time, so the
+    // resolved AST — and therefore the plan and the rows — is
+    // byte-identical to the inlined q152 form; the oracle is q152's,
+    // verbatim (GraphQlSpec additionally pins default values and the
+    // undeclared/unbound error paths).
+    "q205_graphql_variables" -> ((s, dir) => {
+      val res = graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """query diseaseAssociatedDrugs($efoId: String!) {
+             disease(efoId: $efoId) {
+               id
+               name
+               knownDrugs {
+                 count
+                 rows {
+                   phase
+                   drug { id name }
+                 }
+               }
+             }
+           }""", Map("efoId" -> "DIS_BUILDING"))
+      res.select(col("id").as("disease_id"), col("name").as("disease_name"),
+          col("knownDrugs.count").as("n_rows"),
+          posexplode(col("knownDrugs.rows")).as(Seq("rn", "r")))
+        .select(col("disease_id"), col("disease_name"), col("n_rows"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.phase").as("phase"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("drug_name"))
+        .orderBy("rn")
+    }),
+
     // ---------------- split leakage audit ----------------
     // The eval-contamination check a training pipeline runs after
     // splitting: near-duplicate pairs (the corpus's standing exact-
@@ -3900,6 +3993,196 @@ object SparkEntry {
     "s" -> "c", "sc" -> "a", "sca" -> "n",
     "r" -> "o", "ro" -> "w",
     "w" -> "i", "wi" -> "n", "win" -> "d", "wind" -> "o", "windo" -> "w")
+
+  /** q144's FULL oracle: re-learn the BPE merge table INSIDE DuckDB
+    * as `steps` unrolled argmax layers — the q201 greedy-unroll
+    * device applied to the whole training loop, one CTE layer per
+    * merge step. Every quantity is integer arithmetic (pair counts
+    * are weighted BIGINT sums; the argmax tie-break is count DESC,
+    * "a b" ASC — string order, same collation both engines), so the
+    * learned (step, left, right, merged, pair_count) table replays
+    * bit-exactly with no float anywhere. The greedy left-to-right
+    * merge application is a `list_reduce` fold over the word's symbol
+    * list accumulating the space-joined string (last-token check +
+    * replace-or-append) — EXACTLY `BpeLearn.applyMerge`'s fold,
+    * self-merges included, with none of the encode-side two-pass
+    * replace's a = b caveats. CTEs are MATERIALIZED: each state feeds
+    * two consumers (pair counting + the next state), and DuckDB's
+    * default per-reference inlining re-derives the whole chain
+    * exponentially (measured: >300 s inlined vs 0.2 s materialized at
+    * sf0.01). Early stop (no pair with count >= 2) degrades exactly
+    * like the engine loop: the filtered argmax row vanishes, every
+    * later state passes through unchanged via the LEFT JOIN null arm,
+    * and no further merge rows are emitted.
+    */
+  private def bpeLearnOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, string_split(w, '') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+  GROUP BY w)"""
+    for (k <- 0 until steps) {
+      sb ++= s""",
+p$k AS MATERIALIZED (
+  SELECT t.p AS p, CAST(sum(s.n) AS BIGINT) AS c
+  FROM w$k s, unnest(list_transform(range(1, len(s.syms)),
+    i -> s.syms[i] || ' ' || s.syms[i+1])) AS t(p)
+  WHERE len(s.syms) > 1
+  GROUP BY t.p),
+b$k AS MATERIALIZED (
+  SELECT string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b, c
+  FROM p$k WHERE c >= 2 ORDER BY c DESC, p ASC LIMIT 1)"""
+      if (k < steps - 1) sb ++= s""",
+w${k + 1} AS MATERIALIZED (
+  SELECT s.n,
+    CASE WHEN b.a IS NULL OR len(s.syms) < 2 THEN s.syms
+         ELSE string_split(list_reduce(s.syms, (acc, x) ->
+           CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a)) AND x = b.b
+                THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+                ELSE acc || ' ' || x END), ' ') END AS syms
+  FROM w$k s LEFT JOIN b$k b ON TRUE)"""
+    }
+    val sel = (0 until steps).map { k =>
+      if (k == 0)
+        """SELECT CAST(0 AS BIGINT) AS step, a AS "left", b AS "right",
+     a || b AS merged, c AS pair_count FROM b0"""
+      else s"SELECT $k, a, b, a || b, c FROM b$k"
+    }.mkString("\n   UNION ALL ")
+    sb ++= s"\nSELECT * FROM (\n   $sel) ORDER BY step"
+    sb.toString
+  }
+
+  /** q171's FULL oracle: re-run the whole unigram-LM hard-EM loop
+    * INSIDE DuckDB — seed from substring counts, then `iters` unrolled
+    * EM layers, each = one Viterbi forward DP + backtrack over the
+    * distinct-word relation (recursive CTEs), one weighted piece-count
+    * aggregation, the prune window, and the cost re-estimate. The
+    * Viterbi DP carries each word's per-position candidate costs
+    * INSIDE the recursion state as a list-of-lists (built by a plain
+    * relational join against the current vocab BEFORE the recursion):
+    * DuckDB 1.0's correlated subqueries inside recursive members
+    * return wrong rows nondeterministically (observed: single-char
+    * vocab lookups falling back to UNK on some words), so the
+    * recursive step does pure list arithmetic only — the per-position
+    * argmin is `list_sort(candidate structs)[1]`, lexicographic on
+    * (total cost, predecessor), exactly UnigramKernel.viterbi's
+    * "smaller cost, then smaller j (longer piece)" tie-break. Costs
+    * are micro-nat longs rounded once per estimate —
+    * `round(-ln(count/total)*1e6)` on the same IEEE doubles both
+    * engines — so the DP itself is exact integer arithmetic (the
+    * q84/q203 fixed-point discipline; a boundary-landing ln would
+    * need agreement to ~4e-9 of a rounding edge).
+    */
+  private def unigramLearnOracleSql(vocabSize: Int, maxLen: Int,
+                                    iters: Int, unkCost: Long): String = {
+    def emLayer(k: Int): String = s"""cand$k AS MATERIALIZED (
+  SELECT g.w, g.i, g.l,
+    CASE WHEN vv.cost IS NOT NULL THEN vv.cost
+         WHEN g.l = 1 THEN CAST($unkCost AS BIGINT) END AS pc
+  FROM (SELECT w, CAST(t.s['i'] AS INT) AS i, CAST(t.s['l'] AS INT) AS l,
+          t.s['p'] AS piece
+        FROM words, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+          list_transform(range(1, least($maxLen, i) + 1), l ->
+            {'i': i, 'l': l,
+             'p': substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT))})))) t(s)) g
+  LEFT JOIN v${k - 1} vv USING (piece)
+  WHERE vv.cost IS NOT NULL OR g.l = 1),
+wc$k AS MATERIALIZED (
+  SELECT w, list(cl ORDER BY i) AS cands FROM (
+    SELECT w, i, list({'l': l, 'pc': pc} ORDER BY l) AS cl
+    FROM cand$k GROUP BY w, i) GROUP BY w),
+f$k AS (
+  SELECT s.w, s.n, wc.cands, 1 AS i,
+    CAST([0] AS BIGINT[]) AS best, CAST([] AS INT[]) AS back
+  FROM words s JOIN wc$k wc USING (w)
+  UNION ALL
+  SELECT w, n, cands, i + 1,
+    list_append(best, m.c), list_append(back, CAST(m.j AS INT))
+  FROM (
+    SELECT w, n, cands, i, best, back,
+      list_sort(list_transform(cands[i], x ->
+        {'c': best[i - x.l + 1] + x.pc, 'j': i - x.l}))[1] AS m
+    FROM f$k WHERE i <= len(w))),
+bt$k AS (
+  SELECT w, n, len(w) AS pos, back, CAST([] AS VARCHAR[]) AS pieces
+  FROM f$k WHERE i = len(w) + 1
+  UNION ALL
+  SELECT w, n, back[pos], back,
+    list_prepend(substr(w, back[pos] + 1, pos - back[pos]), pieces)
+  FROM bt$k WHERE pos > 0),
+sc$k AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n, unnest(pieces) AS piece FROM bt$k WHERE pos = 0)
+  GROUP BY piece),
+pr$k AS MATERIALIZED (
+  SELECT piece, cnt FROM sc$k WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+    FROM sc$k WHERE len(piece) > 1)
+  WHERE rk <= greatest(0,
+    $vocabSize - (SELECT count(*) FROM sc$k WHERE len(piece) = 1))),
+v$k AS MATERIALIZED (
+  SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS cost
+  FROM pr$k CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM pr$k) t)"""
+    val head = s"""words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w),
+subc AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+  FROM words, unnest(flatten(list_transform(range(0, len(w)), i ->
+    list_transform(range(1, least($maxLen, len(w) - i) + 1), l ->
+      substr(w, CAST(i + 1 AS INT), CAST(l AS INT)))))) t(piece)
+  GROUP BY piece),
+seed AS MATERIALIZED (
+  SELECT piece, cnt FROM subc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+    FROM subc WHERE len(piece) > 1)
+  WHERE rk <= greatest(0,
+    ${4 * vocabSize} - (SELECT count(*) FROM subc WHERE len(piece) = 1))),
+v0 AS MATERIALIZED (
+  SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) AS BIGINT) AS cost
+  FROM seed CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM seed) t)"""
+    val layers = (1 to iters).map(emLayer).mkString(",\n")
+    s"""WITH RECURSIVE $head,
+$layers
+SELECT p.piece, v.cost AS cost_micro, p.cnt AS n_uses
+FROM pr$iters p JOIN v$iters v USING (piece)
+ORDER BY n_uses DESC, piece"""
+  }
+
+  /** GraphQL knownDrugs fold reconstructed over the raw star schema —
+    * shared by q152 (inlined id) and q205 (the same template through
+    * a declared variable, which resolves to the identical AST at
+    * parse time): rows sort lexicographically on (drug_id, target_id)
+    * and the unpaginated query serves the default-sized first page
+    * (25 rows, server parity) while n_rows stays the connection total.
+    */
+  private val SqlKnownDrugsFold =
+    """WITH kd AS (
+         SELECT 'DRG_' || l_suppkey AS drug_id,
+           'TGT_' || l_partkey AS tgt_id,
+           round(least(4.0, count(*) / 10.0), 1) AS phase
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2),
+       r AS (
+         SELECT row_number() OVER (ORDER BY drug_id, tgt_id) AS rn,
+           phase, drug_id
+         FROM kd)
+       SELECT 'DIS_BUILDING' AS disease_id, 'BUILDING' AS disease_name,
+         (SELECT count(*) FROM kd) AS n_rows,
+         CAST(r.rn AS BIGINT) AS rn, r.phase, r.drug_id,
+         s.s_name AS drug_name
+       FROM r JOIN supplier s ON 'DRG_' || s.s_suppkey = r.drug_id
+       WHERE r.rn <= 25
+       ORDER BY rn"""
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
     * (the oracle), so the string frontend is oracle-checked end to
@@ -6178,6 +6461,9 @@ object SparkEntry {
            round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr,
            round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd
          FROM documents ORDER BY doc_id""",
+    // the BPE training loop itself, re-learned inside DuckDB as 12
+    // unrolled argmax layers (all-integer — bit-exact, no envelope)
+    "q144_bpe_merges" -> bpeLearnOracleSql(steps = 12),
     "q145_token_budget" ->
       """WITH d AS (SELECT doc_id AS id, lang AS grp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -6263,32 +6549,10 @@ object SparkEntry {
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM e GROUP BY doc_id ORDER BY doc_id"""
     },
-    // GraphQL fold reconstructed over the raw star schema: rows sort
-    // lexicographically on (drug_id, target_id) — the executor's
-    // deterministic order for knownDrugs — and the unpaginated query
-    // serves the DEFAULT-sized first page (25 rows, server parity)
-    // while n_rows stays the connection TOTAL
-    "q152_graphql_known_drugs" ->
-      """WITH kd AS (
-           SELECT 'DRG_' || l_suppkey AS drug_id,
-             'TGT_' || l_partkey AS tgt_id,
-             round(least(4.0, count(*) / 10.0), 1) AS phase
-           FROM lineitem
-           JOIN orders ON o_orderkey = l_orderkey
-           JOIN customer ON c_custkey = o_custkey
-           WHERE c_mktsegment = 'BUILDING'
-           GROUP BY 1, 2),
-         r AS (
-           SELECT row_number() OVER (ORDER BY drug_id, tgt_id) AS rn,
-             phase, drug_id
-           FROM kd)
-         SELECT 'DIS_BUILDING' AS disease_id, 'BUILDING' AS disease_name,
-           (SELECT count(*) FROM kd) AS n_rows,
-           CAST(r.rn AS BIGINT) AS rn, r.phase, r.drug_id,
-           s.s_name AS drug_name
-         FROM r JOIN supplier s ON 'DRG_' || s.s_suppkey = r.drug_id
-         WHERE r.rn <= 25
-         ORDER BY rn""",
+    "q152_graphql_known_drugs" -> SqlKnownDrugsFold,
+    // variables resolve at parse time to exactly q152's AST → the
+    // same oracle verbatim
+    "q205_graphql_variables" -> SqlKnownDrugsFold,
     "q153_graphql_pathways" ->
       """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
            CAST(1 AS BIGINT) AS rn,
@@ -6772,6 +7036,11 @@ object SparkEntry {
          FROM w LEFT JOIN agg a USING (doc_id)
          WHERE w.doc_id % 4 = 3
          ORDER BY w.doc_id""",
+    // the whole hard-EM training loop re-run inside DuckDB: seed,
+    // three unrolled Viterbi-DP + backtrack + prune + re-estimate
+    // layers (recursive CTEs carrying per-position candidate lists)
+    "q171_unigram_learn" -> unigramLearnOracleSql(vocabSize = 200,
+      maxLen = 4, iters = 3, unkCost = UnigramLm.UnkCostMicro),
     // the oracle replays the greedy longest-match DP as a recursive
     // CTE over (word, position) states — one step per consumed piece,
     // LATERAL argmax = longest vocab piece matching at the position,
@@ -6951,6 +7220,16 @@ object SparkEntry {
            CAST(sum(nt) AS BIGINT) AS kept_tokens,
            min(avg_surprisal) AS band_lo, max(avg_surprisal) AS band_hi
          FROM k GROUP BY lang ORDER BY lang""",
+    // approx-band envelope (the q179 device): the exact per-language
+    // totals recomputed, the GK-sketch rank guarantees pinned TRUE
+    "q204_perplexity_prune_approx" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         per AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+         sc AS (SELECT p.doc_id, d.lang FROM per p JOIN documents d USING (doc_id))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS lo_rank_ok, TRUE AS hi_rank_ok, TRUE AS band_ordered
+         FROM sc GROUP BY lang ORDER BY lang""",
     // leakage audit = the q31 exact-pair device + the q174 md5-split
     // device, joined — both engine-exact
     "q202_split_leakage" ->

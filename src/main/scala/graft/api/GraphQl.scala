@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *   selection := name [(args)] [{ selection... }]
   * }}}
   * with `#` comments, commas-as-whitespace, string/number/name
-  * argument values. Aliases, variables, fragments and multiple root
-  * fields are rejected with a targeted error (none appear in the
-  * reference corpus).
+  * argument values, and VARIABLES (`query ($id: String!) { ... }`
+  * with `execute(kg, q, Map("id" -> ...))` bindings and inline
+  * defaults — the form every parameterized Open Targets docs example
+  * uses; values substitute at parse time, so execution is
+  * byte-identical to the inlined query). Aliases, fragments and
+  * multiple root fields are rejected with a targeted error (none
+  * appear in the reference corpus).
   *
   * Schema = the [[KnowledgeGraph]] views (disease / target / drug
   * entities, scored association edges, known-drug fact rows,
@@ -64,6 +68,7 @@ object GraphQl {
   private final case class Str(s: String) extends Tok
   private final case class Num(s: String) extends Tok
   private final case class Punct(c: Char) extends Tok
+  private final case class Var(s: String) extends Tok
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -72,7 +77,7 @@ object GraphQl {
       val c = q(i)
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < q.length && q(i) != '\n') i += 1 }
-      else if ("{}():[]".contains(c)) { out += Punct(c); i += 1 }
+      else if ("{}():[]!=".contains(c)) { out += Punct(c); i += 1 }
       else if (c == '"') {
         val sb = new StringBuilder; i += 1
         while (i < q.length && q(i) != '"') {
@@ -92,8 +97,13 @@ object GraphQl {
         while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
         out += Num(q.substring(j, i))
       }
-      else if (c == '$') throw ParseError(
-        "variables ($x) are not supported — inline the value")
+      else if (c == '$') {
+        i += 1
+        val j = i
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        if (i == j) throw ParseError("'$' must be followed by a variable name")
+        out += Var(q.substring(j, i))
+      }
       else if (c == '.') throw ParseError(
         "fragments (...) are not supported — expand the selection")
       else throw ParseError(s"unexpected character '$c'")
@@ -102,9 +112,28 @@ object GraphQl {
   }
 
   /** Parse a document to its single root field. */
-  def parse(q: String): Field = {
+  def parse(q: String): Field = parse(q, Map.empty)
+
+  /** Parse with variable bindings (the `query ($id: String!)` form in
+    * the Open Targets docs): declared variables resolve from
+    * `variables`, falling back to an inline default (`= "EFO_X"`).
+    * Using an undeclared variable, or declaring one with neither a
+    * binding nor a default, is a targeted error. Values substitute at
+    * parse time, so execution is byte-identical to the inlined form
+    * (GraphQlSpec pins q152's variable form hash-equal).
+    */
+  def parse(q: String, variables: Map[String, String]): Field = {
     val toks = lex(q)
     var p = 0
+    // declared name -> default (None = no default)
+    var declared = Map.empty[String, Option[String]]
+    def resolveVar(v: String): String = declared.get(v) match {
+      case None => throw ParseError(
+        s"variable $$$v is not declared in the operation header")
+      case Some(dflt) => variables.get(v).orElse(dflt).getOrElse(
+        throw ParseError(s"no value provided for variable $$$v " +
+          "(and it has no default)"))
+    }
     def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
     def next(): Tok = {
       if (p >= toks.length) throw ParseError("unexpected end of query")
@@ -113,6 +142,37 @@ object GraphQl {
     def expect(c: Char): Unit = next() match {
       case Punct(`c`) => ()
       case t => throw ParseError(s"expected '$c', found $t")
+    }
+    // `($x: Type! = default, $y: [String!]! ...)` after `query [Name]`
+    def parseVarDefs(): Unit = {
+      expect('(')
+      var done = false
+      while (!done) next() match {
+        case Punct(')') => done = true
+        case Var(v) =>
+          expect(':')
+          // consume the type loosely: names, [, ], ! — the engine is
+          // dynamically typed downstream, the declaration is contract
+          var inType = true
+          while (inType) peek match {
+            case Some(Name(_)) | Some(Punct('[')) | Some(Punct(']')) |
+                 Some(Punct('!')) => next()
+            case _ => inType = false
+          }
+          val dflt = peek match {
+            case Some(Punct('=')) =>
+              next()
+              next() match {
+                case Str(s) => Some(s)
+                case Num(s) => Some(s)
+                case Name(s) => Some(s)
+                case t => throw ParseError(s"bad default value $t for $$$v")
+              }
+            case _ => None
+          }
+          declared += v -> dflt
+        case t => throw ParseError(s"bad variable definition at $t")
+      }
     }
     def parseArgs(): Map[String, String] = peek match {
       case Some(Punct('(')) =>
@@ -127,6 +187,7 @@ object GraphQl {
               case Str(v) => args += k -> v
               case Num(v) => args += k -> v
               case Name(v) => args += k -> v // enum value
+              case Var(v) => args += k -> resolveVar(v)
               case Punct('[') =>
                 // list value (entityNames: ["disease"]) — stored
                 // comma-joined; the item values never contain commas
@@ -136,6 +197,7 @@ object GraphQl {
                   case Punct(']') => closed = true
                   case Str(v) => items += v
                   case Name(v) => items += v
+                  case Var(v) => items += resolveVar(v)
                   case t => throw ParseError(s"bad list item $t for '$k'")
                 }
                 args += k -> items.result().mkString(",")
@@ -153,6 +215,7 @@ object GraphQl {
                       case Str(v) => args += s"$k.$sub" -> v
                       case Num(v) => args += s"$k.$sub" -> v
                       case Name(v) => args += s"$k.$sub" -> v
+                      case Var(v) => args += s"$k.$sub" -> resolveVar(v)
                       case t => throw ParseError(s"bad value $t for '$k.$sub'")
                     }
                   case t => throw ParseError(s"bad object member $t in '$k'")
@@ -194,6 +257,7 @@ object GraphQl {
       case Some(Name("query")) =>
         next()
         peek match { case Some(Name(_)) => next(); () case _ => () }
+        peek match { case Some(Punct('(')) => parseVarDefs() case _ => () }
       case _ => ()
     }
     val roots = parseSelection()
@@ -694,9 +758,12 @@ object GraphQl {
 
   /** Execute `query` against the knowledge graph. One row out (the
     * GraphQL `data` object); nested columns in selection order.
+    * `variables` binds `query ($x: Type!)` declarations — the form
+    * the Open Targets docs use for every parameterized example.
     */
-  def execute(kg: KnowledgeGraph, query: String): DataFrame = {
-    val root = parse(query)
+  def execute(kg: KnowledgeGraph, query: String,
+              variables: Map[String, String] = Map.empty): DataFrame = {
+    val root = parse(query, variables)
     if (root.name == "search") return executeSearch(kg, root)
     if (Set("targets", "diseases", "drugs")(root.name))
       return executeBatch(kg, root)

@@ -39,6 +39,33 @@ object Tagging {
   def patternHits(text: Column, patterns: Seq[String]): Column =
     toCol(MultiPatternHits(toExpr(text), AcKernel.build(patterns)))
 
+  /** Decode the positional pattern slot to its text. Two regimes:
+    * an inline array literal while the dictionary is small enough
+    * that a literal is cheap, a broadcast lookup join at blocklist
+    * scale — a 10⁵-element CreateArray would bloat the plan and the
+    * generated code far beyond the automaton itself (which holds the
+    * SAME content as compact trie arrays in ONE reference object),
+    * while the name relation is dictionary-sized and broadcasts for
+    * free. Measured on the 10⁵-triple dictionary in ProbeTagging.
+    */
+  private val MaxInlineDecode = 1024
+  private def withPatternName(rel: DataFrame, idxCol: String,
+                              patterns: Seq[String]): DataFrame =
+    if (patterns.size <= MaxInlineDecode)
+      rel.withColumn("pattern",
+          element_at(array(patterns.map(lit): _*), col(idxCol) + 1))
+        .drop(idxCol)
+    else {
+      val spark = rel.sparkSession
+      import scala.jdk.CollectionConverters._
+      val names = spark.createDataFrame(
+        patterns.zipWithIndex.map { case (p, i) =>
+          org.apache.spark.sql.Row(i, p) }.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"$idxCol INT, pattern STRING"))
+      rel.join(broadcast(names), idxCol).drop(idxCol)
+    }
+
   /** Per-document hits: (id, pattern, n) with n > 0 only. The sparse
     * hit structs are exploded INSIDE the scan stage — nothing
     * pattern-shaped is produced, let alone shuffled, for the
@@ -46,10 +73,11 @@ object Tagging {
     */
   def tagDocs(docs: DataFrame, idName: String, text: Column,
               patterns: Seq[String]): DataFrame =
-    docs.select(col(idName), explode(patternHits(text, patterns)).as("__h"))
-      .select(col(idName),
-        element_at(array(patterns.map(lit): _*), col("__h.p") + 1).as("pattern"),
-        col("__h.n").as("n"))
+    withPatternName(
+      docs.select(col(idName), explode(patternHits(text, patterns)).as("__h"))
+        .select(col(idName), col("__h.p").as("__p"), col("__h.n").as("n")),
+      "__p", patterns)
+      .select(col(idName), col("pattern"), col("n"))
 
   /** Corpus dictionary profile per (group, pattern): total occurrence
     * count and the number of documents with at least one hit. Groups
@@ -58,12 +86,13 @@ object Tagging {
     */
   def patternStats(docs: DataFrame, groupName: String, text: Column,
                    patterns: Seq[String]): DataFrame =
-    docs.select(col(groupName), explode(patternHits(text, patterns)).as("__h"))
-      .select(col(groupName), col("__h.p").as("__p"), col("__h.n").as("n"))
-      .groupBy(col(groupName), col("__p"))
-      .agg(sum(col("n")).as("occurrences"),
-        count(lit(1)).as("docs_with_hit"))
-      .select(col(groupName),
-        element_at(array(patterns.map(lit): _*), col("__p") + 1).as("pattern"),
+    withPatternName(
+      docs.select(col(groupName), explode(patternHits(text, patterns)).as("__h"))
+        .select(col(groupName), col("__h.p").as("__p"), col("__h.n").as("n"))
+        .groupBy(col(groupName), col("__p"))
+        .agg(sum(col("n")).as("occurrences"),
+          count(lit(1)).as("docs_with_hit")),
+      "__p", patterns)
+      .select(col(groupName), col("pattern"),
         col("occurrences"), col("docs_with_hit"))
 }

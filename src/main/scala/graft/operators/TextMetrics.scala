@@ -188,6 +188,43 @@ object TextMetrics {
           + lit(0.5)) / lit(1e6)).as("kl"))
   }
 
+  /** Per-group approximate band edges over a score column: the
+    * (lo, hi) quantile values from ONE un-sorted, partial-aggregable
+    * pass (`percentile_approx` — the GK sketch, the q83/q179 device),
+    * as a #groups-sized relation (group, edge_lo, edge_hi). This is
+    * the data-scale half of perplexity-band pruning: q203's exact
+    * per-language rank window sorts each language's whole partition
+    * on one reducer — a Zipf-skewed corpus (one language can be more
+    * than half of 100 TB) makes that a scale-killer, exactly the
+    * q170→q179 exact-vs-approx split. The sketch guarantee (edge rank
+    * within n/accuracy of the target rank) is what the q204 envelope
+    * pins as verdict booleans.
+    */
+  def approxBandEdges(scored: DataFrame, groupName: String,
+                      valueName: String, lo: Double, hi: Double,
+                      accuracy: Int): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad band [$lo, $hi]")
+    require(accuracy >= 100, s"accuracy $accuracy too loose to pin")
+    scored.groupBy(col(groupName))
+      .agg(percentile_approx(col(valueName), array(lit(lo), lit(hi)),
+        lit(accuracy)).as("__e"))
+      .select(col(groupName), col("__e").getItem(0).as("edge_lo"),
+        col("__e").getItem(1).as("edge_hi"))
+  }
+
+  /** Keep rows strictly above the lo edge and at-or-below the hi edge
+    * — the approx twin of the exact (lo·n, hi·n] rank band. The edges
+    * relation is parameter-sized, so the join broadcasts and the
+    * corpus side never shuffles: two linear scans total (edge sketch
+    * + filter), no sort, no window.
+    */
+  def pruneToBand(scored: DataFrame, edges: DataFrame, groupName: String,
+                  valueName: String): DataFrame =
+    scored.join(broadcast(edges), groupName)
+      .filter(col(valueName) > col("edge_lo") &&
+        col(valueName) <= col("edge_hi"))
+      .drop("edge_lo", "edge_hi")
+
   def unigramSurprisal(docs: DataFrame, idName: String, text: Column): DataFrame = {
     val tok = docs.select(col(idName).as("id"),
       explode(TextFns.tokens(text)).as("token"))

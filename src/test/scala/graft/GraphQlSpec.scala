@@ -54,13 +54,42 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       intercept[ParseError](GraphQl.parse(q)).getMessage
     assert(err("mutation { x }").contains("mutations"))
     assert(err("{ a { id } b { id } }").contains("one root field"))
-    assert(err("query Q($id: String) { disease { id } }").contains("variables"))
     assert(err("{ disease { ...frag } }").contains("fragments"))
     assert(err("{ d: disease { id } }").contains("aliases"))
     assert(err("{ disease(efoId: \"x\") { id } } trailing")
       .contains("trailing"))
     assert(err("{ disease(efoId: \"unterminated) { id } }")
       .contains("unterminated"))
+  }
+
+  test("parse: variables bind declared values, defaults, and fail loudly when unresolved") {
+    val q = """query Q($id: String!) { disease(efoId: $id) { id name } }"""
+    val bound = GraphQl.parse(q, Map("id" -> "EFO_1"))
+    assert(bound.args == Map("efoId" -> "EFO_1"))
+    // the resolved AST is identical to the inlined form
+    assert(bound ==
+      GraphQl.parse("""query Q { disease(efoId: "EFO_1") { id name } }"""))
+    // inline default fires when no binding is provided
+    val dflt = GraphQl.parse(
+      """query ($id: String! = "EFO_9") { disease(efoId: $id) { id } }""")
+    assert(dflt.args == Map("efoId" -> "EFO_9"))
+    // an explicit binding overrides the default
+    val over = GraphQl.parse(
+      """query ($id: String! = "EFO_9") { disease(efoId: $id) { id } }""",
+      Map("id" -> "EFO_2"))
+    assert(over.args == Map("efoId" -> "EFO_2"))
+    // list types and object-member variables resolve too
+    val obj = GraphQl.parse(
+      """query ($n: Int!) { disease(efoId: "E", page: {index: 0, size: $n}) { id } }""",
+      Map("n" -> "5"))
+    assert(obj.args("page.size") == "5")
+    def err(q2: String, vars: Map[String, String] = Map.empty): String =
+      intercept[ParseError](GraphQl.parse(q2, vars)).getMessage
+    assert(err("{ disease(efoId: $id) { id } }").contains("not declared"))
+    assert(err("query ($id: String!) { disease(efoId: $id) { id } }")
+      .contains("no value provided"))
+    assert(err("query ($id: String! = ]) { disease { id } }")
+      .contains("bad default"))
   }
 
   // ---------------- executor ----------------

@@ -279,6 +279,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(2) - 0.6931) < 1e-9))
   }
 
+  test("approxBandEdges: per-group edges are data values within the rank tolerance; pruneToBand keeps exactly the band") {
+    // group g1 = 1..100, group g2 = 1001..1020: edges must come from
+    // the right group (no leakage) and sit within n/accuracy of the
+    // 25th/75th percentile ranks; the prune keeps (lo, hi] only
+    val rows = (1 to 100).map(v => ("g1", v.toDouble)) ++
+      (1001 to 1020).map(v => ("g2", v.toDouble))
+    val df = rows.toDF("g", "v")
+    val edges = TextMetrics.approxBandEdges(df, "g", "v", 0.25, 0.75, 10000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (lo1, hi1) = edges("g1")
+    assert(lo1 >= 24 && lo1 <= 26 && hi1 >= 74 && hi1 <= 76,
+      s"g1 edges ($lo1, $hi1) outside rank tolerance")
+    val (lo2, hi2) = edges("g2")
+    assert(lo2 >= 1004 && lo2 <= 1006 && hi2 >= 1014 && hi2 <= 1016,
+      s"g2 edges ($lo2, $hi2) outside rank tolerance")
+    val kept = TextMetrics.pruneToBand(df,
+        TextMetrics.approxBandEdges(df, "g", "v", 0.25, 0.75, 10000), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(kept.forall { case (g, v) =>
+      val (lo, hi) = edges(g); v > lo && v <= hi })
+    val k1 = kept.count(_._1 == "g1")
+    assert(k1 >= 48 && k1 <= 52, s"g1 kept $k1 of 100")
+    assert(kept.filter(_._1 == "g2").map(_._2).toSet ==
+      (lo2.toInt + 1 to hi2.toInt).map(_.toDouble).toSet)
+  }
+
   test("bigramSurprisal matches the hand-computed conditional-model value") {
     // corpus bigrams: doc1 = "a b","b a","a b"; doc2 = "a c".
     // heads: a· = 3 ("a b"×2, "a c"), b· = 1.

@@ -354,6 +354,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q200 joins the dictionary:\n$plan")
   }
 
+  test("q204 approx band prune: no per-language sort window, sketch aggregate present") {
+    // the whole point of the q203→q204 exact/approx split: the approx
+    // path must never sort a language's partition (Zipf-skewed at
+    // 100 TB — one language can be most of the corpus on one reducer)
+    val plan = executedPlan(query("q204_perplexity_prune_approx"))
+    assert(!plan.contains("Window"),
+      s"q204 regressed to a rank window:\n${plan.take(3000)}")
+    assert(plan.contains("percentile_approx"),
+      s"q204 lost the sketch aggregate:\n${plan.take(3000)}")
+    // the only sort allowed is the final presentation orderBy over the
+    // #languages-sized verdict rows — never one under an aggregate
+    // (i.e. over corpus-sized input)
+    val sortsUnderAgg = "(?s)HashAggregate.*Sort \\[".r
+      .findFirstIn(plan)
+    assert(sortsUnderAgg.isEmpty,
+      s"q204 sorts corpus-sized input below an aggregate:\n${plan.take(3000)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized

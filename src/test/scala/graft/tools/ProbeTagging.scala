@@ -83,6 +83,36 @@ object ProbeTagging {
       s"wide dictionary changed narrow-pattern stats: $disagree")
     println(s"[probe] invariant: ${narrowInWide.size} narrow-dict rows " +
       s"identical under the ${wide.size}-pattern dictionary — TRUE")
+
+    // 10^5-pattern axis (round 13): TagExprs claims a blocklist-scale
+    // automaton is model-sized state riding the plan — measure it:
+    // automaton build time, the full scan+agg at 1× and 10×, and the
+    // same narrow-dict invariance (the 6 q200 patterns ride inside
+    // the 10^5 dictionary and their rows must be identical).
+    val v47 = docs(base)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .limit(47).collect().map(_.getString(0)).toSeq
+    val huge = ((for (a <- v47; b <- v47; c <- v47) yield s"$a $b $c")
+      ++ pats).distinct
+    println(s"[probe] huge dictionary: ${huge.size} patterns")
+    val auto = time(s"AcKernel.build dict=${huge.size}")(
+      graft.functions.AcKernel.build(huge))
+    println(s"[probe] automaton states: ${auto.nStates}")
+    def statsHuge(dir: String): Map[(String, String), (Long, Long)] =
+      Tagging.patternStats(docs(dir), "lang", col("text"), huge)
+        .filter(col("pattern").isin(pats: _*))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    val h1 = time(s"patternStats 1x dict=${huge.size}")(statsHuge(base))
+    time(s"patternStats 10x dict=${huge.size}")(statsHuge(big))
+    val narrowInHuge = s1.keys.filter(k => huge.contains(k._2))
+    val hDisagree = narrowInHuge.filter(k => h1.get(k) != s1.get(k))
+    require(hDisagree.isEmpty,
+      s"10^5 dictionary changed narrow-pattern stats: $hDisagree")
+    println(s"[probe] invariant: ${narrowInHuge.size} narrow-dict rows " +
+      s"identical under the ${huge.size}-pattern dictionary — TRUE")
     spark.stop()
   }
 }
