@@ -3903,6 +3903,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---------------- SQ8 retrieve + exact re-rank (FULL oracle) ----------------
+    // The production two-stage serve on the persisted SQ8 tier:
+    // stage 1 reads ONLY the packed code column (top-50 by exact
+    // int64 code dot), stage 2 re-ranks those 50 rows by rounded
+    // float cosine. Deterministic end to end — both stages replay in
+    // SQL, so unlike the PQ/IVF rerank shapes this needs no recall
+    // envelope: the quantized candidate stage is exact over the
+    // codes, and the re-rank repairs quantization for the final
+    // ordering.
+    "q206_sq8_rerank" -> ((s, dir) => {
+      val idx = fixturePath("sq8", dir, "embeddings")
+      val emb = t(s, dir).embeddings
+      Similarity.ensureSq8Index(emb, "vec_id", "embedding", idx)
+      Similarity.sq8TopKReranked(s, idx, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 50)
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -5168,6 +5185,33 @@ ORDER BY n_uses DESC, piece"""
          WHERE c.vec_id <> 0
          GROUP BY c.vec_id
          ORDER BY qscore DESC, c.vec_id LIMIT 10""",
+    // two-stage serve: q197's code-dot stage feeding an exact rounded
+    // cosine re-rank — both stages deterministic, replayed verbatim
+    "q206_sq8_rerank" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                  ELSE 0 END AS code
+           FROM d JOIN m ON d.dim = m.dim),
+         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0),
+         s1 AS (
+           SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
+           FROM c JOIN q ON c.dim = q.dim
+           WHERE c.vec_id <> 0
+           GROUP BY c.vec_id
+           ORDER BY qscore DESC, c.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT s1.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           s1.qscore
+         FROM s1 JOIN embeddings e ON e.vec_id = s1.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, s1.vec_id LIMIT 10""",
     "q198_negative_mining" ->
       """WITH s AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
                     FROM embeddings

@@ -917,6 +917,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage serving over the persisted SQ8 index — the production
+    * retrieve-then-rerank shape (pqTopK's discipline on the SQ8
+    * tier): stage 1 scans ONLY the packed code column for the
+    * `rerank` highest int64 code-dot candidates (deterministic:
+    * score desc, id asc); stage 2 re-ranks exactly those rows by the
+    * rounded float cosine — the float tier is read for `rerank` rows
+    * (a broadcast semi-filter on the scan), never the corpus. Both
+    * stages are deterministic integer / fixed-point arithmetic, so
+    * the WHOLE pipeline replays in SQL — a FULL oracle with no recall
+    * envelope: unlike PQ/IVF, SQ8's candidate stage is exact over the
+    * codes, so the only approximation is quantization itself, and the
+    * re-rank repairs the final ordering.
+    */
+  def sq8TopKReranked(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, embeddings: DataFrame,
+                      idName: String, vecName: String, queryId: Long,
+                      k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val cands = sq8TopKIndexed(spark, indexPath, idName, queryId, rerank)
+    val qv = embeddings.filter(col(idName) === queryId)
+      .select(col(vecName)).head().getSeq[Float](0).toArray
+    embeddings.join(broadcast(cands), idName)
+      .select(col(idName),
+        round(VecFns.cosine(col(vecName), typedlit(qv)), 6).as("cosine"),
+        col("qscore"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
   // ================= hard-negative mining =================
 
   /** Contrastive hard-negative mining: for every probe vector, the

@@ -509,6 +509,31 @@ class SimilaritySpec extends SparkSpec {
       "rejected append left partial files")
   }
 
+  test("SQ8 retrieve+rerank: full-width rerank equals brute cosine top-k; k<=rerank enforced") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8rr").toString + "/idx"
+    Similarity.ensureSq8Index(emb, "vec_id", "embedding", dir)
+    val n = emb.count().toInt
+    // with rerank = the whole corpus, stage 1 is a no-op filter and
+    // the re-rank must reproduce the exact brute-force cosine top-k
+    val got = Similarity.sq8TopKReranked(spark, dir, emb, "vec_id", "embedding",
+        0L, k = 10, rerank = n - 1)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10,
+        excludeId = 0L)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == brute, s"rerank diverged from brute: $got vs $brute")
+    // a narrow rerank still returns k rows in rounded-cosine order
+    val narrow = Similarity.sq8TopKReranked(spark, dir, emb, "vec_id",
+        "embedding", 0L, k = 5, rerank = 20)
+      .select("cosine").as[Double].collect().toSeq
+    assert(narrow.length == 5 &&
+      narrow == narrow.sorted(Ordering[Double].reverse))
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopKReranked(spark, dir, emb, "vec_id", "embedding",
+        0L, k = 10, rerank = 5)
+    }
+  }
+
   test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
     import graft.functions.VecFns
     val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))

@@ -89,12 +89,14 @@ object ProbeTagging {
     // automaton build time, the full scan+agg at 1× and 10×, and the
     // same narrow-dict invariance (the 6 q200 patterns ride inside
     // the 10^5 dictionary and their rows must be identical).
-    val v47 = docs(base)
+    // 18^4 = 104,976 four-word phrases (the corpus vocabulary is only
+    // ~31 words, so triples top out near 30k)
+    val v18 = docs(base)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").count().orderBy(col("count").desc, col("w"))
-      .limit(47).collect().map(_.getString(0)).toSeq
-    val huge = ((for (a <- v47; b <- v47; c <- v47) yield s"$a $b $c")
-      ++ pats).distinct
+      .limit(18).collect().map(_.getString(0)).toSeq
+    val huge = ((for (a <- v18; b <- v18; c <- v18; d <- v18)
+      yield s"$a $b $c $d") ++ pats).distinct
     println(s"[probe] huge dictionary: ${huge.size} patterns")
     val auto = time(s"AcKernel.build dict=${huge.size}")(
       graft.functions.AcKernel.build(huge))
