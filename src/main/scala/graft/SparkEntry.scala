@@ -3920,6 +3920,43 @@ object SparkEntry {
         queryId = 0L, k = 10, rerank = 50)
     }),
 
+    // ---------------- IVF × SQ8 composed index (FULL-oracle envelope) ----------------
+    // The FAISS-IVFSQ layout: code table partitioned by coarse-
+    // quantizer list (directory pruning) storing ONLY packed 1-byte
+    // codes — a query reads (nprobe/nlist) × 1/4 of the float corpus
+    // bytes. Envelope keyed on SQ8's OWN metric (stronger than the
+    // q50 brute-cosine form): the hashed rows are the UNPRUNED
+    // full-corpus SQ8 top-10 — bit-exact in DuckDB, q197's replay —
+    // plus two pruning guarantees pinned TRUE: recall floor
+    // (the probed lists recover >= 6/10 of the unpruned ranking) and
+    // per-rank domination (pruning can only LOSE candidates — the
+    // pruned i-th score never beats the unpruned i-th score).
+    "q207_ivfsq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = fixturePath("ivfsq8", dir, "embeddings")
+      Similarity.ensureIvfSq8Index(emb, "vec_id", "embedding", nlist = 16, idx)
+      val full = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      val pruned = Similarity.ivfSq8TopK(s, idx, "vec_id", q, 10,
+        nprobe = 4, excludeId = 0L)
+      val recall = full.select(col("vec_id"))
+        .join(pruned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("ivfsq8_recall_ok"))
+      def ranked(df: DataFrame, prefix: String): DataFrame =
+        df.agg(sort_array(collect_list(struct((-col("qscore")).as("__s"),
+            col("vec_id").as("__id")))).as("a"))
+          .select(posexplode(col("a")).as(Seq("rk", "r")))
+          .select(col("rk"), (-col("r.__s")).as(s"${prefix}_s"))
+      val dominated = ranked(full, "fu").join(ranked(pruned, "pr"), Seq("rk"), "left")
+        .agg(coalesce(every(coalesce(col("pr_s") <= col("fu_s"), lit(true))),
+          lit(true)).as("ivfsq8_dominated_ok"))
+      full.crossJoin(broadcast(recall)).crossJoin(broadcast(dominated))
+        .select(col("vec_id"), col("qscore"),
+          col("ivfsq8_recall_ok"), col("ivfsq8_dominated_ok"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -5212,6 +5249,26 @@ ORDER BY n_uses DESC, piece"""
            s1.qscore
          FROM s1 JOIN embeddings e ON e.vec_id = s1.vec_id CROSS JOIN qv
          ORDER BY cosine DESC, s1.vec_id LIMIT 10""",
+    // IVF-SQ8 envelope: the UNPRUNED SQ8 ranking replayed bit-exactly
+    // (q197's device), the two pruning guarantees pinned TRUE
+    "q207_ivfsq8_topk" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                  ELSE 0 END AS code
+           FROM d JOIN m ON d.dim = m.dim),
+         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
+         SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore,
+           TRUE AS ivfsq8_recall_ok, TRUE AS ivfsq8_dominated_ok
+         FROM c JOIN q ON c.dim = q.dim
+         WHERE c.vec_id <> 0
+         GROUP BY c.vec_id
+         ORDER BY qscore DESC, c.vec_id LIMIT 10""",
     "q198_negative_mining" ->
       """WITH s AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
                     FROM embeddings

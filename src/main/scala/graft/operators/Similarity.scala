@@ -917,6 +917,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Composed IVF × SQ8 layout — the FAISS-IVFSQ serving shape and
+    * the canonical 100 TB one when PQ's lossy codes are too coarse:
+    * the corpus is PARTITIONED by coarse-quantizer list (directory
+    * pruning: a query touches nprobe/nlist of the files) and each row
+    * stores ONLY the packed 1-byte/dim SQ8 codes — the scanned bytes
+    * are (nprobe/nlist) × 1/4 of the float corpus, multiplying the
+    * two tiers' savings. Sidecars: centroids (coarse quantizer) and
+    * scales (SQ8) — both parameter-sized, published atomically with
+    * the code table. Ranking inside the probed lists is the exact
+    * int64 code dot (deterministic given the sidecars); the float
+    * tier stays cold — re-rank candidates by id against the source
+    * table when needed (the [[sq8TopKReranked]] discipline).
+    */
+  def buildIvfSq8Index(embeddings: DataFrame, idName: String, vecName: String,
+                       nlist: Int, indexPath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = trainCentroids(embeddings, idName, vecName, nlist)
+    val scales = sq8Scales(embeddings, vecName)
+    embeddings.withColumn("__cid", nearestCid(col(vecName), cents))
+      .select(col(idName), col("__cid"),
+        graft.functions.VecFns.packInt8(
+          sq8Quantize(col(vecName), scales)).as("codes"))
+      .write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$indexPath/codes")
+    import scala.jdk.CollectionConverters._
+    val cRows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.asJava
+    spark.createDataFrame(cRows, org.apache.spark.sql.types.StructType
+        .fromDDL("cid INT, centroid ARRAY<FLOAT>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val sRows = scales.toSeq.zipWithIndex.map { case (m, d) =>
+      org.apache.spark.sql.Row(d, m)
+    }.asJava
+    spark.createDataFrame(sRows, org.apache.spark.sql.types.StructType
+        .fromDDL("dim INT, scale DOUBLE"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/scales")
+  }
+
+  /** Build the IVF-SQ8 index only if absent; all three pieces publish
+    * atomically (the ensureIvfIndex protocol).
+    */
+  def ensureIvfSq8Index(embeddings: DataFrame, idName: String, vecName: String,
+                        nlist: Int, indexPath: String): Unit = {
+    def ok(p: String) =
+      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/centroids") &&
+        Artifact.complete(s"$p/scales")
+    Artifact.ensure(indexPath, ok) { tmp =>
+      buildIvfSq8Index(embeddings, idName, vecName, nlist, tmp)
+    }
+  }
+
+  /** Query-time half of the composed index: pick the nprobe nearest
+    * lists driver-side (centroid sidecar), scan ONLY those partitions
+    * of the code table, rank by the exact int64 code dot. The query
+    * vector quantizes against the scales sidecar through the SAME
+    * engine kernel the build used (a 1-row sq8Quantize job — no local
+    * float-arithmetic reimplementation to drift).
+    */
+  def ivfSq8TopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 idName: String, queryVec: Array[Float], k: Int,
+                 nprobe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    val cents = readCentroids(spark, indexPath)
+    require(nprobe >= 1 && nprobe <= cents.size)
+    val scales = readSq8Scales(spark, indexPath)
+    val probes = probeList(cents, queryVec, nprobe)
+    val qCodes: Array[Byte] = spark.range(1)
+      .select(sq8Quantize(typedlit(queryVec), scales).as("q"))
+      .head().getSeq[Long](0).map(_.toByte).toArray
+    spark.read.parquet(s"$indexPath/codes")
+      .filter(col("__cid").isin(probes: _*))
+      .filter(col(idName) =!= excludeId)
+      .select(col(idName),
+        graft.functions.VecFns.sq8Dot(col("codes"), lit(qCodes)).as("qscore"))
+      .orderBy(col("qscore").desc, col(idName).asc)
+      .limit(k)
+  }
+
   /** Two-stage serving over the persisted SQ8 index — the production
     * retrieve-then-rerank shape (pqTopK's discipline on the SQ8
     * tier): stage 1 scans ONLY the packed code column for the

@@ -534,6 +534,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8 composed index: full probe degenerates to the exact SQ8 ranking; pruned scan stays in probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Similarity.ensureIvfSq8Index(emb, "vec_id", "embedding", nlist = 16, dir)
+    // nprobe = nlist means no pruning at all: the composed ranking
+    // must equal the ad-hoc full-corpus SQ8 ranking bit for bit
+    val full = Similarity.ivfSq8TopK(spark, dir, "vec_id", qvec, 10,
+        nprobe = 16, excludeId = 0L)
+      .as[(Long, Long)].collect().toSeq
+    val adhoc = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == adhoc, s"full-probe composed ranking != sq8TopK: $full vs $adhoc")
+    // a pruned query only returns ids from the probed partitions, and
+    // its scores are per-rank dominated by the unpruned ranking
+    val pruned = Similarity.ivfSq8TopK(spark, dir, "vec_id", qvec, 10,
+        nprobe = 2, excludeId = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(pruned.nonEmpty && pruned.size <= 10)
+    pruned.map(_._2).zip(adhoc.map(_._2)).foreach { case (p, f) =>
+      assert(p <= f, s"pruned score $p beats unpruned $f")
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+    val prunedIds = pruned.map(_._1).toSet
+    val allIds = codes.select("vec_id").as[Long].collect().toSet
+    assert(prunedIds.subsetOf(allIds))
+    // the code table stores binary codes, not floats
+    assert(!codes.schema.fieldNames.contains("embedding"))
+  }
+
   test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
     import graft.functions.VecFns
     val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))
