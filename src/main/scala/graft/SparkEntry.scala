@@ -3957,6 +3957,25 @@ object SparkEntry {
         .orderBy(col("qscore").desc, col("vec_id"))
     }),
 
+    // ---------------- filtered vector search (FULL oracle) ----------------
+    // The filtered-ANN shape every vector store needs, as a
+    // PRE-filter: the SQ8 code scan semi-joins the predicate's id set
+    // BEFORE ranking — exact top-k over the filtered corpus, always
+    // filled when survivors exist (post-filtering an unfiltered top-k
+    // both under-fills and loses the best filtered candidates).
+    // Deterministic integer ranking end to end → bit-exact oracle
+    // (q197's replay + the label predicate). The query vector itself
+    // is label-0's vec 0 — querying ACROSS categories, the normal
+    // query-by-example case.
+    "q208_sq8_filtered" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val idx = fixturePath("sq8", dir, "embeddings")
+      Similarity.ensureSq8Index(emb, "vec_id", "embedding", idx)
+      Similarity.sq8TopKFiltered(s, idx, "vec_id",
+        emb.filter(col("label") === 1).select(col("vec_id")),
+        queryId = 0L, k = 10)
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -5220,6 +5239,26 @@ ORDER BY n_uses DESC, piece"""
          SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
          FROM c JOIN q ON c.dim = q.dim
          WHERE c.vec_id <> 0
+         GROUP BY c.vec_id
+         ORDER BY qscore DESC, c.vec_id LIMIT 10""",
+    // filtered search: the same bit-exact code ranking restricted to
+    // the predicate's id set (pre-filter semantics)
+    "q208_sq8_filtered" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                  ELSE 0 END AS code
+           FROM d JOIN m ON d.dim = m.dim),
+         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
+         SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
+         FROM c JOIN q ON c.dim = q.dim
+         JOIN embeddings e ON e.vec_id = c.vec_id
+         WHERE c.vec_id <> 0 AND e.label = 1
          GROUP BY c.vec_id
          ORDER BY qscore DESC, c.vec_id LIMIT 10""",
     // two-stage serve: q197's code-dot stage feeding an exact rounded

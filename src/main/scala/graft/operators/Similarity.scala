@@ -995,6 +995,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED serve over the persisted SQ8 index — the
+    * filtered-vector-search shape every production store needs, done
+    * as a PRE-filter: the code scan semi-joins against the caller's
+    * filtered id relation BEFORE ranking, so the result is exact
+    * top-k over the filtered corpus and always k rows when k
+    * survivors exist. (The alternative — post-filtering an unfiltered
+    * top-k — both under-fills and silently loses the best filtered
+    * candidates; it is not offered.) Cost: one code-column scan
+    * (1/4 the float bytes) + an id-keyed semi-join — a selective
+    * filter relation broadcasts, an unselective one shuffles on the
+    * id like any equi-join. Deterministic integer ranking → FULL
+    * oracle. The query's own codes come from the code table and need
+    * NOT satisfy the filter (query-by-example across categories is
+    * the normal case).
+    */
+  def sq8TopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idName: String,
+                      filterIds: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qRows = codes.filter(col(idName) === queryId)
+      .select(col("codes")).take(1)
+    require(qRows.nonEmpty, s"sq8TopKFiltered: query $idName=$queryId not in index")
+    val q = qRows.head.getAs[Array[Byte]](0)
+    codes.filter(col(idName) =!= queryId)
+      .join(filterIds.select(col(idName)), Seq(idName), "left_semi")
+      .select(col(idName),
+        graft.functions.VecFns.sq8Dot(col("codes"), lit(q)).as("qscore"))
+      .orderBy(col("qscore").desc, col(idName).asc)
+      .limit(k)
+  }
+
   /** Two-stage serving over the persisted SQ8 index — the production
     * retrieve-then-rerank shape (pqTopK's discipline on the SQ8
     * tier): stage 1 scans ONLY the packed code column for the

@@ -562,6 +562,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!codes.schema.fieldNames.contains("embedding"))
   }
 
+  test("SQ8 filtered search: pre-filter semantics match a filtered explode-join recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8filt").toString + "/idx"
+    Similarity.ensureSq8Index(emb, "vec_id", "embedding", dir)
+    val ids1 = emb.filter(col("label") === 1).select(col("vec_id"))
+    val got = Similarity.sq8TopKFiltered(spark, dir, "vec_id", ids1, 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    // reference: quantize under the CORPUS scales, rank only label-1
+    val scales = Similarity.sq8Scales(emb, "embedding")
+    val codes = emb.select(col("vec_id"), col("label"),
+      posexplode(Similarity.sq8Quantize(col("embedding"), scales))
+        .as(Seq("dim", "code")))
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("dim"), col("code").as("qc"))
+    val ref = codes.filter(col("vec_id") =!= 0 && col("label") === 1)
+      .join(q, "dim")
+      .groupBy("vec_id").agg(sum(col("code") * col("qc")).as("qscore"))
+      .orderBy(col("qscore").desc, col("vec_id")).limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == ref, s"filtered ranking diverged: $got vs $ref")
+    val lbl = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.forall { case (id, _) => lbl(id) == 1 })
+  }
+
   test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
     import graft.functions.VecFns
     val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))
