@@ -3976,6 +3976,25 @@ object SparkEntry {
         queryId = 0L, k = 10)
     }),
 
+    // ---------------- dictionary redaction (FULL oracle) ----------------
+    // The WRITE side of q200's tagging: every dictionary match
+    // replaced by a token under leftmost-longest non-overlapping
+    // selection (the standard PII-scrub rule — "data data" wins over
+    // "data" at the same start, matches inside a consumed span are
+    // skipped). One automaton pass per row; the oracle replays the
+    // whole pipeline — all-occurrence match starts (q200's recursive
+    // device), the greedy selection (list-filter cursor recursion,
+    // the q171 list-state discipline), and the per-segment string
+    // rebuild — down to the md5 of every redacted document.
+    "q209_dictionary_redact" -> ((s, dir) => {
+      Tagging.redactDocs(t(s, dir).documents, "doc_id", col("text"),
+          DictPatterns, token = "[X]")
+        .select(col("doc_id"), col("n_redactions").cast("long").as("n_redactions"),
+          md5(col("redacted")).as("redacted_fp"),
+          length(col("redacted")).cast("long").as("n_chars_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -7289,6 +7308,65 @@ ORDER BY n_uses DESC, piece"""
          SELECT lang, pattern, CAST(sum(n) AS BIGINT) AS occurrences,
            CAST(count(*) AS BIGINT) AS docs_with_hit
          FROM occ GROUP BY 1, 2 ORDER BY 1, 2""",
+    // redaction: all-occurrence match starts (q200's recursive
+    // device) → greedy leftmost-longest selection as a list-state
+    // cursor recursion (q171's discipline: no correlated subqueries
+    // inside the recursive member) → per-segment string rebuild via
+    // lag + ordered string_agg — md5-exact per document
+    "q209_dictionary_redact" -> {
+      val vals = DictPatterns.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE
+         pats(pattern) AS (VALUES $vals),
+         m(doc_id, pattern, pos) AS (
+           SELECT d.doc_id, p.pattern, strpos(d.text, p.pattern)
+           FROM documents d CROSS JOIN pats p
+           WHERE strpos(d.text, p.pattern) > 0
+           UNION ALL
+           SELECT m.doc_id, m.pattern,
+             m.pos + strpos(substr(d.text, m.pos + 1), m.pattern)
+           FROM m JOIN documents d ON d.doc_id = m.doc_id
+           WHERE strpos(substr(d.text, m.pos + 1), m.pattern) > 0),
+         ml AS MATERIALIZED (
+           SELECT doc_id,
+             list({'s': CAST(pos AS BIGINT), 'nl': -CAST(len(pattern) AS BIGINT)}
+               ORDER BY pos, -len(pattern)) AS ms
+           FROM m GROUP BY doc_id),
+         sel AS (
+           SELECT doc_id, ms,
+             CAST([] AS STRUCT(s BIGINT, nl BIGINT)[]) AS picks,
+             CAST(1 AS BIGINT) AS cur
+           FROM ml
+           UNION ALL
+           SELECT doc_id, ms, list_append(picks, nxt), nxt.s - nxt.nl
+           FROM (SELECT doc_id, ms, picks, cur,
+                   list_filter(ms, x -> x.s >= cur)[1] AS nxt
+                 FROM sel)
+           WHERE nxt IS NOT NULL),
+         fin AS MATERIALIZED (
+           SELECT doc_id, arg_max(picks, len(picks)) AS picks
+           FROM sel GROUP BY doc_id),
+         px AS (
+           SELECT f.doc_id, t.e['i'] AS i, t.e['s'] AS s, -t.e['nl'] AS l
+           FROM fin f, unnest(list_transform(range(1, len(picks) + 1), j ->
+             {'i': j, 's': picks[j].s, 'nl': picks[j].nl})) t(e)),
+         seg AS (
+           SELECT p.doc_id, p.i, p.s, p.l,
+             coalesce(lag(p.s + p.l) OVER (PARTITION BY p.doc_id ORDER BY p.i), 1) AS pe
+           FROM px p),
+         red AS (
+           SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.pe AS INT), CAST(s.s - s.pe AS INT)) || '[X]', ''
+               ORDER BY s.i) || substr(max(d.text), CAST(max(s.s + s.l) AS INT)) AS redacted,
+             count(*) AS n_red
+           FROM seg s JOIN documents d ON d.doc_id = s.doc_id
+           GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(r.n_red, 0) AS BIGINT) AS n_redactions,
+           md5(coalesce(r.redacted, d.text)) AS redacted_fp,
+           CAST(len(coalesce(r.redacted, d.text)) AS BIGINT) AS n_chars_redacted
+         FROM documents d LEFT JOIN red r ON r.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     // MMR λ=1/2 is fully integer (×1e6 rel/sim longs), so the greedy
     // selection replays EXACTLY as five unrolled argmax layers over
     // the same 32-candidate pool

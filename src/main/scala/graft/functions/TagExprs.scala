@@ -202,6 +202,84 @@ object AcKernel {
   def countsU(a: Automaton, text: UTF8String): GenericArrayData =
     new GenericArrayData(counts(a, text))
 
+  /** Leftmost-longest non-overlapping REDACTION: every selected match
+    * is replaced by `token`. Candidates are ALL occurrences (the
+    * counts/hits match semantics, overlapping included); selection
+    * sorts candidates by (start asc, length desc) and greedily takes
+    * any match starting at or after the cursor — the standard
+    * PII-scrub rule, fully deterministic, and exactly replayable in
+    * SQL (q209's oracle). With the q200 dictionary, "data data" wins
+    * over "data" at the same start, and an overlapped shorter match
+    * inside a consumed span is skipped. Byte-space arithmetic is
+    * UTF-8-safe: every splice boundary is a whole-pattern boundary.
+    * Returns (redacted, nRedactions).
+    */
+  def redact(a: Automaton, patLenBytes: Array[Int], text: UTF8String,
+             token: UTF8String): (UTF8String, Int) = {
+    var starts = new Array[Int](8)
+    var lens = new Array[Int](8)
+    var nm = 0
+    var state = 0
+    val nb = text.numBytes
+    var i = 0
+    while (i < nb) {
+      state = step(a, state, text.getByte(i))
+      var t = if (a.patOffset(state + 1) > a.patOffset(state)) state
+              else a.outLink(state)
+      while (t >= 0) {
+        var k = a.patOffset(t)
+        val end = a.patOffset(t + 1)
+        while (k < end) {
+          if (nm == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, nm * 2)
+            lens = java.util.Arrays.copyOf(lens, nm * 2)
+          }
+          val l = patLenBytes(a.patEnd(k))
+          starts(nm) = i - l + 1; lens(nm) = l; nm += 1
+          k += 1
+        }
+        t = a.outLink(t)
+      }
+      i += 1
+    }
+    if (nm == 0) return (text, 0)
+    // order candidates by (start asc, len desc) without boxing:
+    // pack into one long per match (start << 32 | (MaxLen - len))
+    val keys = new Array[Long](nm)
+    var j = 0
+    while (j < nm) {
+      keys(j) = (starts(j).toLong << 32) | ((Int.MaxValue - lens(j)).toLong & 0xffffffffL)
+      j += 1
+    }
+    java.util.Arrays.sort(keys)
+    val bytes = text.getBytes
+    val tok = token.getBytes
+    val out = new java.io.ByteArrayOutputStream(nb + 16)
+    var cur = 0
+    var n = 0
+    j = 0
+    while (j < nm) {
+      val s = (keys(j) >>> 32).toInt
+      val l = Int.MaxValue - (keys(j) & 0xffffffffL).toInt
+      if (s >= cur) {
+        out.write(bytes, cur, s - cur)
+        out.write(tok, 0, tok.length)
+        cur = s + l
+        n += 1
+      }
+      j += 1
+    }
+    out.write(bytes, cur, nb - cur)
+    (UTF8String.fromBytes(out.toByteArray), n)
+  }
+
+  /** Codegen entry point: (redacted, n_redactions) struct row. */
+  def redactU(a: Automaton, patLenBytes: Array[Int], text: UTF8String,
+              token: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (r, n) = redact(a, patLenBytes, text, token)
+    org.apache.spark.sql.catalyst.InternalRow(r, n)
+  }
+
   // Sparse accumulator scratch, per thread: a dense counts array
   // (grown to the widest dictionary this thread has seen) plus the
   // list of touched pattern ids, so reset is O(hits) — per-row
@@ -327,4 +405,45 @@ case class MultiPatternHits(child: Expression, automaton: AcKernel.Automaton)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "multi_pattern_hits"
+}
+
+/** multi_pattern_redact(text) → struct<redacted:string,
+  * n_redactions:int>: leftmost-longest non-overlapping replacement of
+  * every dictionary match by a fixed token — the PII/blocklist-scrub
+  * write side of [[MultiPatternHits]]. Same one-pass automaton (the
+  * dictionary rides the plan as a reference object), same scan-stage
+  * codegen; per-row cost is O(bytes + matches), and the selection
+  * rule (start asc, length desc, greedy cursor) is deterministic and
+  * SQL-replayable (q209's oracle).
+  */
+case class MultiPatternRedact(child: Expression, automaton: AcKernel.Automaton,
+                              patLenBytes: Array[Int], token: String)
+    extends UnaryExpression {
+  require(token.nonEmpty, "redaction token must be non-empty")
+  private val tokenU = UTF8String.fromString(token)
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_redactions", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_redact needs a string column, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    AcKernel.redactU(automaton, patLenBytes, t.asInstanceOf[UTF8String], tokenU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AcKernel.Automaton")
+    val lRef = ctx.addReferenceObj("acPatLens", patLenBytes, "int[]")
+    val tRef = ctx.addReferenceObj("acToken", tokenU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AcKernel.redactU($aRef, $lRef, $c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "multi_pattern_redact"
 }

@@ -79,6 +79,30 @@ object Tagging {
       "__p", patterns)
       .select(col(idName), col("pattern"), col("n"))
 
+  /** Leftmost-longest non-overlapping redaction of every dictionary
+    * match — the PII/blocklist-scrub WRITE side of the tagging family
+    * (detecting a blocklisted span is half the job; the pipeline then
+    * ships the corpus with those spans replaced). One automaton pass
+    * per row in the scan stage, O(bytes + matches); the selection
+    * rule (leftmost start, longest match there, greedy cursor) is the
+    * standard scrub semantics and fully deterministic, so the whole
+    * operator carries a bit-exact SQL oracle (q209). Returns a
+    * struct column (redacted, n_redactions).
+    */
+  def redact(text: Column, patterns: Seq[String],
+             token: String = "[REDACTED]"): Column =
+    toCol(graft.functions.MultiPatternRedact(toExpr(text),
+      AcKernel.build(patterns),
+      patterns.map(_.getBytes("UTF-8").length).toArray, token))
+
+  /** Per-document redaction relation: (id, redacted, n_redactions). */
+  def redactDocs(docs: DataFrame, idName: String, text: Column,
+                 patterns: Seq[String],
+                 token: String = "[REDACTED]"): DataFrame =
+    docs.select(col(idName), redact(text, patterns, token).as("__r"))
+      .select(col(idName), col("__r.redacted").as("redacted"),
+        col("__r.n_redactions").as("n_redactions"))
+
   /** Corpus dictionary profile per (group, pattern): total occurrence
     * count and the number of documents with at least one hit. Groups
     * × patterns with zero hits are absent (the sparse kernel never

@@ -117,4 +117,84 @@ class TaggingSpec extends SparkSpec {
       .select(col("h.p")).as[Seq[Int]].collect()
     assert(orders.forall(s => s == s.sorted))
   }
+
+  /** Sequential reference redactor: all occurrences via indexOf,
+    * sorted (start asc, len desc), greedy cursor.
+    */
+  private def refRedact(text: String, pats: Seq[String],
+                        token: String): (String, Int) = {
+    val ms = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    pats.foreach { p =>
+      var i = text.indexOf(p)
+      while (i >= 0) { ms += ((i, p.length)); i = text.indexOf(p, i + 1) }
+    }
+    val sorted = ms.sortBy { case (s, l) => (s, -l) }
+    val sb = new StringBuilder
+    var cur = 0; var n = 0
+    sorted.foreach { case (s, l) =>
+      if (s >= cur) {
+        sb.append(text.substring(cur, s)).append(token); cur = s + l; n += 1
+      }
+    }
+    sb.append(text.substring(cur))
+    (sb.toString, n)
+  }
+
+  private def kernelRedact(text: String, pats: Seq[String],
+                           token: String): (String, Int) = {
+    val (r, n) = AcKernel.redact(AcKernel.build(pats),
+      pats.map(_.getBytes("UTF-8").length).toArray,
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      org.apache.spark.unsafe.types.UTF8String.fromString(token))
+    (r.toString, n)
+  }
+
+  test("redact: leftmost-longest beats a shorter match at the same start; consumed spans skip") {
+    // "data data" wins at 0, consuming the "data" at 5; the "data" at
+    // 10 starts after the cursor and is taken
+    assert(kernelRedact("data data data", Seq("data", "data data"), "[X]") ==
+      ("[X] [X]", 2))
+    // a later-starting longer match loses to an earlier shorter one
+    assert(kernelRedact("xabcy", Seq("ab", "bcy"), "_") == ("x_cy", 1))
+    // no matches: text unchanged, zero count
+    assert(kernelRedact("nothing here", Seq("zzz"), "_") == ("nothing here", 0))
+    // adjacent non-overlapping matches both redact
+    assert(kernelRedact("abab", Seq("ab"), ".") == ("..", 2))
+    // self-overlapping pattern: greedy takes 0 and 2, not 1
+    assert(kernelRedact("aaaa", Seq("aa"), "-") == ("--", 2))
+    assert(kernelRedact("aaaaa", Seq("aa"), "-") == ("--a", 2))
+  }
+
+  test("redact: kernel equals the sequential reference on the fixture corpus") {
+    val pats = Seq("data", "data data", "the join", "spark",
+      "query query", "window scan")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Tagging.redactDocs(docs, "doc_id", col("text"), pats, "[X]")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val texts = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == refRedact(t, pats, "[X]"),
+        s"doc $id diverges from the sequential redactor")
+    }
+    // redacting the redacted output again is a fixpoint when the
+    // token contains no dictionary text
+    val again = Tagging.redactDocs(
+        Tagging.redactDocs(docs, "doc_id", col("text"), pats, "[X]")
+          .withColumnRenamed("redacted", "text"),
+        "doc_id", col("text"), pats, "[X]")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again.values.forall(_ == 0), "redaction is not a fixpoint")
+  }
+
+  test("redact expression evaluates identically interpreted and codegen'd") {
+    val pats = Seq("aa", "b")
+    val df = Seq((1L, "aaab"), (2L, "xyz")).toDF("id", "t")
+    val viaCodegen = df.select(col("id"),
+        Tagging.redact(col("t"), pats, "_").as("r"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getString(0),
+        r.getStruct(1).getInt(1))).toSeq
+    assert(viaCodegen == Seq((1L, "_a_", 2), (2L, "xyz", 0)))
+  }
 }
