@@ -372,6 +372,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q204 sorts corpus-sized input below an aggregate:\n${plan.take(3000)}")
   }
 
+  test("q208 filtered search: the float column reaches no scan (codes + pruned metadata only)") {
+    val plan = executedPlan(query("q208_sq8_filtered"))
+    // two scans feed the semi-join: the code table (codes binary) and
+    // the metadata side (vec_id, label) — the float vector column
+    // must be pruned out of BOTH ReadSchemas
+    val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(!_.contains("embedding")),
+      s"q208 reads the float tier: $reads")
+  }
+
+  test("q209 redaction: one automaton scan, no join, no window") {
+    val plan = query("q209_dictionary_redact").queryExecution.optimizedPlan.toString()
+    assert(plan.contains("multi_pattern_redact"),
+      s"q209 lost the redaction expression:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"q209 joins:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"q209 windows:\n${plan.take(2000)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized

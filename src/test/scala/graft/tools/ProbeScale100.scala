@@ -535,6 +535,60 @@ object ProbeScale100 {
         s"${narrowInWide.forall(k => w1.get(k) == s1.get(k))}")
     }
 
+    // SQ8 persisted tier at factor×: index build is the one-off;
+    // the serve reads ONLY the packed code column. Invariant: the
+    // indexed ranking is bit-identical to the ad-hoc path.
+    if (section("sq8")) {
+      replicate("embeddings", Seq("vec_id"))
+      import graft.operators.Similarity
+      val idx = s"$big/sq8_idx_p100"
+      time("sq8 build (one-off)")({
+        Similarity.ensureSq8Index(emb(big), "vec_id", "embedding", idx); 1L })
+      var adhoc: Seq[(Long, Long)] = Seq.empty
+      var indexed: Seq[(Long, Long)] = Seq.empty
+      time("sq8 ad-hoc query warm")(
+        Similarity.sq8TopK(emb(base), "vec_id", "embedding", 0L, 10).count())
+      time(s"sq8 ad-hoc query ${factor}x")({
+        adhoc = Similarity.sq8TopK(emb(big), "vec_id", "embedding", 0L, 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        adhoc.size.toLong })
+      time(s"sq8 indexed query ${factor}x")({
+        indexed = Similarity.sq8TopKIndexed(spark, idx, "vec_id", 0L, 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        indexed.size.toLong })
+      println(s"[probe] sq8 indexed == ad-hoc at ${factor}x: ${indexed == adhoc}")
+      time(s"sq8 filtered query ${factor}x")(
+        Similarity.sq8TopKFiltered(spark, idx, "vec_id",
+          emb(big).filter(col("label") === 1).select(col("vec_id")),
+          0L, 10).count())
+    }
+
+    // Redaction at factor×: scan-bound like tagging (one automaton
+    // pass + in-place rebuild, no shuffle at all). Invariant: clone
+    // replicas redact to clone outputs — the distinct redacted-fp
+    // count is IDENTICAL at 1× and factor× (ids differ, text doesn't).
+    if (section("redact")) {
+      replicate("documents", Seq("doc_id"))
+      import graft.operators.Tagging
+      val pats = Seq("data", "data data", "the join", "spark",
+        "query query", "window scan")
+      def fps(dir: String): (Long, Long) = {
+        val r = Tagging.redactDocs(docs(dir), "doc_id", col("text"), pats, "[X]")
+          .agg(countDistinct(md5(col("redacted"))).as("nfp"),
+            sum(col("n_redactions").cast("long")).as("nred"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      time("redact warm")({ fps(base); 1L })
+      var r1: (Long, Long) = (0L, 0L)
+      var rN: (Long, Long) = (0L, 0L)
+      time("redact 1x")({ r1 = fps(base); 1L })
+      time(s"redact ${factor}x")({ rN = fps(big); 1L })
+      println(s"[probe] redact invariants at ${factor}x: distinct-fp identical " +
+        s"${r1._1 == rN._1}, total redactions exactly ${factor}x " +
+        s"${rN._2 == r1._2 * factor}")
+    }
+
     // PQ: index build is the one-off cost; the per-query cost is the
     // 8-int code scan + rerank-wide exact pass. Recall floor (≥6/10
     // vs exact L2, the q148 contract) must hold at factor×.
