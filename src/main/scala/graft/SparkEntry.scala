@@ -3995,6 +3995,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---------------- corpus datasheet (capstone, FULL oracle) ----------------
+    // The per-language data card a training-data platform publishes
+    // with every corpus release — one wide report composing the
+    // board's exact devices: volume (docs/tokens/chars), exact-dup
+    // pressure (distinct md5 fingerprints, the q29 device), the q26
+    // quality gate pass count, md5 split balance (the q174 device),
+    // and blocklist exposure (total q200-dictionary occurrences).
+    // Every facet is integer/string-exact, so the WHOLE datasheet
+    // replays as one DuckDB query. Two scans: the main aggregate and
+    // the automaton pass.
+    "q210_corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val sp = Mixing.splitAssign(col("doc_id"),
+        Seq("train" -> 204, "val" -> 26, "test" -> 26))
+      val isQ = TextFns.tokenCount(col("text")).between(20, 1000) &&
+        TextFns.distinctTokenRatio(col("text")) > 0.3
+      val main = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        countDistinct(TextFns.fingerprint(col("text"))).as("__nfp"),
+        sum(when(isQ, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(sp === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(sp === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(sp === "test", 1L).otherwise(0L)).as("n_test"))
+      val tags = Tagging.patternStats(docs, "lang", col("text"), DictPatterns)
+        .groupBy(col("lang"))
+        .agg(sum(col("occurrences")).as("blocklist_hits"))
+      main.join(broadcast(tags), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+          (col("n_docs") - col("__nfp")).as("n_exact_dups"),
+          col("n_quality"), col("n_train"), col("n_val"), col("n_test"),
+          coalesce(col("blocklist_hits"), lit(0L)).as("blocklist_hits"))
+        .orderBy("lang")
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -7308,6 +7344,51 @@ ORDER BY n_uses DESC, piece"""
          SELECT lang, pattern, CAST(sum(n) AS BIGINT) AS occurrences,
            CAST(count(*) AS BIGINT) AS docs_with_hit
          FROM occ GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the datasheet replays as ONE query: q200's recursive tag device
+    // per lang + q174's md5 split buckets + the q29 fingerprint and
+    // q26 gate rules, all integer/string-exact
+    "q210_corpus_datasheet" -> {
+      val vals = DictPatterns.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE
+         pats(pattern) AS (VALUES $vals),
+         m(doc_id, lang, pattern, pos) AS (
+           SELECT d.doc_id, d.lang, p.pattern, strpos(d.text, p.pattern)
+           FROM documents d CROSS JOIN pats p
+           WHERE strpos(d.text, p.pattern) > 0
+           UNION ALL
+           SELECT m.doc_id, m.lang, m.pattern,
+             m.pos + strpos(substr(d.text, m.pos + 1), m.pattern)
+           FROM m JOIN documents d ON d.doc_id = m.doc_id
+           WHERE strpos(substr(d.text, m.pos + 1), m.pattern) > 0),
+         tg AS (SELECT lang, CAST(count(*) AS BIGINT) AS blocklist_hits
+                FROM m GROUP BY lang),
+         d AS (
+           SELECT lang, text, string_split(text, ' ') AS ts,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+             16*(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)
+               + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) AS b
+           FROM documents),
+         a AS (
+           SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(ts)) AS BIGINT) AS n_tokens,
+             CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+             CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+             CAST(sum(CASE WHEN len(ts) BETWEEN 20 AND 1000
+               AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) > 0.3
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN b < 204 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN b >= 204 AND b < 230 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN b >= 230 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           FROM d GROUP BY lang)
+         SELECT a.lang, a.n_docs, a.n_tokens, a.sum_chars, a.n_exact_dups,
+           a.n_quality, a.n_train, a.n_val, a.n_test,
+           CAST(coalesce(t.blocklist_hits, 0) AS BIGINT) AS blocklist_hits
+         FROM a LEFT JOIN tg t USING (lang) ORDER BY a.lang"""
+    },
     // redaction: all-occurrence match starts (q200's recursive
     // device) → greedy leftmost-longest selection as a list-state
     // cursor recursion (q171's discipline: no correlated subqueries
