@@ -969,6 +969,45 @@ object Similarity {
     }
   }
 
+  /** Append a new batch to an existing IVF-SQ8 index: assignment
+    * against the FROZEN centroid sidecar (the appendIvfIndex rule)
+    * and coding under the FROZEN scales sidecar (the appendSq8Index
+    * rule, including its loud clip rejection) — both sidecars
+    * untouched, new rows land as files inside the matching list
+    * partitions, and because both assignment and coding are pure
+    * functions of (vector, sidecars), the appended index is
+    * BIT-IDENTICAL to building over the union with the same sidecars
+    * (spec-pinned). Centroid drift and scale clipping are the two
+    * documented debts; the first degrades recall gradually (rebuild
+    * when probes miss), the second fails loudly here. Not
+    * crash-atomic — run inside the caller's publish step.
+    */
+  def appendIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, newEmbeddings: DataFrame,
+                        idName: String, vecName: String): Unit = {
+    val cents = readCentroids(spark, indexPath)
+    val scales = readSq8Scales(spark, indexPath)
+    val batchMax = newEmbeddings
+      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    batchMax.foreach { case (d, m) =>
+      require(d < scales.length,
+        s"appendIvfSq8Index: batch dimension $d beyond the index's " +
+          s"${scales.length} — not the same embedding space")
+      require(m <= scales(d),
+        f"appendIvfSq8Index: batch max |x_$d%d| = $m%.6g exceeds the frozen " +
+          f"scale ${scales(d)}%.6g — codes would clip; rebuild over the union")
+    }
+    newEmbeddings
+      .withColumn("__cid", nearestCid(col(vecName), cents))
+      .select(col(idName), col("__cid"),
+        graft.functions.VecFns.packInt8(
+          sq8Quantize(col(vecName), scales)).as("codes"))
+      .write.mode("append").partitionBy("__cid")
+      .parquet(s"$indexPath/codes")
+  }
+
   /** Query-time half of the composed index: pick the nprobe nearest
     * lists driver-side (centroid sidecar), scan ONLY those partitions
     * of the code table, rank by the exact int64 code dot. The query

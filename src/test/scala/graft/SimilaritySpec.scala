@@ -586,6 +586,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (id, _) => lbl(id) == 1 })
   }
 
+  test("IVF-SQ8 append: frozen-sidecar coding equals a union rebuild; clipping rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8app").toString + "/idx"
+    Similarity.ensureIvfSq8Index(emb, "vec_id", "embedding", nlist = 16, dir)
+    val before = spark.read.parquet(s"$dir/codes").count()
+    val batch = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 0.5f).as("embedding"))
+    Similarity.appendIvfSq8Index(spark, dir, batch, "vec_id", "embedding")
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == before + 50)
+    // appended rows carry the same (cid, codes) a from-scratch pass
+    // under the SAME sidecars would produce
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray).toSeq
+    val scales = Similarity.readSq8Scales(spark, dir)
+    val want = batch.select(col("vec_id"),
+        graft.functions.VecFns.packInt8(
+          Similarity.sq8Quantize(col("embedding"), scales)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val got = codes.filter(col("vec_id") >= 100000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got == want)
+    assert(cents.size == 16)
+    // a full-probe query sees the appended rows (their halved vectors
+    // never outrank vec 0's own neighborhood top-1, but membership in
+    // the scanned relation is what the partition append must provide)
+    val ids = Similarity.ivfSq8TopK(spark, dir, "vec_id", qvec,
+        k = codes.count().toInt - 1, nprobe = 16, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.keySet.subsetOf(ids))
+    val hot = emb.filter(col("vec_id") === 0).select(col("vec_id"),
+      transform(col("embedding"), x => x * 1000.0f).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfSq8Index(spark, dir, hot, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("codes would clip"))
+  }
+
   test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
     import graft.functions.VecFns
     val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))
