@@ -4371,9 +4371,12 @@ ORDER BY n_uses DESC, piece"""
         ORDER BY id_a"""
 
   /** DuckDB oracle twins — identical column names + ORDER BY.
-    * Omitted: q31/q32 (sketches), q34/q36
-    * (ANN — approximation not SQL-reproducible), q40 (HLL), q83
-    * (GK sketch).
+    * NOTHING is omitted (since round 13): every registered query has
+    * a full oracle row. Sketch/ANN queries carry envelope oracles
+    * (the DuckDB-exact side hashed + guarantee verdicts pinned TRUE);
+    * the iterative learners re-run their training loops inside
+    * DuckDB as unrolled CTE layers (bpeLearnOracleSql /
+    * unigramLearnOracleSql).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
