@@ -4031,6 +4031,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---------------- SQ8 batch serve (FULL oracle) ----------------
+    // The q88/q198 broadcast-batch geometry on the code tier: four
+    // probe ids' codes broadcast from the code table, ONE code-column
+    // scan, per-probe top-5 via a rank window (WindowGroupLimit keeps
+    // the cut map-side). Exact integer ranking — the oracle replays
+    // the quantization, the pairwise code dots, and the rank cut.
+    "q211_sq8_batch" -> ((s, dir) => {
+      val idx = fixturePath("sq8", dir, "embeddings")
+      Similarity.ensureSq8Index(t(s, dir).embeddings, "vec_id", "embedding", idx)
+      Similarity.sq8TopKBatch(s, idx, "vec_id",
+          probeIds = Seq(0L, 7L, 13L, 21L), k = 5)
+        .orderBy(col("query_id"), col("qscore").desc, col("nn_id"))
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -5299,6 +5313,30 @@ ORDER BY n_uses DESC, piece"""
          WHERE c.vec_id <> 0
          GROUP BY c.vec_id
          ORDER BY qscore DESC, c.vec_id LIMIT 10""",
+    // batch serve: q197's quantization device crossed with the probe
+    // set, per-probe rank cut — all integer, bit-exact
+    "q211_sq8_batch" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                  ELSE 0 END AS code
+           FROM d JOIN m ON d.dim = m.dim),
+         q AS (SELECT vec_id AS query_id, dim, code AS qc FROM c
+               WHERE vec_id IN (0, 7, 13, 21)),
+         sc AS (
+           SELECT q.query_id, c.vec_id AS nn_id,
+             CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
+           FROM c JOIN q ON c.dim = q.dim AND c.vec_id <> q.query_id
+           GROUP BY q.query_id, c.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, nn_id) AS rn FROM sc)
+         SELECT query_id, nn_id, qscore FROM r WHERE rn <= 5
+         ORDER BY query_id, qscore DESC, nn_id""",
     // filtered search: the same bit-exact code ranking restricted to
     // the predicate's id set (pre-filter semantics)
     "q208_sq8_filtered" ->

@@ -1034,6 +1034,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch serve over the persisted SQ8 index — the q88/q198
+    * broadcast geometry on the code tier: the probe batch's OWN codes
+    * come from the code table (one point-filter, ≤ [[MaxSq8Batch]]
+    * rows, broadcast), then ONE code-column scan scores every
+    * (corpus row × probe) pair and a per-probe rank window cuts
+    * top-k (Spark 4's WindowGroupLimit keeps the cut partial
+    * map-side). Linear in the corpus regardless of batch size —
+    * never a corpus self-join; the batch cap is the documented scale
+    * contract (negativeMining's discipline). Absent probe ids fail
+    * LOUDLY (a missing id would silently serve k fewer result
+    * groups). Exact integer ranking → FULL oracle.
+    */
+  val MaxSq8Batch = 128
+
+  def sq8TopKBatch(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, idName: String,
+                   probeIds: Seq[Long], k: Int): DataFrame = {
+    require(k >= 1)
+    require(probeIds.nonEmpty && probeIds.size <= MaxSq8Batch,
+      s"sq8TopKBatch serves 1..$MaxSq8Batch probes per call, got " +
+        s"${probeIds.size} — chunk larger batches (the scan is linear " +
+        "per call; the cap bounds the broadcast and the score width)")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val probes = codes.filter(col(idName).isin(probeIds: _*))
+      .select(col(idName).as("query_id"), col("codes").as("__qc"))
+    val found = probes.count()
+    require(found == probeIds.distinct.size,
+      s"sq8TopKBatch: only $found of ${probeIds.distinct.size} probe ids " +
+        "are in the index — absent probes would silently vanish")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("nn_id").asc)
+    codes.crossJoin(broadcast(probes))
+      .filter(col(idName) =!= col("query_id"))
+      .select(col("query_id"), col(idName).as("nn_id"),
+        graft.functions.VecFns.sq8Dot(col("codes"), col("__qc")).as("qscore"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Metadata-FILTERED serve over the persisted SQ8 index — the
     * filtered-vector-search shape every production store needs, done
     * as a PRE-filter: the code scan semi-joins against the caller's

@@ -624,6 +624,28 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("codes would clip"))
   }
 
+  test("SQ8 batch serve: per-probe groups equal single-probe indexed queries; absent probes loud") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8batch").toString + "/idx"
+    Similarity.ensureSq8Index(emb, "vec_id", "embedding", dir)
+    val probes = Seq(0L, 7L, 13L)
+    val got = Similarity.sq8TopKBatch(spark, dir, "vec_id", probes, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq).toMap
+    probes.foreach { q =>
+      val single = Similarity.sq8TopKIndexed(spark, dir, "vec_id", q, 4)
+        .as[(Long, Long)].collect().toSeq
+      assert(got(q) == single, s"batch group $q != single query: ${got(q)} vs $single")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sq8TopKBatch(spark, dir, "vec_id", Seq(0L, -42L), k = 2)
+    }
+    assert(e.getMessage.contains("probe ids"))
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopKBatch(spark, dir, "vec_id",
+        (0L until Similarity.MaxSq8Batch + 1L).toSeq, k = 2)
+    }
+  }
+
   test("SQ8 pack/dot kernels: exact with negatives; loud on range and width violations") {
     import graft.functions.VecFns
     val packed = Seq((1L, Seq(1L, -127L, 127L)), (2L, Seq(0L, 5L, -3L)))
