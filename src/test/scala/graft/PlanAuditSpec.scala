@@ -332,11 +332,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"), s"global sort present:\n$plan")
   }
 
-  test("q36/q88/q198 exact audit sides broadcast the probe batch") {
+  test("q36/q88/q198/q211 exact audit sides broadcast the probe batch") {
     // the exact side is bounded-probes × one corpus scan; the probe
     // relation must be the BROADCAST side of the cross join (a
     // corpus-side broadcast or a shuffle cartesian would die at scale)
-    for (name <- Seq("q36_knn_join", "q88_cross_knn", "q198_negative_mining")) {
+    for (name <- Seq("q36_knn_join", "q88_cross_knn", "q198_negative_mining",
+        "q211_sq8_batch")) {
       val plan = executedPlan(query(name))
       assert(plan.contains("BroadcastNestedLoopJoin"),
         s"$name: probe batch not broadcast:\n${plan.take(2000)}")
