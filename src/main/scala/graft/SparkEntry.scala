@@ -220,6 +220,33 @@ object SparkEntry {
     src
   }
 
+  /** Persisted 4-file EMBEDDINGS backlog (vec_id-range buckets,
+    * mtimes spaced oldest-first) — the vector-ingest source for the
+    * streaming SQ8 twin (q212), mirroring [[ensureDocBacklog]].
+    */
+  private def ensureEmbBacklog(s: SparkSession, dir: String): String = {
+    val src = fixturePath("embbacklog", dir, "embeddings")
+    Artifact.ensure(src) { tmp =>
+      val e = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (1 to 4).foreach { b =>
+        val part = s"$tmp/_b$b"
+        e.filter((floor((col("vec_id") - lit(lo)) * lit(4)
+            / lit(hi - lo + 1)) + lit(1)).cast("int") === b)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, s"b$b.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + b * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      }
+    }
+    src
+  }
+
   private object SelfCheck {
     /** One invariant's outcome: which check ran, whether it held, and
       * the values it measured — the evidence Verify dumps next to the
@@ -4045,6 +4072,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("qscore").desc, col("nn_id"))
     }),
 
+    // ---------------- streaming SQ8 vector ingest ----------------
+    // The continuous-ingest family's VECTOR member (q195 = index,
+    // q199 = near-dup): embeddings arrive as a 4-file backlog, one
+    // file per trigger; the planning pass froze the scales sidecar,
+    // each micro-batch lands packed codes in its own batch=<id>
+    // directory (overwrite — retries replace, the q195 exactly-once
+    // discipline), and after the replay the accumulated code table is
+    // BIT-IDENTICAL to the batch-built index, so serving through
+    // sq8TopKIndexed carries q197's bit-exact oracle verbatim.
+    "q212_stream_sq8_ingest" -> ((s, dir) => {
+      val src = ensureEmbBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q212").toString
+      val idx = s"$scratch/idx"
+      Similarity.initSq8Scales(t(s, dir).embeddings, "embedding", idx)
+      val embStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.sq8CodesSink(embStream, idx,
+        "vec_id", "embedding", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      query.awaitTermination()
+      SelfCheck.every(s"q212/$dir") {
+        val nb = s.read.parquet(s"$idx/codes")
+          .select("batch").distinct().count()
+        require(nb == 4, s"q212 expected 4 ingested batches, got $nb")
+        SelfCheck.note(s"code table accumulated across $nb micro-batch " +
+          "dirs; served top-k carries q197's bit-exact oracle")
+      }
+      Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -4325,6 +4384,29 @@ ORDER BY n_uses DESC, piece"""
        FROM r JOIN supplier s ON 'DRG_' || s.s_suppkey = r.drug_id
        WHERE r.rn <= 25
        ORDER BY rn"""
+
+  /** SQ8 top-k replayed bit-exactly (quantization + integer dot) —
+    * shared by q197 (the persisted batch index) and q212 (the
+    * streamed code table, bit-identical under the same frozen
+    * scales).
+    */
+  private val SqlSq8TopK =
+    """WITH d AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+       c AS (
+         SELECT vec_id, d.dim,
+           CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                ELSE 0 END AS code
+         FROM d JOIN m ON d.dim = m.dim),
+       q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
+       SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
+       FROM c JOIN q ON c.dim = q.dim
+       WHERE c.vec_id <> 0
+       GROUP BY c.vec_id
+       ORDER BY qscore DESC, c.vec_id LIMIT 10"""
 
   /** Dialect-common SQL texts: each runs verbatim in Spark AND DuckDB
     * (the oracle), so the string frontend is oracle-checked end to
@@ -5296,23 +5378,10 @@ ORDER BY n_uses DESC, piece"""
     // SQ8: replay the quantization (round is half-away-from-zero in
     // both engines) and the integer dot product — bit-exact, no
     // rounding coarsening
-    "q197_sq8_topk" ->
-      """WITH d AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-           FROM embeddings),
-         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
-         c AS (
-           SELECT vec_id, d.dim,
-             CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
-                  ELSE 0 END AS code
-           FROM d JOIN m ON d.dim = m.dim),
-         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
-         SELECT c.vec_id, CAST(sum(c.code * q.qc) AS BIGINT) AS qscore
-         FROM c JOIN q ON c.dim = q.dim
-         WHERE c.vec_id <> 0
-         GROUP BY c.vec_id
-         ORDER BY qscore DESC, c.vec_id LIMIT 10""",
+    "q197_sq8_topk" -> SqlSq8TopK,
+    // the streamed code table is bit-identical to the batch build
+    // under the same frozen scales → the same oracle verbatim
+    "q212_stream_sq8_ingest" -> SqlSq8TopK,
     // batch serve: q197's quantization device crossed with the probe
     // set, per-probe rank cut — all integer, bit-exact
     "q211_sq8_batch" ->

@@ -819,12 +819,16 @@ object Similarity {
     */
   def buildSq8Index(embeddings: DataFrame, idName: String, vecName: String,
                     indexPath: String): Unit = {
-    val spark = embeddings.sparkSession
     val scales = sq8Scales(embeddings, vecName)
     embeddings.select(col(idName),
         graft.functions.VecFns.packInt8(
           sq8Quantize(col(vecName), scales)).as("codes"))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
+    writeSq8Scales(embeddings.sparkSession, scales, indexPath)
+  }
+
+  private def writeSq8Scales(spark: org.apache.spark.sql.SparkSession,
+                             scales: Array[Double], indexPath: String): Unit = {
     import scala.jdk.CollectionConverters._
     val rows = scales.toSeq.zipWithIndex.map { case (m, d) =>
       org.apache.spark.sql.Row(d, m)
@@ -834,6 +838,19 @@ object Similarity {
     spark.createDataFrame(rows, schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/scales")
   }
+
+  /** Planning-pass half of a STREAMED SQ8 index: freeze the scales
+    * sidecar BEFORE any batch arrives (one corpus pass — the same
+    * pass a batch build pays), so every micro-batch codes under
+    * identical state and the streamed index converges bit-for-bit to
+    * the batch-built one (q212 carries q197's oracle verbatim).
+    * Codes then land under `codes/batch=<id>` via
+    * [[graft.streaming.StreamOps.sq8CodesSink]].
+    */
+  def initSq8Scales(embeddings: DataFrame, vecName: String,
+                    indexPath: String): Unit =
+    writeSq8Scales(embeddings.sparkSession,
+      sq8Scales(embeddings, vecName), indexPath)
 
   /** Build the SQ8 index only if absent — both halves publish
     * atomically under [[Artifact.ensure]] so a reader never sees

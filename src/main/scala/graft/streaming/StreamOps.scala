@@ -261,6 +261,60 @@ object StreamOps {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Streaming SQ8 vector ingest — the [[postingsSink]] discipline on
+    * the code tier, completing the continuous-ingest family's VECTOR
+    * member (q195 = index, q199 = near-dup, this = embeddings): every
+    * micro-batch quantizes under the FROZEN scales sidecar at
+    * `indexPath/scales` (written by the planning pass,
+    * [[graft.operators.Similarity.initSq8Scales]], before the stream
+    * starts) and lands its packed codes in its own `batch=<id>`
+    * directory with OVERWRITE semantics — at-least-once foreachBatch
+    * retries replace rather than duplicate, the exactly-once index
+    * effect. Clip-guarded per batch exactly like `appendSq8Index`
+    * (a drifting batch fails loudly instead of corrupting rankings);
+    * because quantization is a pure function of (vector, scales),
+    * the accumulated code table is BIT-IDENTICAL to a batch build
+    * over everything ingested under the same scales (spec-pinned;
+    * q212 serves it through `sq8TopKIndexed` against q197's oracle).
+    */
+  def sq8CodesSink(embeddings: DataFrame, indexPath: String, idName: String,
+                   vecName: String, checkpointDir: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        sq8IngestBatch(batch, bid, indexPath, idName, vecName)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[sq8CodesSink]], idempotent under replay: reads
+    * only the frozen sidecar, writes only this batch's own directory.
+    */
+  private[graft] def sq8IngestBatch(batch: DataFrame, bid: Long,
+                                    indexPath: String, idName: String,
+                                    vecName: String): Unit = {
+    val spark = batch.sparkSession
+    val scales = graft.operators.Similarity.readSq8Scales(spark, indexPath)
+    val batchMax = batch
+      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    batchMax.foreach { case (d, m) =>
+      require(d < scales.length && m <= scales(d),
+        f"sq8CodesSink batch $bid: |x_$d%d| = $m%.6g outside the frozen " +
+          f"scales (dim count ${scales.length}) — codes would clip; " +
+          "re-plan the scales and rebuild")
+    }
+    batch.select(col(idName),
+        graft.functions.VecFns.packInt8(
+          graft.operators.Similarity.sq8Quantize(col(vecName), scales))
+          .as("codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
+  }
+
   /** Streaming near-dup maintenance — the continuous-ingest fold of
     * [[graft.operators.Dedup.minhashNearDupsIncremental]]: each
     * micro-batch is banded against the persisted minhash archive

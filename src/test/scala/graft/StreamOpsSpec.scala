@@ -507,4 +507,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(winners.distinct.size == 1)
     assert(winners.head == Seq((1L, "z", 5L))) // payload desc: "z" wins
   }
+
+  test("sq8CodesSink: streamed code table is bit-identical to the batch build; replay is idempotent") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("sq8stream").toString + "/idx"
+    // planning pass freezes the scales; two "micro-batches" ingested
+    // through the per-trigger fold directly (the sink is a thin
+    // foreachBatch wrapper around it)
+    Similarity.initSq8Scales(emb, "embedding", idx)
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    StreamOps.sq8IngestBatch(b1, 0L, idx, "vec_id", "embedding")
+    StreamOps.sq8IngestBatch(b2, 1L, idx, "vec_id", "embedding")
+    def table(): Map[Long, Seq[Byte]] =
+      spark.read.parquet(s"$idx/codes")
+        .select("vec_id", "codes")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val streamed = table()
+    // bit-identity with a batch build (same corpus -> same scales)
+    val bdir = java.nio.file.Files.createTempDirectory("sq8batchref").toString + "/idx"
+    Similarity.buildSq8Index(emb, "vec_id", "embedding", bdir)
+    val batch = spark.read.parquet(s"$bdir/codes")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(streamed == batch)
+    // an at-least-once REPLAY of a committed trigger overwrites its
+    // own directory and leaves the table byte-identical
+    StreamOps.sq8IngestBatch(b2, 1L, idx, "vec_id", "embedding")
+    assert(table() == streamed, "replaying a committed batch changed the table")
+    // the served ranking through the streamed table equals the
+    // batch-index serve
+    val got = Similarity.sq8TopKIndexed(spark, idx, "vec_id", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Similarity.sq8TopKIndexed(spark, bdir, "vec_id", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // a batch outside the frozen scales is rejected loudly
+    val hot = b1.limit(1).select(col("vec_id"),
+      transform(col("embedding"), x => x * 1000.0f).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.sq8IngestBatch(hot, 2L, idx, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("codes would clip"))
+  }
 }
