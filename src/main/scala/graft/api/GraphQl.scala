@@ -170,6 +170,8 @@ object GraphQl {
               }
             case _ => None
           }
+          if (declared.contains(v)) throw ParseError(
+            s"variable $$$v is declared twice in the operation header")
           declared += v -> dflt
         case t => throw ParseError(s"bad variable definition at $t")
       }
@@ -260,6 +262,13 @@ object GraphQl {
         peek match { case Some(Punct('(')) => parseVarDefs() case _ => () }
       case _ => ()
     }
+    // every supplied binding must be declared — a typo'd binding key
+    // silently falling back to a default is the quiet failure this
+    // parser otherwise never allows
+    val undeclared = variables.keySet.diff(declared.keySet)
+    if (undeclared.nonEmpty) throw ParseError(
+      s"bindings for undeclared variable(s): " +
+        undeclared.toSeq.sorted.map("$" + _).mkString(", "))
     val roots = parseSelection()
     if (p != toks.length) throw ParseError("trailing tokens after the query")
     roots match {

@@ -899,6 +899,15 @@ object Similarity {
           f"scale ${scales(d)}%.6g — codes would clip; rebuild the index " +
           "over the union instead")
     }
+    // id-disjointness guard (the appendPostings discipline): a
+    // replayed/overlapping batch would silently duplicate rows in the
+    // code table and every serve path could return the same nn_id twice
+    val clash = newEmbeddings.select(col(idName))
+      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
+        Seq(idName), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"appendSq8Index: batch re-ingests indexed $idName " +
+        s"${clash.head.get(0)} — id spaces must be disjoint")
     newEmbeddings.select(col(idName),
         graft.functions.VecFns.packInt8(
           sq8Quantize(col(vecName), scales)).as("codes"))
@@ -1016,6 +1025,13 @@ object Similarity {
         f"appendIvfSq8Index: batch max |x_$d%d| = $m%.6g exceeds the frozen " +
           f"scale ${scales(d)}%.6g — codes would clip; rebuild over the union")
     }
+    // id-disjointness guard (the appendPostings discipline)
+    val clash = newEmbeddings.select(col(idName))
+      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
+        Seq(idName), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"appendIvfSq8Index: batch re-ingests indexed $idName " +
+        s"${clash.head.get(0)} — id spaces must be disjoint")
     newEmbeddings
       .withColumn("__cid", nearestCid(col(vecName), cents))
       .select(col(idName), col("__cid"),
@@ -1039,9 +1055,20 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= cents.size)
     val scales = readSq8Scales(spark, indexPath)
     val probes = probeList(cents, queryVec, nprobe)
-    val qCodes: Array[Byte] = spark.range(1)
+    val qLongs: Seq[Long] = spark.range(1)
       .select(sq8Quantize(typedlit(queryVec), scales).as("q"))
-      .head().getSeq[Long](0).map(_.toByte).toArray
+      .head().getSeq[Long](0)
+    // an external query with |x_d| above the frozen scale_d quantizes
+    // outside int8; toByte would silently wrap (128 -> -128) and
+    // corrupt the ranking — reject loudly, like every other SQ8 path
+    qLongs.zipWithIndex.foreach { case (c, d) =>
+      require(c >= -128L && c <= 127L,
+        f"ivfSq8TopK: query dim $d%d codes to $c%d outside int8 " +
+          f"(|x_$d%d| = ${math.abs(queryVec(d).toDouble)}%.6g exceeds the " +
+          f"frozen scale ${scales(d)}%.6g) — rebuild the index over the " +
+          "union instead")
+    }
+    val qCodes: Array[Byte] = qLongs.map(_.toByte).toArray
     spark.read.parquet(s"$indexPath/codes")
       .filter(col("__cid").isin(probes: _*))
       .filter(col(idName) =!= excludeId)
@@ -1074,12 +1101,26 @@ object Similarity {
         s"${probeIds.size} — chunk larger batches (the scan is linear " +
         "per call; the cap bounds the broadcast and the score width)")
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val probes = codes.filter(col(idName).isin(probeIds: _*))
-      .select(col(idName).as("query_id"), col("codes").as("__qc"))
-    val found = probes.count()
-    require(found == probeIds.distinct.size,
-      s"sq8TopKBatch: only $found of ${probeIds.distinct.size} probe ids " +
-        "are in the index — absent probes would silently vanish")
+    // collect the ≤MaxSq8Batch probe rows ONCE (one point-filter scan)
+    // and verify the DISTINCT id set: a row-count check would let a
+    // duplicated present probe mask an absent one if the code table
+    // ever held duplicate ids, and counting then joining scanned the
+    // probe relation twice
+    val probeRows = codes.filter(col(idName).isin(probeIds: _*))
+      .select(col(idName).cast("long").as("query_id"), col("codes").as("__qc"))
+      .collect()
+    val foundIds = probeRows.map(_.getLong(0)).toSet
+    val missing = probeIds.toSet.diff(foundIds)
+    require(missing.isEmpty,
+      s"sq8TopKBatch: probe ids [${missing.toSeq.sorted.mkString(", ")}] " +
+        "are not in the index — absent probes would silently vanish")
+    require(probeRows.length == foundIds.size,
+      s"sq8TopKBatch: the code table holds duplicate rows for probe " +
+        s"id(s) — the index is corrupt (appends must be id-disjoint)")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, __qc BINARY"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col("nn_id").asc)

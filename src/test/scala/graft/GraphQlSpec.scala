@@ -90,6 +90,14 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("no value provided"))
     assert(err("query ($id: String! = ]) { disease { id } }")
       .contains("bad default"))
+    // duplicate declarations and typo'd binding keys are loud, not
+    // silent last-wins / fall-back-to-default
+    assert(err(
+      """query ($id: String!, $id: String!) { disease(efoId: $id) { id } }""",
+      Map("id" -> "E")).contains("declared twice"))
+    assert(err(
+      """query ($id: String! = "E") { disease(efoId: $id) { id } }""",
+      Map("idd" -> "X")).contains("undeclared"))
   }
 
   // ---------------- executor ----------------

@@ -507,6 +507,16 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes")
       .filter(col("vec_id") >= 100000L).count() == 50,
       "rejected append left partial files")
+    // a replayed batch (ids already in the code table) is rejected
+    // loudly — silent duplication would let every serve path return
+    // the same nn_id twice
+    val replay = intercept[IllegalArgumentException] {
+      Similarity.appendSq8Index(spark, dir, batch, "vec_id", "embedding")
+    }
+    assert(replay.getMessage.contains("id spaces must be disjoint"))
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100000L).count() == 50,
+      "rejected replay left partial files")
   }
 
   test("SQ8 retrieve+rerank: full-width rerank equals brute cosine top-k; k<=rerank enforced") {
@@ -622,6 +632,18 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendIvfSq8Index(spark, dir, hot, "vec_id", "embedding")
     }
     assert(e.getMessage.contains("codes would clip"))
+    // replayed ids rejected (the appendSq8Index / appendPostings rule)
+    val replay = intercept[IllegalArgumentException] {
+      Similarity.appendIvfSq8Index(spark, dir, batch, "vec_id", "embedding")
+    }
+    assert(replay.getMessage.contains("id spaces must be disjoint"))
+    // an external query whose |x_d| exceeds the frozen scale would
+    // code outside int8 — rejected loudly, never byte-wrapped
+    val hotQ = qvec.map(_ * 1000.0f)
+    val wrap = intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(spark, dir, "vec_id", hotQ, 5, nprobe = 16)
+    }
+    assert(wrap.getMessage.contains("outside int8"))
   }
 
   test("SQ8 batch serve: per-probe groups equal single-probe indexed queries; absent probes loud") {
