@@ -3539,19 +3539,29 @@ object SparkEntry {
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
         threshold = 0.6, shingleN = JaccardShingleN)
       query.awaitTermination()
-      val acc = s.read.parquet(s"$scratch/state/pairs")
-      val pairs = acc.select(
-          least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
       SelfCheck.every(s"q199/$dir") {
         // count batch DIRECTORIES, not distinct row values: a trigger
         // whose slice has no near-dups still lands an (empty) batch dir
         val nb = new java.io.File(s"$scratch/state/pairs").listFiles()
           .count(f => f.isDirectory && f.getName.startsWith("batch="))
         require(nb == 4, s"q199 expected 4 ingested batches, got $nb")
-        SelfCheck.note(s"near-dup pairs accumulated across $nb micro-batches; " +
+        SelfCheck.note(s"near-dup pairs accumulated across $nb micro-batches, " +
+          "then every state relation compacted into one base generation; " +
           "subset/recall verdicts vs the exact pair artifact ride the row")
       }
+      // table maintenance: every state relation (pairs + the archive's
+      // shingles/bands) folds its 4 committed generations into one
+      // base dir — the accumulated pair read below is post-compaction
+      Seq("pairs", "shingles", "bands").foreach { rel =>
+        val folded = graft.streaming.StreamOps.compactIndex(
+          s, s"$scratch/state/$rel", s"$scratch/ckpt")
+        require(folded.contains(-1L),
+          s"q199 $rel compaction did not fold: $folded")
+      }
+      val acc = s.read.parquet(s"$scratch/state/pairs")
+      val pairs = acc.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
       val exact = sharedPairs(s, dir)
       val exKeys = exact.select(col("id_a"), col("id_b"))
       val verdict = subsetRecallVerdict(pairs, exKeys, floor = 0.8)
@@ -3603,14 +3613,22 @@ object SparkEntry {
         s"$scratch/idx", "doc_id", "text", s"$scratch/ckpt",
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       query.awaitTermination()
-      val postings = s.read.parquet(s"$scratch/idx")
       SelfCheck.every(s"q195/$dir") {
-        val nb = postings.select("batch").distinct().count()
+        val nb = s.read.parquet(s"$scratch/idx")
+          .select("batch").distinct().count()
         require(nb == 4, s"q195 expected 4 ingested batches, got $nb")
-        SelfCheck.note(s"index accumulated across $nb micro-batch dirs; " +
-          "ranked answer oracle-matched against the full corpus")
+        SelfCheck.note(s"index accumulated across $nb micro-batch dirs, " +
+          "then compacted into one base generation; ranked answer " +
+          "oracle-matched against the full corpus")
       }
-      InvertedIndex.bm25TopKIndexed(postings.drop("batch"), "doc_id",
+      // table maintenance: fold the 4 committed trigger dirs into ONE
+      // base generation (the small-file fix at production cadence) —
+      // the oracle-matched read below goes THROUGH the compacted index
+      val folded = graft.streaming.StreamOps.compactIndex(
+        s, s"$scratch/idx", s"$scratch/ckpt")
+      require(folded.contains(-1L), s"q195 compaction did not fold: $folded")
+      InvertedIndex.bm25TopKIndexed(
+        s.read.parquet(s"$scratch/idx").drop("batch"), "doc_id",
         Seq("dup", "spark", "window"), k = 10)
     }),
 
@@ -4099,8 +4117,14 @@ object SparkEntry {
           .select("batch").distinct().count()
         require(nb == 4, s"q212 expected 4 ingested batches, got $nb")
         SelfCheck.note(s"code table accumulated across $nb micro-batch " +
-          "dirs; served top-k carries q197's bit-exact oracle")
+          "dirs, then compacted into one base generation; served top-k " +
+          "carries q197's bit-exact oracle")
       }
+      // table maintenance: fold the 4 committed trigger dirs into one
+      // base generation; the bit-exact serve below reads THROUGH it
+      val folded = graft.streaming.StreamOps.compactIndex(
+        s, s"$idx/codes", s"$scratch/ckpt")
+      require(folded.contains(-1L), s"q212 compaction did not fold: $folded")
       Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
     }),
 

@@ -113,6 +113,122 @@ object Compaction {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  // ---------------- streaming batch=<id> compaction ----------------
+
+  /** Fold COMMITTED `batch=<id>` generations of a streaming index
+    * directory (the [[graft.streaming.StreamOps]] postings / near-dup
+    * / SQ8-code sinks, which land one directory per trigger, forever)
+    * into a single base generation `batch=-<g>` — the job that stops
+    * the one-dir-per-trigger layout from becoming the small-file
+    * death at production cadence.
+    *
+    * Correctness contract:
+    *  - **Only batches ≤ `upTo` fold.** `upTo` must be the stream's
+    *    committed frontier ([[graft.streaming.StreamOps
+    *    .committedFrontier]]): a committed batch can never be
+    *    replayed (the checkpoint skips it), so folding it can never
+    *    race a retry's `batch=<id>` overwrite. The one possibly-
+    *    uncommitted generation stays in place for its retry.
+    *  - **The read is unchanged, bit for bit.** Batch data files never
+    *    contain the `batch` column (it is directory-encoded), so the
+    *    fold is a plain read-union-rewrite; the base generation's
+    *    NEGATIVE id keeps every consumer filter working (`batch =!=
+    *    bid` archive reads exclude real generations only; a base id
+    *    never collides with a trigger id).
+    *  - **Crash-safe via a fold manifest.** The folded directory NAMES
+    *    are written INSIDE the new base before its atomic rename, so
+    *    the manifest commits with the data; the delete half is an
+    *    idempotent replay of the manifest ([[repairBatchCompaction]],
+    *    run again at the start of every compaction). A crash after
+    *    the rename leaves duplicates visible only until the next
+    *    repair — run `repairBatchCompaction` before serving reads if
+    *    a compaction may have died.
+    *  - **Single maintainer.** Run between triggers (the maintenance
+    *    window); repair deletes any `.compact-*` debris, so two
+    *    concurrent compactions of one directory are not supported.
+    *
+    * Returns the new base generation id, or None when no committed
+    * generation was available to fold. I/O is Hadoop-FS throughout
+    * (the sinks accept remote stateDirs; a java.io.File fold would
+    * silently skip them).
+    */
+  def compactBatches(spark: SparkSession, dir: String, upTo: Long,
+                     targetBytes: Long = 128L << 20): Option[Long] = {
+    repairBatchCompaction(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val gens = batchGens(fs, root)
+    val foldable = gens.filter { case (id, _) => id < 0 || id <= upTo }
+    // nothing new: no committed positive generation to fold
+    if (!foldable.exists(_._1 >= 0)) return None
+    val newGen = math.min(gens.map(_._1).min, 0L) - 1L
+    val bytes = foldable.map { case (_, p) =>
+      fs.getContentSummary(p).getLength
+    }.sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.read.parquet(foldable.map(_._2.toString): _*)
+      .coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the manifest rides the same atomic rename as the data
+    val manifest = foldable.map(_._2.getName).sorted.mkString("", "\n", "\n")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, "_graft_folded"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, s"batch=$newGen")
+    require(fs.rename(tmp, dst),
+      s"compactBatches: publish rename $tmp -> $dst failed")
+    // the delete half — an idempotent manifest replay
+    repairBatchCompaction(spark, dir)
+    Some(newGen)
+  }
+
+  /** Replay any committed-but-unfinished fold: delete directories a
+    * base generation's `_graft_folded` manifest names (they were
+    * folded into that base; a crash between the base's rename and the
+    * deletes leaves them visible as duplicates), and remove
+    * `.compact-*` debris from builds that never committed. Idempotent;
+    * safe to run before any read of the directory.
+    */
+  def repairBatchCompaction(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-")) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    batchGens(fs, root).filter(_._1 < 0).foreach { case (_, base) =>
+      val m = new org.apache.hadoop.fs.Path(base, "_graft_folded")
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        names.filter(_.nonEmpty).foreach { name =>
+          val victim = new org.apache.hadoop.fs.Path(root, name)
+          if (fs.exists(victim)) { fs.delete(victim, true); () }
+        }
+      }
+    }
+  }
+
+  private def batchGens(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val Gen = """batch=(-?\d+)""".r
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case Gen(id) => Some(id.toLong -> st.getPath)
+          case _ => None
+        }
+    }.flatten
+  }
+
   def parquetFiles(dir: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)

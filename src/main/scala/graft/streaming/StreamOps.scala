@@ -401,6 +401,43 @@ object StreamOps {
     ()
   }
 
+  /** The stream's committed frontier: the highest batch id whose
+    * trigger fully committed (checkpoint `commits/<id>` present), or
+    * −1 before any commit. Batch ids at or below it can NEVER be
+    * replayed — the property [[compactIndex]] needs to fold their
+    * `batch=<id>` directories safely (an uncommitted trigger's
+    * directory must stay in place for its retry's overwrite).
+    */
+  def committedFrontier(spark: SparkSession, checkpointDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
+  }
+
+  /** Committed-batch-aware compaction of a streaming sink's
+    * one-directory-per-trigger layout ([[postingsSink]],
+    * [[sq8CodesSink]], and each [[neardupSink]] state relation): fold
+    * every generation the checkpoint has committed into a single base
+    * generation via [[graft.sources.Compaction.compactBatches]] —
+    * the maintenance job that keeps the index scannable at production
+    * trigger cadence (without it, scan cost degrades linearly in
+    * trigger COUNT from per-file open/footer overhead, not in data).
+    * The read is bit-identical before and after (StreamOpsSpec), the
+    * possibly-uncommitted tail generation is never touched, and a
+    * crashed compaction is repaired by the manifest replay on the
+    * next call. Run between triggers (foreachBatch sinks are idle
+    * between micro-batches — schedule it like any table-maintenance
+    * job).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   checkpointDir: String,
+                   targetBytes: Long = 128L << 20): Option[Long] =
+    graft.sources.Compaction.compactBatches(spark, indexDir,
+      committedFrontier(spark, checkpointDir), targetBytes)
+
   def upsertSink(updates: DataFrame, targetDir: String, key: String,
                  versionCol: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

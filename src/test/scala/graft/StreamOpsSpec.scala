@@ -72,6 +72,67 @@ class StreamOpsSpec extends SparkSpec {
       rows(graft.operators.InvertedIndex.build(all, "doc_id", col("text"))))
   }
 
+  test("compactIndex folds committed batch dirs; read bit-identical; crash repaired; tail generation untouched") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.Compaction
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    val idx = s"$dir/idx"
+    val q = StreamOps.postingsSink(
+      input.toDF().toDF("doc_id", "text"),
+      idx, "doc_id", "text", s"$dir/ckpt")
+    input.addData(Seq((1L, "a b a c"), (2L, "b c")))
+    q.processAllAvailable()
+    input.addData(Seq((3L, "a a a"), (4L, "c d")))
+    q.processAllAvailable()
+    def rows() = spark.read.parquet(idx).drop("batch")
+      .select("term", "doc_id", "tf", "positions")
+      .as[(String, Long, Long, String)].collect().toSet
+    def gens() = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).toSet
+    val before = rows()
+    assert(gens() == Set(0L, 1L))
+    assert(StreamOps.committedFrontier(spark, s"$dir/ckpt") == 1L)
+    // fold both committed generations into base -1: read unchanged
+    assert(StreamOps.compactIndex(spark, idx, s"$dir/ckpt") == Some(-1L))
+    assert(gens() == Set(-1L), s"expected base only, got ${gens()}")
+    assert(rows() == before, "compaction changed the read")
+    // the stream continues against the SAME checkpoint: the next
+    // trigger lands batch=2 alongside the base
+    input.addData(Seq((5L, "d e"), (6L, "e e a")))
+    q.processAllAvailable()
+    q.stop()
+    assert(gens() == Set(-1L, 2L))
+    val all = Seq((1L, "a b a c"), (2L, "b c"), (3L, "a a a"), (4L, "c d"),
+      (5L, "d e"), (6L, "e e a")).toDF("doc_id", "text")
+    val full = graft.operators.InvertedIndex.build(all, "doc_id", col("text"))
+      .select("term", "doc_id", "tf", "positions")
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(rows() == full)
+    // a frontier BELOW the tail generation never touches it (the
+    // possibly-uncommitted trigger keeps its dir for retry overwrite)
+    assert(Compaction.compactBatches(spark, idx, upTo = 1L).isEmpty)
+    assert(gens() == Set(-1L, 2L))
+    // second compaction folds base + batch=2 into base -2
+    assert(StreamOps.compactIndex(spark, idx, s"$dir/ckpt") == Some(-2L))
+    assert(gens() == Set(-2L))
+    assert(rows() == full, "second compaction changed the read")
+    // crash simulation: a folded dir resurrected AFTER the base's
+    // rename (= crash between rename and deletes) reads as duplicates
+    // until the manifest replay removes it
+    graft.operators.InvertedIndex.build(
+        Seq((5L, "d e"), (6L, "e e a")).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .write.mode("overwrite").parquet(s"$idx/batch=2")
+    assert(spark.read.parquet(idx).count() > full.size,
+      "resurrected dir should read as duplicates before repair")
+    Compaction.repairBatchCompaction(spark, idx)
+    assert(gens() == Set(-2L))
+    assert(rows() == full, "manifest replay did not restore the read")
+  }
+
   test("neardupSink accumulates exactly the one-shot near-dup pair set") {
     implicit val sc = spark.sqlContext
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -120,6 +181,61 @@ class StreamOpsSpec extends SparkSpec {
       threshold = 0.6, k = 32, bands = 8, shingleN = 3)
     assert(stateSnapshot() == before,
       "replaying a committed batch changed the accumulated state")
+  }
+
+  test("neardup state compaction mid-ingest: later batches band against the base generation; replay idempotent") {
+    implicit val sc = spark.sqlContext
+    val mk = (id: Long, t: String) => (id, t)
+    // cross-batch near-dups by construction: 1~7 (parts 1 and 3) and
+    // 3~5 (parts 2 and 3 via part 2's archive generation)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "completely unrelated text about spark shuffle partitions",
+      3L -> "streaming compaction folds committed batch directories safely",
+      4L -> "another unrelated document mentioning parquet footers",
+      5L -> "streaming compaction folds committed batch directories safely",
+      6L -> "yet more filler text with nothing shared across documents",
+      7L -> "the quick brown fox jumps over the lazy dog again and again",
+      8L -> "final unrelated row to pad the third micro batch")
+    val parts = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L, 8L))
+      .map(_.map(id => mk(id, texts(id))))
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ndcompact_spec").toString
+    val q = StreamOps.neardupSink(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/state", "doc_id", "text", s"$dir/ckpt")
+    input.addData(parts(0)); q.processAllAvailable()
+    input.addData(parts(1)); q.processAllAvailable()
+    // maintenance window between triggers: fold both committed
+    // generations of every state relation into a base generation
+    Seq("pairs", "shingles", "bands").foreach { rel =>
+      assert(StreamOps.compactIndex(spark, s"$dir/state/$rel",
+        s"$dir/ckpt") == Some(-1L), s"$rel did not compact")
+    }
+    input.addData(parts(2)); q.processAllAvailable()
+    q.stop()
+    def pairSet() = spark.read.parquet(s"$dir/state/pairs")
+      .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b"), $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = pairSet()
+    val ref = graft.operators.Dedup.minhashNearDups(
+        texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3)).toSet
+    assert(got.map(p => (p._1, p._2)).contains((1L, 7L)),
+      "the cross-compaction pair (1,7) must band against the BASE generation")
+    assert(got == ref,
+      s"post-compaction accumulation diverged: extra=${got diff ref} " +
+        s"missing=${ref diff got}")
+    // replaying the last batch AFTER compaction: the archive read is
+    // base(-1) + its own excluded generation — state stays identical
+    val shinglesN = spark.read.parquet(s"$dir/state/shingles").count()
+    StreamOps.neardupBatch(parts(2).toDF("doc_id", "text"), bid = 2L,
+      s"$dir/state", "doc_id", "text",
+      threshold = 0.6, k = 32, bands = 8, shingleN = 3)
+    assert(pairSet() == got, "replay after compaction changed the pairs")
+    assert(spark.read.parquet(s"$dir/state/shingles").count() == shinglesN)
   }
 
   test("dedupStream drops within-watermark duplicates across batches") {
