@@ -4128,6 +4128,45 @@ object SparkEntry {
       Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
     }),
 
+    // ---------------- IVF centroid-drift report ----------------
+    // The rebuild trigger appendIvfIndex's scaladoc promised: per-list
+    // occupancy + mean residual vs the build-time baseline sidecar,
+    // one vectors-table scan, list-count-sized output. Two lifecycles
+    // measured: the corpus's own fresh index (every delta exactly 0 —
+    // the report must NOT cry wolf) and a drifted lifecycle where a
+    // distribution-shifted clone batch (dim 0 pushed hard — a new data
+    // mode) appends under frozen centroids. Envelope oracle (the
+    // q91/q105 pattern): row counts are DuckDB-computable, the
+    // report's guarantees ride as pinned-TRUE verdicts.
+    "q213_ivf_drift" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val fresh = fixturePath("ivf", dir, "embeddings")
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nlist = 16, fresh)
+      val ap = fixturePath("ivfdrift", dir, "embeddings")
+      Artifact.ensure(ap) { tmp =>
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, tmp)
+        Similarity.appendIvfIndex(s, tmp,
+          emb.select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x))
+              .as("embedding")),
+          "vec_id", "embedding")
+      }
+      val freshV = Similarity.ivfDriftReport(s, fresh, "embedding")
+        .agg(sum(col("n_now")).as("n_fresh"),
+          (sum(when(col("drifted"), 1L).otherwise(0L)) === 0L)
+            .as("fresh_clean"))
+      val apV = Similarity.ivfDriftReport(s, ap, "embedding")
+        .agg(sum(col("n_now")).as("n_drifted_index"),
+          (sum(when(col("drifted"), 1L).otherwise(0L)) > 0L)
+            .as("drift_flagged"),
+          (sum(when(col("drifted") && col("n_now") <= col("n_build"), 1L)
+            .otherwise(0L)) === 0L).as("flagged_have_appends"))
+      freshV.crossJoin(apV)
+        .select(col("n_fresh"), col("n_drifted_index"), col("fresh_clean"),
+          col("drift_flagged"), col("flagged_have_appends"))
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -7702,6 +7741,18 @@ ORDER BY n_uses DESC, piece"""
            JOIN spl b ON b.doc_id = prs.id_b)
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
            split_a <> split_b AS crossing
-         FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    // drift report envelope: row accounting is DuckDB-computable
+    // (every indexed row appears in exactly one list), the report's
+    // guarantees ride as pinned-TRUE verdicts — fresh index clean,
+    // shifted append flagged, every flagged list actually received
+    // appends
+    "q213_ivf_drift" ->
+      """SELECT
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_fresh,
+           CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT)
+             AS n_drifted_index,
+           TRUE AS fresh_clean, TRUE AS drift_flagged,
+           TRUE AS flagged_have_appends"""
   )
 }

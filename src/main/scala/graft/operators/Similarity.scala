@@ -381,21 +381,108 @@ object Similarity {
       "cid INT, centroid ARRAY<FLOAT>")
     spark.createDataFrame(rows, schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    // build-time per-list baseline (occupancy + mean residual): the
+    // reference point [[ivfDriftReport]] measures append drift
+    // against. Computed from the WRITTEN vectors table (the
+    // assignment pass is not repeated) — list-count-sized.
+    listStats(spark.read.parquet(s"$indexPath/vectors"), cents, vecName)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
-  /** Build the IVF index only if it is not already on disk (both the
-    * vectors table and the centroids sidecar must exist).
+  /** Build the IVF index only if it is not already on disk (vectors
+    * table, centroids sidecar, and the build-time drift baseline must
+    * all exist — a pre-baseline generation reads as incomplete and is
+    * rebuilt with provenance).
     */
   def ensureIvfIndex(embeddings: DataFrame, idName: String, vecName: String,
                      nlist: Int, indexPath: String): Unit = {
     def ok(p: String) =
-      Artifact.complete(s"$p/vectors") && Artifact.complete(s"$p/centroids")
-    // both halves publish together: build under a temp root, rename
+      Artifact.complete(s"$p/vectors") && Artifact.complete(s"$p/centroids") &&
+        Artifact.complete(s"$p/stats")
+    // all pieces publish together: build under a temp root, rename
     // the ROOT into place (Artifact.ensure), so a reader never sees
-    // vectors without the centroid sidecar
+    // vectors without the sidecars
     Artifact.ensure(indexPath, ok) { tmp =>
       buildIvfIndex(embeddings, idName, vecName, nlist, tmp)
     }
+  }
+
+  /** Per-list (cid, n, mean residual ×1e6) over an assigned vectors
+    * relation: one broadcast join against the list-count-sized
+    * centroid set + one keyed agg. Residual = 1 − cosine(member, own
+    * centroid), held as fixed-point e6 longs (round half-away-from-
+    * zero) so downstream comparisons are engine-exact.
+    */
+  private def listStats(vectors: DataFrame, cents: Seq[Array[Float]],
+                        vecName: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = vectors.sparkSession
+    val cRows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.asJava
+    val centDf = spark.createDataFrame(cRows,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "cid INT, __cent ARRAY<FLOAT>"))
+    vectors.join(broadcast(centDf), col("__cid") === col("cid"))
+      .select(col("cid"), (lit(1000000L) -
+        round(VecFns.cosine(col(vecName), col("__cent")) * 1e6, 0)
+          .cast("long")).as("__r"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("__sr"))
+      .select(col("cid"), col("n"),
+        round(col("__sr").cast("double") / col("n"), 0)
+          .cast("long").as("resid_e6"))
+  }
+
+  /** Centroid-drift report for a frozen-centroid IVF index — the
+    * rebuild trigger [[appendIvfIndex]]'s scaladoc promises: per-list
+    * occupancy and mean residual NOW vs the build-time baseline the
+    * index carries (`stats` sidecar). One scan of the vectors table
+    * (the same agg shape as the build pass) joined against two
+    * list-count-sized sidecars; output is list-count-sized.
+    *
+    * A list is `drifted` when appends have degraded it on either
+    * axis:
+    *  - residual: its mean member-to-own-centroid residual rose more
+    *    than `residDeltaE6` (×1e-6 cosine) above the baseline — the
+    *    frozen centroid no longer represents its members, so the
+    *    query-to-centroid ordering that picks probe lists mis-ranks
+    *    it (recall loss; the SCALING.md drift probe measures the
+    *    degradation and justifies the 0.1-cosine default);
+    *  - occupancy: it grew past `occupancyGrowth`× its build size
+    *    (or was empty at build) — probing it costs proportionally
+    *    more than the build-time cost model assumed, and a new data
+    *    mode is crowding into a centroid that never represented it.
+    *
+    * Rebuild (ensureIvfIndex over the union) when lists flag; the
+    * IVF-SQ8 tier reuses this by decoding codes (code·scale/127) to
+    * residual space. Fixed-point e6 arithmetic throughout — the
+    * report replays exactly in SQL given the same centroid set.
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, vecName: String,
+                     residDeltaE6: Long = 100000L,
+                     occupancyGrowth: Double = 4.0): DataFrame = {
+    val cents = readCentroids(spark, indexPath)
+    val now = listStats(spark.read.parquet(s"$indexPath/vectors"),
+        cents, vecName)
+      .withColumnRenamed("n", "n_now")
+      .withColumnRenamed("resid_e6", "resid_now_e6")
+    val build = spark.read.parquet(s"$indexPath/stats")
+    now.join(broadcast(build), Seq("cid"), "left")
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        col("n_now"), col("resid_build_e6"), col("resid_now_e6"),
+        (col("resid_now_e6") - coalesce(col("resid_build_e6"),
+          col("resid_now_e6"))).as("resid_delta_e6"))
+      .withColumn("drifted",
+        col("n_build") === 0L ||
+          col("resid_delta_e6") > residDeltaE6 ||
+          col("n_now").cast("double") >
+            col("n_build").cast("double") * occupancyGrowth)
+      .orderBy("cid")
   }
 
   /** Append a new batch to an existing IVF index WITHOUT retraining

@@ -415,6 +415,34 @@ class SimilaritySpec extends SparkSpec {
     assert(a.forall(_._2.forall(c => c >= 0 && c < 16)))
   }
 
+  test("ivfDriftReport: fresh index is clean; a distribution-shifted append trips the receiving lists") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, dir)
+    val fresh = Similarity.ivfDriftReport(spark, dir, "embedding").collect()
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(!_.getBoolean(6)),
+      s"fresh index flagged drift: ${fresh.filter(_.getBoolean(6)).toSeq}")
+    // deltas are exactly zero on an untouched index (same rows, same
+    // fixed-point agg as the build baseline)
+    assert(fresh.forall(_.getLong(5) == 0L))
+    // a NEW DATA MODE: every vector pushed hard along dim 0 crowds
+    // into whichever frozen centroid points that way — occupancy
+    // and/or residual must flag the receiving lists
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x)).as("embedding"))
+    Similarity.appendIvfIndex(spark, dir, shifted, "vec_id", "embedding")
+    val rep = Similarity.ivfDriftReport(spark, dir, "embedding").collect()
+    val flagged = rep.filter(_.getBoolean(6))
+    assert(flagged.nonEmpty, s"shifted append not flagged: ${rep.toSeq}")
+    // every flagged list actually received appends; unflagged lists
+    // kept their baseline residual
+    assert(flagged.forall(r => r.getLong(2) > r.getLong(1)),
+      "a flagged list received no appends")
+    // the report accounts for every indexed row
+    assert(rep.map(_.getLong(2)).sum == emb.count() * 2)
+  }
+
   test("SQ8 codes are int8-bounded and reconstruct within one step") {
     val scales = Similarity.sq8Scales(emb, "embedding")
     assert(scales.forall(_ >= 0.0))
