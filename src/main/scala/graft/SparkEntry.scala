@@ -4167,6 +4167,35 @@ object SparkEntry {
           col("drift_flagged"), col("flagged_have_appends"))
     }),
 
+    // ---------------- GraphQL score-argument pushdown ----------------
+    // The pushdown the reference client itself missed: the schema
+    // declares scoreThreshold/orderByScore on association connections
+    // but candidate_drugs.py:98-109 fetches the full page and filters
+    // score >= 0.33 client-side. Here the q155 template carries the
+    // threshold INTO the connection fold — the edge relation filters
+    // before the rank-limited collect (P3 semantics at the dialect
+    // layer) and `count` is the filtered connection total.
+    "q214_graphql_score_pushdown" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             disease(efoId: "DIS_MACHINERY") {
+               associatedTargets(scoreThreshold: 0.33) {
+                 count
+                 rows {
+                   target { id approvedSymbol }
+                   score
+                 }
+               }
+             }
+           }""")
+        .select(col("associatedTargets.count").as("n_rows"),
+          posexplode(col("associatedTargets.rows")).as(Seq("rn", "r")))
+        .select(col("n_rows"), (col("rn") + 1).cast("long").as("rn"),
+          col("r.target.id").as("target_id"),
+          col("r.target.approvedSymbol").as("target_name"),
+          col("r.score").as("score"))
+        .orderBy("rn")),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -7742,6 +7771,30 @@ ORDER BY n_uses DESC, piece"""
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
            split_a <> split_b AS crossing
          FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the q155 association device + the pushed-down threshold: the
+    // filter precedes the rank cut, and count is the filtered total
+    "q214_graphql_score_pushdown" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         mine AS (
+           SELECT e.target_id, e.score,
+             row_number() OVER (ORDER BY e.score DESC, e.target_id) AS rn
+           FROM edges e
+           WHERE e.disease_id = 'DIS_MACHINERY' AND e.score >= 0.33)
+         SELECT CAST((SELECT count(*) FROM mine) AS BIGINT) AS n_rows,
+           m.rn, m.target_id, p.p_name AS target_name, m.score
+         FROM mine m
+         JOIN part p ON 'TGT_' || p.p_partkey = m.target_id
+         WHERE m.rn <= 25
+         ORDER BY rn""",
     // drift report envelope: row accounting is DuckDB-computable
     // (every indexed row appears in exactly one list), the report's
     // guarantees ride as pinned-TRUE verdicts — fresh index clean,

@@ -550,7 +550,44 @@ object GraphQl {
     // selection (count-only queries join nothing), pathways its own
     val rowNames = f.sel.find(_.name == "rows").map(_.sel.map(_.name))
       .getOrElse(f.sel.map(_.name)).toSet
-    val c = conn(kg, entity, f.name, rootKey, rowNames)
+    val c0 = conn(kg, entity, f.name, rootKey, rowNames)
+    // engine-side score-argument pushdown for the association
+    // connections — arguments the reference schema declares
+    // (opentargets.schema:263-265 orderByScore; scoreThreshold as on
+    // :1459-1461) but its own client never pushes down
+    // (candidate_drugs.py:98-109 filters client-side AFTER paying the
+    // full fetch): `scoreThreshold` filters the edge relation BEFORE
+    // the rank-limited collect (the pagination discipline — and
+    // before `count`, which is therefore the FILTERED connection
+    // total), and `orderByScore: "asc" | "desc"` flips the rank
+    // order (desc is the server default).
+    val ScoreArgConns: Set[(String, String)] = Set(
+      ("disease", "associatedTargets"), ("target", "associatedDiseases"))
+    val thresholdArg: Option[Double] = f.args.get("scoreThreshold").map { s =>
+      val v = s.toDoubleOption.getOrElse(throw ParseError(
+        s"scoreThreshold must be a number, got '$s'"))
+      if (v < 0.0 || v > 1.0) throw ParseError(
+        s"scoreThreshold must be in [0, 1], got $v")
+      v
+    }
+    val orderArg: Option[String] = f.args.get("orderByScore").map {
+      case o @ ("asc" | "desc") => o
+      case o => throw ParseError(
+        s"""orderByScore must be "asc" or "desc", got '$o'""")
+    }
+    if ((thresholdArg.nonEmpty || orderArg.nonEmpty) &&
+        !ScoreArgConns((entity, f.name))) throw ParseError(
+      s"'$entity.${f.name}' takes no score arguments — scoreThreshold " +
+        "and orderByScore apply to associatedTargets and associatedDiseases")
+    val c = {
+      val c1 = thresholdArg.fold(c0)(t =>
+        c0.copy(flat = c0.flat.filter(col("score") >= t)))
+      orderArg match {
+        case Some("asc") => c1.copy(
+          sortKeys = Seq(col("score"), c1.sortKeys.last))
+        case _ => c1
+      }
+    }
     // the schema's pagination argument — `page: {index, size}`
     // (opentargets.schema:1047-1050, index = 0-based page number) or
     // the bare `size` shorthand; only [[Paginable]] connections take
@@ -622,8 +659,11 @@ object GraphQl {
       // only serve row fields, and Catalyst cannot drop them itself
       val countDf: Option[DataFrame] =
         if (!f.sel.exists(_.name == "count")) None
-        else Some(conn(kg, entity, f.name, rootKey, Set.empty).flat
-          .agg(count(lit(1)).as("count")))
+        else {
+          val base = conn(kg, entity, f.name, rootKey, Set.empty).flat
+          Some(thresholdArg.fold(base)(t => base.filter(col("score") >= t))
+            .agg(count(lit(1)).as("count")))
+        }
       val rowsDf: Option[DataFrame] = f.sel.collectFirst {
         case Field("rows", _, sel) => rowsDfFor(sel)
       }

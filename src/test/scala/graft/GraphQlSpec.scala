@@ -192,6 +192,53 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(scores == scores.sorted.reverse)
   }
 
+  test("execute: scoreThreshold filters before the fold; count is the filtered total; orderByScore flips rank") {
+    def assoc(args: String) = GraphQl.execute(kg,
+      s"""{ disease(efoId: "DIS_BUILDING") {
+           associatedTargets$args { count rows { score target { id } } } } }""")
+      .head().getStruct(0)
+    // size: 3000 serves the WHOLE connection (it is far smaller), so
+    // the sub-page identities below are exact
+    val all = assoc("(size: 3000)")
+    val allRows = all.getSeq[Row](1).map(r => (r.getDouble(0), r.getStruct(1).getString(0)))
+    assert(all.getLong(0) == allRows.size.toLong,
+      "fixture connection must fit one page for this test")
+    val thr = assoc("(scoreThreshold: 0.33, size: 3000)")
+    val thrRows = thr.getSeq[Row](1).map(r => (r.getDouble(0), r.getStruct(1).getString(0)))
+    assert(thrRows.nonEmpty && thrRows.size < allRows.size,
+      s"threshold should prune some rows: ${thrRows.size} of ${allRows.size}")
+    assert(thrRows.forall(_._1 >= 0.33))
+    assert(thrRows == allRows.filter(_._1 >= 0.33),
+      "filter-then-rank must equal rank-then-filter on a full connection")
+    // count reflects the FILTERED connection total
+    assert(thr.getLong(0) == thrRows.size.toLong)
+    assert(all.getLong(0) > thr.getLong(0))
+    // orderByScore: "asc" serves the lowest-score rows first; ties
+    // keep the id-ASC break (NOT a blind reversal of the desc order)
+    val asc = assoc("""(orderByScore: "asc", size: 3000)""")
+      .getSeq[Row](1).map(r => (r.getDouble(0), r.getStruct(1).getString(0)))
+    assert(asc == allRows.sortBy(r => (r._1, r._2)))
+    // explicit desc is the default
+    assert(assoc("""(orderByScore: "desc", size: 3000)""")
+      .getSeq[Row](1).map(r => (r.getDouble(0), r.getStruct(1).getString(0)))
+      == allRows)
+    // both compose with the threshold
+    val both = assoc("""(scoreThreshold: 0.33, orderByScore: "asc", size: 3000)""")
+      .getSeq[Row](1).map(r => (r.getDouble(0), r.getStruct(1).getString(0)))
+    assert(both == thrRows.sortBy(r => (r._1, r._2)))
+    def err(q2: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q2).collect()).getMessage
+    assert(err("""{ disease(efoId: "DIS_BUILDING") {
+        associatedTargets(scoreThreshold: 1.5) { count } } }""")
+      .contains("[0, 1]"))
+    assert(err("""{ disease(efoId: "DIS_BUILDING") {
+        associatedTargets(orderByScore: "up") { count } } }""")
+      .contains("orderByScore"))
+    assert(err("""{ disease(efoId: "DIS_BUILDING") {
+        knownDrugs(scoreThreshold: 0.5) { count } } }""")
+      .contains("no score arguments"))
+  }
+
   test("execute: empty connection yields count 0 and rows []") {
     val got = GraphQl.execute(kg,
       """{ disease(efoId: "DIS_NO_SUCH") {

@@ -202,6 +202,25 @@ class PlanAuditSpec extends SparkSpec {
       s"paged GraphQL rows not pre-limited via top-k:\n${plan.take(3000)}")
   }
 
+  test("q214 GraphQL: scoreThreshold filters BELOW the rank-limited fold, pushed to the scan") {
+    // the pushdown the reference client missed: the threshold must cut
+    // the edge relation at the SCAN (with the root-key filter), so the
+    // TakeOrderedAndProject ranks only surviving rows — filtering the
+    // folded array after the collect would pay the full page and keep
+    // count wrong
+    val plan = query("q214_graphql_score_pushdown")
+      .queryExecution.executedPlan.toString()
+    // (the PushedFilters list renders truncated, so the threshold is
+    // matched via the scan's DataFilters form)
+    assert(plan.contains("EqualTo(disease_id,DIS_MACHINERY)") &&
+      """\(score#\d+ >= 0\.33\)""".r.findFirstIn(plan).isDefined &&
+      """DataFilters: \[[^\]]*\(score#\d+ >= 0\.33\)""".r
+        .findFirstIn(plan).isDefined,
+      s"scoreThreshold not pushed into the association scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"threshold rows not rank-limited via top-k:\n${plan.take(3000)}")
+  }
+
   test("q160 ORC: predicates are pushed into the ORC scan") {
     val plan = query("q160_orc_roundtrip").queryExecution.executedPlan.toString()
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,en)"),
