@@ -4128,6 +4128,44 @@ object SparkEntry {
       Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
     }),
 
+    // ---------------- GraphQL fragments + aliases ----------------
+    // The dialect headroom a real Open Targets docs user hits: their
+    // examples factor row selections into named fragments. q152's
+    // diseaseAssociatedDrugs template re-expressed with the rows
+    // selection in a fragment (which itself spreads a nested drug
+    // fragment) and the connection under a response alias — fragments
+    // expand at PARSE time (resolved AST ≡ inlined, GraphQlSpec) and
+    // the alias renames only the output column, so the rows carry
+    // q152's oracle verbatim.
+    "q215_graphql_fragments" -> ((s, dir) => {
+      val res = graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """query diseaseAssociatedDrugs {
+             disease(efoId: "DIS_BUILDING") {
+               id
+               name
+               meds: knownDrugs {
+                 count
+                 rows { ...drugRow }
+               }
+             }
+           }
+           fragment drugRow on KnownDrug {
+             phase
+             ...drugRef
+           }
+           fragment drugRef on KnownDrug {
+             drug { id name }
+           }""")
+      res.select(col("id").as("disease_id"), col("name").as("disease_name"),
+          col("meds.count").as("n_rows"),
+          posexplode(col("meds.rows")).as(Seq("rn", "r")))
+        .select(col("disease_id"), col("disease_name"), col("n_rows"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.phase").as("phase"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("drug_name"))
+        .orderBy("rn")
+    }),
+
     // ---------------- IVF centroid-drift report ----------------
     // The rebuild trigger appendIvfIndex's scaladoc promised: per-list
     // occupancy + mean residual vs the build-time baseline sidecar,
@@ -6950,6 +6988,9 @@ ORDER BY n_uses DESC, piece"""
     // variables resolve at parse time to exactly q152's AST → the
     // same oracle verbatim
     "q205_graphql_variables" -> SqlKnownDrugsFold,
+    // fragments expand at parse time and the alias renames only the
+    // output column — same resolved AST, same rows, q152's oracle
+    "q215_graphql_fragments" -> SqlKnownDrugsFold,
     "q153_graphql_pathways" ->
       """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
            CAST(1 AS BIGINT) AS rn,

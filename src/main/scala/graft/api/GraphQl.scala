@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   *   selection := name [(args)] [{ selection... }]
   * }}}
   * with `#` comments, commas-as-whitespace, string/number/name
-  * argument values, and VARIABLES (`query ($id: String!) { ... }`
-  * with `execute(kg, q, Map("id" -> ...))` bindings and inline
-  * defaults — the form every parameterized Open Targets docs example
-  * uses; values substitute at parse time, so execution is
-  * byte-identical to the inlined query). Aliases, fragments and
-  * multiple root fields are rejected with a targeted error (none
-  * appear in the reference corpus).
+  * argument values, VARIABLES (`query ($id: String!) { ... }` with
+  * `execute(kg, q, Map("id" -> ...))` bindings and inline defaults —
+  * the form every parameterized Open Targets docs example uses),
+  * named FRAGMENTS (`fragment F on Type { ... }` + `...F` spreads,
+  * the docs' row-selection factoring — expanded at parse time, so the
+  * resolved AST is identical to the inlined query; cycles, unused and
+  * duplicate fragments are targeted errors), and response ALIASES
+  * (`alias: field` — resolution uses the field name, only the output
+  * column renames). Variables likewise substitute at parse time, so
+  * execution is byte-identical to the inlined query. Inline fragments
+  * (`... on Type`) and multiple operations are rejected with a
+  * targeted error (none appear in the reference corpus or docs
+  * examples).
   *
   * Schema = the [[KnowledgeGraph]] views (disease / target / drug
   * entities, scored association edges, known-drug fact rows,
@@ -52,9 +58,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphQl {
 
-  /** One parsed field: name, arguments, nested selection. */
+  /** One parsed field: name, arguments, nested selection, and the
+    * optional response alias (`alias: field` — resolution always uses
+    * `name`; only the OUTPUT column is renamed, [[out]]).
+    */
   final case class Field(name: String, args: Map[String, String],
-                         sel: Seq[Field])
+                         sel: Seq[Field], alias: Option[String] = None) {
+    /** The response key: the alias when present, else the field name. */
+    def out: String = alias.getOrElse(name)
+  }
 
   final case class ParseError(msg: String)
     extends IllegalArgumentException(s"graphql: $msg")
@@ -69,6 +81,7 @@ object GraphQl {
   private final case class Num(s: String) extends Tok
   private final case class Punct(c: Char) extends Tok
   private final case class Var(s: String) extends Tok
+  private case object Spread extends Tok
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -104,8 +117,12 @@ object GraphQl {
         if (i == j) throw ParseError("'$' must be followed by a variable name")
         out += Var(q.substring(j, i))
       }
-      else if (c == '.') throw ParseError(
-        "fragments (...) are not supported — expand the selection")
+      else if (c == '.') {
+        if (i + 2 < q.length && q(i + 1) == '.' && q(i + 2) == '.') {
+          out += Spread; i += 3
+        } else throw ParseError(
+          s"unexpected '.' — fragment spreads are written '...'")
+      }
       else throw ParseError(s"unexpected character '$c'")
     }
     out.result()
@@ -235,32 +252,91 @@ object GraphQl {
       var done = false
       while (!done) peek match {
         case Some(Punct('}')) => next(); done = true
+        case Some(Spread) =>
+          // named-fragment spread — held as a marker field until the
+          // whole document's fragments are parsed, then expanded
+          next()
+          next() match {
+            case Name("on") => throw ParseError(
+              "inline fragments ('... on Type') are not supported — " +
+                "use a named fragment")
+            case Name(fr) => fields += Field(SpreadMark + fr, Map.empty, Nil)
+            case t => throw ParseError(s"bad fragment spread at $t")
+          }
         case Some(Name(n)) =>
           next()
-          peek match {
-            case Some(Punct(':')) => throw ParseError(
-              s"aliases ('$n:') are not supported")
-            case _ => ()
+          // response alias: `alias: field` — resolution uses the real
+          // field name; only the output column is renamed
+          val (alias, name) = peek match {
+            case Some(Punct(':')) =>
+              next()
+              next() match {
+                case Name(real) => (Some(n), real)
+                case t => throw ParseError(
+                  s"alias '$n:' must be followed by a field name, found $t")
+              }
+            case _ => (None, n)
           }
           val args = parseArgs()
           val sel = peek match {
             case Some(Punct('{')) => parseSelection()
             case _ => Seq.empty
           }
-          fields += Field(n, args, sel)
+          fields += Field(name, args, sel, alias)
         case t => throw ParseError(s"expected a field name, found $t")
       }
       fields.result()
     }
-    // optional operation header: `query [Name]` / `mutation ...`
-    peek match {
+    // document = one operation (optionally `query [Name] [varDefs]`)
+    // plus any number of `fragment Name on Type { sel }` definitions,
+    // in any order. Variables inside a fragment resolve against the
+    // operation's declarations, so a fragment USING variables must
+    // appear after the operation header (parse-time substitution —
+    // the q205 discipline).
+    var rootsOpt: Option[Seq[Field]] = None
+    var frags = Map.empty[String, Seq[Field]]
+    def requireSingleOp(): Unit = if (rootsOpt.nonEmpty) throw ParseError(
+      "exactly one operation is supported")
+    while (p < toks.length) peek match {
       case Some(Name("mutation")) =>
         throw ParseError("mutations are not supported (read-only engine)")
-      case Some(Name("query")) =>
+      case Some(Name("fragment")) =>
         next()
-        peek match { case Some(Name(_)) => next(); () case _ => () }
+        val fname = next() match {
+          case Name(n) if n != "on" => n
+          case t => throw ParseError(s"fragment needs a name, found $t")
+        }
+        next() match {
+          case Name("on") => ()
+          case t => throw ParseError(
+            s"fragment '$fname' needs 'on <Type>', found $t")
+        }
+        next() match {
+          // the type condition is recorded-and-unchecked: the engine
+          // is dynamically typed downstream (field resolution errors
+          // are targeted per entity), the declaration is contract
+          case Name(_) => ()
+          case t => throw ParseError(
+            s"fragment '$fname' needs a type name after 'on', found $t")
+        }
+        if (frags.contains(fname)) throw ParseError(
+          s"fragment '$fname' is defined twice")
+        frags += fname -> parseSelection()
+      case Some(Name("query")) =>
+        requireSingleOp()
+        next()
+        peek match {
+          case Some(Name(n)) if n != "fragment" => next(); ()
+          case _ => ()
+        }
         peek match { case Some(Punct('(')) => parseVarDefs() case _ => () }
-      case _ => ()
+        rootsOpt = Some(parseSelection())
+      case Some(Punct('{')) =>
+        requireSingleOp()
+        rootsOpt = Some(parseSelection())
+      case Some(t) =>
+        throw ParseError(s"unexpected $t at document level")
+      case None => ()
     }
     // every supplied binding must be declared — a typo'd binding key
     // silently falling back to a default is the quiet failure this
@@ -269,14 +345,38 @@ object GraphQl {
     if (undeclared.nonEmpty) throw ParseError(
       s"bindings for undeclared variable(s): " +
         undeclared.toSeq.sorted.map("$" + _).mkString(", "))
-    val roots = parseSelection()
-    if (p != toks.length) throw ParseError("trailing tokens after the query")
+    // expand fragment spreads: the resolved AST is identical to the
+    // inlined query (GraphQlSpec pins the round-trip; q215 carries an
+    // existing template's oracle through a fragment verbatim)
+    val used = scala.collection.mutable.Set.empty[String]
+    def expand(sel: Seq[Field], stack: List[String]): Seq[Field] =
+      sel.flatMap { f =>
+        if (f.name.startsWith(SpreadMark)) {
+          val fr = f.name.stripPrefix(SpreadMark)
+          val body = frags.getOrElse(fr, throw ParseError(
+            s"fragment '$fr' is not defined"))
+          if (stack.contains(fr)) throw ParseError(
+            s"fragment cycle: ${(fr :: stack).reverse.mkString(" -> ")}")
+          used += fr
+          expand(body, fr :: stack)
+        } else Seq(f.copy(sel = expand(f.sel, stack)))
+      }
+    val roots = expand(rootsOpt.getOrElse(throw ParseError(
+      "the document has no operation — nothing to execute")), Nil)
+    val unused = frags.keySet.diff(used)
+    if (unused.nonEmpty) throw ParseError(
+      s"unused fragment(s): ${unused.toSeq.sorted.mkString(", ")}")
     roots match {
       case Seq(one) => one
       case many => throw ParseError(
         s"exactly one root field is supported, found ${many.map(_.name).mkString(", ")}")
     }
   }
+
+  /** Marker prefix for unexpanded fragment spreads inside a parsed
+    * selection (NUL-prefixed — can never collide with a field name).
+    */
+  private val SpreadMark: String = "\u0000..."
 
   // ------------------------------------------------------------------
   // Executor
@@ -302,7 +402,7 @@ object GraphQl {
       val src = fields.getOrElse(f.name, throw ParseError(
         s"unknown field '${f.name}' on $entity — supported: " +
           fields.keys.toSeq.sorted.mkString(", ")))
-      src.as(f.name)
+      src.as(f.out)
     }: _*)
   }
 
@@ -365,49 +465,49 @@ object GraphQl {
         Conn(drg(tgt(kg.knownDrugs.filter(col("disease_id") === rootKey),
             "target_id"), "drug_id"),
           Seq(col("drug_id"), col("target_id")), hasRows = true, {
-            case Field("phase", _, Seq()) => col("phase")
-            case f @ Field("drug", _, _) => drugField(f)
-            case f @ Field("target", _, _) => targetField(f)
+            case Field("phase", _, Seq(), _) => col("phase")
+            case f @ Field("drug", _, _, _) => drugField(f)
+            case f @ Field("target", _, _, _) => targetField(f)
             case f => bad(f, "phase, drug, target")
           })
       case ("target", "knownDrugs") =>
         Conn(drg(dis(kg.knownDrugs.filter(col("target_id") === rootKey),
             "disease_id"), "drug_id"),
           Seq(col("drug_id"), col("disease_id")), hasRows = true, {
-            case Field("phase", _, Seq()) => col("phase")
-            case f @ Field("drug", _, _) => drugField(f)
-            case f @ Field("disease", _, _) => diseaseField(f)
+            case Field("phase", _, Seq(), _) => col("phase")
+            case f @ Field("drug", _, _, _) => drugField(f)
+            case f @ Field("disease", _, _, _) => diseaseField(f)
             case f => bad(f, "phase, drug, disease")
           })
       case ("disease", "associatedTargets") =>
         Conn(tgt(kg.associatedTargets.filter(col("disease_id") === rootKey),
             "target_id"),
           Seq(negate(col("score")), col("target_id")), hasRows = true, {
-            case Field("score", _, Seq()) => col("score")
-            case f @ Field("target", _, _) => targetField(f)
+            case Field("score", _, Seq(), _) => col("score")
+            case f @ Field("target", _, _, _) => targetField(f)
             case f => bad(f, "score, target")
           })
       case ("target", "associatedDiseases") =>
         Conn(dis(kg.associatedDiseases.filter(col("target_id") === rootKey),
             "disease_id"),
           Seq(negate(col("score")), col("disease_id")), hasRows = true, {
-            case Field("score", _, Seq()) => col("score")
-            case f @ Field("disease", _, _) => diseaseField(f)
+            case Field("score", _, Seq(), _) => col("score")
+            case f @ Field("disease", _, _, _) => diseaseField(f)
             case f => bad(f, "score, disease")
           })
       case ("drug", "linkedTargets") =>
         Conn(tgt(kg.linkedTargets.filter(col("drug_id") === rootKey),
             "target_id"),
           Seq(col("rank")), hasRows = true, {
-            case Field("rank", _, Seq()) => col("rank")
-            case f @ Field("target", _, _) => targetField(f)
+            case Field("rank", _, Seq(), _) => col("rank")
+            case f @ Field("target", _, _, _) => targetField(f)
             case f => bad(f, "rank, target")
           })
       case ("target", "pathways") =>
         Conn(kg.pathways.filter(col("target_id") === rootKey),
           Seq(col("pathwayId")), hasRows = false, {
-            case Field("topLevelTerm", _, Seq()) => col("topLevelTerm")
-            case Field("pathway", _, sel) => entityStruct("pathway", sel,
+            case Field("topLevelTerm", _, Seq(), _) => col("topLevelTerm")
+            case Field("pathway", _, sel, _) => entityStruct("pathway", sel,
               Map("id" -> col("pathwayId"), "name" -> col("pathway")))
             case f => bad(f, "pathway, topLevelTerm")
           })
@@ -473,10 +573,10 @@ object GraphQl {
     val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
       .agg(lvl1.head, lvl1.tail: _*)
     val rowPayload = struct(rowsSel.map {
-      case Field("mechanismOfAction", _, Seq()) =>
-        col("mechanismOfAction").as("mechanismOfAction")
-      case Field("actionType", _, Seq()) => col("actionType").as("actionType")
-      case Field("targets", _, _) => col("__targets").as("targets")
+      case g @ Field("mechanismOfAction", _, Seq(), _) =>
+        col("mechanismOfAction").as(g.out)
+      case g @ Field("actionType", _, Seq(), _) => col("actionType").as(g.out)
+      case g @ Field("targets", _, _, _) => col("__targets").as(g.out)
       case g => throw ParseError(
         s"unknown field '${g.name}' on drug.mechanismsOfAction rows — " +
           "supported: mechanismOfAction, actionType, targets")
@@ -485,15 +585,15 @@ object GraphQl {
     // the mechanism label (unique per group — actionType is a
     // function of it)
     val parts = f.sel.map {
-      case Field("rows", _, sel) =>
+      case Field("rows", _, sel, _) =>
         if (sel.isEmpty) throw ParseError(
           "'drug.mechanismsOfAction' rows need a selection")
         transform(sort_array(collect_list(struct(
           col("mechanismOfAction").as("__k0"), rowPayload.as("__p")))),
           x => x.getField("__p")).as("rows")
-      case Field("uniqueActionTypes", _, Seq()) =>
+      case Field("uniqueActionTypes", _, Seq(), _) =>
         sort_array(collect_set(col("actionType"))).as("uniqueActionTypes")
-      case Field("uniqueTargetTypes", _, Seq()) =>
+      case Field("uniqueTargetTypes", _, Seq(), _) =>
         sort_array(array_distinct(flatten(collect_list(col("__ttypes")))))
           .as("uniqueTargetTypes")
       case g => throw ParseError(
@@ -503,7 +603,7 @@ object GraphQl {
     if (parts.isEmpty) throw ParseError(
       "'drug.mechanismsOfAction' needs a selection")
     grouped.agg(parts.head, parts.tail: _*)
-      .select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
+      .select(struct(f.sel.map(g => col(g.name).as(g.out)): _*).as(f.out))
   }
 
   /** Connections that declare `page: Pagination` in the reference
@@ -613,7 +713,7 @@ object GraphQl {
     def rowsArray(sel: Seq[Field]): Column = {
       if (sel.isEmpty) throw ParseError(
         s"'$entity.${f.name}' rows need a selection")
-      val payload = struct(sel.map(g => c.rowField(g).as(g.name)): _*)
+      val payload = struct(sel.map(g => c.rowField(g).as(g.out)): _*)
       // sort keys ride in front of the payload for sort_array, then
       // drop away — deterministic order with one aggregation
       val keyed = struct(c.sortKeys.zipWithIndex.map {
@@ -647,8 +747,8 @@ object GraphQl {
     }
     if (c.hasRows) {
       f.sel.foreach {
-        case Field("count", _, Seq()) => ()
-        case Field("rows", _, _) => ()
+        case Field("count", _, Seq(), _) => ()
+        case Field("rows", _, _, _) => ()
         case g => throw ParseError(
           s"unknown field '${g.name}' on $entity.${f.name} — supported: count, rows")
       }
@@ -665,7 +765,7 @@ object GraphQl {
             .agg(count(lit(1)).as("count")))
         }
       val rowsDf: Option[DataFrame] = f.sel.collectFirst {
-        case Field("rows", _, sel) => rowsDfFor(sel)
+        case Field("rows", _, sel, _) => rowsDfFor(sel)
       }
       // both sides are 1-row relations; the cross join is a broadcast
       val combined = (countDf, rowsDf) match {
@@ -673,9 +773,10 @@ object GraphQl {
         case (Some(cd), None) => cd
         case (None, rd) => rd.get
       }
-      combined.select(struct(f.sel.map(g => col(g.name)): _*).as(f.name))
+      combined.select(struct(f.sel.map(g => col(g.name).as(g.out)): _*)
+        .as(f.out))
     } else
-      c.flat.agg(rowsArray(f.sel).as(f.name))
+      c.flat.agg(rowsArray(f.sel).as(f.out))
   }
 
   /** The `search(queryString:, entityNames:, page:)` root
@@ -731,8 +832,8 @@ object GraphQl {
       transform(page, x => x.getField("__p"))
     }
     root.sel.foreach {
-      case Field("total", _, Seq()) => ()
-      case Field("hits", _, _) => ()
+      case Field("total", _, Seq(), _) => ()
+      case Field("hits", _, _, _) => ()
       case g => throw ParseError(
         s"unknown field '${g.name}' on search — supported: total, hits")
     }
@@ -741,8 +842,8 @@ object GraphQl {
       case None =>
         // unpaginated: total and the full hit array fold in ONE agg
         val parts = root.sel.map {
-          case Field("total", _, Seq()) => count(lit(1)).as("total")
-          case Field("hits", _, sel) => hitsArray(sel).as("hits")
+          case g @ Field("total", _, Seq(), _) => count(lit(1)).as(g.out)
+          case g @ Field("hits", _, sel, _) => hitsArray(sel).as(g.out)
           case g => throw ParseError(s"unreachable: ${g.name}")
         }
         rel.agg(parts.head, parts.tail: _*)
@@ -754,7 +855,7 @@ object GraphQl {
           if (!root.sel.exists(_.name == "total")) None
           else Some(rel.agg(count(lit(1)).as("total")))
         val hitsDf: Option[DataFrame] = root.sel.collectFirst {
-          case Field("hits", _, sel) =>
+          case Field("hits", _, sel, _) =>
             val limitN = math.min((index + 1).toLong * n,
               Int.MaxValue.toLong).toInt
             rel.sort(col("name"), col("id")).limit(limitN)
@@ -765,7 +866,7 @@ object GraphQl {
           case (Some(td), None) => td
           case (None, hd) => hd.get
         }
-        combined.select(root.sel.map(g => col(g.name)): _*)
+        combined.select(root.sel.map(g => col(g.name).as(g.out)): _*)
     }
   }
 
@@ -802,7 +903,7 @@ object GraphQl {
     base.filter(col("id").isin(ids: _*))
       .agg(transform(sort_array(collect_list(struct(
         col("id").as("__k0"), payload.as("__p")))),
-        x => x.getField("__p")).as(root.name))
+        x => x.getField("__p")).as(root.out))
   }
 
   /** Execute `query` against the knowledge graph. One row out (the
@@ -835,10 +936,10 @@ object GraphQl {
         case Some(src) =>
           if (f.sel.nonEmpty) throw ParseError(
             s"'$entity.${f.name}' is a scalar — drop its selection")
-          col(src).as(f.name)
+          col(src).as(f.out)
         case None =>
           df = df.crossJoin(broadcast(connectionDf(kg, entity, f, rootKey)))
-          col(f.name)
+          col(f.out)
       }
     }
     df.select(outCols: _*)

@@ -70,8 +70,16 @@ object BpeLearn {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(col("n"), split(col("w"), "").as("seq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    state.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // ONE job per step: the argmax aggregation's evaluation is what
+    // materializes the current state's cache (its lineage is one
+    // applyMerge projection over the PREVIOUS cached state), so no
+    // separate count() materialization job runs. The previous state
+    // unpersists only AFTER the argmax returns — its child is cached
+    // by then, so nothing ever recomputes more than one step of
+    // lineage (a 2-deep sliding persist window; measured: the count()
+    // twin cost q144 ~2 s/board at sf0.1, PERF_NOTES r14).
+    var prev: Option[DataFrame] = None
     var step = 0
     var done = false
     while (step < numMerges && !done) {
@@ -80,6 +88,8 @@ object BpeLearn {
         .groupBy(col("p")).agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("p").asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (top.isEmpty || top(0).getLong(1) < 2) done = true
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
@@ -87,12 +97,12 @@ object BpeLearn {
         val next = state
           .select(col("n"), applyMerge(col("seq"), a, b).as("seq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        state.unpersist(blocking = false)
+        prev = Some(state)
         state = next
         step += 1
       }
     }
+    prev.foreach(_.unpersist(blocking = false))
     state.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("step", "left", "right", "pair_count")

@@ -438,6 +438,115 @@ object StreamOps {
     graft.sources.Compaction.compactBatches(spark, indexDir,
       committedFrontier(spark, checkpointDir), targetBytes)
 
+  /** Streaming curation — q189's stream twin and the composition a
+    * production ingest actually runs, one foreachBatch pipeline over
+    * the incremental family:
+    *
+    *   1. exact-dedup gate: [[graft.operators.Dedup.dedupIncremental]]
+    *      against the accumulated fingerprint archive (anti-join +
+    *      within-batch keep-first),
+    *   2. near-dup gate: [[graft.operators.Dedup
+    *      .minhashNearDupsIncremental]] against the accumulated
+    *      shingle/band archive — a document drops when it near-dups a
+    *      SMALLER-id document (its pairs' later side; the source must
+    *      deliver batches in ascending id order, the backlog contract,
+    *      so smaller-id ≡ earlier-ingested),
+    *   3. redaction: [[graft.operators.Tagging.redactDocs]] over the
+    *      survivors (leftmost-longest, the q209 semantics),
+    *   4. SQ8 codes: survivors' embeddings quantize under the FROZEN
+    *      scales sidecar at `stateDir/sq8/scales` (written by the
+    *      planning pass before the stream — the q212 discipline;
+    *      survivor vectors are a subset of the corpus the scales
+    *      froze over, so they can never clip) and land packed, with
+    *      an int64 code-sum column the oracle replays.
+    *
+    * Every per-batch effect is an OVERWRITE of this batch's own
+    * `batch=<id>` directories and every archive read EXCLUDES the
+    * batch's own generation, so an at-least-once retry reproduces
+    * byte-identical state (the [[neardupBatch]] idempotence argument;
+    * StreamOpsSpec replays a committed batch). The gates reference
+    * ALL ingested documents — dropped ones included (a duplicate of a
+    * dropped document is still a duplicate) — which is what makes the
+    * accumulated survivor set equal to the batch device over the
+    * whole corpus (the q216 oracle).
+    *
+    * `embeddings` is the static vector side keyed by `idName` (the
+    * stream-static join discipline — re-planned per micro-batch).
+    */
+  def curationSink(docs: DataFrame, embeddings: DataFrame, stateDir: String,
+                   idName: String, textName: String, vecName: String,
+                   patterns: Seq[String], token: String,
+                   checkpointDir: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                   threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        curateBatch(batch, bid, embeddings, stateDir, idName, textName,
+          vecName, patterns, token, threshold, k, bands, shingleN)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[curationSink]], idempotent under replay. */
+  private[graft] def curateBatch(batch: DataFrame, bid: Long,
+                                 embeddings: DataFrame, stateDir: String,
+                                 idName: String, textName: String,
+                                 vecName: String, patterns: Seq[String],
+                                 token: String, threshold: Double,
+                                 k: Int, bands: Int, shingleN: Int): Unit = {
+    import graft.operators.{Dedup, Similarity, Tagging}
+    val spark = batch.sparkSession
+    val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bdB = Dedup.minhashBands(
+        Dedup.minhashSignaturesFromShingles(shB, k, shingleN), k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpB = batch.select(
+      graft.functions.TextFns.fingerprint(col(textName)).as("fp")).distinct()
+    def arch(dir: String, emptyRel: DataFrame): DataFrame =
+      if (!graft.operators.Artifact.hadoopDirExists(spark, dir)) emptyRel
+      else spark.read.parquet(dir).filter(col("batch") =!= bid).drop("batch")
+    // gate 1: exact dedup vs the accumulated fingerprint archive
+    val s1 = Dedup.dedupIncremental(batch,
+        arch(s"$stateDir/fp", fpB.limit(0)), idName, textName)
+      .select(col(idName))
+    // gate 2: near-dup vs the accumulated shingle/band archive; the
+    // pair's GREATER id drops (ascending-id ingest ⇒ later side)
+    val archSh = arch(s"$stateDir/shingles", shB.limit(0))
+    val archBd = arch(s"$stateDir/bands", bdB.limit(0))
+    val ndDrop = Dedup.minhashNearDupsIncremental(batch, idName, textName,
+        archSh, archBd, threshold, k, bands, shingleN,
+        batchShingles = Some(shB), batchBands = Some(bdB))
+      .select(greatest(col("id_a"), col("id_b")).as(idName)).distinct()
+    val survivors = batch
+      .join(s1, Seq(idName), "left_semi")
+      .join(ndDrop, Seq(idName), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3: redact the survivors
+    Tagging.redactDocs(survivors, idName, col(textName), patterns, token)
+      .write.mode("overwrite").parquet(s"$stateDir/curated/batch=$bid")
+    // 4: SQ8-code the survivors' vectors under the frozen scales
+    val scales = Similarity.readSq8Scales(spark, s"$stateDir/sq8")
+    val q = Similarity.sq8Quantize(col(vecName), scales)
+    survivors.select(col(idName))
+      .join(embeddings, Seq(idName))
+      .select(col(idName),
+        graft.functions.VecFns.packInt8(q).as("codes"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("code_sum"))
+      .write.mode("overwrite").parquet(s"$stateDir/sq8/codes/batch=$bid")
+    // archive appends: ALL batch documents' fingerprints and shingle
+    // state (gates reference dropped documents too)
+    fpB.write.mode("overwrite").parquet(s"$stateDir/fp/batch=$bid")
+    shB.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$bid")
+    bdB.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$bid")
+    survivors.unpersist(); shB.unpersist(); bdB.unpersist()
+    ()
+  }
+
   def upsertSink(updates: DataFrame, targetDir: String, key: String,
                  versionCol: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -54,12 +54,45 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       intercept[ParseError](GraphQl.parse(q)).getMessage
     assert(err("mutation { x }").contains("mutations"))
     assert(err("{ a { id } b { id } }").contains("one root field"))
-    assert(err("{ disease { ...frag } }").contains("fragments"))
-    assert(err("{ d: disease { id } }").contains("aliases"))
-    assert(err("{ disease(efoId: \"x\") { id } } trailing")
-      .contains("trailing"))
+    assert(err("{ disease { ...frag } }").contains("not defined"))
+    assert(err("{ disease { ... on Disease { id } } }")
+      .contains("inline fragments"))
+    assert(err("{ disease { .id } }").contains("'...'"))
+    assert(err("{ disease(efoId: \"x\") { id } } { target { id } }")
+      .contains("one operation"))
     assert(err("{ disease(efoId: \"unterminated) { id } }")
       .contains("unterminated"))
+  }
+
+  test("parse: fragments expand to the inlined AST; aliases rename the response key") {
+    // a named fragment (docs style: defined after the operation)
+    // round-trips to the identical inlined AST
+    val frag = GraphQl.parse(
+      """query { disease(efoId: "E") { id ...core } }
+         fragment core on Disease { name knownDrugs { count } }""")
+    val inlined = GraphQl.parse(
+      """{ disease(efoId: "E") { id name knownDrugs { count } } }""")
+    assert(frag == inlined)
+    // fragments nest (a spreads b); cycles and unused fragments are loud
+    val nested = GraphQl.parse(
+      """{ disease(efoId: "E") { ...a } }
+         fragment a on Disease { id ...b }
+         fragment b on Disease { name }""")
+    assert(nested == GraphQl.parse("""{ disease(efoId: "E") { id name } }"""))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    assert(err("""{ disease { ...a } }
+        fragment a on D { ...b } fragment b on D { ...a }""")
+      .contains("cycle"))
+    assert(err("""{ disease(efoId: "E") { id } }
+        fragment lost on D { name }""").contains("unused"))
+    assert(err("""{ disease { ...a } } fragment a on D { id }
+        fragment a on D { name }""").contains("defined twice"))
+    // aliases: resolution keeps the field name, output takes the alias
+    val al = GraphQl.parse("""{ disease(efoId: "E") { theName: name } }""")
+    assert(al.sel == Seq(Field("name", Map.empty, Nil, Some("theName"))))
+    assert(al.sel.head.out == "theName")
+    assert(err("{ disease { x: { id } } }").contains("alias"))
   }
 
   test("parse: variables bind declared values, defaults, and fail loudly when unresolved") {

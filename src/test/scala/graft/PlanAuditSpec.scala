@@ -210,12 +210,11 @@ class PlanAuditSpec extends SparkSpec {
     // count wrong
     val plan = query("q214_graphql_score_pushdown")
       .queryExecution.executedPlan.toString()
-    // (the PushedFilters list renders truncated, so the threshold is
-    // matched via the scan's DataFilters form)
+    // (the PushedFilters/DataFilters lists render truncated at plan
+    // print, so the threshold is matched via the Filter node that
+    // sits directly on the scan — expression-id agnostic)
     assert(plan.contains("EqualTo(disease_id,DIS_MACHINERY)") &&
-      """\(score#\d+ >= 0\.33\)""".r.findFirstIn(plan).isDefined &&
-      """DataFilters: \[[^\]]*\(score#\d+ >= 0\.33\)""".r
-        .findFirstIn(plan).isDefined,
+      """Filter [^\n]*\(score#\d+ >= 0\.33\)""".r.findFirstIn(plan).isDefined,
       s"scoreThreshold not pushed into the association scan:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"threshold rows not rank-limited via top-k:\n${plan.take(3000)}")
