@@ -4128,6 +4128,77 @@ object SparkEntry {
       Similarity.sq8TopKIndexed(s, idx, "vec_id", queryId = 0L, k = 10)
     }),
 
+    // ---------------- streaming curation capstone ----------------
+    // q189's stream twin — ONE foreachBatch pipeline composing the
+    // incremental family the way a production ingest actually runs:
+    // archive fingerprint anti-join → incremental near-dup gate →
+    // redaction → SQ8 codes, every per-batch effect an overwrite of
+    // its own batch=<id> directory (replay-idempotent; StreamOpsSpec
+    // replays a committed batch byte-identically). Because the
+    // backlog delivers ascending-id batches and every gate references
+    // ALL ingested documents, the accumulated survivor set equals the
+    // q189-style batch device over the whole corpus, so the row
+    // payload (redaction fingerprints + code sums) carries a FULL
+    // oracle; the gate-equivalence booleans ride the row pinned TRUE.
+    "q216_stream_curation" -> ((s, dir) => {
+      val src = ensureDocBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q216").toString
+      val emb = t(s, dir).embeddings
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      Similarity.initSq8Scales(emb, "embedding", s"$scratch/state/sq8")
+      val docsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.curationSink(docsStream, emb,
+        s"$scratch/state", "doc_id", "text", "embedding",
+        DictPatterns, token = "[X]", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        threshold = 0.6, shingleN = JaccardShingleN)
+      query.awaitTermination()
+      SelfCheck.every(s"q216/$dir") {
+        val nb = new java.io.File(s"$scratch/state/curated").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch="))
+        require(nb == 4, s"q216 expected 4 ingested batches, got $nb")
+        SelfCheck.note(s"curation pipeline ran $nb micro-batches; " +
+          "survivor payload carries the q189-device full oracle")
+      }
+      val cur = s.read.parquet(s"$scratch/state/curated").drop("batch")
+      val codes = s.read.parquet(s"$scratch/state/sq8/codes").drop("batch")
+        .select(col("doc_id"), col("code_sum"))
+      val rows = cur.join(codes, Seq("doc_id"), "left")
+      // gate-equivalence verdict vs the exact batch device (fp
+      // keep-first + exact-pair later-side drop off the persisted
+      // pair artifact) — plan-fused 1-row booleans, pinned TRUE
+      val docs = t(s, dir).documents
+      val fpW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val fpKeep = docs
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .withColumn("__rn", row_number().over(fpW))
+        .filter(col("__rn") === 1).select(col("doc_id"))
+      val ndDrop = sharedPairs(s, dir)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      val exact = docs.select(col("doc_id"))
+        .join(fpKeep, Seq("doc_id"), "left_semi")
+        .join(ndDrop, Seq("doc_id"), "left_anti")
+      val verdict = rows.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("__extra"))
+        .crossJoin(exact.join(rows.select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__miss")))
+        .select((col("__extra") === 0L).as("no_extra_survivors"),
+          (col("__miss") === 0L).as("exact_survivors_kept"))
+      rows.crossJoin(broadcast(verdict))
+        .select(col("doc_id"),
+          col("n_redactions").cast("long").as("n_redactions"),
+          md5(col("redacted")).as("redacted_fp"),
+          col("code_sum"),
+          col("no_extra_survivors"), col("exact_survivors_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- GraphQL fragments + aliases ----------------
     // The dialect headroom a real Open Targets docs user hits: their
     // examples factor row selections into named fragments. q152's
@@ -7836,6 +7907,114 @@ ORDER BY n_uses DESC, piece"""
          JOIN part p ON 'TGT_' || p.p_partkey = m.target_id
          WHERE m.rn <= 25
          ORDER BY rn""",
+    // streaming curation capstone: ascending-id batches make the
+    // accumulated state equal the batch device over the whole corpus
+    // — fp keep-first (q189 device) + exact-pair later-side drop
+    // (q202 device) pick the survivors; the q209 redaction device and
+    // the q211 quantization device replay the payload; the gate
+    // booleans are pinned TRUE
+    "q216_stream_curation" -> {
+      val vals = DictPatterns.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE
+         fpt AS (
+           SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+           FROM documents),
+         fpkeep AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER
+               (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM fpt)
+           WHERE rn = 1),
+         toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         shng AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM shng),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM shng),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         nddrop AS (SELECT DISTINCT greatest(id_a, id_b) AS doc_id FROM prs),
+         surv AS (
+           SELECT f.doc_id FROM fpkeep f
+           ANTI JOIN nddrop n ON f.doc_id = n.doc_id),
+         pats(pattern) AS (VALUES $vals),
+         m(doc_id, pattern, pos) AS (
+           SELECT d.doc_id, p.pattern, strpos(d.text, p.pattern)
+           FROM documents d JOIN surv sv ON sv.doc_id = d.doc_id
+           CROSS JOIN pats p
+           WHERE strpos(d.text, p.pattern) > 0
+           UNION ALL
+           SELECT m.doc_id, m.pattern,
+             m.pos + strpos(substr(d.text, m.pos + 1), m.pattern)
+           FROM m JOIN documents d ON d.doc_id = m.doc_id
+           WHERE strpos(substr(d.text, m.pos + 1), m.pattern) > 0),
+         ml AS MATERIALIZED (
+           SELECT doc_id,
+             list({'s': CAST(pos AS BIGINT), 'nl': -CAST(len(pattern) AS BIGINT)}
+               ORDER BY pos, -len(pattern)) AS ms
+           FROM m GROUP BY doc_id),
+         sel AS (
+           SELECT doc_id, ms,
+             CAST([] AS STRUCT(s BIGINT, nl BIGINT)[]) AS picks,
+             CAST(1 AS BIGINT) AS cur
+           FROM ml
+           UNION ALL
+           SELECT doc_id, ms, list_append(picks, nxt), nxt.s - nxt.nl
+           FROM (SELECT doc_id, ms, picks, cur,
+                   list_filter(ms, x -> x.s >= cur)[1] AS nxt
+                 FROM sel)
+           WHERE nxt IS NOT NULL),
+         fin AS MATERIALIZED (
+           SELECT doc_id, arg_max(picks, len(picks)) AS picks
+           FROM sel GROUP BY doc_id),
+         px AS (
+           SELECT f.doc_id, t.e['i'] AS i, t.e['s'] AS s, -t.e['nl'] AS l
+           FROM fin f, unnest(list_transform(range(1, len(picks) + 1), j ->
+             {'i': j, 's': picks[j].s, 'nl': picks[j].nl})) t(e)),
+         seg AS (
+           SELECT p.doc_id, p.i, p.s, p.l,
+             coalesce(lag(p.s + p.l) OVER (PARTITION BY p.doc_id ORDER BY p.i), 1) AS pe
+           FROM px p),
+         red AS (
+           SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.pe AS INT), CAST(s.s - s.pe AS INT)) || '[X]', ''
+               ORDER BY s.i) || substr(max(d.text), CAST(max(s.s + s.l) AS INT)) AS redacted,
+             count(*) AS n_red
+           FROM seg s JOIN documents d ON d.doc_id = s.doc_id
+           GROUP BY s.doc_id),
+         d2 AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         mx AS (SELECT dim, max(abs(x)) AS mxv FROM d2 GROUP BY dim),
+         cs AS (
+           SELECT vec_id, CAST(sum(
+             CASE WHEN mxv > 0 THEN CAST(round(x * 127.0 / mxv) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS code_sum
+           FROM d2 JOIN mx ON d2.dim = mx.dim GROUP BY vec_id)
+         SELECT sv.doc_id,
+           CAST(coalesce(r.n_red, 0) AS BIGINT) AS n_redactions,
+           md5(coalesce(r.redacted, d.text)) AS redacted_fp,
+           cs.code_sum,
+           TRUE AS no_extra_survivors, TRUE AS exact_survivors_kept
+         FROM surv sv
+         JOIN documents d ON d.doc_id = sv.doc_id
+         LEFT JOIN red r ON r.doc_id = sv.doc_id
+         LEFT JOIN cs ON cs.vec_id = sv.doc_id
+         ORDER BY sv.doc_id"""
+    },
     // drift report envelope: row accounting is DuckDB-computable
     // (every indexed row appears in exactly one list), the report's
     // guarantees ride as pinned-TRUE verdicts — fresh index clean,

@@ -238,6 +238,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/state/shingles").count() == shinglesN)
   }
 
+  test("curationSink: accumulated survivors equal the batch device; replay idempotent") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Dedup, Similarity, Tagging}
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog data again",
+      2L -> "completely unrelated text about spark shuffle partitions",
+      3L -> "streaming compaction folds committed batch directories safely",
+      4L -> "the quick brown fox jumps over the lazy dog data again", // exact dup of 1
+      5L -> "streaming compaction folds committed batch directories owly", // near dup of 3
+      6L -> "yet more filler text with nothing shared across documents data")
+    val docs = texts.toDF("doc_id", "text")
+    // embeddings keyed by doc_id (deterministic synthetic vectors)
+    val emb = docs.select(col("doc_id"),
+      array((0 until 8).map(d =>
+        (sin(col("doc_id") * (d + 1)) * 0.5f).cast("float")): _*).as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_spec").toString
+    Similarity.initSq8Scales(emb, "vec", s"$dir/state/sq8")
+    val parts = Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5)).map(_.map(texts))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.curationSink(input.toDF().toDF("doc_id", "text"),
+      emb, s"$dir/state", "doc_id", "text", "vec",
+      patterns = Seq("data", "owly"), token = "[X]",
+      checkpointDir = s"$dir/ckpt")
+    parts.foreach { p => input.addData(p); q.processAllAvailable() }
+    q.stop()
+    def curated() = spark.read.parquet(s"$dir/state/curated")
+      .select("doc_id", "redacted", "n_redactions")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val got = curated()
+    // batch device: fp keep-first (4 drops as 1's exact dup) and the
+    // exact near-dup gate (5 drops as 3's near dup: jaccard >= 0.6)
+    val exactPairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.6)
+    assert(exactPairs.count() >= 1, "fixture needs a near-dup pair")
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 6L),
+      s"survivors diverge from the batch device: ${got.map(_._1)}")
+    // redaction applied (docs 1 and 6 contain 'data')
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._2.contains("[X]") && byId(1L)._3 == 1L)
+    assert(byId(6L)._3 == 1L)
+    assert(byId(2L)._3 == 0L)
+    // codes exist for every survivor, none for dropped docs, and the
+    // code_sum replays the quantization under the frozen scales
+    val codes = spark.read.parquet(s"$dir/state/sq8/codes")
+      .select("doc_id", "code_sum").as[(Long, Long)].collect().toMap
+    assert(codes.keySet == Set(1L, 2L, 3L, 6L))
+    val scales = Similarity.readSq8Scales(spark, s"$dir/state/sq8")
+    val want = emb.filter(col("doc_id").isin(1L, 2L, 3L, 6L))
+      .select(col("doc_id"), aggregate(
+        Similarity.sq8Quantize(col("vec"), scales), lit(0L), (a, x) => a + x)
+        .as("s")).as[(Long, Long)].collect().toMap
+    assert(codes == want)
+    // at-least-once retry of the LAST committed batch: byte-identical
+    def snap() = (curated(),
+      spark.read.parquet(s"$dir/state/fp").count(),
+      spark.read.parquet(s"$dir/state/shingles").count(),
+      spark.read.parquet(s"$dir/state/sq8/codes").count())
+    val before = snap()
+    StreamOps.curateBatch(parts(2).toDF("doc_id", "text"), bid = 2L,
+      emb, s"$dir/state", "doc_id", "text", "vec",
+      Seq("data", "owly"), "[X]", 0.6, 32, 8, 3)
+    assert(snap() == before, "replaying a committed batch changed the state")
+  }
+
   test("dedupStream drops within-watermark duplicates across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
