@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.api.{ClientApi, KnowledgeGraph}
 import graft.functions.{ChemFns, TextFns, VecFns}
-import graft.operators.{Artifact, AsofJoin, Association, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, Tagging, TextMetrics, UnigramLm, Upsert}
+import graft.operators.{Artifact, AsofJoin, Association, Bfs, Bloom, Chunking, Dedup, FreqSketch, Funnel, InvertedIndex, Mixing, Multimodal, NbClassify, Outliers, PageRank, Quality, Quantize, RangeJoin, Resample, Retrieval, SegmentOps, Similarity, Skyline, Tagging, TextMetrics, UnigramLm, Upsert}
 import graft.ops.RelOps
 import graft.pipelines.{Checkpointed, Repurpose}
 import graft.sources.{CsvIO, JsonlIO}
@@ -4305,6 +4305,139 @@ object SparkEntry {
           col("r.score").as("score"))
         .orderBy("rn")),
 
+    // ---------------- binary (1-bit) quantization: two-stage serve (FULL oracle) ----------------
+    // The smallest quantization tier (float -> SQ8 -> PQ -> 1-bit):
+    // per-dimension midpoint binarization packs 64 dims into ONE
+    // int64 word, stage 1 ranks by Hamming distance (xor+popcount,
+    // all codegen'd built-ins), stage 2 re-ranks the top-50 by exact
+    // rounded cosine — the q206 shape at 1/8 of SQ8's scan bytes.
+    // Deterministic end to end (midpoint thresholds are order-
+    // independent min/max stats; bits are exact double comparisons;
+    // Hamming is integer math), so the full serve replays in SQL
+    // with no recall envelope.
+    "q217_binary_rerank" -> ((s, dir) => {
+      Similarity.binaryTopK(t(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 50)
+    }),
+
+    // ---------------- binary tier: persisted-index serve (FULL oracle) ----------------
+    // The production half: codes + thresholds persist once
+    // (ensureBinaryIndex, atomic under the Artifact protocol), stage 1
+    // reads ONLY the packed int64 code column — 1/32 of the float
+    // bytes — and the floats are touched just for the 50-row re-rank.
+    // Quantization is a pure function of (vector, thresholds), so the
+    // indexed serve is BIT-IDENTICAL to q217's ad-hoc form
+    // (spec-pinned); the oracle is q217's verbatim.
+    "q218_binary_indexed" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val idx = fixturePath("binq", dir, "embeddings")
+      Similarity.ensureBinaryIndex(emb, "vec_id", "embedding", idx)
+      Similarity.binaryTopKIndexed(s, idx, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 50)
+    }),
+
+    // ---------------- Naive Bayes language ID (trained classifier, FULL oracle) ----------------
+    // The fastText-class lang-ID gate as pure relational algebra:
+    // train on the even-id half (two keyed aggs -> model RELATIONS,
+    // zero driver state), score the odd-id half (broadcast model
+    // join + integer fixed-point log-prob sums — the surprisal
+    // exactness device), argmin per doc with (score, label) ties.
+    // Like the BPE/unigram-LM learners, training itself replays in
+    // SQL, so the trained model's every prediction is a full oracle.
+    "q219_nb_langid" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      NbClassify.nbPredict(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "lang", col("text"))
+    }),
+
+    // ---------------- Naive Bayes evaluation report (FULL oracle) ----------------
+    // The confusion matrix + per-class fractions a classifier gate
+    // ships with: one keyed agg over q219's predictions + a
+    // per-actual-class window total.
+    "q220_nb_confusion" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      NbClassify.nbConfusion(
+        NbClassify.nbPredict(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "lang", col("text")),
+        "lang")
+    }),
+
+    // ---------------- GraphQL directives (dialect extension) ----------------
+    // `@skip(if:)` / `@include(if:)` — the two spec-defined
+    // executable directives, resolved at PARSE time (literal or
+    // variable conditions — the q205 discipline): q152's template
+    // with the rows selection behind a variable-driven @include and a
+    // debug field behind @skip(if: true). The resolved AST is
+    // identical to the inlined q152 query (GraphQlSpec pins plan
+    // equality), so the rows carry q152's oracle verbatim.
+    "q221_graphql_directives" -> ((s, dir) => {
+      val res = graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """query diseaseAssociatedDrugs($withRows: Boolean!) {
+             disease(efoId: "DIS_BUILDING") {
+               id
+               name
+               debugName: name @skip(if: true)
+               knownDrugs {
+                 count
+                 rows @include(if: $withRows) {
+                   phase
+                   drug { id name }
+                 }
+               }
+             }
+           }""", Map("withRows" -> "true"))
+      res.select(col("id").as("disease_id"), col("name").as("disease_name"),
+          col("knownDrugs.count").as("n_rows"),
+          posexplode(col("knownDrugs.rows")).as(Seq("rn", "r")))
+        .select(col("disease_id"), col("disease_name"), col("n_rows"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.phase").as("phase"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("drug_name"))
+        .orderBy("rn")
+    }),
+
+    // ---------------- k-anonymity audit ----------------
+    // Re-identification risk the redaction pass can't see: rows
+    // identifiable by the COMBINATION of innocuous attributes. One
+    // keyed agg over the quasi-identifier tuple (lang, source,
+    // n_chars coarsened to centuries — the generalization step a
+    // failing audit prescribes); classes under k=5 flag `at_risk`.
+    "q222_k_anonymity" -> ((s, dir) => {
+      Quality.kAnonymity(
+        t(s, dir).documents.select(col("lang"), col("source"),
+          (floor(col("n_chars") / 100) * 100).as("chars_bucket")),
+        Seq("lang", "source", "chars_bucket"), k = 5)
+    }),
+
+    // ---------------- l-diversity audit ----------------
+    // The k-anonymity complement: a class of >= k rows that all share
+    // ONE sensitive value still leaks it. Same single-shuffle agg with
+    // a count-distinct of the sensitive attribute (here `source`
+    // plays the sensitive role against the (lang, chars_bucket)
+    // quasi-identifier).
+    "q223_l_diversity" -> ((s, dir) => {
+      Quality.lDiversity(
+        t(s, dir).documents.select(col("lang"), col("source"),
+          (floor(col("n_chars") / 100) * 100).as("chars_bucket")),
+        Seq("lang", "chars_bucket"), sensitive = "source", l = 3)
+    }),
+
+    // ---------------- ORC source/sink round-trip ----------------
+    // The q97 JSONL device on Spark's OTHER native columnar format:
+    // write a filtered projection as ORC, read it back, aggregate —
+    // the oracle recomputes from the parquet source, so the row
+    // values prove the ORC write+read preserved every row and value.
+    "q224_orc_roundtrip" -> ((s, dir) => {
+      val step = t(s, dir).documents.filter(col("n_chars") > 200)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val path = fixturePath("orc_step", dir, "documents")
+      graft.sources.OrcIO.write(step, path)
+      graft.sources.OrcIO.read(s, path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -6327,6 +6460,26 @@ ORDER BY n_uses DESC, piece"""
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE n_chars > 200
          GROUP BY source ORDER BY source""",
+    // the q97 device on the ORC round-trip: the oracle recomputes
+    // from the parquet source
+    "q224_orc_roundtrip" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars > 200
+         GROUP BY source ORDER BY source""",
+    "q222_k_anonymity" ->
+      """SELECT lang, source,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
+           count(*) AS class_size, count(*) < 5 AS at_risk
+         FROM documents
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q223_l_diversity" ->
+      """SELECT lang,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
+           count(*) AS class_size,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+           count(DISTINCT source) >= 3 AS diverse
+         FROM documents
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q98_segment_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          t AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS ord, toks FROM d),
@@ -7062,6 +7215,7 @@ ORDER BY n_uses DESC, piece"""
     // fragments expand at parse time and the alias renames only the
     // output column — same resolved AST, same rows, q152's oracle
     "q215_graphql_fragments" -> SqlKnownDrugsFold,
+    "q221_graphql_directives" -> SqlKnownDrugsFold,
     "q153_graphql_pathways" ->
       """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
            CAST(1 AS BIGINT) AS rn,
@@ -7883,6 +8037,148 @@ ORDER BY n_uses DESC, piece"""
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
            split_a <> split_b AS crossing
          FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    // binary 1-bit tier: thresholds (order-independent midpoints),
+    // bits, Hamming candidate cut, exact cosine re-rank — the whole
+    // two-stage serve replayed; q218 carries it verbatim (the indexed
+    // form is spec-pinned bit-identical to the ad-hoc one)
+    "q217_binary_rerank" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
+         b AS (SELECT vec_id, d.dim,
+                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
+               FROM d JOIN t ON d.dim = t.dim),
+         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
+         h AS (SELECT b.vec_id,
+                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+               FROM b JOIN q ON b.dim = q.dim
+               WHERE b.vec_id <> 0
+               GROUP BY b.vec_id
+               ORDER BY hamming ASC, b.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT h.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           h.hamming
+         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    "q218_binary_indexed" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
+         b AS (SELECT vec_id, d.dim,
+                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
+               FROM d JOIN t ON d.dim = t.dim),
+         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
+         h AS (SELECT b.vec_id,
+                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+               FROM b JOIN q ON b.dim = q.dim
+               WHERE b.vec_id <> 0
+               GROUP BY b.vec_id
+               ORDER BY hamming ASC, b.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT h.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           h.hamming
+         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    // Naive Bayes: training (two keyed aggs) AND inference replayed —
+    // Laplace-smoothed log-probs quantized to 1e-4 fixed point before
+    // any per-document sum (the surprisal exactness device)
+    "q219_nb_langid" ->
+      """WITH tr AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id % 2 = 1),
+         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
+                   FROM tr),
+         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
+         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
+         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
+         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
+         lp AS (SELECT tc.c, tc.token,
+             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
+               AS BIGINT) AS lp4
+           FROM tc JOIN den ON tc.c = den.c),
+         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
+                   AS lp0
+                 FROM den),
+         pri AS (SELECT lang AS c,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
+           FROM tr GROUP BY 1),
+         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM te),
+         ts AS (SELECT tetok.doc_id, lp0.c,
+                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
+                FROM tetok CROSS JOIN lp0
+                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
+                GROUP BY 1, 2),
+         sc AS (SELECT te.doc_id, pri.c,
+                  pri.prior4 + coalesce(ts.s4, 0) AS score4
+                FROM te CROSS JOIN pri
+                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
+         best AS (SELECT doc_id, c AS predicted, score4,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score4 ASC, c ASC) AS rn
+                  FROM sc)
+         SELECT te.doc_id, te.lang, b.predicted, b.score4,
+           te.lang = b.predicted AS correct
+         FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
+         ORDER BY te.doc_id""",
+    "q220_nb_confusion" ->
+      """WITH tr AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id % 2 = 1),
+         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
+                   FROM tr),
+         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
+         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
+         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
+         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
+         lp AS (SELECT tc.c, tc.token,
+             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
+               AS BIGINT) AS lp4
+           FROM tc JOIN den ON tc.c = den.c),
+         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
+                   AS lp0
+                 FROM den),
+         pri AS (SELECT lang AS c,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
+           FROM tr GROUP BY 1),
+         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM te),
+         ts AS (SELECT tetok.doc_id, lp0.c,
+                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
+                FROM tetok CROSS JOIN lp0
+                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
+                GROUP BY 1, 2),
+         sc AS (SELECT te.doc_id, pri.c,
+                  pri.prior4 + coalesce(ts.s4, 0) AS score4
+                FROM te CROSS JOIN pri
+                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
+         best AS (SELECT doc_id, c AS predicted,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score4 ASC, c ASC) AS rn
+                  FROM sc),
+         pred AS (SELECT te.lang AS actual, b.predicted
+                  FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1),
+         cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+                   FROM pred GROUP BY 1, 2)
+         SELECT actual, predicted, n,
+           CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS class_n,
+           round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY actual), 6) AS frac
+         FROM cells ORDER BY actual, predicted""",
     // the q155 association device + the pushed-down threshold: the
     // filter precedes the rank cut, and count is the filtered total
     "q214_graphql_score_pushdown" ->

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * duplicate fragments are targeted errors), and response ALIASES
   * (`alias: field` — resolution uses the field name, only the output
   * column renames). Variables likewise substitute at parse time, so
-  * execution is byte-identical to the inlined query. Inline fragments
+  * execution is byte-identical to the inlined query. DIRECTIVES
+  * `@skip(if:)` / `@include(if:)` — the two spec-defined executable
+  * directives — resolve at parse time too (literal or variable
+  * condition), on fields and on fragment spreads: the resolved AST is
+  * identical to the query with excluded fields deleted. Unknown
+  * directives, non-boolean conditions, inline fragments
   * (`... on Type`) and multiple operations are rejected with a
   * targeted error (none appear in the reference corpus or docs
   * examples).
@@ -90,7 +95,7 @@ object GraphQl {
       val c = q(i)
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < q.length && q(i) != '\n') i += 1 }
-      else if ("{}():[]!=".contains(c)) { out += Punct(c); i += 1 }
+      else if ("{}():[]!=@".contains(c)) { out += Punct(c); i += 1 }
       else if (c == '"') {
         val sb = new StringBuilder; i += 1
         while (i < q.length && q(i) != '"') {
@@ -144,6 +149,9 @@ object GraphQl {
     var p = 0
     // declared name -> default (None = no default)
     var declared = Map.empty[String, Option[String]]
+    // fragments referenced anywhere, including directive-skipped
+    // spreads (for the unused-fragment check)
+    val referenced = scala.collection.mutable.Set.empty[String]
     def resolveVar(v: String): String = declared.get(v) match {
       case None => throw ParseError(
         s"variable $$$v is not declared in the operation header")
@@ -246,6 +254,43 @@ object GraphQl {
         args.result()
       case _ => Map.empty
     }
+    // `@skip(if: Bool)` / `@include(if: Bool)` after a field's args or
+    // a fragment spread's name — the two spec-defined executable
+    // directives (the only ones Open Targets docs queries use).
+    // Conditions resolve at PARSE time (literals or bound variables —
+    // the q205 discipline), so the resolved AST is identical to the
+    // query with the excluded fields deleted; returns whether the
+    // carrying field survives. Unknown directives and malformed
+    // conditions are targeted errors, not silent no-ops.
+    def parseDirectives(): Boolean = {
+      var keep = true
+      var more = true
+      while (more) peek match {
+        case Some(Punct('@')) =>
+          next()
+          val dname = next() match {
+            case Name(n) => n
+            case t => throw ParseError(
+              s"'@' must be followed by a directive name, found $t")
+          }
+          if (dname != "skip" && dname != "include") throw ParseError(
+            s"unsupported directive @$dname — only @skip and @include " +
+              "are supported")
+          val dargs = parseArgs()
+          if (dargs.keySet != Set("if")) throw ParseError(
+            s"@$dname takes exactly the 'if' argument, got " +
+              s"(${dargs.keys.toSeq.sorted.mkString(", ")})")
+          val b = dargs("if") match {
+            case "true" => true
+            case "false" => false
+            case other => throw ParseError(
+              s"@$dname(if:) must be a Boolean, got '$other'")
+          }
+          keep = keep && (if (dname == "skip") !b else b)
+        case _ => more = false
+      }
+      keep
+    }
     def parseSelection(): Seq[Field] = {
       expect('{')
       val fields = Seq.newBuilder[Field]
@@ -260,7 +305,12 @@ object GraphQl {
             case Name("on") => throw ParseError(
               "inline fragments ('... on Type') are not supported — " +
                 "use a named fragment")
-            case Name(fr) => fields += Field(SpreadMark + fr, Map.empty, Nil)
+            case Name(fr) =>
+              // a directive-skipped spread still REFERENCES its
+              // fragment — the unused-fragment check must not fire
+              referenced += fr
+              if (parseDirectives())
+                fields += Field(SpreadMark + fr, Map.empty, Nil)
             case t => throw ParseError(s"bad fragment spread at $t")
           }
         case Some(Name(n)) =>
@@ -278,11 +328,12 @@ object GraphQl {
             case _ => (None, n)
           }
           val args = parseArgs()
+          val keep = parseDirectives()
           val sel = peek match {
             case Some(Punct('{')) => parseSelection()
             case _ => Seq.empty
           }
-          fields += Field(name, args, sel, alias)
+          if (keep) fields += Field(name, args, sel, alias)
         case t => throw ParseError(s"expected a field name, found $t")
       }
       fields.result()
@@ -363,7 +414,7 @@ object GraphQl {
       }
     val roots = expand(rootsOpt.getOrElse(throw ParseError(
       "the document has no operation — nothing to execute")), Nil)
-    val unused = frags.keySet.diff(used)
+    val unused = frags.keySet.diff(used ++ referenced)
     if (unused.nonEmpty) throw ParseError(
       s"unused fragment(s): ${unused.toSeq.sorted.mkString(", ")}")
     roots match {

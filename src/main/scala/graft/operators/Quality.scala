@@ -168,4 +168,53 @@ object Quality {
         col(s"__max_$c").as("max_val"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  // ================= re-identification risk audits =================
+  //
+  // The privacy complement of dictionary redaction (Tagging.redact
+  // scrubs KNOWN strings; these audits find rows identifiable by the
+  // COMBINATION of innocuous attributes): k-anonymity — every
+  // quasi-identifier equivalence class must hold >= k rows — and
+  // l-diversity — each class must also span >= l distinct values of a
+  // sensitive attribute (a k-anonymous class whose members all share
+  // one sensitive value still leaks it). Sweeney's k-anonymity and
+  // Machanavajjhala's l-diversity, as single keyed aggregations:
+  // class-count-sized output, partial-aggregable, one shuffle —
+  // linear at any corpus size.
+
+  /** k-anonymity audit: one row per quasi-identifier equivalence
+    * class — (quasiIds..., class_size, at_risk) with `at_risk` =
+    * class_size < k. Publishing gates on `at_risk` being empty;
+    * generalize (bucket, drop, or coarsen a quasi-identifier) and
+    * re-audit until it is. NULL is a class value like any other
+    * (groupBy semantics): all-NULL rows form their own class rather
+    * than escaping the audit.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"kAnonymity with k=$k is vacuous — need k >= 2")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(quasiIds.map(col): _*)
+  }
+
+  /** l-diversity audit: per quasi-identifier class, the number of
+    * DISTINCT sensitive-attribute values — (quasiIds..., class_size,
+    * n_sensitive, diverse) with `diverse` = n_sensitive >= l. Runs on
+    * the same single-shuffle shape as [[kAnonymity]] (count +
+    * count-distinct in one keyed agg).
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+                 l: Int): DataFrame = {
+    require(quasiIds.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(!quasiIds.contains(sensitive),
+      s"sensitive column '$sensitive' cannot also be a quasi-identifier")
+    require(l >= 2, s"lDiversity with l=$l is vacuous — need l >= 2")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+      .orderBy(quasiIds.map(col): _*)
+  }
 }

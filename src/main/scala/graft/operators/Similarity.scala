@@ -1280,6 +1280,224 @@ object Similarity {
       .limit(k)
   }
 
+  // ================= binary (1-bit) sign quantization =================
+  //
+  // The smallest member of the quantization family (float -> SQ8 ->
+  // PQ -> 1-bit): each dimension collapses to ONE bit, so a 64-dim
+  // float vector becomes a single int64 word — a 32x scan-byte
+  // reduction, the cheapest possible first-stage filter at 100 TB
+  // (modern vector stores ship exactly this tier as "binary
+  // quantization"). Candidate ranking is Hamming distance over the
+  // packed words (xor + popcount, all codegen'd built-ins — no custom
+  // kernel needed at this width), repaired by an exact-cosine re-rank
+  // of the top candidates (the sq8TopKReranked discipline). Every
+  // stage is deterministic: thresholds are ORDER-INDEPENDENT corpus
+  // stats (per-dimension midpoint (min+max)/2 — min/max commute, and
+  // the midpoint is one IEEE op), bits are exact double comparisons,
+  // and Hamming sums are integer math — so the full two-stage serve
+  // replays bit-for-bit in SQL with no recall envelope.
+
+  /** Per-dimension binarization thresholds: the midpoint
+    * (min+max)/2 of each dimension over the corpus. Midpoint rather
+    * than mean keeps the stat ORDER-INDEPENDENT (a mean's float
+    * summation order could flip a bit for a value within one ulp of
+    * it; min/max cannot), while still centering dimensions whose
+    * range is not sign-symmetric. One posexplode + keyed min/max —
+    * dim-sized driver state (the scales/centroid discipline).
+    */
+  def binThresholds(embeddings: DataFrame, vecName: String): Array[Double] = {
+    val rows = embeddings
+      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(((min(col("x")) + max(col("x"))) / lit(2.0)).as("t"))
+      .orderBy(col("dim")).collect()
+    require(rows.nonEmpty, "binThresholds over an empty corpus")
+    rows.map(_.getDouble(1))
+  }
+
+  /** Binarize a vector column against per-dimension thresholds and
+    * pack the bits into `ceil(dim/64)` int64 words (dim d -> bit
+    * (d mod 64) of word (d div 64)): `array<long>` — the persisted
+    * code representation. Pure function of (vector, thresholds), all
+    * built-ins (zip_with/slice/aggregate), so quantization stays
+    * inside whole-stage codegen and the appended-index bit-identity
+    * argument is the same one the SQ8 tier makes.
+    */
+  def binQuantize(vec: Column, thresholds: Array[Double]): Column = {
+    val dim = thresholds.length
+    val words = (dim + 63) / 64
+    val bits = zip_with(vec.cast("array<double>"),
+      typedlit(thresholds.toSeq),
+      (x, t) => when(x > t, lit(1L)).otherwise(lit(0L)))
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 64
+      val len = math.min(dim - lo, 64)
+      // bit (d - lo) of the word via shift + OR — pure bitwise ops
+      // (an arithmetic fold would trip ANSI overflow checks on the
+      // sign bit; the word is an opaque bit container)
+      aggregate(
+        transform(slice(bits, lo + 1, len),
+          (b, i) => call_function("shiftleft", b, i)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    array(wordCols: _*)
+  }
+
+  /** Hamming distance between two packed bit-code columns:
+    * Σ popcount(a_w xor b_w) — integer-exact, codegen'd built-ins.
+    */
+  def binHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Ad-hoc two-stage binary serve: stage 1 ranks the corpus by
+    * Hamming distance of packed sign codes to the query's code
+    * (ascending, id ascending — deterministic) and keeps the top
+    * `rerank`; stage 2 re-ranks those by exact rounded cosine. Like
+    * [[sq8TopK]] this form re-derives thresholds and re-quantizes
+    * floats per call — correct anywhere, but the production path is
+    * the persisted [[buildBinaryIndex]]/[[binaryTopKIndexed]] tier
+    * whose stage-1 scan reads 1/32 of the float bytes.
+    */
+  def binaryTopK(embeddings: DataFrame, idName: String, vecName: String,
+                 queryId: Long, k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val thr = binThresholds(embeddings, vecName)
+    val qRows = embeddings.filter(col(idName) === queryId)
+      .select(binQuantize(col(vecName), thr).as("q"), col(vecName))
+    val qHead = qRows.take(1)
+    require(qHead.nonEmpty, s"binaryTopK: query $idName=$queryId not found")
+    val qCode = qHead.head.getSeq[Long](0)
+    val qv = qHead.head.getSeq[Float](1).toArray
+    val cands = embeddings.filter(col(idName) =!= queryId)
+      .select(col(idName),
+        binHamming(binQuantize(col(vecName), thr), typedlit(qCode))
+          .as("hamming"))
+      .orderBy(col("hamming").asc, col(idName).asc)
+      .limit(rerank)
+    embeddings.join(broadcast(cands), idName)
+      .select(col(idName),
+        round(VecFns.cosine(col(vecName), typedlit(qv)), 6).as("cosine"),
+        col("hamming"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
+  /** Build-time half of the persisted binary tier: thresholds once,
+    * quantize once, write the packed `array<long>` code table
+    * (`indexPath/codes`) plus the dim-sized thresholds sidecar
+    * (`indexPath/thresholds`) — the buildSq8Index layout one tier
+    * smaller. A stage-1 scan over this table reads 1 bit per
+    * dimension: 1/32 of the float bytes (1/8 of SQ8's).
+    */
+  def buildBinaryIndex(embeddings: DataFrame, idName: String, vecName: String,
+                       indexPath: String): Unit = {
+    val thr = binThresholds(embeddings, vecName)
+    embeddings.select(col(idName),
+        binQuantize(col(vecName), thr).as("code"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    writeBinThresholds(embeddings.sparkSession, thr, indexPath)
+  }
+
+  private def writeBinThresholds(spark: org.apache.spark.sql.SparkSession,
+                                 thr: Array[Double], indexPath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = thr.toSeq.zipWithIndex.map { case (t, d) =>
+      org.apache.spark.sql.Row(d, t)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "dim INT, thr DOUBLE")
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/thresholds")
+  }
+
+  /** The thresholds sidecar (dim-sized driver state). */
+  def readBinThresholds(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Array[Double] =
+    spark.read.parquet(s"$indexPath/thresholds")
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  /** Build the binary index only if absent — both halves publish
+    * atomically under [[Artifact.ensure]] (the ensureSq8Index
+    * protocol).
+    */
+  def ensureBinaryIndex(embeddings: DataFrame, idName: String, vecName: String,
+                        indexPath: String): Unit = {
+    def ok(p: String) =
+      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/thresholds")
+    Artifact.ensure(indexPath, ok) { tmp =>
+      buildBinaryIndex(embeddings, idName, vecName, tmp)
+    }
+  }
+
+  /** Append a batch under the FROZEN thresholds sidecar (the
+    * appendSq8Index maintenance path). Unlike SQ8 there is no clip
+    * hazard — a bit is a bit whatever the magnitude — so the loud
+    * guards are dimensionality (a batch wider or narrower than the
+    * index is a different embedding space) and id-disjointness (a
+    * replayed batch would duplicate code rows and serve paths could
+    * return one id twice). Threshold drift is the documented debt:
+    * appends from a shifted distribution binarize against stale
+    * midpoints and stage-1 recall decays — rebuild over the union
+    * when re-rank repair stops hiding it (the binary analogue of the
+    * [[ivfDriftReport]] trigger). Not crash-atomic — run inside the
+    * caller's publish step.
+    */
+  def appendBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, newEmbeddings: DataFrame,
+                        idName: String, vecName: String): Unit = {
+    val thr = readBinThresholds(spark, indexPath)
+    val badDim = newEmbeddings
+      .select(size(col(vecName)).as("d")).filter(col("d") =!= thr.length)
+      .take(1)
+    require(badDim.isEmpty,
+      s"appendBinaryIndex: batch has dimension ${badDim.headOption.map(_.get(0))
+        .getOrElse("?")} but the index codes ${thr.length} — not the same " +
+        "embedding space")
+    val clash = newEmbeddings.select(col(idName))
+      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
+        Seq(idName), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"appendBinaryIndex: batch re-ingests indexed $idName " +
+        s"${clash.head.get(0)} — id spaces must be disjoint")
+    newEmbeddings.select(col(idName),
+        binQuantize(col(vecName), thr).as("code"))
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** Query-time half of the persisted tier: stage 1 ranks by Hamming
+    * over the packed code table ONLY (the query's own code is a point
+    * lookup in the same table — floats untouched); stage 2 joins the
+    * `rerank` survivors back to the float table for the exact rounded
+    * cosine. Same output as [[binaryTopK]] over the same corpus, bit
+    * for bit (spec-pinned) — but the scan reads 1/32 of the bytes.
+    */
+  def binaryTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, embeddings: DataFrame,
+                        idName: String, vecName: String, queryId: Long,
+                        k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qRows = codes.filter(col(idName) === queryId)
+      .select(col("code")).take(1)
+    require(qRows.nonEmpty,
+      s"binaryTopKIndexed: query $idName=$queryId not in index")
+    val q = qRows.head.getSeq[Long](0)
+    val cands = codes.filter(col(idName) =!= queryId)
+      .select(col(idName), binHamming(col("code"), typedlit(q)).as("hamming"))
+      .orderBy(col("hamming").asc, col(idName).asc)
+      .limit(rerank)
+    val qv = embeddings.filter(col(idName) === queryId)
+      .select(col(vecName)).head().getSeq[Float](0).toArray
+    embeddings.join(broadcast(cands), idName)
+      .select(col(idName),
+        round(VecFns.cosine(col(vecName), typedlit(qv)), 6).as("cosine"),
+        col("hamming"))
+      .orderBy(col("cosine").desc, col(idName).asc)
+      .limit(k)
+  }
+
   // ================= hard-negative mining =================
 
   /** Contrastive hard-negative mining: for every probe vector, the

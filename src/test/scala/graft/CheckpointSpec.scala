@@ -37,6 +37,26 @@ class CheckpointSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC sink/source round-trips rows, schema, and scan properties") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables(spark, sfDir).documents
+      .select("doc_id", "source", "n_chars")
+    graft.sources.OrcIO.write(src, s"$dir/docs_orc")
+    val back = graft.sources.OrcIO.read(spark, s"$dir/docs_orc")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      src.orderBy("doc_id").collect().toSeq)
+    // the columnar contract carries over: a filtered projection pushes
+    // both into the ORC scan
+    val plan = back.filter(col("n_chars") > 200).select("doc_id")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"),
+      s"ORC scan did not push the filter:\n${plan.take(800)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"ORC scan did not prune columns:\n${plan.take(800)}")
+  }
+
   test("checkpointed pipeline: fresh == resumed == in-memory pipeline") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     val fresh = Checkpointed.relatedCandidates(spark, sfDir, dir, resume = false)

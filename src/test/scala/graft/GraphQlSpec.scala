@@ -594,4 +594,64 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(Graft.graphqlJson(spark, sfDir,
       """{ disease(efoId: "DIS_NOPE") { id } }""").isEmpty)
   }
+
+  test("parse: @skip/@include resolve at parse time — resolved AST equals the query with excluded fields deleted") {
+    val plain = GraphQl.parse("""{ disease(efoId: "E") { id name } }""")
+    // literal conditions, both directives, both polarities
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id name @include(if: true) } }""") == plain)
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id name debug @skip(if: true) } }""")
+      == GraphQl.parse("""{ disease(efoId: "E") { id name @skip(if: false) } }"""))
+    // variable-driven (the docs form), with a default
+    val varQ = """query ($withName: Boolean! = false) {
+        disease(efoId: "E") { id name @include(if: $withName) } }"""
+    assert(GraphQl.parse(varQ, Map("withName" -> "true")) == plain)
+    assert(GraphQl.parse(varQ) ==
+      GraphQl.parse("""{ disease(efoId: "E") { id } }"""))
+    // stacked directives AND the two on one field
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id name @include(if: true) @skip(if: false) } }""")
+      == plain)
+    // on a fragment spread: skipping the spread drops the fragment's
+    // fields without tripping the unused-fragment check
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id ...extra @skip(if: true) } }
+         fragment extra on Disease { name }""")
+      == GraphQl.parse("""{ disease(efoId: "E") { id } }"""))
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id ...extra @include(if: true) } }
+         fragment extra on Disease { name }""") == plain)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    assert(err("""{ disease { id @deprecated } }""")
+      .contains("unsupported directive"))
+    assert(err("""{ disease { id @skip } }""")
+      .contains("exactly the 'if' argument"))
+    assert(err("""{ disease { id @include(if: "yes") } }""")
+      .contains("must be a Boolean"))
+    assert(err("""{ disease { id @skip(unless: true) } }""")
+      .contains("exactly the 'if' argument"))
+  }
+
+  test("execute: a directive-excluded connection never joins into the plan") {
+    // the unselected-sub-entity plan claim, through a directive: with
+    // the knownDrugs connection @skip'd, the edge relation must not
+    // appear in the plan at all
+    val on = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           id knownDrugs @skip(if: false) { count } } }""")
+    val off = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           id knownDrugs @skip(if: true) { count } } }""")
+    assert(on.columns.toSeq == Seq("id", "knownDrugs"))
+    assert(off.columns.toSeq == Seq("id"))
+    // the skipped form plans IDENTICALLY to the never-written form —
+    // parse-time exclusion means Catalyst never sees the connection
+    val plain = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { id } }""")
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#")
+    assert(shape(off) == shape(plain))
+  }
 }

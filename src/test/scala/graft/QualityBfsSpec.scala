@@ -62,6 +62,40 @@ class QualityBfsSpec extends SparkSpec {
     assert(pass.count() + quar.count() == df.count())
   }
 
+  test("kAnonymity: class sizes and the k cut; NULL forms its own class; guards loud") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("fr", "web"),
+      (null.asInstanceOf[String], "book"), (null.asInstanceOf[String], "book"))
+      .toDF("lang", "source")
+    val got = Quality.kAnonymity(df, Seq("lang", "source"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("en", "web", 3L, false),
+      ("fr", "web", 1L, true),
+      (null, "book", 2L, true)))
+    intercept[IllegalArgumentException](Quality.kAnonymity(df, Nil, 3))
+    intercept[IllegalArgumentException](
+      Quality.kAnonymity(df, Seq("lang"), k = 1))
+  }
+
+  test("lDiversity: distinct-sensitive counts and the l cut; sensitive can't be a quasi-id") {
+    val df = Seq(
+      ("en", "web"), ("en", "book"), ("en", "web"),
+      ("fr", "web"), ("fr", "web"))
+      .toDF("lang", "source")
+    val got = Quality.lDiversity(df, Seq("lang"), "source", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    // en: 3 rows over {web, book} -> diverse; fr: 2 rows all web -> not
+    assert(got == Set(("en", 3L, 2L, true), ("fr", 2L, 1L, false)))
+    intercept[IllegalArgumentException](
+      Quality.lDiversity(df, Seq("source"), "source", 2))
+    intercept[IllegalArgumentException](
+      Quality.lDiversity(df, Seq("lang"), "source", 1))
+  }
+
   test("shortestHops: min distance wins, anti-join prevents relabeling") {
     // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))

@@ -836,4 +836,105 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(run() == run())
   }
+
+  test("binary codes: packing matches a per-dim bit recompute; width and partitioning invariant") {
+    val thr = Similarity.binThresholds(emb, "embedding")
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    assert(thr.length == dim)
+    val codes = emb.select(col("vec_id"),
+        Similarity.binQuantize(col("embedding"), thr).as("code"))
+    assert(codes.select(size(col("code"))).distinct().as[Int].collect().toSeq ==
+      Seq((dim + 63) / 64))
+    // hamming over packed words == per-dimension bit-difference count
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.binQuantize(col("embedding"), thr)).head().getSeq[Long](0)
+    val packed = codes
+      .select(col("vec_id"), Similarity.binHamming(col("code"), typedlit(q)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val perDim = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .withColumn("bit", when(col("x") > element_at(typedlit(thr.toSeq),
+        col("d") + 1), 1L).otherwise(0L))
+      .groupBy("vec_id").agg(collect_list(struct(col("d"), col("bit"))).as("bs"))
+      .as[(Long, Seq[(Int, Long)])].collect()
+      .map { case (id, bs) =>
+        val bits = bs.sortBy(_._1).map(_._2)
+        val qBits = (0 until dim).map(d => (q(d / 64) >>> (d % 64)) & 1L)
+        id -> bits.zip(qBits).count { case (a, b) => a != b }.toLong
+      }.toMap
+    assert(packed == perDim)
+    // deterministic across partitionings
+    val thr2 = Similarity.binThresholds(emb.repartition(7), "embedding")
+    assert(thr2.toSeq == thr.toSeq)
+  }
+
+  test("binary two-stage serve: full-width rerank equals brute cosine top-k; indexed bit-identical to ad-hoc") {
+    val n = emb.count().toInt
+    val got = Similarity.binaryTopK(emb, "vec_id", "embedding", 0L,
+        k = 10, rerank = n - 1)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10,
+        excludeId = 0L)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == brute, s"full-width rerank diverged from brute: $got vs $brute")
+    val dir = java.nio.file.Files.createTempDirectory("binspec").toString + "/idx"
+    Similarity.ensureBinaryIndex(emb, "vec_id", "embedding", dir)
+    assert(Similarity.readBinThresholds(spark, dir).toSeq ==
+      Similarity.binThresholds(emb, "embedding").toSeq)
+    val adhoc = Similarity.binaryTopK(emb, "vec_id", "embedding", 0L, 10, 50)
+      .as[(Long, Double, Long)].collect().toSeq
+    val indexed = Similarity.binaryTopKIndexed(spark, dir, emb, "vec_id",
+        "embedding", 0L, 10, 50)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(indexed == adhoc, s"indexed $indexed != ad-hoc $adhoc")
+    // recall floor, deterministic on the fixture: sf0.001 embeddings
+    // are weakly clustered (top cosine ≈ 0.4 — the annTopK note), the
+    // hostile regime for 1-bit codes; rerank width is the repair knob
+    // (the full-width assertion above proves the mechanism exact).
+    val recall = (brute.map(_._1).toSet & adhoc.map(_._1).toSet).size
+    assert(recall >= 3, s"binary stage-1 recall $recall/10 at rerank=50")
+    // absent query ids fail loudly, not empty
+    val e = intercept[IllegalArgumentException] {
+      Similarity.binaryTopKIndexed(spark, dir, emb, "vec_id", "embedding",
+        -999L, 5, 10)
+    }
+    assert(e.getMessage.contains("not in index"))
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(emb, "vec_id", "embedding", 0L, k = 10, rerank = 5)
+    }
+  }
+
+  test("binary append: frozen-threshold coding bit-identical to direct quantization; dim mismatch and replay rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("binappend").toString + "/idx"
+    Similarity.ensureBinaryIndex(emb, "vec_id", "embedding", dir)
+    val thr = Similarity.readBinThresholds(spark, dir)
+    val batch = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    Similarity.appendBinaryIndex(spark, dir, batch, "vec_id", "embedding")
+    assert(Similarity.readBinThresholds(spark, dir).toSeq == thr.toSeq,
+      "append touched the thresholds sidecar")
+    val got = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100000L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = batch.select(col("vec_id"),
+        Similarity.binQuantize(col("embedding"), thr).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    // a batch from a different embedding space is rejected loudly
+    val narrow = batch.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendBinaryIndex(spark, dir, narrow, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not the same embedding space"))
+    // a replayed batch is rejected loudly
+    val replay = intercept[IllegalArgumentException] {
+      Similarity.appendBinaryIndex(spark, dir, batch, "vec_id", "embedding")
+    }
+    assert(replay.getMessage.contains("id spaces must be disjoint"))
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100000L).count() == 50,
+      "rejected append left partial files")
+  }
 }

@@ -1,0 +1,202 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Compaction
+
+/** Maintenance-path probes for the two round-13 watch items:
+  *
+  *  1. `compact`: the streaming `batch=<id>` layout's read cost as
+  *     generations accumulate, before vs after
+  *     [[Compaction.compactBatches]] — the evidence that the fold is
+  *     worth running (small-file read amplification) AND that it is
+  *     safe (the consumer-facing relation is BIT-IDENTICAL across the
+  *     fold, asserted on a full-content fingerprint).
+  *
+  *  2. `drift`: recall degradation under frozen-centroid IVF appends
+  *     — the number [[Similarity.ivfDriftReport]]'s `drifted` flag
+  *     exists to predict. A drifted batch (one dimension shifted, the
+  *     q213 device) is appended at increasing multiples of the build
+  *     corpus; at each step we measure top-10 recall of the appended
+  *     index vs (a) exact brute force over the union and (b) a
+  *     REBUILT index over the same union with the same nlist/nprobe —
+  *     isolating the frozen-centroid penalty from the inherent IVF
+  *     pruning loss — and record whether the drift report flags the
+  *     index at that step.
+  *
+  * SPARK_GRAFT_PROBE_SECTIONS=compact,drift restricts sections.
+  */
+object ProbeMaintain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = "/root/testdata/sf0.1"
+    val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
+      .map(_.split(',').toSet)
+    def section(name: String): Boolean = sections.forall(_.contains(name))
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.catalog.clearCache()
+      r
+    }
+
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+
+    // ---------------- 1. batch= compaction read cost ----------------
+    if (section("compact")) {
+      val nBatches = sys.env.getOrElse("SPARK_GRAFT_COMPACT_BATCHES", "256").toInt
+      val dir = s"/tmp/graft_probe_compact_$nBatches"
+      deleteRec(new java.io.File(dir))
+      // one postings-shaped relation (the q195 sink layout: data files
+      // carry no batch column; the generation id is directory-encoded),
+      // landed as nBatches trigger generations — 10x the sf0.1 docs so
+      // per-batch row counts are production-shaped small, not empty
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val rel = (0 until 10).map(i => docs.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("text"), col("lang")))
+        .reduce(_ unionByName _)
+        .withColumn("__b", pmod(xxhash64(col("doc_id")), lit(nBatches.toLong)))
+        .cache()
+      val total = rel.count()
+      time(s"land $nBatches batch= generations") {
+        (0 until nBatches).foreach { b =>
+          rel.filter(col("__b") === b.toLong).drop("__b")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/batch=$b")
+        }
+      }
+      rel.unpersist()
+      def fingerprint(): (Long, Long) = {
+        val r = spark.read.parquet(dir)
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(xxhash64(col("doc_id"), col("text"), col("lang")),
+              lit(1000000007L))).as("h"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def files(): Int = Compaction.parquetFiles(dir).size
+      def serveCost(label: String): (Long, Long) = {
+        // a consumer-shaped read: full-relation agg (the archive
+        // anti-join / index-scan class reads everything once)
+        time(s"read  $label (warm 1)")(fingerprint())
+        time(s"read  $label (warm 2)")(fingerprint())
+        time(s"read  $label (timed)")(fingerprint())
+      }
+      println(s"[probe] files before fold: ${files()}  rows=$total")
+      val before = serveCost(s"$nBatches gens")
+      val folded = time(s"compactBatches upTo=${nBatches - 1}")(
+        Compaction.compactBatches(spark, dir, upTo = nBatches - 1L))
+      require(folded.nonEmpty, "compactBatches folded nothing")
+      println(s"[probe] files after fold: ${files()}")
+      val after = serveCost("1 base gen")
+      require(before == after,
+        s"fold changed the consumer-facing relation: $before vs $after")
+      println(s"[probe] invariant: content fingerprint identical across " +
+        s"the fold (n=${after._1}) — TRUE")
+    }
+
+    // ---------------- 2. IVF frozen-centroid drift recall ----------------
+    if (section("drift")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nBase = emb.count()
+      val nlist = 16
+      val nprobe = 4
+      val k = 10
+      // drifted ingest: dimension 0 shifted far outside the build
+      // distribution (the q213 device) — the new mode crowds into
+      // whichever frozen centroid happens to be least wrong
+      def drifted(mult: Int): DataFrame =
+        (1 to mult).map(m => emb.select(
+            (col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x))
+              .as("embedding")))
+          .reduce(_ unionByName _)
+      // query set: 16 base-mode + 16 drifted-mode ids, fixed
+      val qIds = (0L until 16L).map(_ * 100L) ++
+        (0L until 16L).map(1000000L + _ * 100L)
+
+      def exactTop(union: DataFrame, qid: Long): Set[Long] = {
+        val qv = union.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        union.filter(col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            round(graft.functions.VecFns.cosine(col("embedding"),
+              typedlit(qv)), 6).as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      def ivfTop(idx: String, union: DataFrame, qid: Long): Set[Long] = {
+        val qv = union.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding", qv, k,
+            nprobe, excludeId = qid)
+          .select("vec_id").as[Long].collect().toSet
+      }
+
+      Seq(1, 3).foreach { mult =>
+        val appended = s"/tmp/graft_probe_drift_app_$mult"
+        val rebuilt = s"/tmp/graft_probe_drift_reb_$mult"
+        Seq(appended, rebuilt).foreach(p => deleteRec(new java.io.File(p)))
+        val dft = drifted(mult).cache()
+        val union = emb.unionByName(dft).cache()
+        union.count()
+        time(s"build+append (drift x$mult)") {
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist, appended)
+          Similarity.appendIvfIndex(spark, appended, dft, "vec_id", "embedding")
+        }
+        time(s"rebuild over union (x$mult)")(
+          Similarity.buildIvfIndex(union, "vec_id", "embedding", nlist, rebuilt))
+        val report = Similarity.ivfDriftReport(spark, appended, "embedding")
+          .select(col("drifted")).as[Boolean].collect()
+        val exact = qIds.map(q => q -> exactTop(union, q)).toMap
+        def recall(idx: String): Double = {
+          val hits = qIds.map(q => (ivfTop(idx, union, q) & exact(q)).size).sum
+          hits.toDouble / (qIds.size * k)
+        }
+        val rApp = time(s"recall appended (x$mult)")(recall(appended))
+        val rReb = time(s"recall rebuilt  (x$mult)")(recall(rebuilt))
+        println(f"[probe] drift x$mult: appended=${nBase * mult} " +
+          f"recall_appended=$rApp%.3f recall_rebuilt=$rReb%.3f " +
+          s"drift_flagged=${report.count(identity)}/${report.length}")
+        require(report.exists(identity),
+          s"drift x$mult: ivfDriftReport flagged nothing under a shifted mode")
+        dft.unpersist(); union.unpersist()
+      }
+      // control: appends drawn from the SAME distribution must not
+      // flag and must not lose recall vs a rebuild
+      val sameApp = "/tmp/graft_probe_drift_same"
+      deleteRec(new java.io.File(sameApp))
+      val same = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+      val union = emb.unionByName(same).cache(); union.count()
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist, sameApp)
+      Similarity.appendIvfIndex(spark, sameApp, same, "vec_id", "embedding")
+      val flags = Similarity.ivfDriftReport(spark, sameApp, "embedding")
+        .select(col("drifted")).as[Boolean].collect()
+      println(s"[probe] control (same-distribution x1 append): " +
+        s"drift_flagged=${flags.count(identity)}/${flags.length}")
+      require(!flags.exists(identity),
+        "same-distribution append tripped the drift report")
+      union.unpersist()
+    }
+
+    spark.stop()
+  }
+}

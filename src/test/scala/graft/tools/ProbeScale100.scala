@@ -563,6 +563,35 @@ object ProbeScale100 {
           0L, 10).count())
     }
 
+    // Binary 1-bit tier at factor×: the smallest quantization member
+    // (stage-1 scan reads ONE int64 word per 64-dim vector — 1/32 of
+    // the float bytes, 1/8 of SQ8's). Invariant: the indexed two-stage
+    // serve is bit-identical to the ad-hoc form at every factor.
+    if (section("binary")) {
+      replicate("embeddings", Seq("vec_id"))
+      import graft.operators.Similarity
+      val idx = s"$big/bin_idx_p100"
+      time("binary build (one-off)")({
+        Similarity.ensureBinaryIndex(emb(big), "vec_id", "embedding", idx); 1L })
+      var adhoc: Seq[(Long, Double, Long)] = Seq.empty
+      var indexed: Seq[(Long, Double, Long)] = Seq.empty
+      time("binary ad-hoc query warm")(
+        Similarity.binaryTopK(emb(base), "vec_id", "embedding", 0L, 10, 50).count())
+      time(s"binary ad-hoc query ${factor}x")({
+        adhoc = Similarity.binaryTopK(emb(big), "vec_id", "embedding", 0L, 10, 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        adhoc.size.toLong })
+      time(s"binary indexed query ${factor}x")({
+        indexed = Similarity.binaryTopKIndexed(spark, idx, emb(big), "vec_id",
+            "embedding", 0L, 10, 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+        indexed.size.toLong })
+      println(s"[probe] binary indexed == ad-hoc at ${factor}x: " +
+        s"${indexed == adhoc}")
+      require(indexed == adhoc,
+        s"binary indexed serve diverged at ${factor}x")
+    }
+
     // Redaction at factor×: scan-bound like tagging (one automaton
     // pass + in-place rebuild, no shuffle at all). Invariant: clone
     // replicas redact to clone outputs — the distinct redacted-fp
@@ -587,6 +616,43 @@ object ProbeScale100 {
       println(s"[probe] redact invariants at ${factor}x: distinct-fp identical " +
         s"${r1._1 == rN._1}, total redactions exactly ${factor}x " +
         s"${rN._2 == r1._2 * factor}")
+    }
+
+    // Redaction under the 10^5-pattern blocklist (the ProbeTagging
+    // dictionary: every four-word phrase over the top-18 corpus words)
+    // at factor× — round 13 measured the COUNT side (patternStats) at
+    // this width; this is the REWRITE side, whose per-row cost adds
+    // the leftmost-longest interval walk and the string rebuild.
+    // Invariants riding the curve: clone replicas redact to clone
+    // outputs (distinct redacted-fp set identical at 1× and factor×)
+    // and total redactions are exactly factor× the 1× count.
+    if (section("redactwide")) {
+      replicate("documents", Seq("doc_id"))
+      import graft.operators.Tagging
+      val v18 = docs(base)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().orderBy(col("count").desc, col("w"))
+        .limit(18).collect().map(_.getString(0)).toSeq
+      val huge = (for (a <- v18; b <- v18; c <- v18; d <- v18)
+        yield s"$a $b $c $d").distinct
+      println(s"[probe] redactwide dictionary: ${huge.size} patterns")
+      def fpsWide(dir: String): (Long, Long) = {
+        val r = Tagging.redactDocs(docs(dir), "doc_id", col("text"), huge, "[X]")
+          .agg(countDistinct(md5(col("redacted"))).as("nfp"),
+            sum(col("n_redactions").cast("long")).as("nred"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      time(s"redactwide warm dict=${huge.size}")({ fpsWide(base); 1L })
+      var r1: (Long, Long) = (0L, 0L)
+      var rN: (Long, Long) = (0L, 0L)
+      time(s"redactwide 1x dict=${huge.size}")({ r1 = fpsWide(base); 1L })
+      time(s"redactwide ${factor}x dict=${huge.size}")({ rN = fpsWide(big); 1L })
+      println(s"[probe] redactwide invariants at ${factor}x: distinct-fp " +
+        s"identical ${r1._1 == rN._1}, total redactions exactly ${factor}x " +
+        s"${rN._2 == r1._2 * factor}")
+      require(r1._1 == rN._1 && rN._2 == r1._2 * factor,
+        s"redactwide invariants failed at ${factor}x: 1x=$r1 ${factor}x=$rN")
     }
 
     // PQ: index build is the one-off cost; the per-query cost is the
