@@ -4396,6 +4396,85 @@ object SparkEntry {
         .orderBy("rn")
     }),
 
+    // ---------------- streaming binary-code ingest ----------------
+    // The 1-bit tier's continuous-ingest member (q212's device one
+    // tier smaller): thresholds frozen by a planning pass, 4
+    // micro-batches land packed codes in their own batch= dirs, the
+    // committed generations fold into one base generation, and the
+    // served two-stage top-k reads THROUGH the compacted streamed
+    // table — binarization is pure-function-of-(vector, thresholds),
+    // so the serve carries q217's bit-exact oracle VERBATIM.
+    "q225_stream_binary_ingest" -> ((s, dir) => {
+      val src = ensureEmbBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q225").toString
+      val idx = s"$scratch/idx"
+      val emb = t(s, dir).embeddings
+      Similarity.initBinThresholds(emb, "embedding", idx)
+      val embStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.binCodesSink(embStream, idx,
+        "vec_id", "embedding", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      query.awaitTermination()
+      SelfCheck.every(s"q225/$dir") {
+        val nb = s.read.parquet(s"$idx/codes")
+          .select("batch").distinct().count()
+        require(nb == 4, s"q225 expected 4 ingested batches, got $nb")
+        SelfCheck.note(s"binary code table accumulated across $nb " +
+          "micro-batch dirs, compacted, then served q217's oracle")
+      }
+      val folded = graft.streaming.StreamOps.compactIndex(
+        s, s"$idx/codes", s"$scratch/ckpt")
+      require(folded.contains(-1L), s"q225 compaction did not fold: $folded")
+      Similarity.binaryTopKIndexed(s, idx, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 50)
+    }),
+
+    // ---------------- quantization funnel capstone ----------------
+    // The production serving funnel the tier family exists for,
+    // composed end to end: stage 1 cuts the corpus to 200 candidates
+    // by 1-bit Hamming (1/32 of the float bytes), stage 2 re-cuts to
+    // 50 by the exact int64 SQ8 code dot (1/4 bytes, restricted to
+    // stage 1's survivors), stage 3 ranks the final 10 by exact
+    // rounded cosine. Every stage is deterministic (order-independent
+    // sidecar stats, integer candidate math, rounded float final), so
+    // the whole three-tier funnel replays in SQL — a FULL oracle over
+    // a composition most vector stores can't even explain.
+    "q226_quant_funnel" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val thr = Similarity.binThresholds(emb, "embedding")
+      val scales = Similarity.sq8Scales(emb, "embedding")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(Similarity.binQuantize(col("embedding"), thr).as("b"),
+          Similarity.sq8Quantize(col("embedding"), scales).as("s"),
+          col("embedding"))
+        .head()
+      val qBin = q0.getSeq[Long](0)
+      val qSq8 = q0.getSeq[Long](1).toArray
+      val qv = q0.getSeq[Float](2).toArray
+      val s1 = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.binHamming(Similarity.binQuantize(col("embedding"), thr),
+            typedlit(qBin)).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(200)
+      val s2 = emb.join(broadcast(s1), "vec_id")
+        .select(col("vec_id"), col("hamming"),
+          aggregate(zip_with(Similarity.sq8Quantize(col("embedding"), scales),
+              typedlit(qSq8), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id").asc)
+        .limit(50)
+      emb.join(broadcast(s2), "vec_id")
+        .select(col("vec_id"),
+          round(VecFns.cosine(col("embedding"), typedlit(qv)), 6).as("cosine"),
+          col("qscore"), col("hamming"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---------------- k-anonymity audit ----------------
     // Re-identification risk the redaction pass can't see: rows
     // identifiable by the COMBINATION of innocuous attributes. One
@@ -8089,6 +8168,71 @@ ORDER BY n_uses DESC, piece"""
            h.hamming
          FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
          ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    // streamed binary ingest: binarization is pure-function-of-
+    // (vector, frozen thresholds), so the compacted streamed table
+    // serves q217's oracle VERBATIM
+    "q225_stream_binary_ingest" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
+         b AS (SELECT vec_id, d.dim,
+                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
+               FROM d JOIN t ON d.dim = t.dim),
+         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
+         h AS (SELECT b.vec_id,
+                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+               FROM b JOIN q ON b.dim = q.dim
+               WHERE b.vec_id <> 0
+               GROUP BY b.vec_id
+               ORDER BY hamming ASC, b.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT h.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           h.hamming
+         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    // the three-tier funnel: 1-bit Hamming cut -> SQ8 code-dot cut ->
+    // exact cosine final, replayed stage by stage
+    "q226_quant_funnel" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
+         b AS (SELECT vec_id, d.dim,
+                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
+               FROM d JOIN t ON d.dim = t.dim),
+         qb AS (SELECT dim, bit AS v FROM b WHERE vec_id = 0),
+         m AS (SELECT dim, max(abs(x)) AS mx FROM d GROUP BY dim),
+         c AS (SELECT vec_id, d.dim,
+                 CASE WHEN mx > 0 THEN CAST(round(x * 127.0 / mx) AS BIGINT)
+                      ELSE 0 END AS code
+               FROM d JOIN m ON d.dim = m.dim),
+         qc AS (SELECT dim, code AS v FROM c WHERE vec_id = 0),
+         s1 AS (SELECT b.vec_id,
+                  CAST(sum(CASE WHEN b.bit <> qb.v THEN 1 ELSE 0 END) AS BIGINT)
+                    AS hamming
+                FROM b JOIN qb ON b.dim = qb.dim
+                WHERE b.vec_id <> 0
+                GROUP BY b.vec_id
+                ORDER BY hamming ASC, b.vec_id LIMIT 200),
+         s2 AS (SELECT c.vec_id, s1.hamming,
+                  CAST(sum(c.code * qc.v) AS BIGINT) AS qscore
+                FROM c JOIN qc ON c.dim = qc.dim
+                JOIN s1 ON s1.vec_id = c.vec_id
+                GROUP BY c.vec_id, s1.hamming
+                ORDER BY qscore DESC, c.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT s2.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           s2.qscore, s2.hamming
+         FROM s2 JOIN embeddings e ON e.vec_id = s2.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, s2.vec_id LIMIT 10""",
     // Naive Bayes: training (two keyed aggs) AND inference replayed —
     // Laplace-smoothed log-probs quantized to 1e-4 fixed point before
     // any per-document sum (the surprisal exactness device)

@@ -1418,6 +1418,18 @@ object Similarity {
     spark.read.parquet(s"$indexPath/thresholds")
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
+  /** Planning-pass half of a STREAMED binary index (the
+    * initSq8Scales discipline): freeze the thresholds sidecar BEFORE
+    * any batch arrives, so every micro-batch codes under identical
+    * state and the streamed index converges bit-for-bit to the
+    * batch-built one. Codes then land under `codes/batch=<id>` via
+    * [[graft.streaming.StreamOps.binCodesSink]].
+    */
+  def initBinThresholds(embeddings: DataFrame, vecName: String,
+                        indexPath: String): Unit =
+    writeBinThresholds(embeddings.sparkSession,
+      binThresholds(embeddings, vecName), indexPath)
+
   /** Build the binary index only if absent — both halves publish
     * atomically under [[Artifact.ensure]] (the ensureSq8Index
     * protocol).

@@ -315,6 +315,50 @@ object StreamOps {
       .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
   }
 
+  /** Streaming BINARY-code ingest — the 1-bit tier's member of the
+    * continuous-ingest family (the [[sq8CodesSink]] discipline one
+    * tier smaller): thresholds are frozen by a planning pass
+    * ([[graft.operators.Similarity.initBinThresholds]]) before any
+    * batch arrives, each micro-batch binarizes against that sidecar
+    * and lands its packed int64 words in its own `codes/batch=<id>`
+    * directory with overwrite semantics — at-least-once retries
+    * replace, never double-count. Binarization is a pure function of
+    * (vector, thresholds), so the accumulated table is BIT-IDENTICAL
+    * to a batch build (StreamOpsSpec).
+    */
+  def binCodesSink(embeddings: DataFrame, indexPath: String, idName: String,
+                   vecName: String, checkpointDir: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        binIngestBatch(batch, bid, indexPath, idName, vecName)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[binCodesSink]], idempotent under replay. No
+    * clip hazard at 1 bit — the loud guard is dimensionality (a batch
+    * from a different embedding space must never code).
+    */
+  private[graft] def binIngestBatch(batch: DataFrame, bid: Long,
+                                    indexPath: String, idName: String,
+                                    vecName: String): Unit = {
+    val spark = batch.sparkSession
+    val thr = graft.operators.Similarity.readBinThresholds(spark, indexPath)
+    val badDim = batch.select(size(col(vecName)).as("d"))
+      .filter(col("d") =!= thr.length).take(1)
+    require(badDim.isEmpty,
+      s"binCodesSink batch $bid: a vector has dimension " +
+        s"${badDim.headOption.map(_.get(0)).getOrElse("?")} but the index " +
+        s"codes ${thr.length} — not the same embedding space")
+    batch.select(col(idName),
+        graft.operators.Similarity.binQuantize(col(vecName), thr).as("code"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
+  }
+
   /** Streaming near-dup maintenance — the continuous-ingest fold of
     * [[graft.operators.Dedup.minhashNearDupsIncremental]]: each
     * micro-batch is banded against the persisted minhash archive

@@ -731,4 +731,45 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("codes would clip"))
   }
+
+  test("binCodesSink: streamed code table is bit-identical to the batch build; replay idempotent; dim mismatch loud") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("binstream").toString + "/idx"
+    Similarity.initBinThresholds(emb, "embedding", idx)
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 2 === 1)
+    StreamOps.binIngestBatch(b1, 0L, idx, "vec_id", "embedding")
+    StreamOps.binIngestBatch(b2, 1L, idx, "vec_id", "embedding")
+    def table(): Map[Long, Seq[Long]] =
+      spark.read.parquet(s"$idx/codes")
+        .select("vec_id", "code")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val streamed = table()
+    val bdir = java.nio.file.Files.createTempDirectory("binbatchref").toString + "/idx"
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", bdir)
+    val batch = spark.read.parquet(s"$bdir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch)
+    // replaying a committed trigger overwrites its own directory only
+    StreamOps.binIngestBatch(b2, 1L, idx, "vec_id", "embedding")
+    assert(table() == streamed, "replaying a committed batch changed the table")
+    // the served two-stage ranking through the streamed table equals
+    // the batch-index serve
+    val got = Similarity.binaryTopKIndexed(spark, idx, emb, "vec_id",
+        "embedding", 0L, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Similarity.binaryTopKIndexed(spark, bdir, emb, "vec_id",
+        "embedding", 0L, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // a batch from a different embedding space is rejected loudly
+    val narrow = b1.limit(1).select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.binIngestBatch(narrow, 2L, idx, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not the same embedding space"))
+  }
 }
