@@ -410,6 +410,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q209 windows:\n${plan.take(2000)}")
   }
 
+  test("q218 binary indexed serve: stage-1 scan is code-only; candidate cut is a top-k merge; rerank joins broadcast") {
+    val plan = executedPlan(query("q218_binary_indexed"))
+    // the code-table scan must never read the float tier — that is
+    // the tier's whole 1/32-bytes claim
+    val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.exists(r => r.contains("code") && !r.contains("embedding")),
+      s"q218 has no code-only scan: $reads")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q218 candidate cut is not a top-k merge:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q218 rerank join not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"q218 plans a cartesian:\n${plan.take(2000)}")
+  }
+
+  test("q219 NB inference: class-sized model tables broadcast; no cartesian, no unpartitioned state") {
+    val plan = executedPlan(query("q219_nb_langid"))
+    // the per-class default-mass and prior tables fan out over the
+    // test tokens as BROADCAST sides (class-count-sized); the
+    // vocab-sized token-logprob join stays a shuffled equi-join (no
+    // broadcast assumption on the vocabulary)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q219 class fan-out not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"q219 plans a shuffle cartesian:\n${plan.take(2000)}")
+  }
+
+  test("q222/q223 privacy audits: one keyed aggregation, no join, no window") {
+    for (name <- Seq("q222_k_anonymity", "q223_l_diversity")) {
+      val plan = query(name).queryExecution.optimizedPlan.toString()
+      assert(!plan.contains("Join"), s"$name joins:\n${plan.take(1500)}")
+      assert(!plan.contains("Window"), s"$name windows:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q226 quantization funnel: both candidate cuts are top-k merges; inter-stage joins broadcast") {
+    val plan = executedPlan(query("q226_quant_funnel"))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"q226 lost a top-k candidate cut:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q226 inter-stage join not broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"q226 shuffles candidates between stages:\n${plan.take(2500)}")
+  }
+
   test("no query plans an unpartitioned window over the full relation") {
     // every Window node in every query plan must carry a partition
     // spec — NO exemptions: the one legitimate parameter-sized
