@@ -4350,6 +4350,29 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1), "doc_id", "lang", col("text"))
     }),
 
+    // ---------------- incremental NB model maintenance (FULL oracle) ----------------
+    // The index family's maintenance story applied to a MODEL: NB's
+    // sufficient statistics are additive counts, so the persisted
+    // model is count relations in batch=<gen> generations — appending
+    // a labeled batch writes one new generation, and predicting from
+    // the accumulated table is BIT-IDENTICAL to retraining on the
+    // union (sum of per-generation counts = counts over the union).
+    // Here: generation 0 = doc_id % 4 == 0, generation 1 = % 4 == 2;
+    // their union is exactly q219's even-id train split, so the
+    // oracle is q219's VERBATIM.
+    "q227_nb_incremental" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      val model = fixturePath("nbmodel", dir, "documents")
+      Artifact.ensure(model) { tmp =>
+        NbClassify.buildNbModel(d.filter(col("doc_id") % 4 === 0),
+          "lang", col("text"), tmp)
+        NbClassify.appendNbModel(d.filter(col("doc_id") % 4 === 2),
+          "lang", col("text"), tmp, gen = 1L)
+      }
+      NbClassify.nbPredictIndexed(s, model,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "lang", col("text"))
+    }),
+
     // ---------------- Naive Bayes evaluation report (FULL oracle) ----------------
     // The confusion matrix + per-class fractions a classifier gate
     // ships with: one keyed agg over q219's predictions + a
@@ -4471,6 +4494,31 @@ object SparkEntry {
         .select(col("vec_id"),
           round(VecFns.cosine(col("embedding"), typedlit(qv)), 6).as("cosine"),
           col("qscore"), col("hamming"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---------------- JL random projection + re-rank (FULL oracle) ----------------
+    // The embedding-width reducer a 100 TB ANN tier runs before
+    // quantizing: a dense ±1 JL matrix from the md5 sign device
+    // (engine-identical digests — the "random" matrix replays in
+    // SQL), inputs quantized to 1e-6 fixed point so every projected
+    // coordinate is an exact integer dot. Used the only way a 4×
+    // width cut is honest — as a CANDIDATE GENERATOR: stage 1 cuts to
+    // 50 by integer L2 in the 16-dim space (at 64→16, ε≈0.57 fully
+    // scrambles a top-10 ORDER on weakly-clustered data, which is why
+    // the raw projected ranking is not the product), stage 2 re-ranks
+    // by exact rounded cosine. Deterministic end to end.
+    "q228_jl_projection" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val cands = Similarity.projectedTopK(emb, "vec_id", "embedding",
+        inDim = 64, outDim = 16, seed = 7L, queryId = 0L, k = 50)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      emb.join(broadcast(cands), "vec_id")
+        .select(col("vec_id"),
+          round(VecFns.cosine(col("embedding"), typedlit(qv)), 6).as("cosine"),
+          col("pl2"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -8195,6 +8243,37 @@ ORDER BY n_uses DESC, piece"""
            h.hamming
          FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
          ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    // JL projection: the md5 sign matrix, the 1e-6 input quantization,
+    // and the integer projected-space L2 ranking all replayed
+    "q228_jl_projection" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         vq AS (SELECT vec_id, dim,
+                  CAST(round(x * 1e6) AS BIGINT) AS q
+                FROM d),
+         s AS (SELECT dim, j,
+                 CASE WHEN substring(md5('jl_7_' || (dim - 1) || '_' || j),
+                     1, 1) IN ('0','2','4','6','8','a','c','e')
+                   THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT DISTINCT dim FROM vq)
+               CROSS JOIN range(16) r(j)),
+         p AS (SELECT vec_id, j, CAST(sum(q * sgn) AS BIGINT) AS pj
+               FROM vq JOIN s USING (dim) GROUP BY 1, 2),
+         qp AS (SELECT j, pj AS qj FROM p WHERE vec_id = 0),
+         dist AS (SELECT p.vec_id,
+                    CAST(sum((pj - qj) * (pj - qj)) AS BIGINT) AS pl2
+                  FROM p JOIN qp USING (j)
+                  WHERE p.vec_id <> 0 GROUP BY 1
+                  ORDER BY pl2 ASC, p.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT dist.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           dist.pl2
+         FROM dist JOIN embeddings e ON e.vec_id = dist.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, dist.vec_id LIMIT 10""",
     // the three-tier funnel: 1-bit Hamming cut -> SQ8 code-dot cut ->
     // exact cosine final, replayed stage by stage
     "q226_quant_funnel" ->
@@ -8233,6 +8312,49 @@ ORDER BY n_uses DESC, piece"""
            s2.qscore, s2.hamming
          FROM s2 JOIN embeddings e ON e.vec_id = s2.vec_id CROSS JOIN qv
          ORDER BY cosine DESC, s2.vec_id LIMIT 10""",
+    // incremental NB: the two generations' summed counts equal the
+    // union's counts, so the oracle is q219's verbatim
+    "q227_nb_incremental" ->
+      """WITH tr AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id % 2 = 1),
+         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
+                   FROM tr),
+         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
+         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
+         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
+         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
+         lp AS (SELECT tc.c, tc.token,
+             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
+               AS BIGINT) AS lp4
+           FROM tc JOIN den ON tc.c = den.c),
+         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
+                   AS lp0
+                 FROM den),
+         pri AS (SELECT lang AS c,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
+           FROM tr GROUP BY 1),
+         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM te),
+         ts AS (SELECT tetok.doc_id, lp0.c,
+                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
+                FROM tetok CROSS JOIN lp0
+                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
+                GROUP BY 1, 2),
+         sc AS (SELECT te.doc_id, pri.c,
+                  pri.prior4 + coalesce(ts.s4, 0) AS score4
+                FROM te CROSS JOIN pri
+                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
+         best AS (SELECT doc_id, c AS predicted, score4,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score4 ASC, c ASC) AS rn
+                  FROM sc)
+         SELECT te.doc_id, te.lang, b.predicted, b.score4,
+           te.lang = b.predicted AS correct
+         FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
+         ORDER BY te.doc_id""",
     // Naive Bayes: training (two keyed aggs) AND inference replayed —
     // Laplace-smoothed log-probs quantized to 1e-4 fixed point before
     // any per-document sum (the surprisal exactness device)

@@ -71,11 +71,25 @@ object NbClassify {
     // model tables — all relations, never driver state
     val tokCnt = trTok.groupBy(col("__c"), col("token"))
       .agg(count(lit(1)).as("__ct"))
-    val clsTot = trTok.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
-    val vocab = trTok.agg(countDistinct(col("token")).as("__v"))
-    val nDocs = train.agg(count(lit(1)).as("__n"))
-    val priors = train.groupBy(col(labelName).as("__c"))
+    val classDocs = train.groupBy(col(labelName).as("__c"))
       .agg(count(lit(1)).as("__nd"))
+    scoreWithModel(tokCnt, classDocs, test, idName, labelName, text)
+  }
+
+  /** The shared inference half: score `test` against model count
+    * relations (per-(class, token) counts + per-class doc counts) —
+    * the derived tables (class token totals, vocabulary size, priors)
+    * are themselves aggregations of the counts, so a model summed
+    * from generations scores identically to one trained in a single
+    * pass.
+    */
+  private def scoreWithModel(tokCnt: DataFrame, classDocs: DataFrame,
+                             test: DataFrame, idName: String,
+                             labelName: String, text: Column): DataFrame = {
+    val clsTot = tokCnt.groupBy(col("__c")).agg(sum(col("__ct")).as("__tot"))
+    val vocab = tokCnt.agg(countDistinct(col("token")).as("__v"))
+    val nDocs = classDocs.agg(sum(col("__nd")).as("__n"))
+    val priors = classDocs
       .crossJoin(nDocs)
       .select(col("__c"),
         lp4(col("__nd").cast("double") / col("__n")).as("__prior4"))
@@ -116,6 +130,77 @@ object NbClassify {
       .select(col(idName), col(labelName), col("predicted"),
         col("score4"), (col(labelName) === col("predicted")).as("correct"))
       .orderBy(col(idName))
+  }
+
+  // ================= persisted model + incremental maintenance =================
+  //
+  // NB's sufficient statistics are ADDITIVE COUNTS, so the model gets
+  // the index family's maintenance story for free: the persisted
+  // model is count relations laid out in `batch=<gen>` generations
+  // (the streaming-sink layout — [[graft.sources.Compaction
+  // .compactBatches]] folds old generations untouched, because
+  // predict re-aggregates), appending a labeled batch writes ONE new
+  // generation without touching prior ones, and prediction from the
+  // accumulated table is BIT-IDENTICAL to retraining on the union —
+  // not approximately, provably: sum of per-generation counts = count
+  // over the union (spec-pinned). This is what "online model update"
+  // should mean in a pipeline: no drift, no replay, no retraining
+  // fleet.
+
+  /** Train and persist the model as generation 0: per-(class, token)
+    * counts under `modelPath/counts/batch=0` and per-class doc counts
+    * under `modelPath/classdocs/batch=0`. Published atomically
+    * ([[Artifact.ensure]] in callers that need absence-checks).
+    */
+  def buildNbModel(train: DataFrame, labelName: String, text: Column,
+                   modelPath: String): Unit =
+    writeNbGeneration(train, labelName, text, modelPath, gen = 0L)
+
+  /** Append a labeled batch as the model's next generation `gen`.
+    * Overwrite semantics per generation — an at-least-once retry of
+    * the same `gen` replaces rather than double-counts (the streaming
+    * sink discipline). The caller owns generation numbering; writing
+    * a batch under TWO different gens double-counts it, loudly
+    * impossible to distinguish from intent — hence the explicit id.
+    */
+  def appendNbModel(batch: DataFrame, labelName: String, text: Column,
+                    modelPath: String, gen: Long): Unit = {
+    require(gen > 0L, s"appendNbModel: generation must be > 0 (got $gen); " +
+      "generation 0 is the build")
+    writeNbGeneration(batch, labelName, text, modelPath, gen)
+  }
+
+  private def writeNbGeneration(df: DataFrame, labelName: String,
+                                text: Column, modelPath: String,
+                                gen: Long): Unit = {
+    val nullLab = df.filter(col(labelName).isNull).take(1)
+    require(nullLab.isEmpty,
+      s"NB model generation $gen: a NULL $labelName row — label it or " +
+        "filter it explicitly")
+    val tok = df.select(col(labelName).as("c"),
+      explode(TextFns.tokens(text)).as("token"))
+    tok.groupBy(col("c"), col("token")).agg(count(lit(1)).as("ct"))
+      .write.mode("overwrite").parquet(s"$modelPath/counts/batch=$gen")
+    df.groupBy(col(labelName).as("c")).agg(count(lit(1)).as("nd"))
+      .write.mode("overwrite").parquet(s"$modelPath/classdocs/batch=$gen")
+  }
+
+  /** Predict from the persisted model: re-aggregate the accumulated
+    * count generations (sum of per-generation counts ≡ counts over
+    * the union of every trained batch) and score exactly as
+    * [[nbPredict]] — same smoothing, same fixed-point, same
+    * tie-breaks. `nbPredictIndexed(model over A then B) ==
+    * nbPredict(train = A ∪ B)` bit for bit (spec-pinned).
+    */
+  def nbPredictIndexed(spark: org.apache.spark.sql.SparkSession,
+                       modelPath: String, test: DataFrame, idName: String,
+                       labelName: String, text: Column): DataFrame = {
+    val tokCnt = spark.read.parquet(s"$modelPath/counts")
+      .groupBy(col("c").as("__c"), col("token"))
+      .agg(sum(col("ct")).as("__ct"))
+    val classDocs = spark.read.parquet(s"$modelPath/classdocs")
+      .groupBy(col("c").as("__c")).agg(sum(col("nd")).as("__nd"))
+    scoreWithModel(tokCnt, classDocs, test, idName, labelName, text)
   }
 
   /** Confusion matrix + per-class accuracy of [[nbPredict]]'s output:

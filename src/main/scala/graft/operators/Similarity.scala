@@ -1510,6 +1510,70 @@ object Similarity {
       .limit(k)
   }
 
+  // ================= JL random projection =================
+
+  /** Deterministic ±1 entry of the sparse-JL sign matrix for
+    * (seed, input dim d, output dim j): the parity of the first hex
+    * character of md5("jl_<seed>_<d>_<j>") — the md5 device the
+    * split/shuffle family uses, chosen because BOTH engines compute
+    * the identical digest of the identical string, so the "random"
+    * matrix replays exactly in SQL with no RNG to seed-match.
+    */
+  private def jlSign(seed: Long, d: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl_${seed}_${d}_${j}".getBytes("UTF-8"))
+    if ((hex(0) >> 4 & 1) == 0) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions —
+    * the embedding-width reducer a 100 TB ANN tier runs BEFORE
+    * quantizing (a dense-sign JL matrix preserves pairwise distances
+    * within 1±ε at outDim = O(log n / ε²); projecting 64→16 dims cuts
+    * every downstream scan, shuffle, and index by 4×).
+    *
+    * Exactness discipline: inputs quantize to 1e-6 fixed point FIRST
+    * (one rounding per coordinate), so each output coordinate is an
+    * exact INTEGER dot with a ±1 matrix — order-independent,
+    * overflow-safe (|x|·1e6 ≤ ~5e8, ×64 dims ≤ 3.2e10), and
+    * bit-replayable in SQL via the md5 sign device. Output is the
+    * micro-unit integer vector `array<long>`; distances over it are
+    * exact integer math (1e12 × the float-space squared distances,
+    * up to the per-coordinate quantization).
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long): Column = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims in=$inDim out=$outDim")
+    val vq = transform(vec.cast("array<double>"),
+      x => round(x * lit(1e6), 0).cast("long"))
+    val cols = (0 until outDim).map { j =>
+      val signs: Seq[Long] = (0 until inDim).map(d => jlSign(seed, d, j))
+      aggregate(zip_with(vq, typedlit(signs), (x, s) => x * s),
+        lit(0L), (a, b) => a + b)
+    }
+    array(cols: _*)
+  }
+
+  /** Exact top-k in the PROJECTED space: rank by integer squared L2
+    * over [[randomProject]]ed vectors (ascending, id ascending).
+    * Deterministic end to end — a full oracle, with the JL recall-
+    * vs-full-dim tradeoff pinned in the spec (it is a property of the
+    * projection width, not of this operator's correctness).
+    */
+  def projectedTopK(embeddings: DataFrame, idName: String, vecName: String,
+                    inDim: Int, outDim: Int, seed: Long, queryId: Long,
+                    k: Int): DataFrame = {
+    val proj = randomProject(col(vecName), inDim, outDim, seed)
+    val qRows = embeddings.filter(col(idName) === queryId)
+      .select(proj.as("p")).take(1)
+    require(qRows.nonEmpty, s"projectedTopK: query $idName=$queryId not found")
+    val q = qRows.head.getSeq[Long](0)
+    embeddings.filter(col(idName) =!= queryId)
+      .select(col(idName),
+        aggregate(zip_with(proj, typedlit(q), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("pl2"))
+      .orderBy(col("pl2").asc, col(idName).asc)
+      .limit(k)
+  }
+
   // ================= hard-negative mining =================
 
   /** Contrastive hard-negative mining: for every probe vector, the

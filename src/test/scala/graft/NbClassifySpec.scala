@@ -93,6 +93,41 @@ class NbClassifySpec extends SparkSpec {
     assert(e.getMessage.contains("NULL lang"))
   }
 
+  test("incremental model: append-then-predict is bit-identical to retraining on the union; survives compaction") {
+    val model = java.nio.file.Files.createTempDirectory("nbmodel").toString + "/m"
+    val a = train.filter(col("doc_id") % 4 === 0)
+    val b = train.filter(col("doc_id") % 4 === 2)
+    NbClassify.buildNbModel(a, "lang", col("text"), model)
+    NbClassify.appendNbModel(b, "lang", col("text"), model, gen = 1L)
+    def fromModel(): Seq[Seq[Any]] =
+      NbClassify.nbPredictIndexed(spark, model, test_, "doc_id", "lang",
+        col("text")).collect().map(_.toSeq).toSeq
+    val incremental = fromModel()
+    val retrained = NbClassify.nbPredict(train, test_, "doc_id", "lang",
+      col("text")).collect().map(_.toSeq).toSeq
+    assert(incremental == retrained,
+      "incremental model diverged from retraining on the union")
+    // an at-least-once replay of a generation overwrites, never
+    // double-counts
+    NbClassify.appendNbModel(b, "lang", col("text"), model, gen = 1L)
+    assert(fromModel() == retrained, "generation replay changed the model")
+    // the model generations are the streaming-sink layout — folding
+    // them with the index compactor leaves every prediction identical
+    // (predict re-aggregates, so a read-union-rewrite is invisible)
+    assert(graft.sources.Compaction
+      .compactBatches(spark, s"$model/counts", upTo = 1L).nonEmpty)
+    assert(graft.sources.Compaction
+      .compactBatches(spark, s"$model/classdocs", upTo = 1L).nonEmpty)
+    assert(fromModel() == retrained, "compaction changed the model")
+    // guards: generation 0 is the build's; NULL labels loud
+    intercept[IllegalArgumentException](
+      NbClassify.appendNbModel(b, "lang", col("text"), model, gen = 0L))
+    val badBatch = Seq((999999L, "x", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException](
+      NbClassify.appendNbModel(badBatch, "lang", col("text"), model, gen = 2L))
+  }
+
   test("nbConfusion: cells partition the predictions and fractions sum to 1 per actual class") {
     val preds = NbClassify.nbPredict(train, test_, "doc_id", "lang", col("text"))
     val conf = NbClassify.nbConfusion(preds, "lang").collect()

@@ -904,6 +904,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("JL projection: engine output equals an independent local recompute; deterministic; useful recall") {
+    val dim = 64; val out = 16; val seed = 7L
+    // independent local recompute of one vector's projection (md5
+    // sign device + 1e-6 quantization, reimplemented here from the
+    // definition, not by calling the operator's helper)
+    def sign(d: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"jl_${seed}_${d}_${j}".getBytes("UTF-8"))
+      val hex = "%02x".format(h(0)).charAt(0)
+      if ("02468ace".indexOf(hex) >= 0) 1L else -1L
+    }
+    def projLocal(v: Array[Float]): Seq[Long] = {
+      val q = v.map(x => math.round(x.toDouble * 1e6))
+      (0 until out).map(j => (0 until dim).map(d => q(d) * sign(d, j)).sum)
+    }
+    val got = emb.filter(col("vec_id") === 0)
+      .select(Similarity.randomProject(col("embedding"), dim, out, seed))
+      .head().getSeq[Long](0)
+    assert(got == projLocal(qvec), s"projection mismatch: $got")
+    // deterministic across partitionings
+    def top(): Seq[(Long, Long)] =
+      Similarity.projectedTopK(emb.repartition(7), "vec_id", "embedding",
+        dim, out, seed, 0L, 10).as[(Long, Long)].collect().toSeq
+    val t1 = top()
+    assert(t1 == top())
+    assert(t1.map(_._2) == t1.map(_._2).sorted)
+    // JL fidelity on the fixture, measured the way the tier is USED:
+    // a 50-wide projected candidate cut + exact cosine re-rank (the
+    // q228 shape). The RAW projected top-10 order is scrambled at
+    // 64->16 (ε≈0.57 — measured 1/10 here; that is JL math on weakly-
+    // clustered data, not a bug), which is exactly why the product is
+    // the candidate-generator composition.
+    val cands = Similarity.projectedTopK(emb, "vec_id", "embedding",
+        dim, out, seed, 0L, 50)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qvec, 10,
+      excludeId = 0L).as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (brute & cands).size
+    assert(recall >= 5, s"reranked-window recall $recall/10 at 64->16, width 50")
+  }
+
   test("binary append: frozen-threshold coding bit-identical to direct quantization; dim mismatch and replay rejected") {
     val dir = java.nio.file.Files.createTempDirectory("binappend").toString + "/idx"
     Similarity.ensureBinaryIndex(emb, "vec_id", "embedding", dir)
