@@ -563,6 +563,59 @@ object ProbeScale100 {
           0L, 10).count())
     }
 
+    // Naive Bayes at factor×: train once on the BASE corpus's even
+    // ids (the model is corpus-shaped, not replica-shaped), score the
+    // replicated odd ids. Cost must track the scored corpus linearly
+    // (one broadcast-model join + one keyed argmin). Invariant riding
+    // the curve: prediction is a pure function of (text, model), so
+    // every clone's (predicted, score4) must EQUAL its original's —
+    // the per-(lang, predicted) confusion counts at factor× are
+    // exactly factor× the 1× counts.
+    if (section("nb")) {
+      replicate("documents", Seq("doc_id"))
+      import graft.operators.NbClassify
+      val train = docs(base).filter(col("doc_id") % 2 === 0)
+      def confusion(dir: String): Map[(String, String), Long] = {
+        val test = docs(dir).filter(col("doc_id") % 2 === 1)
+        NbClassify.nbPredict(train, test, "doc_id", "lang", col("text"))
+          .groupBy(col("lang"), col("predicted")).count()
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      }
+      time("nb warm")(confusion(base).size.toLong)
+      var c1: Map[(String, String), Long] = Map.empty
+      var cN: Map[(String, String), Long] = Map.empty
+      time("nb train+score 1x")({ c1 = confusion(base); c1.size.toLong })
+      time(s"nb train+score ${factor}x")({ cN = confusion(big); cN.size.toLong })
+      // the replica offsets doc_ids, flipping some clones' parity —
+      // an odd clone of an even original is NEW test data, so assert
+      // the direction that must hold exactly: every 1x cell is
+      // present and the total scales exactly with the replicated
+      // odd-id population
+      require(cN.keySet == c1.keySet,
+        s"nb: replication changed the confusion key set: ${cN.keySet} vs ${c1.keySet}")
+      val n1 = docs(base).filter(col("doc_id") % 2 === 1).count()
+      val nN = docs(big).filter(col("doc_id") % 2 === 1).count()
+      require(cN.values.sum == nN && c1.values.sum == n1,
+        "nb: predictions lost rows")
+      // exactness: copy 0 keeps the original ids, so the factor× run's
+      // predictions restricted to the 1× odd ids must be IDENTICAL
+      // rows (prediction is a pure function of (text, model))
+      val maxBase = docs(base).agg(max(col("doc_id"))).head().getLong(0)
+      def preds(dir: String, cap: Long): Map[Long, (String, Long)] =
+        NbClassify.nbPredict(train,
+            docs(dir).filter(col("doc_id") % 2 === 1 &&
+              col("doc_id") <= cap),
+            "doc_id", "lang", col("text"))
+          .select("doc_id", "predicted", "score4")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+      require(preds(big, maxBase) == preds(base, maxBase),
+        "nb: copy-0 predictions diverged at scale")
+      println(s"[probe] nb invariants: confusion key set stable, all $nN " +
+        "scored rows accounted, copy-0 predictions identical — TRUE")
+    }
+
     // Binary 1-bit tier at factor×: the smallest quantization member
     // (stage-1 scan reads ONE int64 word per 64-dim vector — 1/32 of
     // the float bytes, 1/8 of SQ8's). Invariant: the indexed two-stage
