@@ -4565,6 +4565,46 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---------------- GraphQL __typename (dialect extension) ----------------
+    // The meta-field Apollo-generation clients inject into EVERY
+    // query: q152's template with __typename at all four selection
+    // levels (root entity, connection object, row object, nested
+    // entity), each resolving to the reference schema's type name as
+    // a plan-time constant. The row payload is q152's with four
+    // literal columns — the oracle appends the same constants.
+    "q229_graphql_typename" -> ((s, dir) => {
+      val res = graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             disease(efoId: "DIS_BUILDING") {
+               __typename
+               id
+               name
+               knownDrugs {
+                 __typename
+                 count
+                 rows {
+                   __typename
+                   phase
+                   drug { __typename id name }
+                 }
+               }
+             }
+           }""")
+      res.select(col("__typename").as("disease_type"),
+          col("id").as("disease_id"), col("name").as("disease_name"),
+          col("knownDrugs.__typename").as("conn_type"),
+          col("knownDrugs.count").as("n_rows"),
+          posexplode(col("knownDrugs.rows")).as(Seq("rn", "r")))
+        .select(col("disease_type"), col("disease_id"), col("disease_name"),
+          col("conn_type"), col("n_rows"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.__typename").as("row_type"),
+          col("r.phase").as("phase"),
+          col("r.drug.__typename").as("drug_type"),
+          col("r.drug.id").as("drug_id"), col("r.drug.name").as("drug_name"))
+        .orderBy("rn")
+    }),
+
     // ---------------- GraphQL variables (dialect extension) ----------------
     // The `query ($id: String!)` parameterized form every Open
     // Targets docs example uses: q152's diseaseAssociatedDrugs
@@ -7343,6 +7383,32 @@ ORDER BY n_uses DESC, piece"""
     // output column — same resolved AST, same rows, q152's oracle
     "q215_graphql_fragments" -> SqlKnownDrugsFold,
     "q221_graphql_directives" -> SqlKnownDrugsFold,
+    // q152's fold + the schema type names as constants at every level
+    "q229_graphql_typename" ->
+      """WITH kd AS (
+           SELECT 'DRG_' || l_suppkey AS drug_id,
+             'TGT_' || l_partkey AS tgt_id,
+             round(least(4.0, count(*) / 10.0), 1) AS phase
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY 1, 2),
+         r AS (
+           SELECT row_number() OVER (ORDER BY drug_id, tgt_id) AS rn,
+             phase, drug_id
+           FROM kd)
+         SELECT 'Disease' AS disease_type,
+           'DIS_BUILDING' AS disease_id, 'BUILDING' AS disease_name,
+           'KnownDrugs' AS conn_type,
+           (SELECT count(*) FROM kd) AS n_rows,
+           CAST(r.rn AS BIGINT) AS rn,
+           'KnownDrug' AS row_type, r.phase,
+           'Drug' AS drug_type, r.drug_id,
+           s.s_name AS drug_name
+         FROM r JOIN supplier s ON 'DRG_' || s.s_suppkey = r.drug_id
+         WHERE r.rn <= 25
+         ORDER BY rn""",
     "q153_graphql_pathways" ->
       """SELECT 'TGT_' || p_partkey AS id, p_name AS approvedSymbol,
            CAST(1 AS BIGINT) AS rn,

@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
   * `@skip(if:)` / `@include(if:)` — the two spec-defined executable
   * directives — resolve at parse time too (literal or variable
   * condition), on fields and on fragment spreads: the resolved AST is
-  * identical to the query with excluded fields deleted. Unknown
-  * directives, non-boolean conditions, inline fragments
-  * (`... on Type`) and multiple operations are rejected with a
-  * targeted error (none appear in the reference corpus or docs
-  * examples).
+  * identical to the query with excluded fields deleted. The
+  * `__typename` meta-field resolves at EVERY selection level to the
+  * reference schema's type names — the field Apollo-generation
+  * clients inject into every query, so generated clients work
+  * unchanged. Unknown directives, non-boolean conditions, inline
+  * fragments (`... on Type`) and multiple operations are rejected
+  * with a targeted error (none appear in the reference corpus or
+  * docs examples).
   *
   * Schema = the [[KnowledgeGraph]] views (disease / target / drug
   * entities, scored association edges, known-drug fact rows,
@@ -443,17 +446,56 @@ object GraphQl {
     ("drug", "isApproved") -> "isApproved",
     ("drug", "maximumClinicalTrialPhase") -> "maximumClinicalTrialPhase")
 
+  /** GraphQL type names for the `__typename` meta-field that every
+    * Apollo-generation client injects into its queries — served at
+    * every selection level so generated clients work unchanged. Names
+    * are the reference schema's (`type Disease` opentargets.schema:150,
+    * `Target`:1348, `Drug`:347, `Pathway`:1053, `SearchResult`:1276),
+    * keyed by the resolver's internal entity keys.
+    */
+  private val TypeNames: Map[String, String] = Map(
+    "disease" -> "Disease", "target" -> "Target", "drug" -> "Drug",
+    "pathway" -> "Pathway", "hit" -> "SearchResult")
+
+  /** (connection object, row object) type names per connection site —
+    * schema-true where the schema names them (`KnownDrugs`:916 /
+    * `KnownDrug`:855, `AssociatedTargets`:62 / `AssociatedTarget`:53,
+    * `AssociatedDiseases`:44 / `AssociatedDisease`:35,
+    * `LinkedTargets`:958, `ReactomePathway`:1202); `LinkedTarget` is
+    * this dialect's name for its {rank, target} linkedTargets row
+    * (the schema's rows are bare targets — the rank field is the
+    * dialect's addition, so the row type is too).
+    */
+  private val ConnTypes: Map[(String, String), (String, String)] = Map(
+    ("disease", "knownDrugs") -> (("KnownDrugs", "KnownDrug")),
+    ("target", "knownDrugs") -> (("KnownDrugs", "KnownDrug")),
+    ("disease", "associatedTargets") ->
+      (("AssociatedTargets", "AssociatedTarget")),
+    ("target", "associatedDiseases") ->
+      (("AssociatedDiseases", "AssociatedDisease")),
+    ("drug", "linkedTargets") -> (("LinkedTargets", "LinkedTarget")),
+    ("target", "pathways") -> (("", "ReactomePathway")))
+
+  private def noSubSel(f: Field): Unit =
+    if (f.sel.nonEmpty) throw ParseError(
+      "'__typename' is a meta-field — drop its selection")
+
   private def entityStruct(entity: String, sel: Seq[Field],
                            fields: Map[String, Column]): Column = {
     if (sel.isEmpty) throw ParseError(
       s"'$entity' needs a selection of its fields")
     struct(sel.map { f =>
-      if (f.sel.nonEmpty) throw ParseError(
-        s"'$entity.${f.name}' is a scalar — drop its selection")
-      val src = fields.getOrElse(f.name, throw ParseError(
-        s"unknown field '${f.name}' on $entity — supported: " +
-          fields.keys.toSeq.sorted.mkString(", ")))
-      src.as(f.out)
+      if (f.name == "__typename") {
+        noSubSel(f)
+        lit(TypeNames.getOrElse(entity, entity.capitalize)).as(f.out)
+      } else {
+        if (f.sel.nonEmpty) throw ParseError(
+          s"'$entity.${f.name}' is a scalar — drop its selection")
+        val src = fields.getOrElse(f.name, throw ParseError(
+          s"unknown field '${f.name}' on $entity — supported: " +
+            fields.keys.toSeq.sorted.mkString(", ")))
+        src.as(f.out)
+      }
     }: _*)
   }
 
@@ -628,6 +670,8 @@ object GraphQl {
         col("mechanismOfAction").as(g.out)
       case g @ Field("actionType", _, Seq(), _) => col("actionType").as(g.out)
       case g @ Field("targets", _, _, _) => col("__targets").as(g.out)
+      case g @ Field("__typename", _, _, _) =>
+        noSubSel(g); lit("MechanismOfActionRow").as(g.out)
       case g => throw ParseError(
         s"unknown field '${g.name}' on drug.mechanismsOfAction rows — " +
           "supported: mechanismOfAction, actionType, targets")
@@ -635,7 +679,7 @@ object GraphQl {
     // level 2: collect the row structs, deterministically ordered by
     // the mechanism label (unique per group — actionType is a
     // function of it)
-    val parts = f.sel.map {
+    val parts0 = f.sel.filterNot(_.name == "__typename").map {
       case Field("rows", _, sel, _) =>
         if (sel.isEmpty) throw ParseError(
           "'drug.mechanismsOfAction' rows need a selection")
@@ -651,10 +695,17 @@ object GraphQl {
         s"unknown field '${g.name}' on drug.mechanismsOfAction — " +
           "supported: rows, uniqueActionTypes, uniqueTargetTypes")
     }
-    if (parts.isEmpty) throw ParseError(
+    f.sel.find(_.name == "__typename").foreach(noSubSel)
+    if (f.sel.isEmpty) throw ParseError(
       "'drug.mechanismsOfAction' needs a selection")
+    // a __typename-only selection still needs one aggregate to fold
+    // the grouped relation to a single row
+    val parts = if (parts0.nonEmpty) parts0 else Seq(count(lit(1)).as("__n"))
     grouped.agg(parts.head, parts.tail: _*)
-      .select(struct(f.sel.map(g => col(g.name).as(g.out)): _*).as(f.out))
+      .select(struct(f.sel.map { g =>
+        (if (g.name == "__typename") lit("MechanismsOfAction")
+         else col(g.name)).as(g.out)
+      }: _*).as(f.out))
   }
 
   /** Connections that declare `page: Pagination` in the reference
@@ -761,10 +812,14 @@ object GraphQl {
       if (!Paginable((entity, f.name))) None
       else explicitSize.map(math.min(_, MaxPageSize))
         .orElse(Some(DefaultPageSize))
+    val (connType, rowType) = ConnTypes.getOrElse((entity, f.name), ("", ""))
     def rowsArray(sel: Seq[Field]): Column = {
       if (sel.isEmpty) throw ParseError(
         s"'$entity.${f.name}' rows need a selection")
-      val payload = struct(sel.map(g => c.rowField(g).as(g.out)): _*)
+      val payload = struct(sel.map { g =>
+        (if (g.name == "__typename") { noSubSel(g); lit(rowType) }
+         else c.rowField(g)).as(g.out)
+      }: _*)
       // sort keys ride in front of the payload for sort_array, then
       // drop away — deterministic order with one aggregation
       val keyed = struct(c.sortKeys.zipWithIndex.map {
@@ -800,6 +855,7 @@ object GraphQl {
       f.sel.foreach {
         case Field("count", _, Seq(), _) => ()
         case Field("rows", _, _, _) => ()
+        case g @ Field("__typename", _, _, _) => noSubSel(g)
         case g => throw ParseError(
           s"unknown field '${g.name}' on $entity.${f.name} — supported: count, rows")
       }
@@ -822,10 +878,15 @@ object GraphQl {
       val combined = (countDf, rowsDf) match {
         case (Some(cd), Some(rd)) => cd.crossJoin(broadcast(rd))
         case (Some(cd), None) => cd
-        case (None, rd) => rd.get
+        case (None, Some(rd)) => rd
+        // a __typename-only selection: nothing to aggregate, one
+        // constant row
+        case (None, None) => c.flat.sparkSession.range(1).toDF()
       }
-      combined.select(struct(f.sel.map(g => col(g.name).as(g.out)): _*)
-        .as(f.out))
+      combined.select(struct(f.sel.map { g =>
+        (if (g.name == "__typename") lit(connType) else col(g.name))
+          .as(g.out)
+      }: _*).as(f.out))
     } else
       c.flat.agg(rowsArray(f.sel).as(f.out))
   }
@@ -885,6 +946,7 @@ object GraphQl {
     root.sel.foreach {
       case Field("total", _, Seq(), _) => ()
       case Field("hits", _, _, _) => ()
+      case g @ Field("__typename", _, _, _) => noSubSel(g)
       case g => throw ParseError(
         s"unknown field '${g.name}' on search — supported: total, hits")
     }
@@ -895,6 +957,8 @@ object GraphQl {
         val parts = root.sel.map {
           case g @ Field("total", _, Seq(), _) => count(lit(1)).as(g.out)
           case g @ Field("hits", _, sel, _) => hitsArray(sel).as(g.out)
+          case g @ Field("__typename", _, _, _) =>
+            first(lit("SearchResults")).as(g.out)
           case g => throw ParseError(s"unreachable: ${g.name}")
         }
         rel.agg(parts.head, parts.tail: _*)
@@ -915,9 +979,13 @@ object GraphQl {
         val combined = (totalDf, hitsDf) match {
           case (Some(td), Some(hd)) => td.crossJoin(broadcast(hd))
           case (Some(td), None) => td
-          case (None, hd) => hd.get
+          case (None, Some(hd)) => hd
+          case (None, None) => rel.sparkSession.range(1).toDF()
         }
-        combined.select(root.sel.map(g => col(g.name).as(g.out)): _*)
+        combined.select(root.sel.map { g =>
+          (if (g.name == "__typename") lit("SearchResults") else col(g.name))
+            .as(g.out)
+        }: _*)
     }
   }
 
@@ -983,7 +1051,10 @@ object GraphQl {
     if (root.sel.isEmpty) throw ParseError(s"'$entity' needs a selection")
     var df = base.filter(col("id") === rootKey)
     val outCols = root.sel.map { f =>
-      Scalars.get((entity, f.name)) match {
+      if (f.name == "__typename") {
+        noSubSel(f)
+        lit(TypeNames(entity)).as(f.out)
+      } else Scalars.get((entity, f.name)) match {
         case Some(src) =>
           if (f.sel.nonEmpty) throw ParseError(
             s"'$entity.${f.name}' is a scalar — drop its selection")

@@ -595,6 +595,67 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       """{ disease(efoId: "DIS_NOPE") { id } }""").isEmpty)
   }
 
+  test("execute: __typename resolves at every selection level to the schema's type names") {
+    // the meta-field Apollo-generation clients inject everywhere —
+    // root, connection, row, and nested-entity levels in one query
+    val row = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           __typename
+           id
+           knownDrugs {
+             __typename
+             count
+             rows { __typename phase drug { __typename id } }
+           }
+         } }""").collect().head
+    assert(row.getString(0) == "Disease")
+    val kd = row.getStruct(2)
+    assert(kd.getString(0) == "KnownDrugs")
+    val r0 = kd.getSeq[Row](2).head
+    assert(r0.getString(0) == "KnownDrug")
+    assert(r0.getStruct(2).getString(0) == "Drug")
+    // association rows, search, pathways, mechanisms
+    val at = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           associatedTargets { __typename rows { __typename score
+             target { __typename id } } } } }""").collect().head.getStruct(0)
+    assert(at.getString(0) == "AssociatedTargets")
+    assert(at.getSeq[Row](1).head.getString(0) == "AssociatedTarget")
+    assert(at.getSeq[Row](1).head.getStruct(2).getString(0) == "Target")
+    val se = GraphQl.execute(kg,
+      """{ search(queryString: "BUILDING") { __typename total
+           hits { __typename id name } } }""").collect().head
+    assert(se.getString(0) == "SearchResults")
+    assert(se.getSeq[Row](2).head.getString(0) == "SearchResult")
+    val pw = GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_1") {
+           pathways { __typename pathway { __typename id } } } }""")
+      .collect().head.getSeq[Row](0)
+    if (pw.nonEmpty) {
+      assert(pw.head.getString(0) == "ReactomePathway")
+      assert(pw.head.getStruct(1).getString(0) == "Pathway")
+    }
+    // a __typename-only connection selection is legal GraphQL
+    val only = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { knownDrugs { __typename } } }""")
+      .collect().head.getStruct(0)
+    assert(only.getString(0) == "KnownDrugs")
+    // sub-selecting the meta-field is a targeted error
+    val e = intercept[ParseError](GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { __typename { x } } }"""))
+    assert(e.getMessage.contains("meta-field"))
+  }
+
+  test("execute: __typename on mechanismsOfAction object and rows") {
+    val moa = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_7") {
+           mechanismsOfAction { __typename
+             rows { __typename mechanismOfAction } } } }""")
+      .collect().head.getStruct(0)
+    assert(moa.getString(0) == "MechanismsOfAction")
+    assert(moa.getSeq[Row](1).head.getString(0) == "MechanismOfActionRow")
+  }
+
   test("parse: @skip/@include resolve at parse time — resolved AST equals the query with excluded fields deleted") {
     val plain = GraphQl.parse("""{ disease(efoId: "E") { id name } }""")
     // literal conditions, both directives, both polarities
