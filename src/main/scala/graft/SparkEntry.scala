@@ -4523,6 +4523,50 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---------------- near-dup point-serve lookup (FULL-oracle envelope) ----------------
+    // The online-QUERY member of the near-dup family — "find THIS
+    // document's near-dups" against the standing archive, what a
+    // dedup service answers per request (self-join q31 / incremental
+    // q183 / streaming q199 cover the batch forms). Bounded probe
+    // batch banded under the archive's own parameters, ONE broadcast
+    // band join (the archive is never re-banded or self-joined),
+    // exact-Jaccard verification. Envelope: rows are the EXACT
+    // (probe, neighbor) pairs off the persisted pair artifact
+    // (both orientations — a probe can be either end), verdicts
+    // pinned TRUE: the lookup output is a SUBSET of exact (the
+    // verify stage is exact) with the q31 recall floor.
+    "q230_neardup_lookup" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      // stride 40: a probe set that intersects the pair relation at
+      // BOTH driver scales (sf0.01: 13 probes, >= 1 hit; sf0.1: 125
+      // probes — under the serving cap — with 12 hits)
+      val probes = docs.filter(col("doc_id") % 40 === 0)
+      val sh = sharedShingles(s, dir)
+      val archBands = materializedOnce(Dedup.minhashBands(
+        Dedup.minhashSignaturesFromShingles(sh, k = 32,
+          shingleN = JaccardShingleN)))
+      val got = materializedOnce(Dedup.nearDupLookup(probes, "doc_id", "text",
+        sh, archBands, threshold = 0.6, shingleN = JaccardShingleN))
+      val exact = sharedPairs(s, dir)
+      val pid = probes.select(col("doc_id").as("__p"))
+      val exLookup = materializedOnce(
+        exact.join(pid, col("id_a") === col("__p"), "left_semi")
+          .select(col("id_a").as("probe_id"), col("id_b").as("doc_id"),
+            col("jaccard"))
+        .unionByName(
+          exact.join(pid, col("id_b") === col("__p"), "left_semi")
+            .select(col("id_b").as("probe_id"), col("id_a").as("doc_id"),
+              col("jaccard"))))
+      val verdict = subsetRecallVerdict(
+        got.select(col("probe_id").as("id_a"), col("doc_id").as("id_b")),
+        exLookup.select(col("probe_id").as("id_a"), col("doc_id").as("id_b")),
+        floor = 0.8)
+      exLookup.crossJoin(broadcast(verdict))
+        .select(col("probe_id"), col("doc_id"), col("jaccard"),
+          col("subset_of_exact"), col("recall_ok"))
+        .orderBy("probe_id", "doc_id")
+    }),
+
     // ---------------- k-anonymity audit ----------------
     // Re-identification risk the redaction pass can't see: rows
     // identifiable by the COMBINATION of innocuous attributes. One
@@ -4864,6 +4908,82 @@ ORDER BY n_uses DESC, piece"""
     * and the unpaginated query serves the default-sized first page
     * (25 rows, server parity) while n_rows stays the connection total.
     */
+  /** The binary two-stage serve replayed (thresholds + bits + Hamming
+    * cut + cosine re-rank) — shared by q217 (ad-hoc), q218 (persisted
+    * index, spec-pinned bit-identical) and q225 (the streamed code
+    * table, bit-identical under the same frozen thresholds).
+    */
+  private val SqlBinaryTwoStage =
+    """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
+         b AS (SELECT vec_id, d.dim,
+                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
+               FROM d JOIN t ON d.dim = t.dim),
+         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
+         h AS (SELECT b.vec_id,
+                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+               FROM b JOIN q ON b.dim = q.dim
+               WHERE b.vec_id <> 0
+               GROUP BY b.vec_id
+               ORDER BY hamming ASC, b.vec_id LIMIT 50),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT h.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
+           h.hamming
+         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
+         ORDER BY cosine DESC, h.vec_id LIMIT 10"""
+
+  /** NB training + inference replayed — shared by q219 (single-pass
+    * train) and q227 (the incremental count-generation model, whose
+    * summed generations equal the union's counts bit for bit).
+    */
+  private val SqlNbPredict =
+    """WITH tr AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id % 2 = 1),
+         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
+                   FROM tr),
+         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
+         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
+         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
+         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
+         lp AS (SELECT tc.c, tc.token,
+             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
+               AS BIGINT) AS lp4
+           FROM tc JOIN den ON tc.c = den.c),
+         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
+                   AS lp0
+                 FROM den),
+         pri AS (SELECT lang AS c,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
+           FROM tr GROUP BY 1),
+         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM te),
+         ts AS (SELECT tetok.doc_id, lp0.c,
+                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
+                FROM tetok CROSS JOIN lp0
+                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
+                GROUP BY 1, 2),
+         sc AS (SELECT te.doc_id, pri.c,
+                  pri.prior4 + coalesce(ts.s4, 0) AS score4
+                FROM te CROSS JOIN pri
+                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
+         best AS (SELECT doc_id, c AS predicted, score4,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score4 ASC, c ASC) AS rn
+                  FROM sc)
+         SELECT te.doc_id, te.lang, b.predicted, b.score4,
+           te.lang = b.predicted AS correct
+         FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
+         ORDER BY te.doc_id"""
+
   private val SqlKnownDrugsFold =
     """WITH kd AS (
          SELECT 'DRG_' || l_suppkey AS drug_id,
@@ -6633,6 +6753,40 @@ ORDER BY n_uses DESC, piece"""
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE n_chars > 200
          GROUP BY source ORDER BY source""",
+    // point-serve lookup envelope: the exact pair relation (q31's
+    // device) restricted to probe ends, both orientations; the
+    // lookup's subset/recall verdicts ride pinned TRUE
+    "q230_neardup_lookup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM toks WHERE len(ts) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+           FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6),
+         pr AS (SELECT doc_id AS p FROM documents WHERE doc_id % 40 = 0)
+         SELECT u.probe_id, u.doc_id, u.jaccard,
+           TRUE AS subset_of_exact, TRUE AS recall_ok
+         FROM (SELECT id_a AS probe_id, id_b AS doc_id, jaccard
+                 FROM pairs JOIN pr ON id_a = p
+               UNION ALL
+               SELECT id_b AS probe_id, id_a AS doc_id, jaccard
+                 FROM pairs JOIN pr ON id_b = p) u
+         ORDER BY probe_id, doc_id""",
     "q222_k_anonymity" ->
       """SELECT lang, source,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
@@ -8234,81 +8388,12 @@ ORDER BY n_uses DESC, piece"""
     // bits, Hamming candidate cut, exact cosine re-rank — the whole
     // two-stage serve replayed; q218 carries it verbatim (the indexed
     // form is spec-pinned bit-identical to the ad-hoc one)
-    "q217_binary_rerank" ->
-      """WITH d AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-           FROM embeddings),
-         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
-         b AS (SELECT vec_id, d.dim,
-                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
-               FROM d JOIN t ON d.dim = t.dim),
-         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
-         h AS (SELECT b.vec_id,
-                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
-                   AS hamming
-               FROM b JOIN q ON b.dim = q.dim
-               WHERE b.vec_id <> 0
-               GROUP BY b.vec_id
-               ORDER BY hamming ASC, b.vec_id LIMIT 50),
-         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT h.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
-           h.hamming
-         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
-         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
-    "q218_binary_indexed" ->
-      """WITH d AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-           FROM embeddings),
-         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
-         b AS (SELECT vec_id, d.dim,
-                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
-               FROM d JOIN t ON d.dim = t.dim),
-         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
-         h AS (SELECT b.vec_id,
-                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
-                   AS hamming
-               FROM b JOIN q ON b.dim = q.dim
-               WHERE b.vec_id <> 0
-               GROUP BY b.vec_id
-               ORDER BY hamming ASC, b.vec_id LIMIT 50),
-         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT h.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
-           h.hamming
-         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
-         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    "q217_binary_rerank" -> SqlBinaryTwoStage,
+    "q218_binary_indexed" -> SqlBinaryTwoStage,
     // streamed binary ingest: binarization is pure-function-of-
     // (vector, frozen thresholds), so the compacted streamed table
     // serves q217's oracle VERBATIM
-    "q225_stream_binary_ingest" ->
-      """WITH d AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-           FROM embeddings),
-         t AS (SELECT dim, (min(x) + max(x)) / 2 AS thr FROM d GROUP BY dim),
-         b AS (SELECT vec_id, d.dim,
-                 CASE WHEN x > thr THEN 1 ELSE 0 END AS bit
-               FROM d JOIN t ON d.dim = t.dim),
-         q AS (SELECT dim, bit AS qb FROM b WHERE vec_id = 0),
-         h AS (SELECT b.vec_id,
-                 CAST(sum(CASE WHEN b.bit <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
-                   AS hamming
-               FROM b JOIN q ON b.dim = q.dim
-               WHERE b.vec_id <> 0
-               GROUP BY b.vec_id
-               ORDER BY hamming ASC, b.vec_id LIMIT 50),
-         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT h.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             CAST(qv.qe AS DOUBLE[])), 6) AS cosine,
-           h.hamming
-         FROM h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
-         ORDER BY cosine DESC, h.vec_id LIMIT 10""",
+    "q225_stream_binary_ingest" -> SqlBinaryTwoStage,
     // JL projection: the md5 sign matrix, the 1e-6 input quantization,
     // and the integer projected-space L2 ranking all replayed
     "q228_jl_projection" ->
@@ -8380,91 +8465,11 @@ ORDER BY n_uses DESC, piece"""
          ORDER BY cosine DESC, s2.vec_id LIMIT 10""",
     // incremental NB: the two generations' summed counts equal the
     // union's counts, so the oracle is q219's verbatim
-    "q227_nb_incremental" ->
-      """WITH tr AS (SELECT doc_id, text, lang FROM documents
-                     WHERE doc_id % 2 = 0),
-         te AS (SELECT doc_id, text, lang FROM documents
-                WHERE doc_id % 2 = 1),
-         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
-                   FROM tr),
-         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
-         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
-         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
-         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
-         lp AS (SELECT tc.c, tc.token,
-             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
-               AS BIGINT) AS lp4
-           FROM tc JOIN den ON tc.c = den.c),
-         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
-                   AS lp0
-                 FROM den),
-         pri AS (SELECT lang AS c,
-             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
-               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
-           FROM tr GROUP BY 1),
-         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                   FROM te),
-         ts AS (SELECT tetok.doc_id, lp0.c,
-                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
-                FROM tetok CROSS JOIN lp0
-                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
-                GROUP BY 1, 2),
-         sc AS (SELECT te.doc_id, pri.c,
-                  pri.prior4 + coalesce(ts.s4, 0) AS score4
-                FROM te CROSS JOIN pri
-                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
-         best AS (SELECT doc_id, c AS predicted, score4,
-                    row_number() OVER (PARTITION BY doc_id
-                      ORDER BY score4 ASC, c ASC) AS rn
-                  FROM sc)
-         SELECT te.doc_id, te.lang, b.predicted, b.score4,
-           te.lang = b.predicted AS correct
-         FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
-         ORDER BY te.doc_id""",
+    "q227_nb_incremental" -> SqlNbPredict,
     // Naive Bayes: training (two keyed aggs) AND inference replayed —
     // Laplace-smoothed log-probs quantized to 1e-4 fixed point before
     // any per-document sum (the surprisal exactness device)
-    "q219_nb_langid" ->
-      """WITH tr AS (SELECT doc_id, text, lang FROM documents
-                     WHERE doc_id % 2 = 0),
-         te AS (SELECT doc_id, text, lang FROM documents
-                WHERE doc_id % 2 = 1),
-         trtok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS token
-                   FROM tr),
-         tc AS (SELECT c, token, count(*) AS ct FROM trtok GROUP BY 1, 2),
-         tot AS (SELECT c, count(*) AS tot FROM trtok GROUP BY 1),
-         voc AS (SELECT count(DISTINCT token) AS v FROM trtok),
-         den AS (SELECT c, tot + v AS den FROM tot CROSS JOIN voc),
-         lp AS (SELECT tc.c, tc.token,
-             CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / den) * 1e4 + 0.5)
-               AS BIGINT) AS lp4
-           FROM tc JOIN den ON tc.c = den.c),
-         lp0 AS (SELECT c, CAST(floor(-ln(1.0 / den) * 1e4 + 0.5) AS BIGINT)
-                   AS lp0
-                 FROM den),
-         pri AS (SELECT lang AS c,
-             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
-               / (SELECT count(*) FROM tr)) * 1e4 + 0.5) AS BIGINT) AS prior4
-           FROM tr GROUP BY 1),
-         tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                   FROM te),
-         ts AS (SELECT tetok.doc_id, lp0.c,
-                  CAST(sum(coalesce(lp.lp4, lp0.lp0)) AS BIGINT) AS s4
-                FROM tetok CROSS JOIN lp0
-                LEFT JOIN lp ON lp.c = lp0.c AND lp.token = tetok.token
-                GROUP BY 1, 2),
-         sc AS (SELECT te.doc_id, pri.c,
-                  pri.prior4 + coalesce(ts.s4, 0) AS score4
-                FROM te CROSS JOIN pri
-                LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.c = pri.c),
-         best AS (SELECT doc_id, c AS predicted, score4,
-                    row_number() OVER (PARTITION BY doc_id
-                      ORDER BY score4 ASC, c ASC) AS rn
-                  FROM sc)
-         SELECT te.doc_id, te.lang, b.predicted, b.score4,
-           te.lang = b.predicted AS correct
-         FROM te JOIN best b ON b.doc_id = te.doc_id AND b.rn = 1
-         ORDER BY te.doc_id""",
+    "q219_nb_langid" -> SqlNbPredict,
     "q220_nb_confusion" ->
       """WITH tr AS (SELECT doc_id, text, lang FROM documents
                      WHERE doc_id % 2 = 0),

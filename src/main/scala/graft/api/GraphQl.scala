@@ -152,9 +152,6 @@ object GraphQl {
     var p = 0
     // declared name -> default (None = no default)
     var declared = Map.empty[String, Option[String]]
-    // fragments referenced anywhere, including directive-skipped
-    // spreads (for the unused-fragment check)
-    val referenced = scala.collection.mutable.Set.empty[String]
     def resolveVar(v: String): String = declared.get(v) match {
       case None => throw ParseError(
         s"variable $$$v is not declared in the operation header")
@@ -310,10 +307,12 @@ object GraphQl {
                 "use a named fragment")
             case Name(fr) =>
               // a directive-skipped spread still REFERENCES its
-              // fragment — the unused-fragment check must not fire
-              referenced += fr
-              if (parseDirectives())
-                fields += Field(SpreadMark + fr, Map.empty, Nil)
+              // fragment: it contributes no fields, but it keeps a
+              // bookkeeping marker so REACHABLE usage and cycles are
+              // still tracked (a skipped spread inside an unreachable
+              // fragment must not mask the unused-fragment check)
+              val mark = if (parseDirectives()) SpreadMark else SkipSpreadMark
+              fields += Field(mark + fr, Map.empty, Nil)
             case t => throw ParseError(s"bad fragment spread at $t")
           }
         case Some(Name(n)) =>
@@ -403,25 +402,48 @@ object GraphQl {
     // inlined query (GraphQlSpec pins the round-trip; q215 carries an
     // existing template's oracle through a fragment verbatim)
     val used = scala.collection.mutable.Set.empty[String]
+    def visit(fr: String, stack: List[String], emit: Boolean): Seq[Field] = {
+      val body = frags.getOrElse(fr, throw ParseError(
+        s"fragment '$fr' is not defined"))
+      if (stack.contains(fr)) throw ParseError(
+        s"fragment cycle: ${(fr :: stack).reverse.mkString(" -> ")}")
+      used += fr
+      val out = expand(body, fr :: stack)
+      if (emit) out else Seq.empty
+    }
     def expand(sel: Seq[Field], stack: List[String]): Seq[Field] =
       sel.flatMap { f =>
-        if (f.name.startsWith(SpreadMark)) {
-          val fr = f.name.stripPrefix(SpreadMark)
-          val body = frags.getOrElse(fr, throw ParseError(
-            s"fragment '$fr' is not defined"))
-          if (stack.contains(fr)) throw ParseError(
-            s"fragment cycle: ${(fr :: stack).reverse.mkString(" -> ")}")
-          used += fr
-          expand(body, fr :: stack)
-        } else Seq(f.copy(sel = expand(f.sel, stack)))
+        if (f.name.startsWith(SkipSpreadMark))
+          // directive-skipped: walk for usage/cycle bookkeeping,
+          // contribute nothing
+          visit(f.name.stripPrefix(SkipSpreadMark), stack, emit = false)
+        else if (f.name.startsWith(SpreadMark))
+          visit(f.name.stripPrefix(SpreadMark), stack, emit = true)
+        else Seq(f.copy(sel = expand(f.sel, stack)))
       }
+    def noDuplicates(sel: Seq[Field], path: String): Unit = {
+      // GraphQL merges duplicate selections of one response key; this
+      // dialect does not implement selection merging, and silently
+      // keeping the FIRST (the rows/hits collectFirst sites) would
+      // drop data — so duplicates (now reachable via fragment
+      // spreads) are a targeted error instead
+      val dup = sel.groupBy(_.out).collect { case (k, fs) if fs.size > 1 => k }
+      if (dup.nonEmpty) throw ParseError(
+        s"duplicate selection${if (dup.size > 1) "s" else ""} " +
+          s"${dup.toSeq.sorted.mkString(", ")} at $path — selection " +
+          "merging is not supported; combine the fields into one " +
+          "selection (or alias one of them)")
+      sel.foreach(f => noDuplicates(f.sel, s"$path.${f.name}"))
+    }
     val roots = expand(rootsOpt.getOrElse(throw ParseError(
       "the document has no operation — nothing to execute")), Nil)
-    val unused = frags.keySet.diff(used ++ referenced)
+    val unused = frags.keySet.diff(used)
     if (unused.nonEmpty) throw ParseError(
       s"unused fragment(s): ${unused.toSeq.sorted.mkString(", ")}")
     roots match {
-      case Seq(one) => one
+      case Seq(one) =>
+        noDuplicates(Seq(one), "query")
+        one
       case many => throw ParseError(
         s"exactly one root field is supported, found ${many.map(_.name).mkString(", ")}")
     }
@@ -431,6 +453,11 @@ object GraphQl {
     * selection (NUL-prefixed — can never collide with a field name).
     */
   private val SpreadMark: String = "\u0000..."
+
+  /** Marker for a directive-SKIPPED spread: expanded for
+    * usage/cycle bookkeeping only, contributing no fields.
+    */
+  private val SkipSpreadMark: String = "\u0000xxx"
 
   // ------------------------------------------------------------------
   // Executor
@@ -624,6 +651,10 @@ object GraphQl {
     */
   private def mechanismsConnection(kg: KnowledgeGraph, f: Field,
                                    rootKey: String): DataFrame = {
+    if (f.args.nonEmpty) throw ParseError(
+      s"unknown argument${if (f.args.size > 1) "s" else ""} " +
+        s"${f.args.keys.toSeq.sorted.mkString(", ")} on " +
+        "drug.mechanismsOfAction — it takes no arguments")
     val rowsSel: Seq[Field] = f.sel.find(_.name == "rows").map(_.sel)
       .getOrElse(Seq.empty)
     rowsSel.find(f => f.name == "targets" && f.sel.isEmpty).foreach { _ =>
@@ -805,6 +836,29 @@ object GraphQl {
           s"(got ${extras.mkString(", ")}) — only knownDrugs, " +
           "associatedTargets and associatedDiseases are paginated")
     }
+    // schema parity on the ARGUMENT LIST, after the targeted
+    // misplaced-score/pagination guards above have had their say: an
+    // unknown (or typo'd) argument is a loud error — `scoreThreshhold:`
+    // silently serving the unfiltered connection is the quiet failure
+    // the parser's undeclared-binding check exists to prevent
+    locally {
+      val allowed =
+        (if (Paginable((entity, f.name)))
+           Set("page.index", "page.size", "size") else Set.empty[String]) ++
+        (if (ScoreArgConns((entity, f.name)))
+           Set("scoreThreshold", "orderByScore") else Set.empty[String]) ++
+        Set("scoreThreshold", "orderByScore", "page.index", "page.size",
+          "size").filter(f.args.contains)
+      // (the filter keeps misplaced-but-well-known keys out of THIS
+      // error — the dedicated guards above already rejected them with
+      // the more instructive message)
+      val unknown = f.args.keySet.diff(allowed)
+      if (unknown.nonEmpty) throw ParseError(
+        s"unknown argument${if (unknown.size > 1) "s" else ""} " +
+          s"${unknown.toSeq.sorted.mkString(", ")} on $entity.${f.name}" +
+          (if (allowed.isEmpty) " — it takes no arguments"
+           else s" — supported: ${allowed.toSeq.sorted.mkString(", ")}"))
+    }
     val index: Int = intArg("page.index").getOrElse(0)
     if (index > 0 && explicitSize.isEmpty) throw ParseError(
       "page.index needs page.size")
@@ -908,6 +962,12 @@ object GraphQl {
     * scripts consume `hits[0]` from exactly this shape.
     */
   private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val searchExtra = root.args.keySet.diff(
+      Set("queryString", "entityNames", "page.index", "page.size", "size"))
+    if (searchExtra.nonEmpty) throw ParseError(
+      s"unknown argument${if (searchExtra.size > 1) "s" else ""} " +
+        s"${searchExtra.toSeq.sorted.mkString(", ")} on search — " +
+        "supported: queryString, entityNames, page")
     val qs = root.args.getOrElse("queryString", throw ParseError(
       "search requires the queryString argument"))
     val entities = root.args.get("entityNames")
@@ -953,15 +1013,21 @@ object GraphQl {
     if (root.sel.isEmpty) throw ParseError("search needs a selection")
     size match {
       case None =>
-        // unpaginated: total and the full hit array fold in ONE agg
-        val parts = root.sel.map {
+        // unpaginated: total and the full hit array fold in ONE agg;
+        // __typename projects AFTER the agg — a literal INSIDE the
+        // aggregate (first(lit)) is NULL over a zero-match relation
+        val parts0 = root.sel.filterNot(_.name == "__typename").map {
           case g @ Field("total", _, Seq(), _) => count(lit(1)).as(g.out)
           case g @ Field("hits", _, sel, _) => hitsArray(sel).as(g.out)
-          case g @ Field("__typename", _, _, _) =>
-            first(lit("SearchResults")).as(g.out)
           case g => throw ParseError(s"unreachable: ${g.name}")
         }
+        val parts =
+          if (parts0.nonEmpty) parts0 else Seq(count(lit(1)).as("__n"))
         rel.agg(parts.head, parts.tail: _*)
+          .select(root.sel.map { g =>
+            (if (g.name == "__typename") lit("SearchResults")
+             else col(g.out)).as(g.out)
+          }: _*)
       case Some(n) =>
         // paged: hits aggregate the rank-LIMITED relation (top-k
         // merge, never a whole-match collect); total stays the full
@@ -1015,6 +1081,11 @@ object GraphQl {
     val ids = root.args.getOrElse(keyArg, throw ParseError(
       s"${root.name} requires the $keyArg argument"))
       .split(',').toSeq.filter(_.nonEmpty)
+    val batchExtra = root.args.keySet - keyArg
+    if (batchExtra.nonEmpty) throw ParseError(
+      s"unknown argument${if (batchExtra.size > 1) "s" else ""} " +
+        s"${batchExtra.toSeq.sorted.mkString(", ")} on ${root.name} — " +
+        s"it takes only $keyArg")
     if (ids.isEmpty) throw ParseError(s"$keyArg must not be empty")
     if (root.sel.isEmpty) throw ParseError(
       s"'${root.name}' needs a selection")
@@ -1048,6 +1119,11 @@ object GraphQl {
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +
         (if (root.args.isEmpty) "none" else root.args.keys.mkString(", "))))
+    val extraArgs = root.args.keySet - keyArg
+    if (extraArgs.nonEmpty) throw ParseError(
+      s"unknown argument${if (extraArgs.size > 1) "s" else ""} " +
+        s"${extraArgs.toSeq.sorted.mkString(", ")} on $entity — " +
+        s"it takes only $keyArg (opentargets.schema:1125-1148)")
     if (root.sel.isEmpty) throw ParseError(s"'$entity' needs a selection")
     var df = base.filter(col("id") === rootKey)
     val outCols = root.sel.map { f =>

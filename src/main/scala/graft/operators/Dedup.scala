@@ -294,6 +294,56 @@ object Dedup {
       .unionByName(selfAll.withColumn("vs", lit("batch")))
   }
 
+  /** Point-serve near-dup LOOKUP — "find this document's near-dups
+    * NOW" against the standing archive: the online-QUERY member of
+    * the near-dup family (self-join [[minhashNearDups]], incremental
+    * [[minhashNearDupsIncremental]], and the streaming sink cover the
+    * batch/ingest forms; this is what a dedup SERVICE answers per
+    * request). Probes are a bounded batch (≤ `maxProbes`, rejected
+    * loudly — the broadcast-probe geometry of the serving family):
+    * each probe shingles + bands under the archive's own (k, bands)
+    * parameters (provenance-checked), candidate ids come from ONE
+    * broadcast equi-join of the probe bands against the archive band
+    * table — the archive is never re-banded, never self-joined, and a
+    * bucketed band table prunes to the probes' buckets — and
+    * survivors verify by EXACT Jaccard against the archive shingle
+    * sets. Output: (probe_id, doc_id, jaccard) at ≥ threshold, the
+    * probe's own archived row excluded. Linear in the candidate set,
+    * constant in the corpus beyond the band-bucket touch.
+    */
+  def nearDupLookup(probes: DataFrame, idName: String, textName: String,
+                    archiveShingles: DataFrame, archiveBands: DataFrame,
+                    threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
+                    shingleN: Int = 3, maxProbes: Int = 128): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val shA = requireShingleN(archiveShingles, shingleN)
+    val bandsA = requireBandParams(archiveBands, k, bands)
+    val nProbes = probes.count()
+    require(nProbes <= maxProbes,
+      s"nearDupLookup serves bounded probe batches: got $nProbes probes, " +
+        s"cap $maxProbes — loop batches or raise maxProbes deliberately")
+    val shP = materialized(hashedShingleSets(probes, idName, textName, shingleN))
+    val pBands = minhashBands(sigsFromShingleSets(shP, k), k, bands)
+    val cands = broadcast(pBands).as("l")
+      .join(bandsA.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .filter(col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("probe_id"), col("r.id").as("doc_id"))
+      .distinct()
+    val withSets = cands
+      .join(broadcast(shP.select(col("id").as("probe_id"),
+        col("sh").as("__sh_p"))), "probe_id")
+      .join(shA.select(col("id").as("doc_id"), col("sh").as("__sh_d")),
+        "doc_id")
+    val inter = size(array_intersect(col("__sh_p"), col("__sh_d"))).cast("double")
+    val uni = size(array_union(col("__sh_p"), col("__sh_d"))).cast("double")
+    withSets
+      .withColumn("jaccard",
+        round(when(uni > 0, inter / uni).otherwise(lit(0.0)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("doc_id"), col("jaccard"))
+  }
+
   /** Incremental ingestion dedup: from a NEW batch, keep only
     * documents whose content fingerprint is (a) not in the historical
     * `seenFps` set and (b) first within the batch itself

@@ -952,6 +952,21 @@ object Similarity {
     }
   }
 
+  /** Shared append guard: a replayed/overlapping batch would silently
+    * duplicate rows in a code/vector table and every serve path could
+    * return the same id twice — reject loudly before any file lands.
+    */
+  private def requireIdsDisjoint(spark: org.apache.spark.sql.SparkSession,
+                                 existingTable: String, newRows: DataFrame,
+                                 idName: String, caller: String): Unit = {
+    val clash = newRows.select(col(idName))
+      .join(spark.read.parquet(existingTable).select(col(idName)),
+        Seq(idName), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"$caller: batch re-ingests indexed $idName " +
+        s"${clash.head.get(0)} — id spaces must be disjoint")
+  }
+
   /** Append a new batch to an existing SQ8 index WITHOUT re-deriving
     * scales: the batch quantizes against the PERSISTED scales sidecar
     * (read once, dim-sized) and its packed codes land as new files in
@@ -986,15 +1001,9 @@ object Similarity {
           f"scale ${scales(d)}%.6g — codes would clip; rebuild the index " +
           "over the union instead")
     }
-    // id-disjointness guard (the appendPostings discipline): a
-    // replayed/overlapping batch would silently duplicate rows in the
-    // code table and every serve path could return the same nn_id twice
-    val clash = newEmbeddings.select(col(idName))
-      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
-        Seq(idName), "left_semi").take(1)
-    require(clash.isEmpty,
-      s"appendSq8Index: batch re-ingests indexed $idName " +
-        s"${clash.head.get(0)} — id spaces must be disjoint")
+    // id-disjointness guard (the appendPostings discipline)
+    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
+      "appendSq8Index")
     newEmbeddings.select(col(idName),
         graft.functions.VecFns.packInt8(
           sq8Quantize(col(vecName), scales)).as("codes"))
@@ -1113,12 +1122,8 @@ object Similarity {
           f"scale ${scales(d)}%.6g — codes would clip; rebuild over the union")
     }
     // id-disjointness guard (the appendPostings discipline)
-    val clash = newEmbeddings.select(col(idName))
-      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
-        Seq(idName), "left_semi").take(1)
-    require(clash.isEmpty,
-      s"appendIvfSq8Index: batch re-ingests indexed $idName " +
-        s"${clash.head.get(0)} — id spaces must be disjoint")
+    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
+      "appendIvfSq8Index")
     newEmbeddings
       .withColumn("__cid", nearestCid(col(vecName), cents))
       .select(col(idName), col("__cid"),
@@ -1467,12 +1472,8 @@ object Similarity {
       s"appendBinaryIndex: batch has dimension ${badDim.headOption.map(_.get(0))
         .getOrElse("?")} but the index codes ${thr.length} — not the same " +
         "embedding space")
-    val clash = newEmbeddings.select(col(idName))
-      .join(spark.read.parquet(s"$indexPath/codes").select(col(idName)),
-        Seq(idName), "left_semi").take(1)
-    require(clash.isEmpty,
-      s"appendBinaryIndex: batch re-ingests indexed $idName " +
-        s"${clash.head.get(0)} — id spaces must be disjoint")
+    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
+      "appendBinaryIndex")
     newEmbeddings.select(col(idName),
         binQuantize(col(vecName), thr).as("code"))
       .write.mode("append").parquet(s"$indexPath/codes")

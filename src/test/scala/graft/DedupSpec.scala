@@ -654,4 +654,37 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("nearDupLookup: probe results equal the self-join's probe-touching pairs; caps and parameters loud") {
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+    val sh = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val archBands = Dedup.minhashBands(
+      Dedup.minhashSignaturesFromShingles(sh, k = 32, shingleN = 3))
+    val got = Dedup.nearDupLookup(probes, "doc_id", "text", sh, archBands,
+        threshold = 0.6, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the batch self-join restricted to probe-touching
+    // pairs, both orientations (a probe can be either end), own-id
+    // pairs excluded by construction (id_a < id_b in the self-join)
+    val pids = probes.select("doc_id").as[Long].collect().toSet
+    val self = Dedup.minhashNearDups(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = self.collect {
+        case (a, b, j) if pids(a) => (a, b, j)
+      }.toSet ++ self.collect { case (a, b, j) if pids(b) => (b, a, j) }.toSet
+    assert(got == want, s"lookup ${got.size} pairs != self-join-derived ${want.size}")
+    // a probe never reports its own archived row
+    assert(got.forall { case (p, d, _) => p != d })
+    // the probe cap is loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupLookup(docs, "doc_id", "text", sh, archBands,
+        threshold = 0.6, shingleN = 3, maxProbes = 3)
+    }
+    assert(e.getMessage.contains("bounded probe batches"))
+    // mismatched band parameters are rejected by provenance metadata
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupLookup(probes, "doc_id", "text", sh, archBands,
+        threshold = 0.6, k = 16, bands = 4, shingleN = 3)
+    }
+  }
 }

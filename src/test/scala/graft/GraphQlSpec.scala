@@ -646,6 +646,74 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(e.getMessage.contains("meta-field"))
   }
 
+  test("parse: duplicate selections of one response key are loud, not silently first-wins") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    // directly written duplicates
+    assert(err("""{ disease(efoId: "E") {
+        knownDrugs { rows { phase } rows { drug { id } } } } }""")
+      .contains("duplicate selection"))
+    // the fragment-spread route (two fragments each selecting rows):
+    // GraphQL would MERGE these; this dialect does not implement
+    // merging, so first-wins silent data loss must be an error instead
+    assert(err("""{ disease(efoId: "E") { knownDrugs { ...a ...b } } }
+        fragment a on D { rows { phase } }
+        fragment b on D { rows { drug { id } } }""")
+      .contains("duplicate selection"))
+    // aliases disambiguate — the documented escape hatch
+    val ok = GraphQl.parse("""{ disease(efoId: "E") {
+        knownDrugs { first: rows { phase } second: rows { drug { id } } } } }""")
+    assert(ok.sel.head.sel.map(_.out) == Seq("first", "second"))
+  }
+
+  test("parse: unreachable fragments are unused even when they reference each other") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    // a typo'd spread name leaves the real fragments orphaned — their
+    // mutual references must not mask the unused check
+    assert(err("""{ disease(efoId: "E") { id } }
+        fragment a on D { ...b } fragment b on D { name }""")
+      .contains("unused"))
+    // a directive-SKIPPED spread still counts as usage (it is
+    // reachable), and cycles behind it are still caught
+    assert(GraphQl.parse("""{ disease(efoId: "E") { id ...a @skip(if: true) } }
+        fragment a on Disease { name }""") ==
+      GraphQl.parse("""{ disease(efoId: "E") { id } }"""))
+    assert(err("""{ disease(efoId: "E") { id ...a @skip(if: true) } }
+        fragment a on D { ...b } fragment b on D { ...a }""")
+      .contains("cycle"))
+  }
+
+  test("execute: typo'd or misplaced arguments are loud at every site") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    // the silent-unfiltered-connection failure: a typo'd scoreThreshold
+    assert(err("""{ disease(efoId: "DIS_BUILDING") {
+        associatedTargets(scoreThreshhold: 0.33) { count } } }""")
+      .contains("unknown argument"))
+    // argument-free connections
+    assert(err("""{ target(ensemblId: "TGT_1") {
+        pathways(size: 5) { pathway { id } } } }""")
+      .contains("no pagination"))
+    assert(err("""{ drug(chemblId: "DRG_7") {
+        mechanismsOfAction(size: 5) { rows { mechanismOfAction } } } }""")
+      .contains("takes no arguments"))
+    // root and search argument lists are schema-checked too
+    assert(err("""{ disease(efoId: "DIS_BUILDING", size: 5) { id } }""")
+      .contains("takes only efoId"))
+    assert(err("""{ search(queryString: "B", querystring: "x") { total } }""")
+      .contains("unknown argument"))
+    assert(err("""{ targets(ensemblIds: ["TGT_1"], efoIds: ["D"]) {
+        id } }""").contains("takes only ensemblIds"))
+  }
+
+  test("execute: __typename is non-null on a zero-match unpaginated search") {
+    val row = GraphQl.execute(kg,
+      """{ search(queryString: "zzz_no_match_zzz") { __typename total } }""")
+      .collect().head
+    assert(row.getString(0) == "SearchResults" && row.getLong(1) == 0L)
+  }
+
   test("execute: __typename on mechanismsOfAction object and rows") {
     val moa = GraphQl.execute(kg,
       """{ drug(chemblId: "DRG_7") {
