@@ -141,6 +141,33 @@ object SparkEntry {
       fixturePath("jacpairs", dir, "documents"),
       shingles = Some(sharedShingles(s, dir)))
 
+  /** Persisted exact curation-survivor set — fingerprint keep-first
+    * minus near-dup later-side drops (off [[sharedPairs]]): the batch
+    * "device" q216's gate-equivalence verdict compares the streamed
+    * survivor set against. Standing pipeline state like the shingle
+    * and pair artifacts — built ONCE per corpus generation, so the
+    * benched stream replay pays two anti-joins against a cached
+    * relation instead of recomputing a corpus-wide fingerprint window
+    * every rep (the round-14 `weak` flag on q216's bench billing).
+    */
+  private def sharedCurationExact(s: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath("cursurv", dir, "documents")
+    Artifact.ensure(path) { tmp =>
+      val docs = t(s, dir).documents
+      val fpW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val fpKeep = docs
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .withColumn("__rn", row_number().over(fpW))
+        .filter(col("__rn") === 1).select(col("doc_id"))
+      val ndDrop = sharedPairs(s, dir)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      fpKeep.join(ndDrop, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** One-row (subset_of_exact, recall_ok) verdict over pair relations
     * keyed (id_a, id_b): `got` emits nothing outside `exKeys` and
     * recovers at least `floor` of it (vacuously true on an empty
@@ -4167,21 +4194,13 @@ object SparkEntry {
       val codes = s.read.parquet(s"$scratch/state/sq8/codes").drop("batch")
         .select(col("doc_id"), col("code_sum"))
       val rows = cur.join(codes, Seq("doc_id"), "left")
-      // gate-equivalence verdict vs the exact batch device (fp
-      // keep-first + exact-pair later-side drop off the persisted
-      // pair artifact) — plan-fused 1-row booleans, pinned TRUE
-      val docs = t(s, dir).documents
-      val fpW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fp")).orderBy(col("doc_id"))
-      val fpKeep = docs
-        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-        .withColumn("__rn", row_number().over(fpW))
-        .filter(col("__rn") === 1).select(col("doc_id"))
-      val ndDrop = sharedPairs(s, dir)
-        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-      val exact = docs.select(col("doc_id"))
-        .join(fpKeep, Seq("doc_id"), "left_semi")
-        .join(ndDrop, Seq("doc_id"), "left_anti")
+      // gate-equivalence verdict vs the exact batch device — read off
+      // the PERSISTED survivor artifact ([[sharedCurationExact]]:
+      // fp keep-first ∖ exact-pair later-side drop, built once per
+      // corpus generation), so the benched replay pays two anti-joins
+      // against a cached relation, never the corpus-wide fingerprint
+      // window per rep. Plan-fused 1-row booleans, pinned TRUE.
+      val exact = sharedCurationExact(s, dir)
       val verdict = rows.select(col("doc_id"))
         .join(exact, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("__extra"))

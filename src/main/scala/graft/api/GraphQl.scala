@@ -336,6 +336,21 @@ object GraphQl {
             case _ => Seq.empty
           }
           if (keep) fields += Field(name, args, sel, alias)
+          else {
+            // a directive-excluded field still REFERENCES the fragments
+            // its sub-selection spreads (`foo @skip(if: true) { ...f }`
+            // is spec-valid): retain those spreads as skip-marks so the
+            // unused-fragment and cycle checks see them — the same
+            // bookkeeping a skipped spread itself keeps
+            def skipMarks(s: Seq[Field]): Seq[Field] = s.flatMap { g =>
+              if (g.name.startsWith(SkipSpreadMark)) Seq(g)
+              else if (g.name.startsWith(SpreadMark))
+                Seq(Field(SkipSpreadMark +
+                  g.name.stripPrefix(SpreadMark), Map.empty, Nil))
+              else skipMarks(g.sel)
+            }
+            fields ++= skipMarks(sel)
+          }
         case t => throw ParseError(s"expected a field name, found $t")
       }
       fields.result()
@@ -444,6 +459,10 @@ object GraphQl {
       case Seq(one) =>
         noDuplicates(Seq(one), "query")
         one
+      case Seq() => throw ParseError(
+        "the operation has no root field (its selection is empty, or " +
+          "its only root field was excluded by a directive) — nothing " +
+          "to execute")
       case many => throw ParseError(
         s"exactly one root field is supported, found ${many.map(_.name).mkString(", ")}")
     }
@@ -655,21 +674,31 @@ object GraphQl {
       s"unknown argument${if (f.args.size > 1) "s" else ""} " +
         s"${f.args.keys.toSeq.sorted.mkString(", ")} on " +
         "drug.mechanismsOfAction — it takes no arguments")
-    val rowsSel: Seq[Field] = f.sel.find(_.name == "rows").map(_.sel)
-      .getOrElse(Seq.empty)
-    rowsSel.find(f => f.name == "targets" && f.sel.isEmpty).foreach { _ =>
-      throw ParseError(
-        "'drug.mechanismsOfAction' targets need a selection of target fields")
+    // every aliased `rows` selection, each with its OWN row/targets
+    // sub-selection (response key -> row fields) — per-alias payloads,
+    // the connection-rows discipline (first-wins would silently hand
+    // a second alias the first alias's columns)
+    val rowsSels: Seq[(String, Seq[Field])] = f.sel.collect {
+      case g @ Field("rows", _, sel, _) => g.out -> sel
     }
-    val targetsSel: Seq[Field] = rowsSel.find(_.name == "targets").map(_.sel)
-      .getOrElse(Seq.empty)
+    rowsSels.foreach { case (_, sel) =>
+      if (sel.isEmpty) throw ParseError(
+        "'drug.mechanismsOfAction' rows need a selection")
+      sel.find(h => h.name == "targets" && h.sel.isEmpty).foreach { _ =>
+        throw ParseError(
+          "'drug.mechanismsOfAction' targets need a selection of target fields")
+      }
+    }
+    val outToIdx: Map[String, Int] =
+      rowsSels.map(_._1).zipWithIndex.toMap
     val base = kg.mechanismRows.filter(col("drug_id") === rootKey)
-    // the targets join pays only when a non-id target field is read
-    // (id is already on the edge relation) or uniqueTargetTypes needs
-    // the bioType facet; LEFT for resolver semantics, same as the
-    // flat connections
+    // the targets join pays only when some alias reads a non-id
+    // target field (id is already on the edge relation) or
+    // uniqueTargetTypes needs the bioType facet; LEFT for resolver
+    // semantics, same as the flat connections
     val needTypes = f.sel.exists(_.name == "uniqueTargetTypes")
-    val joined = targetsSel.exists(_.name != "id") || needTypes
+    val joined = needTypes || rowsSels.exists(_._2.exists(h =>
+      h.name == "targets" && h.sel.exists(_.name != "id")))
     val flat =
       if (!joined) base
       else base.join(kg.targets.select(col("id").as("__t_id"),
@@ -677,51 +706,66 @@ object GraphQl {
         col("target_id") === col("__t_id"), "left")
     // joined path: a target id the entity table lacks resolves to a
     // NULL object (same contract as the flat connections' sub-entity
-    // fields); the id-only path reads the edge column, which is
-    // non-null by construction
-    def targetStruct = entityStruct("target", targetsSel,
-      Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym"),
-        "bioType" -> col("__t_bio")))
-    val targetPayload =
-      if (targetsSel.isEmpty) lit(null)
-      else if (joined) when(col("__t_id").isNotNull, targetStruct)
-      else targetStruct
-    // level 1: one row struct per (mechanism, actionType) group with
-    // the group's targets sorted by id inside it (plus the group's
-    // bioType set when uniqueTargetTypes reads it)
-    val lvl1 = Seq(transform(sort_array(collect_list(struct(
-        col("target_id").as("__k0"), targetPayload.as("__p")))),
-        x => x.getField("__p")).as("__targets")) ++
+    // fields); an id-only selection reads the edge column, which is
+    // non-null by construction (even when ANOTHER alias forced the
+    // join — the null guard applies only where the entity table is
+    // actually read)
+    def targetPayload(targetsSel: Seq[Field]): Column = {
+      def ts = entityStruct("target", targetsSel,
+        Map("id" -> col("target_id"), "approvedSymbol" -> col("__t_sym"),
+          "bioType" -> col("__t_bio")))
+      if (targetsSel.exists(_.name != "id"))
+        when(col("__t_id").isNotNull, ts)
+      else ts
+    }
+    // level 1: one sorted targets array PER rows alias that reads
+    // targets (each alias may select different target fields), plus
+    // the group's bioType set when uniqueTargetTypes reads it
+    val targetArrays: Seq[Column] = rowsSels.zipWithIndex.flatMap {
+      case ((_, sel), i) =>
+        sel.find(_.name == "targets").map(_.sel).filter(_.nonEmpty).map {
+          ts =>
+            transform(sort_array(collect_list(struct(
+              col("target_id").as("__k0"), targetPayload(ts).as("__p")))),
+              x => x.getField("__p")).as(s"__targets_$i")
+        }
+    }
+    val lvl1 = targetArrays ++
       (if (needTypes) Seq(collect_set(col("__t_bio")).as("__ttypes"))
        else Nil)
+    // groups still need folding when nothing reads targets/types
+    val lvl1Full =
+      if (lvl1.nonEmpty) lvl1 else Seq(count(lit(1)).as("__gn"))
     val grouped = flat.groupBy(col("mechanismOfAction"), col("actionType"))
-      .agg(lvl1.head, lvl1.tail: _*)
-    val rowPayload = struct(rowsSel.map {
-      case g @ Field("mechanismOfAction", _, Seq(), _) =>
-        col("mechanismOfAction").as(g.out)
-      case g @ Field("actionType", _, Seq(), _) => col("actionType").as(g.out)
-      case g @ Field("targets", _, _, _) => col("__targets").as(g.out)
-      case g @ Field("__typename", _, _, _) =>
-        noSubSel(g); lit("MechanismOfActionRow").as(g.out)
-      case g => throw ParseError(
-        s"unknown field '${g.name}' on drug.mechanismsOfAction rows — " +
-          "supported: mechanismOfAction, actionType, targets")
-    }: _*)
+      .agg(lvl1Full.head, lvl1Full.tail: _*)
+    def rowPayload(out: String, rowsSel: Seq[Field]): Column =
+      struct(rowsSel.map {
+        case g @ Field("mechanismOfAction", _, Seq(), _) =>
+          col("mechanismOfAction").as(g.out)
+        case g @ Field("actionType", _, Seq(), _) =>
+          col("actionType").as(g.out)
+        case g @ Field("targets", _, _, _) =>
+          col(s"__targets_${outToIdx(out)}").as(g.out)
+        case g @ Field("__typename", _, _, _) =>
+          noSubSel(g); lit("MechanismOfActionRow").as(g.out)
+        case g => throw ParseError(
+          s"unknown field '${g.name}' on drug.mechanismsOfAction rows — " +
+            "supported: mechanismOfAction, actionType, targets")
+      }: _*)
     // level 2: collect the row structs, deterministically ordered by
     // the mechanism label (unique per group — actionType is a
-    // function of it)
+    // function of it); one fold per rows alias, named by its out
     val parts0 = f.sel.filterNot(_.name == "__typename").map {
-      case Field("rows", _, sel, _) =>
-        if (sel.isEmpty) throw ParseError(
-          "'drug.mechanismsOfAction' rows need a selection")
+      case g @ Field("rows", _, sel, _) =>
         transform(sort_array(collect_list(struct(
-          col("mechanismOfAction").as("__k0"), rowPayload.as("__p")))),
-          x => x.getField("__p")).as("rows")
-      case Field("uniqueActionTypes", _, Seq(), _) =>
-        sort_array(collect_set(col("actionType"))).as("uniqueActionTypes")
-      case Field("uniqueTargetTypes", _, Seq(), _) =>
+          col("mechanismOfAction").as("__k0"),
+          rowPayload(g.out, sel).as("__p")))),
+          x => x.getField("__p")).as(g.out)
+      case g @ Field("uniqueActionTypes", _, Seq(), _) =>
+        sort_array(collect_set(col("actionType"))).as(g.out)
+      case g @ Field("uniqueTargetTypes", _, Seq(), _) =>
         sort_array(array_distinct(flatten(collect_list(col("__ttypes")))))
-          .as("uniqueTargetTypes")
+          .as(g.out)
       case g => throw ParseError(
         s"unknown field '${g.name}' on drug.mechanismsOfAction — " +
           "supported: rows, uniqueActionTypes, uniqueTargetTypes")
@@ -735,7 +779,7 @@ object GraphQl {
     grouped.agg(parts.head, parts.tail: _*)
       .select(struct(f.sel.map { g =>
         (if (g.name == "__typename") lit("MechanismsOfAction")
-         else col(g.name)).as(g.out)
+         else col(g.out)).as(g.out)
       }: _*).as(f.out))
   }
 
@@ -778,11 +822,14 @@ object GraphQl {
                            rootKey: String): DataFrame = {
     if (entity == "drug" && f.name == "mechanismsOfAction")
       return mechanismsConnection(kg, f, rootKey)
-    // field names the row selection references, for selection-driven
-    // sub-entity joins: rows-wrapped connections read their `rows`
-    // selection (count-only queries join nothing), pathways its own
-    val rowNames = f.sel.find(_.name == "rows").map(_.sel.map(_.name))
-      .getOrElse(f.sel.map(_.name)).toSet
+    // field names the row selections reference, for selection-driven
+    // sub-entity joins: rows-wrapped connections read the UNION of
+    // every aliased `rows` selection (count-only queries join
+    // nothing), pathways its own
+    val allRowsSels = f.sel.filter(_.name == "rows")
+    val rowNames =
+      (if (allRowsSels.nonEmpty) allRowsSels.flatMap(_.sel.map(_.name))
+       else f.sel.map(_.name)).toSet
     val c0 = conn(kg, entity, f.name, rootKey, rowNames)
     // engine-side score-argument pushdown for the association
     // connections — arguments the reference schema declares
@@ -898,12 +945,12 @@ object GraphQl {
       * The collect+sort_array+slice inside [[rowsArray]] then works
       * on at most (index+1)·size rows.
       */
-    def rowsDfFor(sel: Seq[Field]): DataFrame = {
+    def rowsDfFor(sel: Seq[Field], out: String): DataFrame = {
       val src = size.fold(c.flat) { n =>
         val limitN = math.min((index + 1).toLong * n, Int.MaxValue.toLong).toInt
         c.flat.sort(c.sortKeys: _*).limit(limitN)
       }
-      src.agg(rowsArray(sel).as("rows"))
+      src.agg(rowsArray(sel).as(out))
     }
     if (c.hasRows) {
       f.sel.foreach {
@@ -925,21 +972,26 @@ object GraphQl {
           Some(thresholdArg.fold(base)(t => base.filter(col("score") >= t))
             .agg(count(lit(1)).as("count")))
         }
-      val rowsDf: Option[DataFrame] = f.sel.collectFirst {
-        case Field("rows", _, sel, _) => rowsDfFor(sel)
+      // ONE aggregate per aliased `rows` selection, each named by its
+      // response key — `a: rows { phase } b: rows { drug { id } }`
+      // serves each alias ITS OWN payload (the noDuplicates check
+      // guarantees distinct outs; first-wins here would silently hand
+      // b alias a's columns)
+      val rowsDfs: Seq[DataFrame] = f.sel.collect {
+        case g @ Field("rows", _, sel, _) => rowsDfFor(sel, g.out)
       }
-      // both sides are 1-row relations; the cross join is a broadcast
-      val combined = (countDf, rowsDf) match {
-        case (Some(cd), Some(rd)) => cd.crossJoin(broadcast(rd))
-        case (Some(cd), None) => cd
-        case (None, Some(rd)) => rd
-        // a __typename-only selection: nothing to aggregate, one
-        // constant row
-        case (None, None) => c.flat.sparkSession.range(1).toDF()
-      }
+      // all sides are 1-row relations; the cross joins are broadcasts
+      val sides = countDf.toSeq ++ rowsDfs
+      val combined =
+        if (sides.isEmpty)
+          // a __typename-only selection: nothing to aggregate, one
+          // constant row
+          c.flat.sparkSession.range(1).toDF()
+        else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
       combined.select(struct(f.sel.map { g =>
-        (if (g.name == "__typename") lit(connType) else col(g.name))
-          .as(g.out)
+        (if (g.name == "__typename") lit(connType)
+         else if (g.name == "count") col("count")
+         else col(g.out)).as(g.out)
       }: _*).as(f.out))
     } else
       c.flat.agg(rowsArray(f.sel).as(f.out))
@@ -1035,22 +1087,24 @@ object GraphQl {
         val totalDf: Option[DataFrame] =
           if (!root.sel.exists(_.name == "total")) None
           else Some(rel.agg(count(lit(1)).as("total")))
-        val hitsDf: Option[DataFrame] = root.sel.collectFirst {
-          case Field("hits", _, sel, _) =>
+        // one aggregate per aliased `hits` selection, named by its
+        // response key (the connection-rows discipline — each alias
+        // gets its own payload, never first-wins)
+        val hitsDfs: Seq[DataFrame] = root.sel.collect {
+          case g @ Field("hits", _, sel, _) =>
             val limitN = math.min((index + 1).toLong * n,
               Int.MaxValue.toLong).toInt
             rel.sort(col("name"), col("id")).limit(limitN)
-              .agg(hitsArray(sel).as("hits"))
+              .agg(hitsArray(sel).as(g.out))
         }
-        val combined = (totalDf, hitsDf) match {
-          case (Some(td), Some(hd)) => td.crossJoin(broadcast(hd))
-          case (Some(td), None) => td
-          case (None, Some(hd)) => hd
-          case (None, None) => rel.sparkSession.range(1).toDF()
-        }
+        val sides = totalDf.toSeq ++ hitsDfs
+        val combined =
+          if (sides.isEmpty) rel.sparkSession.range(1).toDF()
+          else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
         combined.select(root.sel.map { g =>
-          (if (g.name == "__typename") lit("SearchResults") else col(g.name))
-            .as(g.out)
+          (if (g.name == "__typename") lit("SearchResults")
+           else if (g.name == "total") col("total")
+           else col(g.out)).as(g.out)
         }: _*)
     }
   }

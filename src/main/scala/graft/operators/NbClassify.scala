@@ -203,9 +203,11 @@ object NbClassify {
     scoreWithModel(tokCnt, classDocs, test, idName, labelName, text)
   }
 
-  /** Confusion matrix + per-class accuracy of [[nbPredict]]'s output:
-    * (actual, predicted, n, class_n, acc) — the evaluation report a
-    * classifier gate ships with. One keyed agg + a per-actual-class
+  /** Confusion matrix + per-class fractions of [[nbPredict]]'s output:
+    * (actual, predicted, n, class_n, frac) where `frac` = n/class_n,
+    * the fraction of the actual class landing on each predicted label
+    * (the diagonal rows are per-class recall) — the evaluation report
+    * a classifier gate ships with. One keyed agg + a per-actual-class
     * window total.
     */
   def nbConfusion(predictions: DataFrame, labelName: String): DataFrame = {

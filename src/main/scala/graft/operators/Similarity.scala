@@ -373,14 +373,7 @@ object Similarity {
     embeddings.withColumn("__cid", nearestCid(col(vecName), cents))
       .write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$indexPath/vectors")
-    import scala.jdk.CollectionConverters._
-    val rows = cents.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toSeq)
-    }.asJava
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "cid INT, centroid ARRAY<FLOAT>")
-    spark.createDataFrame(rows, schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    writeCentroids(spark, cents, indexPath)
     // build-time per-list baseline (occupancy + mean residual): the
     // reference point [[ivfDriftReport]] measures append drift
     // against. Computed from the WRITTEN vectors table (the
@@ -513,6 +506,98 @@ object Similarity {
       .withColumn("__cid", nearestCid(col(vecName), cents))
       .write.mode("append").partitionBy("__cid")
       .parquet(s"$indexPath/vectors")
+  }
+
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             cents: Seq[Array[Float]],
+                             indexPath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cid INT, centroid ARRAY<FLOAT>")
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Partial rebuild of DRIFTED lists — the remedy [[ivfDriftReport]]
+    * points at, without paying a full re-train + full-table rewrite
+    * (at 100 TB a handful of flagged lists is a sliver of the
+    * inverted file). The flagged lists' members are read back
+    * (directory-pruned — only those partitions), a fresh deterministic
+    * quantizer is trained over JUST them, and each member re-assigns
+    * to its nearest RETRAINED slot — never into an untouched list —
+    * so the write is a directory-scoped dynamic partition overwrite
+    * (the historyBuckets discipline) touching exactly the flagged
+    * `__cid=` directories; untouched list files stay byte-identical
+    * (spec-pinned). The centroid sidecar swaps only the flagged slots
+    * and the stats sidecar RE-BASELINES only the flagged rows, so a
+    * subsequent [[ivfDriftReport]] measures drift against the rebuilt
+    * state. Probe-side cost/recall recovery is measured in
+    * ProbeMaintain (SCALING.md). Not crash-atomic — run inside the
+    * caller's publish step, like every append path here.
+    */
+  def rebuildIvfLists(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idName: String, vecName: String,
+                      cids: Seq[Int]): Unit = {
+    require(cids.nonEmpty, "rebuildIvfLists: no lists to rebuild")
+    require(cids.distinct.size == cids.size,
+      s"rebuildIvfLists: duplicate cids in ${cids.mkString(",")}")
+    val cents = readCentroids(spark, indexPath)
+    val unknown = cids.filterNot(c => c >= 0 && c < cents.size)
+    require(unknown.isEmpty,
+      s"rebuildIvfLists: unknown cid(s) ${unknown.mkString(",")} " +
+        s"(nlist=${cents.size})")
+    val vecsPath = s"$indexPath/vectors"
+    val members = spark.read.parquet(vecsPath)
+      .filter(col("__cid").isin(cids: _*))
+      .select(col(idName), col(vecName))
+    require(!members.isEmpty,
+      "rebuildIvfLists: the flagged lists hold no members")
+    val newCents = trainCentroids(members, idName, vecName, cids.size)
+    // re-assign among the retrained slots ONLY: the overwrite below
+    // replaces partitions present in the written data — a member
+    // routed into an unflagged list would clobber that whole list
+    val reassigned = members
+      .withColumn("__cid",
+        element_at(typedlit(cids), nearestCid(col(vecName), newCents) + 1))
+    // materialize before overwriting the relation it was read from
+    val out = reassigned.localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__cid").parquet(vecsPath)
+    // a retrained slot that captured no members is not in the written
+    // data, so dynamic overwrite leaves its STALE directory — drop it
+    val landed = out.select(col("__cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.unpersist()
+    cids.filterNot(landed).foreach { c =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$vecsPath/__cid=$c"))
+    }
+    // sidecars: swap the flagged slots' centroids; re-baseline the
+    // flagged rows of the drift-stats sidecar from the rewritten lists
+    val cidToSlot = cids.zipWithIndex.toMap
+    val updCents = cents.zipWithIndex.map { case (c, i) =>
+      cidToSlot.get(i).map(newCents).getOrElse(c)
+    }
+    writeCentroids(spark, updCents, indexPath)
+    val fresh = listStats(
+        spark.read.parquet(vecsPath).filter(col("__cid").isin(cids: _*)),
+        updCents, vecName)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+    val kept = spark.read.parquet(s"$indexPath/stats")
+      .filter(!col("cid").isin(cids: _*))
+    val stats = kept.unionByName(fresh).localCheckpoint(true)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    stats.unpersist()
+    ()
   }
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -654,6 +739,51 @@ object Similarity {
     }
   }
 
+  /** The codebook sidecar as driver state: numSub × k × subDim —
+    * parameter-sized, ordered (sub, code).
+    */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Seq[Seq[Array[Float]]] =
+    spark.read.parquet(s"$indexPath/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Append a batch to a PQ index under the FROZEN codebook sidecar —
+    * the maintenance path the other quantization tiers already carry
+    * (IVF [[appendIvfIndex]], SQ8 [[appendSq8Index]], binary
+    * [[appendBinaryIndex]]). [[pqEncode]] is a pure function of
+    * (vector, codebooks), so the appended code table is BIT-IDENTICAL
+    * to one built from scratch over the union with the same codebooks
+    * (spec-pinned), and pre-append code rows are untouched (append
+    * only adds files). Loud guards match the family discipline:
+    * dimensionality (a batch whose vectors are not numSub·subDim wide
+    * is a different embedding space — slice() would quietly encode
+    * short subvectors) and id-disjointness (a replayed batch would
+    * duplicate code rows). Codebook drift is the documented debt: a
+    * shifted ingest distribution encodes against stale cells and ADC
+    * ranking degrades — rebuild (ensurePqIndex over the union) when
+    * the re-rank stage stops hiding it. Not crash-atomic — run inside
+    * the caller's publish step.
+    */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, newEmbeddings: DataFrame,
+                    idName: String, vecName: String): Unit = {
+    val books = readPqCodebooks(spark, indexPath)
+    val dim = books.size * books.head.head.length
+    val badDim = newEmbeddings
+      .select(size(col(vecName)).as("d")).filter(col("d") =!= dim)
+      .take(1)
+    require(badDim.isEmpty,
+      s"appendPqIndex: batch has dimension ${badDim.headOption.map(_.get(0))
+        .getOrElse("?")} but the codebooks encode $dim — not the same " +
+        "embedding space")
+    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
+      "appendPqIndex")
+    newEmbeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
   /** ADC search over the PQ index: score every code row against the
     * query's per-subspace distance table (a literal — parameter-sized
     * driver state), take the `rerank` best candidates from the CODE
@@ -666,10 +796,7 @@ object Similarity {
              queryVec: Array[Float], kOut: Int, rerank: Int = 64,
              excludeId: Long = -1L): DataFrame = {
     require(rerank >= kOut && kOut >= 1)
-    val books: Seq[Seq[Array[Float]]] = spark.read.parquet(s"$indexPath/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val books = readPqCodebooks(spark, indexPath)
     val numSub = books.size
     val w = books.head.head.length
     // ADC table: adc(s)(c) = ‖c‖² − 2·q_s·c (rank-equivalent to the
@@ -1369,6 +1496,7 @@ object Similarity {
                  queryId: Long, k: Int, rerank: Int): DataFrame = {
     require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
     val thr = binThresholds(embeddings, vecName)
+    requireBinDim(embeddings, vecName, thr.length, "binaryTopK")
     val qRows = embeddings.filter(col(idName) === queryId)
       .select(binQuantize(col(vecName), thr).as("q"), col(vecName))
     val qHead = qRows.take(1)
@@ -1399,10 +1527,29 @@ object Similarity {
   def buildBinaryIndex(embeddings: DataFrame, idName: String, vecName: String,
                        indexPath: String): Unit = {
     val thr = binThresholds(embeddings, vecName)
+    requireBinDim(embeddings, vecName, thr.length, "buildBinaryIndex")
     embeddings.select(col(idName),
         binQuantize(col(vecName), thr).as("code"))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
     writeBinThresholds(embeddings.sparkSession, thr, indexPath)
+  }
+
+  /** Loud dimensionality guard for the binary tier's build/ad-hoc
+    * paths: [[binQuantize]]'s zip_with null-pads a vector shorter (or
+    * silently truncates one longer) than the thresholds array, coding
+    * the missing dimensions as 0 bits — a ragged corpus would
+    * mis-code QUIETLY. The append path already guards
+    * ([[appendBinaryIndex]]); this is the same check for the paths
+    * that derive thresholds themselves.
+    */
+  private def requireBinDim(embeddings: DataFrame, vecName: String,
+                            dim: Int, who: String): Unit = {
+    val bad = embeddings.select(size(col(vecName)).as("d"))
+      .filter(col("d") =!= dim).take(1)
+    require(bad.isEmpty,
+      s"$who: corpus has a vector of dimension ${bad.headOption.map(_.get(0))
+        .getOrElse("?")} but the thresholds code $dim dimensions — " +
+        "ragged embedding corpus")
   }
 
   private def writeBinThresholds(spark: org.apache.spark.sql.SparkSession,
@@ -1541,8 +1688,23 @@ object Similarity {
     * exact integer math (1e12 × the float-space squared distances,
     * up to the per-coordinate quantization).
     */
+  /** Ceiling on the inDim×outDim sign literals [[randomProject]]
+    * inlines into the plan. Above it the PLAN itself becomes the
+    * bottleneck (analysis + codegen blow up on hundreds of thousands
+    * of literals — e.g. 1024→128 = 131k) and the operator would
+    * contradict its own 100 TB pitch; [[randomProjectJoined]] carries
+    * the same matrix as a broadcast relation instead.
+    */
+  val JlLiteralCap: Int = 65536
+
   def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long): Column = {
     require(inDim >= 1 && outDim >= 1, s"bad dims in=$inDim out=$outDim")
+    require(inDim.toLong * outDim <= JlLiteralCap,
+      s"randomProject inlines inDim*outDim = ${inDim.toLong * outDim} " +
+        s"sign literals into the plan — above $JlLiteralCap the plan " +
+        "itself becomes the bottleneck (analysis/codegen blowup); use " +
+        "randomProjectJoined, which carries the sign matrix as a " +
+        "broadcast relation")
     val vq = transform(vec.cast("array<double>"),
       x => round(x * lit(1e6), 0).cast("long"))
     val cols = (0 until outDim).map { j =>
@@ -1551,6 +1713,58 @@ object Similarity {
         lit(0L), (a, b) => a + b)
     }
     array(cols: _*)
+  }
+
+  /** The JL sign matrix as a RELATION (d, j, sign) — the same md5
+    * device as [[jlSign]], computed distributed via the engine's md5
+    * built-in (bit 4 of the digest's first byte = parity of its first
+    * hex character), so matrix entries are identical to the literal
+    * path's and still replay exactly in SQL.
+    */
+  def jlSignRel(spark: org.apache.spark.sql.SparkSession,
+                inDim: Int, outDim: Int, seed: Long): DataFrame =
+    spark.range(inDim.toLong * outDim).select(
+        floor(col("id") / lit(outDim)).cast("int").as("d"),
+        pmod(col("id"), lit(outDim.toLong)).cast("int").as("j"))
+      .withColumn("sign",
+        when(pmod(conv(substring(md5(concat_ws("_",
+            lit("jl"), lit(seed), col("d"), col("j"))), 1, 1),
+            16, 10).cast("long"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)))
+
+  /** [[randomProject]] at PRODUCTION widths: the sign matrix rides as
+    * a broadcast relation (inDim×outDim rows — a few MB even at
+    * 4096→256) instead of plan literals. posexplode → broadcast join
+    * on the input dimension → two keyed aggregations (partial
+    * map-side combine collapses the inDim products per (id, j) before
+    * the shuffle, so the exchange carries N×outDim rows, not
+    * N×inDim×outDim). Values are IDENTICAL to the literal path
+    * (spec-pinned at a width both can run): same 1e-6 fixed-point
+    * quantization, same md5 sign device, integer sums —
+    * order-independent.
+    */
+  def randomProjectJoined(embeddings: DataFrame, idName: String,
+                          vecName: String, inDim: Int, outDim: Int,
+                          seed: Long): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims in=$inDim out=$outDim")
+    val spark = embeddings.sparkSession
+    val bad = embeddings.select(size(col(vecName)).as("d"))
+      .filter(col("d") =!= inDim).take(1)
+    require(bad.isEmpty,
+      s"randomProjectJoined: corpus has a vector of dimension " +
+        s"${bad.headOption.map(_.get(0)).getOrElse("?")} but inDim=$inDim " +
+        "— ragged embedding corpus")
+    val m = jlSignRel(spark, inDim, outDim, seed)
+    embeddings
+      .select(col(idName),
+        posexplode(col(vecName).cast("array<double>")).as(Seq("d", "x")))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("long"))
+      .join(broadcast(m), Seq("d"))
+      .groupBy(col(idName), col("j"))
+      .agg(sum(col("xq") * col("sign")).as("p"))
+      .groupBy(col(idName))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("p")))),
+        x => x.getField("p")).as("proj"))
   }
 
   /** Exact top-k in the PROJECTED space: rank by integer squared L2

@@ -783,4 +783,75 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#")
     assert(shape(off) == shape(plain))
   }
+
+  test("execute: aliased duplicate rows serve each alias ITS OWN payload") {
+    // connection rows: alias a reads phase, alias b reads drug{id} —
+    // each alias must carry its own columns (first-wins would hand b
+    // alias a's phase payload)
+    val got = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") { knownDrugs(size: 5) {
+           count a: rows { phase } b: rows { drug { id } } } } }""")
+      .head().getStruct(0)
+    assert(got.schema.fieldNames.toSeq == Seq("count", "a", "b"))
+    val aRows = got.getSeq[Row](1)
+    val bRows = got.getSeq[Row](2)
+    assert(aRows.size == 5 && bRows.size == 5)
+    assert(aRows.head.schema.fieldNames.toSeq == Seq("phase"))
+    assert(bRows.head.schema.fieldNames.toSeq == Seq("drug"))
+    assert(bRows.head.getStruct(0).getString(0).startsWith("DRG_"))
+    // mechanisms rows: per-alias targets sub-selections stay separate
+    val m = GraphQl.execute(kg,
+      """{ drug(chemblId: "DRG_7") { mechanismsOfAction {
+           slim: rows { mechanismOfAction targets { id } }
+           full: rows { mechanismOfAction targets { id bioType } } } } }""")
+      .head().getStruct(0)
+    assert(m.schema.fieldNames.toSeq == Seq("slim", "full"))
+    val slim = m.getSeq[Row](0)
+    val full = m.getSeq[Row](1)
+    assert(slim.nonEmpty && slim.size == full.size)
+    assert(slim.head.getSeq[Row](1).head.schema.fieldNames.toSeq == Seq("id"))
+    assert(full.head.getSeq[Row](1).head.schema.fieldNames.toSeq ==
+      Seq("id", "bioType"))
+    assert(full.head.getSeq[Row](1).head.getString(1).nonEmpty)
+  }
+
+  test("execute: aliased duplicate hits on a PAGED search stay per-alias") {
+    val s = GraphQl.execute(kg,
+      """{ search(queryString: "e", entityNames: ["target"], size: 3) {
+           total idOnly: hits { id } named: hits { id name } } }""").head()
+    assert(s.schema.fieldNames.toSeq == Seq("total", "idOnly", "named"))
+    val idOnly = s.getSeq[Row](1)
+    val named = s.getSeq[Row](2)
+    assert(idOnly.size == 3 && named.size == 3)
+    assert(idOnly.head.schema.fieldNames.toSeq == Seq("id"))
+    assert(named.head.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(idOnly.map(_.getString(0)) == named.map(_.getString(0)))
+  }
+
+  test("parse: a directive-skipped field keeps its sub-selection's fragment usage") {
+    // `foo @skip(if: true) { ...f }` is spec-valid: f is REFERENCED
+    // even though the field is excluded — no spurious unused-fragment
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id foo @skip(if: true) { ...f } } }
+         fragment f on Disease { name }""") ==
+      GraphQl.parse("""{ disease(efoId: "E") { id } }"""))
+    // nested: the spread sits two levels under the excluded field
+    assert(GraphQl.parse(
+      """{ disease(efoId: "E") { id foo @skip(if: true) { bar { ...f } } } }
+         fragment f on Disease { name }""") ==
+      GraphQl.parse("""{ disease(efoId: "E") { id } }"""))
+    // a cycle behind the excluded field is still caught
+    val e = intercept[ParseError](GraphQl.parse(
+      """{ disease(efoId: "E") { id foo @skip(if: true) { ...a } } }
+         fragment a on D { ...b } fragment b on D { ...a }"""))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("parse: an operation left with no root field gets a targeted message") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.parse(q)).getMessage
+    assert(err("""{ disease(efoId: "E") @skip(if: true) { id } }""")
+      .contains("no root field"))
+    assert(err("{ }").contains("no root field"))
+  }
 }

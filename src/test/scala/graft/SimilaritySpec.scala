@@ -978,4 +978,164 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("vec_id") >= 100000L).count() == 50,
       "rejected append left partial files")
   }
+
+  /** Path -> md5 for every parquet data file under a directory tree —
+    * the byte-identity witness the maintenance-path specs pin.
+    */
+  private def dirSig(p: String): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk).toSeq
+      else Seq(f)
+    walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet")).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      f.getPath ->
+        md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("PQ append: frozen-codebook coding equals a union rebuild; pre-append files untouched; mismatches rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("pqappend").toString + "/idx"
+    val baseE = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    Similarity.buildPqIndex(baseE, "vec_id", "embedding", numSub = 8, k = 16, dir)
+    val booksBefore = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(_.toString).sorted.toSeq
+    val sigBefore = dirSig(s"$dir/codes")
+    Similarity.appendPqIndex(spark, dir, batch, "vec_id", "embedding")
+    // the codebook sidecar is untouched
+    assert(spark.read.parquet(s"$dir/codebooks")
+      .collect().map(_.toString).sorted.toSeq == booksBefore,
+      "append touched the codebooks sidecar")
+    // pre-append code files are byte-identical — append only ADDS
+    val sigAfter = dirSig(s"$dir/codes")
+    assert(sigBefore.forall { case (p, h) => sigAfter.get(p).contains(h) },
+      "append rewrote a pre-existing code file")
+    assert(sigAfter.size > sigBefore.size, "append added no files")
+    // the appended table equals encoding the UNION under the frozen
+    // codebooks — pqEncode is a pure function of (vector, books)
+    val books = Similarity.readPqCodebooks(spark, dir)
+    val got = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = emb.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == want)
+    // the serve path works off the appended index and can surface an
+    // appended id
+    val q3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val served = Similarity.pqTopK(spark, dir, emb, "vec_id", "embedding",
+      q3, kOut = 10, rerank = 100, excludeId = 3L).collect()
+    assert(served.length == 10)
+    // a batch from a different embedding space is rejected loudly
+    val wide = batch.select((col("vec_id") + 500000L).as("vec_id"),
+      concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(spark, dir, wide, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not the same embedding space"))
+    // a replayed batch is rejected loudly
+    val replay = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(spark, dir, batch, "vec_id", "embedding")
+    }
+    assert(replay.getMessage.contains("id spaces must be disjoint"))
+    assert(dirSig(s"$dir/codes") == sigAfter,
+      "rejected appends left partial files")
+  }
+
+  test("rebuildIvfLists: only flagged directories rewritten; members conserved; drift report comes back clean") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfreb").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, dir)
+    // the q213 drift fixture: a shifted mode crowds into frozen lists
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x)).as("embedding"))
+    Similarity.appendIvfIndex(spark, dir, shifted, "vec_id", "embedding")
+    val flagged = Similarity.ivfDriftReport(spark, dir, "embedding")
+      .filter(col("drifted")).select(col("cid").cast("int"))
+      .as[Int].collect().toSeq.sorted
+    assert(flagged.nonEmpty)
+    val allCids = Similarity.ivfDriftReport(spark, dir, "embedding")
+      .select(col("cid").cast("int")).as[Int].collect().toSet
+    val untouchedSigs = (allCids -- flagged.toSet).map { c =>
+      c -> dirSig(s"$dir/vectors/__cid=$c")
+    }.toMap
+    val flaggedIdsBefore = spark.read.parquet(s"$dir/vectors")
+      .filter(col("__cid").isin(flagged: _*))
+      .select("vec_id").as[Long].collect().toSet
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", flagged)
+    // untouched list files byte-identical
+    untouchedSigs.foreach { case (c, sig) =>
+      assert(dirSig(s"$dir/vectors/__cid=$c") == sig,
+        s"rebuild touched unflagged list $c")
+    }
+    // flagged members conserved: same id set, redistributed among the
+    // retrained slots only
+    val after = spark.read.parquet(s"$dir/vectors")
+    val flaggedIdsAfter = after.filter(col("__cid").isin(flagged: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(flaggedIdsAfter == flaggedIdsBefore,
+      "rebuild moved members into (or out of) untouched lists")
+    assert(after.count() == emb.count() * 2)
+    // unflagged centroids unchanged; flagged slots retrained
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(centsAfter.keySet == centsBefore.keySet)
+    (allCids -- flagged.toSet).foreach(c =>
+      assert(centsAfter(c) == centsBefore(c), s"unflagged centroid $c moved"))
+    // the drift report re-baselines: nothing flagged afterwards
+    val rep2 = Similarity.ivfDriftReport(spark, dir, "embedding")
+      .filter(col("drifted")).collect()
+    assert(rep2.isEmpty, s"post-rebuild drift flags: ${rep2.toSeq}")
+    // serve path still returns k rows for a drifted-mode query
+    val qd = shifted.filter(col("vec_id") === 1000000L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      qd, k = 10, nprobe = 4, excludeId = 1000000L).count() == 10)
+    // loud argument errors
+    intercept[IllegalArgumentException](
+      Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq.empty))
+    intercept[IllegalArgumentException](
+      Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq(99)))
+    intercept[IllegalArgumentException](
+      Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq(1, 1)))
+  }
+
+  test("JL width guard: literal cap fires loudly; joined variant equals the literal path and runs at production width") {
+    // above the cap the literal path is rejected with the remedy
+    val e = intercept[IllegalArgumentException](
+      Similarity.randomProject(col("embedding"), 1024, 128, seed = 7L))
+    assert(e.getMessage.contains("randomProjectJoined"))
+    // at a width both paths run, values are IDENTICAL (same md5 sign
+    // device, same fixed-point quantization)
+    val lit64 = emb.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 64, 16, 7L).as("proj"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val joined = Similarity.randomProjectJoined(emb, "vec_id", "embedding",
+        64, 16, 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(joined == lit64)
+    // production width 1024 -> 128: a synthetic wide corpus projects
+    // without plan blowup, deterministically across partitionings
+    val wide = spark.range(30).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(1023)),
+        d => ((pmod(col("id") * 31 + d.cast("long") * 7, lit(97L))
+          .cast("double") / lit(97.0)) - lit(0.5)).cast("float"))
+        .as("embedding"))
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      Similarity.randomProjectJoined(df, "vec_id", "embedding",
+          1024, 128, 7L)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val p1 = run(wide)
+    assert(p1.size == 30 && p1.values.forall(_.size == 128))
+    assert(run(wide.repartition(7)) == p1)
+    // ragged corpus rejected loudly
+    val ragged = intercept[IllegalArgumentException](
+      Similarity.randomProjectJoined(emb, "vec_id", "embedding", 32, 8, 7L))
+    assert(ragged.getMessage.contains("ragged"))
+  }
 }
