@@ -4175,8 +4175,14 @@ object SparkEntry {
       val emb = t(s, dir).embeddings
         .select(col("vec_id").as("doc_id"), col("embedding"))
       Similarity.initSq8Scales(emb, "embedding", s"$scratch/state/sq8")
+      // two files per trigger: the multi-batch accumulation (batch 2's
+      // gates referencing batch 1's state) is exercised with HALF the
+      // per-trigger fixed cost — q199 keeps the 4-trigger form, and
+      // StreamOpsSpec carries the per-batch replay rigor; this row's
+      // job is the end-to-end pipeline under a full oracle (the r14
+      // bench flagged its cost class, not its plan)
       val docsStream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+        .option("maxFilesPerTrigger", 2).parquet(src)
       val query = graft.streaming.StreamOps.curationSink(docsStream, emb,
         s"$scratch/state", "doc_id", "text", "embedding",
         DictPatterns, token = "[X]", s"$scratch/ckpt",
@@ -4186,7 +4192,7 @@ object SparkEntry {
       SelfCheck.every(s"q216/$dir") {
         val nb = new java.io.File(s"$scratch/state/curated").listFiles()
           .count(f => f.isDirectory && f.getName.startsWith("batch="))
-        require(nb == 4, s"q216 expected 4 ingested batches, got $nb")
+        require(nb == 2, s"q216 expected 2 ingested batches, got $nb")
         SelfCheck.note(s"curation pipeline ran $nb micro-batches; " +
           "survivor payload carries the q189-device full oracle")
       }
@@ -4584,6 +4590,141 @@ object SparkEntry {
         .select(col("probe_id"), col("doc_id"), col("jaccard"),
           col("subset_of_exact"), col("recall_ok"))
         .orderBy("probe_id", "doc_id")
+    }),
+
+    // ---------------- GraphQL union object (inline fragments) ----------------
+    // The docs-style Apollo query every generated client emits at the
+    // search root: inline-fragment arms over `SearchResult.object`
+    // (EntityUnionType = Target | Drug | Disease, opentargets.schema:
+    // 502,1290), resolved as the union tag + one nullable struct per
+    // arm (SURVEY §1.2) inside a rank-limited page. The flat
+    // projection dissects tag and every arm field, so the oracle
+    // hashes the whole union encoding.
+    "q231_graphql_search_union" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             search(queryString: "r", page: {index: 0, size: 50}) {
+               total
+               hits { id entity object {
+                 __typename
+                 ... on Target { approvedSymbol bioType }
+                 ... on Drug { name drugType isApproved }
+                 ... on Disease { name } } }
+             }
+           }""")
+        .select(col("total"), posexplode(col("hits")).as(Seq("rn", "r")))
+        .select(col("total"), (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("id"), col("r.entity").as("entity"),
+          col("r.object.__typename").as("tname"),
+          col("r.object.Target.approvedSymbol").as("t_sym"),
+          col("r.object.Target.bioType").as("t_bio"),
+          col("r.object.Drug.name").as("d_name"),
+          col("r.object.Drug.drugType").as("d_type"),
+          // string-normalized: a nullable BOOLEAN reads as NaN from
+          // DuckDB but None from parquet — the hash would split on
+          // representation, not value
+          col("r.object.Drug.isApproved").cast("string").as("d_appr"),
+          col("r.object.Disease.name").as("s_name"))
+        .orderBy("rn")),
+
+    // ---------------- GraphQL facets root ----------------
+    // The schema's remaining search feature (opentargets.schema:
+    // 1161-1173): category-narrowed facet hits with per-category
+    // counts over the FULL query scope — the facet-navigation
+    // contract. Flat projection: each hit row carries the three
+    // category counts dissected out of the categories array.
+    "q232_graphql_facets" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             facets(queryString: "r", category: "disease") {
+               total
+               hits { id label category }
+               categories { name total }
+             }
+           }""")
+        .select(col("total"), posexplode(col("hits")).as(Seq("rn", "r")),
+          col("categories"))
+        .select(col("total"), (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("id"), col("r.label").as("label"),
+          col("r.category").as("category"),
+          element_at(filter(col("categories"),
+            c => c.getField("name") === lit("disease")), 1)
+            .getField("total").as("n_disease"),
+          element_at(filter(col("categories"),
+            c => c.getField("name") === lit("target")), 1)
+            .getField("total").as("n_target"),
+          element_at(filter(col("categories"),
+            c => c.getField("name") === lit("drug")), 1)
+            .getField("total").as("n_drug"))
+        .orderBy("rn")),
+
+    // ---------------- CDC-boundary segment dedup ----------------
+    // q98's alignment-robust twin: a repeated span SHIFTED between
+    // documents (here, every document re-ingested behind a one-word
+    // prefix — the crawl re-publication mode) defeats fixed-stride
+    // segmentation entirely, but content-defined boundaries re-align
+    // after the first chunk, so all interior chunks dedup away
+    // (SegmentOpsSpec pins the contrast). FULL oracle: DuckDB replays
+    // the CDC device (q185), the fingerprint keep-first, and the
+    // position-ordered reassembly.
+    "q233_cdc_segment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(lit("zq "), col("text")).as("text")))
+      SegmentOps.dedupSegmentsCdc(corpus, "doc_id", col("text"),
+          boundary256 = 32)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- incremental PQ index append ----------------
+    // The last ANN tier to gain a maintenance path: 3/4 of the
+    // embeddings train the codebooks and build the code table; the
+    // remaining quarter APPENDS under the frozen codebook sidecar
+    // (Similarity.appendPqIndex — spec pins appended ≡ rebuilt with
+    // the same codebooks, pre-append files byte-untouched). The whole
+    // lifecycle runs inside one atomic artifact publish, so the query
+    // is idempotent. Envelope oracle (q148's pattern): rows are the
+    // exact L2 top-10 over the FULL corpus; verdicts pin the appended
+    // index's ADC recall floor and exact-re-rank domination.
+    "q234_pq_append_serve" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = fixturePath("pqapp", dir, "embeddings")
+      def ok(p: String) =
+        Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/codebooks")
+      Artifact.ensure(idx, ok) { tmp =>
+        Similarity.buildPqIndex(emb.filter(col("vec_id") % 4 =!= 3),
+          "vec_id", "embedding", numSub = 8, k = 16, tmp)
+        Similarity.appendPqIndex(s, tmp,
+          emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      }
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(sqrt(
+          VecFns.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * VecFns.dot(col("embedding"), typedlit(q))
+            + lit(q.map(x => x.toDouble * x).sum)), 6).as("l2"))
+        .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      val pq = Similarity.pqTopK(s, idx, emb, "vec_id", "embedding", q, 10,
+        rerank = 100, excludeId = 0L)
+      def ranked(df: DataFrame, prefix: String): DataFrame =
+        df.agg(sort_array(collect_list(struct(col("l2").as("__d"),
+            col("vec_id").as("__id")))).as("a"))
+          .select(posexplode(col("a")).as(Seq("rk", "r")))
+          .select(col("rk"), col("r.__d").as(s"${prefix}_d"))
+      val dominated = ranked(exact, "ex").join(ranked(pq, "pq"), Seq("rk"))
+        .agg(coalesce(every(col("pq_d") >= col("ex_d") - 1e-9), lit(true))
+          .as("pq_recall_dominated_ok"))
+      val recall = exact.select(col("vec_id"))
+        .join(pq.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("pq_append_recall_ok"))
+      exact.crossJoin(broadcast(recall)).crossJoin(broadcast(dominated))
+        .select(col("vec_id"), col("l2"), col("pq_append_recall_ok"),
+          col("pq_recall_dominated_ok"))
+        .orderBy(col("l2").asc, col("vec_id"))
     }),
 
     // ---------------- k-anonymity audit ----------------
@@ -6806,6 +6947,108 @@ ORDER BY n_uses DESC, piece"""
                SELECT id_b AS probe_id, id_a AS doc_id, jaccard
                  FROM pairs JOIN pr ON id_b = p) u
          ORDER BY probe_id, doc_id""",
+    // search-union page: tag + arm columns dissected per entity kind;
+    // total is the FULL match count while rows stop at the page
+    "q231_graphql_search_union" ->
+      """WITH hits AS (
+           SELECT 'DIS_' || c_mktsegment AS id, c_mktsegment AS name,
+             'disease' AS entity, CAST(NULL AS VARCHAR) AS bio,
+             CAST(NULL AS VARCHAR) AS dtype, CAST(NULL AS BOOLEAN) AS appr
+           FROM (SELECT DISTINCT c_mktsegment FROM customer)
+           WHERE lower(c_mktsegment) LIKE '%r%'
+           UNION ALL
+           SELECT 'TGT_' || p_partkey, p_name, 'target', p_type,
+             CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN)
+           FROM part WHERE lower(p_name) LIKE '%r%'
+           UNION ALL
+           SELECT 'DRG_' || s_suppkey, s_name, 'drug',
+             CAST(NULL AS VARCHAR), lower(n_name), s_acctbal >= 0
+           FROM supplier JOIN nation ON n_nationkey = s_nationkey
+           WHERE lower(s_name) LIKE '%r%'),
+         sel AS (
+           SELECT *, row_number() OVER (ORDER BY name, id) AS rn FROM hits)
+         SELECT (SELECT count(*) FROM hits) AS total, rn, id, entity,
+           CASE entity WHEN 'disease' THEN 'Disease'
+             WHEN 'target' THEN 'Target' ELSE 'Drug' END AS tname,
+           CASE WHEN entity = 'target' THEN name END AS t_sym,
+           bio AS t_bio,
+           CASE WHEN entity = 'drug' THEN name END AS d_name,
+           dtype AS d_type, CAST(appr AS VARCHAR) AS d_appr,
+           CASE WHEN entity = 'disease' THEN name END AS s_name
+         FROM sel WHERE rn <= 50 ORDER BY rn""",
+    // facets: hits narrowed to one category, counts over the full
+    // query scope riding every row
+    "q232_graphql_facets" ->
+      """WITH scope AS (
+           SELECT 'DIS_' || c_mktsegment AS id, c_mktsegment AS name,
+             'disease' AS entity
+           FROM (SELECT DISTINCT c_mktsegment FROM customer)
+           WHERE lower(c_mktsegment) LIKE '%r%'
+           UNION ALL
+           SELECT 'TGT_' || p_partkey, p_name, 'target'
+           FROM part WHERE lower(p_name) LIKE '%r%'
+           UNION ALL
+           SELECT 'DRG_' || s_suppkey, s_name, 'drug'
+           FROM supplier WHERE lower(s_name) LIKE '%r%'),
+         h AS (SELECT * FROM scope WHERE entity = 'disease'),
+         sel AS (
+           SELECT id, name, entity,
+             row_number() OVER (ORDER BY name, id) AS rn FROM h)
+         SELECT (SELECT count(*) FROM h) AS total, rn, id,
+           name AS label, entity AS category,
+           (SELECT count(*) FROM scope WHERE entity = 'disease') AS n_disease,
+           (SELECT count(*) FROM scope WHERE entity = 'target') AS n_target,
+           (SELECT count(*) FROM scope WHERE entity = 'drug') AS n_drug
+         FROM sel ORDER BY rn""",
+    // CDC segment dedup over the corpus + its prefix-shifted twin:
+    // boundary flags -> prefix-count window -> chunk fingerprints ->
+    // keep-first by (doc, seg) -> position-ordered reassembly
+    "q233_cdc_segment_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'zq ' || text FROM documents),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+         wds0 AS (
+           SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos, ts FROM toks),
+         wds AS (
+           SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS w FROM wds0),
+         flg AS (
+           SELECT doc_id, pos, w,
+             CASE WHEN ('0x' || substr(md5(w), 1, 2))::BIGINT < 32
+                  THEN 1 ELSE 0 END AS b
+           FROM wds),
+         cid AS (
+           SELECT doc_id, pos, w,
+             COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           FROM flg),
+         ch AS (
+           SELECT doc_id, CAST(ci AS BIGINT) AS seg,
+             string_agg(w, ' ' ORDER BY pos) AS ctext,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS cmd5
+           FROM cid GROUP BY doc_id, ci),
+         keepf AS (
+           SELECT doc_id, seg, ctext,
+             row_number() OVER (PARTITION BY cmd5
+               ORDER BY doc_id, seg) AS rn
+           FROM ch)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(ctext, ' ' ORDER BY seg)
+             FILTER (WHERE rn = 1), '')) AS clean_fp
+         FROM keepf GROUP BY doc_id ORDER BY doc_id""",
+    // PQ append serve: exact L2 top-10 rows (q148's device) with the
+    // appended-index guarantees pinned TRUE
+    "q234_pq_append_serve" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_distance(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS l2,
+           TRUE AS pq_append_recall_ok, TRUE AS pq_recall_dominated_ok
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY l2 ASC, e.vec_id LIMIT 10""",
     "q222_k_anonymity" ->
       """SELECT lang, source,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,

@@ -33,10 +33,16 @@ import org.apache.spark.sql.functions._
   * `__typename` meta-field resolves at EVERY selection level to the
   * reference schema's type names — the field Apollo-generation
   * clients inject into every query, so generated clients work
-  * unchanged. Unknown directives, non-boolean conditions, inline
-  * fragments (`... on Type`) and multiple operations are rejected
-  * with a targeted error (none appear in the reference corpus or
-  * docs examples).
+  * unchanged. INLINE FRAGMENTS (`... on Type { sel }`) select the
+  * arms of the one union the schema exposes — `SearchResult.object:
+  * EntityUnionType = Target | Drug | Disease` (opentargets.schema:
+  * 502,1290) — resolved as the union tag + one nullable struct per
+  * arm (SURVEY §1.2's encoding); a stray inline fragment anywhere
+  * else, or an unknown type condition, is a targeted error. The
+  * `facets` root (the schema's remaining search feature) serves
+  * facet hits + per-category counts over the search hit relation.
+  * Unknown directives, non-boolean conditions and multiple
+  * operations are rejected with a targeted error.
   *
   * Schema = the [[KnowledgeGraph]] views (disease / target / drug
   * entities, scored association edges, known-drug fact rows,
@@ -299,12 +305,28 @@ object GraphQl {
         case Some(Punct('}')) => next(); done = true
         case Some(Spread) =>
           // named-fragment spread — held as a marker field until the
-          // whole document's fragments are parsed, then expanded
+          // whole document's fragments are parsed, then expanded —
+          // or an INLINE fragment (`... on Type { sel }`), held as a
+          // type-condition arm the union resolver discriminates on
           next()
           next() match {
-            case Name("on") => throw ParseError(
-              "inline fragments ('... on Type') are not supported — " +
-                "use a named fragment")
+            case Name("on") =>
+              val tpe = next() match {
+                case Name(t) => t
+                case t => throw ParseError(
+                  s"'... on' needs a type name, found $t")
+              }
+              val keep = parseDirectives()
+              val sel = peek match {
+                case Some(Punct('{')) => parseSelection()
+                case _ => throw ParseError(
+                  s"inline fragment '... on $tpe' needs a selection")
+              }
+              if (sel.isEmpty) throw ParseError(
+                s"inline fragment '... on $tpe' needs a selection")
+              if (keep) fields += Field(InlineMark + tpe, Map.empty,
+                sel, Some(tpe))
+              else fields ++= spreadSkipMarks(sel)
             case Name(fr) =>
               // a directive-skipped spread still REFERENCES its
               // fragment: it contributes no fields, but it keeps a
@@ -336,21 +358,12 @@ object GraphQl {
             case _ => Seq.empty
           }
           if (keep) fields += Field(name, args, sel, alias)
-          else {
-            // a directive-excluded field still REFERENCES the fragments
-            // its sub-selection spreads (`foo @skip(if: true) { ...f }`
-            // is spec-valid): retain those spreads as skip-marks so the
-            // unused-fragment and cycle checks see them — the same
-            // bookkeeping a skipped spread itself keeps
-            def skipMarks(s: Seq[Field]): Seq[Field] = s.flatMap { g =>
-              if (g.name.startsWith(SkipSpreadMark)) Seq(g)
-              else if (g.name.startsWith(SpreadMark))
-                Seq(Field(SkipSpreadMark +
-                  g.name.stripPrefix(SpreadMark), Map.empty, Nil))
-              else skipMarks(g.sel)
-            }
-            fields ++= skipMarks(sel)
-          }
+          // a directive-excluded field still REFERENCES the fragments
+          // its sub-selection spreads (`foo @skip(if: true) { ...f }`
+          // is spec-valid): retain those spreads as skip-marks so the
+          // unused-fragment and cycle checks see them — the same
+          // bookkeeping a skipped spread itself keeps
+          else fields ++= spreadSkipMarks(sel)
         case t => throw ParseError(s"expected a field name, found $t")
       }
       fields.result()
@@ -472,6 +485,43 @@ object GraphQl {
     * selection (NUL-prefixed — can never collide with a field name).
     */
   private val SpreadMark: String = "\u0000..."
+
+  /** Marker prefix for an inline-fragment arm (`... on Type`): the
+    * field's name is `InlineMark + Type`, its alias the bare type
+    * name (so the response column is the type). Arms survive
+    * fragment expansion as ordinary fields; only the union resolver
+    * (search hits' `object`) accepts them — anywhere else
+    * [[checkInline]] rejects them with a targeted error.
+    */
+  private val InlineMark: String = SpreadMark.take(1) + "on:"
+
+  /** The fragment spreads inside an excluded selection, as skip-marks
+    * — usage/cycle bookkeeping for fields and inline fragments
+    * removed by a directive.
+    */
+  private def spreadSkipMarks(s: Seq[Field]): Seq[Field] = s.flatMap { g =>
+    if (g.name.startsWith(SkipSpreadMark)) Seq(g)
+    else if (g.name.startsWith(SpreadMark))
+      Seq(Field(SkipSpreadMark + g.name.stripPrefix(SpreadMark),
+        Map.empty, Nil))
+    else spreadSkipMarks(g.sel)
+  }
+
+  /** Inline fragments are valid ONLY under the union-typed `object`
+    * field of search hits — a stray `... on Type` anywhere else is a
+    * targeted error (this dialect's selections are concrete-typed
+    * everywhere else, so a type-refinement arm is meaningless there).
+    */
+  private def checkInline(f: Field, underUnion: Boolean): Unit =
+    f.sel.foreach { g =>
+      if (g.name.startsWith(InlineMark)) {
+        if (!underUnion) throw ParseError(
+          s"inline fragments are supported only on the union-typed " +
+            s"'object' field of search hits — found '... on ${g.out}' " +
+            s"under '${f.name}'")
+        checkInline(g, underUnion = false)
+      } else checkInline(g, underUnion = g.name == "object")
+    }
 
   /** Marker for a directive-SKIPPED spread: expanded for
     * usage/cycle bookkeeping only, contributing no fields.
@@ -1013,6 +1063,71 @@ object GraphQl {
     * the entity DIMENSION tables (not fact-scale), and the reference
     * scripts consume `hits[0]` from exactly this shape.
     */
+  /** The hit payload of the `search` root: scalar hit fields plus
+    * the union-typed `object` field (the hit AS its full entity —
+    * `SearchResult.object: EntityUnionType`,
+    * opentargets.schema:502,1290), selected through inline-fragment
+    * arms. Per SURVEY §1.2's union encoding (Spark has no native
+    * union type), `object` resolves to a struct of the union TAG
+    * (`__typename`, discriminating on the hit's entity kind) plus
+    * one NULLABLE struct per selected arm, non-null only on rows of
+    * that type — the shape an Apollo-generated client's
+    * `...on`-switch reads directly.
+    */
+  private def hitStruct(sel: Seq[Field]): Column = {
+    if (sel.isEmpty) throw ParseError("search hits need a selection")
+    struct(sel.map { f =>
+      (f.name match {
+        case "__typename" => noSubSel(f); lit("SearchResult")
+        case "object" => objectField(f)
+        case "id" | "name" | "entity" =>
+          if (f.sel.nonEmpty) throw ParseError(
+            s"'hit.${f.name}' is a scalar — drop its selection")
+          col(f.name)
+        case other => throw ParseError(
+          s"unknown field '$other' on search hits — supported: " +
+            "id, name, entity, object")
+      }).as(f.out)
+    }: _*)
+  }
+
+  private def objectField(f: Field): Column = {
+    if (f.args.nonEmpty) throw ParseError("'object' takes no arguments")
+    if (f.sel.isEmpty) throw ParseError(
+      "'object' is a union — select '__typename' and/or inline-fragment " +
+        "arms ('... on Target | Drug | Disease')")
+    struct(f.sel.map { g =>
+      (if (g.name == "__typename") {
+        noSubSel(g)
+        when(col("entity") === "disease", lit("Disease"))
+          .when(col("entity") === "target", lit("Target"))
+          .otherwise(lit("Drug"))
+      } else if (g.name.startsWith(InlineMark)) {
+        val tpe = g.name.stripPrefix(InlineMark)
+        val (key, fields) = tpe match {
+          case "Disease" => ("disease",
+            Map("id" -> col("id"), "name" -> col("name")))
+          case "Target" => ("target",
+            Map("id" -> col("id"), "approvedSymbol" -> col("name"),
+              "bioType" -> col("__bio")))
+          case "Drug" => ("drug",
+            Map("id" -> col("id"), "name" -> col("name"),
+              "synonyms" -> col("__syn"), "drugType" -> col("__dtype"),
+              "isApproved" -> col("__appr"),
+              "maximumClinicalTrialPhase" -> col("__maxph")))
+          case other => throw ParseError(
+            s"unknown type condition '... on $other' — EntityUnionType " +
+              "covers Target, Drug and Disease (opentargets.schema:502)")
+        }
+        when(col("entity") === key, entityStruct(key, g.sel, fields))
+      } else throw ParseError(
+        "'object' is a union — its members' fields are selected via " +
+          "inline-fragment arms ('... on Drug { ... }') or " +
+          s"'__typename', got '${g.name}'")
+      ).as(g.out)
+    }: _*)
+  }
+
   private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
     val searchExtra = root.args.keySet.diff(
       Set("queryString", "entityNames", "page.index", "page.size", "size"))
@@ -1025,14 +1140,41 @@ object GraphQl {
     val entities = root.args.get("entityNames")
       .map(_.split(',').toSeq.distinct)
       .getOrElse(Seq("disease", "target", "drug"))
+    // selection-driven source widening for the union `object` field:
+    // the scan pays for an arm's entity columns only when some hits
+    // alias actually selects them (bioType is one dimension column;
+    // the Drug facet block imports drugDetails' edge rollup, so it
+    // joins in only when an arm reads past id/name)
+    val objSels: Seq[Field] = root.sel.filter(_.name == "hits")
+      .flatMap(_.sel).filter(_.name == "object")
+    def armFields(tpe: String): Set[String] = objSels.flatMap(_.sel)
+      .filter(_.name == InlineMark + tpe).flatMap(_.sel.map(_.name)).toSet
+    val needBio = armFields("Target")("bioType")
+    val needDrugDetails =
+      (armFields("Drug") -- Set("id", "name", "__typename")).nonEmpty
+    val nullDetails = Seq(
+      lit(null).cast("array<string>").as("__syn"),
+      lit(null).cast("string").as("__dtype"),
+      lit(null).cast("boolean").as("__appr"),
+      lit(null).cast("double").as("__maxph"))
+    def extras(bio: Option[Column], details: Option[Seq[Column]]): Seq[Column] =
+      (if (needBio)
+         Seq(bio.getOrElse(lit(null).cast("string")).as("__bio")) else Nil) ++
+      (if (needDrugDetails) details.getOrElse(nullDetails) else Nil)
     def rel = entities.map {
       case "disease" => kg.diseases
-        .select(col("id"), col("name"), lit("disease").as("entity"))
+        .select(Seq(col("id"), col("name"), lit("disease").as("entity")) ++
+          extras(None, None): _*)
       case "target" => kg.targets
-        .select(col("id"), col("approvedSymbol").as("name"),
-          lit("target").as("entity"))
-      case "drug" => kg.drugs
-        .select(col("id"), col("name"), lit("drug").as("entity"))
+        .select(Seq(col("id"), col("approvedSymbol").as("name"),
+          lit("target").as("entity")) ++
+          extras(Some(col("bioType")), None): _*)
+      case "drug" =>
+        val src = if (needDrugDetails) kg.drugDetails else kg.drugs
+        src.select(Seq(col("id"), col("name"), lit("drug").as("entity")) ++
+          extras(None, Some(Seq(col("synonyms").as("__syn"),
+            col("drugType").as("__dtype"), col("isApproved").as("__appr"),
+            col("maximumClinicalTrialPhase").as("__maxph")))): _*)
       case other => throw ParseError(
         s"unknown entity '$other' in entityNames — supported: disease, target, drug")
     }.reduce(_.unionByName(_))
@@ -1044,9 +1186,7 @@ object GraphQl {
       "page.index needs page.size")
     val size: Option[Int] = explicitSize.map(math.min(_, MaxPageSize))
     def hitsArray(sel: Seq[Field]): Column = {
-      if (sel.isEmpty) throw ParseError("search hits need a selection")
-      val payload = entityStruct("hit", sel, Map(
-        "id" -> col("id"), "name" -> col("name"), "entity" -> col("entity")))
+      val payload = hitStruct(sel)
       val sorted = sort_array(collect_list(struct(col("name").as("__k0"),
         col("id").as("__k1"), payload.as("__p"))))
       val page = size.fold(sorted) { n =>
@@ -1109,6 +1249,138 @@ object GraphQl {
     }
   }
 
+  /** The `facets(queryString:, entityNames:, category:, page:)` root
+    * (opentargets.schema:1161-1173; SearchFacetsResults :1254-1274) —
+    * the last schema-declared search feature: facet rows over the
+    * SAME substring-match hit relation as `search`, with per-category
+    * counts for the facet-navigation UI. This dialect's facet
+    * categories are the entity kinds (disease/target/drug); a facet
+    * hit is (id, label, category) — label the display name. The
+    * `category` argument narrows hits and total to one category,
+    * while `categories { name total }` counts over the PRE-category
+    * match set (the query + entityNames scope) — a category-filtered
+    * page still shows the other categories' counts, which is what
+    * makes facet navigation possible. `queryString` is OPTIONAL here
+    * (nullable in the schema, unlike search's) — absent means the
+    * whole entity scope. Hits are (label, id)-ordered and paged with
+    * the search discipline: rank-limit BEFORE the array fold;
+    * category counts are one keyed agg over dimension tables.
+    */
+  private def executeFacets(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val facetsExtra = root.args.keySet.diff(Set("queryString",
+      "entityNames", "category", "page.index", "page.size", "size"))
+    if (facetsExtra.nonEmpty) throw ParseError(
+      s"unknown argument${if (facetsExtra.size > 1) "s" else ""} " +
+        s"${facetsExtra.toSeq.sorted.mkString(", ")} on facets — " +
+        "supported: queryString, entityNames, category, page")
+    val entities = root.args.get("entityNames")
+      .map(_.split(',').toSeq.distinct)
+      .getOrElse(Seq("disease", "target", "drug"))
+    def scope = entities.map {
+      case "disease" => kg.diseases
+        .select(col("id"), col("name"), lit("disease").as("entity"))
+      case "target" => kg.targets
+        .select(col("id"), col("approvedSymbol").as("name"),
+          lit("target").as("entity"))
+      case "drug" => kg.drugs
+        .select(col("id"), col("name"), lit("drug").as("entity"))
+      case other => throw ParseError(
+        s"unknown entity '$other' in entityNames — supported: disease, target, drug")
+    }.reduce(_.unionByName(_))
+      .filter(root.args.get("queryString")
+        .map(qs => lower(col("name")).contains(qs.toLowerCase))
+        .getOrElse(lit(true)))
+    val category = root.args.get("category")
+    category.foreach { c =>
+      if (!entities.contains(c)) throw ParseError(
+        s"category '$c' is outside the searched scope " +
+          s"(${entities.mkString(", ")}) — this dialect's facet " +
+          "categories are the entity kinds")
+    }
+    val hitsRel = category.fold(scope)(c => scope.filter(col("entity") === c))
+    val explicitSize = intArg(root.args, "page.size")
+      .orElse(intArg(root.args, "size"))
+    val index: Int = intArg(root.args, "page.index").getOrElse(0)
+    if (index > 0 && explicitSize.isEmpty) throw ParseError(
+      "page.index needs page.size")
+    val size: Option[Int] = explicitSize.map(math.min(_, MaxPageSize))
+    root.sel.foreach {
+      case Field("total", _, Seq(), _) => ()
+      case Field("hits", _, _, _) => ()
+      case Field("categories", _, _, _) => ()
+      case g @ Field("__typename", _, _, _) => noSubSel(g)
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on facets — supported: " +
+          "total, hits, categories")
+    }
+    if (root.sel.isEmpty) throw ParseError("facets needs a selection")
+    def facetHit(sel: Seq[Field]): Column = {
+      if (sel.isEmpty) throw ParseError("facets hits need a selection")
+      struct(sel.map { f =>
+        (f.name match {
+          case "__typename" => noSubSel(f); lit("SearchFacetsResult")
+          case "id" | "label" | "category" =>
+            if (f.sel.nonEmpty) throw ParseError(
+              s"'facets hits.${f.name}' is a scalar — drop its selection")
+            f.name match {
+              case "id" => col("id")
+              case "label" => col("name")
+              case _ => col("entity")
+            }
+          case other => throw ParseError(
+            s"unknown field '$other' on facets hits — supported: " +
+              "id, label, category")
+        }).as(f.out)
+      }: _*)
+    }
+    def hitsDfFor(g: Field): DataFrame = {
+      val src = size.fold(hitsRel)(n => hitsRel.sort(col("name"), col("id"))
+        .limit(math.min((index + 1).toLong * n, Int.MaxValue.toLong).toInt))
+      val arr = sort_array(collect_list(struct(col("name").as("__k0"),
+        col("id").as("__k1"), facetHit(g.sel).as("__p"))))
+      val paged = size.fold(arr) { n =>
+        val start = math.min(index.toLong * n + 1L, Int.MaxValue.toLong).toInt
+        slice(arr, start, n)
+      }
+      src.agg(transform(paged, x => x.getField("__p")).as(g.out))
+    }
+    def catDfFor(g: Field): DataFrame = {
+      if (g.sel.isEmpty) throw ParseError(
+        "facets categories need a selection")
+      val payload = struct(g.sel.map { f =>
+        (f.name match {
+          case "__typename" => noSubSel(f); lit("SearchFacetsCategory")
+          case "name" | "total" =>
+            if (f.sel.nonEmpty) throw ParseError(
+              s"'facets categories.${f.name}' is a scalar — drop its selection")
+            if (f.name == "name") col("entity") else col("n")
+          case other => throw ParseError(
+            s"unknown field '$other' on facets categories — supported: " +
+              "name, total")
+        }).as(f.out)
+      }: _*)
+      scope.groupBy(col("entity")).agg(count(lit(1)).as("n"))
+        .agg(transform(sort_array(collect_list(struct(
+          col("entity").as("__k0"), payload.as("__p")))),
+          x => x.getField("__p")).as(g.out))
+    }
+    // 1-row sides per selection (one per ALIAS for hits/categories,
+    // the connection-rows discipline), broadcast cross-joined
+    val sides: Seq[DataFrame] =
+      (if (root.sel.exists(_.name == "total"))
+         Seq(hitsRel.agg(count(lit(1)).as("total"))) else Nil) ++
+      root.sel.collect { case g @ Field("hits", _, _, _) => hitsDfFor(g) } ++
+      root.sel.collect { case g @ Field("categories", _, _, _) => catDfFor(g) }
+    val combined =
+      if (sides.isEmpty) scope.sparkSession.range(1).toDF()
+      else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
+    combined.select(root.sel.map { g =>
+      (if (g.name == "__typename") lit("SearchFacetsResults")
+       else if (g.name == "total") col("total")
+       else col(g.out)).as(g.out)
+    }: _*)
+  }
+
   /** Batch point-lookup roots — `targets(ensemblIds: [...])` /
     * `diseases(efoIds:)` / `drugs(chemblIds:)`
     * (opentargets.schema:1125-1148, declared but unused by the
@@ -1158,7 +1430,9 @@ object GraphQl {
   def execute(kg: KnowledgeGraph, query: String,
               variables: Map[String, String] = Map.empty): DataFrame = {
     val root = parse(query, variables)
+    checkInline(Field("query", Map.empty, Seq(root)), underUnion = false)
     if (root.name == "search") return executeSearch(kg, root)
+    if (root.name == "facets") return executeFacets(kg, root)
     if (Set("targets", "diseases", "drugs")(root.name))
       return executeBatch(kg, root)
     val (entity, keyArg, base) = root.name match {
@@ -1168,7 +1442,8 @@ object GraphQl {
       case other => throw ParseError(
         s"unknown root '$other' — supported: disease(efoId:), " +
           "target(ensemblId:), drug(chemblId:), search(queryString:), " +
-          "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:)")
+          "facets(queryString:), targets(ensemblIds:), diseases(efoIds:), " +
+          "drugs(chemblIds:)")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

@@ -45,7 +45,7 @@ object Chunking {
     * count and hash.
     */
   def cdcChunks(docs: DataFrame, idName: String, text: Column,
-                boundary256: Int): DataFrame = {
+                boundary256: Int, withText: Boolean = false): DataFrame = {
     require(boundary256 >= 1 && boundary256 <= 256,
       s"boundary256 $boundary256 must be in [1, 256]")
     import org.apache.spark.sql.expressions.Window
@@ -59,14 +59,20 @@ object Chunking {
     // number of boundaries strictly before it
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    words
+    val agged = words
       .withColumn("chunk_idx", coalesce(sum(col("__b")).over(win), lit(0L)))
       .groupBy(col("id"), col("chunk_idx"))
       .agg(min(col("pos")).as("start_pos"),
         count(lit(1)).as("n_words"),
-        md5(array_join(transform(
+        array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ")).as("chunk_md5"))
+          x => x.getField("w")), " ").as("__ctext"))
+      .select(col("id"), col("chunk_idx"), col("start_pos"), col("n_words"),
+        md5(col("__ctext")).as("chunk_md5"), col("__ctext"))
+    // `withText` serves consumers that REASSEMBLE (segment dedup);
+    // fingerprint-only consumers keep the narrow relation
+    if (withText) agged.withColumnRenamed("__ctext", "chunk_text")
+    else agged.drop("__ctext")
   }
 
   def slidingChunks(docs: DataFrame, idName: String, text: Column,

@@ -85,6 +85,49 @@ object SegmentOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** ALIGNMENT-ROBUST duplicate-segment removal: segments are
+    * content-defined chunks ([[Chunking.cdcChunks]]) instead of
+    * fixed-stride windows, so a repeated span that is SHIFTED between
+    * documents (a one-word prefix, an inserted sentence) still
+    * produces identical interior chunks and is caught —
+    * [[dedupSegments]]'s fixed windows structurally miss any shift
+    * that is not a multiple of the stride (spec-pinned on a
+    * prefix-shift fixture). Keep-first is keyed on the chunk
+    * FINGERPRINT (the md5 the CDC relation already carries) via the
+    * same partial-aggregable `min(struct(doc, seg))` device — the
+    * shuffle moves 32-hex keys, never the chunk texts of a
+    * mega-duplicated span. Returns the [[dedupSegments]] shape:
+    * one row per input document (idName, n_kept, n_dropped,
+    * clean_text — surviving chunks rejoined in position order).
+    */
+  def dedupSegmentsCdc(docs: DataFrame, idName: String, text: Column,
+                       boundary256: Int): DataFrame = {
+    val segs = Chunking
+      .cdcChunks(docs, idName, text, boundary256, withText = true)
+      .select(col("id").as(idName), col("chunk_idx").as("seg"),
+        col("chunk_md5"), col("chunk_text").as("seg_text"))
+    val first = segs
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col(idName), col("seg"))).as("__first"))
+    val marked = segs.join(first, "chunk_md5")
+      .withColumn("__kept",
+        col("__first")(idName) === col(idName) && col("__first")("seg") === col("seg"))
+    val rebuilt = marked
+      .groupBy(col(idName))
+      .agg(
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("__kept"), struct(col("seg"), col("seg_text"))))),
+            x => x("seg_text"))).as("clean_text"))
+    docs.select(col(idName)).join(rebuilt, Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-domain boilerplate stripping: a segment text that occurs in
     * >= `maxDocFrac` of a domain's documents is template chrome and
     * is dropped from every document of that domain (frequency is

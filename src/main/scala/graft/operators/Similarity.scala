@@ -320,6 +320,38 @@ object Similarity {
     val seeds: Seq[Array[Float]] = embeddings.orderBy(col(idName))
       .limit(nlist).select(vecName)
       .collect().map(_.getSeq[Float](0).toArray).toSeq
+    lloydStep(embeddings, idName, vecName, seeds)
+  }
+
+  /** Deterministic farthest-point seeds: lowest id first, then k−1
+    * passes each picking the member with the SMALLEST max-cosine to
+    * the seeds so far (ties → lowest id). One scan per seed — fine
+    * for the rebuild path's small k, and unlike lowest-id seeding it
+    * cannot put every seed inside one data mode (the failure that
+    * made a drifted list's retrain mis-center: all low ids predate
+    * the drift).
+    */
+  private def farthestSeeds(embeddings: DataFrame, idName: String,
+                            vecName: String, k: Int): Seq[Array[Float]] = {
+    var seeds = List(embeddings.orderBy(col(idName)).limit(1)
+      .select(vecName).head().getSeq[Float](0).toArray)
+    while (seeds.size < k) {
+      val sims = seeds.map(s => VecFns.cosine(col(vecName), typedlit(s)))
+      val mx = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val next = embeddings
+        .select(col(vecName), mx.as("__mx"), col(idName).as("__id"))
+        .orderBy(col("__mx").asc, col("__id").asc).limit(1)
+        .select(vecName).head().getSeq[Float](0).toArray
+      seeds = seeds :+ next
+    }
+    seeds
+  }
+
+  /** One distributed Lloyd iteration from the given seeds. */
+  private def lloydStep(embeddings: DataFrame, idName: String,
+                        vecName: String,
+                        seeds: Seq[Array[Float]]): Seq[Array[Float]] = {
+    val nlist = seeds.size
     val assigned = embeddings.withColumn("__cid", nearestCid(col(vecName), seeds))
     val centroids: Seq[Array[Float]] = assigned
       .select(col("__cid"), posexplode(col(vecName)).as(Seq("d", "x")))
@@ -525,22 +557,27 @@ object Similarity {
     * points at, without paying a full re-train + full-table rewrite
     * (at 100 TB a handful of flagged lists is a sliver of the
     * inverted file). The flagged lists' members are read back
-    * (directory-pruned — only those partitions), a fresh deterministic
-    * quantizer is trained over JUST them, and each member re-assigns
-    * to its nearest RETRAINED slot — never into an untouched list —
-    * so the write is a directory-scoped dynamic partition overwrite
-    * (the historyBuckets discipline) touching exactly the flagged
-    * `__cid=` directories; untouched list files stay byte-identical
-    * (spec-pinned). The centroid sidecar swaps only the flagged slots
-    * and the stats sidecar RE-BASELINES only the flagged rows, so a
-    * subsequent [[ivfDriftReport]] measures drift against the rebuilt
-    * state. Probe-side cost/recall recovery is measured in
-    * ProbeMaintain (SCALING.md). Not crash-atomic — run inside the
-    * caller's publish step, like every append path here.
+    * (directory-pruned — only those partitions) and a fresh
+    * deterministic quantizer is trained over JUST them. The drifted
+    * mass usually OUTGREW its lists (that is what the occupancy flag
+    * means), so the members re-cluster into enough slots to restore
+    * the index's average list occupancy — the flagged cid slots are
+    * reused and the surplus slots get NEW cids appended to the
+    * centroid sidecar (`splitTo` overrides the auto sizing). Each
+    * member re-assigns to its nearest RETRAINED slot — never into an
+    * untouched list — so the write is a directory-scoped dynamic
+    * partition overwrite (the historyBuckets discipline) touching
+    * exactly the flagged + new `__cid=` directories; untouched list
+    * files stay byte-identical (spec-pinned). The stats sidecar
+    * RE-BASELINES only the rebuilt rows, so a subsequent
+    * [[ivfDriftReport]] measures drift against the rebuilt state.
+    * Probe-side recall/serve-cost recovery vs a full rebuild is
+    * measured in ProbeMaintain (SCALING.md). Not crash-atomic — run
+    * inside the caller's publish step, like every append path here.
     */
   def rebuildIvfLists(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, idName: String, vecName: String,
-                      cids: Seq[Int]): Unit = {
+                      cids: Seq[Int], splitTo: Option[Int] = None): Unit = {
     require(cids.nonEmpty, "rebuildIvfLists: no lists to rebuild")
     require(cids.distinct.size == cids.size,
       s"rebuildIvfLists: duplicate cids in ${cids.mkString(",")}")
@@ -553,15 +590,33 @@ object Similarity {
     val members = spark.read.parquet(vecsPath)
       .filter(col("__cid").isin(cids: _*))
       .select(col(idName), col(vecName))
-    require(!members.isEmpty,
+    val memberCount = members.count()
+    require(memberCount > 0,
       "rebuildIvfLists: the flagged lists hold no members")
-    val newCents = trainCentroids(members, idName, vecName, cids.size)
+    // default: the flagged slots are retrained in place (same nlist —
+    // probing geometry unchanged, so recall at fixed nprobe is
+    // comparable to a full rebuild). `splitTo` grows the slot count
+    // for occupancy control when the drifted mass outgrew its lists;
+    // the caller then owns the nprobe/nlist trade.
+    val slots = math.min(memberCount, splitTo.getOrElse(cids.size).toLong).toInt
+    require(slots >= cids.size || slots == memberCount,
+      s"rebuildIvfLists: splitTo=$slots below the flagged count ${cids.size}")
+    // farthest-point seeding, NOT lowest-id: a drifted list mixes an
+    // old mode with a new one, and every low id predates the drift —
+    // lowest-id seeds would all land in the old mode and the retrain
+    // would mis-center exactly the mass it exists to fix
+    val newCents = lloydStep(members, idName, vecName,
+      farthestSeeds(members, idName, vecName, slots))
+    // slot -> cid: reuse the flagged slots first, then fresh cids
+    // past the current nlist for the surplus
+    val slotCids: Seq[Int] =
+      cids ++ (cents.size until cents.size + (slots - cids.size))
     // re-assign among the retrained slots ONLY: the overwrite below
     // replaces partitions present in the written data — a member
     // routed into an unflagged list would clobber that whole list
     val reassigned = members
       .withColumn("__cid",
-        element_at(typedlit(cids), nearestCid(col(vecName), newCents) + 1))
+        element_at(typedlit(slotCids), nearestCid(col(vecName), newCents) + 1))
     // materialize before overwriting the relation it was read from
     val out = reassigned.localCheckpoint(true)
     out.write.mode("overwrite")
@@ -580,15 +635,15 @@ object Similarity {
       }
       rm(new java.io.File(s"$vecsPath/__cid=$c"))
     }
-    // sidecars: swap the flagged slots' centroids; re-baseline the
-    // flagged rows of the drift-stats sidecar from the rewritten lists
-    val cidToSlot = cids.zipWithIndex.toMap
+    // sidecars: swap the flagged slots' centroids, append the new
+    // slots; re-baseline the rebuilt rows of the drift-stats sidecar
+    val cidToSlot = slotCids.zipWithIndex.toMap
     val updCents = cents.zipWithIndex.map { case (c, i) =>
       cidToSlot.get(i).map(newCents).getOrElse(c)
-    }
+    } ++ newCents.drop(cids.size)
     writeCentroids(spark, updCents, indexPath)
     val fresh = listStats(
-        spark.read.parquet(vecsPath).filter(col("__cid").isin(cids: _*)),
+        spark.read.parquet(vecsPath).filter(col("__cid").isin(slotCids: _*)),
         updCents, vecName)
       .withColumnRenamed("n", "n_build")
       .withColumnRenamed("resid_e6", "resid_build_e6")

@@ -55,8 +55,11 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(err("mutation { x }").contains("mutations"))
     assert(err("{ a { id } b { id } }").contains("one root field"))
     assert(err("{ disease { ...frag } }").contains("not defined"))
-    assert(err("{ disease { ... on Disease { id } } }")
-      .contains("inline fragments"))
+    // inline fragments PARSE (they serve the search object union);
+    // stray placement is rejected at execution (checkInline)
+    assert(GraphQl.parse("{ disease { ... on Disease { id } } }")
+      .sel.head.out == "Disease")
+    assert(err("{ disease { ... on Disease } }").contains("needs a selection"))
     assert(err("{ disease { .id } }").contains("'...'"))
     assert(err("{ disease(efoId: \"x\") { id } } { target { id } }")
       .contains("one operation"))
@@ -853,5 +856,120 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(err("""{ disease(efoId: "E") @skip(if: true) { id } }""")
       .contains("no root field"))
     assert(err("{ }").contains("no root field"))
+  }
+
+  test("execute: SearchResult.object union — tag + nullable arm structs, docs-style inline fragments") {
+    val got = GraphQl.execute(kg,
+      """{ search(queryString: "r") { total hits { id entity object {
+           __typename
+           ... on Target { approvedSymbol bioType }
+           ... on Drug { name isApproved }
+           ... on Disease { name } } } } }""").head()
+    val hits = got.getSeq[Row](1)
+    assert(hits.nonEmpty)
+    val kinds = hits.map(_.getString(1)).toSet
+    assert(kinds == Set("disease", "target", "drug"),
+      s"fixture should match every entity kind for 'r', got $kinds")
+    val tagOf = Map("disease" -> "Disease", "target" -> "Target",
+      "drug" -> "Drug")
+    val armIdx = Map("target" -> 1, "drug" -> 2, "disease" -> 3)
+    hits.foreach { h =>
+      val o = h.getStruct(2)
+      val ent = h.getString(1)
+      // the union tag discriminates on the hit's entity kind
+      assert(o.getString(0) == tagOf(ent))
+      // EXACTLY the matching arm is non-null
+      (1 to 3).foreach { i =>
+        assert(o.isNullAt(i) == (i != armIdx(ent)),
+          s"arm $i nullability wrong for $ent: $o")
+      }
+    }
+    // arm values come from the entity tables
+    val t0 = hits.find(_.getString(1) == "target").get
+    val want = kg.targets.filter(col("id") === t0.getString(0))
+      .select("approvedSymbol", "bioType").head()
+    assert(t0.getStruct(2).getStruct(1).getString(0) == want.getString(0))
+    assert(t0.getStruct(2).getStruct(1).getString(1) == want.getString(1))
+    val d0 = hits.find(_.getString(1) == "drug").get
+    val dw = kg.drugDetails.filter(col("id") === d0.getString(0))
+      .select("name", "isApproved").head()
+    assert(d0.getStruct(2).getStruct(2).getString(0) == dw.getString(0))
+    assert(d0.getStruct(2).getStruct(2).getBoolean(1) == dw.getBoolean(1))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    // unknown type condition is loud
+    assert(err("""{ search(queryString: "r") { hits { object {
+        ... on Pathway { id } } } } }""").contains("EntityUnionType"))
+    // a stray inline fragment outside the union is loud
+    assert(err("""{ disease(efoId: "DIS_BUILDING") {
+        ... on Disease { id } } }""").contains("only on the union-typed"))
+    assert(err("""{ disease(efoId: "DIS_BUILDING") { knownDrugs { rows {
+        ... on KnownDrug { phase } } } } }""")
+      .contains("only on the union-typed"))
+    // a union selected without arms or tag is loud
+    assert(err("""{ search(queryString: "r") { hits { object { id } } } }""")
+      .contains("union"))
+  }
+
+  test("execute: union arms ride paging and fragments; id-only Drug arm skips the facet rollup") {
+    // paged: arms resolve inside the rank-limited fold
+    val paged = GraphQl.execute(kg,
+      """query Q($q: String!) { search(queryString: $q, page: {index: 0, size: 5}) {
+           total hits { id ...h } } }
+         fragment h on SearchResult { object { __typename
+           ... on Target { approvedSymbol } } }""",
+      Map("q" -> "r")).head()
+    val hits = paged.getSeq[Row](1)
+    assert(hits.size == 5)
+    assert(paged.getLong(0) > 5)
+    // the id-only Drug arm must not import the drugDetails rollup
+    // (no knownDrugs aggregation in the plan)
+    val slim = GraphQl.execute(kg,
+      """{ search(queryString: "r", entityNames: ["drug"]) {
+           hits { object { ... on Drug { id name } } } } }""")
+    val plan = slim.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("l_suppkey"),
+      "id/name-only Drug arm joined the knownDrugs rollup")
+    assert(slim.head().getSeq[Row](0).nonEmpty)
+  }
+
+  test("execute: facets root — category counts next to paged facet hits") {
+    val got = GraphQl.execute(kg,
+      """{ facets(queryString: "r") { total
+           hits { id label category }
+           categories { name total __typename } } }""").head()
+    val total = got.getLong(0)
+    val hits = got.getSeq[Row](1)
+    val cats = got.getSeq[Row](2)
+    assert(total == hits.size && total > 0)
+    assert(cats.map(_.getString(0)) == cats.map(_.getString(0)).sorted)
+    assert(cats.map(_.getLong(1)).sum == total)
+    assert(cats.forall(_.getString(2) == "SearchFacetsCategory"))
+    // category narrowing filters hits/total; categories keep the full
+    // query-scope counts (the facet-navigation contract)
+    val drugOnly = GraphQl.execute(kg,
+      """{ facets(queryString: "r", category: "drug") { total
+           hits { id category } categories { name total } } }""").head()
+    assert(drugOnly.getSeq[Row](1).forall(_.getString(1) == "drug"))
+    assert(drugOnly.getSeq[Row](2).map(_.getLong(1)).sum == total)
+    assert(drugOnly.getLong(0) ==
+      cats.find(_.getString(0) == "drug").map(_.getLong(1)).getOrElse(0L))
+    // optional queryString: the whole entity scope
+    val all = GraphQl.execute(kg,
+      """{ facets(entityNames: ["disease"]) { total } }""").head()
+    assert(all.getLong(0) == kg.diseases.count())
+    // paging slices hits, total stays
+    val paged = GraphQl.execute(kg,
+      """{ facets(queryString: "r", page: {index: 0, size: 3}) {
+           total hits { id } } }""").head()
+    assert(paged.getSeq[Row](1).size == 3 && paged.getLong(0) == total)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ facets(queryString: "r", category: "gene") { total } }""")
+      .contains("outside the searched scope"))
+    assert(err("""{ facets(queryString: "r") { nope } }""")
+      .contains("total, hits, categories"))
+    assert(err("""{ facets(queryString: "r") { hits { nope } } }""")
+      .contains("id, label, category"))
   }
 }

@@ -82,4 +82,31 @@ class SegmentOpsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._5)).toSeq ==
       Seq((1L, ""), (2L, ""), (3L, "x y"), (4L, "p q")))
   }
+
+  test("dedupSegmentsCdc: a prefix-shifted duplicated span is caught; fixed windows miss it") {
+    // doc 2 repeats doc 1's span shifted by ONE word — the dominant
+    // crawl-duplication mode fixed-stride windows structurally miss
+    val span = (0 until 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, span), (2L, "zzz " + span)).toDF("doc_id", "text")
+    // fixed stride: every window of doc 2 is offset by one token and
+    // (the words being distinct) no window matches — nothing dropped
+    val fixed = SegmentOps.dedupSegments(docs, "doc_id", col("text"), 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(fixed(1)._3 == 0L,
+      s"fixed-stride unexpectedly caught the shifted span: ${fixed(1)}")
+    // CDC boundaries depend on word VALUES: only doc 2's first chunk
+    // (the one carrying the inserted prefix) differs; every later
+    // chunk is identical to doc 1's and is dropped
+    val cdc = SegmentOps.dedupSegmentsCdc(docs, "doc_id", col("text"), 64)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    val (a, b) = (cdc(0), cdc(1))
+    assert(a._3 == 0L, s"doc 1 must keep everything: $a")
+    assert(b._2 == 1L, s"doc 2 should keep exactly its prefix chunk: $b")
+    assert(b._3 > 0L && b._4.startsWith("zzz"))
+    // deterministic under repartitioning
+    val rep = SegmentOps.dedupSegmentsCdc(docs.repartition(5), "doc_id",
+        col("text"), 64)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(rep.toSeq == cdc.toSeq)
+  }
 }

@@ -1074,19 +1074,29 @@ class SimilaritySpec extends SparkSpec {
         s"rebuild touched unflagged list $c")
     }
     // flagged members conserved: same id set, redistributed among the
-    // retrained slots only
+    // retrained slots (reused flagged cids + appended split cids) only
     val after = spark.read.parquet(s"$dir/vectors")
-    val flaggedIdsAfter = after.filter(col("__cid").isin(flagged: _*))
+    val untouchedCids = (allCids -- flagged.toSet).toSeq
+    val rebuiltIdsAfter = after
+      .filter(!col("__cid").isin(untouchedCids: _*))
       .select("vec_id").as[Long].collect().toSet
-    assert(flaggedIdsAfter == flaggedIdsBefore,
+    assert(rebuiltIdsAfter == flaggedIdsBefore,
       "rebuild moved members into (or out of) untouched lists")
     assert(after.count() == emb.count() * 2)
-    // unflagged centroids unchanged; flagged slots retrained
+    // unflagged centroids unchanged; flagged slots retrained in place
+    // (same nlist — probing geometry preserved)
     val centsAfter = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
     assert(centsAfter.keySet == centsBefore.keySet)
     (allCids -- flagged.toSet).foreach(c =>
       assert(centsAfter(c) == centsBefore(c), s"unflagged centroid $c moved"))
+    // farthest-point seeding separates the modes: the drift mass and
+    // the base members do NOT all collapse into one retrained slot
+    val sizes = after.filter(!col("__cid").isin(untouchedCids: _*))
+      .groupBy("__cid").count().select("count").as[Long].collect()
+    assert(sizes.sum == flaggedIdsBefore.size)
+    assert(flagged.size == 1 || sizes.max < flaggedIdsBefore.size,
+      s"the rebuild left ALL flagged mass in one list: ${sizes.toSeq}")
     // the drift report re-baselines: nothing flagged afterwards
     val rep2 = Similarity.ivfDriftReport(spark, dir, "embedding")
       .filter(col("drifted")).collect()

@@ -197,6 +197,154 @@ object ProbeMaintain {
       union.unpersist()
     }
 
+    // ---------------- 3. partial IVF list rebuild ----------------
+    // What rebuildIvfLists actually buys on the drift fixture,
+    // measured honestly. The headline of the r14 drift section
+    // (recall 0.753 appended vs 0.788 rebuilt) DECOMPOSES: drift-mode
+    // queries have recall ~1.0 on BOTH indexes (the drift dimension
+    // dominates the centroid ranking, so drifted queries always probe
+    // the receiving lists) — the gap is BASE-mode quantizer variance
+    // between two one-Lloyd-step centroid sets, not drift damage. The
+    // rebuild's measurable wins are (a) the drift report coming back
+    // clean against a re-baselined sidecar and (b) OCCUPANCY: the
+    // receiving mega-lists (30x average) make every probe that ranks
+    // them scan 4-30x a normal list's rows — `splitTo` restores
+    // average occupancy at the caller-owned nprobe/nlist trade. Serve
+    // cost is reported as ROWS SCANNED per query (deterministic; the
+    // wall-second deltas at this corpus scale are probe fixed-cost
+    // noise). Recall is reported PER MODE so a base-luck delta can
+    // never masquerade as drift recovery again.
+    if (section("rebuild")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nlist = 16
+      val nprobe = 4
+      val k = 10
+      val mult = 3
+      val appended = "/tmp/graft_probe_rebuild_app"
+      val appended2 = "/tmp/graft_probe_rebuild_app2"
+      val rebuilt = "/tmp/graft_probe_rebuild_full"
+      Seq(appended, appended2, rebuilt)
+        .foreach(p => deleteRec(new java.io.File(p)))
+      val dft = (1 to mult).map(m => emb.select(
+          (col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x))
+            .as("embedding")))
+        .reduce(_ unionByName _).cache()
+      val union = emb.unionByName(dft).cache(); union.count()
+      time("build+append (rebuild fixture)") {
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist, appended)
+        Similarity.appendIvfIndex(spark, appended, dft, "vec_id", "embedding")
+      }
+      // second copy of the appended state for the splitTo variant
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(appended), new java.io.File(appended2))
+      time("full rebuild over union")(
+        Similarity.buildIvfIndex(union, "vec_id", "embedding", nlist, rebuilt))
+      val qIds = (0L until 16L).map(_ * 100L) ++
+        (0L until 16L).map(1000000L + _ * 100L)
+      def exactTop(qid: Long): Set[Long] = {
+        val qv = union.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        union.filter(col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            round(graft.functions.VecFns.cosine(col("embedding"),
+              typedlit(qv)), 6).as("c"))
+          .orderBy(col("c").desc, col("vec_id").asc).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      val exact = qIds.map(q => q -> exactTop(q)).toMap
+      def cosL(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0) 0 else d / den
+      }
+      // per-mode recall + avg rows scanned (probed list sizes)
+      def probeIdx(idx: String): (Double, Double, Double) = {
+        val sizes = spark.read.parquet(s"$idx/vectors")
+          .groupBy(col("__cid")).count()
+          .as[(Int, Long)].collect().toMap
+        val cents = spark.read.parquet(s"$idx/centroids")
+          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+          .sortBy(_._1)
+        var hb = 0L; var hd = 0L; var scanned = 0L
+        qIds.foreach { qid =>
+          val qv = union.filter(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val probes = cents.sortBy { case (c, v) => (-cosL(v, qv), c) }
+            .take(nprobe).map(_._1)
+          scanned += probes.map(sizes.getOrElse(_, 0L)).sum
+          val hits = (Similarity.ivfTopKIndexed(spark, idx, "vec_id",
+              "embedding", qv, k, nprobe, excludeId = qid)
+            .select("vec_id").as[Long].collect().toSet & exact(qid)).size
+          if (qid < 1000000L) hb += hits else hd += hits
+        }
+        (hb.toDouble / (16 * k), hd.toDouble / (16 * k),
+          scanned.toDouble / qIds.size)
+      }
+      def report(label: String, idx: String): (Double, Double, Double) = {
+        val (rb, rd, rows) = time(s"probe $label")(probeIdx(idx))
+        val top = spark.read.parquet(s"$idx/vectors")
+          .groupBy(col("__cid")).count().orderBy(col("count").desc)
+          .select("count").as[Long].take(3)
+        println(f"[probe]   $label%-28s recall base=$rb%.3f " +
+          f"drift=$rd%.3f rows/query=$rows%.0f top-lists=${top.mkString("/")}")
+        (rb, rd, rows)
+      }
+      val (preB, preD, preRows) = report("appended (pre-rebuild)", appended)
+      val flagged = Similarity.ivfDriftReport(spark, appended, "embedding")
+        .filter(col("drifted")).select(col("cid").cast("int"))
+        .as[Int].collect().toSeq.sorted
+      require(flagged.nonEmpty, "rebuild probe: nothing flagged")
+      time(s"rebuildIvfLists in-place (${flagged.size}/$nlist)")(
+        Similarity.rebuildIvfLists(spark, appended, "vec_id", "embedding",
+          flagged))
+      val (postB, postD, postRows) = report("in-place rebuild", appended)
+      // splitTo: restore average occupancy for the outgrown mass
+      val avgSize = (union.count() / nlist).toInt
+      val flaggedRows = spark.read.parquet(s"$appended2/vectors")
+        .filter(col("__cid").isin(flagged: _*)).count()
+      val slots = math.max(flagged.size, (flaggedRows / avgSize).toInt)
+      time(s"rebuildIvfLists splitTo=$slots")(
+        Similarity.rebuildIvfLists(spark, appended2, "vec_id", "embedding",
+          flagged, splitTo = Some(slots)))
+      val (splB, splD, splRows) = report(s"splitTo=$slots rebuild", appended2)
+      val (fulB, fulD, fulRows) = report("full rebuild", rebuilt)
+      println(f"[probe] rebuild summary (drift x$mult, ${flagged.size}/$nlist " +
+        f"flagged): drift recall pre=$preD%.3f inplace=$postD%.3f " +
+        f"split=$splD%.3f full=$fulD%.3f (base-mode ceilings vary with " +
+        f"quantizer luck: $preB%.3f/$postB%.3f/$splB%.3f/$fulB%.3f); " +
+        f"rows/query pre=$preRows%.0f inplace=$postRows%.0f " +
+        f"split=$splRows%.0f full=$fulRows%.0f")
+      // the drift mode itself must never lose recall through a rebuild
+      require(postD >= preD - 0.05,
+        f"in-place rebuild lost drift recall: $preD%.3f -> $postD%.3f")
+      require(splD >= preD - 0.05,
+        f"splitTo rebuild lost drift recall: $preD%.3f -> $splD%.3f")
+      require(Similarity.ivfDriftReport(spark, appended, "embedding")
+        .filter(col("drifted")).count() == 0,
+        "post-rebuild drift report still flags lists")
+      // Finding (r15, kept as the probe's record): on THIS fixture the
+      // drift mass is a single tight cluster of near-identical
+      // directions — cosine k-means cannot partition it, so splitTo
+      // leaves one mega-slot and rows/query barely moves
+      // (pre~3971 / split~3602 measured). A tight drifted mode's scan
+      // cost is IRREDUCIBLE at the IVF layer (its members genuinely
+      // are the answer set — pruning them would cost the 1.0 drift
+      // recall); the per-row remedy is the quantized tier
+      // (IVF×SQ8 reads 1/4 the bytes of the same mega list). splitTo
+      // earns its keep only when the drifted mass has internal
+      // structure for the quantizer to separate.
+      if (splRows >= preRows * 0.7)
+        println(f"[probe] note: splitTo left rows/query ~flat " +
+          f"($preRows%.0f -> $splRows%.0f) — tight-cluster fixture, " +
+          "see the finding comment")
+      dft.unpersist(); union.unpersist()
+    }
+
     spark.stop()
   }
 }
