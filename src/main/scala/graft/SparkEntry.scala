@@ -4727,6 +4727,132 @@ object SparkEntry {
         .orderBy(col("l2").asc, col("vec_id"))
     }),
 
+    // ---------------- GraphQL search aggregations ----------------
+    // SearchResultAggs (opentargets.schema:1304-1312): entity facet
+    // counts with nested categories riding next to a rank-limited
+    // page — aggregations always cover the FULL match set (one keyed
+    // agg over the dimension union). The flat projection dissects
+    // every aggregate and the lone-category convention.
+    "q235_graphql_search_aggs" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             search(queryString: "r", page: {index: 0, size: 10}) {
+               total
+               aggregations { total
+                 entities { name total categories { name total } } }
+               hits { id entity }
+             }
+           }""")
+        .select(col("total"), col("aggregations"),
+          posexplode(col("hits")).as(Seq("rn", "r")))
+        .select(col("total"), (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("id"), col("r.entity").as("entity"),
+          col("aggregations.total").as("agg_total"),
+          element_at(filter(col("aggregations.entities"),
+            e => e.getField("name") === lit("disease")), 1)
+            .getField("total").as("n_disease"),
+          element_at(filter(col("aggregations.entities"),
+            e => e.getField("name") === lit("target")), 1)
+            .getField("total").as("n_target"),
+          element_at(filter(col("aggregations.entities"),
+            e => e.getField("name") === lit("drug")), 1)
+            .getField("total").as("n_drug"),
+          element_at(element_at(filter(col("aggregations.entities"),
+            e => e.getField("name") === lit("drug")), 1)
+            .getField("categories"), 1)
+            .getField("total").as("drug_cat_total"))
+        .orderBy("rn")),
+
+    // ---------------- GraphQL mapIds root ----------------
+    // The schema's bulk term-to-ID utility (opentargets.schema:
+    // 1176-1181): a term batch rides as a broadcast relation into ONE
+    // substring-match scan (the S4 batch-lookup discipline — never a
+    // scan per term); mappings keep request order and a zero-hit term
+    // still emits (empty hits). posexplode_outer keeps that empty
+    // mapping as a null-rn row, so the oracle pins it.
+    "q236_graphql_mapids" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             mapIds(queryTerms: ["machinery", "zzqq", "lavender"]) {
+               total
+               mappings { term hits { id name entity } }
+             }
+           }""")
+        .select(col("total"), posexplode(col("mappings")).as(Seq("m0", "mp")))
+        .select(col("total"), (col("m0") + 1).cast("long").as("ord"),
+          col("mp.term").as("term"), col("mp.hits").as("hits"))
+        .select(col("total"), col("ord"), col("term"),
+          posexplode_outer(col("hits")).as(Seq("h0", "hit")))
+        .select(col("total"), col("ord"), col("term"),
+          (col("h0") + 1).cast("long").as("rn"),
+          col("hit.id").as("id"), col("hit.name").as("name"),
+          col("hit.entity").as("entity"))
+        .orderBy("ord", "rn")),
+
+    // ---------------- PQ codebook-drift report ----------------
+    // The q213 lifecycle one tier over: a fresh PQ index reports
+    // exactly-zero per-subspace error deltas (the recomputation is
+    // engine-exact), and a corpus grown by a dim-0-shifted mode flags
+    // subspace 0 ALONE — the shifted dimension lives in the first
+    // subspace, and duplicated values leave the other subspaces'
+    // mean error untouched. Envelope oracle (verdicts pinned TRUE,
+    // n accounted).
+    "q237_pq_drift" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val idx = fixturePath("pq", dir, "embeddings")
+      Similarity.ensurePqIndex(emb, "vec_id", "embedding",
+        numSub = 8, k = 16, idx)
+      val freshV = Similarity.pqDriftReport(s, idx, emb, "embedding")
+        .agg(sum(col("n_now")).as("n_fresh"),
+          (sum(when(col("drifted"), 1L).otherwise(0L)) === 0L)
+            .as("fresh_clean"),
+          (sum(abs(col("resid_delta_e6"))) === 0L).as("fresh_delta_zero"))
+      val shifted = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x))
+            .as("embedding")))
+      val driftV = Similarity.pqDriftReport(s, idx, shifted, "embedding")
+        .agg((sum(when(col("drifted"), 1L).otherwise(0L)) === 1L)
+            .as("one_sub_flagged"),
+          (max(when(col("drifted"), col("sub"))) === 0L)
+            .as("flagged_is_shifted_sub"))
+      freshV.crossJoin(driftV)
+        .select(col("n_fresh"), col("fresh_clean"), col("fresh_delta_zero"),
+          col("one_sub_flagged"), col("flagged_is_shifted_sub"))
+    }),
+
+    // ---------------- binary threshold-drift report ----------------
+    // FULL oracle, unlike the k-means tiers: thresholds are
+    // order-independent midpoints, so DuckDB re-derives the BUILD
+    // side's sidecar from the build subset and the report's every
+    // value replays — per-dim frozen threshold vs the grown corpus's
+    // midpoint (the appended quarter shifted on dim 0 in DOUBLE
+    // precision, both engines computing the identical IEEE values).
+    "q238_bin_drift" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val idx = fixturePath("binb", dir, "embeddings")
+      def ok(p: String) = Artifact.complete(s"$p/codes") &&
+        Artifact.complete(s"$p/thresholds")
+      Artifact.ensure(idx, ok) { tmp =>
+        Similarity.buildBinaryIndex(emb.filter(col("vec_id") % 4 =!= 3),
+          "vec_id", "embedding", tmp)
+      }
+      val current = emb
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 4 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => when(i === 0, x + lit(8.0)).otherwise(x))
+              .as("embedding")))
+      Similarity.binDriftReport(s, idx, current, "embedding")
+        .select(col("dim"), round(col("thr"), 6).as("thr"),
+          round(col("mid_now"), 6).as("mid_now"),
+          col("delta"), col("drifted"))
+        .orderBy("dim")
+    }),
+
     // ---------------- k-anonymity audit ----------------
     // Re-identification risk the redaction pass can't see: rows
     // identifiable by the COMBINATION of innocuous attributes. One
@@ -7049,6 +7175,91 @@ ORDER BY n_uses DESC, piece"""
            TRUE AS pq_append_recall_ok, TRUE AS pq_recall_dominated_ok
          FROM embeddings e, q WHERE e.vec_id <> 0
          ORDER BY l2 ASC, e.vec_id LIMIT 10""",
+    // search aggregations: full-scope facet counts next to a page
+    "q235_graphql_search_aggs" ->
+      """WITH scope AS (
+           SELECT 'DIS_' || c_mktsegment AS id, c_mktsegment AS name,
+             'disease' AS entity
+           FROM (SELECT DISTINCT c_mktsegment FROM customer)
+           WHERE lower(c_mktsegment) LIKE '%r%'
+           UNION ALL
+           SELECT 'TGT_' || p_partkey, p_name, 'target'
+           FROM part WHERE lower(p_name) LIKE '%r%'
+           UNION ALL
+           SELECT 'DRG_' || s_suppkey, s_name, 'drug'
+           FROM supplier WHERE lower(s_name) LIKE '%r%'),
+         sel AS (
+           SELECT id, entity,
+             row_number() OVER (ORDER BY name, id) AS rn FROM scope)
+         SELECT (SELECT count(*) FROM scope) AS total, rn, id, entity,
+           (SELECT count(*) FROM scope) AS agg_total,
+           (SELECT count(*) FROM scope WHERE entity = 'disease') AS n_disease,
+           (SELECT count(*) FROM scope WHERE entity = 'target') AS n_target,
+           (SELECT count(*) FROM scope WHERE entity = 'drug') AS n_drug,
+           (SELECT count(*) FROM scope WHERE entity = 'drug') AS drug_cat_total
+         FROM sel WHERE rn <= 10 ORDER BY rn""",
+    // mapIds: per-term hit lists in request order; the zero-hit term
+    // rides as a null-rn row
+    "q236_graphql_mapids" ->
+      """WITH terms(term, ord) AS (
+           VALUES ('machinery', 1), ('zzqq', 2), ('lavender', 3)),
+         scope AS (
+           SELECT 'DIS_' || c_mktsegment AS id, c_mktsegment AS name,
+             'disease' AS entity
+           FROM (SELECT DISTINCT c_mktsegment FROM customer)
+           UNION ALL
+           SELECT 'TGT_' || p_partkey, p_name, 'target' FROM part
+           UNION ALL
+           SELECT 'DRG_' || s_suppkey, s_name, 'drug' FROM supplier),
+         m AS (
+           SELECT t.term, t.ord, s.id, s.name, s.entity
+           FROM terms t JOIN scope s
+             ON contains(lower(s.name), lower(t.term))),
+         r AS (
+           SELECT term, ord, id, name, entity,
+             row_number() OVER (PARTITION BY term ORDER BY name, id) AS rn
+           FROM m)
+         SELECT (SELECT count(*) FROM m) AS total,
+           CAST(t.ord AS BIGINT) AS ord, t.term,
+           CAST(r.rn AS BIGINT) AS rn, r.id, r.name, r.entity
+         FROM terms t LEFT JOIN r ON r.term = t.term
+         ORDER BY ord, rn""",
+    // PQ drift lifecycle: verdicts pinned TRUE, corpus accounted
+    // (n_fresh = 8 subspaces x corpus)
+    "q237_pq_drift" ->
+      """SELECT CAST(count(*) * 8 AS BIGINT) AS n_fresh,
+           TRUE AS fresh_clean, TRUE AS fresh_delta_zero,
+           TRUE AS one_sub_flagged, TRUE AS flagged_is_shifted_sub
+         FROM embeddings""",
+    // binary threshold drift: the build sidecar re-derived from the
+    // build subset; every report value replayed in exact arithmetic
+    "q238_bin_drift" ->
+      """WITH build AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings WHERE vec_id % 4 <> 3),
+         thr AS (
+           SELECT dim, (min(x) + max(x)) / 2 AS t FROM build GROUP BY dim),
+         cur0 AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings
+           UNION ALL
+           SELECT dim, CASE WHEN dim = 0 THEN x + 8.0 ELSE x END
+           FROM (
+             SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+             FROM embeddings WHERE vec_id % 4 = 3)),
+         now AS (
+           SELECT dim, (min(x) + max(x)) / 2 AS mid,
+             max(x) - min(x) AS rng
+           FROM cur0 GROUP BY dim)
+         SELECT CAST(n.dim AS BIGINT) AS dim,
+           round(t.t, 6) AS thr, round(n.mid, 6) AS mid_now,
+           round(abs(n.mid - t.t), 6) AS delta,
+           round(abs(n.mid - t.t), 6) > round(n.rng * 0.25, 6) AS drifted
+         FROM now n JOIN thr t ON t.dim = n.dim
+         ORDER BY dim""",
     "q222_k_anonymity" ->
       """SELECT lang, source,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,

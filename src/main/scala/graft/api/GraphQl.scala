@@ -1128,25 +1128,16 @@ object GraphQl {
     }: _*)
   }
 
-  private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
-    val searchExtra = root.args.keySet.diff(
-      Set("queryString", "entityNames", "page.index", "page.size", "size"))
-    if (searchExtra.nonEmpty) throw ParseError(
-      s"unknown argument${if (searchExtra.size > 1) "s" else ""} " +
-        s"${searchExtra.toSeq.sorted.mkString(", ")} on search — " +
-        "supported: queryString, entityNames, page")
-    val qs = root.args.getOrElse("queryString", throw ParseError(
-      "search requires the queryString argument"))
-    val entities = root.args.get("entityNames")
-      .map(_.split(',').toSeq.distinct)
-      .getOrElse(Seq("disease", "target", "drug"))
-    // selection-driven source widening for the union `object` field:
-    // the scan pays for an arm's entity columns only when some hits
-    // alias actually selects them (bioType is one dimension column;
-    // the Drug facet block imports drugDetails' edge rollup, so it
-    // joins in only when an arm reads past id/name)
-    val objSels: Seq[Field] = root.sel.filter(_.name == "hits")
-      .flatMap(_.sel).filter(_.name == "object")
+  /** The search hit relation (id, name, entity) over the selected
+    * entity tables, WIDENED selection-driven for the union `object`
+    * field: the scan pays for an arm's entity columns only when some
+    * hits alias actually selects them (bioType is one dimension
+    * column; the Drug facet block imports drugDetails' edge rollup,
+    * so it joins in only when an arm reads past id/name). Shared by
+    * the search and mapIds roots.
+    */
+  private def widenedSearchRel(kg: KnowledgeGraph, entities: Seq[String],
+                               objSels: Seq[Field]): DataFrame = {
     def armFields(tpe: String): Set[String] = objSels.flatMap(_.sel)
       .filter(_.name == InlineMark + tpe).flatMap(_.sel.map(_.name)).toSet
     val needBio = armFields("Target")("bioType")
@@ -1161,7 +1152,7 @@ object GraphQl {
       (if (needBio)
          Seq(bio.getOrElse(lit(null).cast("string")).as("__bio")) else Nil) ++
       (if (needDrugDetails) details.getOrElse(nullDetails) else Nil)
-    def rel = entities.map {
+    entities.map {
       case "disease" => kg.diseases
         .select(Seq(col("id"), col("name"), lit("disease").as("entity")) ++
           extras(None, None): _*)
@@ -1178,6 +1169,94 @@ object GraphQl {
       case other => throw ParseError(
         s"unknown entity '$other' in entityNames — supported: disease, target, drug")
     }.reduce(_.unionByName(_))
+  }
+
+  /** The `aggregations` field of SearchResults / MappingResults
+    * (`SearchResultAggs`, opentargets.schema:1304-1312): total + one
+    * aggregate per entity kind with nested per-category counts. This
+    * dialect's category taxonomy is the entity kind (the facets
+    * convention — the engine's entities carry no finer category
+    * dimension), so each entity aggregate carries exactly one
+    * category: itself. One keyed agg over the match relation, folded
+    * to a 1-row struct column named by the field's response key.
+    */
+  private def aggregationsDf(rel: DataFrame, f: Field): DataFrame = {
+    if (f.args.nonEmpty) throw ParseError("'aggregations' takes no arguments")
+    if (f.sel.isEmpty) throw ParseError(
+      "'aggregations' needs a selection — total and/or entities")
+    def catStruct(sel: Seq[Field]): Column = {
+      if (sel.isEmpty) throw ParseError(
+        "'aggregations' categories need a selection")
+      struct(sel.map { c =>
+        (c.name match {
+          case "__typename" => noSubSel(c); lit("SearchResultAggCategory")
+          case "name" | "total" =>
+            if (c.sel.nonEmpty) throw ParseError(
+              s"'aggregations categories.${c.name}' is a scalar — drop its selection")
+            if (c.name == "name") col("entity") else col("__n")
+          case other => throw ParseError(
+            s"unknown field '$other' on aggregations categories — " +
+              "supported: name, total")
+        }).as(c.out)
+      }: _*)
+    }
+    def entStruct(sel: Seq[Field]): Column = {
+      if (sel.isEmpty) throw ParseError(
+        "'aggregations' entities need a selection")
+      struct(sel.map { e =>
+        (e.name match {
+          case "__typename" => noSubSel(e); lit("SearchResultAggEntity")
+          case "name" =>
+            if (e.sel.nonEmpty) throw ParseError(
+              "'aggregations entities.name' is a scalar — drop its selection")
+            col("entity")
+          case "total" =>
+            if (e.sel.nonEmpty) throw ParseError(
+              "'aggregations entities.total' is a scalar — drop its selection")
+            col("__n")
+          case "categories" => array(catStruct(e.sel))
+          case other => throw ParseError(
+            s"unknown field '$other' on aggregations entities — " +
+              "supported: name, total, categories")
+        }).as(e.out)
+      }: _*)
+    }
+    val grouped = rel.groupBy(col("entity")).agg(count(lit(1)).as("__n"))
+    val parts0 = f.sel.filterNot(_.name == "__typename").map {
+      case g @ Field("total", _, Seq(), _) => sum(col("__n")).as(g.out)
+      case g @ Field("entities", _, sel, _) =>
+        transform(sort_array(collect_list(struct(
+          col("entity").as("__k0"), entStruct(sel).as("__p")))),
+          x => x.getField("__p")).as(g.out)
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on aggregations — supported: " +
+          "total, entities")
+    }
+    f.sel.find(_.name == "__typename").foreach(noSubSel)
+    val parts = if (parts0.nonEmpty) parts0 else Seq(count(lit(1)).as("__c"))
+    grouped.agg(parts.head, parts.tail: _*)
+      .select(struct(f.sel.map { g =>
+        (if (g.name == "__typename") lit("SearchResultAggs")
+         else if (g.name == "total") coalesce(col(g.out), lit(0L))
+         else col(g.out)).as(g.out)
+      }: _*).as(f.out))
+  }
+
+  private def executeSearch(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val searchExtra = root.args.keySet.diff(
+      Set("queryString", "entityNames", "page.index", "page.size", "size"))
+    if (searchExtra.nonEmpty) throw ParseError(
+      s"unknown argument${if (searchExtra.size > 1) "s" else ""} " +
+        s"${searchExtra.toSeq.sorted.mkString(", ")} on search — " +
+        "supported: queryString, entityNames, page")
+    val qs = root.args.getOrElse("queryString", throw ParseError(
+      "search requires the queryString argument"))
+    val entities = root.args.get("entityNames")
+      .map(_.split(',').toSeq.distinct)
+      .getOrElse(Seq("disease", "target", "drug"))
+    val objSels: Seq[Field] = root.sel.filter(_.name == "hits")
+      .flatMap(_.sel).filter(_.name == "object")
+    def rel = widenedSearchRel(kg, entities, objSels)
       .filter(lower(col("name")).contains(qs.toLowerCase))
     val explicitSize = intArg(root.args, "page.size")
       .orElse(intArg(root.args, "size"))
@@ -1198,28 +1277,41 @@ object GraphQl {
     root.sel.foreach {
       case Field("total", _, Seq(), _) => ()
       case Field("hits", _, _, _) => ()
+      case Field("aggregations", _, _, _) => ()
       case g @ Field("__typename", _, _, _) => noSubSel(g)
       case g => throw ParseError(
-        s"unknown field '${g.name}' on search — supported: total, hits")
+        s"unknown field '${g.name}' on search — supported: " +
+          "total, hits, aggregations")
     }
     if (root.sel.isEmpty) throw ParseError("search needs a selection")
+    // one aggregate per aliased `aggregations` selection — entity
+    // facet counts over the FULL match set in both branches
+    val aggsDfs: Seq[DataFrame] = root.sel.collect {
+      case g @ Field("aggregations", _, _, _) => aggregationsDf(rel, g)
+    }
     size match {
       case None =>
         // unpaginated: total and the full hit array fold in ONE agg;
         // __typename projects AFTER the agg — a literal INSIDE the
         // aggregate (first(lit)) is NULL over a zero-match relation
-        val parts0 = root.sel.filterNot(_.name == "__typename").map {
-          case g @ Field("total", _, Seq(), _) => count(lit(1)).as(g.out)
-          case g @ Field("hits", _, sel, _) => hitsArray(sel).as(g.out)
-          case g => throw ParseError(s"unreachable: ${g.name}")
-        }
-        val parts =
-          if (parts0.nonEmpty) parts0 else Seq(count(lit(1)).as("__n"))
-        rel.agg(parts.head, parts.tail: _*)
-          .select(root.sel.map { g =>
-            (if (g.name == "__typename") lit("SearchResults")
-             else col(g.out)).as(g.out)
-          }: _*)
+        val parts0 = root.sel
+          .filterNot(g => g.name == "__typename" || g.name == "aggregations")
+          .map {
+            case g @ Field("total", _, Seq(), _) => count(lit(1)).as(g.out)
+            case g @ Field("hits", _, sel, _) => hitsArray(sel).as(g.out)
+            case g => throw ParseError(s"unreachable: ${g.name}")
+          }
+        val main: Option[DataFrame] =
+          if (parts0.isEmpty) None
+          else Some(rel.agg(parts0.head, parts0.tail: _*))
+        val sides = main.toSeq ++ aggsDfs
+        val combined =
+          if (sides.isEmpty) rel.sparkSession.range(1).toDF()
+          else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
+        combined.select(root.sel.map { g =>
+          (if (g.name == "__typename") lit("SearchResults")
+           else col(g.out)).as(g.out)
+        }: _*)
       case Some(n) =>
         // paged: hits aggregate the rank-LIMITED relation (top-k
         // merge, never a whole-match collect); total stays the full
@@ -1237,7 +1329,7 @@ object GraphQl {
             rel.sort(col("name"), col("id")).limit(limitN)
               .agg(hitsArray(sel).as(g.out))
         }
-        val sides = totalDf.toSeq ++ hitsDfs
+        val sides = totalDf.toSeq ++ hitsDfs ++ aggsDfs
         val combined =
           if (sides.isEmpty) rel.sparkSession.range(1).toDF()
           else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
@@ -1381,6 +1473,129 @@ object GraphQl {
     }: _*)
   }
 
+  /** Serving cap on a `mapIds` term batch — the nearDupLookup
+    * discipline: an unbounded term list belongs in a join against a
+    * terms RELATION, not in one request.
+    */
+  val MaxMapTerms: Int = 1000
+
+  /** The `mapIds(queryTerms:, entityNames:)` root
+    * (opentargets.schema:1176-1181 → MappingResults :977-983): map a
+    * BATCH of free-text terms to entity hits in one request — the
+    * bulk companion of `search` (the schema's term-to-ID utility).
+    * ONE pass over the entity scope: the term list rides as a
+    * broadcast relation into the substring-match filter (never a scan
+    * per term — the S4 batch-lookup discipline), then one keyed fold
+    * per term builds its hit array; terms with NO hits still emit a
+    * mapping with an empty array (the client iterates its own term
+    * list positionally). `mappings` keeps the REQUEST order of
+    * queryTerms; hits are (name, id)-ordered; `total` is the hit
+    * count across all mappings; `aggregations` follows the search
+    * root's entity-facet convention (counts over term-hit MATCHES).
+    * Duplicate terms and a batch above [[MaxMapTerms]] are targeted
+    * errors. Hits are full SearchResults — the union `object` field
+    * and its inline-fragment arms work here unchanged.
+    */
+  private def executeMapIds(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val extra = root.args.keySet.diff(Set("queryTerms", "entityNames"))
+    if (extra.nonEmpty) throw ParseError(
+      s"unknown argument${if (extra.size > 1) "s" else ""} " +
+        s"${extra.toSeq.sorted.mkString(", ")} on mapIds — " +
+        "supported: queryTerms, entityNames")
+    val terms = root.args.getOrElse("queryTerms", throw ParseError(
+      "mapIds requires the queryTerms argument"))
+      .split(',').toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) throw ParseError("queryTerms must not be empty")
+    val dup = terms.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
+    if (dup.nonEmpty) throw ParseError(
+      s"duplicate queryTerms: ${dup.toSeq.sorted.mkString(", ")}")
+    if (terms.size > MaxMapTerms) throw ParseError(
+      s"mapIds serves at most $MaxMapTerms terms per request, got " +
+        s"${terms.size} — join against a terms relation for batch mapping")
+    val entities = root.args.get("entityNames")
+      .map(_.split(',').toSeq.distinct)
+      .getOrElse(Seq("disease", "target", "drug"))
+    root.sel.foreach {
+      case Field("total", _, Seq(), _) => ()
+      case Field("mappings", _, _, _) => ()
+      case Field("aggregations", _, _, _) => ()
+      case g @ Field("__typename", _, _, _) => noSubSel(g)
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on mapIds — supported: " +
+          "total, mappings, aggregations")
+    }
+    if (root.sel.isEmpty) throw ParseError("mapIds needs a selection")
+    val mappingsSels: Seq[Field] = root.sel.filter(_.name == "mappings")
+    val objSels = mappingsSels.flatMap(_.sel).filter(_.name == "hits")
+      .flatMap(_.sel).filter(_.name == "object")
+    val rel = widenedSearchRel(kg, entities, objSels)
+    val spark = rel.sparkSession
+    // the term batch as a broadcast relation: (term, lowered, ord)
+    val termsDf = {
+      import scala.jdk.CollectionConverters._
+      val rows = terms.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(t, t.toLowerCase, i)
+      }.asJava
+      spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "__term STRING, __lt STRING, __ord INT"))
+    }
+    // every (term, hit) match in ONE scan; a LEFT join back to the
+    // term relation keeps zero-hit terms (their hit columns are null
+    // and collect_list's when() guard folds them to an empty array)
+    val matched = rel.crossJoin(broadcast(termsDf))
+      .filter(lower(col("name")).contains(col("__lt")))
+    val all = termsDf.join(matched.drop("__lt"),
+      Seq("__term", "__ord"), "left")
+    def mappingsDfFor(g: Field): DataFrame = {
+      if (g.sel.isEmpty) throw ParseError("mapIds mappings need a selection")
+      // per-alias hit arrays first (one grouped agg per term)...
+      val hitParts = g.sel.collect {
+        case h @ Field("hits", _, sel, _) =>
+          transform(sort_array(collect_list(when(col("id").isNotNull,
+            struct(col("name").as("__k0"), col("id").as("__k1"),
+              hitStruct(sel).as("__p"))))),
+            x => x.getField("__p")).as(h.out)
+      }
+      val parts =
+        if (hitParts.nonEmpty) hitParts else Seq(count(lit(1)).as("__c"))
+      val grouped = all.groupBy(col("__term"), col("__ord"))
+        .agg(parts.head, parts.tail: _*)
+      // ...then the mapping structs fold in REQUEST order
+      val payload = struct(g.sel.map { m =>
+        (m.name match {
+          case "__typename" => noSubSel(m); lit("MappingResult")
+          case "term" =>
+            if (m.sel.nonEmpty) throw ParseError(
+              "'mappings.term' is a scalar — drop its selection")
+            col("__term")
+          case "hits" => col(m.out)
+          case other => throw ParseError(
+            s"unknown field '$other' on mapIds mappings — supported: " +
+              "term, hits")
+        }).as(m.out)
+      }: _*)
+      grouped.agg(transform(sort_array(collect_list(struct(
+        col("__ord").as("__k0"), payload.as("__p")))),
+        x => x.getField("__p")).as(g.out))
+    }
+    val sides: Seq[DataFrame] =
+      (if (root.sel.exists(_.name == "total"))
+         Seq(matched.agg(count(lit(1)).as("total"))) else Nil) ++
+      root.sel.collect { case g @ Field("mappings", _, _, _) =>
+        mappingsDfFor(g) } ++
+      root.sel.collect { case g @ Field("aggregations", _, _, _) =>
+        aggregationsDf(matched, g) }
+    val combined =
+      if (sides.isEmpty) spark.range(1).toDF()
+      else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
+    combined.select(root.sel.map { g =>
+      (if (g.name == "__typename") lit("MappingResults")
+       else if (g.name == "total") col("total")
+       else col(g.out)).as(g.out)
+    }: _*)
+  }
+
   /** Batch point-lookup roots — `targets(ensemblIds: [...])` /
     * `diseases(efoIds:)` / `drugs(chemblIds:)`
     * (opentargets.schema:1125-1148, declared but unused by the
@@ -1433,6 +1648,7 @@ object GraphQl {
     checkInline(Field("query", Map.empty, Seq(root)), underUnion = false)
     if (root.name == "search") return executeSearch(kg, root)
     if (root.name == "facets") return executeFacets(kg, root)
+    if (root.name == "mapIds") return executeMapIds(kg, root)
     if (Set("targets", "diseases", "drugs")(root.name))
       return executeBatch(kg, root)
     val (entity, keyArg, base) = root.name match {
@@ -1442,8 +1658,8 @@ object GraphQl {
       case other => throw ParseError(
         s"unknown root '$other' — supported: disease(efoId:), " +
           "target(ensemblId:), drug(chemblId:), search(queryString:), " +
-          "facets(queryString:), targets(ensemblIds:), diseases(efoIds:), " +
-          "drugs(chemblIds:)")
+          "facets(queryString:), mapIds(queryTerms:), " +
+          "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:)")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

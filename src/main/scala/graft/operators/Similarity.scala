@@ -783,12 +783,96 @@ object Similarity {
         org.apache.spark.sql.types.StructType.fromDDL(
           "sub INT, code INT, centroid ARRAY<FLOAT>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // build-time per-subspace quantization-error baseline — the
+    // reference point [[pqDriftReport]] measures codebook drift
+    // against (the buildIvfIndex stats discipline)
+    pqListStats(embeddings, vecName, books)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Per-subspace (sub, n, mean quantization error ×1e6) of a float
+    * corpus under the given codebooks: error = L2² of each subvector
+    * to its NEAREST cell (exactly what [[pqEncode]] picks), held as
+    * fixed-point e6 longs so comparisons are engine-exact. One
+    * posexplode + one keyed agg — subspace-count-sized output.
+    */
+  private def pqListStats(embeddings: DataFrame, vecName: String,
+                          books: Seq[Seq[Array[Float]]]): DataFrame = {
+    val numSub = books.size
+    val w = books.head.head.length
+    val sub = embeddings.select(posexplode(array((0 until numSub).map(s =>
+        slice(col(vecName), s * w + 1, w)): _*)).as(Seq("sub", "sv")))
+    val code = (1 until numSub).foldLeft(nearestCodeL2(col("sv"), books(0))) {
+      (acc, s) =>
+        when(col("sub") === s, nearestCodeL2(col("sv"), books(s))).otherwise(acc)
+    }
+    // the chosen cell's vector, per subspace (parameter-sized literal)
+    val cell = (1 until numSub).foldLeft(
+      element_at(typedlit(books(0).map(_.toSeq)), col("__code") + 1)) {
+      (acc, s) => when(col("sub") === s,
+        element_at(typedlit(books(s).map(_.toSeq)), col("__code") + 1))
+        .otherwise(acc)
+    }
+    sub.withColumn("__code", code)
+      .withColumn("__cell", cell)
+      .select(col("sub"),
+        round(aggregate(zip_with(col("sv").cast("array<double>"),
+            col("__cell").cast("array<double>"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * lit(1e6), 0)
+          .cast("long").as("__r"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("__sr"))
+      .select(col("sub"), col("n"),
+        round(col("__sr").cast("double") / col("n"), 0)
+          .cast("long").as("resid_e6"))
+  }
+
+  /** Codebook-drift report for a frozen-codebook PQ index — the
+    * rebuild trigger [[appendPqIndex]]'s scaladoc promises (the
+    * ivfDriftReport discipline, one tier over): per-subspace corpus
+    * size and mean quantization error NOW (over the float corpus the
+    * code table indexes — pass the same embeddings relation the
+    * serve path re-ranks against) vs the build-time `stats` baseline.
+    * A subspace flags `drifted` when its mean error grew more than
+    * `residGrowthPct`% over the baseline (integer-exact comparison on
+    * the e6 fixed-point values) or the corpus outgrew the build by
+    * `occupancyGrowth`× — either way the frozen cells no longer
+    * tile the data and ADC ranking degrades behind the re-rank's
+    * back. Rebuild (ensurePqIndex over the union) when subspaces
+    * flag.
+    */
+  def pqDriftReport(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, embeddings: DataFrame,
+                    vecName: String, residGrowthPct: Long = 50L,
+                    occupancyGrowth: Double = 4.0): DataFrame = {
+    val books = readPqCodebooks(spark, indexPath)
+    val now = pqListStats(embeddings, vecName, books)
+      .withColumnRenamed("n", "n_now")
+      .withColumnRenamed("resid_e6", "resid_now_e6")
+    val build = spark.read.parquet(s"$indexPath/stats")
+    now.join(broadcast(build), Seq("sub"), "left")
+      .select(col("sub").cast("long").as("sub"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        col("n_now"), col("resid_build_e6"), col("resid_now_e6"),
+        (col("resid_now_e6") - coalesce(col("resid_build_e6"),
+          col("resid_now_e6"))).as("resid_delta_e6"))
+      .withColumn("drifted",
+        col("n_build") === 0L ||
+          col("resid_now_e6") * 100L >
+            col("resid_build_e6") * (100L + residGrowthPct) ||
+          col("n_now").cast("double") >
+            col("n_build").cast("double") * occupancyGrowth)
+      .orderBy("sub")
   }
 
   def ensurePqIndex(embeddings: DataFrame, idName: String, vecName: String,
                     numSub: Int, k: Int, path: String): Unit = {
     def ok(p: String) =
-      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/codebooks")
+      Artifact.complete(s"$p/codes") && Artifact.complete(s"$p/codebooks") &&
+        Artifact.complete(s"$p/stats")
     Artifact.ensure(path, ok) { tmp =>
       buildPqIndex(embeddings, idName, vecName, numSub, k, tmp)
     }
@@ -1624,6 +1708,41 @@ object Similarity {
                         indexPath: String): Array[Double] =
     spark.read.parquet(s"$indexPath/thresholds")
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  /** Threshold-drift report for a frozen-threshold binary index —
+    * the rebuild trigger [[appendBinaryIndex]]'s scaladoc promises:
+    * per-dimension CURRENT midpoint ((min+max)/2 over the corpus the
+    * code table now indexes) vs the frozen thresholds sidecar. A
+    * dimension flags `drifted` when its midpoint moved more than
+    * `deltaFrac` of its current range away from the frozen threshold
+    * — appends from a shifted distribution then binarize against a
+    * stale cut and that dimension's bit carries ~no information for
+    * the new mode (stage-1 Hamming recall decays behind the re-rank's
+    * back). Every value is order-independent IEEE arithmetic
+    * (min/max commute, one midpoint op, one subtraction), so the
+    * whole report replays exactly in SQL — a FULL-oracle row, unlike
+    * the k-means-derived IVF/PQ baselines. One posexplode + one keyed
+    * agg; dim-sized output.
+    */
+  def binDriftReport(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, embeddings: DataFrame,
+                     vecName: String, deltaFrac: Double = 0.25): DataFrame = {
+    val thr = readBinThresholds(spark, indexPath)
+    requireBinDim(embeddings, vecName, thr.length, "binDriftReport")
+    embeddings
+      .select(posexplode(col(vecName).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+      .select(col("dim").cast("long").as("dim"),
+        element_at(typedlit(thr.toSeq), col("dim").cast("int") + 1).as("thr"),
+        ((col("__mn") + col("__mx")) / lit(2.0)).as("mid_now"),
+        (col("__mx") - col("__mn")).as("range_now"))
+      .withColumn("delta", round(abs(col("mid_now") - col("thr")), 6))
+      .withColumn("drifted",
+        col("delta") > round(col("range_now") * lit(deltaFrac), 6))
+      .orderBy("dim")
+  }
 
   /** Planning-pass half of a STREAMED binary index (the
     * initSq8Scales discipline): freeze the thresholds sidecar BEFORE

@@ -933,6 +933,72 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(slim.head().getSeq[Row](0).nonEmpty)
   }
 
+  test("execute: search aggregations — entity facet counts, single-category convention") {
+    val got = GraphQl.execute(kg,
+      """{ search(queryString: "r") { total aggregations {
+           total entities { name total categories { name total } } } } }""")
+      .head()
+    val total = got.getLong(0)
+    val aggs = got.getStruct(1)
+    assert(aggs.getLong(0) == total)
+    val ents = aggs.getSeq[Row](1)
+    assert(ents.map(_.getString(0)) == ents.map(_.getString(0)).sorted)
+    assert(ents.map(_.getLong(1)).sum == total)
+    // this dialect's category taxonomy is the entity kind: each
+    // entity aggregate carries exactly one category — itself
+    ents.foreach { e =>
+      val cats = e.getSeq[Row](2)
+      assert(cats.size == 1 && cats.head.getString(0) == e.getString(0) &&
+        cats.head.getLong(1) == e.getLong(1))
+    }
+    // a PAGED search still aggregates over the FULL match set
+    val paged = GraphQl.execute(kg,
+      """{ search(queryString: "r", size: 3) { hits { id }
+           aggregations { total } } }""").head()
+    assert(paged.getStruct(1).getLong(0) == total)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ search(queryString: "r") { aggregations { nope } } }""")
+      .contains("total, entities"))
+    assert(err("""{ search(queryString: "r") { aggregations { entities { nope } } } }""")
+      .contains("name, total, categories"))
+  }
+
+  test("execute: mapIds — batch term mapping in one scan, request order, empty-hit terms kept") {
+    val got = GraphQl.execute(kg,
+      """{ mapIds(queryTerms: ["machine", "zzqq", "red"]) { total
+           mappings { term hits { id name entity } } } }""").head()
+    val mappings = got.getSeq[Row](1)
+    // mappings keep the REQUEST order, including the zero-hit term
+    assert(mappings.map(_.getString(0)) == Seq("machine", "zzqq", "red"))
+    assert(mappings(1).getSeq[Row](1).isEmpty)
+    val redHits = mappings(2).getSeq[Row](1)
+    assert(redHits.nonEmpty)
+    // each term's hits equal the equivalent single search
+    val searchRed = GraphQl.execute(kg,
+      """{ search(queryString: "red") { hits { id name entity } } }""")
+      .head().getSeq[Row](0)
+    assert(redHits == searchRed)
+    assert(got.getLong(0) == mappings.map(_.getSeq[Row](1).size).sum)
+    // the union object field works inside mapping hits unchanged
+    val o = GraphQl.execute(kg,
+      """{ mapIds(queryTerms: ["machine"], entityNames: ["disease"]) {
+           mappings { term hits { id object {
+             __typename ... on Disease { name } } } } } }""").head()
+    val h = o.getSeq[Row](0).head.getSeq[Row](1)
+    assert(h.nonEmpty && h.head.getStruct(1).getString(0) == "Disease")
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ mapIds(queryTerms: ["a", "a"]) { total } }""")
+      .contains("duplicate queryTerms"))
+    assert(err("""{ mapIds(queryTerms: []) { total } }""")
+      .contains("must not be empty"))
+    assert(err("""{ mapIds(queryTerms: ["a"]) { nope } }""")
+      .contains("total, mappings, aggregations"))
+    assert(err("""{ mapIds(queryTerms: ["a"]) { mappings { nope } } }""")
+      .contains("term, hits"))
+  }
+
   test("execute: facets root — category counts next to paged facet hits") {
     val got = GraphQl.execute(kg,
       """{ facets(queryString: "r") { total

@@ -1115,6 +1115,58 @@ class SimilaritySpec extends SparkSpec {
       Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq(1, 1)))
   }
 
+  test("pqDriftReport: fresh index clean and delta-zero; a shifted mode flags exactly its subspace") {
+    val dir = java.nio.file.Files.createTempDirectory("pqdrift").toString + "/idx"
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", numSub = 8, k = 16, dir)
+    val fresh = Similarity.pqDriftReport(spark, dir, emb, "embedding").collect()
+    assert(fresh.length == 8)
+    assert(fresh.forall(!_.getBoolean(6)), s"fresh flags: ${fresh.toSeq}")
+    // the recomputation is engine-exact: deltas are exactly zero on
+    // the build corpus
+    assert(fresh.forall(_.getLong(5) == 0L))
+    // a shifted mode on dim 0: subspace 0's frozen cells no longer
+    // tile the data; the other subspaces see duplicated values (same
+    // mean error, 2x occupancy — under the 4x gate)
+    val shifted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x)).as("embedding")))
+    val rep = Similarity.pqDriftReport(spark, dir, shifted, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(0L).getBoolean(6), s"subspace 0 not flagged: $rep")
+    (1L to 7L).foreach { s =>
+      assert(!rep(s).getBoolean(6) && rep(s).getLong(5) == 0L,
+        s"untouched subspace $s moved: ${rep(s)}")
+    }
+  }
+
+  test("binDriftReport: frozen thresholds vs a shifted corpus — exact arithmetic, per-dim flags") {
+    val dir = java.nio.file.Files.createTempDirectory("bindrift").toString + "/idx"
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", dir)
+    val fresh = Similarity.binDriftReport(spark, dir, emb, "embedding").collect()
+    assert(fresh.length == 64)
+    assert(fresh.forall(!_.getBoolean(5)), s"fresh flags: ${fresh.toSeq}")
+    // midpoints are order-independent IEEE ops: delta is EXACTLY zero
+    assert(fresh.forall(_.getDouble(4) == 0.0))
+    val shifted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x)).as("embedding")))
+    val rep = Similarity.binDriftReport(spark, dir, shifted, "embedding")
+      .collect()
+    assert(rep.head.getBoolean(5), s"dim 0 not flagged: ${rep.head}")
+    assert(rep.drop(1).forall(!_.getBoolean(5)),
+      "an unshifted dimension flagged")
+    // ragged corpora rejected loudly
+    val ragged = intercept[IllegalArgumentException](
+      Similarity.binDriftReport(spark, dir,
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")),
+        "embedding"))
+    assert(ragged.getMessage.contains("ragged"))
+  }
+
   test("JL width guard: literal cap fires loudly; joined variant equals the literal path and runs at production width") {
     // above the cap the literal path is rejected with the remedy
     val e = intercept[IllegalArgumentException](
