@@ -1074,6 +1074,19 @@ object GraphQl {
     * that type — the shape an Apollo-generated client's
     * `...on`-switch reads directly.
     */
+  /** Loud rejection of arguments on a field that takes none — the
+    * argument-list strictness the connection sites already enforce,
+    * applied to the search-family sub-fields (a typo'd `hits(size:)`
+    * silently ignored would be the quiet failure this dialect never
+    * allows).
+    */
+  private def noArgs(f: Field, where: String): Field = {
+    if (f.args.nonEmpty) throw ParseError(
+      s"'$where.${f.name}' takes no arguments, got " +
+        f.args.keys.toSeq.sorted.mkString(", "))
+    f
+  }
+
   private def hitStruct(sel: Seq[Field]): Column = {
     if (sel.isEmpty) throw ParseError("search hits need a selection")
     struct(sel.map { f =>
@@ -1275,8 +1288,8 @@ object GraphQl {
       transform(page, x => x.getField("__p"))
     }
     root.sel.foreach {
-      case Field("total", _, Seq(), _) => ()
-      case Field("hits", _, _, _) => ()
+      case g @ Field("total", _, Seq(), _) => noArgs(g, "search"); ()
+      case g @ Field("hits", _, _, _) => noArgs(g, "search"); ()
       case Field("aggregations", _, _, _) => ()
       case g @ Field("__typename", _, _, _) => noSubSel(g)
       case g => throw ParseError(
@@ -1397,9 +1410,9 @@ object GraphQl {
       "page.index needs page.size")
     val size: Option[Int] = explicitSize.map(math.min(_, MaxPageSize))
     root.sel.foreach {
-      case Field("total", _, Seq(), _) => ()
-      case Field("hits", _, _, _) => ()
-      case Field("categories", _, _, _) => ()
+      case g @ Field("total", _, Seq(), _) => noArgs(g, "facets"); ()
+      case g @ Field("hits", _, _, _) => noArgs(g, "facets"); ()
+      case g @ Field("categories", _, _, _) => noArgs(g, "facets"); ()
       case g @ Field("__typename", _, _, _) => noSubSel(g)
       case g => throw ParseError(
         s"unknown field '${g.name}' on facets — supported: " +
@@ -1516,8 +1529,8 @@ object GraphQl {
       .map(_.split(',').toSeq.distinct)
       .getOrElse(Seq("disease", "target", "drug"))
     root.sel.foreach {
-      case Field("total", _, Seq(), _) => ()
-      case Field("mappings", _, _, _) => ()
+      case g @ Field("total", _, Seq(), _) => noArgs(g, "mapIds"); ()
+      case g @ Field("mappings", _, _, _) => noArgs(g, "mapIds"); ()
       case Field("aggregations", _, _, _) => ()
       case g @ Field("__typename", _, _, _) => noSubSel(g)
       case g => throw ParseError(

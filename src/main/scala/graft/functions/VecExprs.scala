@@ -151,3 +151,61 @@ case class HyperplaneSig(child: Expression, numBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hyperplane_sig"
 }
+
+/** Johnson–Lindenstrauss projection kernel: the per-row form of
+  * `Similarity.randomProject` with the SAME semantics (1e-6
+  * fixed-point quantization via BigDecimal HALF_UP — bit-matching
+  * Spark's `round` — then an integer dot with the md5-derived ±1
+  * sign matrix), but the matrix rides the expression as ONE
+  * reference object (the UnigramViterbi discipline) instead of
+  * inDim×outDim plan literals or an explode-join. At production
+  * widths this is a dense matvec in a tight primitive loop —
+  * O(inDim·outDim) flops per row with no row-machinery per scalar,
+  * where the joined form pays one join-row per (dim, out) product.
+  * Values are IDENTICAL to both other paths (spec-pinned).
+  */
+case class JlProject(child: Expression, inDim: Int, outDim: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(inDim >= 1 && outDim >= 1, s"bad dims in=$inDim out=$outDim")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def et: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val signs: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { d =>
+        md.reset()
+        val h = md.digest(s"jl_${seed}_${d}_${j}".getBytes("UTF-8"))
+        if ((h(0) >> 4 & 1) == 0) 1L else -1L
+      }
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != inDim) throw new IllegalArgumentException(
+      s"jl_project: vector of dimension $n, expected $inDim — ragged corpus")
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = java.math.BigDecimal
+        .valueOf(VecKernels.get(arr, et, i) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      val s = signs(j)
+      var acc = 0L
+      var d = 0
+      while (d < n) { acc += q(d) * s(d); d += 1 }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "jl_project"
+}

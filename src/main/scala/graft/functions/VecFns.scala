@@ -38,6 +38,12 @@ object VecFns {
   def hyperplaneSig(v: Column, numBits: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numBits, seed))
 
+  /** JL projection kernel (VecExprs.JlProject) — the per-row dense
+    * matvec form of `Similarity.randomProject`, identical values.
+    */
+  def jlProject(v: Column, inDim: Int, outDim: Int, seed: Long): Column =
+    toCol(JlProject(toExpr(v), inDim, outDim, seed))
+
   /** SQ8 code packing/serving kernels (Sq8Exprs.scala): int8 codes as
     * array<long> ↔ one-byte-per-dim binary, and the exact int64 dot
     * over the packed form — the persisted-index scan kernel.

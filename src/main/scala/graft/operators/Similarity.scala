@@ -1877,8 +1877,9 @@ object Similarity {
       s"randomProject inlines inDim*outDim = ${inDim.toLong * outDim} " +
         s"sign literals into the plan — above $JlLiteralCap the plan " +
         "itself becomes the bottleneck (analysis/codegen blowup); use " +
-        "randomProjectJoined, which carries the sign matrix as a " +
-        "broadcast relation")
+        "randomProjectPacked (per-row kernel, the fast path) or " +
+        "randomProjectJoined (broadcast sign-matrix relation, the " +
+        "SQL-replayable path)")
     val vq = transform(vec.cast("array<double>"),
       x => round(x * lit(1e6), 0).cast("long"))
     val cols = (0 until outDim).map { j =>
@@ -1917,6 +1918,19 @@ object Similarity {
     * quantization, same md5 sign device, integer sums —
     * order-independent.
     */
+  /** [[randomProject]] at production widths, kernel form: the sign
+    * matrix rides the plan as ONE reference object inside a custom
+    * expression ([[graft.functions.VecFns.jlProject]]) and each row
+    * pays a tight O(inDim·outDim) integer matvec — no plan literals
+    * (the [[JlLiteralCap]] hazard) and no join-row per scalar product
+    * (the [[randomProjectJoined]] overhead). Values are IDENTICAL to
+    * both other paths (spec-pinned); use the joined form when the
+    * projection must replay in SQL.
+    */
+  def randomProjectPacked(vec: Column, inDim: Int, outDim: Int,
+                          seed: Long): Column =
+    graft.functions.VecFns.jlProject(vec, inDim, outDim, seed)
+
   def randomProjectJoined(embeddings: DataFrame, idName: String,
                           vecName: String, inDim: Int, outDim: Int,
                           seed: Long): DataFrame = {

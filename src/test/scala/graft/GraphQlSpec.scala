@@ -962,6 +962,14 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("total, entities"))
     assert(err("""{ search(queryString: "r") { aggregations { entities { nope } } } }""")
       .contains("name, total, categories"))
+    // sub-fields take no arguments — a typo'd hits(size:) is loud,
+    // never silently ignored
+    assert(err("""{ search(queryString: "r") { hits(size: 5) { id } } }""")
+      .contains("takes no arguments"))
+    assert(err("""{ facets(queryString: "r") { hits(size: 5) { id } } }""")
+      .contains("takes no arguments"))
+    assert(err("""{ mapIds(queryTerms: ["a"]) { mappings(size: 5) { term } } }""")
+      .contains("takes no arguments"))
   }
 
   test("execute: mapIds — batch term mapping in one scan, request order, empty-hit terms kept") {

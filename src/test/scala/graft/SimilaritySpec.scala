@@ -1181,6 +1181,11 @@ class SimilaritySpec extends SparkSpec {
         64, 16, 7L)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(joined == lit64)
+    // the per-row KERNEL form is identical too (three-path equality)
+    val packed = emb.select(col("vec_id"),
+        Similarity.randomProjectPacked(col("embedding"), 64, 16, 7L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed == lit64)
     // production width 1024 -> 128: a synthetic wide corpus projects
     // without plan blowup, deterministically across partitionings
     val wide = spark.range(30).select(col("id").as("vec_id"),
@@ -1195,6 +1200,18 @@ class SimilaritySpec extends SparkSpec {
     val p1 = run(wide)
     assert(p1.size == 30 && p1.values.forall(_.size == 128))
     assert(run(wide.repartition(7)) == p1)
+    // the kernel agrees at production width too
+    val kp = wide.select(col("vec_id"),
+        Similarity.randomProjectPacked(col("embedding"), 1024, 128, 7L)
+          .as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kp == p1)
+    // the kernel rejects a ragged row loudly
+    val rk = intercept[org.apache.spark.SparkException](
+      emb.select(Similarity.randomProjectPacked(col("embedding"),
+        32, 8, 7L)).collect())
+    assert(rk.getMessage.contains("ragged") ||
+      Option(rk.getCause).exists(_.getMessage.contains("ragged")))
     // ragged corpus rejected loudly
     val ragged = intercept[IllegalArgumentException](
       Similarity.randomProjectJoined(emb, "vec_id", "embedding", 32, 8, 7L))

@@ -256,6 +256,81 @@ object ProbeScale100 {
         s"(sig ${s1._1}), count exactly ${factor}x")
     }
 
+    // CDC-boundary segment dedup at factor×: every chunk text gains
+    // factor−1 exact twins (the mega-duplicated-segment skew regime
+    // the min-struct keep-first exists for). Copy-0 documents keep
+    // first-occurrence status for every chunk they keep at 1× (copies
+    // have HIGHER ids), so the restricted output is bit-identical.
+    if (section("cdcdedup")) {
+      replicate("documents", Seq("doc_id"))
+      val maxBase = docs(base).agg(max(col("doc_id"))).head().getLong(0)
+      def run(dir: String): DataFrame =
+        graft.operators.SegmentOps.dedupSegmentsCdc(
+          docs(dir), "doc_id", col("text"), 32)
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(concat_ws("|", col("doc_id"),
+            col("n_kept"), col("n_dropped"), col("clean_text"))).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var s1 = (0L, 0L)
+      time("dedupSegCdc    warm")(sig(run(base))._2)
+      time("dedupSegCdc    sf0.1") { s1 = sig(run(base)); s1._2 }
+      // sig (not count) at factor×: a bare count lets Catalyst prune
+      // the clean_text reassembly and under-measures the operator
+      var sBig = (0L, 0L)
+      time(s"dedupSegCdc    ${factor}x") { sBig = sig(run(big)); sBig._2 }
+      require(sBig._2 == s1._2 * factor,
+        s"doc count not exactly ${factor}x: ${sBig._2} vs ${s1._2} * $factor")
+      var sN = (0L, 0L)
+      time(s"dedupSegCdc    ${factor}x@copy0") {
+        sN = sig(run(big).filter(col("doc_id") <= maxBase)); sN._2
+      }
+      require(s1 == sN,
+        s"${factor}x dedup output restricted to copy 0 diverged: $s1 vs $sN")
+      println(s"[probe] cdcdedup invariant: ${factor}x restricted to " +
+        s"copy-0 == 1x (sig ${s1._1}); every copy-0 keep decision survives " +
+        s"${factor - 1} extra twins per chunk")
+    }
+
+    // JL projection at production width (1024 -> 128): the KERNEL
+    // path (one reference-object sign matrix, tight per-row matvec)
+    // vs the broadcast-JOIN path (one join-row per scalar product) —
+    // the measured justification for shipping both. Work is inherent
+    // O(n·inDim·outDim); the probe pins kernel == joined values and
+    // reports the rate gap.
+    if (section("jl")) {
+      def wide(n: Long): DataFrame = spark.range(n)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(1023)),
+            d => ((pmod(col("id") * 31 + d.cast("long") * 7, lit(97L))
+              .cast("double") / lit(97.0)) - lit(0.5)).cast("float"))
+            .as("embedding"))
+      def sigOf(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(col("vec_id"), col("p")).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def kernel(n: Long): DataFrame = wide(n).select(col("vec_id"),
+        Similarity.randomProjectPacked(col("embedding"), 1024, 128, 7L)
+          .as("p"))
+      def joined(n: Long): DataFrame =
+        Similarity.randomProjectJoined(wide(n), "vec_id", "embedding",
+          1024, 128, 7L).withColumnRenamed("proj", "p")
+      var kSig = (0L, 0L)
+      var jSig = (0L, 0L)
+      time("jl kernel      6k")(sigOf(kernel(6000))._2)
+      time("jl kernel      6k (timed)") { kSig = sigOf(kernel(6000)); kSig._2 }
+      time("jl joined      6k") { jSig = sigOf(joined(6000)); jSig._2 }
+      require(kSig == jSig, s"kernel != joined at 6k: $kSig vs $jSig")
+      time("jl kernel      60k")(sigOf(kernel(60000))._2)
+      time("jl joined      60k")(sigOf(joined(60000))._2)
+      if (factor >= 100)
+        time("jl kernel      600k")(sigOf(kernel(600000))._2)
+      println("[probe] jl invariant: kernel == joined at 6k " +
+        s"(sig ${kSig._1}); rates above are the shipping argument")
+    }
+
     // graph iteratives at factor×: disjoint prefix-tagged copies
     def pairs1x: DataFrame =
       spark.read.parquet(s"$base/lineitem.parquet")
