@@ -4853,6 +4853,22 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // ---------------- JL kernel, SQL-pinned ----------------
+    // The production JL path (Similarity.randomProjectPacked — the
+    // sign matrix as ONE reference object riding a custom expression,
+    // per-row integer matvec, measured 24-104x the joined form at
+    // production width, SCALING.md r15) hash-compared COORDINATE BY
+    // COORDINATE against the md5 sign device replayed in SQL — the
+    // strongest statement that the fast kernel computes exactly the
+    // operator it replaces (q228 pins the literal path to the same
+    // device; SimilaritySpec pins all three paths pairwise).
+    "q239_jl_kernel" -> ((s, dir) =>
+      t(s, dir).embeddings.select(col("vec_id"),
+          posexplode(Similarity.randomProjectPacked(col("embedding"),
+            64, 16, 7L)).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
+        .orderBy("vec_id", "j")),
+
     // ---------------- k-anonymity audit ----------------
     // Re-identification risk the redaction pass can't see: rows
     // identifiable by the COMBINATION of innocuous attributes. One
@@ -7260,6 +7276,25 @@ ORDER BY n_uses DESC, piece"""
            round(abs(n.mid - t.t), 6) > round(n.rng * 0.25, 6) AS drifted
          FROM now n JOIN thr t ON t.dim = n.dim
          ORDER BY dim""",
+    // the kernel's every projected coordinate vs the md5 sign device
+    // (q228's quantization idiom)
+    "q239_jl_kernel" ->
+      """WITH d AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         vq AS (SELECT vec_id, dim,
+                  CAST(round(x * 1e6) AS BIGINT) AS q
+                FROM d),
+         s AS (SELECT dim, j,
+                 CASE WHEN substring(md5('jl_7_' || (dim - 1) || '_' || j),
+                     1, 1) IN ('0','2','4','6','8','a','c','e')
+                   THEN 1 ELSE -1 END AS sgn
+               FROM (SELECT DISTINCT dim FROM vq)
+               CROSS JOIN range(16) r(j))
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+           CAST(sum(q * sgn) AS BIGINT) AS p
+         FROM vq JOIN s USING (dim) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q222_k_anonymity" ->
       """SELECT lang, source,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
