@@ -133,8 +133,13 @@ object Bench {
       if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
     val flaggedSpread = names.filter { case (n, _) =>
       val ts = timesBy(n)
-      ts.size >= 2 && ts.min >= SpreadFloorSec &&
-        (spreadOf(ts) > SpreadGate || ts.max - ts.min > SpreadAbsSec)
+      // the min-floor applies only to the RATIO criterion (a 0.2-vs-
+      // 0.7 s pair is noise, not weather); the absolute criterion is
+      // independent — a fast query hit by >10 s of steal (reps like
+      // 0.8/14/12) must re-run even though its min is under the floor
+      ts.size >= 2 &&
+        ((ts.min >= SpreadFloorSec && spreadOf(ts) > SpreadGate) ||
+          ts.max - ts.min > SpreadAbsSec)
     }
     val extraReps = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> 0 }: _*)

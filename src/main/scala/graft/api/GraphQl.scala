@@ -223,7 +223,9 @@ object GraphQl {
               case Var(v) => args += k -> resolveVar(v)
               case Punct('[') =>
                 // list value (entityNames: ["disease"]) — stored
-                // comma-joined; the item values never contain commas
+                // NUL-joined (ListSep): unlike a comma, NUL cannot
+                // appear in a free-text item (mapIds queryTerms like
+                // "46,XX disorder" must survive the round trip)
                 val items = Seq.newBuilder[String]
                 var closed = false
                 while (!closed) next() match {
@@ -233,7 +235,7 @@ object GraphQl {
                   case Var(v) => items += resolveVar(v)
                   case t => throw ParseError(s"bad list item $t for '$k'")
                 }
-                args += k -> items.result().mkString(",")
+                args += k -> items.result().mkString(ListSep)
               case Punct('{') =>
                 // object value (page: {index: 0, size: 25} — the
                 // schema's Pagination input, opentargets.schema:
@@ -485,6 +487,20 @@ object GraphQl {
     * selection (NUL-prefixed — can never collide with a field name).
     */
   private val SpreadMark: String = "\u0000..."
+
+  /** Separator for parsed LIST argument values (entityNames, batch
+    * ids, queryTerms): NUL — the one character no free-text item can
+    * carry (a comma-joined encoding silently split "46,XX disorder"
+    * into two mapIds terms).
+    */
+  private val ListSep: String = SpreadMark.take(1)
+
+  /** A parsed list argument back to its items (limit −1: a TRAILING
+    * empty item must survive the split so the empty-term guards can
+    * reject it loudly instead of it silently vanishing).
+    */
+  private def splitList(joined: String): Seq[String] =
+    joined.split(java.util.regex.Pattern.quote(ListSep), -1).toSeq
 
   /** Marker prefix for an inline-fragment arm (`... on Type`): the
     * field's name is `InlineMark + Type`, its alias the bare type
@@ -1265,7 +1281,7 @@ object GraphQl {
     val qs = root.args.getOrElse("queryString", throw ParseError(
       "search requires the queryString argument"))
     val entities = root.args.get("entityNames")
-      .map(_.split(',').toSeq.distinct)
+      .map(splitList(_).distinct)
       .getOrElse(Seq("disease", "target", "drug"))
     val objSels: Seq[Field] = root.sel.filter(_.name == "hits")
       .flatMap(_.sel).filter(_.name == "object")
@@ -1379,19 +1395,11 @@ object GraphQl {
         s"${facetsExtra.toSeq.sorted.mkString(", ")} on facets — " +
         "supported: queryString, entityNames, category, page")
     val entities = root.args.get("entityNames")
-      .map(_.split(',').toSeq.distinct)
+      .map(splitList(_).distinct)
       .getOrElse(Seq("disease", "target", "drug"))
-    def scope = entities.map {
-      case "disease" => kg.diseases
-        .select(col("id"), col("name"), lit("disease").as("entity"))
-      case "target" => kg.targets
-        .select(col("id"), col("approvedSymbol").as("name"),
-          lit("target").as("entity"))
-      case "drug" => kg.drugs
-        .select(col("id"), col("name"), lit("drug").as("entity"))
-      case other => throw ParseError(
-        s"unknown entity '$other' in entityNames — supported: disease, target, drug")
-    }.reduce(_.unionByName(_))
+    // the same entity-scope union the search root scans (no arm
+    // widening — facet hits carry no union object)
+    def scope = widenedSearchRel(kg, entities, Seq.empty)
       .filter(root.args.get("queryString")
         .map(qs => lower(col("name")).contains(qs.toLowerCase))
         .getOrElse(lit(true)))
@@ -1515,10 +1523,15 @@ object GraphQl {
       s"unknown argument${if (extra.size > 1) "s" else ""} " +
         s"${extra.toSeq.sorted.mkString(", ")} on mapIds — " +
         "supported: queryTerms, entityNames")
-    val terms = root.args.getOrElse("queryTerms", throw ParseError(
-      "mapIds requires the queryTerms argument"))
-      .split(',').toSeq.filter(_.nonEmpty)
+    val terms = splitList(root.args.getOrElse("queryTerms", throw ParseError(
+      "mapIds requires the queryTerms argument")))
+      .filter(_.nonEmpty)
     if (terms.isEmpty) throw ParseError("queryTerms must not be empty")
+    // an empty-STRING term would silently vanish from the positional
+    // mappings array — reject it loudly instead
+    if (splitList(root.args("queryTerms")).exists(_.isEmpty) &&
+        root.args("queryTerms").nonEmpty) throw ParseError(
+      "queryTerms must not contain empty strings")
     val dup = terms.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
     if (dup.nonEmpty) throw ParseError(
       s"duplicate queryTerms: ${dup.toSeq.sorted.mkString(", ")}")
@@ -1526,7 +1539,7 @@ object GraphQl {
       s"mapIds serves at most $MaxMapTerms terms per request, got " +
         s"${terms.size} — join against a terms relation for batch mapping")
     val entities = root.args.get("entityNames")
-      .map(_.split(',').toSeq.distinct)
+      .map(splitList(_).distinct)
       .getOrElse(Seq("disease", "target", "drug"))
     root.sel.foreach {
       case g @ Field("total", _, Seq(), _) => noArgs(g, "mapIds"); ()
@@ -1632,9 +1645,8 @@ object GraphQl {
           "maximumClinicalTrialPhase" -> col("maximumClinicalTrialPhase")))
       case other => throw ParseError(s"not a batch root: $other")
     }
-    val ids = root.args.getOrElse(keyArg, throw ParseError(
-      s"${root.name} requires the $keyArg argument"))
-      .split(',').toSeq.filter(_.nonEmpty)
+    val ids = splitList(root.args.getOrElse(keyArg, throw ParseError(
+      s"${root.name} requires the $keyArg argument"))).filter(_.nonEmpty)
     val batchExtra = root.args.keySet - keyArg
     if (batchExtra.nonEmpty) throw ParseError(
       s"unknown argument${if (batchExtra.size > 1) "s" else ""} " +

@@ -598,8 +598,15 @@ object Similarity {
     // comparable to a full rebuild). `splitTo` grows the slot count
     // for occupancy control when the drifted mass outgrew its lists;
     // the caller then owns the nprobe/nlist trade.
+    // reject BEFORE any mutation: fewer members than flagged lists
+    // cannot fill the reused cid slots (slotCids would outrun the
+    // retrained centroids and abort mid-rewrite with stale sidecars)
+    require(memberCount >= cids.size,
+      s"rebuildIvfLists: the ${cids.size} flagged lists hold only " +
+        s"$memberCount member(s) — rebuild the index instead " +
+        "(ensureIvfIndex over the union)")
     val slots = math.min(memberCount, splitTo.getOrElse(cids.size).toLong).toInt
-    require(slots >= cids.size || slots == memberCount,
+    require(slots >= cids.size,
       s"rebuildIvfLists: splitTo=$slots below the flagged count ${cids.size}")
     // farthest-point seeding, NOT lowest-id: a drifted list mixes an
     // old mode with a new one, and every low id predates the drift —

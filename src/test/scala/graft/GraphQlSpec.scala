@@ -1001,6 +1001,17 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("duplicate queryTerms"))
     assert(err("""{ mapIds(queryTerms: []) { total } }""")
       .contains("must not be empty"))
+    // a free-text term CONTAINING a comma survives as ONE term (list
+    // args are NUL-joined — a comma encoding silently split it)
+    val comma = GraphQl.execute(kg,
+      """{ mapIds(queryTerms: ["machi,nery", "machinery"]) {
+           mappings { term hits { id } } } }""").head()
+    val ms = comma.getSeq[Row](0)
+    assert(ms.map(_.getString(0)) == Seq("machi,nery", "machinery"))
+    assert(ms(0).getSeq[Row](1).isEmpty && ms(1).getSeq[Row](1).nonEmpty)
+    // empty-string terms are loud (they would vanish positionally)
+    assert(err("""{ mapIds(queryTerms: ["a", ""]) { total } }""")
+      .contains("empty strings"))
     assert(err("""{ mapIds(queryTerms: ["a"]) { nope } }""")
       .contains("total, mappings, aggregations"))
     assert(err("""{ mapIds(queryTerms: ["a"]) { mappings { nope } } }""")
