@@ -3996,19 +3996,34 @@ object SparkEntry {
     // The FAISS-IVFSQ layout: code table partitioned by coarse-
     // quantizer list (directory pruning) storing ONLY packed 1-byte
     // codes — a query reads (nprobe/nlist) × 1/4 of the float corpus
-    // bytes. Envelope keyed on SQ8's OWN metric (stronger than the
-    // q50 brute-cosine form): the hashed rows are the UNPRUNED
-    // full-corpus SQ8 top-10 — bit-exact in DuckDB, q197's replay —
-    // plus two pruning guarantees pinned TRUE: recall floor
-    // (the probed lists recover >= 6/10 of the unpruned ranking) and
-    // per-rank domination (pruning can only LOSE candidates — the
-    // pruned i-th score never beats the unpruned i-th score).
+    // bytes. The served index has undergone a PARTIAL LIST REBUILD
+    // (its two most-occupied lists retrained from the persisted codes
+    // under the frozen scales — the composed-tier maintenance path,
+    // inside the one-time artifact publish), so the oracle also pins
+    // that a rebuilt composed index serves correctly. Envelope keyed
+    // on SQ8's OWN metric (stronger than the q50 brute-cosine form):
+    // the hashed rows are the UNPRUNED full-corpus SQ8 top-10 —
+    // bit-exact in DuckDB, q197's replay — plus two pruning
+    // guarantees pinned TRUE: recall floor (the probed lists recover
+    // >= 6/10 of the unpruned ranking) and per-rank domination
+    // (pruning can only LOSE candidates — the pruned i-th score never
+    // beats the unpruned i-th score).
     "q207_ivfsq8_topk" -> ((s, dir) => {
       val emb = t(s, dir).embeddings
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val idx = fixturePath("ivfsq8", dir, "embeddings")
-      Similarity.ensureIvfSq8Index(emb, "vec_id", "embedding", nlist = 16, idx)
+      val idx = fixturePath("ivfsq8r", dir, "embeddings")
+      Artifact.ensure(idx) { tmp =>
+        Similarity.buildIvfSq8Index(emb, "vec_id", "embedding",
+          nlist = 16, tmp)
+        // retrain the two most-occupied lists in place — the codes
+        // are invariant (frozen scales); only list membership moves
+        val top2 = s.read.parquet(s"$tmp/codes")
+          .groupBy(col("__cid")).count()
+          .orderBy(col("count").desc, col("__cid").asc).limit(2)
+          .select(col("__cid")).collect().map(_.getInt(0)).toSeq
+        Similarity.rebuildIvfSq8Lists(s, tmp, "vec_id", top2)
+      }
       val full = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
       val pruned = Similarity.ivfSq8TopK(s, idx, "vec_id", q, 10,
         nprobe = 4, excludeId = 0L)
@@ -4868,6 +4883,163 @@ object SparkEntry {
             64, 16, 7L)).as(Seq("j", "p")))
         .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
         .orderBy("vec_id", "j")),
+
+    // ---------------- incremental CDC-segment dedup ----------------
+    // q233's archive twin (q181 is the fixed-stride incremental
+    // form): history's chunk FINGERPRINTS live in a persisted
+    // archive; the batch carries fresh quarter docs PLUS one-word-
+    // shifted re-publications of history docs — the cross-
+    // batch/archive duplication mode fixed strides structurally
+    // miss. Archived chunk content drops outright (history is
+    // canonical, caught through the shift because CDC boundaries
+    // re-align); archive-fresh content keep-firsts within the batch.
+    // The operator also appends the batch's novel fingerprints to
+    // the archive (pre-existing files byte-identical — spec-pinned
+    // in SegmentOpsSpec); scratch archive per call, so the append
+    // never poisons a later rep. FULL oracle: DuckDB replays the CDC
+    // device, the archive probe, the fresh keep-first, and the
+    // reassembly fingerprint.
+    "q244_cdc_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir).documents.select(col("doc_id"), col("text"))
+      val history = docs.filter(col("doc_id") % 4 =!= 3)
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+        .unionByName(history.filter(col("doc_id") % 8 === 0).select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zq "), col("text")).as("text")))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q244").toString
+      val archPath = s"$scratch/chunk_archive"
+      SegmentOps.cdcChunkArchive(history, "doc_id", col("text"),
+          boundary256 = 32)
+        .write.mode("overwrite").parquet(archPath)
+      SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+          col("text"), boundary256 = 32, archPath)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- binary re-bin lifecycle ----------------
+    // q237's pattern on the binary tier, with the REMEDY in the loop:
+    // fresh index reads clean (exact-zero deltas), a dim-0-shifted
+    // appended mode flags dim 0, then rebinBinaryIndex freezes new
+    // midpoints + re-codes in one scan each — and the report reads
+    // exactly-zero again. FULL oracle end to end (q238's property:
+    // every value is order-independent IEEE min/max arithmetic, so
+    // DuckDB replays all three lifecycle states bit-exactly —
+    // including the REBUILT thresholds). Scratch index per call: the
+    // rebin mutates it, so no artifact reuse.
+    "q245_bin_rebin" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q245").toString
+      val idx = s"$scratch/idx"
+      val build = emb.filter(col("vec_id") % 4 =!= 3)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      Similarity.buildBinaryIndex(build, "vec_id", "embedding", idx)
+      val grown = emb
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 4 === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => when(i === 0, x + lit(8.0)).otherwise(x))
+              .as("embedding")))
+      // report plans embed the threshold sidecar as literals at call
+      // time, so each lifecycle state's report is immune to the later
+      // mutation
+      val r0 = Similarity.binDriftReport(s, idx, build, "embedding")
+        .select(col("dim"), col("delta").as("delta_fresh"),
+          col("drifted").as("drifted_fresh"))
+      // bring the code table to the grown corpus under the FROZEN
+      // thresholds (the append path), then measure the drift
+      Similarity.appendBinaryIndex(s, idx,
+        grown.join(build.select("vec_id"), Seq("vec_id"), "left_anti"),
+        "vec_id", "embedding")
+      val r1 = Similarity.binDriftReport(s, idx, grown, "embedding")
+        .select(col("dim"), round(col("thr"), 6).as("thr_frozen"),
+          col("delta").as("delta_drift"),
+          col("drifted").as("drifted_drift"))
+      Similarity.rebinBinaryIndex(s, idx, grown, "vec_id", "embedding")
+      val r2 = Similarity.binDriftReport(s, idx, grown, "embedding")
+        .select(col("dim"), round(col("thr"), 6).as("thr_rebinned"),
+          col("delta").as("delta_rebinned"),
+          col("drifted").as("drifted_rebinned"))
+      r0.join(r1, "dim").join(r2, "dim").orderBy("dim")
+    }),
+
+    // ---------------- GraphQL geneOntologyTerms root ----------------
+    // The schema's last batch-lookup root (opentargets.schema:
+    // 1189-1192): a GO-id batch rides as ONE broadcast-joined
+    // exact-match scan of the term catalog, and the result list is
+    // POSITIONAL — request order kept, a missing id emitting a NULL
+    // entry (the element type is nullable, `[GeneOntologyTerm]!`,
+    // unlike the other batch roots' `[X!]!`). posexplode keeps the
+    // null entry as a null-id row at its request position; the
+    // oracle replays the catalog and the positional left join.
+    "q240_graphql_go_terms" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             geneOntologyTerms(
+                 goIds: ["GO_BRAND_31", "GO_NOPE", "GO_BRAND_13"]) {
+               id name
+             }
+           }""")
+        .select(posexplode(col("geneOntologyTerms")).as(Seq("i", "g")))
+        .select((col("i") + 1).cast("long").as("ord"),
+          col("g.id").as("id"), col("g.name").as("name"))
+        .orderBy("ord")),
+
+    // ---------------- GraphQL meta root ----------------
+    // API metadata (opentargets.schema:1118 → Meta :1013-1017): the
+    // name scalar plus the apiVersion / dataVersion objects,
+    // selection-shaped. dataVersion is a REAL one-row aggregate over
+    // orders (latest order date = the data cut, row count = the load
+    // iteration), so the oracle replays a computation, not an echo.
+    "q241_graphql_meta" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             meta {
+               name
+               apiVersion { x y z }
+               dataVersion { year month iteration }
+             }
+           }""")
+        .select(col("name"),
+          col("apiVersion.x").as("x"), col("apiVersion.y").as("y"),
+          col("apiVersion.z").as("z"),
+          col("dataVersion.year").as("year"),
+          col("dataVersion.month").as("month"),
+          col("dataVersion.iteration").as("iteration"))),
+
+    // ---------------- GraphQL associationDatasources ----------------
+    // The argument-less EvidenceSource catalog (opentargets.schema:
+    // 1183-1184): distinct (returnflag, linestatus) datasources
+    // grouped by flag into datatypes — a many-to-one the oracle
+    // checks. The view is a map-side-combined distinct over two
+    // 1-char columns: catalog cost at any corpus scale.
+    "q242_graphql_datasources" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        "{ associationDatasources { datasource datatype } }")
+        .select(posexplode(col("associationDatasources")).as(Seq("i", "d")))
+        .select((col("i") + 1).cast("long").as("ord"),
+          col("d.datasource").as("datasource"),
+          col("d.datatype").as("datatype"))
+        .orderBy("ord")),
+
+    // ---------------- GraphQL interactionResources ----------------
+    // The second catalog root (opentargets.schema:1186-1187): one
+    // entry per region, the version counting its nations — a real
+    // grouped aggregate behind a static-catalog API.
+    "q243_graphql_interactions" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        "{ interactionResources { sourceDatabase databaseVersion } }")
+        .select(posexplode(col("interactionResources")).as(Seq("i", "d")))
+        .select((col("i") + 1).cast("long").as("ord"),
+          col("d.sourceDatabase").as("source_db"),
+          col("d.databaseVersion").as("db_version"))
+        .orderBy("ord")),
 
     // ---------------- k-anonymity audit ----------------
     // Re-identification risk the redaction pass can't see: rows
@@ -7295,6 +7467,139 @@ ORDER BY n_uses DESC, piece"""
          SELECT vec_id, CAST(j AS BIGINT) AS j,
            CAST(sum(q * sgn) AS BIGINT) AS p
          FROM vq JOIN s USING (dim) GROUP BY 1, 2 ORDER BY 1, 2""",
+    // binary re-bin lifecycle: all three states' thresholds, deltas,
+    // and verdicts replayed in exact IEEE min/max arithmetic
+    "q245_bin_rebin" ->
+      """WITH bex AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings WHERE vec_id % 4 <> 3),
+         thrb AS (
+           SELECT dim, (min(x) + max(x)) / 2 AS t,
+             max(x) - min(x) AS rng0
+           FROM bex GROUP BY dim),
+         gex AS (
+           SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings
+           UNION ALL
+           SELECT dim, CASE WHEN dim = 0 THEN x + 8.0 ELSE x END
+           FROM (
+             SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+             FROM embeddings WHERE vec_id % 4 = 3)),
+         mid AS (
+           SELECT dim, (min(x) + max(x)) / 2 AS m,
+             max(x) - min(x) AS rng
+           FROM gex GROUP BY dim)
+         SELECT CAST(b.dim AS BIGINT) AS dim,
+           round(abs(b.t - b.t), 6) AS delta_fresh,
+           round(abs(b.t - b.t), 6) > round(b.rng0 * 0.25, 6)
+             AS drifted_fresh,
+           round(b.t, 6) AS thr_frozen,
+           round(abs(m.m - b.t), 6) AS delta_drift,
+           round(abs(m.m - b.t), 6) > round(m.rng * 0.25, 6)
+             AS drifted_drift,
+           round(m.m, 6) AS thr_rebinned,
+           round(abs(m.m - m.m), 6) AS delta_rebinned,
+           round(abs(m.m - m.m), 6) > round(m.rng * 0.25, 6)
+             AS drifted_rebinned
+         FROM thrb b JOIN mid m ON m.dim = b.dim
+         ORDER BY dim""",
+    // incremental CDC-segment dedup: archive probe + fresh keep-first
+    // + reassembly, all replayed (q233's CTE chain with a side tag)
+    "q244_cdc_dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT 'h' AS side, doc_id, text FROM documents
+           WHERE doc_id % 4 <> 3
+           UNION ALL
+           SELECT 'b', doc_id, text FROM documents WHERE doc_id % 4 = 3
+           UNION ALL
+           SELECT 'b', doc_id + 1000000, 'zq ' || text FROM documents
+           WHERE doc_id % 4 <> 3 AND doc_id % 8 = 0),
+         toks AS (
+           SELECT side, doc_id, string_split(text, ' ') AS ts FROM corpus),
+         wds0 AS (
+           SELECT side, doc_id, unnest(range(1, len(ts)+1)) AS pos, ts
+           FROM toks),
+         wds AS (
+           SELECT side, doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS w
+           FROM wds0),
+         flg AS (
+           SELECT side, doc_id, pos, w,
+             CASE WHEN ('0x' || substr(md5(w), 1, 2))::BIGINT < 32
+                  THEN 1 ELSE 0 END AS b
+           FROM wds),
+         cid AS (
+           SELECT side, doc_id, pos, w,
+             COALESCE(sum(b) OVER (PARTITION BY side, doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           FROM flg),
+         ch AS (
+           SELECT side, doc_id, CAST(ci AS BIGINT) AS seg,
+             string_agg(w, ' ' ORDER BY pos) AS ctext,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS cmd5
+           FROM cid GROUP BY side, doc_id, ci),
+         arch AS (SELECT DISTINCT cmd5 FROM ch WHERE side = 'h'),
+         bch AS (SELECT doc_id, seg, ctext, cmd5 FROM ch WHERE side = 'b'),
+         fresh AS (
+           SELECT doc_id, seg, ctext,
+             row_number() OVER (PARTITION BY cmd5
+               ORDER BY doc_id, seg) AS rn
+           FROM bch b
+           WHERE NOT EXISTS (SELECT 1 FROM arch a WHERE a.cmd5 = b.cmd5)),
+         m AS (
+           SELECT doc_id, seg, ctext, rn = 1 AS kept FROM fresh
+           UNION ALL
+           SELECT doc_id, seg, ctext, FALSE FROM bch b
+           WHERE EXISTS (SELECT 1 FROM arch a WHERE a.cmd5 = b.cmd5))
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(ctext, ' ' ORDER BY seg)
+             FILTER (WHERE kept), '')) AS clean_fp
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // geneOntologyTerms: positional batch lookup — request order
+    // kept, the missing id's entry is a null row
+    "q240_graphql_go_terms" ->
+      """WITH ids(gid, ord) AS (VALUES
+           ('GO_BRAND_31', 1), ('GO_NOPE', 2), ('GO_BRAND_13', 3)),
+         cat AS (
+           SELECT 'GO_' || replace(upper(p_brand), '#', '_') AS id,
+             lower(p_brand) AS name
+           FROM (SELECT DISTINCT p_brand FROM part))
+         SELECT CAST(i.ord AS BIGINT) AS ord, c.id, c.name
+         FROM ids i LEFT JOIN cat c ON c.id = i.gid
+         ORDER BY ord""",
+    // meta: constants + the dataVersion aggregate replayed
+    "q241_graphql_meta" ->
+      """SELECT 'graft-knowledge-graph' AS name,
+           '1' AS x, '0' AS y, '0' AS z,
+           CAST(year(max(o_orderdate)) AS VARCHAR) AS year,
+           CAST(month(max(o_orderdate)) AS VARCHAR) AS month,
+           CAST(count(*) AS VARCHAR) AS iteration
+         FROM orders""",
+    // the EvidenceSource catalog: sources sorted, datatype = the flag
+    "q242_graphql_datasources" ->
+      """WITH cat AS (
+           SELECT DISTINCT
+             lower(l_returnflag || '_' || l_linestatus) AS datasource,
+             lower(l_returnflag) AS datatype
+           FROM lineitem)
+         SELECT row_number() OVER (ORDER BY datasource) AS ord,
+           datasource, datatype
+         FROM cat ORDER BY ord""",
+    // the InteractionResources catalog: one row per region, version
+    // counting its nations
+    "q243_graphql_interactions" ->
+      """WITH cat AS (
+           SELECT 'v' || CAST(count(*) AS VARCHAR) AS db_version,
+             lower(r_name) AS source_db
+           FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+           GROUP BY r_name)
+         SELECT row_number() OVER (ORDER BY source_db) AS ord,
+           source_db, db_version
+         FROM cat ORDER BY ord""",
     "q222_k_anonymity" ->
       """SELECT lang, source,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,

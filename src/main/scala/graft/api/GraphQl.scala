@@ -567,7 +567,12 @@ object GraphQl {
     */
   private val TypeNames: Map[String, String] = Map(
     "disease" -> "Disease", "target" -> "Target", "drug" -> "Drug",
-    "pathway" -> "Pathway", "hit" -> "SearchResult")
+    "pathway" -> "Pathway", "hit" -> "SearchResult",
+    "meta" -> "Meta", "apiVersion" -> "APIVersion",
+    "dataVersion" -> "DataVersion",
+    "associationDatasources" -> "EvidenceSource",
+    "interactionResources" -> "InteractionResources",
+    "geneOntologyTerms" -> "GeneOntologyTerm")
 
   /** (connection object, row object) type names per connection site —
     * schema-true where the schema names them (`KnownDrugs`:916 /
@@ -1103,8 +1108,12 @@ object GraphQl {
     f
   }
 
-  private def hitStruct(sel: Seq[Field]): Column = {
-    if (sel.isEmpty) throw ParseError("search hits need a selection")
+  /** `where` names the root whose hits these are ("search hits",
+    * "mapIds mapping hits") — the noArgs pattern, so a mapIds user's
+    * empty-selection error does not point at the search root.
+    */
+  private def hitStruct(sel: Seq[Field], where: String): Column = {
+    if (sel.isEmpty) throw ParseError(s"$where need a selection")
     struct(sel.map { f =>
       (f.name match {
         case "__typename" => noSubSel(f); lit("SearchResult")
@@ -1114,7 +1123,7 @@ object GraphQl {
             s"'hit.${f.name}' is a scalar — drop its selection")
           col(f.name)
         case other => throw ParseError(
-          s"unknown field '$other' on search hits — supported: " +
+          s"unknown field '$other' on $where — supported: " +
             "id, name, entity, object")
       }).as(f.out)
     }: _*)
@@ -1294,7 +1303,7 @@ object GraphQl {
       "page.index needs page.size")
     val size: Option[Int] = explicitSize.map(math.min(_, MaxPageSize))
     def hitsArray(sel: Seq[Field]): Column = {
-      val payload = hitStruct(sel)
+      val payload = hitStruct(sel, "search hits")
       val sorted = sort_array(collect_list(struct(col("name").as("__k0"),
         col("id").as("__k1"), payload.as("__p"))))
       val page = size.fold(sorted) { n =>
@@ -1532,9 +1541,14 @@ object GraphQl {
     if (splitList(root.args("queryTerms")).exists(_.isEmpty) &&
         root.args("queryTerms").nonEmpty) throw ParseError(
       "queryTerms must not contain empty strings")
-    val dup = terms.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
+    // duplicates keyed on the LOWERCASED term — the same normalization
+    // the match filter applies, so ["Red", "red"] (two identical
+    // mappings at serve time) is exactly the redundancy rejected here
+    val dup = terms.groupBy(_.toLowerCase)
+      .collect { case (_, ts) if ts.size > 1 => ts.head }
     if (dup.nonEmpty) throw ParseError(
-      s"duplicate queryTerms: ${dup.toSeq.sorted.mkString(", ")}")
+      s"duplicate queryTerms (matching is case-insensitive): " +
+        dup.toSeq.sorted.mkString(", "))
     if (terms.size > MaxMapTerms) throw ParseError(
       s"mapIds serves at most $MaxMapTerms terms per request, got " +
         s"${terms.size} — join against a terms relation for batch mapping")
@@ -1580,7 +1594,7 @@ object GraphQl {
         case h @ Field("hits", _, sel, _) =>
           transform(sort_array(collect_list(when(col("id").isNotNull,
             struct(col("name").as("__k0"), col("id").as("__k1"),
-              hitStruct(sel).as("__p"))))),
+              hitStruct(sel, "mapIds mapping hits").as("__p"))))),
             x => x.getField("__p")).as(h.out)
       }
       val parts =
@@ -1620,6 +1634,130 @@ object GraphQl {
        else if (g.name == "total") col("total")
        else col(g.out)).as(g.out)
     }: _*)
+  }
+
+  /** The `meta` root (opentargets.schema:1118 → Meta :1013-1017):
+    * API metadata as one row — the `name` scalar plus the
+    * `apiVersion` / `dataVersion` object fields, each selection-
+    * shaped. The values come off [[KnowledgeGraph.meta]]'s one-row
+    * aggregate (dataVersion is the corpus's data cut), so the root is
+    * a real computation the oracle replays, not a literal echo.
+    */
+  private def executeMeta(kg: KnowledgeGraph, root: Field): DataFrame = {
+    if (root.args.nonEmpty) throw ParseError(
+      "meta takes no arguments, got " +
+        root.args.keys.toSeq.sorted.mkString(", "))
+    if (root.sel.isEmpty) throw ParseError("'meta' needs a selection")
+    val subFields: Map[String, Map[String, Column]] = Map(
+      "apiVersion" -> Map("x" -> col("x"), "y" -> col("y"), "z" -> col("z")),
+      "dataVersion" -> Map("year" -> col("year"), "month" -> col("month"),
+        "iteration" -> col("iteration")))
+    kg.meta.select(root.sel.map { f =>
+      (f.name match {
+        case "__typename" => noSubSel(f); lit("Meta")
+        case "name" =>
+          if (f.sel.nonEmpty) throw ParseError(
+            "'meta.name' is a scalar — drop its selection")
+          col("name")
+        case sub if subFields.contains(sub) =>
+          if (f.args.nonEmpty) throw ParseError(
+            s"'meta.$sub' takes no arguments")
+          entityStruct(sub, f.sel, subFields(sub))
+        case other => throw ParseError(
+          s"unknown field '$other' on meta — supported: " +
+            "name, apiVersion, dataVersion")
+      }).as(f.out)
+    }: _*)
+  }
+
+  /** The two argument-less catalog roots — `associationDatasources`
+    * (opentargets.schema:1183-1184, EvidenceSource :659-662) and
+    * `interactionResources` (:1186-1187, :827-830). Each is one row
+    * whose root column is the key-sorted array of catalog entries
+    * (the executeBatch list convention); the views behind them are
+    * low-cardinality map-side-combined aggs ([[KnowledgeGraph]]), so
+    * "the complete list of all possible X" stays catalog-cost at any
+    * corpus scale.
+    */
+  private def executeCatalog(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val (base, sortKey, fields) = root.name match {
+      case "associationDatasources" => (kg.associationDatasources,
+        "datasource",
+        Map("datasource" -> col("datasource"), "datatype" -> col("datatype")))
+      case "interactionResources" => (kg.interactionResources,
+        "sourceDatabase",
+        Map("databaseVersion" -> col("databaseVersion"),
+          "sourceDatabase" -> col("sourceDatabase")))
+      case other => throw ParseError(s"not a catalog root: $other")
+    }
+    if (root.args.nonEmpty) throw ParseError(
+      s"${root.name} takes no arguments, got " +
+        root.args.keys.toSeq.sorted.mkString(", "))
+    if (root.sel.isEmpty) throw ParseError(
+      s"'${root.name}' needs a selection")
+    val payload = entityStruct(root.name, root.sel, fields)
+    base.agg(transform(sort_array(collect_list(struct(
+        col(sortKey).as("__k0"), payload.as("__p")))),
+      x => x.getField("__p")).as(root.out))
+  }
+
+  /** The `geneOntologyTerms(goIds: [...])` root (opentargets.schema:
+    * 1189-1192 → GeneOntologyTerm :714-717). The S4 batch-lookup plan
+    * over [[KnowledgeGraph.goTerms]] — the id batch rides as a
+    * broadcast relation into ONE exact-match scan, never a scan per
+    * id — with the mapIds POSITIONAL discipline: the result list
+    * keeps the request order of goIds and a missing GO id emits a
+    * null entry (the schema's element type is nullable —
+    * `[GeneOntologyTerm]!` — unlike the other batch roots' `[X!]!`),
+    * so the client indexes the response by its own request list.
+    */
+  private def executeGoTerms(kg: KnowledgeGraph, root: Field): DataFrame = {
+    val extra = root.args.keySet - "goIds"
+    if (extra.nonEmpty) throw ParseError(
+      s"unknown argument${if (extra.size > 1) "s" else ""} " +
+        s"${extra.toSeq.sorted.mkString(", ")} on geneOntologyTerms — " +
+        "it takes only goIds")
+    val rawArg = root.args.getOrElse("goIds", throw ParseError(
+      "geneOntologyTerms requires the goIds argument"))
+    val raw = splitList(rawArg).filter(_.nonEmpty)
+    if (raw.isEmpty) throw ParseError("goIds must not be empty")
+    // an empty-string id would silently shift the positional result —
+    // reject it loudly (the mapIds discipline)
+    if (splitList(rawArg).exists(_.isEmpty) && rawArg.nonEmpty)
+      throw ParseError("goIds must not contain empty strings")
+    // duplicate ids are two identical positional entries — redundancy
+    // rejected loudly; GO ids are exact-match identifiers, so the
+    // check is case-sensitive like the lookup itself
+    val dup = raw.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
+    if (dup.nonEmpty) throw ParseError(
+      s"duplicate goIds: ${dup.toSeq.sorted.mkString(", ")}")
+    if (raw.size > MaxMapTerms) throw ParseError(
+      s"geneOntologyTerms serves at most $MaxMapTerms ids per request, " +
+        s"got ${raw.size} — join against an id relation for batch mapping")
+    if (root.sel.isEmpty) throw ParseError(
+      "'geneOntologyTerms' needs a selection")
+    val terms = kg.goTerms
+    val spark = terms.sparkSession
+    val idsDf = {
+      import scala.jdk.CollectionConverters._
+      val rows = raw.zipWithIndex.map { case (g, i) =>
+        org.apache.spark.sql.Row(g, i)
+      }.asJava
+      spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "__gid STRING, __ord INT"))
+    }
+    val payload = entityStruct("geneOntologyTerms", root.sel,
+      Map("id" -> col("id"), "name" -> col("name")))
+    // left join keeps missing ids; the struct wrapper keeps their
+    // NULL payloads as array entries (collect_list drops bare nulls).
+    // The CATALOG side broadcasts (left-outer builds right) — at any
+    // corpus scale goTerms is a low-cardinality distinct.
+    idsDf.join(broadcast(terms), col("__gid") === col("id"), "left")
+      .agg(transform(sort_array(collect_list(struct(
+          col("__ord").as("__k0"),
+          when(col("id").isNotNull, payload).as("__p")))),
+        x => x.getField("__p")).as(root.out))
   }
 
   /** Batch point-lookup roots — `targets(ensemblIds: [...])` /
@@ -1674,6 +1812,10 @@ object GraphQl {
     if (root.name == "search") return executeSearch(kg, root)
     if (root.name == "facets") return executeFacets(kg, root)
     if (root.name == "mapIds") return executeMapIds(kg, root)
+    if (root.name == "meta") return executeMeta(kg, root)
+    if (root.name == "geneOntologyTerms") return executeGoTerms(kg, root)
+    if (Set("associationDatasources", "interactionResources")(root.name))
+      return executeCatalog(kg, root)
     if (Set("targets", "diseases", "drugs")(root.name))
       return executeBatch(kg, root)
     val (entity, keyArg, base) = root.name match {
@@ -1684,7 +1826,10 @@ object GraphQl {
         s"unknown root '$other' — supported: disease(efoId:), " +
           "target(ensemblId:), drug(chemblId:), search(queryString:), " +
           "facets(queryString:), mapIds(queryTerms:), " +
-          "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:)")
+          "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:), " +
+          "geneOntologyTerms(goIds:), meta, associationDatasources, " +
+          "interactionResources — the schema's full Query type " +
+          "(opentargets.schema:1116-1192)")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

@@ -170,6 +170,59 @@ final class KnowledgeGraph(spark: SparkSession, dir: String,
         concat(lit("TGT_"), col("l_partkey")).as("target_id"))
   }
 
+  /** goTerms(id, name) — the GeneOntologyTerm catalog
+    * (opentargets.schema:714-717) over distinct part brands: id is
+    * the GO-style code (`GO_` + upper, `#`→`_`), name the lowercased
+    * brand. Backs the `geneOntologyTerms(goIds:)` batch-lookup root
+    * (:1189-1192).
+    */
+  def goTerms: DataFrame =
+    t.part.select(col("p_brand")).distinct()
+      .select(concat(lit("GO_"),
+          translate(upper(col("p_brand")), "#", "_")).as("id"),
+        lower(col("p_brand")).as("name"))
+
+  /** associationDatasources(datasource, datatype) — the EvidenceSource
+    * catalog (opentargets.schema:659-662, Query root :1183-1184):
+    * distinct (returnflag, linestatus) pairs as datasources, datatype
+    * grouping them by the flag (flag `n` owns two sources — the
+    * datasource→datatype many-to-one the schema models). A distinct
+    * over two 1-char columns is a map-side-combined agg — catalog
+    * cost at any scale.
+    */
+  def associationDatasources: DataFrame =
+    t.lineitem.select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .select(lower(concat(col("l_returnflag"), lit("_"),
+          col("l_linestatus"))).as("datasource"),
+        lower(col("l_returnflag")).as("datatype"))
+
+  /** interactionResources(databaseVersion, sourceDatabase) — the
+    * static resource catalog (opentargets.schema:827-830, Query root
+    * :1186-1187): one row per region, version counting its nations.
+    */
+  def interactionResources: DataFrame =
+    t.region.join(t.nation, col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("v"), col("n")).as("databaseVersion"),
+        lower(col("r_name")).as("sourceDatabase"))
+
+  /** meta — Meta { name, apiVersion{x,y,z}, dataVersion{year,month,
+    * iteration} } (opentargets.schema:1013-1017, Query root :1118):
+    * name and apiVersion are engine constants; dataVersion derives
+    * from the corpus (latest order date = the ETL's data cut, row
+    * count = the load iteration), so the oracle checks a real
+    * aggregation, not a literal echo. One flat row; GraphQl shapes
+    * the nesting selection-side.
+    */
+  def meta: DataFrame =
+    t.orders.agg(max(col("o_orderdate")).as("d"),
+        count(lit(1)).as("n"))
+      .select(lit("graft-knowledge-graph").as("name"),
+        lit("1").as("x"), lit("0").as("y"), lit("0").as("z"),
+        year(col("d")).cast("string").as("year"),
+        month(col("d")).cast("string").as("month"),
+        col("n").cast("string").as("iteration"))
+
   /** pathways(target_id, pathwayId, pathway) — part → brand
     * (ReactomePathway shape, opentargets.schema:1202-1206).
     */

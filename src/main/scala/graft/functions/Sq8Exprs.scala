@@ -34,6 +34,17 @@ private[graft] object Sq8Kernels {
     out
   }
 
+  /** packed bytes → array<long> of int8 codes — [[pack]]'s exact
+    * inverse (signed bytes widen losslessly), for maintenance paths
+    * that must read code geometry back out of a persisted index.
+    */
+  def unpack(a: Array[Byte]): ArrayData = {
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i).toLong; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Exact int64 dot product of two packed code vectors. Width
     * mismatch fails loudly — it means codes from two different
     * quantizations (different corpora/dims) were joined.
@@ -71,6 +82,30 @@ case class PackInt8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "pack_int8"
+}
+
+/** unpack_int8(binary) → array<bigint> — [[PackInt8]]'s inverse, for
+  * index-maintenance paths (partial rebuilds reconstruct member
+  * geometry from the persisted codes instead of re-reading the float
+  * corpus). Exact: signed bytes widen losslessly.
+  */
+case class UnpackInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unpack_int8 needs binary packed codes, got $other")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Sq8Kernels.unpack(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sq8Kernels.unpack($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "unpack_int8"
 }
 
 /** sq8_dot(binary, binary) → bigint. The SERVE kernel: the ranking

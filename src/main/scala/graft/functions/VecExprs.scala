@@ -170,16 +170,11 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private def et: DataType = child.dataType.asInstanceOf[ArrayType].elementType
 
-  @transient private lazy val signs: Array[Array[Long]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(outDim) { j =>
-      Array.tabulate(inDim) { d =>
-        md.reset()
-        val h = md.digest(s"jl_${seed}_${d}_${j}".getBytes("UTF-8"))
-        if ((h(0) >> 4 & 1) == 0) 1L else -1L
-      }
-    }
-  }
+  // JVM-wide memo, not a per-instance lazy val: every deserialized
+  // task copy of this expression would otherwise recompute
+  // inDim×outDim MD5 digests (131k at 1024→128) before its first row.
+  @transient private lazy val signs: Array[Array[Long]] =
+    JlProject.signMatrix(seed, inDim, outDim)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -208,4 +203,28 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int, seed: Long)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "jl_project"
+}
+
+object JlProject {
+  /** Sign matrices keyed by (seed, inDim, outDim) — one computation
+    * per executor JVM regardless of how many task-deserialized
+    * expression copies share the projection. Bounded: a handful of
+    * distinct projections per job, each ≤ a few MB of ±1 longs.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Long]]]()
+
+  private[functions] def signMatrix(seed: Long, inDim: Int,
+                                    outDim: Int): Array[Array[Long]] =
+    cache.computeIfAbsent((seed, inDim, outDim), { key =>
+      val (s, in, out) = key
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(out) { j =>
+        Array.tabulate(in) { d =>
+          md.reset()
+          val h = md.digest(s"jl_${s}_${d}_${j}".getBytes("UTF-8"))
+          if ((h(0) >> 4 & 1) == 0) 1L else -1L
+        }
+      }
+    })
 }

@@ -49,6 +49,7 @@ object VecFns {
     * over the packed form — the persisted-index scan kernel.
     */
   def packInt8(codes: Column): Column = toCol(PackInt8(toExpr(codes)))
+  def unpackInt8(bin: Column): Column = toCol(UnpackInt8(toExpr(bin)))
   def sq8Dot(a: Column, b: Column): Column = toCol(Sq8DotCodes(toExpr(a), toExpr(b)))
 
   /** L2-normalized copy of a vector (double elements); an all-zero

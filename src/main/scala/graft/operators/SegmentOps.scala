@@ -128,6 +128,86 @@ object SegmentOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Distinct CDC-chunk fingerprints of a corpus — the compact state
+    * a continuous pipeline persists between batches (the q89
+    * fingerprint-table discipline at chunk granularity: 32-hex md5s
+    * only, never chunk texts).
+    */
+  def cdcChunkArchive(docs: DataFrame, idName: String, text: Column,
+                      boundary256: Int): DataFrame =
+    Chunking.cdcChunks(docs, idName, text, boundary256)
+      .select(col("chunk_md5")).distinct()
+
+  /** Batch-over-archive [[dedupSegmentsCdc]] — the continuous-
+    * pipeline form, where history's chunk fingerprints live in a
+    * persisted archive ([[cdcChunkArchive]] bootstraps it) and each
+    * arriving batch dedups against it WITHOUT rescanning history's
+    * text. A batch chunk whose fingerprint is archived is dropped
+    * outright (history is canonical); archive-fresh chunks keep-first
+    * within the batch (the same partial-aggregable `min(struct)`
+    * device). Because chunks are content-defined, a span duplicated
+    * ACROSS batch and archive is caught even when the re-publication
+    * SHIFTED it — the alignment mode fixed strides structurally miss.
+    *
+    * Effects, in order: (1) the dedup output is computed against the
+    * PRE-append archive and materialized (localCheckpoint — the
+    * rebuildIvfLists materialize-before-mutate discipline, so the
+    * returned relation can never observe its own batch's append);
+    * (2) the batch's NOVEL fingerprints — and only those — are
+    * appended to the archive (append mode: pre-existing archive files
+    * stay byte-identical, spec-pinned), leaving the archive equal to
+    * `cdcChunkArchive(history ∪ batch)` as a set. The archive probe
+    * is one semi/anti join pair on the 32-hex key — linear,
+    * broadcastable when the archive fits, a plain shuffled join (or a
+    * Bloom prefilter, the q113 discipline) when it does not. Returns
+    * the [[dedupSegmentsCdc]] shape: one row per batch document.
+    */
+  def dedupSegmentsCdcIncremental(batch: DataFrame, idName: String,
+                                  text: Column, boundary256: Int,
+                                  archivePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    require(Artifact.hadoopDirExists(spark, archivePath),
+      s"dedupSegmentsCdcIncremental: no chunk archive at $archivePath — " +
+        "bootstrap it with cdcChunkArchive over history")
+    val arch = spark.read.parquet(archivePath).select(col("chunk_md5"))
+    val segs = Chunking
+      .cdcChunks(batch, idName, text, boundary256, withText = true)
+      .select(col("id").as(idName), col("chunk_idx").as("seg"),
+        col("chunk_md5"), col("chunk_text").as("seg_text"))
+    val fresh = segs.join(arch, Seq("chunk_md5"), "left_anti")
+    val first = fresh
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col(idName), col("seg"))).as("__first"))
+    // `first` holds archive-FRESH fingerprints only, so one left join
+    // classifies every chunk: no entry → archived (dropped), entry →
+    // kept iff this occurrence is the batch-first one
+    val marked = segs.join(first, Seq("chunk_md5"), "left")
+      .withColumn("__kept",
+        col("__first").isNotNull &&
+          col("__first")(idName) === col(idName) &&
+          col("__first")("seg") === col("seg"))
+    val rebuilt = marked
+      .groupBy(col(idName))
+      .agg(
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("__kept"), struct(col("seg"), col("seg_text"))))),
+            x => x("seg_text"))).as("clean_text"))
+    val out = batch.select(col(idName)).join(rebuilt, Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .localCheckpoint(true)
+    // append ONLY the novel fingerprints: the anti-join reads the
+    // archive's one 32-hex column; history is never re-chunked
+    fresh.select(col("chunk_md5")).distinct()
+      .write.mode("append").parquet(archivePath)
+    out
+  }
+
   /** Per-domain boilerplate stripping: a segment text that occurs in
     * >= `maxDocFrac` of a domain's documents is template chrome and
     * is dropped from every document of that domain (frequency is

@@ -608,6 +608,14 @@ object Similarity {
     val slots = math.min(memberCount, splitTo.getOrElse(cids.size).toLong).toInt
     require(slots >= cids.size,
       s"rebuildIvfLists: splitTo=$slots below the flagged count ${cids.size}")
+    // loud cap: farthestSeeds runs slots−1 sequential driver-coordinated
+    // scans over the members relation — right-sized for a partial
+    // rebuild's sliver, a 200-job loop for a mass drift. Past the cap
+    // the caller is rebuilding most of the index anyway.
+    require(slots <= RebuildSlotCap,
+      s"rebuildIvfLists: $slots retrained slots exceeds the cap of " +
+        s"$RebuildSlotCap — a drift this wide is a full rebuild, not a " +
+        "partial one (ensureIvfIndex over the union)")
     // farthest-point seeding, NOT lowest-id: a drifted list mixes an
     // old mode with a new one, and every low id predates the drift —
     // lowest-id seeds would all land in the old mode and the retrain
@@ -634,14 +642,7 @@ object Similarity {
     val landed = out.select(col("__cid")).distinct()
       .collect().map(_.getInt(0)).toSet
     out.unpersist()
-    cids.filterNot(landed).foreach { c =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$vecsPath/__cid=$c"))
-    }
+    dropStaleListDirs(spark, vecsPath, cids.filterNot(landed))
     // sidecars: swap the flagged slots' centroids, append the new
     // slots; re-baseline the rebuilt rows of the drift-stats sidecar
     val cidToSlot = slotCids.zipWithIndex.toMap
@@ -667,6 +668,29 @@ object Similarity {
     spark.read.parquet(s"$indexPath/centroids")
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Remove list directories a partial rebuild left stale (a
+    * retrained slot that captured no members is absent from the
+    * written data, so dynamic overwrite leaves its old directory —
+    * and the serve path would keep reading the reassigned members out
+    * of it). Hadoop-FS delete, NOT java.io.File: on a remote table
+    * path (hdfs://, s3a://) a local-file delete silently no-ops —
+    * wrong results, quietly, exactly at scale. The returned boolean
+    * is REQUIRED (the StreamOps/Artifact discipline): a failed delete
+    * must abort, not linger.
+    */
+  private def dropStaleListDirs(spark: org.apache.spark.sql.SparkSession,
+                                tablePath: String, stale: Seq[Int]): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    stale.foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/__cid=$c")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p))
+        require(fs.delete(p, true),
+          s"could not remove stale list directory $p — aborting so the " +
+            "serve path never reads reassigned members")
+    }
+  }
 
   /** Query-time half: read the centroid sidecar (parameter-sized
     * collect), pick the nprobe nearest lists driver-side, and scan
@@ -1406,6 +1430,85 @@ object Similarity {
       .parquet(s"$indexPath/codes")
   }
 
+  /** Partial list rebuild for the COMPOSED IVF×SQ8 index —
+    * [[rebuildIvfLists]]' sliver argument on the tier where drifted-
+    * mode serving actually lives at 100 TB (SCALING.md Finding 2):
+    * only the flagged `__cid=` code partitions are read (directory-
+    * pruned), member geometry is reconstructed from the persisted
+    * codes under the FROZEN scales sidecar (v̂_d = code_d·scale_d/127
+    * — never a re-read of the float corpus, and the scales are
+    * untouched so the code BYTES are invariant: this rebuild moves
+    * rows between lists, it never re-quantizes), a fresh deterministic
+    * quantizer retrains over just them (farthest-point seeding — the
+    * [[rebuildIvfLists]] mis-centering argument), and the write is a
+    * directory-scoped dynamic partition overwrite: untouched list
+    * files stay byte-identical (spec-pinned), stale emptied slots are
+    * Hadoop-FS-deleted with a required result. `splitTo` grows the
+    * slot count for occupancy control, capped at [[RebuildSlotCap]].
+    * The composed index keeps no stats sidecar, so there is nothing
+    * to re-baseline. Not crash-atomic — run inside the caller's
+    * publish step, like every append path here.
+    */
+  def rebuildIvfSq8Lists(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, idName: String,
+                         cids: Seq[Int], splitTo: Option[Int] = None): Unit = {
+    require(cids.nonEmpty, "rebuildIvfSq8Lists: no lists to rebuild")
+    require(cids.distinct.size == cids.size,
+      s"rebuildIvfSq8Lists: duplicate cids in ${cids.mkString(",")}")
+    val cents = readCentroids(spark, indexPath)
+    val unknown = cids.filterNot(c => c >= 0 && c < cents.size)
+    require(unknown.isEmpty,
+      s"rebuildIvfSq8Lists: unknown cid(s) ${unknown.mkString(",")} " +
+        s"(nlist=${cents.size})")
+    val scales = readSq8Scales(spark, indexPath)
+    val codesPath = s"$indexPath/codes"
+    // reconstruction under the frozen scales: the same geometry the
+    // coarse quantizer assigned on, up to per-coordinate quantization
+    val recon = zip_with(
+      graft.functions.VecFns.unpackInt8(col("codes")).cast("array<double>"),
+      typedlit(scales.toSeq), (c, m) => c * m / lit(127.0))
+      .cast("array<float>")
+    val members = spark.read.parquet(codesPath)
+      .filter(col("__cid").isin(cids: _*))
+      .select(col(idName), col("codes"), recon.as("__vec"))
+    val memberCount = members.count()
+    require(memberCount > 0,
+      "rebuildIvfSq8Lists: the flagged lists hold no members")
+    require(memberCount >= cids.size,
+      s"rebuildIvfSq8Lists: the ${cids.size} flagged lists hold only " +
+        s"$memberCount member(s) — rebuild the index instead " +
+        "(ensureIvfSq8Index over the union)")
+    val slots = math.min(memberCount, splitTo.getOrElse(cids.size).toLong).toInt
+    require(slots >= cids.size,
+      s"rebuildIvfSq8Lists: splitTo=$slots below the flagged count ${cids.size}")
+    require(slots <= RebuildSlotCap,
+      s"rebuildIvfSq8Lists: $slots retrained slots exceeds the cap of " +
+        s"$RebuildSlotCap — a drift this wide is a full rebuild, not a " +
+        "partial one (ensureIvfSq8Index over the union)")
+    val newCents = lloydStep(members, idName, "__vec",
+      farthestSeeds(members, idName, "__vec", slots))
+    val slotCids: Seq[Int] =
+      cids ++ (cents.size until cents.size + (slots - cids.size))
+    val reassigned = members
+      .withColumn("__cid",
+        element_at(typedlit(slotCids), nearestCid(col("__vec"), newCents) + 1))
+      .select(col(idName), col("__cid"), col("codes"))
+    val out = reassigned.localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__cid").parquet(codesPath)
+    val landed = out.select(col("__cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.unpersist()
+    dropStaleListDirs(spark, codesPath, cids.filterNot(landed))
+    val cidToSlot = slotCids.zipWithIndex.toMap
+    val updCents = cents.zipWithIndex.map { case (c, i) =>
+      cidToSlot.get(i).map(newCents).getOrElse(c)
+    } ++ newCents.drop(cids.size)
+    writeCentroids(spark, updCents, indexPath)
+    ()
+  }
+
   /** Query-time half of the composed index: pick the nprobe nearest
     * lists driver-side (centroid sidecar), scan ONLY those partitions
     * of the code table, rank by the exact int64 code dot. The query
@@ -1807,6 +1910,43 @@ object Similarity {
       .write.mode("append").parquet(s"$indexPath/codes")
   }
 
+  /** Re-bin a drifted binary index — the remedy [[binDriftReport]]'s
+    * flag prescribes, cheaper than a rebuild-from-scratch mindset
+    * suggests because both halves are single passes: freeze NEW
+    * midpoint thresholds from the corpus the index now serves (the
+    * [[binThresholds]] keyed agg — dim-sized driver state), re-code
+    * every row in ONE scan, and re-baseline the sidecar so a
+    * subsequent drift report reads exactly-zero deltas. Guards:
+    * dimensionality, and ID-SET EQUALITY between the corpus and the
+    * code table — re-binning from a corpus that lost or gained rows
+    * would silently shrink or grow the index behind the serve path's
+    * back. Write order: codes first, thresholds LAST — a crash in
+    * between leaves a report that reads DIRTY (prompting a re-run),
+    * never one that reads clean over mixed-generation codes. Not
+    * crash-atomic — run inside the caller's publish step, like every
+    * maintenance path here.
+    */
+  def rebinBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, embeddings: DataFrame,
+                       idName: String, vecName: String): Unit = {
+    val thrOld = readBinThresholds(spark, indexPath)
+    requireBinDim(embeddings, vecName, thrOld.length, "rebinBinaryIndex")
+    val codeIds = spark.read.parquet(s"$indexPath/codes").select(col(idName))
+    val corpusIds = embeddings.select(col(idName))
+    val missing = codeIds.join(corpusIds, Seq(idName), "left_anti").count()
+    val extra = corpusIds.join(codeIds, Seq(idName), "left_anti").count()
+    require(missing == 0 && extra == 0,
+      s"rebinBinaryIndex: corpus and code table disagree — $missing " +
+        s"indexed id(s) absent from the corpus, $extra corpus id(s) " +
+        "absent from the index; re-bin from exactly the corpus the " +
+        "index serves")
+    val thr = binThresholds(embeddings, vecName)
+    embeddings.select(col(idName),
+        binQuantize(col(vecName), thr).as("code"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    writeBinThresholds(spark, thr, indexPath)
+  }
+
   /** Query-time half of the persisted tier: stage 1 ranks by Hamming
     * over the packed code table ONLY (the query's own code is a point
     * lookup in the same table — floats untouched); stage 2 joins the
@@ -1877,6 +2017,14 @@ object Similarity {
     * the same matrix as a broadcast relation instead.
     */
   val JlLiteralCap: Int = 65536
+
+  /** Ceiling on retrained slots per [[rebuildIvfLists]] call.
+    * [[farthestSeeds]] runs slots−1 sequential driver-coordinated
+    * scans — the partial-rebuild sliver stays cheap, but a caller
+    * feeding a mass drift through it would launch a 200-job loop.
+    * Past the cap, rebuild the index ([[ensureIvfIndex]]).
+    */
+  val RebuildSlotCap: Int = 64
 
   def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long): Column = {
     require(inDim >= 1 && outDim >= 1, s"bad dims in=$inDim out=$outDim")

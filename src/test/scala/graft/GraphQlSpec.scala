@@ -1057,4 +1057,114 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
     assert(err("""{ facets(queryString: "r") { hits { nope } } }""")
       .contains("id, label, category"))
   }
+
+  test("execute: meta returns the metadata row, selection-shaped") {
+    val got = GraphQl.execute(kg,
+      """{ meta { name apiVersion { x y z }
+           dataVersion { year month iteration } __typename } }""").head()
+    assert(got.getString(0) == "graft-knowledge-graph")
+    assert(got.getStruct(1).toSeq == Seq("1", "0", "0"))
+    // dataVersion replays the orders aggregate
+    val agg = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(max(col("o_orderdate")).as("d"), count(lit(1)).as("n"))
+      .select(year(col("d")).cast("string"),
+        month(col("d")).cast("string"), col("n").cast("string"))
+      .head()
+    assert(got.getStruct(2).toSeq == agg.toSeq)
+    assert(got.getString(3) == "Meta")
+    // sub-selection subsets + __typename inside the objects
+    val sub = GraphQl.execute(kg,
+      """{ meta { apiVersion { __typename z } } }""").head().getStruct(0)
+    assert(sub.toSeq == Seq("APIVersion", "0"))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ meta(x: "1") { name } }""").contains("no arguments"))
+    assert(err("""{ meta { nope } }""")
+      .contains("name, apiVersion, dataVersion"))
+    assert(err("""{ meta { name { x } } }""").contains("scalar"))
+    assert(err("""{ meta }""").contains("needs a selection"))
+  }
+
+  test("execute: catalog roots return the sorted entry arrays") {
+    val ds = GraphQl.execute(kg,
+      """{ associationDatasources { datasource datatype __typename } }""")
+      .head().getSeq[Row](0)
+    assert(ds.nonEmpty)
+    assert(ds.map(_.getString(0)) == ds.map(_.getString(0)).sorted,
+      "datasources not key-sorted")
+    // datatype is the flag prefix of its datasource (the many-to-one)
+    assert(ds.forall(r => r.getString(0).startsWith(r.getString(1) + "_")))
+    assert(ds.forall(_.getString(2) == "EvidenceSource"))
+    val ir = GraphQl.execute(kg,
+      """{ interactionResources { sourceDatabase databaseVersion } }""")
+      .head().getSeq[Row](0)
+    assert(ir.map(_.getString(0)) ==
+      kg.interactionResources.select("sourceDatabase")
+        .orderBy("sourceDatabase").collect().map(_.getString(0)).toSeq)
+    assert(ir.forall(_.getString(1).startsWith("v")))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ associationDatasources(x: "1") { datasource } }""")
+      .contains("no arguments"))
+    assert(err("""{ interactionResources { nope } }""")
+      .contains("databaseVersion, sourceDatabase"))
+    assert(err("""{ associationDatasources }""")
+      .contains("needs a selection"))
+  }
+
+  test("execute: geneOntologyTerms is positional — request order, null rows for missing ids") {
+    val two = kg.goTerms.orderBy("id").limit(2).collect()
+    val (idA, idB) = (two(0).getString(0), two(1).getString(0))
+    // deliberately out of catalog order: request order must win
+    val got = GraphQl.execute(kg,
+      s"""{ geneOntologyTerms(goIds: ["$idB", "GO_NOPE", "$idA"]) {
+           id name __typename } }""").head().getSeq[Row](0)
+    assert(got.size == 3)
+    assert(got(0).getString(0) == idB && got(2).getString(0) == idA)
+    assert(got(1) == null, "missing GO id must be a NULL entry")
+    assert(got(0).getString(1) == two(1).getString(1))
+    assert(got(0).getString(2) == "GeneOntologyTerm")
+    // exact match only — lookups are case-sensitive identifiers
+    val lc = GraphQl.execute(kg,
+      s"""{ geneOntologyTerms(goIds: ["${idA.toLowerCase}"]) { id } }""")
+      .head().getSeq[Row](0)
+    assert(lc.head == null)
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ geneOntologyTerms { id } }""")
+      .contains("requires the goIds"))
+    assert(err("""{ geneOntologyTerms(goIds: []) { id } }""")
+      .contains("must not be empty"))
+    assert(err(s"""{ geneOntologyTerms(goIds: ["$idA", "$idA"]) { id } }""")
+      .contains("duplicate goIds"))
+    assert(err(s"""{ geneOntologyTerms(goIds: ["$idA"], x: "1") { id } }""")
+      .contains("takes only goIds"))
+    assert(err(s"""{ geneOntologyTerms(goIds: ["$idA"]) { nope } }""")
+      .contains("unknown field"))
+    assert(err(s"""{ geneOntologyTerms(goIds: ["$idA"]) }""")
+      .contains("needs a selection"))
+  }
+
+  test("execute: unknown-root error lists the schema's full Query type") {
+    val msg = intercept[ParseError](
+      GraphQl.execute(kg, """{ nope { id } }""")).getMessage
+    Seq("disease(efoId:)", "geneOntologyTerms(goIds:)", "meta",
+      "associationDatasources", "interactionResources", "mapIds",
+      "facets", "search").foreach(r =>
+      assert(msg.contains(r), s"unknown-root error misses $r"))
+  }
+
+  test("execute: mapIds rejects case-insensitive duplicate terms; hit errors name their root") {
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    // matching is case-insensitive, so ["Red", "red"] is exactly the
+    // redundancy the duplicate guard exists to reject
+    assert(err("""{ mapIds(queryTerms: ["Red", "red"]) { total } }""")
+      .contains("duplicate queryTerms"))
+    // empty hit selections point at the root the user actually wrote
+    assert(err("""{ mapIds(queryTerms: ["a"]) { mappings { hits } } }""")
+      .contains("mapIds mapping hits"))
+    assert(err("""{ search(queryString: "a") { hits } }""")
+      .contains("search hits"))
+  }
 }

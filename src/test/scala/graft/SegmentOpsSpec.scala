@@ -109,4 +109,72 @@ class SegmentOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     assert(rep.toSeq == cdc.toSeq)
   }
+
+  test("dedupSegmentsCdcIncremental: cross-archive shifted dup caught; archive appends novel only, pre-append files byte-identical") {
+    val span = (0 until 60).map(i => s"w$i").mkString(" ")
+    val hist = Seq((1L, span)).toDF("doc_id", "text")
+    // batch: a one-word-shifted re-publication of the ARCHIVED doc
+    // (cross batch/archive through the shift), a within-batch twin
+    // pair, and a fresh doc
+    val other = (0 until 40).map(i => s"v$i").mkString(" ")
+    val batch = Seq(
+      (10L, "zzz " + span),
+      (11L, other),
+      (12L, other),
+      (13L, "q r s t")).toDF("doc_id", "text")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("cdcinc").toString
+    val arch = s"$scratch/archive"
+    SegmentOps.cdcChunkArchive(hist, "doc_id", col("text"), 64)
+      .write.mode("overwrite").parquet(arch)
+    def fileSigs(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Option(new java.io.File(arch).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          md.reset()
+          f.getPath -> md.digest(
+              java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val preSigs = fileSigs()
+    val archSetBefore = spark.read.parquet(arch)
+      .as[String].collect().toSet
+    val out = SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+        col("text"), 64, arch)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // shifted re-publication of ARCHIVED content: only the prefix
+    // chunk survives, every re-aligned interior chunk drops
+    assert(out(0)._2 == 1L && out(0)._3 > 0L &&
+      out(0)._4.startsWith("zzz"), s"cross-archive dup missed: ${out(0)}")
+    // within-batch twins keep-first among archive-fresh content
+    assert(out(1)._3 == 0L, s"doc 11 is batch-first: ${out(1)}")
+    assert(out(2)._2 == 0L && out(2)._4 == "",
+      s"doc 12 duplicates doc 11: ${out(2)}")
+    assert(out(3)._4 == "q r s t")
+    // archive: pre-append files byte-identical, appended set equals a
+    // rebuild over history ∪ batch
+    val postSigs = fileSigs()
+    preSigs.foreach { case (p, sig) =>
+      assert(postSigs.get(p).contains(sig), s"append rewrote $p") }
+    val archSetAfter = spark.read.parquet(arch).as[String].collect().toSet
+    val rebuilt = SegmentOps.cdcChunkArchive(
+        hist.unionByName(batch), "doc_id", col("text"), 64)
+      .as[String].collect().toSet
+    assert(archSetAfter == rebuilt, "appended archive != union rebuild")
+    assert(archSetBefore.subsetOf(archSetAfter))
+    // a second identical batch: everything archived now, nothing kept
+    // fresh — and the archive does not grow
+    val out2 = SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+        col("text"), 64, arch)
+      .agg(sum(col("n_kept"))).as[Long].head()
+    assert(out2 == 0L, s"re-submitted batch kept $out2 chunks")
+    assert(spark.read.parquet(arch).as[String].collect().toSet == rebuilt,
+      "re-submitted batch grew the archive")
+    // loud error on a missing archive
+    val e = intercept[IllegalArgumentException](
+      SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+        col("text"), 64, s"$scratch/nope"))
+    assert(e.getMessage.contains("cdcChunkArchive"))
+  }
 }

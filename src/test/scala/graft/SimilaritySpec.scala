@@ -1113,6 +1113,173 @@ class SimilaritySpec extends SparkSpec {
       Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq(99)))
     intercept[IllegalArgumentException](
       Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding", Seq(1, 1)))
+    // the RebuildSlotCap guard: farthestSeeds runs slots−1 sequential
+    // driver scans — a mass-drift caller gets the "rebuild instead"
+    // message, never a 200-job loop
+    val members = spark.read.parquet(s"$dir/vectors")
+      .filter(col("__cid").isin(flagged: _*)).count()
+    if (members > Similarity.RebuildSlotCap) {
+      val capped = intercept[IllegalArgumentException](
+        Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding",
+          flagged, splitTo = Some(Similarity.RebuildSlotCap + 1)))
+      assert(capped.getMessage.contains("full rebuild") &&
+        capped.getMessage.contains("ensureIvfIndex"))
+    } else fail(s"fixture too small to exercise the slot cap ($members)")
+  }
+
+  test("rebuildIvfSq8Lists: codes invariant, untouched lists byte-identical, serve recall preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8reb")
+      .toString + "/idx"
+    Similarity.buildIvfSq8Index(emb, "vec_id", "embedding", nlist = 16, dir)
+    val allCids = spark.read.parquet(s"$dir/codes")
+      .select(col("__cid").cast("int")).distinct().as[Int].collect().toSet
+    val flagged = spark.read.parquet(s"$dir/codes")
+      .groupBy(col("__cid")).count()
+      .orderBy(col("count").desc, col("__cid").asc).limit(2)
+      .select(col("__cid")).as[Int].collect().toSeq
+    val untouchedSigs = (allCids -- flagged.toSet).map { c =>
+      c -> dirSig(s"$dir/codes/__cid=$c")
+    }.toMap
+    // the code BYTES are invariant under the rebuild (frozen scales —
+    // only list membership moves): snapshot every flagged member's code
+    val codesBefore = spark.read.parquet(s"$dir/codes")
+      .filter(col("__cid").isin(flagged: _*))
+      .select(col("vec_id"), hex(col("codes")).as("h"))
+      .as[(Long, String)].collect().toMap
+    val scalesBefore = spark.read.parquet(s"$dir/scales").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val servedBefore = Similarity.ivfSq8TopK(spark, dir, "vec_id", qvec,
+      k = 10, nprobe = 16, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSeq
+    Similarity.rebuildIvfSq8Lists(spark, dir, "vec_id", flagged)
+    untouchedSigs.foreach { case (c, sig) =>
+      assert(dirSig(s"$dir/codes/__cid=$c") == sig,
+        s"rebuild touched unflagged list $c")
+    }
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(after.count() == emb.count())
+    val codesAfter = after
+      .filter(!col("__cid").isin((allCids -- flagged.toSet).toSeq: _*))
+      .select(col("vec_id"), hex(col("codes")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(codesAfter == codesBefore,
+      "rebuild changed code bytes or moved members across the boundary")
+    // scales sidecar untouched (re-code under frozen scales = identity)
+    val scalesAfter = spark.read.parquet(s"$dir/scales").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scalesAfter == scalesBefore)
+    // full-probe serve is EXACT over the codes, so it must be
+    // id-identical before and after the rebuild (membership moved,
+    // content didn't)
+    val servedAfter = Similarity.ivfSq8TopK(spark, dir, "vec_id", qvec,
+      k = 10, nprobe = spark.read.parquet(s"$dir/centroids").count().toInt,
+      excludeId = 0L).select("vec_id").as[Long].collect().toSeq
+    assert(servedAfter == servedBefore,
+      s"full-probe serve changed: $servedBefore -> $servedAfter")
+    // loud guards share the rebuildIvfLists discipline
+    intercept[IllegalArgumentException](
+      Similarity.rebuildIvfSq8Lists(spark, dir, "vec_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Similarity.rebuildIvfSq8Lists(spark, dir, "vec_id", Seq(999)))
+    if (codesBefore.size > Similarity.RebuildSlotCap) {
+      val capped = intercept[IllegalArgumentException](
+        Similarity.rebuildIvfSq8Lists(spark, dir, "vec_id", flagged,
+          splitTo = Some(Similarity.RebuildSlotCap + 1)))
+      assert(capped.getMessage.contains("full rebuild"))
+    }
+  }
+
+  test("rebinBinaryIndex: drift-flagged index reads exactly-zero after re-bin; id-set mismatch rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("binrebin")
+      .toString + "/idx"
+    val build = emb.filter(col("vec_id") % 4 =!= 3)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.buildBinaryIndex(build, "vec_id", "embedding", dir)
+    val grown = emb
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 4 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => when(i === 0, x + lit(8.0)).otherwise(x))
+            .as("embedding")))
+    Similarity.appendBinaryIndex(spark, dir,
+      grown.join(build.select("vec_id"), Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding")
+    val flaggedDims = Similarity.binDriftReport(spark, dir, grown, "embedding")
+      .filter(col("drifted")).select("dim").as[Long].collect().toSeq
+    assert(flaggedDims == Seq(0L), s"drift fixture flags: $flaggedDims")
+    // a corpus that lost or gained rows is rejected before any write
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.rebinBinaryIndex(spark, dir,
+        grown.filter(col("vec_id") =!= 1L), "vec_id", "embedding"))
+    assert(e1.getMessage.contains("disagree"))
+    val thrBefore = Similarity.readBinThresholds(spark, dir).toSeq
+    assert(spark.read.parquet(s"$dir/codes").count() == grown.count(),
+      "rejected rebin mutated the code table")
+    assert(Similarity.readBinThresholds(spark, dir).toSeq == thrBefore,
+      "rejected rebin mutated the thresholds sidecar")
+    Similarity.rebinBinaryIndex(spark, dir, grown, "vec_id", "embedding")
+    // the report reads EXACTLY zero per dim — thresholds re-baselined
+    val post = Similarity.binDriftReport(spark, dir, grown, "embedding")
+      .select(col("delta"), col("drifted")).collect()
+    assert(post.forall(r => r.getDouble(0) == 0.0 && !r.getBoolean(1)),
+      s"post-rebin drift: ${post.toSeq}")
+    // codes really re-coded: the rebuilt code table equals a fresh
+    // build over the grown corpus (pure function of vector+thresholds)
+    val dir2 = java.nio.file.Files.createTempDirectory("binrebin2")
+      .toString + "/idx"
+    Similarity.buildBinaryIndex(grown, "vec_id", "embedding", dir2)
+    val a = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = spark.read.parquet(s"$dir2/codes")
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "re-binned codes differ from a fresh build")
+    // serve path healthy on the re-binned index (float corpus view —
+    // the serve join reads the vector column as array<float>)
+    val grownF = grown.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    assert(Similarity.binaryTopKIndexed(spark, dir, grownF,
+      "vec_id", "embedding", queryId = 0L, k = 5, rerank = 50).count() == 5)
+  }
+
+  test("rebuildIvfLists: an empty retrained slot's stale directory is removed (Hadoop FS, not java.io.File)") {
+    // all flagged members IDENTICAL: every retrained seed ties, the
+    // whole mass lands in the highest slot (the split cid), and the
+    // reused flagged slot captures NOTHING — dynamic overwrite leaves
+    // its directory stale, and a serve-path scan would keep reading
+    // the reassigned members out of it unless the cleanup really
+    // deletes (via the Hadoop FS API with a required result — a
+    // java.io.File delete silently no-ops on remote indexPaths)
+    val a = Array.fill(8)(1.0f)
+    val b = Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f)
+    // modes interleaved across ids so the build's lowest-id seeding
+    // picks one seed per mode and the two lists really separate
+    val rows = (1L to 8L).map(i => (i, if (i % 2 == 1) a.toSeq else b.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfstale")
+      .toString + "/idx"
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 2, dir)
+    // which list holds the b-mode (4 identical members)?
+    val bcid = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 2L).select("__cid").head().getInt(0)
+    val staleDir = new java.io.File(s"$dir/vectors/__cid=$bcid")
+    assert(staleDir.isDirectory)
+    Similarity.rebuildIvfLists(spark, dir, "vec_id", "embedding",
+      Seq(bcid), splitTo = Some(2))
+    assert(!staleDir.exists,
+      "empty retrained slot's stale directory survived the rebuild")
+    // the stale members moved, none lost, none duplicated
+    val after = spark.read.parquet(s"$dir/vectors")
+    assert(after.count() == 8)
+    assert(after.filter(col("__cid") === bcid).count() == 0)
+    assert(after.filter(col("vec_id") % 2 === 0).select("__cid")
+      .distinct().count() == 1)
   }
 
   test("pqDriftReport: fresh index clean and delta-zero; a shifted mode flags exactly its subspace") {
