@@ -44,14 +44,21 @@ object Bench {
     // below measures execution rather than cold codegen — standard
     // JVM benchmarking practice. Falls back to the bench dir's own
     // first query if the small fixture is absent.
+    // SPARK_GRAFT_BENCH_ONLY=q30,q100 (comma-separated name prefixes)
+    // restricts the registry for local iteration; the driver sets
+    // nothing and gets the full registry. The warmup honors it too —
+    // a 10-query targeted run must not pay a 245-query warmup.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      names.foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
       }
     } else {
-      try SparkEntry.queries.get("q01_pricing_summary")
-        .foreach(q => materialize(q(spark, sfDir)))
+      try names.headOption
+        .foreach { case (_, q) => materialize(q(spark, sfDir)) }
       catch { case _: Throwable => }
     }
     try spark.catalog.clearCache() catch { case _: Throwable => }
@@ -67,12 +74,6 @@ object Bench {
     // median across passes discards it. A failed run surfaces in
     // `errors` instead of recording a bogus (fast) time and a
     // healthy-looking total.
-    // SPARK_GRAFT_BENCH_ONLY=q30,q100 (comma-separated name prefixes)
-    // restricts the registry for local iteration; the driver sets
-    // nothing and gets the full registry.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val timesBy = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)

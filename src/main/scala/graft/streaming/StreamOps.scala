@@ -435,12 +435,30 @@ object StreamOps {
       else spark.read.parquet(dir).filter(col("batch") =!= bid).drop("batch")
     val archSh = arch(shDir, shB.limit(0))
     val archBd = arch(bdDir, bdB.limit(0))
+    // State generations write at the TRIGGER's input partitioning,
+    // not spark.sql.shuffle.partitions: the cached aggregates above
+    // hold shuffle-partition-count partitions (AQE cannot re-coalesce
+    // a cached plan), so an uncoalesced write lands (shuffle
+    // partitions × relations × triggers) near-empty files that every
+    // LATER trigger's archive read re-opens — measured ~25% of the
+    // whole replay at bench SF. A trigger's input partition count is
+    // the honest size signal at any scale (a 100 TB trigger has many
+    // input splits and keeps many output files); the long-running
+    // small-file story remains [[compactIndex]]'s.
+    val genParts = math.max(1, batch.rdd.getNumPartitions)
+    // pairs: repartition, not coalesce — a coalesce would pull the
+    // candidate-verify compute itself into genParts tasks (its probe
+    // side is the cached shingle relation, a narrow dependency); the
+    // exchange is pair-relation-sized, i.e. tiny
     Dedup.minhashNearDupsIncremental(batch, idName, textName,
         archSh, archBd, threshold, k, bands, shingleN,
         batchShingles = Some(shB), batchBands = Some(bdB))
+      .repartition(genParts)
       .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
-    shB.write.mode("overwrite").parquet(s"$shDir/batch=$bid")
-    bdB.write.mode("overwrite").parquet(s"$bdDir/batch=$bid")
+    shB.coalesce(genParts).write.mode("overwrite")
+      .parquet(s"$shDir/batch=$bid")
+    bdB.coalesce(genParts).write.mode("overwrite")
+      .parquet(s"$bdDir/batch=$bid")
     shB.unpersist(); bdB.unpersist()
     ()
   }

@@ -345,6 +345,122 @@ object ProbeMaintain {
       dft.unpersist(); union.unpersist()
     }
 
+    // ---------------- 4. composed-tier partial rebuild ----------------
+    // rebuildIvfSq8Lists on a drift fixture the FROZEN-scales clip
+    // guard admits: a sign-flip of dim 0 (same magnitudes, so codes
+    // stay in range) forms a second mode that crowds existing lists.
+    // Measured: recall at fixed nprobe vs the FULL-PROBE code ranking
+    // (the unpruned SQ8-metric truth), per mode, pre-rebuild vs
+    // partial rebuild vs full rebuild; untouched list dirs
+    // byte-identical.
+    if (section("sq8rebuild")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nlist = 16
+      val nprobe = 4
+      val k = 10
+      val appended = "/tmp/graft_probe_sq8reb_app"
+      val rebuilt = "/tmp/graft_probe_sq8reb_full"
+      Seq(appended, rebuilt).foreach(p => deleteRec(new java.io.File(p)))
+      val dft = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")).cache()
+      val union = emb.unionByName(dft).cache(); union.count()
+      time("build+append (sq8 rebuild fixture)") {
+        Similarity.buildIvfSq8Index(emb, "vec_id", "embedding", nlist, appended)
+        Similarity.appendIvfSq8Index(spark, appended, dft,
+          "vec_id", "embedding")
+      }
+      time("full composed rebuild over union")(
+        Similarity.buildIvfSq8Index(union, "vec_id", "embedding",
+          nlist, rebuilt))
+      val qIds = (0L until 16L).map(_ * 100L) ++
+        (0L until 16L).map(1000000L + _ * 100L)
+      def qvOf(qid: Long): Array[Float] = union
+        .filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      // truth per index = its own FULL-PROBE code ranking (pruning is
+      // the thing under test; quantization is held fixed)
+      def probeIdx(idx: String): (Double, Double, Double) = {
+        val nl = spark.read.parquet(s"$idx/centroids").count().toInt
+        val sizes = spark.read.parquet(s"$idx/codes")
+          .groupBy(col("__cid")).count().as[(Int, Long)].collect().toMap
+        val cents = spark.read.parquet(s"$idx/centroids")
+          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        var hb = 0L; var hd = 0L; var scanned = 0L
+        qIds.foreach { qid =>
+          val qv = qvOf(qid)
+          def cosL(a: Array[Float], b: Array[Float]): Double = {
+            var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+            val den = math.sqrt(na) * math.sqrt(nb)
+            if (den == 0) 0 else d / den
+          }
+          val probes = cents.sortBy { case (c, v) => (-cosL(v, qv), c) }
+            .take(nprobe).map(_._1)
+          scanned += probes.map(sizes.getOrElse(_, 0L)).sum
+          val full = Similarity.ivfSq8TopK(spark, idx, "vec_id", qv, k,
+            nprobe = nl, excludeId = qid)
+            .select("vec_id").as[Long].collect().toSet
+          val pruned = Similarity.ivfSq8TopK(spark, idx, "vec_id", qv, k,
+            nprobe = nprobe, excludeId = qid)
+            .select("vec_id").as[Long].collect().toSet
+          val hits = (pruned & full).size
+          if (qid < 1000000L) hb += hits else hd += hits
+        }
+        (hb.toDouble / (16 * k), hd.toDouble / (16 * k),
+          scanned.toDouble / qIds.size)
+      }
+      def dirSig(p: String): Map[String, Long] =
+        Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length() ^ f.lastModified())).toMap
+      val (preB, preD, preRows) =
+        time("probe appended (pre-rebuild)")(probeIdx(appended))
+      // flag the lists the appended mode outgrew: occupancy > 4x the
+      // pre-append count (the ivfDriftReport occupancy criterion,
+      // computed from the two count relations)
+      val baseCounts = {
+        val tmp = "/tmp/graft_probe_sq8reb_basecount"
+        deleteRec(new java.io.File(tmp))
+        Similarity.buildIvfSq8Index(emb, "vec_id", "embedding", nlist, tmp)
+        spark.read.parquet(s"$tmp/codes").groupBy(col("__cid")).count()
+          .as[(Int, Long)].collect().toMap
+      }
+      val nowCounts = spark.read.parquet(s"$appended/codes")
+        .groupBy(col("__cid")).count().as[(Int, Long)].collect().toMap
+      // the flip mode spreads across lists (unlike the shift fixture's
+      // tight cluster) — flag the two lists it crowded MOST
+      val flagged = nowCounts.toSeq
+        .map { case (c, n) => c -> (n - baseCounts.getOrElse(c, 0L)) }
+        .sortBy { case (c, g) => (-g, c) }.take(2).map(_._1).sorted
+      require(flagged.nonEmpty, "sq8rebuild probe: no growth to flag")
+      val untouched = (nowCounts.keySet -- flagged.toSet).map { c =>
+        c -> dirSig(s"$appended/codes/__cid=$c")
+      }.toMap
+      time(s"rebuildIvfSq8Lists (${flagged.size}/$nlist, splitTo x2)")(
+        Similarity.rebuildIvfSq8Lists(spark, appended, "vec_id", flagged,
+          splitTo = Some(math.min(Similarity.RebuildSlotCap,
+            flagged.size * 2))))
+      untouched.foreach { case (c, sig) =>
+        require(dirSig(s"$appended/codes/__cid=$c") == sig,
+          s"sq8 rebuild touched unflagged list $c") }
+      val (postB, postD, postRows) =
+        time("probe partial rebuild")(probeIdx(appended))
+      val (fulB, fulD, fulRows) =
+        time("probe full rebuild")(probeIdx(rebuilt))
+      println(f"[probe] sq8rebuild summary (${flagged.size}/$nlist flagged): " +
+        f"recall base pre=$preB%.3f post=$postB%.3f full=$fulB%.3f | " +
+        f"flip-mode pre=$preD%.3f post=$postD%.3f full=$fulD%.3f | " +
+        f"rows/query pre=$preRows%.0f post=$postRows%.0f full=$fulRows%.0f")
+      require(postD >= preD - 0.05,
+        f"partial sq8 rebuild lost flip-mode recall: $preD%.3f -> $postD%.3f")
+      require(postB >= preB - 0.05,
+        f"partial sq8 rebuild lost base recall: $preB%.3f -> $postB%.3f")
+      dft.unpersist(); union.unpersist()
+    }
+
     spark.stop()
   }
 }
