@@ -2240,14 +2240,21 @@ object SparkEntry {
       // gone before restart (AvailableNow terminates it; belt and
       // braces for error paths)
       s.streams.active.filter(_.name == qname).foreach(_.stop())
-      val query = s.readStream.schema(schema).parquet(src)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      // state partitions sized to the query's key space (hours ×
+      // event types — dozens of keys), not the session's relational
+      // shuffle width: the store count is frozen from this conf at
+      // first run, and 32 inherited stores for a dozen-key agg is
+      // pure commit overhead (StreamOps.withStatePartitions doc)
+      graft.streaming.StreamOps.withStatePartitions(s, 8) {
+        val query = s.readStream.schema(schema).parquet(src)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .select(col("window.start").cast("long").as("hour_ts"),
           col("event_type"), col("n"), col("sum_value"))
@@ -2311,15 +2318,22 @@ object SparkEntry {
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"),
           col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val query = graft.streaming.StreamOps
-        .intervalJoin(purchases, clicks, "p_user", "c_user",
-          "p_ts", "c_ts", windowSec = 3600L)
-        .select(col("purchase_id"), col("click_id"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      // a stream-stream join keeps FOUR state stores per partition;
+      // sized to the join's state budget instead of inheriting the
+      // session's 32 relational shuffle partitions (128 stores for a
+      // 371-row result — measured 2-3x the row's cost in pure
+      // store commits, ProbeStateParts / withStatePartitions doc)
+      graft.streaming.StreamOps.withStatePartitions(s, 8) {
+        val query = graft.streaming.StreamOps
+          .intervalJoin(purchases, clicks, "p_user", "c_user",
+            "p_ts", "c_ts", windowSec = 3600L)
+          .select(col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname).orderBy("purchase_id", "click_id")
     }),
 

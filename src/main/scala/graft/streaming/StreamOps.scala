@@ -21,6 +21,32 @@ object StreamOps {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Int)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring
+    * the previous width afterwards (error-safe). For STATEFUL
+    * streaming queries this conf is the STATE-STORE-COUNT knob: a
+    * stream-stream join maintains four stores per partition (an agg
+    * one), each committing delta + snapshot files per micro-batch,
+    * and the count is frozen from this conf at the query's FIRST run
+    * — the checkpoint carries it thereafter. It must therefore be
+    * sized to the query's state-cardinality budget (aggregate state
+    * bytes / executor memory at 100 TB; a handful of partitions for
+    * a small-key-space join), never inherited silently from the
+    * session's relational shuffle width. Measured (ProbeStateParts,
+    * sf0.1): the q136 interval join at 32 inherited partitions =
+    * 128 stores for a 371-row result, 6.6-8.0 s; at 8 partitions
+    * 3.2 s; at 4, 2.4 s — pure store-commit overhead, bit-identical
+    * results. Scan-side parallelism is unaffected (input splits, not
+    * shuffle width).
+    */
+  def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession,
+                             n: Int)(body: => A): A = {
+    require(n >= 1, s"state partitions must be positive, got $n")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling event-time window counts with a watermark: late events
     * beyond 1 hour are dropped and state is bounded — the property
     * that keeps the aggregation memory O(open windows) at any scale.
@@ -199,9 +225,11 @@ object StreamOps {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
-    val target = new java.io.File(targetDir)
+    // Hadoop-FS snapshot detection, not java.io.File: on a remote
+    // targetDir a local check reads "absent" and the merge would
+    // SILENTLY REPLACE the whole history with this batch
     val merged =
-      if (target.isDirectory && target.list().exists(_.endsWith(".parquet")))
+      if (snapshotEntries(spark, targetDir).exists(_.endsWith(".parquet")))
         graft.operators.Upsert.scd1(spark.read.parquet(targetDir), collapsed, key)
       else collapsed
     val out = merged.localCheckpoint(true)
@@ -654,8 +682,9 @@ object StreamOps {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
-    val target = new java.io.File(targetDir)
-    val entries = if (target.isDirectory) target.list().toSeq else Seq.empty
+    // Hadoop-FS listing, not java.io.File (the upsertBatch hazard:
+    // a remote history would read "absent" and be silently replaced)
+    val entries = snapshotEntries(spark, targetDir)
     val flatHistory = entries.exists(_.endsWith(".parquet"))
     val bucketedHistory = entries.exists(_.startsWith("__b="))
     historyBuckets match {
@@ -691,7 +720,7 @@ object StreamOps {
             // buckets would open NEW keys below the frontier, making
             // the bucketed history diverge from the flat layout's
             foldInto(slice, collapsed, key, versionCol,
-              readFrontier(targetDir))
+              readFrontier(spark, targetDir))
           } else Some(openAll(collapsed, versionCol))
         merged.foreach { case (m, asOf) =>
           val out = m.withColumn("__b", bucket).localCheckpoint(true)
@@ -699,7 +728,7 @@ object StreamOps {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__b").parquet(targetDir)
           out.unpersist()
-          writeFrontier(targetDir, asOf)
+          writeFrontier(spark, targetDir, asOf)
         }
     }
   }
@@ -749,20 +778,41 @@ object StreamOps {
     * sidecar writes), never corrupts: per-key ordering is protected
     * by the stale-version drop regardless.
     */
-  private def readFrontier(targetDir: String): Long = {
-    val f = new java.io.File(targetDir, "_graft_frontier")
-    if (!f.isFile) Long.MinValue
-    else try new String(java.nio.file.Files.readAllBytes(f.toPath),
-      "UTF-8").trim.toLong
-    catch { case _: Throwable => Long.MinValue }
+  private def readFrontier(spark: SparkSession, targetDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetDir/_graft_frontier")
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Long.MinValue
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Throwable => Long.MinValue }
   }
 
-  private def writeFrontier(targetDir: String, asOf: Long): Unit = {
-    val cur = readFrontier(targetDir)
-    if (asOf > cur)
-      java.nio.file.Files.write(
-        new java.io.File(targetDir, "_graft_frontier").toPath,
-        asOf.toString.getBytes("UTF-8"))
+  private def writeFrontier(spark: SparkSession, targetDir: String,
+                            asOf: Long): Unit = {
+    val cur = readFrontier(spark, targetDir)
+    if (asOf > cur) {
+      val p = new org.apache.hadoop.fs.Path(s"$targetDir/_graft_frontier")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(asOf.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Hadoop-FS child-name listing of a snapshot directory (empty when
+    * absent) — the existence primitive every snapshot sink shares,
+    * URI-capable like all the I/O around it.
+    */
+  private def snapshotEntries(spark: SparkSession,
+                              targetDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
   /** The streaming query wiring for [[scd2Batch]]. `trigger` defaults

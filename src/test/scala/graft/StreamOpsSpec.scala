@@ -772,4 +772,22 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not the same embedding space"))
   }
+
+  test("withStatePartitions: scoped width, error-safe restore, loud guard") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = StreamOps.withStatePartitions(spark, 5) {
+      spark.conf.get(key)
+    }
+    assert(inside == "5")
+    assert(spark.conf.get(key) == before, "width not restored")
+    // restore happens even when the body throws
+    intercept[RuntimeException](
+      StreamOps.withStatePartitions(spark, 3) {
+        throw new RuntimeException("boom")
+      })
+    assert(spark.conf.get(key) == before, "width not restored after throw")
+    intercept[IllegalArgumentException](
+      StreamOps.withStatePartitions(spark, 0)(()))
+  }
 }
