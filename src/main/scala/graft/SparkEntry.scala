@@ -4997,6 +4997,56 @@ object SparkEntry {
       r0.join(r1, "dim").join(r2, "dim").orderBy("dim")
     }),
 
+    // ---------------- streaming CDC-segment dedup ----------------
+    // The alignment-robust family's continuous-ingest member (q233
+    // batch / q244 incremental / this), on the q195/q199 backlog
+    // device: 4 files, one per trigger; each batch's content-defined
+    // chunks drop where their fingerprint was seen in ANY prior
+    // batch and keep-first within the batch; per-batch cleaned rows
+    // and novel-fingerprint generations land exactly-once (overwrite
+    // own-generation). FULL oracle: the streamed composition equals
+    // a GLOBAL keep-first in (batch, doc, position) order — DuckDB
+    // replays the backlog's id-range bucketing, the CDC device, and
+    // the ordered keep-first in one window.
+    "q246_stream_cdc_dedup" -> ((s, dir) => {
+      val src = ensureDocBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q246").toString
+      val docsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.cdcSegmentsSink(docsStream,
+        s"$scratch/state", "doc_id", "text", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        boundary256 = 32)
+      query.awaitTermination()
+      SelfCheck.every(s"q246/$dir") {
+        val nb = new java.io.File(s"$scratch/state/clean").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch="))
+        require(nb == 4, s"q246 expected 4 ingested batches, got $nb")
+        SelfCheck.note("cleaned rows accumulated across 4 triggers, " +
+          "folded to one base generation; streamed composition ≡ the " +
+          "oracle's global (batch, doc, position) keep-first")
+      }
+      // table maintenance: the clean relation (the read path) folds
+      // per run; the fingerprint archive folds once per session (the
+      // q199 billing discipline)
+      val folded = graft.streaming.StreamOps.compactIndex(
+        s, s"$scratch/state/clean", s"$scratch/ckpt")
+      require(folded.contains(-1L),
+        s"q246 clean compaction did not fold: $folded")
+      SelfCheck.once(s"q246/statefold/$dir") {
+        val f2 = graft.streaming.StreamOps.compactIndex(
+          s, s"$scratch/state/chunks", s"$scratch/ckpt")
+        require(f2.contains(-1L),
+          s"q246 chunks compaction did not fold: $f2")
+      }
+      s.read.parquet(s"$scratch/state/clean").drop("batch")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- GraphQL geneOntologyTerms root ----------------
     // The schema's last batch-lookup root (opentargets.schema:
     // 1189-1192): a GO-id batch rides as ONE broadcast-joined
@@ -7534,6 +7584,50 @@ ORDER BY n_uses DESC, piece"""
              AS drifted_rebinned
          FROM thrb b JOIN mid m ON m.dim = b.dim
          ORDER BY dim""",
+    // streaming CDC-segment dedup: the 4-trigger composition equals
+    // one global keep-first in (batch, doc, position) order — the
+    // backlog's id-range bucketing + q233's CDC chain + one window
+    "q246_stream_cdc_dedup" ->
+      """WITH bounds AS (
+           SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         d AS (
+           SELECT doc_id, text,
+             CAST(floor((doc_id - lo) * 4.0 / (hi - lo + 1)) AS BIGINT) + 1
+               AS b
+           FROM documents, bounds),
+         toks AS (SELECT b, doc_id, string_split(text, ' ') AS ts FROM d),
+         wds0 AS (
+           SELECT b, doc_id, unnest(range(1, len(ts)+1)) AS pos, ts
+           FROM toks),
+         wds AS (
+           SELECT b, doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS w
+           FROM wds0),
+         flg AS (
+           SELECT b, doc_id, pos, w,
+             CASE WHEN ('0x' || substr(md5(w), 1, 2))::BIGINT < 32
+                  THEN 1 ELSE 0 END AS bb
+           FROM wds),
+         cid AS (
+           SELECT b, doc_id, pos, w,
+             COALESCE(sum(bb) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+           FROM flg),
+         ch AS (
+           SELECT b, doc_id, CAST(ci AS BIGINT) AS seg,
+             string_agg(w, ' ' ORDER BY pos) AS ctext,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS cmd5
+           FROM cid GROUP BY b, doc_id, ci),
+         keepf AS (
+           SELECT doc_id, seg, ctext,
+             row_number() OVER (PARTITION BY cmd5
+               ORDER BY b, doc_id, seg) AS rn
+           FROM ch)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(ctext, ' ' ORDER BY seg)
+             FILTER (WHERE rn = 1), '')) AS clean_fp
+         FROM keepf GROUP BY doc_id ORDER BY doc_id""",
     // incremental CDC-segment dedup: archive probe + fresh keep-first
     // + reassembly, all replayed (q233's CTE chain with a side tag)
     "q244_cdc_dedup_incremental" ->

@@ -170,11 +170,51 @@ object SegmentOps {
       s"dedupSegmentsCdcIncremental: no chunk archive at $archivePath — " +
         "bootstrap it with cdcChunkArchive over history")
     val arch = spark.read.parquet(archivePath).select(col("chunk_md5"))
-    val segs = Chunking
-      .cdcChunks(batch, idName, text, boundary256, withText = true)
+    // chunk ONCE and share: both consumers below re-read the chunk
+    // relation, and the CDC chunker (explode + per-doc window) is the
+    // batch's dominant cost
+    val segs = cdcBatchSegments(batch, idName, text, boundary256)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out0, freshMd5) =
+      dedupSegsVsArchive(batch, idName, text, boundary256, arch, Some(segs))
+    val out = out0.localCheckpoint(true)
+    // append ONLY the novel fingerprints: the anti-join reads the
+    // archive's one 32-hex column; history is never re-chunked
+    freshMd5.write.mode("append").parquet(archivePath)
+    segs.unpersist()
+    out
+  }
+
+  /** One batch's CDC-chunk relation in the dedup family's shape:
+    * (idName, seg, chunk_md5, seg_text).
+    */
+  private[graft] def cdcBatchSegments(batch: DataFrame, idName: String,
+                                      text: Column,
+                                      boundary256: Int): DataFrame =
+    Chunking.cdcChunks(batch, idName, text, boundary256, withText = true)
       .select(col("id").as(idName), col("chunk_idx").as("seg"),
         col("chunk_md5"), col("chunk_text").as("seg_text"))
-    val fresh = segs.join(arch, Seq("chunk_md5"), "left_anti")
+
+  /** The batch-vs-archive core [[dedupSegmentsCdcIncremental]] and
+    * the streaming sink share: given the archive's fingerprint
+    * relation, returns (per-document dedup output, the batch's NOVEL
+    * distinct fingerprints) — both LAZY; the caller owns
+    * materialization order relative to its archive mutation.
+    * `segsOpt` is the batchShingles contract one family over: both
+    * returned relations consume the chunk relation, so a caller that
+    * materializes both should chunk ONCE, persist, and pass it in
+    * (exactly `tokenSegments`' CDC shape: idName, seg, chunk_md5,
+    * seg_text — [[cdcBatchSegments]] builds it).
+    */
+  private[graft] def dedupSegsVsArchive(batch: DataFrame, idName: String,
+                                        text: Column, boundary256: Int,
+                                        arch: DataFrame,
+                                        segsOpt: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val segs = segsOpt.getOrElse(
+      cdcBatchSegments(batch, idName, text, boundary256))
+    val fresh = segs.join(arch.select(col("chunk_md5")),
+      Seq("chunk_md5"), "left_anti")
     val first = fresh
       .groupBy(col("chunk_md5"))
       .agg(min(struct(col(idName), col("seg"))).as("__first"))
@@ -200,12 +240,7 @@ object SegmentOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .localCheckpoint(true)
-    // append ONLY the novel fingerprints: the anti-join reads the
-    // archive's one 32-hex column; history is never re-chunked
-    fresh.select(col("chunk_md5")).distinct()
-      .write.mode("append").parquet(archivePath)
-    out
+    (out, fresh.select(col("chunk_md5")).distinct())
   }
 
   /** Per-domain boilerplate stripping: a segment text that occurs in

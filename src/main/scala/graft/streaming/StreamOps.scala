@@ -426,6 +426,75 @@ object StreamOps {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Streaming CDC-segment dedup — the continuous-ingest member of
+    * the alignment-robust family ([[graft.operators.SegmentOps
+    * .dedupSegmentsCdc]] batch / `dedupSegmentsCdcIncremental`
+    * archive / this): documents arrive in micro-batches; each batch's
+    * content-defined chunks drop where their FINGERPRINT was seen in
+    * any PRIOR batch (history canonical — caught across batches even
+    * through an alignment shift, the mode fixed strides miss) and
+    * keep-first within the batch; cleaned per-document rows land in
+    * `stateDir/clean/batch=<id>`, the batch's novel fingerprints in
+    * `stateDir/chunks/batch=<id>` — the archive state the next
+    * trigger probes (32-hex md5s only, never chunk text). After a
+    * bounded replay, the accumulated clean rows equal the SEQUENTIAL
+    * incremental fold — a global keep-first in (batch, doc, position)
+    * order, which is exactly what the q246 oracle replays in SQL.
+    */
+  def cdcSegmentsSink(docs: DataFrame, stateDir: String, idName: String,
+                      textName: String, checkpointDir: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                      boundary256: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cdcSegmentsBatch(batch, bid, stateDir, idName, textName, boundary256)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[cdcSegmentsSink]], idempotent under replay (the
+    * [[neardupBatch]] contract): the archive read EXCLUDES generation
+    * `bid` (a retry that already appended its own fingerprints must
+    * not dedup the batch against itself), falls back to an empty
+    * relation before the first generation exists, and both effects
+    * overwrite this batch's own directories — re-running any prefix
+    * reproduces byte-identical state. Generation writes are sized to
+    * the trigger's input partitioning (the neardupBatch small-file
+    * rule).
+    */
+  private[graft] def cdcSegmentsBatch(batch: DataFrame, bid: Long,
+                                      stateDir: String, idName: String,
+                                      textName: String,
+                                      boundary256: Int): Unit = {
+    import graft.operators.SegmentOps
+    val spark = batch.sparkSession
+    val fpDir = s"$stateDir/chunks"
+    val arch =
+      if (!graft.operators.Artifact.hadoopDirExists(spark, fpDir))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("chunk_md5 STRING"))
+      else spark.read.parquet(fpDir).filter(col("batch") =!= bid)
+        .drop("batch")
+    // chunk ONCE and share across both effect jobs (the neardupBatch
+    // shB discipline — the CDC chunker is the trigger's dominant cost)
+    val segs = SegmentOps.cdcBatchSegments(
+        batch, idName, col(textName), boundary256)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, freshMd5) = SegmentOps.dedupSegsVsArchive(
+      batch, idName, col(textName), boundary256, arch, Some(segs))
+    val genParts = math.max(1, batch.rdd.getNumPartitions)
+    out.repartition(genParts)
+      .write.mode("overwrite").parquet(s"$stateDir/clean/batch=$bid")
+    freshMd5.repartition(genParts)
+      .write.mode("overwrite").parquet(s"$fpDir/batch=$bid")
+    segs.unpersist()
+    ()
+  }
+
   /** One trigger of [[neardupSink]], idempotent under replay: the
     * archive reads EXCLUDE generation `bid` (an at-least-once retry
     * that already appended its own shingles/bands must not band the

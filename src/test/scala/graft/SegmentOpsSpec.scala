@@ -177,4 +177,60 @@ class SegmentOpsSpec extends SparkSpec {
         col("text"), 64, s"$scratch/nope"))
     assert(e.getMessage.contains("cdcChunkArchive"))
   }
+
+  test("cdcSegmentsBatch: streamed generations equal the sequential incremental fold; replay byte-identical") {
+    import graft.streaming.StreamOps
+    val span = (0 until 60).map(i => s"w$i").mkString(" ")
+    val other = (0 until 40).map(i => s"v$i").mkString(" ")
+    val b0 = Seq((1L, span), (2L, other)).toDF("doc_id", "text")
+    // batch 1 re-publishes batch 0's span behind a one-word shift
+    // (cross-BATCH through the shift), plus a fresh doc
+    val b1 = Seq((10L, "zzz " + span), (11L, "q r s t"))
+      .toDF("doc_id", "text")
+    val state = java.nio.file.Files
+      .createTempDirectory("cdcstream").toString + "/state"
+    StreamOps.cdcSegmentsBatch(b0, 0L, state, "doc_id", "text", 64)
+    StreamOps.cdcSegmentsBatch(b1, 1L, state, "doc_id", "text", 64)
+    // content signature: per generation dir, the SORTED multiset of
+    // file md5s — an overwrite rewrites writer-UUID file NAMES even
+    // when every byte of content is reproduced
+    def sig(p: String): Map[String, Seq[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk).toSeq
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath)
+        .map { case (d, fs) =>
+          d -> fs.map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+          }.sorted.toSeq
+        }
+    }
+    val before = sig(state)
+    // at-least-once retry of the committed batch 1: content-identical
+    StreamOps.cdcSegmentsBatch(b1, 1L, state, "doc_id", "text", 64)
+    assert(sig(state) == before, "replay changed streamed state content")
+    // streamed clean rows for batch 1 equal the sequential
+    // incremental fold over the same archive
+    val arch2 = java.nio.file.Files
+      .createTempDirectory("cdcstream2").toString + "/archive"
+    SegmentOps.cdcChunkArchive(b0, "doc_id", col("text"), 64)
+      .write.mode("overwrite").parquet(arch2)
+    val seq1 = SegmentOps.dedupSegmentsCdcIncremental(b1, "doc_id",
+        col("text"), 64, arch2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val got1 = spark.read.parquet(s"$state/clean/batch=1")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got1 == seq1, s"streamed $got1 != sequential $seq1")
+    // the cross-batch shifted dup was caught: doc 10 keeps only its
+    // prefix chunk
+    assert(got1.head._1 == 10L && got1.head._2 == 1L && got1.head._3 > 0L)
+    // batch 0 dedups against nothing (empty-archive fallback)
+    val got0 = spark.read.parquet(s"$state/clean/batch=0")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got0.forall(_._3 == 0L), s"batch 0 dropped chunks: $got0")
+  }
 }
