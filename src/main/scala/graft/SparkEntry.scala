@@ -4921,9 +4921,10 @@ object SparkEntry {
     // miss. Archived chunk content drops outright (history is
     // canonical, caught through the shift because CDC boundaries
     // re-align); archive-fresh content keep-firsts within the batch.
-    // The operator also appends the batch's novel fingerprints to
-    // the archive (pre-existing files byte-identical — spec-pinned
-    // in SegmentOpsSpec); scratch archive per call, so the append
+    // The operator also lands the batch's novel fingerprints as its
+    // own archive GENERATION (batch=0 here; pre-existing generations
+    // byte-identical, retry overwrite-idempotent — spec-pinned in
+    // SegmentOpsSpec); scratch archive per call, so the append
     // never poisons a later rep. FULL oracle: DuckDB replays the CDC
     // device, the archive probe, the fresh keep-first, and the
     // reassembly fingerprint.
@@ -4937,11 +4938,10 @@ object SparkEntry {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_q244").toString
       val archPath = s"$scratch/chunk_archive"
-      SegmentOps.cdcChunkArchive(history, "doc_id", col("text"),
-          boundary256 = 32)
-        .write.mode("overwrite").parquet(archPath)
+      SegmentOps.bootstrapCdcChunkArchive(history, "doc_id", col("text"),
+        boundary256 = 32, archPath)
       SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
-          col("text"), boundary256 = 32, archPath)
+          col("text"), boundary256 = 32, archPath, batchId = 0L)
         .select(col("doc_id"), col("n_kept"), col("n_dropped"),
           md5(col("clean_text")).as("clean_fp"))
         .orderBy("doc_id")
@@ -5257,6 +5257,96 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("crossing", col("split_a") =!= col("split_b"))
         .orderBy("split_a", "split_b")
+    }),
+
+    // ---------------- partial PQ rebuild lifecycle ----------------
+    // The last maintenance asymmetry closed: q245's lifecycle shape
+    // on the PQ tier. Fresh build → dim-0-shifted append (subspace 0
+    // flags, the q237 fixture brought along as an INDEX mutation) →
+    // rebuildPqSubspaces retrains ONLY subspace 0 (frozen cells seed
+    // their own retrain; the other 7 codebooks and every unflagged
+    // code VALUE stay bit-identical — verdict-pinned) → the drift
+    // report reads clean, the flagged subspace's quantization error
+    // shrank, and the serve path still exact-dominates off the
+    // partially rebuilt index (q234's device). Exact rows: the L2
+    // top-10 over the grown corpus, shift done in DOUBLE on both
+    // sides (the q238 IEEE discipline). Scratch index per call: the
+    // rebuild mutates it.
+    "q247_pq_rebuild" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q247").toString
+      val idx = s"$scratch/idx"
+      Similarity.buildPqIndex(emb, "vec_id", "embedding",
+        numSub = 8, k = 16, idx)
+      val shiftedD = emb.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x + lit(8.0)).otherwise(x))
+          .as("embedding"))
+      val shiftedF = shiftedD.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      Similarity.appendPqIndex(s, idx, shiftedF, "vec_id", "embedding")
+      val grownF = emb.unionByName(shiftedF)
+      val pre = Similarity.pqDriftReport(s, idx, grownF, "embedding")
+        .agg((sum(when(col("drifted"), 1L).otherwise(0L)) === 1L)
+            .as("one_sub_flagged"),
+          (max(when(col("drifted"), col("sub"))) === 0L)
+            .as("flagged_is_shifted_sub"),
+          max(when(col("sub") === 0L, col("resid_now_e6"))).as("__pre"))
+        .head()
+      def tailSum(): Long = s.read.parquet(s"$idx/codes")
+        .agg(sum(pmod(xxhash64(col("vec_id"),
+          to_json(slice(col("codes"), 2, 7))), lit(1000000007L))))
+        .head().getLong(0)
+      val tailPre = tailSum()
+      Similarity.rebuildPqSubspaces(s, idx, grownF, "vec_id", "embedding",
+        Seq(0))
+      val tailPost = tailSum()
+      val post = Similarity.pqDriftReport(s, idx, grownF, "embedding")
+        .agg((sum(when(col("drifted"), 1L).otherwise(0L)) === 0L)
+            .as("clean_after"),
+          (sum(when(col("sub") === 0L, abs(col("resid_delta_e6")))
+            .otherwise(lit(0L))) === 0L).as("rebuilt_delta_zero"))
+        .head()
+      val residPost = s.read.parquet(s"$idx/stats")
+        .filter(col("sub") === 0)
+        .select(col("resid_build_e6")).head().getLong(0)
+      val q0 = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val grownD = emb
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(shiftedD)
+      val exact = grownD.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(sqrt(
+          VecFns.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * VecFns.dot(col("embedding"), typedlit(q0))
+            + lit(q0.map(x => x.toDouble * x).sum)), 6).as("l2"))
+        .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      val pq = Similarity.pqTopK(s, idx, grownD, "vec_id", "embedding",
+        q0, 10, rerank = 100, excludeId = 0L)
+      def ranked(df: DataFrame, prefix: String): DataFrame =
+        df.agg(sort_array(collect_list(struct(col("l2").as("__d"),
+            col("vec_id").as("__id")))).as("a"))
+          .select(posexplode(col("a")).as(Seq("rk", "r")))
+          .select(col("rk"), col("r.__d").as(s"${prefix}_d"))
+      val dominated = ranked(exact, "ex").join(ranked(pq, "pq"), Seq("rk"))
+        .agg(coalesce(every(col("pq_d") >= col("ex_d") - 1e-9), lit(true))
+          .as("pq_dominated_ok"))
+      val recall = exact.select(col("vec_id"))
+        .join(pq.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 6L).as("pq_recall_ok"))
+      exact.crossJoin(broadcast(recall)).crossJoin(broadcast(dominated))
+        .select(col("vec_id"), col("l2"),
+          lit(pre.getBoolean(0)).as("one_sub_flagged"),
+          lit(pre.getBoolean(1)).as("flagged_is_shifted_sub"),
+          lit(post.getBoolean(0)).as("clean_after"),
+          lit(post.getBoolean(1)).as("rebuilt_delta_zero"),
+          lit(residPost < pre.getLong(2)).as("resid_improved"),
+          lit(tailPre == tailPost).as("tail_codes_invariant"),
+          col("pq_recall_ok"), col("pq_dominated_ok"))
+        .orderBy(col("l2").asc, col("vec_id"))
     })
   )
 
@@ -9594,6 +9684,33 @@ ORDER BY n_uses DESC, piece"""
            CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT)
              AS n_drifted_index,
            TRUE AS fresh_clean, TRUE AS drift_flagged,
-           TRUE AS flagged_have_appends"""
+           TRUE AS flagged_have_appends""",
+    // partial PQ rebuild lifecycle: exact L2 top-10 over the grown
+    // corpus (shift replayed in DOUBLE, the q238 discipline; rows the
+    // q234 device), rebuild guarantees as pinned-TRUE verdicts
+    "q247_pq_rebuild" ->
+      """WITH ed AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         grown AS (
+           SELECT vec_id, dim, x FROM ed
+           UNION ALL
+           SELECT vec_id + 1000000, dim,
+             CASE WHEN dim = 1 THEN x + 8.0 ELSE x END
+           FROM ed),
+         qd AS (SELECT dim, x AS qx FROM ed WHERE vec_id = 0),
+         gl AS (
+           SELECT vec_id, list(x ORDER BY dim) AS v FROM grown
+           GROUP BY vec_id),
+         ql AS (SELECT list(qx ORDER BY dim) AS qv FROM qd)
+         SELECT g.vec_id,
+           round(list_distance(g.v, q.qv), 6) AS l2,
+           TRUE AS one_sub_flagged, TRUE AS flagged_is_shifted_sub,
+           TRUE AS clean_after, TRUE AS rebuilt_delta_zero,
+           TRUE AS resid_improved, TRUE AS tail_codes_invariant,
+           TRUE AS pq_recall_ok, TRUE AS pq_dominated_ok
+         FROM gl g, ql q WHERE g.vec_id <> 0
+         ORDER BY l2 ASC, g.vec_id LIMIT 10"""
   )
 }

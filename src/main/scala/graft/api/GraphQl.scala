@@ -1719,12 +1719,17 @@ object GraphQl {
         "it takes only goIds")
     val rawArg = root.args.getOrElse("goIds", throw ParseError(
       "geneOntologyTerms requires the goIds argument"))
-    val raw = splitList(rawArg).filter(_.nonEmpty)
-    if (raw.isEmpty) throw ParseError("goIds must not be empty")
     // an empty-string id would silently shift the positional result —
-    // reject it loudly (the mapIds discipline)
-    if (splitList(rawArg).exists(_.isEmpty) && rawArg.nonEmpty)
+    // reject it loudly (the mapIds discipline). Checked BEFORE the
+    // empty-list collapse so `goIds: ["", ""]` names the actual
+    // defect (empty entries) rather than reporting an empty list.
+    // A SINGLE empty token is indistinguishable from `[]` after the
+    // list join, so that case stays "must not be empty".
+    val rawAll = splitList(rawArg)
+    if (rawAll.size > 1 && rawAll.exists(_.isEmpty))
       throw ParseError("goIds must not contain empty strings")
+    val raw = rawAll.filter(_.nonEmpty)
+    if (raw.isEmpty) throw ParseError("goIds must not be empty")
     // duplicate ids are two identical positional entries — redundancy
     // rejected loudly; GO ids are exact-match identifiers, so the
     // check is case-sensitive like the lookup itself

@@ -208,15 +208,24 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int, seed: Long)
 object JlProject {
   /** Sign matrices keyed by (seed, inDim, outDim) — one computation
     * per executor JVM regardless of how many task-deserialized
-    * expression copies share the projection. Bounded: a handful of
-    * distinct projections per job, each ≤ a few MB of ±1 longs.
+    * expression copies share the projection. A job uses a handful of
+    * distinct projections, but a LONG-LIVED executor serving many
+    * jobs would otherwise retain every matrix it ever built (a few
+    * MB each, forever) — so the cache is CAPPED: past [[MaxCached]]
+    * distinct projections it is cleared wholesale before admitting
+    * the newcomer. Matrices are pure functions of the key, so a
+    * post-clear miss merely recomputes (~ms); correctness is
+    * unaffected and memory stays bounded at MaxCached matrices.
     */
+  private val MaxCached = 64
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Long]]]()
 
   private[functions] def signMatrix(seed: Long, inDim: Int,
-                                    outDim: Int): Array[Array[Long]] =
-    cache.computeIfAbsent((seed, inDim, outDim), { key =>
+                                    outDim: Int): Array[Array[Long]] = {
+    val k = (seed, inDim, outDim)
+    if (cache.size >= MaxCached && !cache.containsKey(k)) cache.clear()
+    cache.computeIfAbsent(k, { key =>
       val (s, in, out) = key
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(out) { j =>
@@ -227,4 +236,5 @@ object JlProject {
         }
       }
     })
+  }
 }

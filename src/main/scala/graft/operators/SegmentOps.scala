@@ -131,12 +131,29 @@ object SegmentOps {
   /** Distinct CDC-chunk fingerprints of a corpus — the compact state
     * a continuous pipeline persists between batches (the q89
     * fingerprint-table discipline at chunk granularity: 32-hex md5s
-    * only, never chunk texts).
+    * only, never chunk texts). [[bootstrapCdcChunkArchive]] writes it
+    * in the generation-tagged layout [[dedupSegmentsCdcIncremental]]
+    * requires.
     */
   def cdcChunkArchive(docs: DataFrame, idName: String, text: Column,
                       boundary256: Int): DataFrame =
     Chunking.cdcChunks(docs, idName, text, boundary256)
       .select(col("chunk_md5")).distinct()
+
+  /** Seed a generation-tagged chunk-fingerprint archive from history:
+    * [[cdcChunkArchive]] lands in `archivePath/batch=-1` — the BASE
+    * generation, negative by the [[graft.sources.Compaction
+    * .compactBatches]] convention so incremental generations (>= 0)
+    * never collide with it and a later compaction can fold into a
+    * fresh base below it.
+    */
+  def bootstrapCdcChunkArchive(docs: DataFrame, idName: String,
+                               text: Column, boundary256: Int,
+                               archivePath: String): Unit = {
+    cdcChunkArchive(docs, idName, text, boundary256)
+      .write.mode("overwrite").parquet(s"$archivePath/batch=-1")
+    ()
+  }
 
   /** Batch-over-archive [[dedupSegmentsCdc]] — the continuous-
     * pipeline form, where history's chunk fingerprints live in a
@@ -149,27 +166,53 @@ object SegmentOps {
     * ACROSS batch and archive is caught even when the re-publication
     * SHIFTED it — the alignment mode fixed strides structurally miss.
     *
-    * Effects, in order: (1) the dedup output is computed against the
-    * PRE-append archive and materialized (localCheckpoint — the
-    * rebuildIvfLists materialize-before-mutate discipline, so the
-    * returned relation can never observe its own batch's append);
-    * (2) the batch's NOVEL fingerprints — and only those — are
-    * appended to the archive (append mode: pre-existing archive files
-    * stay byte-identical, spec-pinned), leaving the archive equal to
-    * `cdcChunkArchive(history ∪ batch)` as a set. The archive probe
-    * is one semi/anti join pair on the 32-hex key — linear,
-    * broadcastable when the archive fits, a plain shuffled join (or a
-    * Bloom prefilter, the q113 discipline) when it does not. Returns
-    * the [[dedupSegmentsCdc]] shape: one row per batch document.
+    * The archive is GENERATION-TAGGED (`archivePath/batch=<gen>`;
+    * [[bootstrapCdcChunkArchive]] seeds `batch=-1`), and each call
+    * names its own generation via `batchId`. That identity is what
+    * makes the call RETRY-SAFE under at-least-once orchestration —
+    * the [[graft.streaming.StreamOps]] neardupBatch/cdcSegmentsBatch
+    * contract: (1) the archive read EXCLUDES generation `batchId`, so
+    * a caller that crashed AFTER its append and re-runs does not
+    * anti-join the batch's own just-appended fingerprints (the flat-
+    * append failure mode: `fresh` empties and every document silently
+    * reports n_kept=0); (2) the dedup output is computed against that
+    * pre-append view and materialized, and the novel fingerprints are
+    * materialized too (localCheckpoint — the write job must not scan
+    * the directory it is about to mutate); (3) the novel fingerprints
+    * OVERWRITE `batch=<batchId>` — a retry reproduces byte-identical
+    * content; a NEW batch must use a fresh id. Pre-existing
+    * generations stay byte-identical (spec-pinned), and the archive
+    * equals `cdcChunkArchive(history ∪ batch)` as a set afterwards.
+    * The layout is [[graft.sources.Compaction.compactBatches]]'
+    * `batch=` convention, so high-cadence appends have a fold path
+    * (generations collapse into a negative base the `=!= batchId`
+    * exclusion can never match). The archive probe is one semi/anti
+    * join pair on the 32-hex key — linear, broadcastable when the
+    * archive fits, a plain shuffled join (or a Bloom prefilter, the
+    * q113 discipline) when it does not. Returns the
+    * [[dedupSegmentsCdc]] shape: one row per batch document.
     */
   def dedupSegmentsCdcIncremental(batch: DataFrame, idName: String,
                                   text: Column, boundary256: Int,
-                                  archivePath: String): DataFrame = {
+                                  archivePath: String,
+                                  batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    require(batchId >= 0,
+      s"dedupSegmentsCdcIncremental: batchId must be >= 0, got $batchId " +
+        "— negative generations are reserved for the bootstrap base " +
+        "and compaction folds")
     require(Artifact.hadoopDirExists(spark, archivePath),
       s"dedupSegmentsCdcIncremental: no chunk archive at $archivePath — " +
-        "bootstrap it with cdcChunkArchive over history")
-    val arch = spark.read.parquet(archivePath).select(col("chunk_md5"))
+        "bootstrap it with bootstrapCdcChunkArchive (cdcChunkArchive " +
+        "over history, generation-tagged)")
+    val archAll = spark.read.parquet(archivePath)
+    require(archAll.columns.contains("batch"),
+      s"dedupSegmentsCdcIncremental: archive at $archivePath is not " +
+        "generation-tagged (no batch= partition) — a flat archive " +
+        "cannot exclude a retry's own append; re-seed it with " +
+        "bootstrapCdcChunkArchive")
+    val arch = archAll.filter(col("batch") =!= batchId)
+      .drop("batch").select(col("chunk_md5"))
     // chunk ONCE and share: both consumers below re-read the chunk
     // relation, and the CDC chunker (explode + per-doc window) is the
     // batch's dominant cost
@@ -178,9 +221,17 @@ object SegmentOps {
     val (out0, freshMd5) =
       dedupSegsVsArchive(batch, idName, text, boundary256, arch, Some(segs))
     val out = out0.localCheckpoint(true)
-    // append ONLY the novel fingerprints: the anti-join reads the
-    // archive's one 32-hex column; history is never re-chunked
-    freshMd5.write.mode("append").parquet(archivePath)
+    // materialize the novel fingerprints BEFORE the write mutates the
+    // directory their plan scans (partition pruning already skips the
+    // own-generation dir, but an eventually-consistent store or a
+    // re-planned relation must not be able to observe the overwrite)
+    val fresh = freshMd5.localCheckpoint(true)
+    // generation sized to the trigger's input partitioning (the
+    // neardupBatch small-file rule — the fingerprint relation is tiny
+    // relative to the batch text)
+    val genParts = math.max(1, batch.rdd.getNumPartitions)
+    fresh.repartition(genParts)
+      .write.mode("overwrite").parquet(s"$archivePath/batch=$batchId")
     segs.unpersist()
     out
   }

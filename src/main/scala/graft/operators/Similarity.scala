@@ -828,20 +828,26 @@ object Similarity {
     * to its NEAREST cell (exactly what [[pqEncode]] picks), held as
     * fixed-point e6 longs so comparisons are engine-exact. One
     * posexplode + one keyed agg — subspace-count-sized output.
+    * `subsOpt` restricts the measurement to a subspace subset (the
+    * [[rebuildPqSubspaces]] re-baseline — flagged rows only).
     */
   private def pqListStats(embeddings: DataFrame, vecName: String,
-                          books: Seq[Seq[Array[Float]]]): DataFrame = {
+                          books: Seq[Seq[Array[Float]]],
+                          subsOpt: Option[Seq[Int]] = None): DataFrame = {
     val numSub = books.size
     val w = books.head.head.length
-    val sub = embeddings.select(posexplode(array((0 until numSub).map(s =>
-        slice(col(vecName), s * w + 1, w)): _*)).as(Seq("sub", "sv")))
-    val code = (1 until numSub).foldLeft(nearestCodeL2(col("sv"), books(0))) {
-      (acc, s) =>
+    val subsSeq = subsOpt.getOrElse(0 until numSub)
+    val sub = embeddings.select(posexplode(array(subsSeq.map(s =>
+        struct(lit(s).as("sub"), slice(col(vecName), s * w + 1, w).as("sv"))
+      ): _*)).as(Seq("__i", "__r")))
+      .select(col("__r.sub").as("sub"), col("__r.sv").as("sv"))
+    val code = subsSeq.tail.foldLeft(
+      nearestCodeL2(col("sv"), books(subsSeq.head))) { (acc, s) =>
         when(col("sub") === s, nearestCodeL2(col("sv"), books(s))).otherwise(acc)
     }
     // the chosen cell's vector, per subspace (parameter-sized literal)
-    val cell = (1 until numSub).foldLeft(
-      element_at(typedlit(books(0).map(_.toSeq)), col("__code") + 1)) {
+    val cell = subsSeq.tail.foldLeft(
+      element_at(typedlit(books(subsSeq.head).map(_.toSeq)), col("__code") + 1)) {
       (acc, s) => when(col("sub") === s,
         element_at(typedlit(books(s).map(_.toSeq)), col("__code") + 1))
         .otherwise(acc)
@@ -952,6 +958,142 @@ object Similarity {
       "appendPqIndex")
     newEmbeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
       .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** Partial PQ rebuild — the maintenance remedy for a
+    * [[pqDriftReport]] flag, completing the family (IVF
+    * [[rebuildIvfLists]], IVF×SQ8 [[rebuildIvfSq8Lists]], binary
+    * [[rebinBinaryIndex]]). PQ's partial unit is the SUBSPACE, not a
+    * list: the index is a flat ADC table (no `__cid=` partitions) and
+    * drift is measured per subspace, so only the FLAGGED subspaces'
+    * codebooks retrain; the others stay frozen.
+    *
+    * Why this retrains from the FLOAT corpus, unlike
+    * [[rebuildIvfSq8Lists]]' code-reconstruction: SQ8 codes carry one
+    * byte per DIMENSION (reconstruction is the vector to ~1/255), but
+    * a PQ code carries one byte per SUBSPACE — reconstruction
+    * collapses every member onto its cell centroid, and re-clustering
+    * k centroids into k cells is a FIXED POINT (the rebuild would be
+    * a no-op by construction). The honest partial economy is in the
+    * training and stats passes instead: the Lloyd refinement and the
+    * re-baseline explode only the flagged subspaces (flagged/numSub
+    * of the full rebuild's agg volume), and seeding is FREE — the
+    * frozen cells seed their own retrain (driver state; zero scans,
+    * vs trainPqCodebooks' lowest-id collect), which is also the
+    * drift-robust choice: the old tiling spans the old modes and one
+    * Lloyd step pulls each cell to the weighted mass of the CURRENT
+    * corpus, whereas lowest-id seeds all predate the drift
+    * (rebuildIvfLists' mis-centering argument). Empty cells keep
+    * their frozen seed (the trainPqCodebooks rule).
+    *
+    * The re-encode is one scan of `embeddings`: flagged subspaces
+    * against the retrained cells, unflagged against the FROZEN cells
+    * — [[pqEncode]] is a pure function of (vector, codebooks), so
+    * unflagged code VALUES are bit-identical to the stored ones
+    * (spec-pinned) without shuffling the code table back in (a
+    * corpus-sized id join would cost more than the recompute at any
+    * scale). `embeddings` must be exactly the indexed corpus — both
+    * directions loud-checked — because the code table is rewritten
+    * from it; the stats sidecar re-baselines only the flagged rows
+    * (the rebuildIvfLists device), so a subsequent [[pqDriftReport]]
+    * measures against the rebuilt state. Not crash-atomic — run
+    * inside the caller's publish step, like every maintenance path
+    * here.
+    */
+  def rebuildPqSubspaces(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, embeddings: DataFrame,
+                         idName: String, vecName: String,
+                         subs: Seq[Int]): Unit = {
+    require(subs.nonEmpty, "rebuildPqSubspaces: no subspaces to rebuild")
+    require(subs.distinct.size == subs.size,
+      s"rebuildPqSubspaces: duplicate subs in ${subs.mkString(",")}")
+    val books = readPqCodebooks(spark, indexPath)
+    val numSub = books.size
+    val w = books.head.head.length
+    val unknown = subs.filterNot(s => s >= 0 && s < numSub)
+    require(unknown.isEmpty,
+      s"rebuildPqSubspaces: unknown sub(s) ${unknown.mkString(",")} " +
+        s"(numSub=$numSub)")
+    val dim = numSub * w
+    val badDim = embeddings
+      .select(size(col(vecName)).as("d")).filter(col("d") =!= dim)
+      .take(1)
+    require(badDim.isEmpty,
+      s"rebuildPqSubspaces: corpus has dimension ${badDim.headOption
+        .map(_.get(0)).getOrElse("?")} but the codebooks encode $dim — " +
+        "not the same embedding space")
+    // the code table is REWRITTEN from `embeddings`, so the relation
+    // must be exactly the indexed corpus: a missing id would silently
+    // drop its code row, an extra id would silently append one
+    val codesPath = s"$indexPath/codes"
+    val codeIds = spark.read.parquet(codesPath).select(col(idName))
+    val embIds = embeddings.select(col(idName))
+    val missing = codeIds.except(embIds).count()
+    require(missing == 0L,
+      s"rebuildPqSubspaces: $missing indexed id(s) absent from the " +
+        "embeddings relation — pass the same corpus the index codes")
+    val extra = embIds.except(codeIds).count()
+    require(extra == 0L,
+      s"rebuildPqSubspaces: $extra embedding id(s) not in the index — " +
+        "append first (appendPqIndex), then rebuild")
+    // one Lloyd refinement over JUST the flagged subspaces, seeded by
+    // the frozen cells (the trainPqCodebooks refinement convention)
+    val subRel = embeddings.select(posexplode(array(subs.map(s =>
+        struct(lit(s).as("sub"), slice(col(vecName), s * w + 1, w).as("sv"))
+      ): _*)).as(Seq("__i", "__r")))
+      .select(col("__r.sub").as("sub"), col("__r.sv").as("sv"))
+    val assigned = subRel.withColumn("code",
+      subs.tail.foldLeft(nearestCodeL2(col("sv"), books(subs.head))) {
+        (acc, s) =>
+          when(col("sub") === s, nearestCodeL2(col("sv"), books(s)))
+            .otherwise(acc)
+      })
+    val means = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val byCell = means.groupBy(t => (t._1, t._2))
+    val retrained: Map[Int, Seq[Array[Float]]] = subs.map { s =>
+      s -> books(s).indices.map { c =>
+        byCell.get((s, c)) match {
+          case Some(cell) =>
+            val arr = new Array[Float](w)
+            cell.foreach(t => arr(t._3) = t._4.toFloat)
+            arr
+          case None => books(s)(c) // empty cell keeps its frozen seed
+        }
+      }
+    }.toMap
+    val merged: Seq[Seq[Array[Float]]] =
+      books.zipWithIndex.map { case (cs, s) => retrained.getOrElse(s, cs) }
+    // re-encode: the write plan reads only `embeddings`, never the
+    // codes path it overwrites
+    embeddings
+      .select(col(idName), pqEncode(col(vecName), merged).as("codes"))
+      .write.mode("overwrite").parquet(codesPath)
+    // codebook sidecar: flagged rows swapped, unflagged rows
+    // value-identical (spec-pinned)
+    import scala.jdk.CollectionConverters._
+    val rows = merged.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(s, i, c.toSeq) }
+    }.asJava
+    spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "sub INT, code INT, centroid ARRAY<FLOAT>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    // stats: re-baseline ONLY the flagged rows against the current
+    // corpus under the retrained cells
+    val fresh = pqListStats(embeddings, vecName, merged, Some(subs))
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+    val kept = spark.read.parquet(s"$indexPath/stats")
+      .filter(!col("sub").isin(subs: _*))
+    val stats = kept.unionByName(fresh).localCheckpoint(true)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    stats.unpersist()
+    ()
   }
 
   /** ADC search over the PQ index: score every code row against the

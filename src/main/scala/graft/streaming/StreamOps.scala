@@ -37,6 +37,18 @@ object StreamOps {
     * 3.2 s; at 4, 2.4 s — pure store-commit overhead, bit-identical
     * results. Scan-side parallelism is unaffected (input splits, not
     * shuffle width).
+    *
+    * SCOPE: the override mutates the SESSION-global conf for the
+    * whole `body` window, so any query PLANNED concurrently on the
+    * same SparkSession (another thread calling an action while a
+    * wrapped stream awaits termination) silently inherits the
+    * narrowed width for its relational shuffles. Callers must treat
+    * the wrapped window as single-planner — the repo's drivers do
+    * (one query at a time) — or clone the session
+    * (`spark.newSession()`) and build the stream's DataFrames FROM
+    * the clone so the override is scoped to the clone's state;
+    * wrapping alone cannot re-scope DataFrames already bound to the
+    * shared session.
     */
   def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession,
                              n: Int)(body: => A): A = {
@@ -842,22 +854,38 @@ object StreamOps {
 
   /** The bucketed history's global-frontier sidecar: a running max of
     * applied asOf values, equal to the flat layout's
-    * max(valid_from). Missing/garbled reads degrade to MinValue —
-    * the clamp merely weakens (same as a crash between data and
+    * max(valid_from). ABSENT or GARBLED reads degrade to MinValue —
+    * that clamp merely weakens (same as a crash between data and
     * sidecar writes), never corrupts: per-key ordering is protected
-    * by the stale-version drop regardless.
+    * by the stale-version drop regardless. Genuine FS failures
+    * (remote outage, permission) PROPAGATE and fail the batch: a
+    * transient IO error swallowed into MinValue would silently open
+    * keys below the true frontier — exactly the bucketed-history
+    * divergence the clamp exists to prevent (loud-failure discipline,
+    * the dropStaleListDirs contract).
     */
   private def readFrontier(spark: SparkSession, targetDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$targetDir/_graft_frontier")
-    try {
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) Long.MinValue
-      else {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val body =
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim)
+          finally in.close()
+        } catch {
+          // deleted between exists and open — the absence case
+          case _: java.io.FileNotFoundException => None
+        }
+      try body.fold(Long.MinValue)(_.toLong)
+      catch {
+        // a torn/garbled sidecar is the crash-between-writes case:
+        // weaken the clamp, do not fail the batch
+        case _: NumberFormatException => Long.MinValue
       }
-    } catch { case _: Throwable => Long.MinValue }
+    }
   }
 
   private def writeFrontier(spark: SparkSession, targetDir: String,

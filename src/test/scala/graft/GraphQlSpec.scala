@@ -1135,6 +1135,11 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("requires the goIds"))
     assert(err("""{ geneOntologyTerms(goIds: []) { id } }""")
       .contains("must not be empty"))
+    // empty ENTRIES name the actual defect, not an empty list
+    assert(err("""{ geneOntologyTerms(goIds: ["", ""]) { id } }""")
+      .contains("must not contain empty strings"))
+    assert(err(s"""{ geneOntologyTerms(goIds: ["$idA", ""]) { id } }""")
+      .contains("must not contain empty strings"))
     assert(err(s"""{ geneOntologyTerms(goIds: ["$idA", "$idA"]) { id } }""")
       .contains("duplicate goIds"))
     assert(err(s"""{ geneOntologyTerms(goIds: ["$idA"], x: "1") { id } }""")

@@ -110,7 +110,7 @@ class SegmentOpsSpec extends SparkSpec {
     assert(rep.toSeq == cdc.toSeq)
   }
 
-  test("dedupSegmentsCdcIncremental: cross-archive shifted dup caught; archive appends novel only, pre-append files byte-identical") {
+  test("dedupSegmentsCdcIncremental: cross-archive shifted dup caught; generations append-only; crash-after-append retry byte-identical") {
     val span = (0 until 60).map(i => s"w$i").mkString(" ")
     val hist = Seq((1L, span)).toDF("doc_id", "text")
     // batch: a one-word-shifted re-publication of the ARCHIVED doc
@@ -125,24 +125,35 @@ class SegmentOpsSpec extends SparkSpec {
     val scratch = java.nio.file.Files
       .createTempDirectory("cdcinc").toString
     val arch = s"$scratch/archive"
-    SegmentOps.cdcChunkArchive(hist, "doc_id", col("text"), 64)
-      .write.mode("overwrite").parquet(arch)
-    def fileSigs(): Map[String, String] = {
+    SegmentOps.bootstrapCdcChunkArchive(hist, "doc_id", col("text"), 64, arch)
+    // per-file md5s over the whole generation tree (path → sig) for
+    // the untouched-generations claim, and per-DIRECTORY sorted
+    // content multisets for the retry claim (an overwrite rewrites
+    // writer-UUID file NAMES even when every byte is reproduced)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk).toSeq
+      else Seq(f)
+    def md5Of(f: java.io.File): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      Option(new java.io.File(arch).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).map { f =>
-          md.reset()
-          f.getPath -> md.digest(
-              java.nio.file.Files.readAllBytes(f.toPath))
-            .map("%02x".format(_)).mkString
-        }.toMap
+      md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
     }
+    def fileSigs(): Map[String, String] =
+      walk(new java.io.File(arch)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> md5Of(f)).toMap
+    def contentSig(): Map[String, Seq[String]] =
+      walk(new java.io.File(arch)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath)
+        .map { case (d, fs) => d -> fs.map(md5Of).sorted.toSeq }
+    def archSet(): Set[String] = spark.read.parquet(arch)
+      .select(col("chunk_md5")).as[String].collect().toSet
     val preSigs = fileSigs()
-    val archSetBefore = spark.read.parquet(arch)
-      .as[String].collect().toSet
-    val out = SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
-        col("text"), 64, arch)
+    val archSetBefore = archSet()
+    def run(bid: Long) = SegmentOps.dedupSegmentsCdcIncremental(
+        batch, "doc_id", col("text"), 64, arch, batchId = bid)
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    val out = run(0L)
     // shifted re-publication of ARCHIVED content: only the prefix
     // chunk survives, every re-aligned interior chunk drops
     assert(out(0)._2 == 1L && out(0)._3 > 0L &&
@@ -152,30 +163,54 @@ class SegmentOpsSpec extends SparkSpec {
     assert(out(2)._2 == 0L && out(2)._4 == "",
       s"doc 12 duplicates doc 11: ${out(2)}")
     assert(out(3)._4 == "q r s t")
-    // archive: pre-append files byte-identical, appended set equals a
-    // rebuild over history ∪ batch
+    // archive: pre-existing generations byte-identical, accumulated
+    // set equals a rebuild over history ∪ batch
     val postSigs = fileSigs()
     preSigs.foreach { case (p, sig) =>
       assert(postSigs.get(p).contains(sig), s"append rewrote $p") }
-    val archSetAfter = spark.read.parquet(arch).as[String].collect().toSet
     val rebuilt = SegmentOps.cdcChunkArchive(
         hist.unionByName(batch), "doc_id", col("text"), 64)
       .as[String].collect().toSet
-    assert(archSetAfter == rebuilt, "appended archive != union rebuild")
-    assert(archSetBefore.subsetOf(archSetAfter))
-    // a second identical batch: everything archived now, nothing kept
-    // fresh — and the archive does not grow
+    assert(archSet() == rebuilt, "appended archive != union rebuild")
+    assert(archSetBefore.subsetOf(archSet()))
+    // ---- the at-least-once retry: the caller crashed AFTER its
+    // append and re-runs the SAME generation. The archive read must
+    // exclude generation 0 (a flat append would anti-join the batch's
+    // own fingerprints: n_kept=0 everywhere, silently), the output
+    // must equal the first run's, and the archive content must be
+    // reproduced byte-identically (modulo writer-UUID names).
+    val contentBefore = contentSig()
+    val retry = run(0L)
+    assert(retry.toSeq == out.toSeq,
+      s"retry diverged: ${retry.toSeq} != ${out.toSeq}")
+    assert(contentSig() == contentBefore, "retry changed archive content")
+    // a second identical batch under a NEW generation: everything
+    // archived now, nothing kept fresh — and the archive set does
+    // not grow (the new generation is empty)
     val out2 = SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
-        col("text"), 64, arch)
+        col("text"), 64, arch, batchId = 1L)
       .agg(sum(col("n_kept"))).as[Long].head()
     assert(out2 == 0L, s"re-submitted batch kept $out2 chunks")
-    assert(spark.read.parquet(arch).as[String].collect().toSet == rebuilt,
-      "re-submitted batch grew the archive")
+    assert(archSet() == rebuilt, "re-submitted batch grew the archive")
     // loud error on a missing archive
     val e = intercept[IllegalArgumentException](
       SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
-        col("text"), 64, s"$scratch/nope"))
-    assert(e.getMessage.contains("cdcChunkArchive"))
+        col("text"), 64, s"$scratch/nope", batchId = 2L))
+    assert(e.getMessage.contains("bootstrapCdcChunkArchive"))
+    // loud error on a FLAT (untagged) archive — the layout that made
+    // retries silently wrong; and on a reserved negative generation
+    val flat = s"$scratch/flat"
+    SegmentOps.cdcChunkArchive(hist, "doc_id", col("text"), 64)
+      .write.mode("overwrite").parquet(flat)
+    val e2 = intercept[IllegalArgumentException](
+      SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+        col("text"), 64, flat, batchId = 0L))
+    assert(e2.getMessage.contains("not") &&
+      e2.getMessage.contains("generation-tagged"))
+    val e3 = intercept[IllegalArgumentException](
+      SegmentOps.dedupSegmentsCdcIncremental(batch, "doc_id",
+        col("text"), 64, arch, batchId = -1L))
+    assert(e3.getMessage.contains("batchId must be >= 0"))
   }
 
   test("cdcSegmentsBatch: streamed generations equal the sequential incremental fold; replay byte-identical") {
@@ -217,10 +252,9 @@ class SegmentOpsSpec extends SparkSpec {
     // incremental fold over the same archive
     val arch2 = java.nio.file.Files
       .createTempDirectory("cdcstream2").toString + "/archive"
-    SegmentOps.cdcChunkArchive(b0, "doc_id", col("text"), 64)
-      .write.mode("overwrite").parquet(arch2)
+    SegmentOps.bootstrapCdcChunkArchive(b0, "doc_id", col("text"), 64, arch2)
     val seq1 = SegmentOps.dedupSegmentsCdcIncremental(b1, "doc_id",
-        col("text"), 64, arch2)
+        col("text"), 64, arch2, batchId = 0L)
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
     val got1 = spark.read.parquet(s"$state/clean/batch=1")
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq

@@ -1308,6 +1308,104 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rebuildPqSubspaces: flagged subspace retrained, unflagged codes and cells value-identical, drift clean after; guards loud") {
+    val dir = java.nio.file.Files.createTempDirectory("pqreb").toString + "/idx"
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", numSub = 8, k = 16, dir)
+    // a shifted mode on dim 0 arrives via the append path: subspace
+    // 0's frozen cells no longer tile the data (the pqDriftReport
+    // fixture, with the index brought along)
+    val shifted = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x)).as("embedding"))
+    Similarity.appendPqIndex(spark, dir, shifted, "vec_id", "embedding")
+    val grown = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(shifted)
+    val preRep = Similarity.pqDriftReport(spark, dir, grown, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val flagged = preRep.collect { case (s, r) if r.getBoolean(6) => s }.toSeq
+    assert(flagged == Seq(0L), s"fixture drift: $flagged")
+    val residPre = preRep(0L).getLong(4) // resid_now_e6 under frozen cells
+    val codesBefore = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val booksBefore = Similarity.readPqCodebooks(spark, dir)
+    Similarity.rebuildPqSubspaces(spark, dir, grown, "vec_id", "embedding",
+      Seq(0))
+    // unflagged subspaces: codebook cells AND code values bit-identical
+    val booksAfter = Similarity.readPqCodebooks(spark, dir)
+    (1 until 8).foreach { s =>
+      assert(booksAfter(s).map(_.toSeq) == booksBefore(s).map(_.toSeq),
+        s"rebuild moved unflagged subspace $s's cells")
+    }
+    assert(booksAfter(0).map(_.toSeq) != booksBefore(0).map(_.toSeq),
+      "flagged subspace's cells did not retrain")
+    val codesAfter = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesAfter.keySet == codesBefore.keySet, "rebuild changed the id set")
+    codesBefore.foreach { case (id, cs) =>
+      assert(codesAfter(id).drop(1) == cs.drop(1),
+        s"unflagged code values moved for id $id")
+    }
+    // drift report comes back clean: flagged row re-baselined
+    // (delta exactly zero — baseline and report measure the same
+    // corpus under the same cells), unflagged rows untouched
+    val rep = Similarity.pqDriftReport(spark, dir, grown, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!rep(0L).getBoolean(6) && rep(0L).getLong(5) == 0L,
+      s"rebuilt subspace still drifted: ${rep(0L)}")
+    (1L to 7L).foreach { s =>
+      assert(!rep(s).getBoolean(6), s"unflagged subspace $s flagged: ${rep(s)}")
+    }
+    // the retrained cells actually help: ADC quantization error in
+    // the flagged subspace shrank vs the frozen cells (a Lloyd step
+    // from the frozen seeds is monotone in SSE, and the +8 mode makes
+    // the improvement large)
+    val residPost = spark.read.parquet(s"$dir/stats")
+      .filter(col("sub") === 0).select(col("resid_build_e6")).as[Long].head()
+    assert(residPost < residPre,
+      s"retrain did not reduce sub-0 quantization error: $residPre -> $residPost")
+    // serve path off the partially rebuilt index: exact re-rank keeps
+    // recall against brute force
+    val q0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = grown.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(sqrt(
+        graft.functions.VecFns.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * graft.functions.VecFns.dot(col("embedding"), typedlit(q0))
+          + lit(q0.map(x => x.toDouble * x).sum)), 6).as("l2"))
+      .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val served = Similarity.pqTopK(spark, dir, grown, "vec_id", "embedding",
+        q0, kOut = 10, rerank = 100, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert((served & exact).size >= 6,
+      s"post-rebuild recall collapsed: ${(served & exact).size}/10")
+    // guards: unknown / duplicate subs, wrong corpus coverage, wrong dim
+    val eU = intercept[IllegalArgumentException](
+      Similarity.rebuildPqSubspaces(spark, dir, grown, "vec_id", "embedding",
+        Seq(99)))
+    assert(eU.getMessage.contains("unknown sub"))
+    val eD = intercept[IllegalArgumentException](
+      Similarity.rebuildPqSubspaces(spark, dir, grown, "vec_id", "embedding",
+        Seq(0, 0)))
+    assert(eD.getMessage.contains("duplicate subs"))
+    val eM = intercept[IllegalArgumentException](
+      Similarity.rebuildPqSubspaces(spark, dir,
+        grown.filter(col("vec_id") < 1000000L), "vec_id", "embedding", Seq(0)))
+    assert(eM.getMessage.contains("absent from the"))
+    val eX = intercept[IllegalArgumentException](
+      Similarity.rebuildPqSubspaces(spark, dir,
+        grown.unionByName(emb.select((col("vec_id") + 5000000L).as("vec_id"),
+          col("embedding"))), "vec_id", "embedding", Seq(0)))
+    assert(eX.getMessage.contains("append first"))
+    val eW = intercept[IllegalArgumentException](
+      Similarity.rebuildPqSubspaces(spark, dir,
+        grown.select(col("vec_id"),
+          concat(col("embedding"), array(lit(0.0f))).as("embedding")),
+        "vec_id", "embedding", Seq(0)))
+    assert(eW.getMessage.contains("not the same embedding space"))
+  }
+
   test("binDriftReport: frozen thresholds vs a shifted corpus — exact arithmetic, per-dim flags") {
     val dir = java.nio.file.Files.createTempDirectory("bindrift").toString + "/idx"
     Similarity.buildBinaryIndex(emb, "vec_id", "embedding", dir)

@@ -461,6 +461,104 @@ object ProbeMaintain {
       dft.unpersist(); union.unpersist()
     }
 
+    // ---------------- 5. partial PQ subspace rebuild ----------------
+    // rebuildPqSubspaces vs a full buildPqIndex over the union, on
+    // the dim-0-shift fixture (subspace 0 flags). Measured: wall cost
+    // of the partial vs full path, ADC-candidate recall vs the exact
+    // L2 top-10 per mode (base / shifted queries) pre-rebuild vs
+    // partial vs full, and the sub-0 quantization-error (resid_e6)
+    // trajectory. Unflagged code values are asserted invariant.
+    if (section("pqrebuild")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val k = 10
+      val idx = "/tmp/graft_probe_pqreb_idx"
+      val full = "/tmp/graft_probe_pqreb_full"
+      Seq(idx, full).foreach(p => deleteRec(new java.io.File(p)))
+      val shifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(8.0f)).otherwise(x))
+          .as("embedding")).cache()
+      val grown = emb.unionByName(shifted).cache(); grown.count()
+      time("build+append (pq rebuild fixture)") {
+        Similarity.buildPqIndex(emb, "vec_id", "embedding",
+          numSub = 8, k = 16, idx)
+        Similarity.appendPqIndex(spark, idx, shifted, "vec_id", "embedding")
+      }
+      val flagged = Similarity.pqDriftReport(spark, idx, grown, "embedding")
+        .filter(col("drifted")).select(col("sub").cast("int"))
+        .as[Int].collect().toSeq.sorted
+      require(flagged.nonEmpty, "pqrebuild probe: nothing flagged")
+      val residPre = Similarity.pqDriftReport(spark, idx, grown, "embedding")
+        .filter(col("sub") === 0).select(col("resid_now_e6")).as[Long].head()
+      val qIds = (0L until 16L).map(_ * 100L) ++
+        (0L until 16L).map(1000000L + _ * 100L)
+      def qvOf(qid: Long): Array[Float] = grown
+        .filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      def exactTop(qid: Long): Set[Long] = {
+        val qv = qvOf(qid)
+        grown.filter(col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            (graft.functions.VecFns.dot(col("embedding"), col("embedding"))
+              - lit(2.0) * graft.functions.VecFns.dot(col("embedding"),
+                typedlit(qv))).as("d"))
+          .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      val exact = qIds.map(q => q -> exactTop(q)).toMap
+      // ADC-candidate recall at rerank = k: how well the CODE ranking
+      // alone finds the true top-k (the exact re-rank hides codebook
+      // damage at larger rerank budgets — this is the honest signal)
+      def recall(path: String): (Double, Double) = {
+        var hb = 0L; var hd = 0L
+        qIds.foreach { qid =>
+          val got = Similarity.pqTopK(spark, path, grown, "vec_id",
+              "embedding", qvOf(qid), k, rerank = k, excludeId = qid)
+            .select("vec_id").as[Long].collect().toSet
+          val hits = (got & exact(qid)).size
+          if (qid < 1000000L) hb += hits else hd += hits
+        }
+        (hb.toDouble / (16 * k), hd.toDouble / (16 * k))
+      }
+      val (preB, preD) = time("probe appended (pre-rebuild)")(recall(idx))
+      def tailSum(path: String): Long = spark.read.parquet(s"$path/codes")
+        .agg(sum(pmod(xxhash64(col("vec_id"),
+          to_json(slice(col("codes"), 2, 7))), lit(1000000007L))))
+        .head().getLong(0)
+      val tailPre = tailSum(idx)
+      time(s"rebuildPqSubspaces (${flagged.size}/8 subspaces)")(
+        Similarity.rebuildPqSubspaces(spark, idx, grown, "vec_id",
+          "embedding", flagged))
+      require(tailSum(idx) == tailPre,
+        "pq rebuild moved unflagged code values")
+      val residPost = spark.read.parquet(s"$idx/stats")
+        .filter(col("sub") === 0).select(col("resid_build_e6"))
+        .as[Long].head()
+      val (postB, postD) = time("probe partial rebuild")(recall(idx))
+      time("full rebuild over union")(
+        Similarity.buildPqIndex(grown, "vec_id", "embedding",
+          numSub = 8, k = 16, full))
+      val residFull = spark.read.parquet(s"$full/stats")
+        .filter(col("sub") === 0).select(col("resid_build_e6"))
+        .as[Long].head()
+      val (fulB, fulD) = time("probe full rebuild")(recall(full))
+      println(f"[probe] pqrebuild summary (${flagged.size}/8 flagged): " +
+        f"adc-recall base pre=$preB%.3f post=$postB%.3f full=$fulB%.3f | " +
+        f"shift-mode pre=$preD%.3f post=$postD%.3f full=$fulD%.3f | " +
+        f"sub0 resid_e6 pre=$residPre post=$residPost full=$residFull")
+      require(Similarity.pqDriftReport(spark, idx, grown, "embedding")
+        .filter(col("drifted")).count() == 0,
+        "post-rebuild pq drift report still flags subspaces")
+      require(residPost < residPre,
+        s"partial rebuild did not reduce sub-0 resid: $residPre -> $residPost")
+      require(postD >= preD - 0.05,
+        f"partial pq rebuild lost shift-mode recall: $preD%.3f -> $postD%.3f")
+      require(postB >= preB - 0.05,
+        f"partial pq rebuild lost base recall: $preB%.3f -> $postB%.3f")
+      shifted.unpersist(); grown.unpersist()
+    }
+
     spark.stop()
   }
 }
