@@ -274,6 +274,42 @@ object SparkEntry {
     src
   }
 
+  /** Persisted 4-file SEMANTIC-DEDUP backlog: three ascending
+    * vec_id-range terciles of the embeddings corpus, then a fourth
+    * batch of EXACT CLONES (vec_id%8==0 under +1000000 ids) — the
+    * guaranteed cross-batch duplication fixture (same vector → same
+    * cluster, cosine 1.0). Ascending ids across files is the backlog
+    * contract the incremental gates require; mtimes spaced
+    * oldest-first so maxFilesPerTrigger=1 ingests in order.
+    */
+  private def ensureSemBacklog(s: SparkSession, dir: String): String = {
+    val src = fixturePath("sembacklog", dir, "embeddings")
+    Artifact.ensure(src) { tmp =>
+      val e = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val base = System.currentTimeMillis() - 3600L * 1000
+      def land(df: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+        val part = s"$tmp/_b$b"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, s"b$b.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(base + b * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+      }
+      (1 to 3).foreach { b =>
+        land(e.filter((floor((col("vec_id") - lit(lo)) * lit(3)
+          / lit(hi - lo + 1)) + lit(1)).cast("int") === b), b)
+      }
+      land(e.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")), 4)
+    }
+    src
+  }
+
   private object SelfCheck {
     /** One invariant's outcome: which check ran, whether it held, and
       * the values it measured — the evidence Verify dumps next to the
@@ -5347,7 +5383,83 @@ object SparkEntry {
           lit(tailPre == tailPost).as("tail_codes_invariant"),
           col("pq_recall_ok"), col("pq_dominated_ok"))
         .orderBy(col("l2").asc, col("vec_id"))
-    })
+    }),
+
+    // ---------------- streaming semantic dedup ----------------
+    // SemDeDup's continuous-ingest member (q92 batch / this), closing
+    // the family's last batch-only asymmetry: vectors arrive in 4
+    // ascending-id micro-batches (three corpus terciles + a batch of
+    // EXACT CLONES under later ids — the guaranteed cross-batch
+    // duplication mode); a planning pass froze the centroid sidecar;
+    // each batch assigns to the FROZEN clusters and drops against the
+    // ALL-INGESTED archive (q216's discipline — a duplicate of a
+    // dropped vector is still a duplicate). Per-batch effects
+    // overwrite their own batch= generations (replay-idempotent,
+    // spec-pinned). Verdicts are ENGINE-COMPUTED, oracle-pinned TRUE:
+    // the accumulated survivor set EQUALS the frozen-centroid batch
+    // device over everything ingested (exact set equality — the
+    // semanticDedupVsArchive domination argument), and every clone
+    // was caught across batches. Rows: per-batch ingest accounting
+    // (the oracle replays the tercile bucketing and the clone count).
+    "q248_stream_semantic_dedup" -> ((s, dir) => {
+      val src = ensureSemBacklog(s, dir)
+      val schema = s.read.parquet(src).schema
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q248").toString
+      val state = s"$scratch/state"
+      val corpus = s.read.parquet(src)
+      Similarity.initSemanticCentroids(corpus, "vec_id", "embedding",
+        nlist = 16, state)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val query = graft.streaming.StreamOps.semanticDedupSink(stream,
+        state, "vec_id", "embedding", s"$scratch/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        tau = 0.35)
+      query.awaitTermination()
+      val kept = s.read.parquet(s"$state/kept").select(col("vec_id"))
+      val cents = Similarity.readCentroids(s, state)
+      val want = Similarity.semanticDedupFrozen(corpus, "vec_id",
+        "embedding", tau = 0.35, cents).select(col("vec_id"))
+      val composition = kept.except(want).count() == 0L &&
+        want.except(kept).count() == 0L
+      val cloneKept = kept.filter(col("vec_id") >= 1000000L).count()
+      val nClones = corpus.filter(col("vec_id") >= 1000000L).count()
+      SelfCheck.every(s"q248/$dir") {
+        val nb = s.read.parquet(s"$state/vecs")
+          .select("batch").distinct().count()
+        require(nb == 4, s"q248 expected 4 ingested batches, got $nb")
+        require(composition, "q248 streamed survivors != batch device")
+        SelfCheck.note(s"4 micro-batches; survivors equal the frozen " +
+          s"batch device exactly; $nClones cross-batch clones all caught")
+      }
+      s.read.parquet(s"$state/vecs")
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_in"))
+        .select(col("batch"), col("n_in"),
+          lit(composition).as("composition_exact"),
+          lit(cloneKept == 0L && nClones > 0L).as("cross_batch_dups_caught"))
+        .orderBy("batch")
+    }),
+
+    // ---------------- GraphQL introspection ----------------
+    // The first request every real client (GraphiQL, Apollo,
+    // graphql-request) sends: `__schema { queryType { fields } }`.
+    // The dialect serves the minimal introspection surface over its
+    // OWN executable Query type — a root appears iff execute()
+    // dispatches it (introspection as a contract, not an echo of the
+    // schema file), result types rendered as the schema writes them.
+    // Catalog-cost (q242/q243's class): pure driver state, one
+    // range(1) row. FULL oracle: the 13 roots and their renderings.
+    "q249_graphql_introspection" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{ __schema {
+             queryType { name fields { name type { name } } } } }""")
+        .select(col("queryType.name").as("query_type"),
+          posexplode(col("queryType.fields")).as(Seq("i", "f")))
+        .select(col("query_type"), (col("i") + 1).cast("long").as("ord"),
+          col("f.name").as("root"), col("f.type.name").as("type_name"))
+        .orderBy("ord"))
   )
 
   /** q200's dictionary: shared between the Spark query and the
@@ -9711,6 +9823,43 @@ ORDER BY n_uses DESC, piece"""
            TRUE AS resid_improved, TRUE AS tail_codes_invariant,
            TRUE AS pq_recall_ok, TRUE AS pq_dominated_ok
          FROM gl g, ql q WHERE g.vec_id <> 0
-         ORDER BY l2 ASC, g.vec_id LIMIT 10"""
+         ORDER BY l2 ASC, g.vec_id LIMIT 10""",
+    // streaming semantic dedup: per-batch ingest accounting (the
+    // backlog's tercile bucketing + the clone batch, replayed), the
+    // engine-computed equality/catch verdicts pinned TRUE
+    "q248_stream_semantic_dedup" ->
+      """WITH bounds AS (
+           SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
+         b AS (
+           SELECT CAST(floor((e.vec_id - lo) * 3.0 / (hi - lo + 1))
+             AS BIGINT) AS batch
+           FROM embeddings e, bounds),
+         orig AS (SELECT batch, count(*) AS n_in FROM b GROUP BY batch),
+         cl AS (
+           SELECT CAST(3 AS BIGINT) AS batch, count(*) AS n_in
+           FROM embeddings WHERE vec_id % 8 = 0)
+         SELECT batch, CAST(n_in AS BIGINT) AS n_in,
+           TRUE AS composition_exact, TRUE AS cross_batch_dups_caught
+         FROM (SELECT * FROM orig UNION ALL SELECT * FROM cl)
+         ORDER BY batch""",
+    // introspection: the executable Query type verbatim (sorted)
+    "q249_graphql_introspection" ->
+      """SELECT 'Query' AS query_type, CAST(ord AS BIGINT) AS ord,
+           root, type_name
+         FROM (VALUES
+           (1, 'associationDatasources', '[EvidenceSource!]!'),
+           (2, 'disease', 'Disease'),
+           (3, 'diseases', '[Disease!]!'),
+           (4, 'drug', 'Drug'),
+           (5, 'drugs', '[Drug!]!'),
+           (6, 'facets', 'SearchFacetsResults!'),
+           (7, 'geneOntologyTerms', '[GeneOntologyTerm]!'),
+           (8, 'interactionResources', '[InteractionResources!]!'),
+           (9, 'mapIds', 'MappingResults!'),
+           (10, 'meta', 'Meta!'),
+           (11, 'search', 'SearchResults!'),
+           (12, 'target', 'Target'),
+           (13, 'targets', '[Target!]!')) AS t(ord, root, type_name)
+         ORDER BY ord"""
   )
 }

@@ -1643,6 +1643,223 @@ object GraphQl {
     * aggregate (dataVersion is the corpus's data cut), so the root is
     * a real computation the oracle replays, not a literal echo.
     */
+  /** The dialect's executable Query type, introspection-shaped: root
+    * field name → (args as (name, rendered type), rendered result
+    * type). Renderings are the reference schema's own
+    * (opentargets.schema:1116-1192), restricted to exactly the
+    * surface [[execute]] dispatches — introspection is a CONTRACT
+    * about what runs here, so a root appears iff it executes.
+    */
+  private val QueryRoots: Seq[(String, Seq[(String, String)], String)] = Seq(
+    ("meta", Seq.empty, "Meta!"),
+    ("target", Seq("ensemblId" -> "String!"), "Target"),
+    ("targets", Seq("ensemblIds" -> "[String!]!"), "[Target!]!"),
+    ("disease", Seq("efoId" -> "String!"), "Disease"),
+    ("diseases", Seq("efoIds" -> "[String!]!"), "[Disease!]!"),
+    ("drug", Seq("chemblId" -> "String!"), "Drug"),
+    ("drugs", Seq("chemblIds" -> "[String!]!"), "[Drug!]!"),
+    ("search", Seq("queryString" -> "String!", "entityNames" -> "[String!]",
+      "page" -> "Pagination"), "SearchResults!"),
+    ("facets", Seq("queryString" -> "String", "entityNames" -> "[String!]",
+      "category" -> "String", "page" -> "Pagination"),
+      "SearchFacetsResults!"),
+    ("mapIds", Seq("queryTerms" -> "[String!]!",
+      "entityNames" -> "[String!]"), "MappingResults!"),
+    ("associationDatasources", Seq.empty, "[EvidenceSource!]!"),
+    ("interactionResources", Seq.empty, "[InteractionResources!]!"),
+    ("geneOntologyTerms", Seq("goIds" -> "[String!]!"),
+      "[GeneOntologyTerm]!"))
+
+  /** Entity/object types `__type(name:)` serves, with the field names
+    * this dialect actually resolves on each (scalars + the connection
+    * sites [[connectionDf]] executes). The executable-surface rule
+    * again: a field appears iff a query selecting it runs.
+    */
+  private val IntroTypes: Map[String, Seq[String]] = Map(
+    "Query" -> QueryRoots.map(_._1),
+    "Disease" -> Seq("id", "name", "knownDrugs", "associatedTargets"),
+    "Target" -> Seq("id", "approvedSymbol", "bioType", "knownDrugs",
+      "associatedDiseases", "pathways"),
+    "Drug" -> Seq("id", "name", "synonyms", "drugType", "isApproved",
+      "maximumClinicalTrialPhase", "linkedTargets", "mechanismsOfAction"),
+    "GeneOntologyTerm" -> Seq("id", "name"),
+    "Meta" -> Seq("name", "apiVersion", "dataVersion"))
+
+  /** Minimal GraphQL introspection — the first request every real
+    * client (GraphiQL, Apollo, graphql-request) sends against an
+    * endpoint shaped like this schema. Serves `__schema { queryType
+    * { name fields { name args { name type { name } } type { name }
+    * } } }` and `__type(name:)` over the dialect's OWN executable
+    * surface. One documented divergence from full introspection: a
+    * type reference's `name` carries the schema's RENDERED type
+    * string (`[Target!]!`) instead of an `ofType` wrapper chain —
+    * the flattened form is what the reference schema's own text
+    * shows, and wrapper-chain walking is not served (selecting
+    * `ofType` errors loudly, like every unknown introspection field
+    * here — a client sees a targeted message, never a silent null).
+    */
+  private def executeSchemaIntrospection(kg: KnowledgeGraph,
+                                         root: Field): DataFrame = {
+    if (root.args.nonEmpty) throw ParseError(
+      "__schema takes no arguments, got " +
+        root.args.keys.toSeq.sorted.mkString(", "))
+    if (root.sel.isEmpty) throw ParseError("'__schema' needs a selection")
+    val out = root.sel.map { f =>
+      (f.name match {
+        case "__typename" => noSubSel(f); lit("__Schema")
+        case "queryType" =>
+          if (f.sel.isEmpty) throw ParseError(
+            "'__schema.queryType' needs a selection")
+          introQueryType(f.sel)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on __schema — " +
+            "supported: queryType (this dialect serves the minimal " +
+            "introspection surface)")
+      }).as(f.out)
+    }
+    kg.diseases.sparkSession.range(1).select(out: _*)
+  }
+
+  private def introQueryType(sel: Seq[Field]): Column =
+    struct(sel.map { g =>
+      (g.name match {
+        case "__typename" => noSubSel(g); lit("__Type")
+        case "name" =>
+          if (g.sel.nonEmpty) throw ParseError(
+            "'queryType.name' is a scalar — drop its selection")
+          lit("Query")
+        case "kind" =>
+          if (g.sel.nonEmpty) throw ParseError(
+            "'queryType.kind' is a scalar — drop its selection")
+          lit("OBJECT")
+        case "fields" =>
+          if (g.sel.isEmpty) throw ParseError(
+            "'queryType.fields' needs a selection")
+          array(QueryRoots.sortBy(_._1).map { case (n, args, ret) =>
+            introFieldStruct(g.sel, n, args, ret)
+          }: _*)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on __Type — " +
+            "supported: fields, kind, name")
+      }).as(g.out)
+    }: _*)
+
+  private def introFieldStruct(sel: Seq[Field], fname: String,
+                               args: Seq[(String, String)],
+                               ret: String): Column =
+    struct(sel.map { h =>
+      (h.name match {
+        case "__typename" => noSubSel(h); lit("__Field")
+        case "name" =>
+          if (h.sel.nonEmpty) throw ParseError(
+            "'fields.name' is a scalar — drop its selection")
+          lit(fname)
+        case "type" =>
+          if (h.sel.isEmpty) throw ParseError(
+            "'fields.type' needs a selection")
+          introTypeRef(h.sel, ret)
+        case "args" =>
+          if (h.sel.isEmpty) throw ParseError(
+            "'fields.args' needs a selection")
+          if (args.isEmpty)
+            // typed empty array: the template struct filtered away
+            filter(array(introArgStruct(h.sel, "", "")), _ => lit(false))
+          else array(args.sortBy(_._1).map { case (an, at) =>
+            introArgStruct(h.sel, an, at)
+          }: _*)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on __Field — " +
+            "supported: args, name, type")
+      }).as(h.out)
+    }: _*)
+
+  private def introArgStruct(sel: Seq[Field], aname: String,
+                             atype: String): Column =
+    struct(sel.map { h =>
+      (h.name match {
+        case "__typename" => noSubSel(h); lit("__InputValue")
+        case "name" =>
+          if (h.sel.nonEmpty) throw ParseError(
+            "'args.name' is a scalar — drop its selection")
+          lit(aname)
+        case "type" =>
+          if (h.sel.isEmpty) throw ParseError(
+            "'args.type' needs a selection")
+          introTypeRef(h.sel, atype)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on __InputValue — " +
+            "supported: name, type")
+      }).as(h.out)
+    }: _*)
+
+  private def introTypeRef(sel: Seq[Field], rendered: String): Column =
+    struct(sel.map { h =>
+      (h.name match {
+        case "__typename" => noSubSel(h); lit("__Type")
+        case "name" =>
+          if (h.sel.nonEmpty) throw ParseError(
+            "'type.name' is a scalar — drop its selection")
+          lit(rendered)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on a __Type reference " +
+            "— supported: name (the dialect renders wrapper chains " +
+            "into the name; ofType walking is not served)")
+      }).as(h.out)
+    }: _*)
+
+  /** `__type(name:)` — one named type of the executable surface:
+    * name, kind, fields { name }. Unknown names error loudly with the
+    * served catalog (a client probing an entity it cannot query must
+    * learn that HERE, not from a null it dereferences later).
+    */
+  private def executeTypeIntrospection(kg: KnowledgeGraph,
+                                       root: Field): DataFrame = {
+    val extra = root.args.keySet - "name"
+    if (extra.nonEmpty) throw ParseError(
+      s"unknown argument${if (extra.size > 1) "s" else ""} " +
+        s"${extra.toSeq.sorted.mkString(", ")} on __type — it takes only name")
+    val tname = root.args.getOrElse("name", throw ParseError(
+      "__type requires the name argument"))
+    val tfields = IntroTypes.getOrElse(tname, throw ParseError(
+      s"unknown type '$tname' — introspectable types: " +
+        IntroTypes.keys.toSeq.sorted.mkString(", ")))
+    if (root.sel.isEmpty) throw ParseError("'__type' needs a selection")
+    val out = root.sel.map { f =>
+      (f.name match {
+        case "__typename" => noSubSel(f); lit("__Type")
+        case "name" =>
+          if (f.sel.nonEmpty) throw ParseError(
+            "'__type.name' is a scalar — drop its selection")
+          lit(tname)
+        case "kind" =>
+          if (f.sel.nonEmpty) throw ParseError(
+            "'__type.kind' is a scalar — drop its selection")
+          lit("OBJECT")
+        case "fields" =>
+          if (f.sel.isEmpty) throw ParseError(
+            "'__type.fields' needs a selection")
+          array(tfields.sorted.map { n =>
+            struct(f.sel.map { h =>
+              (h.name match {
+                case "__typename" => noSubSel(h); lit("__Field")
+                case "name" =>
+                  if (h.sel.nonEmpty) throw ParseError(
+                    "'fields.name' is a scalar — drop its selection")
+                  lit(n)
+                case other => throw ParseError(
+                  s"unknown introspection field '$other' on __Field " +
+                    "under __type — supported: name")
+              }).as(h.out)
+            }: _*)
+          }: _*)
+        case other => throw ParseError(
+          s"unknown introspection field '$other' on __Type — " +
+            "supported: fields, kind, name")
+      }).as(f.out)
+    }
+    kg.diseases.sparkSession.range(1).select(out: _*)
+  }
+
   private def executeMeta(kg: KnowledgeGraph, root: Field): DataFrame = {
     if (root.args.nonEmpty) throw ParseError(
       "meta takes no arguments, got " +
@@ -1814,6 +2031,8 @@ object GraphQl {
               variables: Map[String, String] = Map.empty): DataFrame = {
     val root = parse(query, variables)
     checkInline(Field("query", Map.empty, Seq(root)), underUnion = false)
+    if (root.name == "__schema") return executeSchemaIntrospection(kg, root)
+    if (root.name == "__type") return executeTypeIntrospection(kg, root)
     if (root.name == "search") return executeSearch(kg, root)
     if (root.name == "facets") return executeFacets(kg, root)
     if (root.name == "mapIds") return executeMapIds(kg, root)
@@ -1834,7 +2053,8 @@ object GraphQl {
           "targets(ensemblIds:), diseases(efoIds:), drugs(chemblIds:), " +
           "geneOntologyTerms(goIds:), meta, associationDatasources, " +
           "interactionResources — the schema's full Query type " +
-          "(opentargets.schema:1116-1192)")
+          "(opentargets.schema:1116-1192) — plus the __schema/__type " +
+          "introspection roots")
     }
     val rootKey = root.args.getOrElse(keyArg, throw ParseError(
       s"$entity requires the $keyArg argument; got " +

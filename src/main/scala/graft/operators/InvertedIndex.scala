@@ -50,7 +50,9 @@ object InvertedIndex {
     * reads the archived index — O(archive) per append, a build-time
     * step off every query path). Not crash-atomic — run
     * inside the caller's publish step (an [[Artifact.ensure]] build),
-    * like every other append here.
+    * like every other append here. Each append lands one file set —
+    * fold the postings with [[graft.sources.Compaction
+    * .compactAppends]] between appends at high cadence.
     */
   def appendPostings(indexPath: String, newDocs: DataFrame,
                      idName: String, text: Column): Unit = {

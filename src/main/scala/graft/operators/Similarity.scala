@@ -663,7 +663,7 @@ object Similarity {
     ()
   }
 
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Seq[Array[Float]] =
     spark.read.parquet(s"$indexPath/centroids")
       .collect().sortBy(_.getInt(0))
@@ -940,7 +940,9 @@ object Similarity {
     * shifted ingest distribution encodes against stale cells and ADC
     * ranking degrades — rebuild (ensurePqIndex over the union) when
     * the re-rank stage stops hiding it. Not crash-atomic — run inside
-    * the caller's publish step.
+    * the caller's publish step. Each append lands one file set — fold
+    * the code table with [[graft.sources.Compaction.compactAppends]]
+    * between appends at high cadence.
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, newEmbeddings: DataFrame,
@@ -1237,6 +1239,19 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, idName: String, vecName: String,
                     tau: Double, nlist: Int = 16): DataFrame = {
     val cents = trainCentroids(embeddings, idName, vecName, nlist)
+    semanticDedupFrozen(embeddings, idName, vecName, tau, cents)
+  }
+
+  /** [[semanticDedup]] under a FROZEN centroid set — the form the
+    * incremental/streaming twin shares with the batch one: the
+    * quantizer is a parameter, not retrained per call, so two calls
+    * over different slices of one corpus cluster identically (the
+    * frozen-sidecar discipline of every streaming tier here).
+    */
+  private[graft] def semanticDedupFrozen(embeddings: DataFrame,
+                                         idName: String, vecName: String,
+                                         tau: Double,
+                                         cents: Seq[Array[Float]]): DataFrame = {
     val rows = embeddings.select(col(idName).as("id"), col(vecName).as("v"))
     // adaptive (Dedup.contractBy): membersOpt None ⇒ no clone groups,
     // the per-member selfDup/expansion machinery vanishes and the
@@ -1275,6 +1290,59 @@ object Similarity {
         keep.join(reps.select(col("rid"), col("cid")), Seq("rid"))
           .select(col("mid").as(idName), col("cid"))
     }
+  }
+
+  /** Train and persist the coarse-quantizer sidecar the continuous
+    * SemDeDup twin freezes over — the planning pass before the stream
+    * starts (the [[initSq8Scales]] discipline, one tier over):
+    * centroids from the PLANNING corpus land at `stateDir/centroids`,
+    * and every later batch assigns against them unchanged, so
+    * cross-batch cluster ids are comparable by construction.
+    */
+  def initSemanticCentroids(embeddings: DataFrame, idName: String,
+                            vecName: String, nlist: Int,
+                            stateDir: String): Unit =
+    writeCentroids(embeddings.sparkSession,
+      trainCentroids(embeddings, idName, vecName, nlist), stateDir)
+
+  /** The batch-vs-archive core of continuous SemDeDup
+    * ([[graft.streaming.StreamOps]]' semanticDedupBatch and any
+    * at-least-once orchestrator share it): given the FROZEN centroids
+    * and the archive of ALL previously ingested vectors (id, cid, v —
+    * dropped ones included: a near-duplicate of a dropped vector is
+    * still a near-duplicate, the q216 all-ingested discipline),
+    * returns (this batch's survivors (idName, cid), this batch's
+    * archive rows (id, cid, v)) — both LAZY; the caller owns
+    * materialization order relative to its archive mutation.
+    *
+    * A batch vector drops iff an ARCHIVED same-cluster vector is
+    * within tau (history canonical), or a SMALLER-ID same-cluster
+    * batch-mate is ([[semanticDedupFrozen]]'s rule verbatim). With
+    * ascending-id batches (the backlog contract) the accumulated
+    * survivor set therefore EQUALS the frozen-centroid batch device
+    * over everything ingested: the drop rule is a pure domination
+    * predicate — "some smaller-id same-cluster vector within tau" —
+    * and the archive holds exactly the smaller ids. The archive probe
+    * is one cid-keyed join (the within-cluster quadratic bound is the
+    * SemDeDup scale argument: nlist grows with the corpus, cluster
+    * size stays bounded).
+    */
+  private[graft] def semanticDedupVsArchive(batch: DataFrame, idName: String,
+                                            vecName: String, tau: Double,
+                                            cents: Seq[Array[Float]],
+                                            arch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val batchRows = batch
+      .select(col(idName).as("id"), col(vecName).as("v"))
+      .withColumn("cid", nearestCid(col("v"), cents))
+      .select(col("id"), col("cid"), col("v"))
+    val within = semanticDedupFrozen(batch, idName, vecName, tau, cents)
+    val dominated = batchRows
+      .join(arch.select(col("cid"), col("v").as("__va")), Seq("cid"))
+      .filter(round(VecFns.cosine(col("v"), col("__va")), 6) >= tau)
+      .select(col("id").as(idName)).distinct()
+    val kept = within.join(dominated, Seq(idName), "left_anti")
+    (kept, batchRows)
   }
 
   // ================= SQ8 scalar quantization =================
@@ -1421,7 +1489,9 @@ object Similarity {
     * [[buildSq8Index]] on the union when it trips). A batch wider
     * than the index's dimensionality is rejected the same way. Not
     * crash-atomic — run inside the caller's publish step, like every
-    * other append here.
+    * other append here. Each append lands one file set — fold the
+    * code table with [[graft.sources.Compaction.compactAppends]]
+    * between appends at high cadence.
     */
   def appendSq8Index(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, newEmbeddings: DataFrame,
@@ -1541,7 +1611,10 @@ object Similarity {
     * (spec-pinned). Centroid drift and scale clipping are the two
     * documented debts; the first degrades recall gradually (rebuild
     * when probes miss), the second fails loudly here. Not
-    * crash-atomic — run inside the caller's publish step.
+    * crash-atomic — run inside the caller's publish step. Each append
+    * lands one file set inside each receiving list — fold with
+    * [[graft.sources.Compaction.compactAppends]] (leaf-wise, list
+    * dirs preserved) between appends at high cadence.
     */
   def appendIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, newEmbeddings: DataFrame,

@@ -236,4 +236,156 @@ object Compaction {
       else Nil
     walk(new java.io.File(dir))
   }
+
+  // ---------------- flat-append compaction ----------------
+
+  /** Fold the FLAT-append directories `mode("append")` accumulates
+    * one file set per append (the [[graft.operators.Similarity]]
+    * SQ8/PQ/IVF-SQ8 code tables and [[graft.operators.InvertedIndex
+    * .appendPostings]] — layouts with no `batch=` generations for
+    * [[compactBatches]] to fold): every LEAF directory holding more
+    * than one data file rewrites in place to ~`targetBytes` files.
+    * Partitioned tables (`__cid=` lists) compact leaf by leaf, so
+    * partition directories, their names, and the rows inside each
+    * are untouched as relations — the read is row-identical before
+    * and after (CompactionSpec pins the full content) and a leaf
+    * already at one file is SKIPPED (byte-identical, never rewritten
+    * — an IVF-SQ8 list untouched since its build keeps its bytes).
+    *
+    * Crash safety (the [[compactBatches]] manifest discipline, leaf-
+    * scoped): the compacted files build inside the leaf's dot-dir
+    * `.compact-<uuid>` — invisible to every parquet reader — then a
+    * `_graft_fold` manifest naming the OLD files commits the fold,
+    * the new files rename in (atomic per file), and the manifest
+    * replay deletes the olds. A crash before the manifest leaves only
+    * invisible debris (repair discards it); after, repair COMPLETES
+    * the fold — both via [[repairAppendCompaction]], run here first
+    * and safe to run before any read. Duplicates are visible only
+    * between the first rename-in and the last old-file delete of a
+    * crashed fold — run repair before serving if a compaction may
+    * have died, and keep a single maintainer per directory (the
+    * compactBatches contract). Returns the number of leaves folded.
+    * I/O is Hadoop-FS throughout (remote table paths).
+    */
+  def compactAppends(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L << 20): Int = {
+    repairAppendCompaction(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    var folded = 0
+    dataLeaves(fs, root).foreach { case (leaf, files) =>
+      if (files.size > 1) {
+        val bytes = files.map(_.getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(leaf,
+          s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+        // read the files explicitly: a leaf under a partitioned root
+        // must fold WITHOUT resolving partition columns (the files
+        // themselves never carry them)
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .coalesce(n)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // manifest commits the fold: from here repair completes it
+        val manifest = files.map(_.getPath.getName).sorted
+          .mkString("", "\n", "\n")
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(tmp, "_graft_fold"), true)
+        try out.write(manifest.getBytes("UTF-8")) finally out.close()
+        finishLeafFold(fs, leaf, tmp)
+        folded += 1
+      }
+    }
+    folded
+  }
+
+  /** Replay any committed-but-unfinished [[compactAppends]] leaf fold
+    * (move remaining compacted files in, delete the manifest-named
+    * old files, drop the dot-dir) and discard uncommitted `.compact-*`
+    * debris (no manifest — the fold never happened). Idempotent; safe
+    * before any read.
+    */
+  def repairAppendCompaction(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName.startsWith(".compact-")) {
+            val m = new org.apache.hadoop.fs.Path(st.getPath, "_graft_fold")
+            if (fs.exists(m)) finishLeafFold(fs, p, st.getPath)
+            else require(fs.delete(st.getPath, true),
+              s"repairAppendCompaction: could not drop debris ${st.getPath}")
+          } else walk(st.getPath)
+        }
+      }
+    }
+    walk(root)
+  }
+
+  /** The commit half of one leaf fold: rename the tmp dir's data
+    * files into the leaf, delete the old files its `_graft_fold`
+    * manifest names, drop the tmp dir. Idempotent — every step skips
+    * what a previous attempt already did; every FS mutation's result
+    * is required (the loud-failure discipline).
+    */
+  private def finishLeafFold(fs: org.apache.hadoop.fs.FileSystem,
+                             leaf: org.apache.hadoop.fs.Path,
+                             tmp: org.apache.hadoop.fs.Path): Unit = {
+    val m = new org.apache.hadoop.fs.Path(tmp, "_graft_fold")
+    val in = fs.open(m)
+    val olds =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    fs.listStatus(tmp).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")) {
+        val dst = new org.apache.hadoop.fs.Path(leaf, n)
+        require(fs.rename(st.getPath, dst),
+          s"compactAppends: publish rename ${st.getPath} -> $dst failed")
+      }
+    }
+    olds.foreach { name =>
+      val victim = new org.apache.hadoop.fs.Path(leaf, name)
+      if (fs.exists(victim))
+        require(fs.delete(victim, false),
+          s"compactAppends: could not delete folded file $victim")
+    }
+    require(fs.delete(tmp, true),
+      s"compactAppends: could not drop fold dir $tmp")
+  }
+
+  /** Every directory under `root` (root included) that directly holds
+    * visible parquet data files, with those files' statuses. Dot- and
+    * underscore-prefixed entries are invisible to parquet readers and
+    * are skipped.
+    */
+  private def dataLeaves(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.Path,
+             Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path,
+              Seq[org.apache.hadoop.fs.FileStatus])]
+    def visibleFile(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // Spark's hidden-path rule: a "_"-prefixed DIRECTORY is still
+    // data when it is a partition dir (contains "=", e.g. "__cid=3")
+    def visibleDir(n: String) =
+      n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(p)
+      val files = entries.filter(st => !st.isDirectory &&
+        visibleFile(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet")).toSeq
+      if (files.nonEmpty) out += (p -> files)
+      entries.foreach { st =>
+        if (st.isDirectory && visibleDir(st.getPath.getName)) walk(st.getPath)
+      }
+    }
+    walk(root)
+    out.toSeq
+  }
 }

@@ -507,6 +507,79 @@ object StreamOps {
     ()
   }
 
+  /** Streaming SemDeDup — the continuous-ingest member of the
+    * SEMANTIC dedup family (q92 is the batch device): vectors arrive
+    * in micro-batches, assign to the FROZEN centroid sidecar
+    * [[graft.operators.Similarity.initSemanticCentroids]] planted
+    * before the stream (the q212 frozen-scales discipline), and a
+    * batch vector drops when an archived same-cluster vector — from
+    * ANY prior batch, dropped ones included (the q216 all-ingested
+    * discipline) — is within `tau` cosine, or a smaller-id same-
+    * cluster batch-mate is. Survivors land in
+    * `stateDir/kept/batch=<id>`, the batch's (id, cid, vector) rows
+    * in `stateDir/vecs/batch=<id>` — the archive the next trigger
+    * probes. With ascending-id batches (the backlog contract) the
+    * accumulated survivors EQUAL the frozen-centroid batch device
+    * over everything ingested ([[graft.operators.Similarity
+    * .semanticDedupVsArchive]]'s domination argument; spec-pinned).
+    */
+  def semanticDedupSink(vecs: DataFrame, stateDir: String, idName: String,
+                        vecName: String, checkpointDir: String,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                        tau: Double = 0.35)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        semanticDedupBatch(batch, bid, stateDir, idName, vecName, tau)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** One trigger of [[semanticDedupSink]], idempotent under replay
+    * (the [[neardupBatch]] contract): the archive read EXCLUDES
+    * generation `bid`, falls back to an empty relation before the
+    * first generation exists, and both effects overwrite this batch's
+    * own directories — re-running any prefix reproduces byte-identical
+    * state. A batch that re-delivers an ALREADY-ARCHIVED id under a
+    * new generation is rejected loudly (the appendPostings
+    * discipline): it would double-archive the vector and silently
+    * drop its re-delivery as a self-duplicate.
+    */
+  private[graft] def semanticDedupBatch(batch: DataFrame, bid: Long,
+                                        stateDir: String, idName: String,
+                                        vecName: String, tau: Double): Unit = {
+    import graft.operators.{Artifact, Similarity}
+    val spark = batch.sparkSession
+    require(Artifact.hadoopDirExists(spark, s"$stateDir/centroids"),
+      s"semanticDedupBatch: no centroid sidecar at $stateDir/centroids — " +
+        "run initSemanticCentroids over the planning corpus before the stream")
+    val cents = Similarity.readCentroids(spark, stateDir)
+    val vecsDir = s"$stateDir/vecs"
+    val arch =
+      if (!Artifact.hadoopDirExists(spark, vecsDir))
+        batch.select(col(idName).as("id"), col(vecName).as("v"))
+          .withColumn("cid", lit(0))
+          .select(col("id"), col("cid"), col("v")).limit(0)
+      else spark.read.parquet(vecsDir).filter(col("batch") =!= bid)
+        .drop("batch")
+    val clash = batch.select(col(idName).as("id"))
+      .join(arch.select(col("id")), Seq("id"), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"semanticDedupBatch: batch $bid re-delivers already-ingested id " +
+        s"${clash.headOption.map(_.get(0)).getOrElse("?")} — generations' " +
+        "id spaces must be disjoint (a retry reuses its OWN batch id)")
+    val (kept, rows) = Similarity.semanticDedupVsArchive(
+      batch, idName, vecName, tau, cents, arch)
+    val genParts = math.max(1, batch.rdd.getNumPartitions)
+    kept.repartition(genParts)
+      .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid")
+    rows.repartition(genParts)
+      .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid")
+    ()
+  }
+
   /** One trigger of [[neardupSink]], idempotent under replay: the
     * archive reads EXCLUDE generation `bid` (an at-least-once retry
     * that already appended its own shingles/bands must not band the

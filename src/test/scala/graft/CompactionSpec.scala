@@ -210,4 +210,98 @@ class CompactionSpec extends SparkSpec {
     assert(wide == (1500L to 1600L),
       "stale manifest served after source rewrite")
   }
+
+  test("compactAppends: flat and partitioned append layouts fold in place; rows identical; single-file leaves byte-identical") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // --- flat layout: SQ8 code table after three appends ---
+    val idx = tmp("sq8app") + "/idx"
+    Similarity.buildSq8Index(emb, "vec_id", "embedding", idx)
+    // appended batches re-use the corpus's vectors under fresh ids:
+    // id-disjoint, and inside the frozen scales by construction
+    (1 to 3).foreach { r =>
+      Similarity.appendSq8Index(spark, idx,
+        emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          col("embedding")), "vec_id", "embedding")
+    }
+    // canonical row text via to_json: binary columns render base64,
+    // not JVM object identity
+    def rows(p: String): Seq[String] = {
+      val df = spark.read.parquet(p)
+      df.select(to_json(struct(df.columns.map(col): _*)).as("j"))
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
+    def sig(p: String): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Compaction.parquetFiles(p).map { f =>
+        md.reset()
+        f.getPath -> md.digest(
+            java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val beforeRows = rows(s"$idx/codes")
+    val beforeFiles = Compaction.parquetFiles(s"$idx/codes").size
+    assert(beforeFiles >= 4, s"append fixture not fragmented: $beforeFiles")
+    val scalesSig = sig(s"$idx/scales")
+    val folded = Compaction.compactAppends(spark, s"$idx/codes")
+    assert(folded == 1, s"one flat leaf expected, folded $folded")
+    assert(rows(s"$idx/codes") == beforeRows,
+      "fold changed the code relation")
+    assert(Compaction.parquetFiles(s"$idx/codes").size == 1,
+      "fold did not collapse the file count")
+    // the single-file sidecar leaf is skipped byte-identically
+    Compaction.compactAppends(spark, idx)
+    assert(sig(s"$idx/scales") == scalesSig, "fold rewrote a 1-file leaf")
+    // idempotent: nothing left to fold
+    assert(Compaction.compactAppends(spark, s"$idx/codes") == 0)
+    // --- partitioned layout: IVF-SQ8 lists fold leaf by leaf ---
+    val cidx = tmp("ivfsq8app") + "/idx"
+    Similarity.buildIvfSq8Index(emb, "vec_id", "embedding",
+      nlist = 4, cidx)
+    Similarity.appendIvfSq8Index(spark, cidx,
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding")), "vec_id", "embedding")
+    val beforeC = rows(s"$cidx/codes")
+    val nLeafFiles = Compaction.parquetFiles(s"$cidx/codes").size
+    Compaction.compactAppends(spark, s"$cidx/codes")
+    assert(rows(s"$cidx/codes") == beforeC,
+      "partitioned fold changed the relation (partition column included)")
+    assert(Compaction.parquetFiles(s"$cidx/codes").size < nLeafFiles,
+      "partitioned fold collapsed nothing")
+  }
+
+  test("compactAppends crash repair: committed fold completes, uncommitted debris discarded") {
+    val leafDir = tmp("foldrepair")
+    val leaf = new org.apache.hadoop.fs.Path(leafDir)
+    val fs = leaf.getFileSystem(spark.sessionState.newHadoopConf())
+    // two visible data files
+    spark.range(0, 50).coalesce(1).write.mode("append").parquet(leafDir)
+    spark.range(50, 100).coalesce(1).write.mode("append").parquet(leafDir)
+    val olds = Compaction.parquetFiles(leafDir).map(_.getName).sorted
+    assert(olds.size == 2)
+    // a COMMITTED fold that crashed before publishing: compacted data
+    // + manifest inside the dot-dir, nothing renamed in yet
+    val tmpDir = s"$leafDir/.compact-test1"
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tmpDir, "_graft_fold"), true)
+    out.write(olds.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    // an UNCOMMITTED build (no manifest) — pure debris
+    spark.range(0, 7).coalesce(1).write.mode("overwrite")
+      .parquet(s"$leafDir/.compact-test2")
+    Compaction.repairAppendCompaction(spark, leafDir)
+    assert(spark.read.parquet(leafDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L),
+      "repair did not complete the committed fold")
+    assert(Compaction.parquetFiles(leafDir).map(_.getName)
+      .forall(n => !olds.contains(n)), "manifest-named old files survive")
+    assert(Option(new java.io.File(leafDir).listFiles()).get
+      .forall(f => !f.getName.startsWith(".compact-")),
+      "fold dirs not cleaned up")
+    // repair is idempotent
+    Compaction.repairAppendCompaction(spark, leafDir)
+    assert(spark.read.parquet(leafDir).count() == 100L)
+  }
 }

@@ -1150,6 +1150,76 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("needs a selection"))
   }
 
+  test("execute: __schema introspection lists the executable Query type; __type serves entity fields; unknowns loud") {
+    // the first request a real client sends: the Query type's fields
+    val row = GraphQl.execute(kg,
+      """{ __schema {
+           queryType { name kind fields { name type { name } } } } }""")
+      .head()
+    val qt = row.getStruct(0)
+    assert(qt.getString(0) == "Query" && qt.getString(1) == "OBJECT")
+    val fields = qt.getSeq[Row](2)
+    assert(fields.map(_.getString(0)) == Seq("associationDatasources",
+      "disease", "diseases", "drug", "drugs", "facets",
+      "geneOntologyTerms", "interactionResources", "mapIds", "meta",
+      "search", "target", "targets"),
+      s"unexpected root list: ${fields.map(_.getString(0))}")
+    // every listed root actually executes (introspection = contract)
+    val listed = fields.map(_.getString(0)).toSet
+    val ret = fields.map(f => f.getString(0) -> f.getStruct(1).getString(0))
+      .toMap
+    assert(ret("disease") == "Disease" && ret("targets") == "[Target!]!" &&
+      ret("geneOntologyTerms") == "[GeneOntologyTerm]!")
+    assert(listed.contains("meta") && listed.size == 13)
+    // args ride with rendered types; argument-less roots get []
+    val args = GraphQl.execute(kg,
+      """{ __schema { queryType {
+           fields { name args { name type { name } } } } } }""")
+      .select(explode(col("queryType.fields")).as("f"))
+      .select(col("f.name").as("root"), col("f.args").as("args"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Row](1).map(a => (a.getString(0), a.getStruct(1).getString(0))))
+      .toMap
+    assert(args("disease") == Seq(("efoId", "String!")))
+    assert(args("search") == Seq(("entityNames", "[String!]"),
+      ("page", "Pagination"), ("queryString", "String!")))
+    assert(args("meta").isEmpty && args("associationDatasources").isEmpty)
+    // __typename at every introspection level (meta-convention output:
+    // the root's selected fields are the top-level columns)
+    val tn = GraphQl.execute(kg,
+      """{ __schema { __typename queryType { __typename } } }""").head()
+    assert(tn.getString(0) == "__Schema" &&
+      tn.getStruct(1).getString(0) == "__Type")
+    // __type(name:) over a served entity
+    val dis = GraphQl.execute(kg,
+      """{ __type(name: "Disease") { name kind fields { name } } }""")
+      .head()
+    assert(dis.getString(0) == "Disease" && dis.getString(1) == "OBJECT")
+    assert(dis.getSeq[Row](2).map(_.getString(0)) ==
+      Seq("associatedTargets", "id", "knownDrugs", "name"))
+    val qy = GraphQl.execute(kg,
+      """{ __type(name: "Query") { fields { name } } }""")
+      .head().getSeq[Row](0).map(_.getString(0))
+    assert(qy.size == 13 && qy.contains("mapIds"))
+    // loud unknowns — introspection never answers with a silent null
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ __schema { types { name } } }""")
+      .contains("unknown introspection field 'types'"))
+    assert(err("""{ __schema { queryType { fields { name type { ofType { name } } } } } }""")
+      .contains("ofType"))
+    assert(err("""{ __schema(x: "1") { queryType { name } } }""")
+      .contains("takes no arguments"))
+    assert(err("""{ __type { name } }""")
+      .contains("requires the name argument"))
+    assert(err("""{ __type(name: "Nope") { name } }""")
+      .contains("introspectable types"))
+    assert(err("""{ __type(name: "Disease") { fields { name args { name } } } }""")
+      .contains("supported: name"))
+    assert(err("""{ __schema { queryType { name } } __typename }""")
+      .contains("exactly one root field"))
+  }
+
   test("execute: unknown-root error lists the schema's full Query type") {
     val msg = intercept[ParseError](
       GraphQl.execute(kg, """{ nope { id } }""")).getMessage

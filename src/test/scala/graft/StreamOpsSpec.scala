@@ -732,6 +732,72 @@ class StreamOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("codes would clip"))
   }
 
+  test("semanticDedupBatch: streamed survivors equal the frozen batch device; cross-batch dup caught; replay idempotent; guards loud") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // exact clones under LATER ids — guaranteed cross-batch semantic
+    // duplicates (same vector -> same cid, cosine 1.0)
+    val clones = emb.filter(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(clones)
+    val state = java.nio.file.Files
+      .createTempDirectory("semstream").toString + "/state"
+    Similarity.initSemanticCentroids(corpus, "vec_id", "embedding", 8, state)
+    val mid = emb.agg(avg(col("vec_id"))).head().getDouble(0).toLong
+    val b0 = emb.filter(col("vec_id") < mid)
+    val b1 = emb.filter(col("vec_id") >= mid)
+    StreamOps.semanticDedupBatch(b0, 0L, state, "vec_id", "embedding", 0.35)
+    StreamOps.semanticDedupBatch(b1, 1L, state, "vec_id", "embedding", 0.35)
+    StreamOps.semanticDedupBatch(clones, 2L, state, "vec_id", "embedding", 0.35)
+    def kept(): Set[Long] = spark.read.parquet(s"$state/kept")
+      .select("vec_id").as[Long].collect().toSet
+    val streamed = kept()
+    // the accumulated survivor set EQUALS the frozen-centroid batch
+    // device over everything ingested
+    val cents = Similarity.readCentroids(spark, state)
+    val want = Similarity.semanticDedupFrozen(corpus, "vec_id", "embedding",
+        0.35, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamed == want,
+      s"streamed != batch device: extra=${streamed -- want} missing=${want -- streamed}")
+    // every clone arrived AFTER its original was archived: all caught
+    assert(streamed.forall(_ < 1000000L),
+      s"cross-batch clones survived: ${streamed.filter(_ >= 1000000L)}")
+    // at-least-once replay of the committed last batch: state
+    // content-identical (overwrite-own-generation)
+    def sig(p: String): Map[String, Seq[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk).toSeq
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath)
+        .map { case (d, fs) =>
+          d -> fs.map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+          }.sorted.toSeq
+        }
+    }
+    val before = sig(state)
+    StreamOps.semanticDedupBatch(clones, 2L, state, "vec_id", "embedding", 0.35)
+    assert(sig(state) == before, "replay changed streamed state content")
+    assert(kept() == streamed)
+    // a re-delivered id under a NEW generation is rejected loudly
+    val eC = intercept[IllegalArgumentException](
+      StreamOps.semanticDedupBatch(clones, 3L, state, "vec_id", "embedding",
+        0.35))
+    assert(eC.getMessage.contains("re-delivers"))
+    // a stream without its planning pass is rejected loudly
+    val eM = intercept[IllegalArgumentException](
+      StreamOps.semanticDedupBatch(b0, 0L,
+        java.nio.file.Files.createTempDirectory("semnone").toString + "/s",
+        "vec_id", "embedding", 0.35))
+    assert(eM.getMessage.contains("initSemanticCentroids"))
+  }
+
   test("binCodesSink: streamed code table is bit-identical to the batch build; replay idempotent; dim mismatch loud") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -293,6 +293,88 @@ object ProbeScale100 {
         s"${factor - 1} extra twins per chunk")
     }
 
+    // ---------------- streaming CDC-segment dedup at factor× ----------------
+    // The q246 sink's per-trigger cost at scale: the batch kernel
+    // (q233 shape) is measured linear in `cdcdedup` above; the
+    // streaming twin adds per-trigger STATE I/O — an archive read
+    // that grows with trigger count and two generation writes. Four
+    // ascending-id-range triggers over the factor× corpus, each timed
+    // end-to-end; the LAST trigger (largest archive) is then
+    // decomposed piecewise (chunk / archive probe + dedup compute /
+    // generation writes — the ProbeQ199b pattern). Invariant: the
+    // streamed composition (union of clean generations) is
+    // bit-identical to the one-shot batch device over the whole
+    // corpus — ascending-id batches make the streamed keep-first THE
+    // global (doc, seg) keep-first.
+    if (section("cdcstream")) {
+      replicate("documents", Seq("doc_id"))
+      import graft.operators.SegmentOps
+      import graft.streaming.StreamOps
+      val corpus = docs(big).select(col("doc_id"), col("text"))
+      val state = s"/tmp/graft_scale${factor}_cdcstream/state"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"/tmp/graft_scale${factor}_cdcstream"))
+      val bnds = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (bnds.getLong(0), bnds.getLong(1))
+      def batchOf(b: Int): DataFrame = corpus.filter(
+        floor((col("doc_id") - lit(lo)) * lit(4) / lit(hi - lo + 1))
+          .cast("int") === b)
+      (0 until 4).foreach { b =>
+        val bdf = batchOf(b)
+        time(f"cdcstream trigger $b%d (end-to-end)") {
+          StreamOps.cdcSegmentsBatch(bdf, b.toLong, state,
+            "doc_id", "text", 32)
+          spark.read.parquet(s"$state/clean/batch=$b").count()
+        }
+      }
+      // piecewise decomposition of the trigger-3 replay (the largest
+      // archive: 3 prior generations)
+      val b3 = batchOf(3)
+      val segs = SegmentOps.cdcBatchSegments(b3, "doc_id", col("text"), 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cdcstream t3: chunk (CDC kernel)")(segs.count())
+      val arch = spark.read.parquet(s"$state/chunks")
+        .filter(col("batch") =!= 3L).drop("batch")
+      val (out3, fresh3) = SegmentOps.dedupSegsVsArchive(
+        b3, "doc_id", col("text"), 32, arch, Some(segs))
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(concat_ws("|", col("doc_id"),
+            col("n_kept"), col("n_dropped"), col("clean_text"))).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var s3 = (0L, 0L)
+      time("cdcstream t3: archive probe + dedup")(
+        { s3 = sig(out3); s3._2 })
+      val genParts = math.max(1, b3.rdd.getNumPartitions)
+      time("cdcstream t3: generation writes") {
+        out3.repartition(genParts).write.mode("overwrite")
+          .parquet(s"$state/clean/batch=3")
+        fresh3.repartition(genParts).write.mode("overwrite")
+          .parquet(s"$state/chunks/batch=3")
+        fresh3.count()
+      }
+      segs.unpersist()
+      // invariant: streamed composition == one-shot batch device
+      var sStream = (0L, 0L)
+      time("cdcstream union of generations") {
+        sStream = sig(spark.read.parquet(s"$state/clean").drop("batch"))
+        sStream._2
+      }
+      var sBatch = (0L, 0L)
+      time("cdcstream one-shot batch device") {
+        sBatch = sig(SegmentOps.dedupSegmentsCdc(corpus, "doc_id",
+          col("text"), 32))
+        sBatch._2
+      }
+      require(sStream == sBatch,
+        s"streamed CDC composition diverged from the batch device: " +
+          s"$sStream vs $sBatch")
+      println(s"[probe] cdcstream invariant: 4-trigger composition == " +
+        s"one-shot dedupSegmentsCdc over the ${factor}x corpus " +
+        s"(sig ${sBatch._1}, rows ${sBatch._2}) — TRUE")
+    }
+
     // JL projection at production width (1024 -> 128): the KERNEL
     // path (one reference-object sign matrix, tight per-row matvec)
     // vs the broadcast-JOIN path (one join-row per scalar product) —
