@@ -5459,7 +5459,164 @@ object SparkEntry {
           posexplode(col("queryType.fields")).as(Seq("i", "f")))
         .select(col("query_type"), (col("i") + 1).cast("long").as("ord"),
           col("f.name").as("root"), col("f.type.name").as("type_name"))
-        .orderBy("ord"))
+        .orderBy("ord")),
+
+    // ---------------- GraphQL entity-field headroom ----------------
+    // The schema's non-consumed entity fields, executed: tractability
+    // (opentargets.schema:1416, 1546-1550) — the Target druggability
+    // assessment derived from the part's own attributes, one row per
+    // modality bucket, deterministic modality order.
+    "q250_graphql_tractability" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             target(ensemblId: "TGT_3") {
+               id
+               approvedSymbol
+               tractability { label modality value }
+             }
+           }""")
+        .select(col("id"), col("approvedSymbol"),
+          posexplode(col("tractability")).as(Seq("rn", "r")))
+        .select(col("id"), col("approvedSymbol"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.label").as("label"), col("r.modality").as("modality"),
+          col("r.value").as("value"))
+        .orderBy("rn")),
+
+    // Disease.phenotypes(page:) — DiseaseHPOs rows with the nested
+    // phenotypeHPO entity (opentargets.schema:224-228, 279-288,
+    // 727-739): paginated (first 10 of the segment's nations), count
+    // the connection TOTAL
+    "q251_graphql_phenotypes" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             disease(efoId: "DIS_BUILDING") {
+               id
+               name
+               phenotypes(page: {index: 0, size: 10}) {
+                 count
+                 rows {
+                   phenotypeHPO { id name description namespace }
+                 }
+               }
+             }
+           }""")
+        .select(col("id"), col("name"),
+          col("phenotypes.count").as("n_phenotypes"),
+          posexplode(col("phenotypes.rows")).as(Seq("rn", "r")))
+        .select(col("id"), col("name"), col("n_phenotypes"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.phenotypeHPO.id").as("hpo_id"),
+          col("r.phenotypeHPO.name").as("hpo_name"),
+          col("r.phenotypeHPO.description").as("hpo_desc"),
+          element_at(col("r.phenotypeHPO.namespace"), 1).as("hpo_ns"))
+        .orderBy("rn")),
+
+    // Disease.evidences(ensemblIds:, size:) — the Evidences batch
+    // probe (opentargets.schema:230-240, Evidence :505-509): the
+    // request names its targets, the engine answers with ONE
+    // isin-pruned probe of the persisted association index; count is
+    // the filtered total, rows the size-limited score ranking
+    "q252_graphql_evidences" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             disease(efoId: "DIS_MACHINERY") {
+               id
+               evidences(ensemblIds: ["TGT_1", "TGT_5", "TGT_9", "TGT_12"],
+                         size: 3) {
+                 count
+                 rows {
+                   id
+                   score
+                   target { id approvedSymbol }
+                 }
+               }
+             }
+           }""")
+        .select(col("id").as("disease_id"),
+          col("evidences.count").as("n_evidence"),
+          posexplode(col("evidences.rows")).as(Seq("rn", "r")))
+        .select(col("disease_id"), col("n_evidence"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("evidence_id"), col("r.score").as("score"),
+          col("r.target.id").as("target_id"),
+          col("r.target.approvedSymbol").as("target_name"))
+        .orderBy("rn")),
+
+    // Target.similarEntities(size:) — the schema's model-based
+    // similarity field (opentargets.schema:1422-1431, Similarity
+    // :1338-1345) served by the engine's own vector tier: the root's
+    // sidecar vector probes the corpus with the exact brute cosine
+    // top-k; hits past the entity table's key range resolve object
+    // to GraphQL null (the union arm exercises both branches)
+    "q253_graphql_similar_entities" -> ((s, dir) =>
+      graft.api.GraphQl.execute(kgIndexed(s, dir),
+        """{
+             target(ensemblId: "TGT_7") {
+               id
+               approvedSymbol
+               similarEntities(size: 8) {
+                 id
+                 category
+                 score
+                 object {
+                   __typename
+                   ... on Target { id approvedSymbol }
+                 }
+               }
+             }
+           }""")
+        .select(col("id").as("root_id"),
+          col("approvedSymbol").as("root_name"),
+          posexplode(col("similarEntities")).as(Seq("rn", "r")))
+        .select(col("root_id"), col("root_name"),
+          (col("rn") + 1).cast("long").as("rn"),
+          col("r.id").as("sim_id"), col("r.category").as("category"),
+          col("r.score").as("score"),
+          col("r.object.__typename").as("obj_type"),
+          col("r.object.Target.id").as("obj_id"),
+          col("r.object.Target.approvedSymbol").as("obj_name"))
+        .orderBy("rn")),
+
+    // ---------------- flat-append compaction (fold path on the board) ----------------
+    // The round-17 small-file fold (`Compaction.compactAppends`) under
+    // a full oracle: a postings base + three appendPostings
+    // generations (the flat mode("append") layout the incremental
+    // family accumulates) fold in place, then the FOLDED directory
+    // serves q194's ranked BM25 answer — so the oracle hash-checks
+    // the fold's row fidelity end-to-end, and the envelope pins the
+    // fold's two contracts in-plan: row-identity (symmetric exceptAll
+    // against the pre-fold relation, counted to zero) and file-count
+    // collapse.
+    "q254_compact_fold" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q254").toString
+      val idx = s"$scratch/idx"
+      InvertedIndex.build(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", col("text"))
+        .write.mode("overwrite").parquet(idx)
+      InvertedIndex.appendPostings(idx,
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", col("text"))
+      InvertedIndex.appendPostings(idx,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", col("text"))
+      InvertedIndex.appendPostings(idx,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", col("text"))
+      val before = s.read.parquet(idx).localCheckpoint(true)
+      val nBefore = graft.sources.Compaction.parquetFiles(idx).size
+      graft.sources.Compaction.compactAppends(s, idx,
+        targetBytes = 64L << 20)
+      val nAfter = graft.sources.Compaction.parquetFiles(idx).size
+      val after = s.read.parquet(idx)
+      val verdict = before.exceptAll(after).agg(count(lit(1)).as("__a"))
+        .crossJoin(after.exceptAll(before).agg(count(lit(1)).as("__b")))
+        .select(((col("__a") === 0L) && (col("__b") === 0L))
+            .as("folded_identical"),
+          lit(nAfter < nBefore).as("files_collapsed"))
+      InvertedIndex.bm25TopKIndexed(after, "doc_id",
+          Seq("dup", "spark", "window"), k = 10)
+        .crossJoin(broadcast(verdict))
+    })
   )
 
   /** q200's dictionary: shared between the Spark query and the
@@ -9860,6 +10017,127 @@ ORDER BY n_uses DESC, piece"""
            (11, 'search', 'SearchResults!'),
            (12, 'target', 'Target'),
            (13, 'targets', '[Target!]!')) AS t(ord, root, type_name)
-         ORDER BY ord"""
+         ORDER BY ord""",
+
+    // tractability — the four modality assessments re-derived from
+    // the part's own attributes (the same predicates the KG view
+    // evaluates), modality-ordered
+    "q250_graphql_tractability" ->
+      """WITH tr AS (
+           SELECT 'discovery_precedence' AS label, 'SM' AS modality,
+             p_size <= 25 AS value FROM part WHERE p_partkey = 3
+           UNION ALL SELECT 'surface_accessible', 'AB',
+             contains(p_brand, '#3') FROM part WHERE p_partkey = 3
+           UNION ALL SELECT 'mod_ubiquitination', 'PR',
+             p_retailprice > 1500 FROM part WHERE p_partkey = 3
+           UNION ALL SELECT 'clinical_precedence', 'OC',
+             p_type LIKE 'PROMO%' FROM part WHERE p_partkey = 3)
+         SELECT 'TGT_3' AS id,
+           (SELECT p_name FROM part WHERE p_partkey = 3) AS approvedSymbol,
+           row_number() OVER (ORDER BY modality) AS rn,
+           label, modality, value
+         FROM tr ORDER BY rn""",
+
+    // phenotypes — the segment's distinct customer nations as HPO
+    // rows (region = namespace), first page of 10, count the total
+    "q251_graphql_phenotypes" ->
+      """WITH ph AS (
+           SELECT DISTINCT c_nationkey AS nk FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+         r AS (
+           SELECT printf('HP_%07d', nk) AS hpo_id, lower(n_name) AS hpo_name,
+             lower(r_name) AS hpo_ns
+           FROM ph JOIN nation ON n_nationkey = nk
+           JOIN region ON r_regionkey = n_regionkey),
+         rk AS (
+           SELECT hpo_id, hpo_name, hpo_ns,
+             row_number() OVER (ORDER BY hpo_id) AS rn FROM r)
+         SELECT 'DIS_BUILDING' AS id, 'BUILDING' AS name,
+           (SELECT count(*) FROM r) AS n_phenotypes, rn, hpo_id, hpo_name,
+           'phenotype of ' || hpo_name AS hpo_desc, hpo_ns
+         FROM rk WHERE rn <= 10 ORDER BY rn""",
+
+    // evidences — the q155 association derivation filtered to the
+    // requested targets; count before the size cut, rows ranked
+    // (score desc, evidence id) like the executor's sort keys
+    "q252_graphql_evidences" ->
+      """WITH pair AS (
+           SELECT c_mktsegment AS m, l_partkey AS p, sum(l_quantity) AS q
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT 'DIS_' || m AS disease_id, 'TGT_' || p AS target_id,
+             round(q / sum(q) OVER (PARTITION BY p), 6) AS score
+           FROM pair),
+         ev AS (
+           SELECT 'EVD_' || disease_id || '_' || target_id AS eid,
+             target_id, score
+           FROM edges
+           WHERE disease_id = 'DIS_MACHINERY'
+             AND target_id IN ('TGT_1', 'TGT_5', 'TGT_9', 'TGT_12')),
+         rk AS (
+           SELECT eid, target_id, score,
+             row_number() OVER (ORDER BY score DESC, eid) AS rn FROM ev)
+         SELECT 'DIS_MACHINERY' AS disease_id,
+           (SELECT count(*) FROM ev) AS n_evidence, rn,
+           rk.eid AS evidence_id, rk.score, rk.target_id,
+           p.p_name AS target_name
+         FROM rk JOIN part p ON 'TGT_' || p.p_partkey = rk.target_id
+         WHERE rn <= 3 ORDER BY rn""",
+
+    // similarEntities — the q33 brute-cosine relation from the
+    // root's sidecar vector (vec_id 7), top 8, each hit left-joined
+    // to its entity row (hits past the part key range resolve the
+    // object to NULL — both union branches exercised)
+    "q253_graphql_similar_entities" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         topk AS (
+           SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e, q WHERE e.vec_id <> 7
+           ORDER BY cosine DESC, e.vec_id LIMIT 8),
+         rk AS (
+           SELECT vec_id, cosine,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+           FROM topk)
+         SELECT 'TGT_7' AS root_id,
+           (SELECT p_name FROM part WHERE p_partkey = 7) AS root_name,
+           rk.rn, 'TGT_' || rk.vec_id AS sim_id, 'target' AS category,
+           rk.cosine AS score,
+           CASE WHEN p.p_partkey IS NULL THEN NULL
+                ELSE 'Target' END AS obj_type,
+           CASE WHEN p.p_partkey IS NULL THEN NULL
+                ELSE 'TGT_' || p.p_partkey END AS obj_id,
+           p.p_name AS obj_name
+         FROM rk LEFT JOIN part p ON p.p_partkey = rk.vec_id
+         ORDER BY rn""",
+
+    // the q194 full-corpus BM25 relation (the fold must not change a
+    // single posting row), plus the fold contracts pinned TRUE
+    "q254_compact_fold" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+             CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         idf AS (SELECT term, avgdl,
+             CAST(floor(ln((nd - df + 0.5e0)/(df + 0.5e0) + 1.0e0)*1e4 + 0.5e0)
+               AS BIGINT) AS idf4
+           FROM (SELECT term, count(*) AS df FROM post
+                 WHERE term IN ('dup','spark','window') GROUP BY 1)
+           CROSS JOIN stats),
+         contrib AS (
+           SELECT p.doc_id,
+             i.idf4 * CAST(floor(p.tf*2.2e0/(p.tf + 1.2e0*(0.25e0 + 0.75e0*d.dl/i.avgdl))
+               *1e6 + 0.5e0) AS BIGINT) AS c
+           FROM post p JOIN dl d USING (doc_id) JOIN idf i USING (term)
+           WHERE p.term IN ('dup','spark','window'))
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE)/1e10 AS bm25,
+           TRUE AS folded_identical, TRUE AS files_collapsed
+         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"""
   )
 }

@@ -533,8 +533,8 @@ object GraphQl {
       if (g.name.startsWith(InlineMark)) {
         if (!underUnion) throw ParseError(
           s"inline fragments are supported only on the union-typed " +
-            s"'object' field of search hits — found '... on ${g.out}' " +
-            s"under '${f.name}'")
+            s"'object' fields (search/mapIds hits, similarEntities " +
+            s"rows) — found '... on ${g.out}' under '${f.name}'")
         checkInline(g, underUnion = false)
       } else checkInline(g, underUnion = g.name == "object")
     }
@@ -572,7 +572,8 @@ object GraphQl {
     "dataVersion" -> "DataVersion",
     "associationDatasources" -> "EvidenceSource",
     "interactionResources" -> "InteractionResources",
-    "geneOntologyTerms" -> "GeneOntologyTerm")
+    "geneOntologyTerms" -> "GeneOntologyTerm",
+    "phenotypeHPO" -> "HPO")
 
   /** (connection object, row object) type names per connection site —
     * schema-true where the schema names them (`KnownDrugs`:916 /
@@ -591,7 +592,10 @@ object GraphQl {
     ("target", "associatedDiseases") ->
       (("AssociatedDiseases", "AssociatedDisease")),
     ("drug", "linkedTargets") -> (("LinkedTargets", "LinkedTarget")),
-    ("target", "pathways") -> (("", "ReactomePathway")))
+    ("target", "pathways") -> (("", "ReactomePathway")),
+    ("target", "tractability") -> (("", "Tractability")),
+    ("disease", "phenotypes") -> (("DiseaseHPOs", "DiseaseHPO")),
+    ("disease", "evidences") -> (("Evidences", "Evidence")))
 
   private def noSubSel(f: Field): Unit =
     if (f.sel.nonEmpty) throw ParseError(
@@ -721,11 +725,34 @@ object GraphQl {
               Map("id" -> col("pathwayId"), "name" -> col("pathway")))
             case f => bad(f, "pathway, topLevelTerm")
           })
+      case ("target", "tractability") =>
+        // bare [Tractability!]! (opentargets.schema:1416, 1546-1550) —
+        // per-entity-bounded (4 rows), deterministic modality order
+        Conn(kg.tractability.filter(col("target_id") === rootKey),
+          Seq(col("modality")), hasRows = false, {
+            case Field("label", _, Seq(), _) => col("label")
+            case Field("modality", _, Seq(), _) => col("modality")
+            case Field("value", _, Seq(), _) => col("value")
+            case f => bad(f, "label, modality, value")
+          })
+      case ("disease", "phenotypes") =>
+        // DiseaseHPOs {count, rows: [DiseaseHPO]} with the schema's
+        // page: argument (opentargets.schema:224-228) — rows carry the
+        // phenotypeHPO entity (:283-285, HPO :727-739)
+        Conn(kg.phenotypes.filter(col("disease_id") === rootKey),
+          Seq(col("hpo_id")), hasRows = true, {
+            case f @ Field("phenotypeHPO", _, _, _) =>
+              entityStruct("phenotypeHPO", f.sel,
+                Map("id" -> col("hpo_id"), "name" -> col("hpo_name"),
+                  "description" -> col("hpo_desc"),
+                  "namespace" -> col("namespace")))
+            case f => bad(f, "phenotypeHPO")
+          })
       case _ => throw ParseError(
         s"unknown field '$name' on $entity — connections: " +
-          "disease.{knownDrugs,associatedTargets}, " +
-          "target.{knownDrugs,associatedDiseases,pathways}, " +
-          "drug.{linkedTargets,mechanismsOfAction}")
+          "disease.{knownDrugs,associatedTargets,phenotypes,evidences}, " +
+          "target.{knownDrugs,associatedDiseases,pathways,tractability," +
+          "similarEntities}, drug.{linkedTargets,mechanismsOfAction}")
     }
   }
 
@@ -854,6 +881,224 @@ object GraphQl {
       }: _*).as(f.out))
   }
 
+  /** `disease.evidences(ensemblIds:, size:)` — the Evidences
+    * connection (opentargets.schema:230-240; row type Evidence
+    * :505-509's consumed core: id, score, target, disease; wrapper
+    * Evidences :682-686). `ensemblIds` is the schema's REQUIRED
+    * batch filter: the request names its targets, so the engine
+    * probes the persisted association index with ONE isin-pruned
+    * scan (the S4 batch-lookup plan), never a per-id loop. `size`
+    * rank-limits the rows (score desc, id asc —
+    * TakeOrderedAndProject); `count` is the filtered connection
+    * total. Cursor paging is not served — `size` covers the
+    * schema's consumption here, and an unknown argument errors
+    * loudly rather than silently serving an uncursored page.
+    */
+  private def evidencesConnection(kg: KnowledgeGraph, f: Field,
+                                  rootKey: String): DataFrame = {
+    val extra = f.args.keySet -- Set("ensemblIds", "size")
+    if (extra.nonEmpty) throw ParseError(
+      s"unknown argument${if (extra.size > 1) "s" else ""} " +
+        s"${extra.toSeq.sorted.mkString(", ")} on disease.evidences — " +
+        "supported: ensemblIds, size")
+    val rawArg = f.args.getOrElse("ensemblIds", throw ParseError(
+      "disease.evidences requires the ensemblIds argument " +
+        "(opentargets.schema:230-240)"))
+    // empty-entry before empty-list, the goTerms/mapIds discipline
+    val rawAll = splitList(rawArg)
+    if (rawAll.size > 1 && rawAll.exists(_.isEmpty))
+      throw ParseError("ensemblIds must not contain empty strings")
+    val ids = rawAll.filter(_.nonEmpty)
+    if (ids.isEmpty) throw ParseError("ensemblIds must not be empty")
+    val dup = ids.groupBy(identity).collect { case (t, ts) if ts.size > 1 => t }
+    if (dup.nonEmpty) throw ParseError(
+      s"duplicate ensemblIds: ${dup.toSeq.sorted.mkString(", ")}")
+    if (ids.size > MaxMapTerms) throw ParseError(
+      s"disease.evidences serves at most $MaxMapTerms ensemblIds per " +
+        s"request, got ${ids.size} — join against an id relation for " +
+        "batch retrieval")
+    if (f.sel.isEmpty) throw ParseError(
+      "'disease.evidences' needs a selection (count and/or rows)")
+    f.sel.foreach {
+      case Field("count", _, Seq(), _) => ()
+      case Field("rows", _, _, _) => ()
+      case g @ Field("__typename", _, _, _) => noSubSel(g)
+      case g => throw ParseError(
+        s"unknown field '${g.name}' on disease.evidences — " +
+          "supported: count, rows")
+    }
+    val size = intArg(f.args, "size").map(math.min(_, MaxPageSize))
+      .getOrElse(DefaultPageSize)
+    val flat0 = kg.evidenceRows.filter(col("disease_id") === rootKey &&
+      col("target_id").isin(ids: _*))
+    val sortKeys = Seq(negate(col("score")), col("id"))
+    // one aggregate per aliased rows selection, each with its OWN
+    // selection-driven sub-entity joins (the connectionDf discipline)
+    def rowsDfFor(sel: Seq[Field], out: String): DataFrame = {
+      if (sel.isEmpty) throw ParseError(
+        "'disease.evidences' rows need a selection")
+      val names = sel.map(_.name).toSet
+      var rel = flat0
+      if (names("target"))
+        rel = rel.join(kg.targets.select(col("id").as("__t_id"),
+          col("approvedSymbol").as("__t_sym"), col("bioType").as("__t_bio")),
+          col("target_id") === col("__t_id"), "left")
+      if (names("disease"))
+        rel = rel.join(kg.diseases.select(col("id").as("__s_id"),
+          col("name").as("__s_name")),
+          col("disease_id") === col("__s_id"), "left")
+      val payload = struct(sel.map { g =>
+        (g.name match {
+          case "__typename" => noSubSel(g); lit("Evidence")
+          case "id" | "score" =>
+            if (g.sel.nonEmpty) throw ParseError(
+              s"'evidences rows.${g.name}' is a scalar — drop its selection")
+            col(g.name)
+          case "target" => when(col("__t_id").isNotNull,
+            entityStruct("target", g.sel,
+              Map("id" -> col("__t_id"), "approvedSymbol" -> col("__t_sym"),
+                "bioType" -> col("__t_bio"))))
+          case "disease" => when(col("__s_id").isNotNull,
+            entityStruct("disease", g.sel,
+              Map("id" -> col("__s_id"), "name" -> col("__s_name"))))
+          case other => throw ParseError(
+            s"unknown field '$other' on evidences rows — supported: " +
+              "id, score, target, disease")
+        }).as(g.out)
+      }: _*)
+      val keyed = struct(sortKeys.zipWithIndex.map {
+        case (k, i) => k.as(s"__k$i") } :+ payload.as("__p"): _*)
+      rel.sort(sortKeys: _*).limit(size)
+        .agg(transform(sort_array(collect_list(keyed)),
+          x => x.getField("__p")).as(out))
+    }
+    val countDf: Option[DataFrame] =
+      if (!f.sel.exists(_.name == "count")) None
+      else Some(flat0.agg(count(lit(1)).as("count")))
+    val rowsDfs = f.sel.collect {
+      case g @ Field("rows", _, sel, _) => rowsDfFor(sel, g.out)
+    }
+    val sides = countDf.toSeq ++ rowsDfs
+    val combined =
+      if (sides.isEmpty) flat0.sparkSession.range(1).toDF()
+      else sides.reduce((a, b) => a.crossJoin(broadcast(b)))
+    combined.select(struct(f.sel.map { g =>
+      (if (g.name == "__typename") lit("Evidences")
+       else if (g.name == "count") col("count")
+       else col(g.out)).as(g.out)
+    }: _*).as(f.out))
+  }
+
+  /** `target.similarEntities(threshold:, size:, entityNames:)` — the
+    * schema's model-based similarity field (opentargets.schema
+    * :1422-1431; row type Similarity :1338-1345) served by the
+    * engine's OWN vector tier: the root target's sidecar vector
+    * ([[KnowledgeGraph.entityEmbeddings]], TGT_k ↔ vec_id k) probes
+    * the corpus with the exact brute cosine top-k
+    * ([[graft.operators.Similarity.bruteTopK]] — one corpus scan,
+    * per-partition rank-limit; the IVF/SQ8 tiers are this engine's
+    * indexed scale path for the same probe shape). `threshold`
+    * filters on the ROUNDED ranking score — a monotone prefix of the
+    * rank order, so filtering the top-k equals rank-limiting the
+    * filtered corpus. `size` caps rows ([[MaxPageSize]] clamp,
+    * [[DefaultPageSize]] default — never an unbounded list).
+    * `entityNames`, when given, must name this dialect's served
+    * similarity space ("target"). A hit's `object` resolves through
+    * the union machinery (`... on Target` arms; a vector with no
+    * entity row serves GraphQL null — the resolver-null discipline).
+    * A root WITHOUT a sidecar vector serves the empty list: vector
+    * absence is data, not a malformed request (the schema's
+    * `[Similarity!]!` admits no null list). The one driver-side
+    * value is the root's own query vector — parameter-sized, the
+    * documented collect every vector-serving query performs.
+    */
+  private def similarEntitiesConnection(kg: KnowledgeGraph, f: Field,
+                                        rootKey: String): DataFrame = {
+    val extra = f.args.keySet -- Set("threshold", "size", "entityNames")
+    if (extra.nonEmpty) throw ParseError(
+      s"unknown argument${if (extra.size > 1) "s" else ""} " +
+        s"${extra.toSeq.sorted.mkString(", ")} on target.similarEntities " +
+        "— supported: threshold, size, entityNames")
+    f.args.get("entityNames").foreach { raw =>
+      val names = splitList(raw).filter(_.nonEmpty)
+      if (names != Seq("target")) throw ParseError(
+        "target.similarEntities serves the target similarity space — " +
+          s"""entityNames must be ["target"], got [${names.mkString(", ")}]""")
+    }
+    val threshold: Option[Double] = f.args.get("threshold").map { s =>
+      val v = s.toDoubleOption.getOrElse(throw ParseError(
+        s"threshold must be a number, got '$s'"))
+      if (v < 0.0 || v > 1.0) throw ParseError(
+        s"threshold must be in [0, 1], got $v")
+      v
+    }
+    val size = intArg(f.args, "size").map(math.min(_, MaxPageSize))
+      .getOrElse(DefaultPageSize)
+    if (f.sel.isEmpty) throw ParseError(
+      "'target.similarEntities' needs a selection")
+    val pk = rootKey.stripPrefix("TGT_").toLongOption.getOrElse(
+      throw ParseError("target.similarEntities needs a TGT_<n> root id, " +
+        s"got '$rootKey'"))
+    val emb = kg.entityEmbeddings
+    val qVec: Option[Array[Float]] = emb.filter(col("vec_id") === pk)
+      .select(col("embedding")).collect().headOption
+      .map(_.getSeq[Float](0).toArray)
+    val base: DataFrame = qVec match {
+      case Some(q) =>
+        val topk = graft.operators.Similarity.bruteTopK(
+          emb, "vec_id", "embedding", q, size, excludeId = pk)
+        threshold.fold(topk)(t => topk.filter(col("cosine") >= t))
+      case None =>
+        emb.filter(lit(false)).select(col("vec_id"),
+          lit(0.0).as("cosine"))
+    }
+    val needObject = f.sel.exists(_.name == "object")
+    val withId = base.select(col("vec_id"),
+      concat(lit("TGT_"), col("vec_id")).as("__sim_id"), col("cosine"))
+    // objectField's union resolver reads the widenedSearchRel column
+    // layout (id/name/entity + facet columns) — shape the resolution
+    // join to it; every non-target arm then resolves NULL through the
+    // entity guard, and the Drug facet columns are typed nulls
+    val rel =
+      if (!needObject) withId
+      else withId.join(kg.targets.select(col("id"),
+          col("approvedSymbol").as("name"), col("bioType").as("__bio")),
+          col("__sim_id") === col("id"), "left")
+        .withColumn("entity", when(col("id").isNotNull, lit("target")))
+        .withColumn("__syn", lit(null).cast("array<string>"))
+        .withColumn("__dtype", lit(null).cast("string"))
+        .withColumn("__appr", lit(null).cast("boolean"))
+        .withColumn("__maxph", lit(null).cast("double"))
+    val payload = struct(f.sel.map { g =>
+      (g.name match {
+        case "__typename" => noSubSel(g); lit("Similarity")
+        case "id" | "category" | "score" =>
+          if (g.sel.nonEmpty) throw ParseError(
+            s"'similarEntities.${g.name}' is a scalar — drop its selection")
+          g.name match {
+            case "id" => col("__sim_id")
+            case "category" => lit("target")
+            case _ => col("cosine")
+          }
+        case "object" =>
+          if (g.sel.isEmpty) throw ParseError(
+            "'object' is a union — select '__typename' and/or " +
+              "inline-fragment arms ('... on Target')")
+          when(col("id").isNotNull, objectField(g))
+        case other => throw ParseError(
+          s"unknown field '$other' on similarEntities — supported: " +
+            "id, category, score, object")
+      }).as(g.out)
+    }: _*)
+    // numeric-id sort keys end-to-end: the fold re-sorts on the SAME
+    // (rounded-cosine, vec_id) order bruteTopK ranked with, so a
+    // rounded-cosine tie cannot reorder between the cut and the fold
+    val keyed = struct(negate(col("cosine")).as("__k0"),
+      col("vec_id").as("__k1"), payload.as("__p"))
+    rel.agg(transform(sort_array(collect_list(keyed)),
+      x => x.getField("__p")).as(f.out))
+  }
+
   /** Connections that declare `page: Pagination` in the reference
     * schema: knownDrugs (opentargets.schema:243-246, 429-432,
     * 1475-1478), disease.associatedTargets (:248-268) and
@@ -864,7 +1109,8 @@ object GraphQl {
     */
   private val Paginable: Set[(String, String)] = Set(
     ("disease", "knownDrugs"), ("target", "knownDrugs"),
-    ("disease", "associatedTargets"), ("target", "associatedDiseases"))
+    ("disease", "associatedTargets"), ("target", "associatedDiseases"),
+    ("disease", "phenotypes"))
 
   /** Server-parity default page size for [[Paginable]] connections:
     * the endpoint never returns an unbounded connection — an omitted
@@ -893,6 +1139,10 @@ object GraphQl {
                            rootKey: String): DataFrame = {
     if (entity == "drug" && f.name == "mechanismsOfAction")
       return mechanismsConnection(kg, f, rootKey)
+    if (entity == "disease" && f.name == "evidences")
+      return evidencesConnection(kg, f, rootKey)
+    if (entity == "target" && f.name == "similarEntities")
+      return similarEntitiesConnection(kg, f, rootKey)
     // field names the row selections reference, for selection-driven
     // sub-entity joins: rows-wrapped connections read the UNION of
     // every aliased `rows` selection (count-only queries join
@@ -952,7 +1202,8 @@ object GraphQl {
       if (extras.nonEmpty) throw ParseError(
         s"'$entity.${f.name}' takes no pagination arguments " +
           s"(got ${extras.mkString(", ")}) — only knownDrugs, " +
-          "associatedTargets and associatedDiseases are paginated")
+          "associatedTargets, associatedDiseases and phenotypes " +
+          "are paginated")
     }
     // schema parity on the ARGUMENT LIST, after the targeted
     // misplaced-score/pagination guards above have had their say: an
@@ -1677,12 +1928,17 @@ object GraphQl {
     */
   private val IntroTypes: Map[String, Seq[String]] = Map(
     "Query" -> QueryRoots.map(_._1),
-    "Disease" -> Seq("id", "name", "knownDrugs", "associatedTargets"),
+    "Disease" -> Seq("id", "name", "knownDrugs", "associatedTargets",
+      "phenotypes", "evidences"),
     "Target" -> Seq("id", "approvedSymbol", "bioType", "knownDrugs",
-      "associatedDiseases", "pathways"),
+      "associatedDiseases", "pathways", "tractability", "similarEntities"),
     "Drug" -> Seq("id", "name", "synonyms", "drugType", "isApproved",
       "maximumClinicalTrialPhase", "linkedTargets", "mechanismsOfAction"),
     "GeneOntologyTerm" -> Seq("id", "name"),
+    "Tractability" -> Seq("label", "modality", "value"),
+    "HPO" -> Seq("id", "name", "description", "namespace"),
+    "Evidence" -> Seq("id", "score", "target", "disease"),
+    "Similarity" -> Seq("category", "id", "score", "object"),
     "Meta" -> Seq("name", "apiVersion", "dataVersion"))
 
   /** Minimal GraphQL introspection — the first request every real

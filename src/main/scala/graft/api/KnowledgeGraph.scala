@@ -231,6 +231,79 @@ final class KnowledgeGraph(spark: SparkSession, dir: String,
       concat(lit("PWY_"), col("p_brand")).as("pathwayId"),
       col("p_brand").as("pathway"),
       col("p_type").as("topLevelTerm"))
+
+  /** tractability(target_id, label, modality, value) — the Target
+    * druggability assessment (`Tractability {label, modality, value}`
+    * opentargets.schema:1546-1550, `Target.tractability: [Tractability
+    * !]!` :1416). Four assessment rows per target, one per modality
+    * bucket (SM / AB / PR / OC — the platform's small-molecule,
+    * antibody, PROTAC and other-clinical buckets), each `value` a
+    * deterministic predicate of the part's OWN attributes — a derived
+    * assessment, not a stored flag, so the oracle checks the
+    * derivation. One projection + a 4-way explode: narrow, no
+    * shuffle, per-entity lookups prune to one part row.
+    */
+  def tractability: DataFrame =
+    t.part.select(concat(lit("TGT_"), col("p_partkey")).as("target_id"),
+        explode(array(
+          struct(lit("discovery_precedence").as("label"),
+            lit("SM").as("modality"), (col("p_size") <= 25).as("value")),
+          struct(lit("surface_accessible").as("label"),
+            lit("AB").as("modality"),
+            col("p_brand").contains("#3").as("value")),
+          struct(lit("mod_ubiquitination").as("label"),
+            lit("PR").as("modality"),
+            (col("p_retailprice") > 1500).as("value")),
+          struct(lit("clinical_precedence").as("label"),
+            lit("OC").as("modality"),
+            col("p_type").startsWith("PROMO").as("value")))).as("r"))
+      .select(col("target_id"), col("r.label").as("label"),
+        col("r.modality").as("modality"), col("r.value").as("value"))
+
+  /** phenotypes(disease_id, hpo_id, hpo_name, hpo_desc, namespace) —
+    * the Disease phenotype annotations (`Disease.phenotypes(page:):
+    * DiseaseHPOs` opentargets.schema:224-228, row shape DiseaseHPO
+    * :279-288 with its `phenotypeHPO: HPO` :727-739). A disease's
+    * phenotypes are the distinct nations its customers span: hpo_id
+    * is the zero-padded HPO-style code, namespace the nation's region
+    * (the HPO sub-ontology bucket). The DISTINCT runs on the two
+    * 4-byte key columns BEFORE the dimension joins — at any corpus
+    * scale the join inputs are segment×nation sized (≤125 rows), not
+    * customer-sized.
+    */
+  def phenotypes: DataFrame =
+    t.customer.select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .select(concat(lit("DIS_"), col("c_mktsegment")).as("disease_id"),
+        format_string("HP_%07d", col("c_nationkey")).as("hpo_id"),
+        lower(col("n_name")).as("hpo_name"),
+        concat(lit("phenotype of "), lower(col("n_name"))).as("hpo_desc"),
+        array(lower(col("r_name"))).as("namespace"))
+
+  /** evidenceRows(id, disease_id, target_id, score) — the Evidence
+    * rows behind `disease.evidences(ensemblIds:)` (opentargets.schema
+    * :230-240, row type Evidence :505-509's consumed core: id, score,
+    * target, disease). One evidence row per scored association edge,
+    * its id the deterministic (disease, target) key — served off the
+    * same persisted association index every other edge consumer
+    * reads, so an evidences request is an index probe, never a fact
+    * re-aggregation.
+    */
+  def evidenceRows: DataFrame =
+    associatedTargets.select(
+      concat(lit("EVD_"), col("disease_id"), lit("_"),
+        col("target_id")).as("id"),
+      col("disease_id"), col("target_id"), col("score"))
+
+  /** entityEmbeddings(vec_id, embedding) — the entity↔vector sidecar
+    * behind `target.similarEntities` (opentargets.schema:1422-1431):
+    * target `TGT_k` owns vector `vec_id = k` (the deterministic id
+    * bridge; a vector without a part row is an unresolvable
+    * similarity hit — its `object` serves GraphQL null).
+    */
+  def entityEmbeddings: DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding"))
 }
 
 object KnowledgeGraph {

@@ -1196,7 +1196,8 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .head()
     assert(dis.getString(0) == "Disease" && dis.getString(1) == "OBJECT")
     assert(dis.getSeq[Row](2).map(_.getString(0)) ==
-      Seq("associatedTargets", "id", "knownDrugs", "name"))
+      Seq("associatedTargets", "evidences", "id", "knownDrugs", "name",
+        "phenotypes"))
     val qy = GraphQl.execute(kg,
       """{ __type(name: "Query") { fields { name } } }""")
       .head().getSeq[Row](0).map(_.getString(0))
@@ -1241,5 +1242,126 @@ query diseaseAssociatedDrugs {  # reference candidate_drugs.py shape
       .contains("mapIds mapping hits"))
     assert(err("""{ search(queryString: "a") { hits } }""")
       .contains("search hits"))
+  }
+
+  // ---------------- entity-field headroom (r17) ----------------
+
+  test("execute: tractability serves the four modality assessments, modality-ordered") {
+    val rows = GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_3") {
+           id tractability { modality label value __typename } } }""")
+      .select(explode(col("tractability")).as("r"))
+      .select(col("r.modality"), col("r.label"), col("r.__typename"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("AB", "OC", "PR", "SM"))
+    assert(rows.map(_.getString(1)).toSet == Set("surface_accessible",
+      "clinical_precedence", "mod_ubiquitination", "discovery_precedence"))
+    assert(rows.forall(_.getString(2) == "Tractability"))
+    // the values are the part's own predicates
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_partkey") === 3).head()
+    val sm = GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_3") { tractability { modality value } } }""")
+      .select(explode(col("tractability")).as("r"))
+      .filter(col("r.modality") === "SM").select(col("r.value")).head()
+    assert(sm.getBoolean(0) ==
+      (part.getAs[Number](part.fieldIndex("p_size")).intValue() <= 25))
+    val e = intercept[ParseError](GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_3") { tractability { nope } } }"""))
+    assert(e.getMessage.contains("label, modality, value"))
+  }
+
+  test("execute: phenotypes — paged DiseaseHPO rows, count the total, HPO nesting") {
+    val row = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_BUILDING") {
+           phenotypes(page: {index: 0, size: 3}) {
+             count
+             rows { phenotypeHPO { id name namespace __typename } __typename }
+             __typename } } }""").head()
+    val conn = row.getStruct(0)
+    val total = conn.getLong(0)
+    val rows = conn.getSeq[Row](1)
+    assert(total >= 3 && rows.size == 3, s"total=$total rows=${rows.size}")
+    // rows ordered by hpo id; the nested HPO carries its namespace
+    val ids = rows.map(_.getStruct(0).getString(0))
+    assert(ids == ids.sorted && ids.forall(_.startsWith("HP_")))
+    assert(rows.forall(_.getStruct(0).getSeq[String](2).nonEmpty))
+    assert(rows.forall(_.getStruct(0).getString(3) == "HPO"))
+    assert(rows.forall(_.getString(1) == "DiseaseHPO"))
+    assert(conn.getString(2) == "DiseaseHPOs")
+    // count is the connection total: matches the distinct-nation card
+    val expect = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey")).distinct().count()
+    assert(total == expect)
+  }
+
+  test("execute: evidences requires ensemblIds, probes in one batch, ranks by score") {
+    val row = GraphQl.execute(kg,
+      """{ disease(efoId: "DIS_MACHINERY") {
+           evidences(ensemblIds: ["TGT_1", "TGT_2", "TGT_3"], size: 2) {
+             count rows { id score target { id } __typename } } } }""").head()
+    val conn = row.getStruct(0)
+    val total = conn.getLong(0)
+    val rows = conn.getSeq[Row](1)
+    assert(rows.size <= 2 && rows.size.toLong <= total)
+    // score-descending, EVD_-keyed ids, target resolved
+    val scores = rows.map(_.getDouble(1))
+    assert(scores == scores.sorted.reverse)
+    assert(rows.forall(_.getString(0).startsWith("EVD_DIS_MACHINERY_")))
+    assert(rows.forall(r => r.getStruct(2).getString(0) ==
+      r.getString(0).stripPrefix("EVD_DIS_MACHINERY_")))
+    assert(rows.forall(_.getString(3) == "Evidence"))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ disease(efoId: "D") { evidences { count } } }""")
+      .contains("requires the ensemblIds"))
+    assert(err("""{ disease(efoId: "D") {
+        evidences(ensemblIds: ["a", "a"]) { count } } }""")
+      .contains("duplicate ensemblIds"))
+    assert(err("""{ disease(efoId: "D") {
+        evidences(ensemblIds: ["a"], cursor: "x") { count } } }""")
+      .contains("cursor"))
+  }
+
+  test("execute: similarEntities serves the vector tier — ranked hits, union object, null resolution") {
+    val row = GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_7") {
+           similarEntities(size: 5) {
+             id category score __typename
+             object { __typename ... on Target { id approvedSymbol } } } } }""")
+      .head()
+    val hits = row.getSeq[Row](0)
+    assert(hits.size == 5)
+    val scores = hits.map(_.getDouble(2))
+    assert(scores == scores.sorted.reverse)
+    assert(hits.forall(_.getString(1) == "target"))
+    assert(hits.forall(_.getString(3) == "Similarity"))
+    // resolved hits carry the Target arm; unresolvable ones are NULL
+    val nParts = spark.read.parquet(s"$sfDir/part.parquet").count()
+    hits.foreach { h =>
+      val vid = h.getString(0).stripPrefix("TGT_").toLong
+      val obj = h.getStruct(4)
+      if (vid >= 1 && vid <= nParts)
+        assert(obj != null && obj.getString(0) == "Target" &&
+          obj.getStruct(1).getString(0) == h.getString(0))
+      else assert(obj == null, s"vec $vid past the key range must not resolve")
+    }
+    // threshold filters on the ranking score (prefix of the order)
+    val thr = GraphQl.execute(kg,
+      """{ target(ensemblId: "TGT_7") {
+           similarEntities(size: 5, threshold: 1.0) { id } } }""").head()
+    assert(thr.getSeq[Row](0).forall(_ != null))
+    def err(q: String): String =
+      intercept[ParseError](GraphQl.execute(kg, q).collect()).getMessage
+    assert(err("""{ target(ensemblId: "TGT_7") {
+        similarEntities(entityNames: ["drug"]) { id } } }""")
+      .contains("target similarity space"))
+    assert(err("""{ target(ensemblId: "TGT_7") {
+        similarEntities(threshold: 2.0) { id } } }""")
+      .contains("must be in [0, 1]"))
+    assert(err("""{ target(ensemblId: "TGT_7") {
+        similarEntities { id object } } }""")
+      .contains("union"))
   }
 }
