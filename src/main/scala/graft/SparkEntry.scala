@@ -5627,7 +5627,18 @@ object SparkEntry {
       InvertedIndex.bm25TopKIndexed(after, "doc_id",
           Seq("dup", "spark", "window"), k = 10)
         .crossJoin(broadcast(verdict))
-    })
+    }),
+
+    // ---------------- table profiling (ingest gate) ----------------
+    // One-pass per-column profile of the documents corpus: null
+    // counts, EXACT distincts (one Expand + one shuffle — never a
+    // per-column pass), native-typed min/max rendered to string.
+    // The first operator of a trustworthy ingest DAG; `exact=false`
+    // is the HLL scale knob (no oracle there — this row checks the
+    // exact contract).
+    "q255_profile_table" -> ((s, dir) =>
+      graft.operators.Profiling.profileTable(t(s, dir).documents,
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
   )
 
   /** q200's dictionary: shared between the Spark query and the
@@ -10150,6 +10161,34 @@ ORDER BY n_uses DESC, piece"""
            WHERE p.term IN ('dup','spark','window'))
          SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE)/1e10 AS bm25,
            TRUE AS folded_identical, TRUE AS files_collapsed
-         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"""
+         FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // per-column profile re-derived column by column (the engine does
+    // it in ONE aggregation; the oracle's 5-way union is the check,
+    // not the plan)
+    "q255_profile_table" ->
+      """SELECT * FROM (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             count(*) - count(doc_id) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_s,
+             CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+             count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+             CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+             count(DISTINCT source), CAST(min(source) AS VARCHAR),
+             CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'text', count(*), count(*) - count(text),
+             count(DISTINCT text), CAST(min(text) AS VARCHAR),
+             CAST(max(text) AS VARCHAR) FROM documents)
+         ORDER BY col_name"""
   )
 }
