@@ -474,4 +474,25 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("q255 profiler: ONE scan, ONE Expand — the single-pass multi-distinct plan") {
+    val plan = executedPlan(query("q255_profile_table"))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profiler scanned the table $scans times:\n$plan")
+    val expands = "Expand".r.findAllIn(plan).size
+    assert(expands == 1,
+      s"expected exactly one Expand (the multi-distinct device), got $expands:\n$plan")
+  }
+
+  test("q252 evidences: the ensemblIds batch filter pushes into the index scan") {
+    // the REQUIRED id list must reach the association-index parquet
+    // scan as an In() pushed filter — the S4 batch-lookup plan, never
+    // a post-scan filter over the whole edge relation
+    val plan = query("q252_graphql_evidences")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("In(target_id"),
+      s"ensemblIds not pushed into the index scan:\n$plan")
+    assert(plan.contains("EqualTo(disease_id,DIS_MACHINERY"),
+      s"root key not pushed into the index scan:\n$plan")
+  }
 }
