@@ -5639,6 +5639,22 @@ object SparkEntry {
     "q255_profile_table" -> ((s, dir) =>
       graft.operators.Profiling.profileTable(t(s, dir).documents,
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // the profile as a GATE: reference profile vs a corrupted
+    // candidate ingest (10% nulled lang, range-capped n_chars) —
+    // the two corrupted columns must flag `drifted`, the other three
+    // must pass clean; catalog-cost diff over two one-pass profiles
+    "q256_profile_drift_gate" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val a = graft.operators.Profiling.profileTable(docs, cols)
+      val corrupted = docs
+        .withColumn("lang", when(col("doc_id") % 10 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("n_chars", least(col("n_chars"), lit(100L)))
+      val b = graft.operators.Profiling.profileTable(corrupted, cols)
+      graft.operators.Profiling.profileDiff(a, b)
+    }),
   )
 
   /** q200's dictionary: shared between the Spark query and the
@@ -10189,6 +10205,74 @@ ORDER BY n_uses DESC, piece"""
            SELECT 'text', count(*), count(*) - count(text),
              count(DISTINCT text), CAST(min(text) AS VARCHAR),
              CAST(max(text) AS VARCHAR) FROM documents)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    // both profiles replayed column by column, then the gate's
+    // rounded-rate / ratio / range arithmetic verbatim
+    "q256_profile_drift_gate" ->
+      """WITH corr AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+             least(n_chars, 100) AS n_chars, source, text
+           FROM documents),
+         pa AS (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             count(*) - count(doc_id) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_s,
+             CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+             count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+             CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+             count(DISTINCT source), CAST(min(source) AS VARCHAR),
+             CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'text', count(*), count(*) - count(text),
+             count(DISTINCT text), CAST(min(text) AS VARCHAR),
+             CAST(max(text) AS VARCHAR) FROM documents),
+         pb AS (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             count(*) - count(doc_id) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_s,
+             CAST(max(doc_id) AS VARCHAR) AS max_s FROM corr
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+             count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+             CAST(max(lang) AS VARCHAR) FROM corr
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM corr
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+             count(DISTINCT source), CAST(min(source) AS VARCHAR),
+             CAST(max(source) AS VARCHAR) FROM corr
+           UNION ALL
+           SELECT 'text', count(*), count(*) - count(text),
+             count(DISTINCT text), CAST(min(text) AS VARCHAR),
+             CAST(max(text) AS VARCHAR) FROM corr),
+         d AS (
+           SELECT pa.col_name, 'common' AS status,
+             round(CAST(pa.n_null AS DOUBLE)/pa.n_rows, 6) AS null_rate_a,
+             round(CAST(pb.n_null AS DOUBLE)/pb.n_rows, 6) AS null_rate_b,
+             round(CAST(pb.n_distinct AS DOUBLE)/pa.n_distinct, 6)
+               AS distinct_ratio,
+             (pa.min_s IS DISTINCT FROM pb.min_s)
+               OR (pa.max_s IS DISTINCT FROM pb.max_s) AS range_changed
+           FROM pa JOIN pb USING (col_name))
+         SELECT col_name, status, null_rate_a, null_rate_b,
+           distinct_ratio, range_changed,
+           (abs(null_rate_b - null_rate_a) > 0.01
+             OR distinct_ratio > 2.0 OR distinct_ratio < 0.5
+             OR range_changed) AS drifted
+         FROM d ORDER BY col_name"""
   )
 }
