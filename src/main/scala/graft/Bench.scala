@@ -21,6 +21,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce the partitioning of plans that feed a cache:
+      // the registry's multi-consumer relations (materializedOnce, the
+      // incremental-dedup probe sides) otherwise pin the session
+      // shuffle width into the cache and every downstream job launches
+      // session-width near-empty tasks over a tiny cached relation.
+      // Scale-neutral: at 100 TB the cached relations are large and
+      // AQE's advisory size keeps the width wide. (The r15 measurement
+      // that rejected this flag predates the explicit generation-write
+      // sizing in StreamOps — re-measured this round, see
+      // OPTIMIZATION_r17.md.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       // events.parquet has shipped as TIMESTAMP(NANOS) in some
       // generations — keep the nanos form readable; Tables.events
       // normalizes every encoding variant to TimestampType

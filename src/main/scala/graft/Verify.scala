@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // same engine posture as Bench: AQE may re-coalesce plans that
+      // feed a cache (multi-consumer persisted relations otherwise pin
+      // the session shuffle width; see Bench and OPTIMIZATION_r17.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // events.parquet has shipped as TIMESTAMP(NANOS) in some
       // generations — keep the nanos form readable; Tables.events
       // normalizes every encoding variant to TimestampType

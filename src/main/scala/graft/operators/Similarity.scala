@@ -1030,11 +1030,20 @@ object Similarity {
     val codesPath = s"$indexPath/codes"
     val codeIds = spark.read.parquet(codesPath).select(col(idName))
     val embIds = embeddings.select(col(idName))
-    val missing = codeIds.except(embIds).count()
+    // both set-difference guards in ONE job (ids are unique on both
+    // sides — code rows by the append guard, corpus by contract): a
+    // full-outer join counts each direction's misses at once, where
+    // the two except().count() forms scanned both relations twice
+    val miss = codeIds.withColumn("__c", lit(1))
+      .join(embIds.withColumn("__e", lit(1)), Seq(idName), "full_outer")
+      .agg(sum(when(col("__e").isNull, 1L).otherwise(0L)).as("__missing"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__extra"))
+      .head()
+    val missing = Option(miss.get(0)).fold(0L)(_.asInstanceOf[Long])
     require(missing == 0L,
       s"rebuildPqSubspaces: $missing indexed id(s) absent from the " +
         "embeddings relation — pass the same corpus the index codes")
-    val extra = embIds.except(codeIds).count()
+    val extra = Option(miss.get(1)).fold(0L)(_.asInstanceOf[Long])
     require(extra == 0L,
       s"rebuildPqSubspaces: $extra embedding id(s) not in the index — " +
         "append first (appendPqIndex), then rebuild")
@@ -1327,15 +1336,29 @@ object Similarity {
     * SemDeDup scale argument: nlist grows with the corpus, cluster
     * size stays bounded).
     */
+  /** (id, cid, v) assignment of a relation against frozen centroids —
+    * the archive-row shape of the continuous SemDeDup state.
+    */
+  private[graft] def assignToCentroids(batch: DataFrame, idName: String,
+                                       vecName: String,
+                                       cents: Seq[Array[Float]]): DataFrame =
+    batch.select(col(idName).as("id"), col(vecName).as("v"))
+      .withColumn("cid", nearestCid(col("v"), cents))
+      .select(col("id"), col("cid"), col("v"))
+
   private[graft] def semanticDedupVsArchive(batch: DataFrame, idName: String,
                                             vecName: String, tau: Double,
                                             cents: Seq[Array[Float]],
-                                            arch: DataFrame)
+                                            arch: DataFrame,
+                                            batchRows0: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val batchRows = batch
-      .select(col(idName).as("id"), col(vecName).as("v"))
-      .withColumn("cid", nearestCid(col("v"), cents))
-      .select(col("id"), col("cid"), col("v"))
+    // the batch's assignment relation feeds BOTH returned frames (the
+    // archive-rows write and the domination probe inside kept); a
+    // caller that persists it passes it in (the cdcSegmentsBatch
+    // `Some(segs)` sharing pattern) so the nearest-centroid pass runs
+    // once per trigger instead of once per consumer
+    val batchRows = batchRows0.getOrElse(
+      assignToCentroids(batch, idName, vecName, cents))
     val within = semanticDedupFrozen(batch, idName, vecName, tau, cents)
     val dominated = batchRows
       .join(arch.select(col("cid"), col("v").as("__va")), Seq("cid"))

@@ -59,6 +59,37 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run a foreachBatch trigger body with the RELATIONAL shuffle width
+    * sized to the trigger's own input volume instead of the session
+    * constant: width = the micro-batch's input-split count, clamped to
+    * [1, session width]. The input-split count is the honest size
+    * signal at any scale (the same signal the generation writes
+    * already use): a bench-SF trigger reads one file and gets width 1;
+    * a 100 TB trigger has thousands of splits and keeps the session
+    * width. Rationale (optimization guide §2.2/§2.4): the trigger
+    * bodies persist intermediate relations (shingles, bands,
+    * survivors), and AQE cannot re-coalesce a cached plan
+    * (`canChangeCachedPlanOutputPartitioning=false`, measured WORSE
+    * when flipped — see neardupBatch), so every downstream job of the
+    * trigger otherwise launches session-width near-empty tasks.
+    * Measured (ProbeTrigW, sf0.1, local[32]): q199's 4-trigger replay
+    * 11.2-11.6 s at width 32 → 6.7-7.8 s at width 1, identical
+    * results. Results are width-independent by construction — the
+    * bodies' aggregations are commutative, their windows are keyed,
+    * and their state writes size file counts from the input-split
+    * count, not the shuffle width. Same single-planner scope contract
+    * as [[withStatePartitions]].
+    */
+  private def withTriggerWidth[A](batch: DataFrame)(body: => A): A = {
+    val spark = batch.sparkSession
+    val session =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: NumberFormatException => Int.MaxValue }
+    val w = math.max(1, math.min(batch.rdd.getNumPartitions,
+      math.max(session, 1)))
+    withStatePartitions(spark, w)(body)
+  }
+
   /** Tumbling event-time window counts with a watermark: late events
     * beyond 1 hour are dropped and state is bounded — the property
     * that keeps the aggregation memory O(open windows) at any scale.
@@ -235,6 +266,7 @@ object StreamOps {
   def upsertBatch(batch: DataFrame, targetDir: String, key: String,
                   versionCol: String): Unit = {
     if (batch.isEmpty) return
+    withTriggerWidth(batch) {
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
     // Hadoop-FS snapshot detection, not java.io.File: on a remote
@@ -247,6 +279,7 @@ object StreamOps {
     val out = merged.localCheckpoint(true)
     out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetDir)
     out.unpersist()
+    }
   }
 
   /** Last-wins collapse of a micro-batch: one row per key, highest
@@ -295,8 +328,10 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.operators.InvertedIndex.build(batch, idName, col(textName))
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$bid")
+        withTriggerWidth(batch) {
+          graft.operators.InvertedIndex.build(batch, idName, col(textName))
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$bid")
+        }
       }
     trigger.fold(w)(w.trigger).start()
   }
@@ -335,7 +370,8 @@ object StreamOps {
     */
   private[graft] def sq8IngestBatch(batch: DataFrame, bid: Long,
                                     indexPath: String, idName: String,
-                                    vecName: String): Unit = {
+                                    vecName: String): Unit =
+      withTriggerWidth(batch) {
     val spark = batch.sparkSession
     val scales = graft.operators.Similarity.readSq8Scales(spark, indexPath)
     val batchMax = batch
@@ -385,7 +421,8 @@ object StreamOps {
     */
   private[graft] def binIngestBatch(batch: DataFrame, bid: Long,
                                     indexPath: String, idName: String,
-                                    vecName: String): Unit = {
+                                    vecName: String): Unit =
+      withTriggerWidth(batch) {
     val spark = batch.sparkSession
     val thr = graft.operators.Similarity.readBinThresholds(spark, indexPath)
     val badDim = batch.select(size(col(vecName)).as("d"))
@@ -480,7 +517,8 @@ object StreamOps {
   private[graft] def cdcSegmentsBatch(batch: DataFrame, bid: Long,
                                       stateDir: String, idName: String,
                                       textName: String,
-                                      boundary256: Int): Unit = {
+                                      boundary256: Int): Unit =
+      withTriggerWidth(batch) {
     import graft.operators.SegmentOps
     val spark = batch.sparkSession
     val fpDir = s"$stateDir/chunks"
@@ -549,7 +587,8 @@ object StreamOps {
     */
   private[graft] def semanticDedupBatch(batch: DataFrame, bid: Long,
                                         stateDir: String, idName: String,
-                                        vecName: String, tau: Double): Unit = {
+                                        vecName: String, tau: Double): Unit =
+      withTriggerWidth(batch) {
     import graft.operators.{Artifact, Similarity}
     val spark = batch.sparkSession
     require(Artifact.hadoopDirExists(spark, s"$stateDir/centroids"),
@@ -570,13 +609,20 @@ object StreamOps {
       s"semanticDedupBatch: batch $bid re-delivers already-ingested id " +
         s"${clash.headOption.map(_.get(0)).getOrElse("?")} — generations' " +
         "id spaces must be disjoint (a retry reuses its OWN batch id)")
+    // assign ONCE and share across both effect jobs (the
+    // cdcSegmentsBatch segs discipline — the nearest-centroid pass
+    // otherwise runs in the kept write AND the archive-rows write)
+    val rowsShared = Similarity.assignToCentroids(batch, idName, vecName,
+        cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (kept, rows) = Similarity.semanticDedupVsArchive(
-      batch, idName, vecName, tau, cents, arch)
+      batch, idName, vecName, tau, cents, arch, Some(rowsShared))
     val genParts = math.max(1, batch.rdd.getNumPartitions)
     kept.repartition(genParts)
       .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid")
     rows.repartition(genParts)
       .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid")
+    rowsShared.unpersist()
     ()
   }
 
@@ -595,7 +641,8 @@ object StreamOps {
   private[graft] def neardupBatch(batch: DataFrame, bid: Long,
                                   stateDir: String, idName: String,
                                   textName: String, threshold: Double,
-                                  k: Int, bands: Int, shingleN: Int): Unit = {
+                                  k: Int, bands: Int, shingleN: Int): Unit =
+      withTriggerWidth(batch) {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
@@ -643,7 +690,7 @@ object StreamOps {
       .parquet(s"$bdDir/batch=$bid")
     shB.unpersist(); bdB.unpersist()
     ()
-  }
+  }  // withTriggerWidth
 
   /** The stream's committed frontier: the highest batch id whose
     * trigger fully committed (checkpoint `commits/<id>` present), or
@@ -741,7 +788,8 @@ object StreamOps {
                                  idName: String, textName: String,
                                  vecName: String, patterns: Seq[String],
                                  token: String, threshold: Double,
-                                 k: Int, bands: Int, shingleN: Int): Unit = {
+                                 k: Int, bands: Int, shingleN: Int): Unit =
+      withTriggerWidth(batch) {
     import graft.operators.{Dedup, Similarity, Tagging}
     val spark = batch.sparkSession
     val shB = Dedup.hashedShingleSets(batch, idName, textName, shingleN)
@@ -834,6 +882,7 @@ object StreamOps {
   def scd2Batch(batch: DataFrame, targetDir: String, key: String,
                 versionCol: String, historyBuckets: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
+    withTriggerWidth(batch) {
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
     // Hadoop-FS listing, not java.io.File (the upsertBatch hazard:
@@ -884,6 +933,7 @@ object StreamOps {
           out.unpersist()
           writeFrontier(spark, targetDir, asOf)
         }
+    }
     }
   }
 

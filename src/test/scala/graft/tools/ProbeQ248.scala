@@ -87,13 +87,15 @@ object ProbeQ248 {
           tau = 0.35)
         q.awaitTermination()
       }
-      time(s"rep$rep: composition check (batch device + 2 excepts)") {
+      time(s"rep$rep: composition check (fused full-outer probe)") {
         val kept = spark.read.parquet(s"$state/kept").select(col("vec_id"))
         val cents = Similarity.readCentroids(spark, state)
         val want = Similarity.semanticDedupFrozen(corpus, "vec_id",
           "embedding", tau = 0.35, cents).select(col("vec_id"))
-        val ok = kept.except(want).count() == 0L &&
-          want.except(kept).count() == 0L
+        val ok = kept.withColumn("__k", lit(1))
+          .join(want.withColumn("__w", lit(1)), Seq("vec_id"), "full_outer")
+          .filter(col("__k").isNull || col("__w").isNull)
+          .isEmpty
         require(ok, "composition broken")
       }
       time(s"rep$rep: accounting aggregates (served rows)") {
