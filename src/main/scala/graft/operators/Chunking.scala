@@ -48,27 +48,61 @@ object Chunking {
                 boundary256: Int, withText: Boolean = false): DataFrame = {
     require(boundary256 >= 1 && boundary256 <= 256,
       s"boundary256 $boundary256 must be in [1, 256]")
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
-      .select(col(idName).as("id"),
-        posexplode(split(text, " ")).as(Seq("p0", "w")))
-      .select(col("id"), (col("p0") + lit(1)).cast("long").as("pos"), col("w"),
-        when(conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int")
-          < boundary256, lit(1L)).otherwise(lit(0L)).as("__b"))
-    // a boundary word ENDS its chunk, so a word's chunk index is the
-    // number of boundaries strictly before it
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agged = words
-      .withColumn("chunk_idx", coalesce(sum(col("__b")).over(win), lit(0L)))
-      .groupBy(col("id"), col("chunk_idx"))
-      .agg(min(col("pos")).as("start_pos"),
-        count(lit(1)).as("n_words"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("__ctext"))
-      .select(col("id"), col("chunk_idx"), col("start_pos"), col("n_words"),
-        md5(col("__ctext")).as("chunk_md5"), col("__ctext"))
+    // ZERO-SHUFFLE shape: the chunk decomposition of a document is a
+    // pure function of its own word array, so the whole operator is
+    // one projection (boundary positions via array HOFs, one chunk
+    // struct per index) plus one explode — chunk rows inherit the
+    // parent scan's partitioning, like [[slidingChunks]]. The previous
+    // shape exploded per WORD and ran a prefix-sum window + regroup,
+    // i.e. a full word-level exchange of the corpus — at 100 TB that
+    // shuffle moved every word once to compute a per-document
+    // decomposition (optimization guide §2.4). Output rows, values,
+    // and types are identical: a boundary word (md5 256-bucket <
+    // boundary256) ENDS its chunk, a trailing boundary leaves no empty
+    // chunk, and `chunk_md5` fingerprints the space-joined chunk text.
+    // STAGED PROJECTIONS, deliberately: every lambda below references
+    // only BOUND COLUMNS (`__w`, `__ends`, `__n`, `__m`), never an
+    // expression tree — an expression referenced inside a HOF lambda
+    // re-evaluates per ELEMENT, and `__ends` itself costs a full
+    // per-word md5 pass (measured: the inlined form was ~4× the whole
+    // query — the q73 HOF-re-evaluation trap, PERF_NOTES r4).
+    val w = split(text, " ")
+    val staged = docs
+      .select(col(idName).as("id"), w.as("__w"))
+      // 1-based end positions of boundary words, ascending
+      .withColumn("__ends", filter(
+        transform(col("__w"), (x, i) =>
+          when(conv(substring(md5(x), 1, 2), 16, 10).cast("int")
+            < boundary256, i + 1).otherwise(lit(null))),
+        x => x.isNotNull))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__m", size(col("__ends")))
+    val n = col("__n")
+    val m = col("__m")
+    val ends = col("__ends")
+    // chunk k spans [startK, endK]: startK = 1 (k=0) or ends[k]+1;
+    // endK = ends[k+1] (k < m) or n (the trailing remainder, which
+    // exists only when the last word is not a boundary)
+    val nChunks = m + when(m === 0 || element_at(ends, -1) < n, 1)
+      .otherwise(0)
+    def startK(k: Column) =
+      when(k === 0, lit(1)).otherwise(element_at(ends, k) + 1)
+    def endK(k: Column) =
+      when(k < m, element_at(ends, k + 1)).otherwise(n)
+    val chunkArr = transform(sequence(lit(0), nChunks - 1), k =>
+      struct(
+        k.cast("long").as("chunk_idx"),
+        startK(k).cast("long").as("start_pos"),
+        (endK(k) - startK(k) + 1).cast("long").as("n_words"),
+        array_join(slice(col("__w"), startK(k), endK(k) - startK(k) + 1), " ")
+          .as("__ctext")))
+    val agged = staged
+      .select(col("id"), explode(chunkArr).as("__c"))
+      .select(col("id"), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.start_pos").as("start_pos"),
+        col("__c.n_words").as("n_words"),
+        md5(col("__c.__ctext")).as("chunk_md5"),
+        col("__c.__ctext").as("__ctext"))
     // `withText` serves consumers that REASSEMBLE (segment dedup);
     // fingerprint-only consumers keep the narrow relation
     if (withText) agged.withColumnRenamed("__ctext", "chunk_text")

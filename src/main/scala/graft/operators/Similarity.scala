@@ -804,8 +804,27 @@ object Similarity {
                    numSub: Int, k: Int, path: String): Unit = {
     val spark = embeddings.sparkSession
     val books = trainPqCodebooks(embeddings, idName, vecName, numSub, k)
-    embeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // the code-table write and the stats baseline are INDEPENDENT full
+    // passes over `embeddings` once `books` is fixed (disjoint output
+    // paths, no read-after-write) — overlap them (guide §2.6: Spark
+    // schedules concurrent jobs FIFO; the second job back-fills the
+    // first's task tail). Outputs are byte-identical to the serial
+    // form by construction.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codesF = Future {
+      embeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    // build-time per-subspace quantization-error baseline — the
+    // reference point [[pqDriftReport]] measures codebook drift
+    // against (the buildIvfIndex stats discipline)
+    val statsF = Future {
+      pqListStats(embeddings, vecName, books)
+        .withColumnRenamed("n", "n_build")
+        .withColumnRenamed("resid_e6", "resid_build_e6")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    }
     import scala.jdk.CollectionConverters._
     val rows = books.zipWithIndex.flatMap { case (cs, s) =>
       cs.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(s, i, c.toSeq) }
@@ -814,13 +833,8 @@ object Similarity {
         org.apache.spark.sql.types.StructType.fromDDL(
           "sub INT, code INT, centroid ARRAY<FLOAT>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // build-time per-subspace quantization-error baseline — the
-    // reference point [[pqDriftReport]] measures codebook drift
-    // against (the buildIvfIndex stats discipline)
-    pqListStats(embeddings, vecName, books)
-      .withColumnRenamed("n", "n_build")
-      .withColumnRenamed("resid_e6", "resid_build_e6")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Await.result(codesF, scala.concurrent.duration.Duration.Inf)
+    Await.result(statsF, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Per-subspace (sub, n, mean quantization error ×1e6) of a float
@@ -1078,11 +1092,31 @@ object Similarity {
     }.toMap
     val merged: Seq[Seq[Array[Float]]] =
       books.zipWithIndex.map { case (cs, s) => retrained.getOrElse(s, cs) }
-    // re-encode: the write plan reads only `embeddings`, never the
-    // codes path it overwrites
-    embeddings
-      .select(col(idName), pqEncode(col(vecName), merged).as("codes"))
-      .write.mode("overwrite").parquet(codesPath)
+    // re-encode (reads only `embeddings`, never the codes path it
+    // overwrites) and the flagged-row stats re-baseline are
+    // INDEPENDENT passes under the merged books — overlap them
+    // (guide §2.6, the buildPqIndex discipline). The stats write
+    // still waits for its own localCheckpoint (read-before-overwrite
+    // of the stats path), which the Future body sequences internally.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codesF = Future {
+      embeddings
+        .select(col(idName), pqEncode(col(vecName), merged).as("codes"))
+        .write.mode("overwrite").parquet(codesPath)
+    }
+    // stats: re-baseline ONLY the flagged rows against the current
+    // corpus under the retrained cells
+    val statsF = Future {
+      val fresh = pqListStats(embeddings, vecName, merged, Some(subs))
+        .withColumnRenamed("n", "n_build")
+        .withColumnRenamed("resid_e6", "resid_build_e6")
+      val kept = spark.read.parquet(s"$indexPath/stats")
+        .filter(!col("sub").isin(subs: _*))
+      val stats = kept.unionByName(fresh).localCheckpoint(true)
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+      stats.unpersist()
+    }
     // codebook sidecar: flagged rows swapped, unflagged rows
     // value-identical (spec-pinned)
     import scala.jdk.CollectionConverters._
@@ -1094,16 +1128,8 @@ object Similarity {
         org.apache.spark.sql.types.StructType.fromDDL(
           "sub INT, code INT, centroid ARRAY<FLOAT>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
-    // stats: re-baseline ONLY the flagged rows against the current
-    // corpus under the retrained cells
-    val fresh = pqListStats(embeddings, vecName, merged, Some(subs))
-      .withColumnRenamed("n", "n_build")
-      .withColumnRenamed("resid_e6", "resid_build_e6")
-    val kept = spark.read.parquet(s"$indexPath/stats")
-      .filter(!col("sub").isin(subs: _*))
-    val stats = kept.unionByName(fresh).localCheckpoint(true)
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
-    stats.unpersist()
+    Await.result(codesF, scala.concurrent.duration.Duration.Inf)
+    Await.result(statsF, scala.concurrent.duration.Duration.Inf)
     ()
   }
 

@@ -80,6 +80,22 @@ object StreamOps {
     * count, not the shuffle width. Same single-planner scope contract
     * as [[withStatePartitions]].
     */
+  /** Run independent per-trigger effect jobs concurrently (guide
+    * §2.6: Spark schedules concurrent jobs FIFO, so the later jobs
+    * back-fill the earlier ones' task tails). Callers pass only jobs
+    * with DISJOINT output paths and no read-after-write between them;
+    * shared cached inputs are safe (BlockManager computes each cached
+    * block once under a per-block lock). The first failure rethrows —
+    * the per-batch overwrite discipline makes a partially-run trigger
+    * replayable exactly as in the serial form.
+    */
+  private def inParallel(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = jobs.map(j => Future(j()))
+    fs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+  }
+
   private def withTriggerWidth[A](batch: DataFrame)(body: => A): A = {
     val spark = batch.sparkSession
     val session =
@@ -537,10 +553,13 @@ object StreamOps {
     val (out, freshMd5) = SegmentOps.dedupSegsVsArchive(
       batch, idName, col(textName), boundary256, arch, Some(segs))
     val genParts = math.max(1, batch.rdd.getNumPartitions)
-    out.repartition(genParts)
-      .write.mode("overwrite").parquet(s"$stateDir/clean/batch=$bid")
-    freshMd5.repartition(genParts)
-      .write.mode("overwrite").parquet(s"$fpDir/batch=$bid")
+    // disjoint outputs over the shared cached chunk relation —
+    // concurrent (inParallel)
+    inParallel(
+      () => out.repartition(genParts)
+        .write.mode("overwrite").parquet(s"$stateDir/clean/batch=$bid"),
+      () => freshMd5.repartition(genParts)
+        .write.mode("overwrite").parquet(s"$fpDir/batch=$bid"))
     segs.unpersist()
     ()
   }
@@ -618,10 +637,13 @@ object StreamOps {
     val (kept, rows) = Similarity.semanticDedupVsArchive(
       batch, idName, vecName, tau, cents, arch, Some(rowsShared))
     val genParts = math.max(1, batch.rdd.getNumPartitions)
-    kept.repartition(genParts)
-      .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid")
-    rows.repartition(genParts)
-      .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid")
+    // disjoint outputs over the shared cached assignment relation —
+    // concurrent (inParallel)
+    inParallel(
+      () => kept.repartition(genParts)
+        .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid"),
+      () => rows.repartition(genParts)
+        .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid"))
     rowsShared.unpersist()
     ()
   }
@@ -679,15 +701,18 @@ object StreamOps {
     // candidate-verify compute itself into genParts tasks (its probe
     // side is the cached shingle relation, a narrow dependency); the
     // exchange is pair-relation-sized, i.e. tiny
-    Dedup.minhashNearDupsIncremental(batch, idName, textName,
-        archSh, archBd, threshold, k, bands, shingleN,
-        batchShingles = Some(shB), batchBands = Some(bdB))
-      .repartition(genParts)
-      .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid")
-    shB.coalesce(genParts).write.mode("overwrite")
-      .parquet(s"$shDir/batch=$bid")
-    bdB.coalesce(genParts).write.mode("overwrite")
-      .parquet(s"$bdDir/batch=$bid")
+    // the three effect writes have disjoint outputs and share only the
+    // cached shB/bdB relations — run them concurrently (inParallel)
+    inParallel(
+      () => Dedup.minhashNearDupsIncremental(batch, idName, textName,
+          archSh, archBd, threshold, k, bands, shingleN,
+          batchShingles = Some(shB), batchBands = Some(bdB))
+        .repartition(genParts)
+        .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$bid"),
+      () => shB.coalesce(genParts).write.mode("overwrite")
+        .parquet(s"$shDir/batch=$bid"),
+      () => bdB.coalesce(genParts).write.mode("overwrite")
+        .parquet(s"$bdDir/batch=$bid"))
     shB.unpersist(); bdB.unpersist()
     ()
   }  // withTriggerWidth
@@ -818,23 +843,28 @@ object StreamOps {
       .join(s1, Seq(idName), "left_semi")
       .join(ndDrop, Seq(idName), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3: redact the survivors
-    Tagging.redactDocs(survivors, idName, col(textName), patterns, token)
-      .write.mode("overwrite").parquet(s"$stateDir/curated/batch=$bid")
-    // 4: SQ8-code the survivors' vectors under the frozen scales
+    // 3+4+archive appends: five effect writes with disjoint outputs
+    // over the shared cached relations (survivors, shB, bdB) — run
+    // them concurrently (inParallel): redaction, SQ8 codes of the
+    // survivors' vectors under the frozen scales, and the archive
+    // appends of ALL batch documents' fingerprint and shingle state
+    // (gates reference dropped documents too)
     val scales = Similarity.readSq8Scales(spark, s"$stateDir/sq8")
     val q = Similarity.sq8Quantize(col(vecName), scales)
-    survivors.select(col(idName))
-      .join(embeddings, Seq(idName))
-      .select(col(idName),
-        graft.functions.VecFns.packInt8(q).as("codes"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("code_sum"))
-      .write.mode("overwrite").parquet(s"$stateDir/sq8/codes/batch=$bid")
-    // archive appends: ALL batch documents' fingerprints and shingle
-    // state (gates reference dropped documents too)
-    fpB.write.mode("overwrite").parquet(s"$stateDir/fp/batch=$bid")
-    shB.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$bid")
-    bdB.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$bid")
+    inParallel(
+      () => Tagging.redactDocs(survivors, idName, col(textName), patterns,
+          token)
+        .write.mode("overwrite").parquet(s"$stateDir/curated/batch=$bid"),
+      () => survivors.select(col(idName))
+        .join(embeddings, Seq(idName))
+        .select(col(idName),
+          graft.functions.VecFns.packInt8(q).as("codes"),
+          aggregate(q, lit(0L), (a, x) => a + x).as("code_sum"))
+        .write.mode("overwrite").parquet(s"$stateDir/sq8/codes/batch=$bid"),
+      () => fpB.write.mode("overwrite").parquet(s"$stateDir/fp/batch=$bid"),
+      () => shB.write.mode("overwrite")
+        .parquet(s"$stateDir/shingles/batch=$bid"),
+      () => bdB.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$bid"))
     survivors.unpersist(); shB.unpersist(); bdB.unpersist()
     ()
   }
