@@ -9046,6 +9046,7 @@ ORDER BY n_uses DESC, piece"""
          JOIN supplier s ON 'DRG_' || s.s_suppkey = m.drug_id
          JOIN nation n ON n.n_nationkey = s.s_nationkey
          LEFT JOIN mp ON mp.drug_id = m.drug_id
+         WHERE m.rn <= 25
          ORDER BY rn""",
     "q159_quarantine" ->
       """WITH f AS (

@@ -22,7 +22,7 @@ object Verify {
       // feed a cache (multi-consumer persisted relations otherwise pin
       // the session shuffle width; see Bench and OPTIMIZATION_r17.md)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       // events.parquet has shipped as TIMESTAMP(NANOS) in some
       // generations — keep the nanos form readable; Tables.events
       // normalizes every encoding variant to TimestampType

@@ -990,15 +990,20 @@ object StreamOps {
     val fresh = collapsed.join(open, Seq(key), "left")
       .filter(col("__open_v").isNull || col(versionCol) > col("__open_v"))
       .drop("__open_v")
-    val stats = fresh.agg(count(lit(1)), max(col(versionCol))).head()
+    // fresh-batch stats AND the history frontier in ONE driver
+    // round-trip (two independent 1-row aggregates crossJoined — the
+    // serial form paid two jobs per trigger)
+    val stats = fresh.agg(count(lit(1)).as("__c"), max(col(versionCol)).as("__m"))
+      .crossJoin(history.agg(max(col("valid_from")).as("__f")))
+      .head()
     if (stats.getLong(0) == 0L) None
     else {
       val batchMax = stats.getLong(1)
       // asOf monotonicity guard: stale PER-KEY rows are already gone,
       // but a late batch can still open NEW keys; clamping to the
       // frontier keeps re-inserted keys' intervals in history order.
-      val frontier = Option(history.agg(max(col("valid_from")))
-        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      val frontier = Option(stats.get(2)).map(_.asInstanceOf[Long])
+        .getOrElse(Long.MinValue)
       val asOf = math.max(batchMax, math.max(frontier, floorFrontier))
       Some((graft.operators.Upsert.scd2Apply(history,
         fresh, key, asOf, closeMissing = false), asOf))

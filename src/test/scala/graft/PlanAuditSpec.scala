@@ -320,14 +320,20 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-side hash shuffle in a pure-gate query ($hashEx):\n${plan.take(3000)}")
   }
 
-  test("q185 cdc chunks: chunk aggregation reuses the window's doc partitioning") {
+  test("q185 cdc chunks: the chunker itself plans with ZERO exchanges") {
     val plan = executedPlan(query("q185_cdc_chunks"))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    // one exchange keys the doc-id window (the chunk groupBy reuses
-    // it), one keys the chunk_md5 first-occurrence window — a third
-    // would mean the agg re-shuffled what the window already keyed
-    assert(hashEx == 2,
-      s"expected exactly 2 hash exchanges, got $hashEx:\n${plan.take(4000)}")
+    // r17: cdcChunks is one staged projection + explode — chunk rows
+    // inherit the scan partitioning, so the ONLY hash exchange left in
+    // q185 keys the chunk_md5 first-occurrence window (the old shape
+    // exploded per word and paid a doc-id exchange for its prefix-sum
+    // window: a word-level shuffle of the corpus)
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange, got $hashEx:\n${plan.take(4000)}")
+    // and the per-word boundary pass stays a single projection: no
+    // Window over the doc id anywhere in the chunker subtree
+    assert(!plan.contains("Window [sum("),
+      s"chunker regressed to the windowed shape:\n${plan.take(4000)}")
   }
 
   test("q187 two-relation PPJoin: equi-joins only, never a nested loop") {
