@@ -15,33 +15,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE coalesce the partitioning of plans that feed a cache:
-      // the registry's multi-consumer relations (materializedOnce, the
-      // incremental-dedup probe sides) otherwise pin the session
-      // shuffle width into the cache and every downstream job launches
-      // session-width near-empty tasks over a tiny cached relation.
-      // Scale-neutral: at 100 TB the cached relations are large and
-      // AQE's advisory size keeps the width wide. (The r15 measurement
-      // that rejected this flag predates the explicit generation-write
-      // sizing in StreamOps — re-measured this round, see
-      // OPTIMIZATION_r17.md.)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
-      // events.parquet has shipped as TIMESTAMP(NANOS) in some
-      // generations — keep the nanos form readable; Tables.events
-      // normalizes every encoding variant to TimestampType
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ContextCleaner frees broadcast blocks only when the driver GCs;
-      // the default periodicGC interval (30 min) is longer than the whole
-      // bench run, so ~280 query executions' broadcasts pile up in the
-      // unified memory region and late queries pay the eviction/GC storm.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+    // engine posture (cached-plan AQE coalescing, nanos parquet reads,
+    // periodicGC) comes from the shared Sessions.tuned defaults — the
+    // same posture Verify measures correctness under and a library
+    // consumer applies to their own session; only harness-local knobs
+    // (master/width from the driver's env, UI off, UTC) live here
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the release loop below intentionally unpersists locally-

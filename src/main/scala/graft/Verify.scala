@@ -12,21 +12,14 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // same engine posture as Bench: AQE may re-coalesce plans that
-      // feed a cache (multi-consumer persisted relations otherwise pin
-      // the session shuffle width; see Bench and OPTIMIZATION_r17.md)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
-      // events.parquet has shipped as TIMESTAMP(NANOS) in some
-      // generations — keep the nanos form readable; Tables.events
-      // normalizes every encoding variant to TimestampType
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // identical engine posture to Bench via the shared Sessions.tuned
+    // defaults — correctness is measured under the exact configuration
+    // the bench times (see Sessions for the per-flag rationale)
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query release loop unpersists locally-checkpointed RDDs

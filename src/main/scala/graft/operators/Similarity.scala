@@ -804,26 +804,23 @@ object Similarity {
                    numSub: Int, k: Int, path: String): Unit = {
     val spark = embeddings.sparkSession
     val books = trainPqCodebooks(embeddings, idName, vecName, numSub, k)
-    // the code-table write and the stats baseline are INDEPENDENT full
-    // passes over `embeddings` once `books` is fixed (disjoint output
-    // paths, no read-after-write) — overlap them (guide §2.6: Spark
-    // schedules concurrent jobs FIFO; the second job back-fills the
-    // first's task tail). Outputs are byte-identical to the serial
-    // form by construction.
+    // ONE corpus pass: the code-table write carries the build-time
+    // per-subspace stats baseline — the reference point
+    // [[pqDriftReport]] measures codebook drift against — as
+    // `observe()` metrics on the write job itself (guide §1.2: the
+    // stats baseline was a SECOND full corpus pass running alongside
+    // the write; the residual of the chosen cell is computable from
+    // the row's own codes column, so it rides the write for the cost
+    // of one zip_with per subspace per row). Arithmetic is
+    // single-sourced with pqListStats ([[pqResidE6]] per row,
+    // [[pqStatsFinal]] for the mean), so the written baseline is
+    // bit-identical to the dedicated pass's.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    val (codesDf, obs) = observedCodes(embeddings, idName, vecName, books,
+      0 until numSub)
     val codesF = Future {
-      embeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
-        .write.mode("overwrite").parquet(s"$path/codes")
-    }
-    // build-time per-subspace quantization-error baseline — the
-    // reference point [[pqDriftReport]] measures codebook drift
-    // against (the buildIvfIndex stats discipline)
-    val statsF = Future {
-      pqListStats(embeddings, vecName, books)
-        .withColumnRenamed("n", "n_build")
-        .withColumnRenamed("resid_e6", "resid_build_e6")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      codesDf.write.mode("overwrite").parquet(s"$path/codes")
     }
     import scala.jdk.CollectionConverters._
     val rows = books.zipWithIndex.flatMap { case (cs, s) =>
@@ -834,16 +831,100 @@ object Similarity {
           "sub INT, code INT, centroid ARRAY<FLOAT>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Await.result(codesF, scala.concurrent.duration.Duration.Inf)
-    Await.result(statsF, scala.concurrent.duration.Duration.Inf)
+    statsFromObservation(spark, obs, 0 until numSub)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Per-row quantization residual of subspace `s` (×1e6, long):
+    * L2² of the row's subvector to its chosen cell, fixed-point so
+    * sums are exact in any order. THE shared arithmetic between
+    * [[pqListStats]] and the observed build-time baseline — both
+    * paths evaluate this expression tree over the same columns, so
+    * their residuals are bit-identical by construction. `code` is the
+    * subspace's chosen code: `element_at(codes, s+1)` when a codes
+    * column is already computed (the observed-write path), or
+    * `nearestCodeL2(...)` fresh (the measurement path) — the same
+    * int either way ([[pqEncode]] is exactly per-subspace
+    * nearestCodeL2).
+    */
+  private def pqResidE6(vec: Column, code: Column, s: Int, w: Int,
+                        books: Seq[Seq[Array[Float]]]): Column = {
+    val sv = slice(vec, s * w + 1, w)
+    val cell = element_at(typedlit(books(s).map(_.toSeq)), code + 1)
+    round(aggregate(zip_with(sv.cast("array<double>"),
+        cell.cast("array<double>"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) * lit(1e6), 0)
+      .cast("long")
+  }
+
+  /** (sub, n, resid_e6) from per-sub (n, Σresid): the one place the
+    * mean arithmetic lives — n=0 rows are dropped (an empty corpus
+    * measures no subspaces, matching the keyed-agg form's empty
+    * output).
+    */
+  private def pqStatsFinal(perSub: DataFrame): DataFrame =
+    perSub.filter(col("n") > 0L)
+      .select(col("sub"), col("n"),
+        round(col("__sr").cast("double") / col("n"), 0)
+          .cast("long").as("resid_e6"))
+
+  /** The code-table projection plus an [[org.apache.spark.sql
+    * .Observation]] whose metrics carry the per-subspace stats of
+    * `subsSeq` — consumed by [[statsFromObservation]] after the
+    * returned frame's write completes.
+    */
+  private def observedCodes(embeddings: DataFrame, idName: String,
+                            vecName: String,
+                            books: Seq[Seq[Array[Float]]],
+                            subsSeq: Seq[Int])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val w = books.head.head.length
+    val obs = org.apache.spark.sql.Observation()
+    val withCodes = embeddings.select(col(idName),
+      pqEncode(col(vecName), books).as("codes"), col(vecName).as("__v"))
+    val metrics: Seq[Column] = count(lit(1)).as("__n") +:
+      subsSeq.map(s => sum(pqResidE6(col("__v"),
+        element_at(col("codes"), s + 1), s, w, books)).as(s"__sr_$s"))
+    val observed = withCodes.observe(obs, metrics.head, metrics.tail: _*)
+      .select(col(idName), col("codes"))
+    (observed, obs)
+  }
+
+  /** The observed metrics as the (sub, n, resid_e6) relation —
+    * [[pqStatsFinal]] applied to driver-sized rows, so the mean
+    * arithmetic is the same Spark expression the measurement path
+    * runs.
+    */
+  private def statsFromObservation(spark: org.apache.spark.sql.SparkSession,
+                                   obs: org.apache.spark.sql.Observation,
+                                   subsSeq: Seq[Int]): DataFrame = {
+    val m = obs.get
+    val n = m("__n").asInstanceOf[Long]
+    import scala.jdk.CollectionConverters._
+    val rows = subsSeq.map { s =>
+      val sr = Option(m(s"__sr_$s")).fold(0L)(_.asInstanceOf[Long])
+      org.apache.spark.sql.Row(s, n, sr)
+    }.asJava
+    pqStatsFinal(spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "sub INT, n BIGINT, __sr BIGINT")))
   }
 
   /** Per-subspace (sub, n, mean quantization error ×1e6) of a float
     * corpus under the given codebooks: error = L2² of each subvector
     * to its NEAREST cell (exactly what [[pqEncode]] picks), held as
-    * fixed-point e6 longs so comparisons are engine-exact. One
-    * posexplode + one keyed agg — subspace-count-sized output.
-    * `subsOpt` restricts the measurement to a subspace subset (the
-    * [[rebuildPqSubspaces]] re-baseline — flagged rows only).
+    * fixed-point e6 longs so comparisons are engine-exact. One fused
+    * partial aggregation — per-sub residual sums accumulate in one
+    * pass over the UNEXPLODED corpus (the posexplode + keyed-shuffle
+    * form moved every subvector once to compute a subspace-count-
+    * sized answer), values bit-identical ([[pqResidE6]] /
+    * [[pqStatsFinal]] single-source the arithmetic; long sums are
+    * order-exact). `subsOpt` restricts the measurement to a subspace
+    * subset (the [[rebuildPqSubspaces]] re-baseline — flagged rows
+    * only).
     */
   private def pqListStats(embeddings: DataFrame, vecName: String,
                           books: Seq[Seq[Array[Float]]],
@@ -851,34 +932,17 @@ object Similarity {
     val numSub = books.size
     val w = books.head.head.length
     val subsSeq = subsOpt.getOrElse(0 until numSub)
-    val sub = embeddings.select(posexplode(array(subsSeq.map(s =>
-        struct(lit(s).as("sub"), slice(col(vecName), s * w + 1, w).as("sv"))
-      ): _*)).as(Seq("__i", "__r")))
-      .select(col("__r.sub").as("sub"), col("__r.sv").as("sv"))
-    val code = subsSeq.tail.foldLeft(
-      nearestCodeL2(col("sv"), books(subsSeq.head))) { (acc, s) =>
-        when(col("sub") === s, nearestCodeL2(col("sv"), books(s))).otherwise(acc)
-    }
-    // the chosen cell's vector, per subspace (parameter-sized literal)
-    val cell = subsSeq.tail.foldLeft(
-      element_at(typedlit(books(subsSeq.head).map(_.toSeq)), col("__code") + 1)) {
-      (acc, s) => when(col("sub") === s,
-        element_at(typedlit(books(s).map(_.toSeq)), col("__code") + 1))
-        .otherwise(acc)
-    }
-    sub.withColumn("__code", code)
-      .withColumn("__cell", cell)
-      .select(col("sub"),
-        round(aggregate(zip_with(col("sv").cast("array<double>"),
-            col("__cell").cast("array<double>"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x) * lit(1e6), 0)
-          .cast("long").as("__r"))
-      .groupBy(col("sub"))
-      .agg(count(lit(1)).as("n"), sum(col("__r")).as("__sr"))
-      .select(col("sub"), col("n"),
-        round(col("__sr").cast("double") / col("n"), 0)
-          .cast("long").as("resid_e6"))
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      subsSeq.map(s => sum(pqResidE6(col(vecName),
+        nearestCodeL2(slice(col(vecName), s * w + 1, w), books(s)),
+        s, w, books)).as(s"__sr_$s"))
+    val one = embeddings.agg(aggs.head, aggs.tail: _*)
+    val perSub = one.select(explode(array(subsSeq.map(s =>
+        struct(lit(s).as("sub"), col("__n").as("n"),
+          col(s"__sr_$s").as("__sr"))): _*)).as("__r"))
+      .select(col("__r.sub").as("sub"), col("__r.n").as("n"),
+        col("__r.__sr").as("__sr"))
+    pqStatsFinal(perSub)
   }
 
   /** Codebook-drift report for a frozen-codebook PQ index — the
@@ -1092,30 +1156,16 @@ object Similarity {
     }.toMap
     val merged: Seq[Seq[Array[Float]]] =
       books.zipWithIndex.map { case (cs, s) => retrained.getOrElse(s, cs) }
-    // re-encode (reads only `embeddings`, never the codes path it
-    // overwrites) and the flagged-row stats re-baseline are
-    // INDEPENDENT passes under the merged books — overlap them
-    // (guide §2.6, the buildPqIndex discipline). The stats write
-    // still waits for its own localCheckpoint (read-before-overwrite
-    // of the stats path), which the Future body sequences internally.
+    // ONE corpus pass (the buildPqIndex discipline): the re-encode
+    // write carries the flagged-row stats re-baseline as observe()
+    // metrics, so the dedicated pqListStats corpus pass is gone; the
+    // codebook-sidecar write overlaps the re-encode (guide §2.6).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    val (codesDf, obs) = observedCodes(embeddings, idName, vecName, merged,
+      subs)
     val codesF = Future {
-      embeddings
-        .select(col(idName), pqEncode(col(vecName), merged).as("codes"))
-        .write.mode("overwrite").parquet(codesPath)
-    }
-    // stats: re-baseline ONLY the flagged rows against the current
-    // corpus under the retrained cells
-    val statsF = Future {
-      val fresh = pqListStats(embeddings, vecName, merged, Some(subs))
-        .withColumnRenamed("n", "n_build")
-        .withColumnRenamed("resid_e6", "resid_build_e6")
-      val kept = spark.read.parquet(s"$indexPath/stats")
-        .filter(!col("sub").isin(subs: _*))
-      val stats = kept.unionByName(fresh).localCheckpoint(true)
-      stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
-      stats.unpersist()
+      codesDf.write.mode("overwrite").parquet(codesPath)
     }
     // codebook sidecar: flagged rows swapped, unflagged rows
     // value-identical (spec-pinned)
@@ -1129,7 +1179,18 @@ object Similarity {
           "sub INT, code INT, centroid ARRAY<FLOAT>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
     Await.result(codesF, scala.concurrent.duration.Duration.Inf)
-    Await.result(statsF, scala.concurrent.duration.Duration.Inf)
+    // stats: re-baseline ONLY the flagged rows (now driver-sized, from
+    // the write's observed metrics); unflagged rows keep their stored
+    // baseline. localCheckpoint before the overwrite — the kept rows
+    // are READ from the file this write replaces.
+    val fresh = statsFromObservation(spark, obs, subs)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("resid_e6", "resid_build_e6")
+    val kept = spark.read.parquet(s"$indexPath/stats")
+      .filter(!col("sub").isin(subs: _*))
+    val stats = kept.unionByName(fresh).localCheckpoint(true)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    stats.unpersist()
     ()
   }
 

@@ -59,6 +59,29 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run independent per-trigger effect jobs concurrently (guide
+    * §2.6: Spark schedules concurrent jobs FIFO, so the later jobs
+    * back-fill the earlier ones' task tails). Callers pass only jobs
+    * with DISJOINT output paths and no read-after-write between them;
+    * shared cached inputs are safe (BlockManager computes each cached
+    * block once under a per-block lock). EVERY job is awaited to
+    * completion before the first failure rethrows: propagating out of
+    * a foreachBatch body while a sibling write is still running would
+    * let Structured Streaming replay the batch against a zombie
+    * writer on the same `batch=<bid>` path (a shared `_temporary`
+    * dir under the parquet committer) — awaiting all first restores
+    * the serial form's no-concurrent-writer-on-retry property.
+    */
+  private def inParallel(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = jobs.map(j => Future(j()))
+    val results = fs.map(f => scala.util.Try(
+      Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   /** Run a foreachBatch trigger body with the RELATIONAL shuffle width
     * sized to the trigger's own input volume instead of the session
     * constant: width = the micro-batch's input-split count, clamped to
@@ -66,36 +89,22 @@ object StreamOps {
     * signal at any scale (the same signal the generation writes
     * already use): a bench-SF trigger reads one file and gets width 1;
     * a 100 TB trigger has thousands of splits and keeps the session
-    * width. Rationale (optimization guide §2.2/§2.4): the trigger
-    * bodies persist intermediate relations (shingles, bands,
-    * survivors), and AQE cannot re-coalesce a cached plan
-    * (`canChangeCachedPlanOutputPartitioning=false`, measured WORSE
-    * when flipped — see neardupBatch), so every downstream job of the
-    * trigger otherwise launches session-width near-empty tasks.
-    * Measured (ProbeTrigW, sf0.1, local[32]): q199's 4-trigger replay
-    * 11.2-11.6 s at width 32 → 6.7-7.8 s at width 1, identical
-    * results. Results are width-independent by construction — the
-    * bodies' aggregations are commutative, their windows are keyed,
-    * and their state writes size file counts from the input-split
-    * count, not the shuffle width. Same single-planner scope contract
-    * as [[withStatePartitions]].
+    * width. Rationale (optimization guide §2.2/§2.4): streaming
+    * micro-batch plans run with AQE disabled, and the trigger bodies
+    * persist intermediate relations (shingles, bands, survivors)
+    * whose cached plans pin whatever width they were planned at —
+    * `canChangeCachedPlanOutputPartitioning=true` (the Sessions.tuned
+    * default since round 17) cannot help a plan AQE never touches, so
+    * every downstream job of the trigger otherwise launches
+    * session-width near-empty tasks. Measured (ProbeTrigW, sf0.1,
+    * local[32]): q199's 4-trigger replay 11.2-11.6 s at width 32 →
+    * 6.7-7.8 s at width 1, identical results. Results are
+    * width-independent by construction — the bodies' aggregations are
+    * commutative, their windows are keyed, and their state writes
+    * size file counts from the input-split count, not the shuffle
+    * width. Same single-planner scope contract as
+    * [[withStatePartitions]].
     */
-  /** Run independent per-trigger effect jobs concurrently (guide
-    * §2.6: Spark schedules concurrent jobs FIFO, so the later jobs
-    * back-fill the earlier ones' task tails). Callers pass only jobs
-    * with DISJOINT output paths and no read-after-write between them;
-    * shared cached inputs are safe (BlockManager computes each cached
-    * block once under a per-block lock). The first failure rethrows —
-    * the per-batch overwrite discipline makes a partially-run trigger
-    * replayable exactly as in the serial form.
-    */
-  private def inParallel(jobs: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = jobs.map(j => Future(j()))
-    fs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
-  }
-
   private def withTriggerWidth[A](batch: DataFrame)(body: => A): A = {
     val spark = batch.sparkSession
     val session =
@@ -105,6 +114,31 @@ object StreamOps {
       math.max(session, 1)))
     withStatePartitions(spark, w)(body)
   }
+
+  /** Run a write whose plan carries an in-row `raise_error` guard,
+    * rethrowing a fired guard as the `IllegalArgumentException` the
+    * pre-flight `require` form threw (loud-failure type preserved for
+    * callers and specs). The guards were dedicated 1-row jobs per
+    * trigger (a posexplode aggregation, a take(1), a semi-join probe);
+    * folded into the state-write job they cost one expression per row
+    * and ZERO extra job round-trips (guide §1.2 — stop paying whole
+    * jobs for 1-row answers), and they still fire BEFORE anything
+    * commits: a raised row aborts the task, the job, and the parquet
+    * committer's temporary output.
+    */
+  private def guardedWrite(marker: String)(write: => Unit): Unit =
+    try write catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && m.contains(marker))
+            throw new IllegalArgumentException(
+              m.stripPrefix("[USER_RAISED_EXCEPTION] ").trim, e)
+          c = c.getCause
+        }
+        throw e
+    }
 
   /** Tumbling event-time window counts with a watermark: late events
     * beyond 1 hour are dropped and state is bounded — the property
@@ -372,39 +406,59 @@ object StreamOps {
                    vecName: String, checkpointDir: String,
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the scales sidecar is FROZEN before the stream starts (the
+    // planning-pass contract), so read it ONCE at sink construction
+    // instead of once per trigger — a stream restart re-reads, a
+    // mid-stream rewrite is forbidden by the contract either way
+    val scales = graft.operators.Similarity
+      .readSq8Scales(embeddings.sparkSession, indexPath)
     val w = embeddings.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        sq8IngestBatch(batch, bid, indexPath, idName, vecName)
+        sq8IngestBatch(batch, bid, indexPath, idName, vecName, Some(scales))
       }
     trigger.fold(w)(w.trigger).start()
   }
 
   /** One trigger of [[sq8CodesSink]], idempotent under replay: reads
-    * only the frozen sidecar, writes only this batch's own directory.
+    * only the frozen sidecar (pre-read by the sink and passed in;
+    * direct callers leave `scales0` None and pay the read), writes
+    * only this batch's own directory. The clip guard rides the write
+    * itself as an in-row raise (it was a dedicated posexplode
+    * aggregation job per trigger) — it still fires before anything
+    * commits, with the same loud `IllegalArgumentException`.
     */
   private[graft] def sq8IngestBatch(batch: DataFrame, bid: Long,
                                     indexPath: String, idName: String,
-                                    vecName: String): Unit =
+                                    vecName: String,
+                                    scales0: Option[Array[Double]] = None): Unit =
       withTriggerWidth(batch) {
     val spark = batch.sparkSession
-    val scales = graft.operators.Similarity.readSq8Scales(spark, indexPath)
-    val batchMax = batch
-      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
-    batchMax.foreach { case (d, m) =>
-      require(d < scales.length && m <= scales(d),
-        f"sq8CodesSink batch $bid: |x_$d%d| = $m%.6g outside the frozen " +
-          f"scales (dim count ${scales.length}) — codes would clip; " +
-          "re-plan the scales and rebuild")
+    val scales = scales0.getOrElse(
+      graft.operators.Similarity.readSq8Scales(spark, indexPath))
+    val scLit = typedlit(scales.toSeq)
+    // first clipping dimension of the row, if any: a dim beyond the
+    // frozen sidecar's width, or |x_d| above its scale (the || short-
+    // circuits, so element_at never sees an out-of-range index)
+    val viol = filter(
+      transform(col(vecName).cast("array<double>"),
+        (x, i) => struct(i.cast("int").as("d"), abs(x).as("m"))),
+      p => p.getField("d") >= lit(scales.length) ||
+        p.getField("m") > element_at(scLit, p.getField("d") + 1))
+    val codes = when(size(viol) > 0,
+        raise_error(format_string(
+          s"sq8CodesSink batch $bid: |x_%d| = %.6g outside the frozen " +
+            s"scales (dim count ${scales.length}) — codes would clip; " +
+            "re-plan the scales and rebuild",
+          element_at(viol, 1).getField("d"),
+          element_at(viol, 1).getField("m"))).cast("binary"))
+      .otherwise(graft.functions.VecFns.packInt8(
+        graft.operators.Similarity.sq8Quantize(col(vecName), scales)))
+    guardedWrite("codes would clip") {
+      batch.select(col(idName), codes.as("codes"))
+        .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
     }
-    batch.select(col(idName),
-        graft.functions.VecFns.packInt8(
-          graft.operators.Similarity.sq8Quantize(col(vecName), scales))
-          .as("codes"))
-      .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
   }
 
   /** Streaming BINARY-code ingest — the 1-bit tier's member of the
@@ -422,34 +476,44 @@ object StreamOps {
                    vecName: String, checkpointDir: String,
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // frozen-sidecar read hoisted to sink construction (the
+    // sq8CodesSink rationale) — one read per stream, not per trigger
+    val thr = graft.operators.Similarity
+      .readBinThresholds(embeddings.sparkSession, indexPath)
     val w = embeddings.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        binIngestBatch(batch, bid, indexPath, idName, vecName)
+        binIngestBatch(batch, bid, indexPath, idName, vecName, Some(thr))
       }
     trigger.fold(w)(w.trigger).start()
   }
 
   /** One trigger of [[binCodesSink]], idempotent under replay. No
     * clip hazard at 1 bit — the loud guard is dimensionality (a batch
-    * from a different embedding space must never code).
+    * from a different embedding space must never code), riding the
+    * write itself as an in-row raise (it was a dedicated take(1) job
+    * per trigger); fires before anything commits, same loud
+    * `IllegalArgumentException`.
     */
   private[graft] def binIngestBatch(batch: DataFrame, bid: Long,
                                     indexPath: String, idName: String,
-                                    vecName: String): Unit =
+                                    vecName: String,
+                                    thr0: Option[Array[Double]] = None): Unit =
       withTriggerWidth(batch) {
     val spark = batch.sparkSession
-    val thr = graft.operators.Similarity.readBinThresholds(spark, indexPath)
-    val badDim = batch.select(size(col(vecName)).as("d"))
-      .filter(col("d") =!= thr.length).take(1)
-    require(badDim.isEmpty,
-      s"binCodesSink batch $bid: a vector has dimension " +
-        s"${badDim.headOption.map(_.get(0)).getOrElse("?")} but the index " +
-        s"codes ${thr.length} — not the same embedding space")
-    batch.select(col(idName),
-        graft.operators.Similarity.binQuantize(col(vecName), thr).as("code"))
-      .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
+    val thr = thr0.getOrElse(
+      graft.operators.Similarity.readBinThresholds(spark, indexPath))
+    val code = when(size(col(vecName)) =!= thr.length,
+        raise_error(format_string(
+          s"binCodesSink batch $bid: a vector has dimension %d but the " +
+            s"index codes ${thr.length} — not the same embedding space",
+          size(col(vecName)))).cast("array<bigint>"))
+      .otherwise(graft.operators.Similarity.binQuantize(col(vecName), thr))
+    guardedWrite("not the same embedding space") {
+      batch.select(col(idName), code.as("code"))
+        .write.mode("overwrite").parquet(s"$indexPath/codes/batch=$bid")
+    }
   }
 
   /** Streaming near-dup maintenance — the continuous-ingest fold of
@@ -585,11 +649,22 @@ object StreamOps {
                         trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                         tau: Double = 0.35)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the centroid sidecar is FROZEN before the stream starts (the
+    // initSemanticCentroids planning contract) — read it once at sink
+    // construction, not once per trigger (the sq8CodesSink rationale);
+    // the absent-sidecar loud guard moves here with it
+    val spark = vecs.sparkSession
+    require(graft.operators.Artifact.hadoopDirExists(spark,
+        s"$stateDir/centroids"),
+      s"semanticDedupBatch: no centroid sidecar at $stateDir/centroids — " +
+        "run initSemanticCentroids over the planning corpus before the stream")
+    val cents = graft.operators.Similarity.readCentroids(spark, stateDir)
     val w = vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        semanticDedupBatch(batch, bid, stateDir, idName, vecName, tau)
+        semanticDedupBatch(batch, bid, stateDir, idName, vecName, tau,
+          Some(cents))
       }
     trigger.fold(w)(w.trigger).start()
   }
@@ -606,14 +681,18 @@ object StreamOps {
     */
   private[graft] def semanticDedupBatch(batch: DataFrame, bid: Long,
                                         stateDir: String, idName: String,
-                                        vecName: String, tau: Double): Unit =
+                                        vecName: String, tau: Double,
+                                        cents0: Option[Seq[Array[Float]]] = None)
+      : Unit =
       withTriggerWidth(batch) {
     import graft.operators.{Artifact, Similarity}
     val spark = batch.sparkSession
-    require(Artifact.hadoopDirExists(spark, s"$stateDir/centroids"),
-      s"semanticDedupBatch: no centroid sidecar at $stateDir/centroids — " +
-        "run initSemanticCentroids over the planning corpus before the stream")
-    val cents = Similarity.readCentroids(spark, stateDir)
+    val cents = cents0.getOrElse {
+      require(Artifact.hadoopDirExists(spark, s"$stateDir/centroids"),
+        s"semanticDedupBatch: no centroid sidecar at $stateDir/centroids — " +
+          "run initSemanticCentroids over the planning corpus before the stream")
+      Similarity.readCentroids(spark, stateDir)
+    }
     val vecsDir = s"$stateDir/vecs"
     val arch =
       if (!Artifact.hadoopDirExists(spark, vecsDir))
@@ -622,12 +701,6 @@ object StreamOps {
           .select(col("id"), col("cid"), col("v")).limit(0)
       else spark.read.parquet(vecsDir).filter(col("batch") =!= bid)
         .drop("batch")
-    val clash = batch.select(col(idName).as("id"))
-      .join(arch.select(col("id")), Seq("id"), "left_semi").take(1)
-    require(clash.isEmpty,
-      s"semanticDedupBatch: batch $bid re-delivers already-ingested id " +
-        s"${clash.headOption.map(_.get(0)).getOrElse("?")} — generations' " +
-        "id spaces must be disjoint (a retry reuses its OWN batch id)")
     // assign ONCE and share across both effect jobs (the
     // cdcSegmentsBatch segs discipline — the nearest-centroid pass
     // otherwise runs in the kept write AND the archive-rows write)
@@ -636,14 +709,38 @@ object StreamOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (kept, rows) = Similarity.semanticDedupVsArchive(
       batch, idName, vecName, tau, cents, arch, Some(rowsShared))
+    // id-clash guard folded into BOTH state writes (it was a dedicated
+    // semi-join take(1) job per trigger): a zero-row-unless-violated
+    // guard subtree unions into each write — ids only through the semi
+    // join, so the payload never shuffles on its account — and any
+    // clash row raises DURING the writes, before either job commits
+    // (exactly the pre-flight guard's nothing-written-on-clash
+    // semantics, minus its job round-trip). Same loud
+    // IllegalArgumentException via guardedWrite.
+    val clashIds = rowsShared.select(col("id"))
+      .join(arch.select(col("id")), Seq("id"), "left_semi")
+    def withClashGuard(df: DataFrame): DataFrame = {
+      val guardCols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == 0)
+          raise_error(format_string(
+            s"semanticDedupBatch: batch $bid re-delivers already-ingested " +
+              "id %s — generations' id spaces must be disjoint (a retry " +
+              "reuses its OWN batch id)", col("id").cast("string")))
+            .cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.unionByName(clashIds.select(guardCols.toSeq: _*))
+    }
     val genParts = math.max(1, batch.rdd.getNumPartitions)
     // disjoint outputs over the shared cached assignment relation —
     // concurrent (inParallel)
     inParallel(
-      () => kept.repartition(genParts)
-        .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid"),
-      () => rows.repartition(genParts)
-        .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid"))
+      () => guardedWrite("re-delivers")(
+        withClashGuard(rows).repartition(genParts)
+          .write.mode("overwrite").parquet(s"$vecsDir/batch=$bid")),
+      () => guardedWrite("re-delivers")(
+        withClashGuard(kept).repartition(genParts)
+          .write.mode("overwrite").parquet(s"$stateDir/kept/batch=$bid")))
     rowsShared.unpersist()
     ()
   }
@@ -797,12 +894,18 @@ object StreamOps {
                    threshold: Double = 0.6, k: Int = 32, bands: Int = 8,
                    shingleN: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the SQ8 scales sidecar is FROZEN before the stream starts (the
+    // planning-pass contract) — read once at sink construction, not
+    // once per trigger (the sq8CodesSink rationale)
+    val scales = graft.operators.Similarity
+      .readSq8Scales(docs.sparkSession, s"$stateDir/sq8")
     val w = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         curateBatch(batch, bid, embeddings, stateDir, idName, textName,
-          vecName, patterns, token, threshold, k, bands, shingleN)
+          vecName, patterns, token, threshold, k, bands, shingleN,
+          Some(scales))
       }
     trigger.fold(w)(w.trigger).start()
   }
@@ -813,7 +916,8 @@ object StreamOps {
                                  idName: String, textName: String,
                                  vecName: String, patterns: Seq[String],
                                  token: String, threshold: Double,
-                                 k: Int, bands: Int, shingleN: Int): Unit =
+                                 k: Int, bands: Int, shingleN: Int,
+                                 scales0: Option[Array[Double]] = None): Unit =
       withTriggerWidth(batch) {
     import graft.operators.{Dedup, Similarity, Tagging}
     val spark = batch.sparkSession
@@ -849,7 +953,8 @@ object StreamOps {
     // survivors' vectors under the frozen scales, and the archive
     // appends of ALL batch documents' fingerprint and shingle state
     // (gates reference dropped documents too)
-    val scales = Similarity.readSq8Scales(spark, s"$stateDir/sq8")
+    val scales = scales0.getOrElse(
+      Similarity.readSq8Scales(spark, s"$stateDir/sq8"))
     val q = Similarity.sq8Quantize(col(vecName), scales)
     inParallel(
       () => Tagging.redactDocs(survivors, idName, col(textName), patterns,
@@ -911,7 +1016,10 @@ object StreamOps {
     */
   def scd2Batch(batch: DataFrame, targetDir: String, key: String,
                 versionCol: String, historyBuckets: Option[Int] = None): Unit = {
-    if (batch.isEmpty) return
+    // no isEmpty pre-flight job: emptiness rides the stats aggregate
+    // every non-empty trigger pays anyway (foldInto's count / openAll's
+    // count — both skip the write at zero), saving one job round-trip
+    // per trigger
     withTriggerWidth(batch) {
     val spark = batch.sparkSession
     val collapsed = collapseLastWins(batch, key, versionCol)
@@ -927,7 +1035,7 @@ object StreamOps {
         val merged =
           if (flatHistory)
             foldInto(spark.read.parquet(targetDir), collapsed, key, versionCol)
-          else Some(openAll(collapsed, versionCol))
+          else openAll(collapsed, versionCol)
         merged.foreach { case (m, _) =>
           val out = m.localCheckpoint(true)
           out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -954,7 +1062,7 @@ object StreamOps {
             // the bucketed history diverge from the flat layout's
             foldInto(slice, collapsed, key, versionCol,
               readFrontier(spark, targetDir))
-          } else Some(openAll(collapsed, versionCol))
+          } else openAll(collapsed, versionCol)
         merged.foreach { case (m, asOf) =>
           val out = m.withColumn("__b", bucket).localCheckpoint(true)
           out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -967,13 +1075,21 @@ object StreamOps {
     }
   }
 
-  /** First batch: every collapsed row opens at the batch max. */
+  /** First batch: every collapsed row opens at the batch max. None =
+    * the batch was empty (count and max ride ONE aggregate — the
+    * former isEmpty pre-flight job) and there is nothing to write.
+    */
   private def openAll(collapsed: DataFrame,
-                      versionCol: String): (DataFrame, Long) = {
-    val batchMax = collapsed.agg(max(col(versionCol))).head().getLong(0)
-    (collapsed
-      .withColumn("valid_from", lit(batchMax))
-      .withColumn("valid_to", lit(null).cast("long")), batchMax)
+                      versionCol: String): Option[(DataFrame, Long)] = {
+    val r = collapsed
+      .agg(count(lit(1)).as("__c"), max(col(versionCol)).as("__m")).head()
+    if (r.getLong(0) == 0L) None
+    else {
+      val batchMax = r.getLong(1)
+      Some((collapsed
+        .withColumn("valid_from", lit(batchMax))
+        .withColumn("valid_to", lit(null).cast("long")), batchMax))
+    }
   }
 
   /** Drop stale rows, clamp asOf, apply. None = every row was stale —
