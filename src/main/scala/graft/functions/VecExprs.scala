@@ -110,6 +110,108 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpr
   override def prettyName: String = "dot_product"
 }
 
+/** Spark SQL's nan-safe double ordering (NaN greatest, NaN == NaN,
+  * ±0.0 equal) — the comparison semantics `array_min`/`array_max`
+  * apply to a struct's leading double, replicated so the fused argmin
+  * kernels below tie-break exactly like the expression forms they
+  * replace.
+  */
+private[functions] object NanSafe {
+  @inline def cmp(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else -1
+}
+
+/** Fused argmin over a literal cell matrix of ‖c‖² − 2·v·c — ONE
+  * kernel replacing k inlined per-cell [[DotProduct]] expressions
+  * wrapped in an array_min-of-structs (k×codegen'd loops per row; at
+  * PQ widths numSub·k of them in one projection, a codegen blowup
+  * that grows with the codebook). Bit-identical to that form by
+  * construction: the per-cell distance calls the SAME
+  * [[VecKernels.dot]] accumulation and the same driver-computed
+  * ‖c‖², and the scan keeps the EARLIEST minimum under nan-safe
+  * ordering — exactly array_min's lexicographic (d, code) rule
+  * (smaller d wins, NaN greatest, ties → lower code). Spec-pinned
+  * against the expression form (SimilaritySpec).
+  */
+case class NearestCodeL2(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearest_code_l2: empty codebook")
+  override def dataType: DataType = IntegerType
+  private def et: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val cells: Array[ArrayData] =
+    cents.map(c => ArrayData.toArrayData(c.toArray)).toArray
+  @transient private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+    s
+  }.toArray
+
+  def compute(v: ArrayData): Int = {
+    val vt = et
+    var best = norms(0) - 2.0 * VecKernels.dot(v, vt, cells(0), FloatType)
+    var bestI = 0
+    var i = 1
+    while (i < cells.length) {
+      val d = norms(i) - 2.0 * VecKernels.dot(v, vt, cells(i), FloatType)
+      if (NanSafe.cmp(d, best) < 0) { best = d; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("nearestCodeL2", this,
+        classOf[NearestCodeL2].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_code_l2"
+}
+
+/** Fused argmax over a literal centroid matrix of cosine(v, c) — ONE
+  * kernel replacing nlist inlined [[CosineSim]] expressions wrapped
+  * in an array_max-of-structs. Bit-identical: per-cell cosine IS
+  * [[VecKernels.cosine]], and the scan keeps the LATEST maximum under
+  * nan-safe ordering — exactly array_max's lexicographic (s, cid)
+  * rule (larger s wins, NaN greatest, ties → HIGHER cid).
+  * Spec-pinned against the expression form (SimilaritySpec).
+  */
+case class NearestCid(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearest_cid: empty centroid set")
+  override def dataType: DataType = IntegerType
+  private def et: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val cells: Array[ArrayData] =
+    cents.map(c => ArrayData.toArrayData(c.toArray)).toArray
+
+  def compute(v: ArrayData): Int = {
+    val vt = et
+    var best = VecKernels.cosine(v, vt, cells(0), FloatType)
+    var bestI = 0
+    var i = 1
+    while (i < cells.length) {
+      val s = VecKernels.cosine(v, vt, cells(i), FloatType)
+      if (NanSafe.cmp(s, best) >= 0) { best = s; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("nearestCid", this,
+        classOf[NearestCid].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_cid"
+}
+
 /** Random-hyperplane LSH signature: `numBits` sign bits of v·r_p
   * packed into a long. The planes are pseudo-random but fully
   * deterministic from (seed, bit, dim) via a splitmix64 mix, so the

@@ -34,6 +34,16 @@ object VecFns {
   def cosine(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
   def dot(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
 
+  /** Fused argmin/argmax kernels over a literal cell matrix — one
+    * expression instead of k inlined per-cell kernels; bit-identical
+    * tie/NaN semantics to the array_min/array_max struct forms they
+    * replace (see VecExprs.NearestCodeL2 / NearestCid).
+    */
+  def nearestCodeL2(v: Column, cents: Seq[Array[Float]]): Column =
+    toCol(NearestCodeL2(toExpr(v), cents.map(_.toSeq)))
+  def nearestCid(v: Column, cents: Seq[Array[Float]]): Column =
+    toCol(NearestCid(toExpr(v), cents.map(_.toSeq)))
+
   /** numBits-bit random-hyperplane signature of a vector column. */
   def hyperplaneSig(v: Column, numBits: Int = 16, seed: Long = 42L): Column =
     toCol(HyperplaneSig(toExpr(v), numBits, seed))

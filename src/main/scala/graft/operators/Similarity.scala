@@ -299,9 +299,11 @@ object Similarity {
     * driver-side state, by design.
     */
   private def nearestCid(v: Column, cents: Seq[Array[Float]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VecFns.cosine(v, typedlit(c)).as("s"), lit(i).as("cid"))
-    }: _*)).getField("cid")
+    // fused kernel — one expression, not nlist inlined cosines in an
+    // array_max of structs (VecFns.nearestCid pins the bit-identical
+    // tie/NaN semantics; SimilaritySpec compares against the
+    // expression form)
+    VecFns.nearestCid(v, cents)
 
   private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -738,12 +740,13 @@ object Similarity {
     s
   }
 
-  /** argmin over `cents` of ‖c‖² − 2·v·c (ties → lowest code). */
+  /** argmin over `cents` of ‖c‖² − 2·v·c (ties → lowest code) — the
+    * fused kernel form (VecFns.nearestCodeL2): one expression instead
+    * of k inlined dot kernels; bit-identical distances and tie rule
+    * (SimilaritySpec pins it against the array_min struct form).
+    */
   private def nearestCodeL2(v: Column, cents: Seq[Array[Float]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(sqNorm(c)) - lit(2.0) * VecFns.dot(v, typedlit(c))).as("d"),
-        lit(i).as("code"))
-    }: _*)).getField("code")
+    VecFns.nearestCodeL2(v, cents)
 
   /** Train per-subspace codebooks: deterministic seeds (the lowest
     * `k` ids' subvectors) + one distributed Lloyd iteration over the

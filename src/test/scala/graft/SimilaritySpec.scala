@@ -1482,4 +1482,54 @@ class SimilaritySpec extends SparkSpec {
       Similarity.randomProjectJoined(emb, "vec_id", "embedding", 32, 8, 7L))
     assert(ragged.getMessage.contains("ragged"))
   }
+
+  test("fused nearest-cell kernels are bit-identical to the expression forms, ties included") {
+    // real centroids plus an exact DUPLICATE of cell 0 at the end, so
+    // tie rows exist by construction and the tie rules are exercised
+    val cents0: Seq[Array[Float]] = emb.orderBy(col("vec_id")).limit(7)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val cents = cents0 :+ cents0.head.clone()
+    def sq(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+      s
+    }
+    // the pre-kernel expression forms, verbatim
+    def exprCid(v: org.apache.spark.sql.Column) =
+      array_max(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VecFns.cosine(v, typedlit(c)).as("s"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+    def exprCode(v: org.apache.spark.sql.Column) =
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((lit(sq(c)) - lit(2.0) * VecFns.dot(v, typedlit(c))).as("d"),
+          lit(i).as("code"))
+      }: _*)).getField("code")
+    // whole corpus, float AND double element types
+    Seq(col("embedding"), col("embedding").cast("array<double>"))
+      .foreach { v =>
+        val diverged = emb.select(col("vec_id"),
+            exprCid(v).as("cid_e"),
+            VecFns.nearestCid(v, cents).as("cid_k"),
+            exprCode(v).as("code_e"),
+            VecFns.nearestCodeL2(v, cents).as("code_k"))
+          .filter(col("cid_e") =!= col("cid_k") ||
+            col("code_e") =!= col("code_k"))
+          .limit(5).collect()
+        assert(diverged.isEmpty,
+          s"kernel/expression divergence: ${diverged.mkString("; ")}")
+      }
+    // the duplicate cell is an exact tie for its own vector: L2 keeps
+    // the LOWEST code (array_min rule), cosine the HIGHEST cid
+    // (array_max rule) — and both match the expression forms
+    val tieV = typedlit(cents.head)
+    val tie = emb.limit(1).select(
+      VecFns.nearestCid(tieV, cents).as("cid_k"),
+      VecFns.nearestCodeL2(tieV, cents).as("code_k"),
+      exprCid(tieV).as("cid_e"), exprCode(tieV).as("code_e")).head()
+    assert(tie.getInt(0) == tie.getInt(2) && tie.getInt(1) == tie.getInt(3),
+      s"tie rules diverge: $tie")
+    assert(tie.getInt(1) == 0, "L2 tie must keep the lowest code")
+    assert(tie.getInt(0) == cents.size - 1,
+      "cosine tie must keep the highest cid")
+  }
 }
