@@ -13,8 +13,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * composes with the pushed filters).
   */
 final class Tables(spark: SparkSession, dir: String) {
+  // Per-session catalog-relation reuse: every `spark.read.parquet`
+  // call re-resolves the relation (file listing + a schema-inference
+  // footer read + plan construction) — with ~256 registry queries
+  // each touching several tables, that re-resolution is a measurable
+  // slice of every query's fixed floor. The DataFrame is an immutable
+  // LAZY plan, so reusing it per (session, path) changes nothing
+  // about execution: every action still scans the parquet. The
+  // fixture files never change within a session (the driver
+  // regenerates between JVMs), which is the same assumption Spark's
+  // own per-session file-listing cache already makes.
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.resolved(spark, s"$dir/$name.parquet")
 
   def region: DataFrame    = t("region")
   def nation: DataFrame    = t("nation")
@@ -72,4 +82,20 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Resolve-once parquet relations, keyed (session, path). Plans
+    * only — never results or cached blocks — so this is catalog
+    * state, not data state. Bounded like JlProject's matrix cache:
+    * past [[MaxResolved]] distinct relations the map clears wholesale
+    * (a post-clear miss merely re-resolves), keeping a long-lived JVM
+    * serving many sessions from retaining dead sessions' plans.
+    */
+  private val MaxResolved = 512
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private[graft] def resolved(spark: SparkSession, path: String): DataFrame = {
+    val k = (spark, path)
+    if (cache.size >= MaxResolved && !cache.containsKey(k)) cache.clear()
+    cache.computeIfAbsent(k, _ => spark.read.parquet(path))
+  }
 }

@@ -756,13 +756,15 @@ object Similarity {
     */
   def trainPqCodebooks(embeddings: DataFrame, idName: String, vecName: String,
                        numSub: Int, k: Int): Seq[Seq[Array[Float]]] = {
-    val dim = embeddings.select(size(col(vecName)).as("d")).head().getInt(0)
-    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
     require(k >= 2 && k <= 256, "codes per subspace in [2,256] (a byte)")
-    val w = dim / numSub
     val seedRows = embeddings.orderBy(col(idName)).limit(k)
       .select(vecName).collect().map(_.getSeq[Float](0).toArray)
     require(seedRows.length == k, s"corpus smaller than k=$k")
+    // dim from the seed rows already collected — the dedicated
+    // size() head() job read one row to answer the same question
+    val dim = seedRows.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val w = dim / numSub
     val seeds: Seq[Seq[Array[Float]]] =
       (0 until numSub).map(s => seedRows.toSeq.map(_.slice(s * w, (s + 1) * w)))
     val subRel = embeddings.select(posexplode(array((0 until numSub).map(s =>
@@ -1030,17 +1032,21 @@ object Similarity {
                     idName: String, vecName: String): Unit = {
     val books = readPqCodebooks(spark, indexPath)
     val dim = books.size * books.head.head.length
-    val badDim = newEmbeddings
-      .select(size(col(vecName)).as("d")).filter(col("d") =!= dim)
-      .take(1)
-    require(badDim.isEmpty,
-      s"appendPqIndex: batch has dimension ${badDim.headOption.map(_.get(0))
-        .getOrElse("?")} but the codebooks encode $dim — not the same " +
-        "embedding space")
-    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
-      "appendPqIndex")
-    newEmbeddings.select(col(idName), pqEncode(col(vecName), books).as("codes"))
-      .write.mode("append").parquet(s"$indexPath/codes")
+    // both guards ride the append job (in-row dim raise + id-clash
+    // union subtree) — they were two dedicated jobs per append and
+    // still reject before any file lands (guardedJob)
+    val codes = when(size(col(vecName)) =!= dim,
+        raise_error(format_string(
+          s"appendPqIndex: batch has dimension %d but the codebooks " +
+            s"encode $dim — not the same embedding space",
+          size(col(vecName)))).cast("array<int>"))
+      .otherwise(pqEncode(col(vecName), books))
+    val out = withIdsDisjointGuard(
+      newEmbeddings.select(col(idName), codes.as("codes")),
+      newEmbeddings, spark, s"$indexPath/codes", idName, "appendPqIndex")
+    guardedJob(Seq("not the same embedding space", IdsDisjointMarker)) {
+      out.write.mode("append").parquet(s"$indexPath/codes")
+    }
   }
 
   /** Partial PQ rebuild — the maintenance remedy for a
@@ -1572,19 +1578,71 @@ object Similarity {
     }
   }
 
-  /** Shared append guard: a replayed/overlapping batch would silently
-    * duplicate rows in a code/vector table and every serve path could
-    * return the same id twice — reject loudly before any file lands.
+  /** Run an append/write whose plan carries in-row `raise_error`
+    * guards, rethrowing a fired guard as the IllegalArgumentException
+    * the pre-flight `require` form threw. The guards were dedicated
+    * jobs per append (dim take(1), clip posexplode aggregations, the
+    * id-disjointness semi-join); folded into the append job they cost
+    * one expression per row and zero extra job round-trips, and they
+    * still reject BEFORE any file lands — a raised row aborts the
+    * task, the job, and the committer's temporary output, so in
+    * append mode the existing table is untouched and nothing new
+    * commits.
     */
-  private def requireIdsDisjoint(spark: org.apache.spark.sql.SparkSession,
-                                 existingTable: String, newRows: DataFrame,
-                                 idName: String, caller: String): Unit = {
+  private def guardedJob[A](markers: Seq[String])(body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && markers.exists(m.contains))
+            throw new IllegalArgumentException(
+              m.stripPrefix("[USER_RAISED_EXCEPTION] ").trim, e)
+          c = c.getCause
+        }
+        throw e
+    }
+
+  /** Shared append guard, as a zero-row-unless-violated subtree to
+    * union onto the append write: a replayed/overlapping batch would
+    * silently duplicate rows in a code/vector table and every serve
+    * path could return the same id twice — any clashing id raises
+    * during the write, before any file lands. Ids only flow through
+    * the semi join (the payload never shuffles on the guard's
+    * account).
+    */
+  private def withIdsDisjointGuard(out: DataFrame, newRows: DataFrame,
+                                   spark: org.apache.spark.sql.SparkSession,
+                                   existingTable: String, idName: String,
+                                   caller: String): DataFrame = {
     val clash = newRows.select(col(idName))
       .join(spark.read.parquet(existingTable).select(col(idName)),
-        Seq(idName), "left_semi").take(1)
-    require(clash.isEmpty,
-      s"$caller: batch re-ingests indexed $idName " +
-        s"${clash.head.get(0)} — id spaces must be disjoint")
+        Seq(idName), "left_semi")
+    val cols = out.schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == 0)
+        raise_error(format_string(
+          s"$caller: batch re-ingests indexed $idName %s — id spaces " +
+            "must be disjoint", col(idName).cast("string")))
+          .cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    out.unionByName(clash.select(cols.toSeq: _*))
+  }
+  private val IdsDisjointMarker = "id spaces must be disjoint"
+
+  /** First clipping (dim, |x|) pair of a row against frozen per-dim
+    * scales, for the SQ8 appends' in-row clip guards: empty when the
+    * row codes cleanly. The `<` guard keeps element_at in range; dims
+    * beyond the sidecar are the dimensionality guard's job.
+    */
+  private def sq8ClipViolation(vec: Column,
+                               scales: Array[Double]): Column = {
+    val scLit = typedlit(scales.toSeq)
+    filter(
+      transform(vec.cast("array<double>"),
+        (x, i) => struct(i.cast("int").as("d"), abs(x).as("m"))),
+      p => p.getField("d") < lit(scales.length) &&
+        p.getField("m") > element_at(scLit, p.getField("d") + 1))
   }
 
   /** Append a new batch to an existing SQ8 index WITHOUT re-deriving
@@ -1610,26 +1668,34 @@ object Similarity {
                      indexPath: String, newEmbeddings: DataFrame,
                      idName: String, vecName: String): Unit = {
     val scales = readSq8Scales(spark, indexPath)
-    val batchMax = newEmbeddings
-      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
-    batchMax.foreach { case (d, m) =>
-      require(d < scales.length,
-        s"appendSq8Index: batch has dimension $d beyond the index's " +
-          s"${scales.length} — not the same embedding space")
-      require(m <= scales(d),
-        f"appendSq8Index: batch max |x_$d%d| = $m%.6g exceeds the frozen " +
-          f"scale ${scales(d)}%.6g — codes would clip; rebuild the index " +
-          "over the union instead")
+    // all three guards ride the append job (in-row dim/clip raises +
+    // id-clash union subtree) — they were a posexplode aggregation
+    // and a semi-join job per append; still reject before any file
+    // lands (guardedJob)
+    val viol = sq8ClipViolation(col(vecName), scales)
+    val codes = when(size(col(vecName)) > scales.length,
+        raise_error(format_string(
+          s"appendSq8Index: batch has dimension %d beyond the index's " +
+            s"${scales.length} — not the same embedding space",
+          size(col(vecName)) - 1)).cast("binary"))
+      .when(size(viol) > 0,
+        raise_error(format_string(
+          s"appendSq8Index: batch max |x_%d| = %.6g exceeds the frozen " +
+            "scale %.6g — codes would clip; rebuild the index over the " +
+            "union instead",
+          element_at(viol, 1).getField("d"),
+          element_at(viol, 1).getField("m"),
+          element_at(typedlit(scales.toSeq),
+            element_at(viol, 1).getField("d") + 1))).cast("binary"))
+      .otherwise(graft.functions.VecFns.packInt8(
+        sq8Quantize(col(vecName), scales)))
+    val out = withIdsDisjointGuard(
+      newEmbeddings.select(col(idName), codes.as("codes")),
+      newEmbeddings, spark, s"$indexPath/codes", idName, "appendSq8Index")
+    guardedJob(Seq("not the same embedding space", "codes would clip",
+        IdsDisjointMarker)) {
+      out.write.mode("append").parquet(s"$indexPath/codes")
     }
-    // id-disjointness guard (the appendPostings discipline)
-    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
-      "appendSq8Index")
-    newEmbeddings.select(col(idName),
-        graft.functions.VecFns.packInt8(
-          sq8Quantize(col(vecName), scales)).as("codes"))
-      .write.mode("append").parquet(s"$indexPath/codes")
   }
 
   /** The scales sidecar (dim-sized driver state — the centroid/
@@ -1734,28 +1800,33 @@ object Similarity {
                         idName: String, vecName: String): Unit = {
     val cents = readCentroids(spark, indexPath)
     val scales = readSq8Scales(spark, indexPath)
-    val batchMax = newEmbeddings
-      .select(posexplode(col(vecName).cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(max(abs(col("x"))).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
-    batchMax.foreach { case (d, m) =>
-      require(d < scales.length,
-        s"appendIvfSq8Index: batch dimension $d beyond the index's " +
-          s"${scales.length} — not the same embedding space")
-      require(m <= scales(d),
-        f"appendIvfSq8Index: batch max |x_$d%d| = $m%.6g exceeds the frozen " +
-          f"scale ${scales(d)}%.6g — codes would clip; rebuild over the union")
+    // all three guards ride the append job (the appendSq8Index fold)
+    val viol = sq8ClipViolation(col(vecName), scales)
+    val codes = when(size(col(vecName)) > scales.length,
+        raise_error(format_string(
+          s"appendIvfSq8Index: batch dimension %d beyond the index's " +
+            s"${scales.length} — not the same embedding space",
+          size(col(vecName)) - 1)).cast("binary"))
+      .when(size(viol) > 0,
+        raise_error(format_string(
+          s"appendIvfSq8Index: batch max |x_%d| = %.6g exceeds the " +
+            "frozen scale %.6g — codes would clip; rebuild over the union",
+          element_at(viol, 1).getField("d"),
+          element_at(viol, 1).getField("m"),
+          element_at(typedlit(scales.toSeq),
+            element_at(viol, 1).getField("d") + 1))).cast("binary"))
+      .otherwise(graft.functions.VecFns.packInt8(
+        sq8Quantize(col(vecName), scales)))
+    val out = withIdsDisjointGuard(
+      newEmbeddings
+        .withColumn("__cid", nearestCid(col(vecName), cents))
+        .select(col(idName), col("__cid"), codes.as("codes")),
+      newEmbeddings, spark, s"$indexPath/codes", idName, "appendIvfSq8Index")
+    guardedJob(Seq("not the same embedding space", "codes would clip",
+        IdsDisjointMarker)) {
+      out.write.mode("append").partitionBy("__cid")
+        .parquet(s"$indexPath/codes")
     }
-    // id-disjointness guard (the appendPostings discipline)
-    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
-      "appendIvfSq8Index")
-    newEmbeddings
-      .withColumn("__cid", nearestCid(col(vecName), cents))
-      .select(col(idName), col("__cid"),
-        graft.functions.VecFns.packInt8(
-          sq8Quantize(col(vecName), scales)).as("codes"))
-      .write.mode("append").partitionBy("__cid")
-      .parquet(s"$indexPath/codes")
   }
 
   /** Partial list rebuild for the COMPOSED IVF×SQ8 index —
@@ -2224,18 +2295,19 @@ object Similarity {
                         indexPath: String, newEmbeddings: DataFrame,
                         idName: String, vecName: String): Unit = {
     val thr = readBinThresholds(spark, indexPath)
-    val badDim = newEmbeddings
-      .select(size(col(vecName)).as("d")).filter(col("d") =!= thr.length)
-      .take(1)
-    require(badDim.isEmpty,
-      s"appendBinaryIndex: batch has dimension ${badDim.headOption.map(_.get(0))
-        .getOrElse("?")} but the index codes ${thr.length} — not the same " +
-        "embedding space")
-    requireIdsDisjoint(spark, s"$indexPath/codes", newEmbeddings, idName,
-      "appendBinaryIndex")
-    newEmbeddings.select(col(idName),
-        binQuantize(col(vecName), thr).as("code"))
-      .write.mode("append").parquet(s"$indexPath/codes")
+    // both guards ride the append job (the appendPqIndex fold)
+    val code = when(size(col(vecName)) =!= thr.length,
+        raise_error(format_string(
+          s"appendBinaryIndex: batch has dimension %d but the index " +
+            s"codes ${thr.length} — not the same embedding space",
+          size(col(vecName)))).cast("array<bigint>"))
+      .otherwise(binQuantize(col(vecName), thr))
+    val out = withIdsDisjointGuard(
+      newEmbeddings.select(col(idName), code.as("code")),
+      newEmbeddings, spark, s"$indexPath/codes", idName, "appendBinaryIndex")
+    guardedJob(Seq("not the same embedding space", IdsDisjointMarker)) {
+      out.write.mode("append").parquet(s"$indexPath/codes")
+    }
   }
 
   /** Re-bin a drifted binary index — the remedy [[binDriftReport]]'s

@@ -105,7 +105,7 @@ object StreamOps {
     * width. Same single-planner scope contract as
     * [[withStatePartitions]].
     */
-  private def withTriggerWidth[A](batch: DataFrame)(body: => A): A = {
+  private[graft] def withTriggerWidth[A](batch: DataFrame)(body: => A): A = {
     val spark = batch.sparkSession
     val session =
       try spark.conf.get("spark.sql.shuffle.partitions").toInt

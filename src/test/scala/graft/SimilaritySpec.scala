@@ -525,8 +525,10 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(got == want)
     // a batch that would clip the frozen scales is rejected loudly
-    // BEFORE any file is written
-    val hot = emb.filter(col("vec_id") === 0).select(col("vec_id"),
+    // BEFORE any file is written (fresh id — the clip guard is the
+    // single violation under test; the id guard has its own case)
+    val hot = emb.filter(col("vec_id") === 0).select(
+      (col("vec_id") + 900000L).as("vec_id"),
       transform(col("embedding"), x => x * 1000.0f).as("embedding"))
     val e = intercept[IllegalArgumentException] {
       Similarity.appendSq8Index(spark, dir, hot, "vec_id", "embedding")
@@ -654,7 +656,9 @@ class SimilaritySpec extends SparkSpec {
         k = codes.count().toInt - 1, nprobe = 16, excludeId = 0L)
       .select("vec_id").as[Long].collect().toSet
     assert(got.keySet.subsetOf(ids))
-    val hot = emb.filter(col("vec_id") === 0).select(col("vec_id"),
+    // fresh id: the clip guard is the single violation under test
+    val hot = emb.filter(col("vec_id") === 0).select(
+      (col("vec_id") + 900000L).as("vec_id"),
       transform(col("embedding"), x => x * 1000.0f).as("embedding"))
     val e = intercept[IllegalArgumentException] {
       Similarity.appendIvfSq8Index(spark, dir, hot, "vec_id", "embedding")
@@ -963,7 +967,8 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(got == want)
     // a batch from a different embedding space is rejected loudly
-    val narrow = batch.select(col("vec_id"),
+    // (fresh ids — the dim guard is the single violation under test)
+    val narrow = batch.select((col("vec_id") + 800000L).as("vec_id"),
       slice(col("embedding"), 1, 8).as("embedding"))
     val e = intercept[IllegalArgumentException] {
       Similarity.appendBinaryIndex(spark, dir, narrow, "vec_id", "embedding")

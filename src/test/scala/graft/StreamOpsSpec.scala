@@ -856,4 +856,24 @@ class StreamOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StreamOps.withStatePartitions(spark, 0)(()))
   }
+
+  test("withTriggerWidth: width = input-split count, clamped to the session width") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def widthFor(parts: Int): Int = {
+      val batch = spark.range(0, 1000, 1, parts).toDF("id")
+      StreamOps.withTriggerWidth(batch)(spark.conf.get(key).toInt)
+    }
+    // tiny batch: one split -> width 1 (the near-empty-task fix)
+    assert(widthFor(1) == 1)
+    // mid batch: width tracks the split count exactly
+    assert(widthFor(8) == 8)
+    // wide batch (more splits than the session width): CLAMPED to the
+    // session width — a 100 TB trigger keeps the session's shuffle
+    // width, it never explodes past it
+    val session = before.toInt
+    assert(widthFor(session * 2) == session,
+      s"wide batch must clamp to the session width $session")
+    assert(spark.conf.get(key) == before, "width not restored")
+  }
 }
