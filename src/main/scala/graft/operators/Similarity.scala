@@ -2175,10 +2175,23 @@ object Similarity {
   def buildBinaryIndex(embeddings: DataFrame, idName: String, vecName: String,
                        indexPath: String): Unit = {
     val thr = binThresholds(embeddings, vecName)
-    requireBinDim(embeddings, vecName, thr.length, "buildBinaryIndex")
-    embeddings.select(col(idName),
-        binQuantize(col(vecName), thr).as("code"))
-      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    // dim guard rides the codes write as an in-row raise (it was a
+    // dedicated take(1) job): the target is a NEW index directory, so
+    // unlike the rebin path there is no prior state an aborted
+    // overwrite could destroy, and the guard still fires before
+    // anything commits (guardedJob rethrows the original
+    // IllegalArgumentException)
+    val code = when(size(col(vecName)) =!= thr.length,
+        raise_error(format_string(
+          s"buildBinaryIndex: corpus has a vector of dimension %d but " +
+            s"the thresholds code ${thr.length} dimensions — ragged " +
+            "embedding corpus",
+          size(col(vecName)))).cast("array<bigint>"))
+      .otherwise(binQuantize(col(vecName), thr))
+    guardedJob(Seq("ragged embedding corpus")) {
+      embeddings.select(col(idName), code.as("code"))
+        .write.mode("overwrite").parquet(s"$indexPath/codes")
+    }
     writeBinThresholds(embeddings.sparkSession, thr, indexPath)
   }
 

@@ -866,12 +866,14 @@ class StreamOpsSpec extends SparkSpec {
     }
     // tiny batch: one split -> width 1 (the near-empty-task fix)
     assert(widthFor(1) == 1)
-    // mid batch: width tracks the split count exactly
-    assert(widthFor(8) == 8)
+    // mid batch (under the session width): width tracks the split
+    // count exactly
+    val session = before.toInt
+    val mid = math.max(1, session / 2)
+    assert(widthFor(mid) == mid)
     // wide batch (more splits than the session width): CLAMPED to the
     // session width — a 100 TB trigger keeps the session's shuffle
     // width, it never explodes past it
-    val session = before.toInt
     assert(widthFor(session * 2) == session,
       s"wide batch must clamp to the session width $session")
     assert(spark.conf.get(key) == before, "width not restored")
